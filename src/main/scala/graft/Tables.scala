@@ -20,7 +20,17 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "events")
+  /** The events table carries a parquet TIMESTAMP(NANOS) column, which Spark's
+    * vectorized reader rejects. Read it as nanos-since-epoch (legacy conf) and
+    * floor-divide to microseconds — exactly what DuckDB does natively on the
+    * same file — so event-time comparisons agree across the oracle boundary.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }
