@@ -1,0 +1,145 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{ConsumedRecord, Task, TaskExtractor, TaskMetadata}
+
+/** Outcome of processing one task — the tri-state the reference spreads
+  * across completion/retry/discard paths (`ProcessingContextImpl.retry:172-183`,
+  * `ProcessPipeline.java:79-91,145-184`). In the micro-batch model every row is
+  * exactly one of these per batch; the batch barrier is the completion
+  * watermark (SURVEY.md §2.3 T4, §2.5 O1).
+  */
+sealed trait ProcessResult[+T] extends Serializable
+object ProcessResult {
+  /** Task processed; offset completes (auto-complete on return, T1). */
+  final case class Processed[T](value: T) extends ProcessResult[T]
+  /** Task re-queued to the retry topic with `retry_count+1` (E1). */
+  case object Retry extends ProcessResult[Nothing]
+  /** Poison record dropped; offset still completes (E2). */
+  case object Discard extends ProcessResult[Nothing]
+}
+
+/** Record-at-a-time processor SPI — the Spark-native `DecatonProcessor<T>`
+  * (`processor/.../DecatonProcessor.java:20-45`). Runs inside `mapPartitions`;
+  * throwing is equivalent to the reference's uncaught-error policy (E3): the
+  * record is counted as an error and its offset completes without retry.
+  */
+trait RecordProcessor[T, U] extends Serializable {
+  def process(task: Task[T]): ProcessResult[U]
+}
+
+/** The dataflow-pipeline builder: Spark-native form of
+  * `ProcessorsBuilder.consuming(topic, deser).thenProcess(...)`
+  * (`processor/.../ProcessorsBuilder.java:70-141`).
+  *
+  * A pipeline wraps a `Dataset[Task[T]]`; stages compose lazily as Dataset
+  * transforms so Catalyst sees the whole plan. Per-key ordering (O2) is a
+  * property of how the pipeline is keyed, not of a thread pool: equal keys
+  * hash to the same shuffle partition exactly as the reference's
+  * `DefaultSubPartitioner` routes equal keys to the same worker queue
+  * (`processor/.../internal/DefaultSubPartitioner.java:26-58`).
+  */
+final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encoder[Task[T]]) {
+
+  /** Append a whole-Dataset stage (the common, Catalyst-visible case: T2). */
+  def thenTransform(stage: Dataset[Task[T]] => Dataset[Task[T]]): TaskPipeline[T] =
+    new TaskPipeline(stage(tasks))
+
+  /** Append a record-at-a-time processor with tri-state results. Errors follow
+    * the reference policy E3: counted, offset completed, no auto-retry.
+    * Returns (processed, retries, discarded+errored counts are observable on
+    * the processed stream via the `graft.*` metrics columns).
+    */
+  def thenProcess[U](p: RecordProcessor[T, U])(
+      implicit encU: Encoder[Task[U]]): ProcessedStreams[T, U] = {
+    implicit val encEither: Encoder[(Int, Task[U], Task[T])] =
+      Encoders.tuple(Encoders.scalaInt, encU, enc)
+    // One pass, one shuffle-free mapPartitions; the tri-state is encoded in a
+    // tag column so downstream splits are cheap column filters.
+    val tagged = tasks.mapPartitions { it =>
+      it.map { task =>
+        try {
+          p.process(task) match {
+            case ProcessResult.Processed(v) =>
+              (TaskPipeline.TagProcessed, Task(task.metadata, task.key, v), task)
+            case ProcessResult.Retry   => (TaskPipeline.TagRetry, null.asInstanceOf[Task[U]], task)
+            case ProcessResult.Discard => (TaskPipeline.TagDiscard, null.asInstanceOf[Task[U]], task)
+          }
+        } catch {
+          // E3: uncaught processor error — complete the offset, count it.
+          case scala.util.control.NonFatal(_) =>
+            (TaskPipeline.TagError, null.asInstanceOf[Task[U]], task)
+        }
+      }
+    }
+    new ProcessedStreams(tagged)
+  }
+
+  /** F1 key blocking: drop tasks whose key is in the ignore list; offsets of
+    * dropped records still advance (`BlacklistedKeysFilter.java:32-58`).
+    * Small lists fold into the scan as an `isin` predicate.
+    */
+  def blockKeys(keys: Seq[Array[Byte]]): TaskPipeline[T] = {
+    val keySet = keys.map(_.toSeq).toSet
+    thenTransform(_.filter((t: Task[T]) => !keySet.contains(t.key.toSeq)))
+  }
+
+  /** C1 scheduled execution, batch form: only tasks whose
+    * `scheduled_time_millis <= asOfMillis` are due ("at least after, not
+    * exactly at" — `decaton.proto:18-21`); the rest stay queued for a later
+    * trigger.
+    */
+  def dueBy(asOfMillis: Long): TaskPipeline[T] =
+    thenTransform(_.filter((t: Task[T]) => t.metadata.scheduledTimeMillis <= asOfMillis))
+
+  /** O2: co-locate equal keys (hash shuffle), ordering each partition by key
+    * then production time — the batch equivalent of per-key FIFO queues.
+    */
+  def orderedPerKey(numPartitions: Int): TaskPipeline[T] =
+    thenTransform { ds =>
+      ds.repartition(numPartitions, col("key"))
+        .sortWithinPartitions(col("key"), col("metadata.timestampMillis"))
+    }
+}
+
+object TaskPipeline {
+  val TagProcessed = 0
+  val TagRetry = 1
+  val TagDiscard = 2
+  val TagError = 3
+
+  /** Entry point mirroring `ProcessorsBuilder.consuming(topic, extractor)`.
+    * `records` must have the ConsumedRecord column shape (Kafka source schema
+    * or the batch surrogate from [[graft.sources.TaskSource]]).
+    */
+  def consuming[T](records: Dataset[ConsumedRecord], extractor: TaskExtractor[T])(
+      implicit enc: Encoder[Task[T]]): TaskPipeline[T] =
+    new TaskPipeline(records.mapPartitions(_.map(extractor.extract)))
+}
+
+/** Result of a tri-state processing stage: split views over one tagged pass. */
+final class ProcessedStreams[T, U](tagged: Dataset[(Int, Task[U], Task[T])]) {
+  import TaskPipeline._
+
+  def processed(implicit encU: Encoder[Task[U]]): Dataset[Task[U]] =
+    tagged.filter(_._1 == TagProcessed).map(_._2)
+
+  /** Tasks to re-produce to the retry topic: `retry_count+1`, scheduled time
+    * pushed out by the backoff (`DecatonTaskRetryQueueingProcessor.java:60-112`).
+    */
+  def retries(backoffMillis: Long, nowMillis: Long)(
+      implicit encT: Encoder[Task[T]]): Dataset[Task[T]] =
+    tagged.filter(_._1 == TagRetry).map { case (_, _, t) =>
+      t.copy(metadata = t.metadata.copy(
+        retryCount = t.metadata.retryCount + 1,
+        scheduledTimeMillis = nowMillis + backoffMillis))
+    }
+
+  def discarded(implicit encT: Encoder[Task[T]]): Dataset[Task[T]] =
+    tagged.filter(_._1 == TagDiscard).map(_._3)
+
+  def errored(implicit encT: Encoder[Task[T]]): Dataset[Task[T]] =
+    tagged.filter(_._1 == TagError).map(_._3)
+}

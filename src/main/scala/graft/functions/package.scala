@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Column-level function surface of the engine. Everything here is a thin
+  * Catalyst wrapper — usable from the DataFrame API without session-level
+  * registration.
+  */
+package object functions {
+
+  private[graft] def toColumn(e: Expression): Column = GraftBridge.column(e)
+  private[graft] def toExpr(c: Column): Expression = GraftBridge.expression(c)
+
+  /** Decode `dt_meta` header bytes → metadata struct (null on malformed). */
+  def dt_meta_decode(c: Column): Column = toColumn(DtMetaDecode(toExpr(c)))
+
+  /** Encode a metadata struct (field order of TaskMetadata.schema) → bytes. */
+  def dt_meta_encode(c: Column): Column = toColumn(DtMetaEncode(toExpr(c)))
+
+  /** Aggregate: Count-Min sketch (conservative update) over binary keys. */
+  def cms_sketch(key: Column, width: Int = graft.plans.CmsSketch.DefaultWidth,
+                 depth: Int = graft.plans.CmsSketch.DefaultDepth): Column =
+    toColumn(graft.plans.CmsSketchAgg(toExpr(key), width, depth).toAggregateExpression())
+
+  /** Scalar: estimated (upper-bound) count of `key` in a serialized sketch. */
+  def cms_estimate(sketch: Column, key: Column): Column =
+    toColumn(graft.plans.CmsEstimate(toExpr(sketch), toExpr(key)))
+
+  /** Canonical key → bytes conversion. ANSI mode forbids numeric→binary
+    * casts, so keys normalize through their string form — also what the
+    * reference does (printable-ASCII key serializer,
+    * `client/.../kafka/PrintableAsciiStringSerializer.java`).
+    */
+  def key_bytes(c: Column): Column = c.cast("string").cast("binary")
+}

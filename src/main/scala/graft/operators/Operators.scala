@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** F1 — key blocking (`BlacklistedKeysFilter.java:32-58`, `docs/key-blocking.adoc`).
+  * Dropping is a plain filter, so dropped rows' offsets advance for free
+  * (micro-batch commit covers every input row, matching "still committed").
+  */
+object KeyBlocking {
+  /** Small, driver-known ignore list: folds into the scan as an isin predicate
+    * (Catalyst pushes it to parquet/Kafka-side row filtering).
+    */
+  def blockKeys(df: DataFrame, keyCol: Column, ignore: Seq[Any]): DataFrame =
+    if (ignore.isEmpty) df else df.filter(!keyCol.isin(ignore: _*))
+
+  /** Large / dynamically-supplied ignore list: broadcast anti-join — at 100 TB
+    * a million-key blocklist must not become an isin literal in the plan.
+    */
+  def blockKeysDf(df: DataFrame, keyCol: Column, ignoreDf: DataFrame): DataFrame = {
+    val ignored = broadcast(ignoreDf.toDF("__blocked_key").distinct())
+    df.join(ignored, keyCol === col("__blocked_key"), "left_anti")
+  }
+}
+
+/** A1 — task compaction: per key keep one survivor per linger window, losers
+  * complete immediately (`processors/CompactionProcessor.java:48-234`,
+  * `docs/task-compaction.adoc`). Batch form: the linger window is an
+  * event-time bucket and the user's compactor is an ordering; the survivor is
+  * the max under that ordering. Implemented with max_by over a struct — a
+  * single partial-aggregatable shuffle (no window-function sort), which at
+  * 100 TB beats row_number by a full sort per partition.
+  */
+object Compaction {
+  /** Keep, per (keys..., window of `lingerCol`), the row maximizing
+    * `rankCols` lexicographically (ties impossible if the last rank col is
+    * unique). Returns only the surviving rows' `payload` columns.
+    */
+  def compactBatch(
+      df: DataFrame,
+      keyCols: Seq[Column],
+      rankCols: Seq[Column],
+      payload: Seq[Column]): DataFrame = {
+    val winner = max_by(struct(payload: _*), struct(rankCols: _*)).as("__winner")
+    df.groupBy(keyCols: _*)
+      .agg(winner)
+      .select((keyCols.map(c => col(c.toString)) :+ col("__winner.*")): _*)
+      .drop("__winner")
+  }
+}
+
+/** A2 — task batching: size-OR-time buffered flush
+  * (`processors/BatchingProcessor.java:48-222`, size flush :149-163, time
+  * flush :126-147; `docs/task-batching.adoc`). Batch form: the time dimension
+  * is the trigger/window; the size dimension is a per-key running index
+  * chunked by capacity. Streaming form lives in graft.streaming.
+  */
+object Batching {
+  /** Assign each row a (key, batch_id) such that batches respect arrival
+    * order and contain at most `capacity` rows.
+    */
+  def assignBatches(
+      df: DataFrame,
+      keyCol: Column,
+      orderCols: Seq[Column],
+      capacity: Int): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
+    df.withColumn("batch_id", ((row_number().over(w) - 1) / capacity).cast("long"))
+  }
+}
+
+/** C1 — delayed/scheduled execution: a task runs "at least after, not exactly
+  * at" its `scheduled_time_millis` (`decaton.proto:18-21`,
+  * `ExecutionScheduler.java:29-101`). In micro-batch terms: due rows process
+  * this trigger; the rest carry to a later trigger (or back to the retry
+  * topic). Pure predicates so Catalyst pushes them into the scan.
+  */
+object Scheduled {
+  def isDue(scheduledMillisCol: Column, asOfMillis: Column): Column =
+    scheduledMillisCol <= asOfMillis
+
+  def due(df: DataFrame, scheduledMillisCol: Column, asOfMillis: Long): DataFrame =
+    df.filter(isDue(scheduledMillisCol, lit(asOfMillis)))
+
+  def notYetDue(df: DataFrame, scheduledMillisCol: Column, asOfMillis: Long): DataFrame =
+    df.filter(!isDue(scheduledMillisCol, lit(asOfMillis)))
+}
+
+/** E1/S4/C3 — retry queueing column transforms: the sink side re-produces a
+  * failed task with `retry_count+1` and `scheduled_time = now + backoff`
+  * (`DecatonTaskRetryQueueingProcessor.java:60-112`). Backoff may scale with
+  * retry count (the reference's RetryConfig backoff function).
+  */
+object Retry {
+  /** Metadata mutation for a task entering the retry topic. */
+  def advanceRetry(metaCol: Column, nowMillis: Column, backoffMillis: Column): Column =
+    metaCol
+      .withField("retry_count", metaCol.getField("retry_count") + 1)
+      .withField("scheduled_time_millis", nowMillis + backoffMillis)
+
+  /** Reference topic naming: `<topic>-retry` (`RetryConfig.java:75-81`). */
+  def retryTopic(originTopic: String): String = s"$originTopic-retry"
+
+  /** Shaping topic naming: `<topic>-shaping` (`PerKeyQuotaConfig.java:124-136`). */
+  def shapingTopic(originTopic: String): String = s"$originTopic-shaping"
+}
+
+/** C2 — rate limiting. The reference meters permits per partition with a
+  * token bucket (`AveragingRateLimiter.java:36-124`, burst = 1 s of permits);
+  * Spark's equivalent control is rows-per-trigger on the source: rate ×
+  * trigger seconds, applied per query (per-topic overrides = per-query
+  * settings, C4). rate 0 ⇒ pause (reference `InfiniteBlocker`), here "take
+  * nothing this trigger"; rate < 0 ⇒ unlimited.
+  */
+object RateLimit {
+  val MaxRatePerPartition = 1000000L // RateLimiter.java:25
+
+  /** maxOffsetsPerTrigger for a target per-partition rate. None = unlimited. */
+  def maxOffsetsPerTrigger(ratePerPartition: Long, partitions: Int, triggerSeconds: Long): Option[Long] =
+    if (ratePerPartition < 0) None
+    else Some(math.max(0L, ratePerPartition * partitions * triggerSeconds))
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{cms_estimate, cms_sketch}
+import graft.plans.CmsSketch
+
+/** A3/A4 — per-key rate accounting and quota with traffic shaping
+  * (`KeyCounter.java:39-152`, `WindowedKeyStat.java:31-111`,
+  * `PerKeyQuotaManager.java:35-136`, `QuotaApplierImpl.java:56-114`).
+  *
+  * The reference estimates each key's rate with a 2-window ring of
+  * conservative-update CMS sketches and diverts keys at or over quota to a
+  * shaping topic. Two Spark forms:
+  *
+  *   - [[windowedRatesExact]]: exact per-(key, window) counts — a plain
+  *     windowed groupBy. Fine when key cardinality per window fits a shuffle;
+  *     this is the correctness oracle for the sketch path.
+  *   - [[windowedSketch]] + [[estimateRates]]: one CMS sketch per window
+  *     (constant memory per window regardless of key cardinality) and an
+  *     estimate join — the 100 TB path, where the key space is unbounded and
+  *     an exact count per key per window is itself a giant aggregation.
+  */
+object PerKeyQuota {
+
+  /** Exact per-key counts per tumbling window of `windowDur` over `tsCol`. */
+  def windowedRatesExact(df: DataFrame, keyCol: Column, tsCol: Column, windowDur: String): DataFrame =
+    df.groupBy(window(tsCol, windowDur).as("win"), keyCol.as("key"))
+      .agg(count(lit(1)).as("n"))
+
+  /** One serialized CMS per tumbling window. */
+  def windowedSketch(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      width: Int = CmsSketch.DefaultWidth,
+      depth: Int = CmsSketch.DefaultDepth): DataFrame =
+    df.groupBy(window(tsCol, windowDur).as("win"))
+      .agg(cms_sketch(graft.functions.key_bytes(keyCol), width, depth).as("sketch"))
+
+  /** Estimated count for each (key, window) pair in `keys` via the sketch
+    * table (broadcast: one row per window).
+    */
+  def estimateRates(keys: DataFrame, sketches: DataFrame, keyCol: Column): DataFrame =
+    keys.join(broadcast(sketches), keys("win") === sketches("win"))
+      .select(keys("win"), keyCol, cms_estimate(col("sketch"), graft.functions.key_bytes(keyCol)).as("est"))
+
+  /** Keys whose exact windowed count reaches `quota` in any window — the
+    * shaping decision set (`PerKeyQuotaManager.java:112-135` uses estimated
+    * rate >= quota).
+    */
+  def violatingKeysExact(df: DataFrame, keyCol: Column, tsCol: Column, windowDur: String, quota: Long): DataFrame =
+    windowedRatesExact(df, keyCol, tsCol, windowDur)
+      .filter(col("n") >= quota)
+      .select(col("key")).distinct()
+
+  /** S5 routing: split a batch into (compliant, shaped) by key membership in
+    * `shapedKeys`. Both sides write in one foreachBatch pass in streaming.
+    */
+  def route(df: DataFrame, keyCol: Column, shapedKeys: DataFrame): (DataFrame, DataFrame) = {
+    val shaped = broadcast(shapedKeys.toDF("__shaped_key").distinct())
+    val toShape = df.join(shaped, keyCol === col("__shaped_key"), "left_semi")
+    val ok = df.join(shaped, keyCol === col("__shaped_key"), "left_anti")
+    (ok, toShape)
+  }
+}

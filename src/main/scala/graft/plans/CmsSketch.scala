@@ -1,0 +1,161 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+
+/** Count-Min sketch with conservative update — the per-key frequency
+  * estimator behind the reference's per-key quota (SURVEY.md §2.4 A3;
+  * reference `processor/.../internal/KeyCounter.java:39-152`: width a power of
+  * two used as a bitmask, depth rows, conservative update at :121-130;
+  * production budget ε=5e-5, δ=1e-5 ⇒ 65536×12 — `PerKeyQuotaManager.java:36-51`).
+  *
+  * Distributed-aggregation design, which the single-process reference never
+  * needed: each partition builds a conservative-update sketch (update cost
+  * O(depth), no contention), and partial sketches merge by element-wise sum.
+  * Per-partition cells upper-bound per-partition counts, so their sum
+  * upper-bounds the total — the CMS guarantee survives the shuffle. Buffer is
+  * `width*depth` longs ⇒ the default 64 KiB×8 sketch costs ~6 MB/partition at
+  * depth 12, constant in row count — this is what makes per-key rate
+  * accounting feasible at 100 TB where an exact groupBy(key) would shuffle
+  * billions of distinct keys.
+  */
+object CmsSketch {
+  val DefaultWidth = 65536 // power of two: hash & (width-1), KeyCounter.java:76-101
+  val DefaultDepth = 12
+
+  private val Seed1 = 0x9747b28c
+  private val Seed2 = 0x85ebca6b
+
+  /** depth hash slots via double hashing h_i = h1 + i*h2 (mod width). */
+  def slots(bytes: Array[Byte], width: Int, depth: Int): Array[Int] = {
+    val h1 = Murmur3_x86_32.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed1)
+    val h2 = Murmur3_x86_32.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, Seed2)
+    val out = new Array[Int](depth)
+    var i = 0
+    while (i < depth) {
+      out(i) = (h1 + i * h2) & (width - 1)
+      i += 1
+    }
+    out
+  }
+
+  def estimate(cells: Array[Long], bytes: Array[Byte], width: Int, depth: Int): Long = {
+    val s = slots(bytes, width, depth)
+    var est = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val v = cells(i * width + s(i))
+      if (v < est) est = v
+      i += 1
+    }
+    if (est == Long.MaxValue) 0L else est
+  }
+
+  def serialize(cells: Array[Long], width: Int, depth: Int): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 + cells.length * 8)
+    bb.putInt(width).putInt(depth)
+    var i = 0
+    while (i < cells.length) { bb.putLong(cells(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Returns (width, depth, cells). */
+  def deserialize(bytes: Array[Byte]): (Int, Int, Array[Long]) = {
+    val bb = ByteBuffer.wrap(bytes)
+    val width = bb.getInt
+    val depth = bb.getInt
+    val cells = new Array[Long](width * depth)
+    var i = 0
+    while (i < cells.length) { cells(i) = bb.getLong; i += 1 }
+    (width, depth, cells)
+  }
+}
+
+/** Aggregate function `cms_sketch(keyBytes)` → serialized sketch (BinaryType).
+  * TypedImperativeAggregate: mutable long-array buffer per partition, exactly
+  * the shape SURVEY.md §4 calls for.
+  */
+case class CmsSketchAgg(
+    child: Expression,
+    width: Int = CmsSketch.DefaultWidth,
+    depth: Int = CmsSketch.DefaultDepth,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(Integer.bitCount(width) == 1, "CMS width must be a power of two")
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](width * depth)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val bytes = v.asInstanceOf[Array[Byte]]
+      val s = CmsSketch.slots(bytes, width, depth)
+      // conservative update (KeyCounter.java:121-130): raise only the cells
+      // below est+1, keeping overestimation minimal.
+      var est = Long.MaxValue
+      var i = 0
+      while (i < depth) {
+        val c = buffer(i * width + s(i))
+        if (c < est) est = c
+        i += 1
+      }
+      val target = est + 1
+      i = 0
+      while (i < depth) {
+        val idx = i * width + s(i)
+        if (buffer(idx) < target) buffer(idx) = target
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += input(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = CmsSketch.serialize(buffer, width, depth)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = CmsSketch.serialize(buffer, width, depth)
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] = CmsSketch.deserialize(storageFormat)._3
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "cms_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+    copy(child = newChild)
+}
+
+/** Scalar `cms_estimate(sketch, keyBytes)` → estimated count (upper bound). */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(sketch: Any, key: Any): Any = {
+    val (width, depth, cells) = CmsSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    CmsSketch.estimate(cells, key.asInstanceOf[Array[Byte]], width, depth)
+  }
+
+  override def prettyName: String = "cms_estimate"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+import graft.Tables
+import graft.functions.{cms_estimate, cms_sketch, dt_meta_decode, dt_meta_encode}
+import graft.operators._
+
+/** Batch-analog queries for the reference's streaming operators (SURVEY.md
+  * §2.2–§2.7), run over the `events` table as the task-stream surrogate. Each
+  * exercises the real operator implementation in `graft.operators` /
+  * `graft.functions` and is oracle-checked against plain SQL; the streaming
+  * forms of the same operators live in `graft.streaming` with their own specs.
+  */
+object DecatonQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  val all: Seq[Q] = Seq(
+    // ---- F1 key blocking: ignore-list filter; dropped rows still "commit"
+    // (they simply don't reach the sink but the batch completes past them).
+    Q(
+      "dq01_key_blocking",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        KeyBlocking.blockKeys(e, col("user_id"), Seq(1L, 2L, 3L))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users
+        FROM events WHERE user_id NOT IN (1, 2, 3)
+        GROUP BY event_type
+      """)),
+
+    // ---- A1 compaction: per (key, 1-minute linger bucket) keep the winning
+    // record under (ts, event_id) ordering — "keep latest", losers complete
+    // immediately. max_by aggregation: one shuffle, no per-partition sort.
+    Q(
+      "dq02_compaction",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("bucket", floor(col("ts").cast("long") / 60))
+        Compaction.compactBatch(
+          e,
+          keyCols = Seq(col("user_id"), col("bucket")),
+          rankCols = Seq(col("ts"), col("event_id")),
+          payload = Seq(col("event_id").as("survivor_id"),
+                        round(dec(col("value")).cast("double"), 2).as("survivor_value")))
+      },
+      Some("""
+        SELECT user_id, bucket, event_id AS survivor_id,
+               round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS survivor_value
+        FROM (
+          SELECT *, epoch_us(ts) // 1000000 // 60 AS bucket,
+                 row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 1000000 // 60 ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
+      """)),
+
+    // ---- A2 batching: per-key arrival-ordered chunks of capacity 5; each
+    // batch reports its size and id — the flush unit of BatchingProcessor.
+    Q(
+      "dq03_batching",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        Batching.assignBatches(e, col("user_id"), Seq(col("ts").asc, col("event_id").asc), capacity = 5)
+          .groupBy(col("user_id"), col("batch_id"))
+          .agg(count(lit(1)).as("batch_size"),
+               min(col("event_id")).as("first_event"),
+               max(col("event_id")).as("last_event"))
+      },
+      Some("""
+        SELECT user_id, (rn - 1) // 5 AS batch_id, count(*) AS batch_size,
+               min(event_id) AS first_event, max(event_id) AS last_event
+        FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events
+        ) GROUP BY user_id, (rn - 1) // 5
+      """)),
+
+    // ---- C1 scheduled execution: tasks carry scheduled_time_millis; only
+    // rows due by the as-of instant process now, the rest stay pending.
+    Q(
+      "dq04_scheduled",
+      (s, dir) => {
+        val cutoff = 1705363200000L // 2024-01-16 00:00:00 UTC, mid-dataset
+        val e = Tables.events(s, dir)
+          .withColumn("scheduled_time_millis",
+            unix_millis(col("ts")) + (col("event_id") % 5) * 86400000L)
+        val due = Scheduled.due(e, col("scheduled_time_millis"), cutoff)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n")).withColumn("state", lit("due"))
+        val pending = Scheduled.notYetDue(e, col("scheduled_time_millis"), cutoff)
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n")).withColumn("state", lit("pending"))
+        due.unionAll(pending)
+      },
+      Some("""
+        SELECT event_type, count(*) AS n, 'due' AS state
+        FROM events WHERE epoch_ms(ts) + (event_id % 5) * 86400000 <= 1705363200000
+        GROUP BY event_type
+        UNION ALL
+        SELECT event_type, count(*) AS n, 'pending' AS state
+        FROM events WHERE NOT (epoch_ms(ts) + (event_id % 5) * 86400000 <= 1705363200000)
+        GROUP BY event_type
+      """)),
+
+    // ---- E1/E2/E3 tri-state routing: processed / retried / discarded per
+    // batch — the reference's completion-vs-retry-vs-poison split.
+    Q(
+      "dq05_retry_routing",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+          .withColumn("state",
+            when(col("k") > 90, lit("discard"))      // poison (E2)
+              .when(col("value") < 10, lit("retry")) // transient failure (E1)
+              .otherwise(lit("processed")))
+        e.groupBy(col("event_type"), col("state")).agg(count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT event_type,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 90 THEN 'discard'
+                    WHEN value < 10 THEN 'retry'
+                    ELSE 'processed' END AS state,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+      """)),
+
+    // ---- C3/S4 retry metadata mutation: retry_count+1, scheduled pushed out
+    // by exponential backoff, via the engine's struct-mutating column op.
+    Q(
+      "dq06_retry_backoff",
+      (s, dir) => {
+        val nowMillis = 1706659200000L // fixed "now": 2024-01-31 00:00 UTC
+        val e = Tables.events(s, dir)
+          .withColumn("meta", struct(
+            unix_millis(col("ts")).as("timestamp_millis"),
+            lit("graft").as("source_application_id"),
+            lit("i-0").as("source_instance_id"),
+            (col("event_id") % 3).as("retry_count"),
+            unix_millis(col("ts")).as("scheduled_time_millis")))
+          .filter(col("value") < 10) // the failing slice re-queues
+        val backoff = lit(100L) * pow(lit(2.0), (col("event_id") % 3).cast("double")).cast("long")
+        e.select(col("event_id"),
+            Retry.advanceRetry(col("meta"), lit(nowMillis), backoff).as("m"))
+          .select(col("event_id"),
+            col("m.retry_count").as("retry_count"),
+            col("m.scheduled_time_millis").as("next_time"))
+      },
+      Some("""
+        SELECT event_id, (event_id % 3) + 1 AS retry_count,
+               1706659200000 + 100 * (1 << (event_id % 3)) AS next_time
+        FROM events WHERE value < 10
+      """)),
+
+    // ---- A3/A4 per-key quota (exact form): keys whose 1-day windowed count
+    // reaches quota=6 divert to shaping; output the routing decision per key.
+    Q(
+      "dq07_quota_exact",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val bad = PerKeyQuota.violatingKeysExact(
+          e, col("user_id"), col("ts"), "1 day", quota = 6L)
+        val (ok, shaped) = PerKeyQuota.route(e, col("user_id"), bad)
+        ok.groupBy(col("event_type")).agg(count(lit(1)).as("n")).withColumn("route", lit("process"))
+          .unionAll(shaped.groupBy(col("event_type")).agg(count(lit(1)).as("n")).withColumn("route", lit("shape")))
+      },
+      Some("""
+        WITH viol AS (
+          SELECT DISTINCT user_id FROM (
+            SELECT user_id, time_bucket(INTERVAL '1 day', ts, TIMESTAMP '1970-01-01') w, count(*) n
+            FROM events GROUP BY 1, 2
+          ) WHERE n >= 6
+        )
+        SELECT event_type, count(*) AS n, 'process' AS route FROM events
+        WHERE user_id NOT IN (SELECT user_id FROM viol) GROUP BY event_type
+        UNION ALL
+        SELECT event_type, count(*) AS n, 'shape' AS route FROM events
+        WHERE user_id IN (SELECT user_id FROM viol) GROUP BY event_type
+      """)),
+
+    // ---- dt_meta codec roundtrip through the Catalyst expressions: encode to
+    // protobuf header bytes, decode back, project the fields. The oracle
+    // computes the same fields directly — any codec asymmetry breaks equality.
+    Q(
+      "dq08_meta_roundtrip",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("meta", struct(
+            unix_millis(col("ts")).as("timestamp_millis"),
+            concat(lit("app-"), col("event_type")).as("source_application_id"),
+            concat(lit("i-"), (col("user_id") % 3).cast("string")).as("source_instance_id"),
+            (col("event_id") % 4).as("retry_count"),
+            (unix_millis(col("ts")) + 1000L).as("scheduled_time_millis")))
+        e.select(col("event_id"), dt_meta_decode(dt_meta_encode(col("meta"))).as("m"))
+          .select(
+            col("event_id"),
+            col("m.timestamp_millis").as("ts_millis"),
+            col("m.source_application_id").as("app_id"),
+            col("m.source_instance_id").as("instance_id"),
+            col("m.retry_count").as("retry_count"),
+            col("m.scheduled_time_millis").as("sched_millis"))
+      },
+      Some("""
+        SELECT event_id, epoch_ms(ts) AS ts_millis,
+               'app-' || event_type AS app_id,
+               'i-' || CAST(user_id % 3 AS VARCHAR) AS instance_id,
+               event_id % 4 AS retry_count,
+               epoch_ms(ts) + 1000 AS sched_millis
+        FROM events
+      """)),
+
+    // ---- A3 CMS sketch path (no SQL oracle — sketch layout is engine
+    // internal; driver records rows>0, accuracy bound asserted in CmsSpec):
+    // per-window estimates for every active key, with exact counts alongside.
+    Q(
+      "dq09_cms_rates",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val sketches = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", width = 4096, depth = 6)
+        val exact = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
+        exact.join(broadcast(sketches), "win")
+          .select(
+            col("win.start").cast("long").as("win_start"),
+            col("key").as("user_id"),
+            col("n").as("exact_n"),
+            cms_estimate(col("sketch"), graft.functions.key_bytes(col("key"))).as("est_n"))
+      },
+      None)
+  )
+}

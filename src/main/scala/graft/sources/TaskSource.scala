@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.core.ConsumedRecord
+
+/** Sources that yield the ConsumedRecord shape (S1).
+  *
+  * In production this is Spark's Kafka source — `readStream.format("kafka")
+  * .option("subscribe", "t,t-retry,t-shaping")` already provides multi-topic
+  * subscribe, offset tracking and back-pressure (reference
+  * `ConsumeManager.java:121-179` re-expressed as source options; SURVEY.md
+  * §2.1). The kafka-sql connector jar is not in this container, so the
+  * streaming path is exercised with file/memory sources in tests; the option
+  * plumbing lives in [[kafkaOptions]].
+  */
+object TaskSource {
+
+  /** Kafka source options equivalent to the reference consumer setup:
+    * origin + retry (+ shaping) topics in one subscription
+    * (`ProcessorSubscription.java:219-225`), bounded per-trigger intake in
+    * place of `max.poll.records` (`ConsumerSupplier.java:30-48` forces
+    * auto-commit off — Spark never auto-commits, progress is checkpointed).
+    */
+  def kafkaOptions(
+      originTopic: String,
+      retryTopic: Option[String],
+      shapingTopics: Seq[String],
+      maxOffsetsPerTrigger: Option[Long]): Map[String, String] = {
+    val topics = (Seq(originTopic) ++ retryTopic.toSeq ++ shapingTopics).mkString(",")
+    Map("subscribe" -> topics, "failOnDataLoss" -> "false") ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+  }
+
+  /** Batch surrogate of the Kafka source: the TESTDATA `events` table as a
+    * keyed task stream. key = user id bytes, value = props payload bytes,
+    * event_id stands in for the offset. Used by the correctness gate, which
+    * has no Kafka broker.
+    */
+  def fromEvents(spark: SparkSession, sfDir: String): Dataset[ConsumedRecord] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select(
+        lit("events").as("topic"),
+        (col("user_id") % 32).cast("int").as("partition"),
+        col("event_id").as("offset"),
+        unix_millis(col("ts")).as("timestampMillis"),
+        col("user_id").cast("string").cast("binary").as("key"),
+        col("props").cast("binary").as("value"),
+        map(lit("event_type"), col("event_type").cast("binary")).as("headers"))
+      .as[ConsumedRecord]
+  }
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved Column to a backend-agnostic node representation; the
+  * Expression<->Column bridge (`org.apache.spark.sql.classic.ExpressionUtils`)
+  * is `private[sql]`. This shim, placed inside the `org.apache.spark.sql`
+  * package namespace (the standard extension-library idiom), re-exports just
+  * the two conversions the engine's custom expressions need.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
