@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.storage.StorageLevel
+
+import graft.api.{ProcessResult, RecordProcessor, TaskPipeline}
+import graft.core.Task
+
+/** E1 — retry queueing, driven to convergence.
+  *
+  * In production this is a cycle through Kafka: failures re-produce to
+  * `<topic>-retry` with `retry_count+1` and a backoff-shifted scheduled time
+  * (`DecatonTaskRetryQueueingProcessor.java:60-112`), and the same
+  * subscription consumes the retry topic (`ProcessorsBuilder.RetryTaskExtractor:164-206`)
+  * — each hop is one more micro-batch of the same streaming query, so the
+  * "loop" costs nothing on the driver.
+  *
+  * This harness replays that cycle eagerly (one iteration per retry hop) for
+  * batch verification: it returns the terminal disposition of every task.
+  * Give-up semantics: a task whose retry_count exceeds `maxRetries` is
+  * surfaced in `gaveUp`, the reference's documented `retry_count`-driven
+  * give-up pattern (`docs/retry-queueing.adoc`).
+  */
+object RetryLoop {
+
+  final case class Outcome[T, U](
+      processed: Seq[Task[U]],
+      discarded: Seq[Task[T]],
+      errored: Seq[Task[T]],
+      gaveUp: Seq[Task[T]],
+      hops: Int)
+
+  def processWithRetries[T, U](
+      input: Dataset[Task[T]],
+      processor: RecordProcessor[T, U],
+      backoffMillis: Long,
+      maxRetries: Long,
+      nowMillis: Long)(
+      implicit encT: Encoder[Task[T]], encU: Encoder[Task[U]]): Outcome[T, U] = {
+
+    var pending = input
+    var processed = Vector.empty[Task[U]]
+    var discarded = Vector.empty[Task[T]]
+    var errored = Vector.empty[Task[T]]
+    var gaveUp = Vector.empty[Task[T]]
+    var hops = 0
+
+    while (hops <= maxRetries + 1 && !pending.isEmpty) {
+      val streams = new TaskPipeline(pending).thenProcess(processor)
+      processed ++= streams.processed.collect()
+      discarded ++= streams.discarded.collect()
+      errored ++= streams.errored.collect()
+      val retries = streams.retries(backoffMillis, nowMillis + hops * backoffMillis)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val (stillTrying, exhausted) =
+        (retries.filter((t: Task[T]) => t.metadata.retryCount <= maxRetries),
+         retries.filter((t: Task[T]) => t.metadata.retryCount > maxRetries))
+      gaveUp ++= exhausted.collect()
+      pending = stillTrying
+      hops += 1
+    }
+    Outcome(processed, discarded, errored, gaveUp, hops)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming forms of the reference's stateful operators. Batch
+  * analogs (same semantics, oracle-checked) live in `graft.operators`; these
+  * are the unbounded versions, expressed with watermarks + windows so the
+  * state store stays bounded — the property that matters at 100 TB/day:
+  * windowed state with a watermark is evicted by Spark automatically, whereas
+  * the reference's in-memory maps (`CompactionProcessor.java:88`) are bounded
+  * only by linger time and are lost on rebalance.
+  */
+object StreamOps {
+
+  /** A1 — streaming task compaction: within each linger window, only the
+    * last-by-(`tsCol`, tiebreaks) record per key survives; emitted when the
+    * watermark closes the window (losers are "completed immediately" in the
+    * sense that nothing is retained for them beyond the aggregation cell).
+    * Append-mode compatible; one shuffle per window, partial-aggregated
+    * map-side like any max_by.
+    */
+  def compactLatest(
+      df: DataFrame,
+      keyCols: Seq[Column],
+      tsCol: Column,
+      lingerWindow: String,
+      watermarkDelay: String,
+      payload: Seq[Column],
+      rankCols: Seq[Column]): DataFrame = {
+    val tsField = tsCol.toString
+    df.withWatermark(tsField, watermarkDelay)
+      .groupBy((keyCols :+ window(tsCol, lingerWindow).as("win")): _*)
+      .agg(max_by(struct(payload: _*), struct(rankCols: _*)).as("__winner"))
+      .select((keyCols.map(c => col(c.toString)) :+ col("win") :+ col("__winner.*")): _*)
+  }
+
+  /** A3 — streaming per-key rate accounting: counts per (key, tumbling
+    * window); the streaming-native exact form of the reference's windowed key
+    * stats. Feed into [[quotaViolators]] for A4.
+    */
+  def windowedRates(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol.toString, watermarkDelay)
+      .groupBy(window(tsCol, windowDur).as("win"), keyCol.as("key"))
+      .agg(count(lit(1)).as("n"))
+
+  /** A4 — keys at/over quota within their window. */
+  def quotaViolators(rates: DataFrame, quota: Long): DataFrame =
+    rates.filter(col("n") >= quota).select(col("win"), col("key"), col("n"))
+
+  /** A2 — size-capped delivery inside foreachBatch: invokes `flush` with
+    * groups of at most `capacity` rows per partition per micro-batch; the
+    * time dimension of BatchingProcessor's size-OR-time trigger is the
+    * trigger interval itself (SURVEY.md §2.4 A2). Runs on executors.
+    */
+  def flushInBatches(df: DataFrame, capacity: Int)(flush: Seq[Row] => Unit): Unit =
+    df.foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(capacity).foreach(g => flush(g))
+    }
+
+  /** S5/A4 — two-way route of a micro-batch by shaped-key membership:
+    * (compliant, shaped). Call inside foreachBatch and write each side to its
+    * topic/sink; the shaped side corresponds to `QuotaApplierImpl.apply`
+    * diverting bursting keys.
+    */
+  def routeByQuota(
+      batch: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      quota: Long): (DataFrame, DataFrame) = {
+    val bad = batch.groupBy(window(tsCol, windowDur), keyCol.as("__k"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= quota)
+      .select(col("__k")).distinct()
+    val shaped = batch.join(broadcast(bad), keyCol === col("__k"), "left_semi")
+    val ok = batch.join(broadcast(bad), keyCol === col("__k"), "left_anti")
+    (ok, shaped)
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamOps
+
+case class Ev(key: String, ts: Timestamp, v: Long)
+
+object StreamingSpec {
+  // static so executor-side closures (which deserialize into copies) still
+  // observe the same JVM-wide collector in local mode
+  val flushSizes = new ConcurrentLinkedQueue[Integer]()
+}
+
+class StreamingSpec extends SparkTestBase {
+
+  private def mkStream() = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    MemoryStream[Ev]
+  }
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming compaction keeps one winner per key per linger window") {
+    import spark.implicits._
+    val in = mkStream()
+    val out = StreamOps.compactLatest(
+      in.toDF(),
+      keyCols = Seq(col("key")),
+      tsCol = col("ts"),
+      lingerWindow = "10 seconds",
+      watermarkDelay = "0 seconds",
+      payload = Seq(col("v"), col("ts")),
+      rankCols = Seq(col("ts"), col("v")))
+    val q = out.writeStream.format("memory").queryName("compact_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev("a", t("2024-01-01 00:00:01"), 1),
+        Ev("a", t("2024-01-01 00:00:03"), 2), // same window: supersedes v=1
+        Ev("b", t("2024-01-01 00:00:05"), 7))
+      q.processAllAvailable()
+      // advance watermark past the first window
+      in.addData(Ev("a", t("2024-01-01 00:01:00"), 9))
+      q.processAllAvailable()
+      val rows = spark.table("compact_out")
+        .select(col("key"), col("v")).as[(String, Long)].collect().toSet
+      assert(rows.contains(("a", 2L)) && rows.contains(("b", 7L)))
+      assert(!rows.contains(("a", 1L)), "compacted-away record must not be emitted")
+    } finally q.stop()
+  }
+
+  test("streaming windowed rates count per key per window (A3)") {
+    import spark.implicits._
+    val in = mkStream()
+    val rates = StreamOps.windowedRates(in.toDF(), col("key"), col("ts"), "10 seconds", "0 seconds")
+    val q = rates.writeStream.format("memory").queryName("rates_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev("hot", t("2024-01-01 00:00:01"), 1),
+        Ev("hot", t("2024-01-01 00:00:02"), 1),
+        Ev("hot", t("2024-01-01 00:00:03"), 1),
+        Ev("cold", t("2024-01-01 00:00:04"), 1))
+      q.processAllAvailable()
+      in.addData(Ev("x", t("2024-01-01 00:05:00"), 1)) // close window
+      q.processAllAvailable()
+      val m = spark.table("rates_out").select(col("key"), col("n"))
+        .as[(String, Long)].collect().toMap
+      assert(m("hot") == 3L && m("cold") == 1L)
+    } finally q.stop()
+  }
+
+  test("foreachBatch quota routing shapes only bursting keys (A4/S5)") {
+    import spark.implicits._
+    val in = mkStream()
+    val shapedRows = new ConcurrentLinkedQueue[String]()
+    val okRows = new ConcurrentLinkedQueue[String]()
+    val q = in.toDF().writeStream.foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      val (ok, shaped) = StreamOps.routeByQuota(batch, col("key"), col("ts"), "1 minute", quota = 3)
+      shaped.select("key").collect().foreach(r => shapedRows.add(r.getString(0)))
+      ok.select("key").collect().foreach(r => okRows.add(r.getString(0)))
+      ()
+    }.start()
+    try {
+      in.addData(
+        Ev("hot", t("2024-01-01 00:00:01"), 1),
+        Ev("hot", t("2024-01-01 00:00:02"), 1),
+        Ev("hot", t("2024-01-01 00:00:03"), 1),
+        Ev("cold", t("2024-01-01 00:00:04"), 1))
+      q.processAllAvailable()
+      assert(shapedRows.stream().allMatch(_ == "hot"))
+      assert(shapedRows.size == 3)
+      assert(okRows.stream().allMatch(_ == "cold"))
+    } finally q.stop()
+  }
+
+  test("flushInBatches caps delivery size (A2)") {
+    import spark.implicits._
+    StreamingSpec.flushSizes.clear()
+    val df = (1 to 103).map(i => Ev(s"k$i", t("2024-01-01 00:00:01"), i.toLong))
+      .toDF().repartition(2)
+    StreamOps.flushInBatches(df, capacity = 10)(g => StreamingSpec.flushSizes.add(g.size))
+    val all = StreamingSpec.flushSizes.stream().mapToInt(_.toInt).toArray
+    assert(all.forall(_ <= 10))
+    assert(all.sum == 103)
+  }
+}
