@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.portable_hash
+
+/** Deduplication operators for corpus pipelines, in increasing fuzziness:
+  * exact → minhash/LSH → simhash → n-gram Jaccard → embedding cosine.
+  *
+  * Scale stance (100 TB): every operator here is a linear scan plus
+  * shuffle-on-bucket; nothing materializes an O(n²) pair space. Candidate
+  * generation happens inside hash buckets (LSH bands / simhash blocks /
+  * blocking keys), so the quadratic step only runs within small groups.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keeps the minimum id per distinct content.
+    * One partial-aggregatable shuffle on the 128-bit hash, never on the full
+    * text (the map side reduces each partition to one row per hash first).
+    */
+  def exactByContent(df: DataFrame, idCol: Column, contentCol: Column): DataFrame =
+    df.groupBy(md5(contentCol).as("content_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: k portable hash functions over character
+    * `shingleSize`-grams. Returns (id, hash_idx, minhash) in long form —
+    * narrow shuffles, no giant array rows.
+    */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      k: Int,
+      shingleSize: Int): DataFrame = {
+    val shingled = df
+      .select(idCol.as("id"),
+        explode(sequence(lit(1), greatest(length(textCol) - (shingleSize - 1), lit(1)))).as("pos"),
+        textCol.as("__t"))
+      .select(col("id"), col("__t").substr(col("pos"), lit(shingleSize)).as("sh"))
+    shingled
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("hi"), col("sh"))
+      .groupBy(col("id"), col("hi"))
+      .agg(min(portable_hash(concat_ws("|", col("hi"), col("sh")))).as("mh"))
+  }
+
+  /** LSH banding: group the k signature rows into `bands` bands; a band's
+    * signature is the md5 of its ordered minhashes. Documents sharing any
+    * (band, signature) are near-dup candidates — the classic
+    * shingle→minhash→band→bucket-join pipeline, one shuffle per stage.
+    */
+  def lshBandSignatures(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    signatures
+      .withColumn("band", (col("hi") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("hi"), col("mh")))), x => x.getField("mh").cast("string")),
+        ",")).as("band_sig"))
+  }
+
+  /** Candidate near-dup pairs from shared band signatures (a < b). */
+  def lshCandidatePairs(bandSigs: DataFrame): DataFrame = {
+    val a = bandSigs.select(col("band").as("band_a"), col("band_sig").as("sig_a"), col("id").as("id_a"))
+    val b = bandSigs.select(col("band").as("band_b"), col("band_sig").as("sig_b"), col("id").as("id_b"))
+    a.join(b, col("band_a") === col("band_b") && col("sig_a") === col("sig_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** SimHash (bitsPerHash-bit) over whitespace tokens: per bit, majority vote
+    * of token-hash bits. Near-dups then compare by Hamming distance; at scale
+    * candidates come from banding the simhash bytes, not from all-pairs.
+    */
+  def simHash(df: DataFrame, idCol: Column, textCol: Column, bits: Int = 32): DataFrame = {
+    val toks = df.select(idCol.as("id"), explode(split(textCol, " ")).as("tok"))
+      .withColumn("h", portable_hash(col("tok")))
+    toks
+      .select(col("id"), explode(sequence(lit(0), lit(bits - 1))).as("b"), col("h"))
+      .withColumn("bit", expr("shiftright(h, cast(b as int)) & 1"))
+      .groupBy(col("id"), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("vote"))
+      .groupBy(col("id"))
+      .agg(sum(when(col("vote") >= 0, expr("shiftleft(1L, cast(b as int))")).otherwise(0L)).as("simhash"))
+  }
+
+  /** Pairs within Hamming distance `maxDist` of each other's simhash,
+    * blocked by a grouping column to bound the pair space.
+    */
+  def simHashNearPairs(simhashes: DataFrame, blockCol: Column, maxDist: Int): DataFrame = {
+    val a = simhashes.select(blockCol.as("blk"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = simhashes.select(blockCol.as("blk2"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Word n-gram Jaccard similarity for candidate pairs, blocked by `blockCol`.
+    * The threshold comparison is done in exact integer cross-multiplication
+    * (inter * den >= num * union), so no float is ever compared.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      blockCol: Column,
+      n: Int,
+      thresholdNum: Int,
+      thresholdDen: Int): DataFrame = {
+    val grams = df.select(idCol.as("id"), blockCol.as("blk"),
+        explode(graft.functions.TextFunctions.word_ngrams(textCol, n)).as("g"))
+    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz")) // grams are distinct already
+    val inter = grams.as("x").join(grams.as("y"),
+        col("x.g") === col("y.g") && col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("sa"), col("id_a") === col("sa.id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("uni", col("sa.sz") + col("sb.sz") - col("inter"))
+      .filter(col("inter") * thresholdDen >= col("uni") * thresholdNum)
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"))
+  }
+
+  /** Double-precision cosine similarity between two float-array columns.
+    * Explicit left-fold accumulation — the exact same evaluation order any
+    * engine's sequential sum uses, so results are bit-reproducible.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Embedding near-dup pairs over a float-vector column, blocked by
+    * `blockCol` (at scale: an LSH/IVF bucket id; see graft.similarity).
+    */
+  def embeddingNearPairs(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      blockCol: Column,
+      minCosine: Double): DataFrame = {
+    val a = df.select(blockCol.as("blk"), idCol.as("id_a"), vecCol.as("va"))
+    val b = df.select(blockCol.as("blk2"), idCol.as("id_b"), vecCol.as("vb"))
+    a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+}

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for large-scale corpus pipelines: token
+  * stats, quality scoring, language ID, fingerprinting. All are pure column
+  * expressions (codegen'd by Catalyst, no UDFs) and all are engine-portable:
+  * the same computation is expressible in ANSI-ish SQL for the oracle.
+  */
+object TextFunctions {
+
+  /** Portable 60-bit content hash: first 15 hex chars of md5, as a long.
+    * Chosen over Murmur3 because every SQL engine computes the identical
+    * value — this is the hash family underlying the minhash/simhash dedup
+    * operators, where cross-engine verifiability matters more than the last
+    * 20% of hashing speed.
+    */
+  def portable_hash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens (corpus text is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def token_count(text: Column): Column = size(tokens(text))
+
+  /** Punctuation chars among `.,!?;:` — translate() keeps semantics identical
+    * across engines (no regex dialect drift).
+    */
+  def punct_count(text: Column): Column =
+    length(text) - length(translate(text, ".,!?;:", ""))
+
+  /** Heuristic quality score in [0,1]: stopword hit-rate, length saturation,
+    * punctuation cleanliness. Deterministic double arithmetic (fixed
+    * expression shape, no reordering).
+    */
+  def quality_score(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stop = size(filter(toks, t => t.isin(Stopwords.en: _*))).cast("double")
+    val punct = punct_count(text).cast("double")
+    val chars = length(text).cast("double")
+    round(
+      lit(0.4) * (stop / n) +
+      lit(0.3) * least(n / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punct / chars), 6)
+  }
+
+  /** N-gram-free language ID: stopword-list voting with alphabetical
+    * tiebreak. (A character-n-gram model is the production upgrade; the
+    * operator contract — text in, ISO code out — is the same.)
+    */
+  def lang_guess(text: Column): Column = {
+    val toks = tokens(text)
+    def score(words: Seq[String]): Column = size(filter(toks, t => t.isin(words: _*)))
+    val scored = array(
+      struct(score(Stopwords.de).as("s"), lit("de").as("l")),
+      struct(score(Stopwords.en).as("s"), lit("en").as("l")),
+      struct(score(Stopwords.es).as("s"), lit("es").as("l")),
+      struct(score(Stopwords.fr).as("s"), lit("fr").as("l")))
+    // max by (score, then lexicographically-last code wins ties the same way
+    // in both engines because the comparison tuple is identical)
+    array_max(scored).getField("l")
+  }
+
+  /** Polynomial rolling hash (base 31, mod 2^31-1) over the raw characters —
+    * a portable document fingerprint. All intermediate values stay < 2^36 so
+    * 64-bit arithmetic never overflows in any engine.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(split(text, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 31 + c) % 2147483647L)
+
+  /** Word n-grams as strings ("w1 w2 w3"), distinct per document. */
+  def word_ngrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+}
+
+/** Minimal per-language stopword lists (public common words). */
+object Stopwords {
+  val en: Seq[String] = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+  val de: Seq[String] = Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den")
+  val es: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no")
+  val fr: Seq[String] = Seq("le", "la", "de", "et", "un", "est", "pour", "que", "dans", "ce")
+}

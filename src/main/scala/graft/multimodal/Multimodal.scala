@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: images/audio/video ride through the engine as
+  * opaque `binary` payloads with a typed metadata struct; decode/extract runs
+  * partition-parallel over the bytes.
+  *
+  * The actual codec step is a STUB in this environment (no image/audio
+  * libraries in the container): [[FakeCodec]] produces deterministic features
+  * from the bytes. The Spark-side contract — schema, partitioning, batch
+  * shape, executor-side decode in `mapPartitions`, never on the driver — is
+  * real and tested; swapping FakeCodec for a JNI/javacv decoder changes no
+  * plan shape.
+  */
+object Multimodal {
+
+  /** Asset schema: payload + typed metadata, the engine-visible shape. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("data", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("byte_len", LongType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("n_frames", LongType, nullable = false))), nullable = false)))
+
+  /** Wrap arbitrary binary payloads into the asset shape. `n_frames` models a
+    * frame-per-256-bytes container — the stub's deterministic stand-in for a
+    * real container index.
+    */
+  def toAssets(df: DataFrame, idCol: String, binCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(mediaType).as("media_type"),
+      col(binCol).as("data"),
+      struct(
+        coalesce(octet_length(col(binCol)).cast("long"), lit(0L)).as("byte_len"),
+        lit("fake/v1").as("format"),
+        (floor(coalesce(octet_length(col(binCol)).cast("long"), lit(0L)) / 256).cast("long") + 1)
+          .as("n_frames")).as("meta"))
+
+  final case class DecodedFeature(asset_id: Long, frame: Long, feature: Array[Float])
+
+  /** Executor-side "decode + featurize": one feature vector per sampled
+    * frame. Frame sampling takes every `stride`-th frame — the plumbing a
+    * real video pipeline needs (explode on the container index, not on
+    * pixels). Decode is the stub boundary.
+    */
+  def decodeFeatures(assets: DataFrame, stride: Int, dim: Int): Dataset[DecodedFeature] = {
+    implicit val enc = Encoders.product[DecodedFeature]
+    assets.select(col("asset_id"), col("data"), col("meta.n_frames").as("n_frames"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = r.get(1).asInstanceOf[Array[Byte]]
+          val nFrames = r.getLong(2)
+          (0L until nFrames by stride.toLong).map { f =>
+            DecodedFeature(id, f, FakeCodec.decodeFrame(bytes, f, dim))
+          }
+        }
+      }
+  }
+}
+
+/** Deterministic stand-in for the real media codec (??? in this container:
+  * no libjpeg/ffmpeg). Features are a seeded hash-walk over the frame bytes —
+  * stable across runs and partitions, which is all the pipeline tests need.
+  */
+object FakeCodec extends Serializable {
+  def decodeFrame(bytes: Array[Byte], frame: Long, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val start = (frame * 256).toInt
+    var h = 1125899906842597L ^ frame
+    var i = 0
+    while (i < dim) {
+      val b: Int = if (bytes != null && bytes.nonEmpty) bytes(((start + i) % bytes.length + bytes.length) % bytes.length) & 0xff else 0
+      h = h * 31 + b
+      out(i) = ((h % 1000L).toFloat) / 1000.0f
+      i += 1
+    }
+    out
+  }
+}

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.similarity.Knn
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup family, similarity search, text analysis, multimodal plumbing.
+  * Everything hashes with the engine-portable md5-prefix family
+  * ([[TextFunctions.portable_hash]]) so the DuckDB oracle can recompute the
+  * exact values — including minhash signatures and simhashes.
+  */
+object PipelineQueries {
+
+  /** Shared oracle fragment: portable hash of an expression, DuckDB side. */
+  private def dh(e: String): String = s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+    // ---- exact dedup by content hash: one map-side-combinable shuffle.
+    Q(
+      "pq01_exact_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.exactByContent(d, col("doc_id"), col("text"))
+      },
+      Some("""
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY md5(text)
+      """)),
+
+    // ---- minhash signatures (k=8, 5-char shingles), long form.
+    Q(
+      "pq02_minhash_sigs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.minHashSignatures(d, col("doc_id"), col("text"), k = 8, shingleSize = 5)
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
+        ), sh AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hx AS (
+          SELECT doc_id, sh, unnest(generate_series(0, 7)) AS hi FROM sh
+        )
+        SELECT doc_id AS id, CAST(hi AS INT) AS hi,
+               min(${dh("CAST(hi AS VARCHAR) || '|' || sh")}) AS mh
+        FROM hx GROUP BY 1, 2
+      """)),
+
+    // ---- full shingle→minhash→band→bucket-join candidate pairs
+    // (k=16, 4 bands × 4 rows).
+    Q(
+      "pq03_lsh_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val sigs = Dedup.minHashSignatures(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
+        Dedup.lshCandidatePairs(Dedup.lshBandSignatures(sigs, k = 16, bands = 4))
+      },
+      Some(s"""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
+        ), sh AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hx AS (
+          SELECT doc_id, sh, unnest(generate_series(0, 15)) AS hi FROM sh
+        ), sigs AS (
+          SELECT doc_id, CAST(hi AS INT) AS hi,
+                 min(${dh("CAST(hi AS VARCHAR) || '|' || sh")}) AS mh
+          FROM hx GROUP BY 1, 2
+        ), bsig AS (
+          SELECT doc_id, hi // 4 AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS band_sig
+          FROM sigs GROUP BY doc_id, hi // 4
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bsig a JOIN bsig b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+      """)),
+
+    // ---- simhash (16-bit, token-majority) per document.
+    Q(
+      "pq04_simhash",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.simHash(d, col("doc_id"), col("text"), bits = 16)
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, ${dh("tok")} AS h FROM toks),
+        bits AS (SELECT doc_id, h, unnest(generate_series(0, 15)) AS b FROM h),
+        votes AS (SELECT doc_id, b, sum(((h >> CAST(b AS INT)) & 1) * 2 - 1) AS vote FROM bits GROUP BY 1, 2)
+        SELECT doc_id AS id,
+               sum(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+        FROM votes GROUP BY 1
+      """)),
+
+    // ---- simhash near-dup pairs within language blocks, Hamming <= 3.
+    Q(
+      "pq05_simhash_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val sims = Dedup.simHash(d, col("doc_id"), col("text"), bits = 16)
+          .join(d.select(col("doc_id").as("id"), col("lang")), "id")
+        Dedup.simHashNearPairs(sims, col("lang"), maxDist = 3)
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        h AS (SELECT doc_id, ${dh("tok")} AS h FROM toks),
+        bits AS (SELECT doc_id, h, unnest(generate_series(0, 15)) AS b FROM h),
+        votes AS (SELECT doc_id, b, sum(((h >> CAST(b AS INT)) & 1) * 2 - 1) AS vote FROM bits GROUP BY 1, 2),
+        sims AS (
+          SELECT doc_id AS id,
+                 sum(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+          FROM votes GROUP BY 1),
+        sl AS (SELECT s.id, s.simhash, d.lang FROM sims s JOIN documents d ON d.doc_id = s.id)
+        SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.simhash, b.simhash)) AS dist
+        FROM sl a JOIN sl b ON a.lang = b.lang AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      """)),
+
+    // ---- word-3-gram Jaccard >= 0.4 within language blocks; threshold via
+    // integer cross-multiplication, so no float compare anywhere.
+    Q(
+      "pq06_jaccard_pairs",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), col("lang"),
+          n = 3, thresholdNum = 2, thresholdDen = 5)
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, lang, t, unnest(generate_series(0, greatest(len(t)-3, 0))) AS i FROM toks),
+        grams AS (SELECT DISTINCT doc_id, lang, array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS g FROM idx),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM grams a JOIN grams b ON a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, inter, sa.sz + sb.sz - inter AS uni
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 2
+      """)),
+
+    // ---- embedding cosine near-dup pairs (double-precision left-fold on
+    // both engines; filter on the raw value, emit rounded).
+    Q(
+      "pq07_embed_neardup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Dedup.embeddingNearPairs(e, col("vec_id"), col("embedding"), lit(1), minCosine = 0.4)
+      },
+      Some("""
+        WITH p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ), c AS (
+          SELECT id_a, id_b,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(va)), i -> CAST(va[CAST(i AS INT)] AS DOUBLE) * CAST(vb[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x) AS dot,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(va)), i -> CAST(va[CAST(i AS INT)] AS DOUBLE) * CAST(va[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x) AS naa,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(vb)), i -> CAST(vb[CAST(i AS INT)] AS DOUBLE) * CAST(vb[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x) AS nbb
+          FROM p)
+        SELECT id_a, id_b, round(dot / (sqrt(naa) * sqrt(nbb)), 4) AS cos_r
+        FROM c WHERE dot / (sqrt(naa) * sqrt(nbb)) >= 0.4
+      """)),
+
+    // ---- exact cosine top-k (k=5) for a broadcast query set.
+    Q(
+      "pq08_knn_brute",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        Knn.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS nbr_id, embedding AS nv FROM embeddings),
+        s AS (
+          SELECT query_id, nbr_id,
+            round(
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(qv)), i -> CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(nv[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)
+              / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(qv)), i -> CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(nv)), i -> CAST(nv[CAST(i AS INT)] AS DOUBLE) * CAST(nv[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x))), 4) AS cos_r
+          FROM c CROSS JOIN q WHERE query_id <> nbr_id)
+        SELECT query_id, rank, nbr_id, cos_r FROM (
+          SELECT query_id, nbr_id, cos_r,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id ASC) AS rank
+          FROM s
+        ) WHERE rank <= 5
+      """)),
+
+    // ---- sign-LSH approximate top-k: the scale path (bucketed candidates).
+    // No SQL oracle — recall vs brute force is asserted in KnnSpec.
+    Q(
+      "pq09_knn_lsh",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        Knn.signLshTopK(e, queries, "vec_id", "embedding", k = 5, planes = 4)
+      },
+      None),
+
+    // ---- token stats + rolling-hash fingerprint per document.
+    Q(
+      "pq10_text_stats",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(
+          col("doc_id"),
+          TextFunctions.token_count(col("text")).as("n_tokens"),
+          TextFunctions.punct_count(col("text")).as("n_punct"),
+          TextFunctions.fingerprint(col("text")).as("fp"))
+      },
+      Some("""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) - length(translate(text, '.,!?;:', '')) AS n_punct,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 2147483647) AS fp
+        FROM documents
+      """)),
+
+    // ---- quality scoring + stopword-vote language ID per document.
+    Q(
+      "pq11_quality_langid",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(
+          col("doc_id"),
+          TextFunctions.quality_score(col("text")).as("quality"),
+          TextFunctions.lang_guess(col("text")).as("lang_pred"),
+          col("lang").as("lang_label"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        sc AS (
+          SELECT doc_id, lang, text, toks,
+            CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) AS en_s,
+            CAST(len(list_filter(toks, x -> x IN ('der','die','und','das','ist','nicht','mit','ein','zu','den'))) AS DOUBLE) AS de_s,
+            CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no'))) AS DOUBLE) AS es_s,
+            CAST(len(list_filter(toks, x -> x IN ('le','la','de','et','un','est','pour','que','dans','ce'))) AS DOUBLE) AS fr_s
+          FROM t)
+        SELECT doc_id,
+          round(0.4 * (en_s / len(toks)) +
+                0.3 * least(len(toks) / 100.0, 1.0) +
+                0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / length(text)), 6) AS quality,
+          list_max([
+            {'s': CAST(de_s AS INT), 'l': 'de'},
+            {'s': CAST(en_s AS INT), 'l': 'en'},
+            {'s': CAST(es_s AS INT), 'l': 'es'},
+            {'s': CAST(fr_s AS INT), 'l': 'fr'}]).l AS lang_pred,
+          lang AS lang_label
+        FROM sc
+      """)),
+
+    // ---- multimodal asset wrapping: binary payload + typed metadata.
+    // (Text bytes stand in for media bytes; the decode stage is the stubbed
+    // FakeCodec, exercised in MultimodalSpec.)
+    Q(
+      "pq12_multimodal_meta",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("payload", col("text").cast("binary"))
+        Multimodal.toAssets(d, "doc_id", "payload", "text/fake")
+          .select(
+            col("asset_id"), col("media_type"),
+            col("meta.byte_len").as("byte_len"),
+            col("meta.n_frames").as("n_frames"),
+            md5(col("data")).as("content_hash"))
+      },
+      Some("""
+        SELECT doc_id AS asset_id, 'text/fake' AS media_type,
+               length(text) AS byte_len,
+               length(text) // 256 + 1 AS n_frames,
+               md5(text) AS content_hash
+        FROM documents
+      """))
+  )
+}
