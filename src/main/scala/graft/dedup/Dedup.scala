@@ -23,9 +23,15 @@ object Dedup {
     df.groupBy(md5(contentCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: k portable hash functions over character
-    * `shingleSize`-grams. Returns (id, hash_idx, minhash) in long form —
-    * narrow shuffles, no giant array rows.
+  /** Modulus of the minhash double-hashing family (2^31-1, prime). */
+  val MinHashP = 2147483647L
+
+  /** MinHash signatures: k hash functions over character `shingleSize`-grams,
+    * derived by double hashing `(h1 + i*h2) mod P` from two portable base
+    * hashes — two md5 evaluations per shingle instead of k (same trick the
+    * CMS uses; the family stays engine-portable for the oracle). The k mins
+    * aggregate in ONE wide groupBy pass (no k-fold row explosion), then
+    * unpivot to long form.
     */
   def minHashSignatures(
       df: DataFrame,
@@ -38,10 +44,13 @@ object Dedup {
         explode(sequence(lit(1), greatest(length(textCol) - (shingleSize - 1), lit(1)))).as("pos"),
         textCol.as("__t"))
       .select(col("id"), col("__t").substr(col("pos"), lit(shingleSize)).as("sh"))
-    shingled
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("hi"), col("sh"))
-      .groupBy(col("id"), col("hi"))
-      .agg(min(portable_hash(concat_ws("|", col("hi"), col("sh")))).as("mh"))
+      .withColumn("h1", portable_hash(col("sh")) % MinHashP)
+      .withColumn("h2", portable_hash(concat(lit("#"), col("sh"))) % MinHashP)
+    val aggs = (0 until k).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"mh$i"))
+    shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .selectExpr("id",
+        s"stack($k, ${(0 until k).map(i => s"$i, mh$i").mkString(", ")}) as (hi, mh)")
   }
 
   /** LSH banding: group the k signature rows into `bands` bands; a band's
@@ -123,18 +132,18 @@ object Dedup {
   }
 
   /** Double-precision cosine similarity between two float-array columns.
-    * Explicit left-fold accumulation — the exact same evaluation order any
-    * engine's sequential sum uses, so results are bit-reproducible.
+    * Left-to-right double accumulation (native [[graft.plans.VectorDot]]) —
+    * the exact same evaluation order any engine's sequential sum uses, so
+    * results are bit-reproducible against the oracle's list_reduce.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.vector_dot(a, b) /
+      (sqrt(graft.functions.vector_dot(a, a)) * sqrt(graft.functions.vector_dot(b, b)))
 
   /** Embedding near-dup pairs over a float-vector column, blocked by
     * `blockCol` (at scale: an LSH/IVF bucket id; see graft.similarity).
+    * Norms are computed once per vector before the pair join — the join then
+    * evaluates a single dot per candidate pair.
     */
   def embeddingNearPairs(
       df: DataFrame,
@@ -142,10 +151,13 @@ object Dedup {
       vecCol: Column,
       blockCol: Column,
       minCosine: Double): DataFrame = {
+    val dot = graft.functions.vector_dot _
     val a = df.select(blockCol.as("blk"), idCol.as("id_a"), vecCol.as("va"))
+      .withColumn("sa", sqrt(dot(col("va"), col("va"))))
     val b = df.select(blockCol.as("blk2"), idCol.as("id_b"), vecCol.as("vb"))
+      .withColumn("sb", sqrt(dot(col("vb"), col("vb"))))
     a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("sa") * col("sb")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }

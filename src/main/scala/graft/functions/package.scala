@@ -34,4 +34,10 @@ package object functions {
     * `client/.../kafka/PrintableAsciiStringSerializer.java`).
     */
   def key_bytes(c: Column): Column = c.cast("string").cast("binary")
+
+  /** Native dot product over array<float|double> (left-to-right double
+    * accumulation — same result as the declarative aggregate/zip_with fold).
+    */
+  def vector_dot(a: Column, b: Column): Column =
+    toColumn(graft.plans.VectorDot(toExpr(a), toExpr(b)))
 }

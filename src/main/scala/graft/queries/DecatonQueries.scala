@@ -220,7 +220,7 @@ object DecatonQueries {
       "dq09_cms_rates",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        val sketches = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", width = 4096, depth = 6)
+        val sketches = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", width = 2048, depth = 4)
         val exact = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
         exact.join(broadcast(sketches), "win")
           .select(

@@ -44,11 +44,13 @@ object PipelineQueries {
           SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
         ), sh AS (
           SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hs AS (
+          SELECT doc_id, ${dh("sh")} % 2147483647 AS h1, ${dh("'#' || sh")} % 2147483647 AS h2 FROM sh
         ), hx AS (
-          SELECT doc_id, sh, unnest(generate_series(0, 7)) AS hi FROM sh
+          SELECT doc_id, h1, h2, unnest(generate_series(0, 7)) AS hi FROM hs
         )
         SELECT doc_id AS id, CAST(hi AS INT) AS hi,
-               min(${dh("CAST(hi AS VARCHAR) || '|' || sh")}) AS mh
+               min((h1 + hi * h2) % 2147483647) AS mh
         FROM hx GROUP BY 1, 2
       """)),
 
@@ -66,11 +68,13 @@ object PipelineQueries {
           SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
         ), sh AS (
           SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hs AS (
+          SELECT doc_id, ${dh("sh")} % 2147483647 AS h1, ${dh("'#' || sh")} % 2147483647 AS h2 FROM sh
         ), hx AS (
-          SELECT doc_id, sh, unnest(generate_series(0, 15)) AS hi FROM sh
+          SELECT doc_id, h1, h2, unnest(generate_series(0, 15)) AS hi FROM hs
         ), sigs AS (
           SELECT doc_id, CAST(hi AS INT) AS hi,
-                 min(${dh("CAST(hi AS VARCHAR) || '|' || sh")}) AS mh
+                 min((h1 + hi * h2) % 2147483647) AS mh
           FROM hx GROUP BY 1, 2
         ), bsig AS (
           SELECT doc_id, hi // 4 AS band,
