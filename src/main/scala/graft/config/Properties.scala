@@ -1,0 +1,89 @@
+package graft.config
+
+import java.util.concurrent.atomic.AtomicReference
+
+/** P1/P2 — the typed property "control plane"
+  * (`ProcessorProperties.java:46-272`, `PropertyDefinition.java`,
+  * `DynamicProperty.java:31-70`, precedence
+  * `SubscriptionBuilder.addProperties:144-149`).
+  *
+  * A [[PropertyDefinition]] carries name, default and validator; suppliers
+  * are consulted in registration order and the first one providing a value
+  * wins; [[DynamicProperty]] holds a hot-swappable value whose listeners fire
+  * on change — in Spark terms, a broadcast-refresh or trigger-boundary
+  * reconfiguration (query restart for structural knobs).
+  */
+final case class PropertyDefinition[T](
+    name: String,
+    default: T,
+    validator: T => Boolean = (_: T) => true) {
+  def validate(v: T): T = {
+    require(validator(v), s"invalid value for $name: $v")
+    v
+  }
+}
+
+trait PropertySupplier {
+  /** Some(value) if this supplier provides the property. */
+  def get[T](definition: PropertyDefinition[T]): Option[T]
+}
+
+final class MapPropertySupplier(values: Map[String, Any]) extends PropertySupplier {
+  def get[T](d: PropertyDefinition[T]): Option[T] =
+    values.get(d.name).map(_.asInstanceOf[T])
+}
+
+/** Hot-reloadable property (`DynamicProperty.java:31-70`): set() validates,
+  * swaps, and notifies listeners — the reload hook that drains/recreates
+  * state in the reference (`PartitionContexts.maybeHandlePropertyReload`)
+  * maps to a Spark trigger-boundary re-broadcast.
+  */
+final class DynamicProperty[T](val definition: PropertyDefinition[T], initial: T) {
+  private val ref = new AtomicReference[T](definition.validate(initial))
+  private val listeners = new AtomicReference[List[(T, T) => Unit]](Nil)
+
+  def value: T = ref.get()
+  def set(v: T): Unit = {
+    val validated = definition.validate(v)
+    val old = ref.getAndSet(validated)
+    if (old != validated) listeners.get().foreach(_(old, validated))
+  }
+  def onChange(f: (T, T) => Unit): Unit =
+    listeners.updateAndGet(f :: _)
+}
+
+/** The engine's property registry with first-supplier-wins resolution. */
+final class Properties(suppliers: Seq[PropertySupplier]) {
+  def resolve[T](d: PropertyDefinition[T]): T =
+    suppliers.view.flatMap(_.get(d)).headOption.map(d.validate).getOrElse(d.default)
+
+  def dynamic[T](d: PropertyDefinition[T]): DynamicProperty[T] =
+    new DynamicProperty[T](d, resolve(d))
+}
+
+/** The reference's engine knobs (`ProcessorProperties.java:46-272`), mapped
+  * to their Spark-native meaning where one exists.
+  */
+object EngineProperties {
+  /** ignore-list for key blocking (F1). */
+  val IgnoreKeys: PropertyDefinition[Seq[String]] =
+    PropertyDefinition("decaton.ignore.keys", Seq.empty)
+  /** per-partition concurrency (O3) → shuffle partition count here. */
+  val PartitionConcurrency: PropertyDefinition[Int] =
+    PropertyDefinition("decaton.partition.concurrency", 1, (v: Int) => v > 0)
+  /** max pending records (O5) → maxOffsetsPerTrigger-style intake bound. */
+  val MaxPendingRecords: PropertyDefinition[Int] =
+    PropertyDefinition("decaton.max.pending.records", 10000, (v: Int) => v > 0)
+  /** processing rate per partition (C2); -1 unlimited, 0 paused. */
+  val ProcessingRate: PropertyDefinition[Long] =
+    PropertyDefinition("decaton.processing.rate.per.partition", -1L, (v: Long) => v >= -1L)
+  /** commit interval (O6) → trigger interval. */
+  val CommitIntervalMs: PropertyDefinition[Long] =
+    PropertyDefinition("decaton.commit.interval.ms", 1000L, (v: Long) => v >= 0L)
+  /** retry backoff (C3). */
+  val RetryBackoffMs: PropertyDefinition[Long] =
+    PropertyDefinition("decaton.retry.backoff.ms", 100L, (v: Long) => v >= 0L)
+  /** legacy envelope fallback parse (F2). */
+  val LegacyParseFallbackEnabled: PropertyDefinition[Boolean] =
+    PropertyDefinition("decaton.legacy.parse.fallback.enabled", true)
+}

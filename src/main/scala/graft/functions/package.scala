@@ -40,4 +40,12 @@ package object functions {
     */
   def vector_dot(a: Column, b: Column): Column =
     toColumn(graft.plans.VectorDot(toExpr(a), toExpr(b)))
+
+  /** Decode the legacy value envelope → struct(meta, task); null if invalid. */
+  def legacy_envelope_decode(c: Column): Column =
+    toColumn(LegacyEnvelopeDecode(toExpr(c)))
+
+  /** Encode (metadata struct, task bytes) → legacy envelope bytes. */
+  def legacy_envelope_encode(meta: Column, task: Column): Column =
+    toColumn(LegacyEnvelopeEncode(toExpr(meta), toExpr(task)))
 }

