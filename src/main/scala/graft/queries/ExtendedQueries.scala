@@ -277,6 +277,47 @@ object ExtendedQueries {
         ) GROUP BY event_type, band
       """)),
 
+    // ---- exact percentiles (sort-based, no sketch): median and p90.
+    Q(
+      "q21_percentile",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+            count(lit(1)).as("n"))
+      },
+      Some("""
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+      """)),
+
+    // ---- array scalar functions over tokenized strings.
+    Q(
+      "q22_array_funcs",
+      (s, dir) => {
+        val p = Tables.part(s, dir)
+        val toks = split(col("p_name"), " ")
+        p.select(
+            col("p_partkey"),
+            size(toks).as("n_tokens"),
+            element_at(toks, 1).as("first_tok"),
+            array_contains(toks, "green").cast("int").as("has_green"),
+            array_join(array_sort(array_distinct(toks)), ",").as("sorted_toks"))
+      },
+      Some("""
+        SELECT p_partkey,
+               len(string_split(p_name, ' ')) AS n_tokens,
+               string_split(p_name, ' ')[1] AS first_tok,
+               CASE WHEN list_contains(string_split(p_name, ' '), 'green') THEN 1 ELSE 0 END AS has_green,
+               array_to_string(list_sort(list_distinct(string_split(p_name, ' '))), ',') AS sorted_toks
+        FROM part
+      """)),
+
     // ---- min_by/max_by (argmax): latest event value per user — the batch
     // form of streaming compaction's "keep winner per key".
     Q(

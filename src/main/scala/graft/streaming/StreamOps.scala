@@ -53,6 +53,23 @@ object StreamOps {
   def quotaViolators(rates: DataFrame, quota: Long): DataFrame =
     rates.filter(col("n") >= quota).select(col("win"), col("key"), col("n"))
 
+  /** Event-time sessionization: gap-based session windows per key — the
+    * streaming-native form of the batch q16_sessionize query. Emits one row
+    * per closed session (append mode) with its bounds and size; state is
+    * evicted by the watermark.
+    */
+  def sessionized(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      gap: String,
+      watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol.toString, watermarkDelay)
+      .groupBy(session_window(tsCol, gap).as("session"), keyCol.as("key"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("key"), col("session.start").as("session_start"),
+        col("session.end").as("session_end"), col("n_events"))
+
   /** A2 — size-capped delivery inside foreachBatch: invokes `flush` with
     * groups of at most `capacity` rows per partition per micro-batch; the
     * time dimension of BatchingProcessor's size-OR-time trigger is the

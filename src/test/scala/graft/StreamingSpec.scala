@@ -101,6 +101,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sessionization closes sessions on gap > threshold") {
+    import spark.implicits._
+    val in = mkStream()
+    val out = StreamOps.sessionized(in.toDF(), col("key"), col("ts"), "30 seconds", "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev("u1", t("2024-01-01 00:00:01"), 1),
+        Ev("u1", t("2024-01-01 00:00:10"), 2), // same session (gap 9s)
+        Ev("u1", t("2024-01-01 00:01:30"), 3)) // new session (gap 80s)
+      q.processAllAvailable()
+      in.addData(Ev("zz", t("2024-01-01 00:10:00"), 0)) // advance watermark
+      q.processAllAvailable()
+      val sess = spark.table("sess_out").select(col("key"), col("n_events"))
+        .as[(String, Long)].collect().filter(_._1 == "u1").map(_._2).sorted.toSeq
+      assert(sess == Seq(1L, 2L), s"expected sessions of 2 and 1 events, got $sess")
+    } finally q.stop()
+  }
+
   test("flushInBatches caps delivery size (A2)") {
     import spark.implicits._
     StreamingSpec.flushSizes.clear()
