@@ -21,8 +21,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/session warm-up outside the timed region
+    // JVM/session warm-up outside the timed region: exercise codegen and the
+    // parquet read paths (incl. the events nanos conversion) once
     spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    Tables.lineitem(spark, sfDir).write.format("noop").mode("overwrite").save()
+    Tables.events(spark, sfDir).write.format("noop").mode("overwrite").save()
+    Tables.documents(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -96,10 +96,21 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
 
   /** O2: co-locate equal keys (hash shuffle), ordering each partition by key
     * then production time — the batch equivalent of per-key FIFO queues.
+    *
+    * Null/empty keys have no ordering contract in the reference and are
+    * routed round-robin (`RoundRobinSubPartitioner.java:26-44`) so a hot
+    * null-key stream can't pin one worker; here they scatter by a synthetic
+    * spread key instead of all hashing to the null partition.
     */
   def orderedPerKey(numPartitions: Int): TaskPipeline[T] =
     thenTransform { ds =>
-      ds.repartition(numPartitions, col("key"))
+      val spread = when(col("key").isNull || length(col("key")) === 0,
+        pmod(monotonically_increasing_id(), lit(numPartitions)).cast("string").cast("binary"))
+        .otherwise(col("key"))
+      ds.withColumn("__spread", spread)
+        .repartition(numPartitions, col("__spread"))
+        .drop("__spread")
+        .as[Task[T]](enc)
         .sortWithinPartitions(col("key"), col("metadata.timestampMillis"))
     }
 }
@@ -122,6 +133,22 @@ object TaskPipeline {
 /** Result of a tri-state processing stage: split views over one tagged pass. */
 final class ProcessedStreams[T, U](tagged: Dataset[(Int, Task[U], Task[T])]) {
   import TaskPipeline._
+
+  /** Disposition counters — the reference's `tasks.processed` /
+    * `tasks.discarded` / `tasks.error` metrics family (`ProcessPipeline
+    * .java:79-91,145-184` increments; metrics doc `docs/monitoring.adoc`).
+    * One aggregation pass; call per micro-batch inside foreachBatch for
+    * streaming metrics.
+    */
+  def counts: Map[String, Long] = {
+    implicit val ie: org.apache.spark.sql.Encoder[Int] = Encoders.scalaInt
+    val byTag = tagged.groupByKey(_._1).count().collect().toMap
+    Map(
+      "processed" -> byTag.getOrElse(TagProcessed, 0L),
+      "retry" -> byTag.getOrElse(TagRetry, 0L),
+      "discarded" -> byTag.getOrElse(TagDiscard, 0L),
+      "error" -> byTag.getOrElse(TagError, 0L))
+  }
 
   def processed(implicit encU: Encoder[Task[U]]): Dataset[Task[U]] =
     tagged.filter(_._1 == TagProcessed).map(_._2)

@@ -27,9 +27,9 @@ object Dedup {
   val MinHashP = 2147483647L
 
   /** MinHash signatures: k hash functions over character `shingleSize`-grams,
-    * derived by double hashing `(h1 + i*h2) mod P` from two portable base
-    * hashes — two md5 evaluations per shingle instead of k (same trick the
-    * CMS uses; the family stays engine-portable for the oracle). The k mins
+    * derived by double hashing `(h1 + i*h2) mod P` from two 60-bit halves of
+    * ONE md5 per shingle (hex chars 1-15 and 16-30) — same trick the CMS
+    * uses; the family stays engine-portable for the oracle. The k mins
     * aggregate in ONE wide groupBy pass (no k-fold row explosion), then
     * unpivot to long form.
     */
@@ -44,8 +44,9 @@ object Dedup {
         explode(sequence(lit(1), greatest(length(textCol) - (shingleSize - 1), lit(1)))).as("pos"),
         textCol.as("__t"))
       .select(col("id"), col("__t").substr(col("pos"), lit(shingleSize)).as("sh"))
-      .withColumn("h1", portable_hash(col("sh")) % MinHashP)
-      .withColumn("h2", portable_hash(concat(lit("#"), col("sh"))) % MinHashP)
+      .withColumn("__md5", md5(col("sh")))
+      .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long") % MinHashP)
+      .withColumn("h2", conv(substring(col("__md5"), 16, 15), 16, 10).cast("long") % MinHashP)
     val aggs = (0 until k).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"mh$i"))
     shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)

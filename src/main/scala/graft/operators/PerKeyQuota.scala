@@ -37,7 +37,12 @@ object PerKeyQuota {
       windowDur: String,
       width: Int = CmsSketch.DefaultWidth,
       depth: Int = CmsSketch.DefaultDepth): DataFrame =
-    df.groupBy(window(tsCol, windowDur).as("win"))
+    // pre-partition by window so partial aggregation builds ONE sketch per
+    // window instead of one per (window × input-partition) — the shuffle
+    // moves rows, not width*depth*8-byte partial sketches
+    df.withColumn("win", window(tsCol, windowDur))
+      .repartition(col("win"))
+      .groupBy(col("win"))
       .agg(cms_sketch(graft.functions.key_bytes(keyCol), width, depth).as("sketch"))
 
   /** Estimated count for each (key, window) pair in `keys` via the sketch
@@ -64,5 +69,36 @@ object PerKeyQuota {
     val toShape = df.join(shaped, keyCol === col("__shaped_key"), "left_semi")
     val ok = df.join(shaped, keyCol === col("__shaped_key"), "left_anti")
     (ok, toShape)
+  }
+
+  /** E4 — quota-callback failure policy: the user callback picks the shaping
+    * topic per bursting key; if it throws, the task is completed WITHOUT
+    * shaping (`QuotaApplierImpl.java:69-77`, documented
+    * `PerKeyQuotaConfig.java:104-112`). The callback runs once per violating
+    * key on the driver (the violator set is small by construction); a null /
+    * failed decision sends the key's records down the process side.
+    */
+  def routeWithCallback(
+      df: DataFrame,
+      keyCol: Column,
+      shapedKeys: DataFrame,
+      chooseTopic: Any => String): (DataFrame, DataFrame) = {
+    val decided = shapedKeys.toDF("__shaped_key").distinct().collect().flatMap { r =>
+      val k = r.get(0)
+      scala.util.Try(Option(chooseTopic(k))).toOption.flatten.map(t => (k, t))
+    }
+    if (decided.isEmpty) (df, df.limit(0))
+    else {
+      val spark = df.sparkSession
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val keyType = df.select(keyCol).schema.head.dataType
+      val decidedDf = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(decided.map(d => Row(d._1, d._2)): _*),
+        StructType(Seq(StructField("__shaped_key", keyType), StructField("shaping_topic", StringType)))))
+      val toShape = df.join(decidedDf, keyCol === col("__shaped_key")).drop("__shaped_key")
+      val ok = df.join(decidedDf, keyCol === col("__shaped_key"), "left_anti")
+      (ok, toShape)
+    }
   }
 }

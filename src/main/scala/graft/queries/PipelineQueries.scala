@@ -36,7 +36,11 @@ object PipelineQueries {
     Q(
       "pq02_minhash_sigs",
       (s, dir) => {
+        // single-file testdata = one row group = one scan task; fan the
+        // expensive shingle/gram map phase out over all cores (real corpora
+        // arrive in thousands of row groups and need no such hint)
         val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
         Dedup.minHashSignatures(d, col("doc_id"), col("text"), k = 8, shingleSize = 5)
       },
       Some(s"""
@@ -45,7 +49,9 @@ object PipelineQueries {
         ), sh AS (
           SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
         ), hs AS (
-          SELECT doc_id, ${dh("sh")} % 2147483647 AS h1, ${dh("'#' || sh")} % 2147483647 AS h2 FROM sh
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS h1,
+                 CAST(('0x'||substr(md5(sh),16,15)) AS BIGINT) % 2147483647 AS h2 FROM sh
         ), hx AS (
           SELECT doc_id, h1, h2, unnest(generate_series(0, 7)) AS hi FROM hs
         )
@@ -59,7 +65,11 @@ object PipelineQueries {
     Q(
       "pq03_lsh_pairs",
       (s, dir) => {
+        // single-file testdata = one row group = one scan task; fan the
+        // expensive shingle/gram map phase out over all cores (real corpora
+        // arrive in thousands of row groups and need no such hint)
         val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
         val sigs = Dedup.minHashSignatures(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
         Dedup.lshCandidatePairs(Dedup.lshBandSignatures(sigs, k = 16, bands = 4))
       },
@@ -69,7 +79,9 @@ object PipelineQueries {
         ), sh AS (
           SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
         ), hs AS (
-          SELECT doc_id, ${dh("sh")} % 2147483647 AS h1, ${dh("'#' || sh")} % 2147483647 AS h2 FROM sh
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS h1,
+                 CAST(('0x'||substr(md5(sh),16,15)) AS BIGINT) % 2147483647 AS h2 FROM sh
         ), hx AS (
           SELECT doc_id, h1, h2, unnest(generate_series(0, 15)) AS hi FROM hs
         ), sigs AS (
@@ -132,7 +144,11 @@ object PipelineQueries {
     Q(
       "pq06_jaccard_pairs",
       (s, dir) => {
+        // single-file testdata = one row group = one scan task; fan the
+        // expensive shingle/gram map phase out over all cores (real corpora
+        // arrive in thousands of row groups and need no such hint)
         val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
         Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), col("lang"),
           n = 3, thresholdNum = 2, thresholdDen = 5)
       },
