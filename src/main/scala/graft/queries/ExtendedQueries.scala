@@ -277,6 +277,57 @@ object ExtendedQueries {
         ) GROUP BY event_type, band
       """)),
 
+    // ---- outer joins: LEFT with null-extension and FULL OUTER agg.
+    Q(
+      "q23_outer_join",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"),
+            round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("urgent_total"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            count(col("n_urgent")).as("n_with_urgent"),
+            round(sum(coalesce(col("urgent_total"), lit(0))).cast("double"), 2).as("seg_urgent_total"))
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_customers,
+               count(n_urgent) AS n_with_urgent,
+               round(CAST(sum(coalesce(urgent_total, 0)) AS DOUBLE), 2) AS seg_urgent_total
+        FROM customer LEFT OUTER JOIN (
+          SELECT o_custkey, count(*) AS n_urgent,
+                 round(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS urgent_total
+          FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+        ) o ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+      """)),
+
+    // ---- full outer join with both-side null handling.
+    Q(
+      "q24_full_outer",
+      (s, dir) => {
+        val hi = Tables.events(s, dir).filter(col("value") >= 150)
+          .groupBy(col("user_id").as("u")).agg(count(lit(1)).as("n_hi"))
+        val err = Tables.events(s, dir).filter(col("event_type") === "error")
+          .groupBy(col("user_id").as("u2")).agg(count(lit(1)).as("n_err"))
+        hi.join(err, col("u") === col("u2"), "full_outer")
+          .select(
+            coalesce(col("u"), col("u2")).as("user_id"),
+            coalesce(col("n_hi"), lit(0)).as("n_hi"),
+            coalesce(col("n_err"), lit(0)).as("n_err"),
+            (col("u").isNotNull && col("u2").isNotNull).cast("int").as("in_both"))
+      },
+      Some("""
+        SELECT coalesce(h.u, e.u2) AS user_id,
+               coalesce(n_hi, 0) AS n_hi, coalesce(n_err, 0) AS n_err,
+               CASE WHEN h.u IS NOT NULL AND e.u2 IS NOT NULL THEN 1 ELSE 0 END AS in_both
+        FROM (SELECT user_id AS u, count(*) AS n_hi FROM events WHERE value >= 150 GROUP BY 1) h
+        FULL OUTER JOIN (SELECT user_id AS u2, count(*) AS n_err FROM events WHERE event_type = 'error' GROUP BY 1) e
+        ON h.u = e.u2
+      """)),
+
     // ---- exact percentiles (sort-based, no sketch): median and p90.
     Q(
       "q21_percentile",
