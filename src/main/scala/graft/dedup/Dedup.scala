@@ -105,6 +105,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Scale path for simhash candidates: split the `bits`-bit simhash into
+    * `bands` contiguous bit-bands; two documents within Hamming distance
+    * `bands-1` must agree on at least one whole band (pigeonhole), so
+    * shuffling on (band index, band value) finds all such pairs with a
+    * linear scan + bucket join — no blocked cross product. Verify candidates
+    * with the exact Hamming distance afterwards.
+    */
+  def simHashBandedPairs(simhashes: DataFrame, bits: Int, bands: Int, maxDist: Int): DataFrame = {
+    require(maxDist < bands, "pigeonhole guarantee needs maxDist < bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val banded = simhashes.select(
+      col("id"), col("simhash"),
+      explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_val", expr(s"shiftright(simhash, cast(band * $bandBits as int))").bitwiseAND(lit(mask)))
+    val a = banded.select(col("band").as("band_a"), col("band_val").as("bv_a"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band").as("band_b"), col("band_val").as("bv_b"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("band_a") === col("band_b") && col("bv_a") === col("bv_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Word n-gram Jaccard similarity for candidate pairs, blocked by `blockCol`.
     * The threshold comparison is done in exact integer cross-multiplication
     * (inter * den >= num * union), so no float is ever compared.

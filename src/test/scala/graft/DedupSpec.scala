@@ -42,6 +42,18 @@ class DedupSpec extends SparkTestBase {
     assert(avgDist <= 6.0, s"near-dups should have low simhash distance, got avg $avgDist")
   }
 
+  test("banded simhash candidates equal blocked-exhaustive pairs (pigeonhole)") {
+    val d = Tables.documents(spark, sfDir)
+    val sims = Dedup.simHash(d, col("doc_id"), col("text"), bits = 32)
+    // exhaustive ground truth within maxDist (single block = all pairs)
+    val exhaustive = Dedup.simHashNearPairs(sims.withColumn("blk", lit(1)), col("blk"), maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val banded = Dedup.simHashBandedPairs(sims, bits = 32, bands = 4, maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(banded == exhaustive,
+      s"banded ${banded.size} vs exhaustive ${exhaustive.size}")
+  }
+
   test("embedding near-pairs are symmetric-free and above threshold") {
     val e = Tables.embeddings(spark, sfDir)
     val pairs = Dedup.embeddingNearPairs(e, col("vec_id"), col("embedding"), lit(1), 0.4)
