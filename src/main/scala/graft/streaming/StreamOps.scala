@@ -53,6 +53,16 @@ object StreamOps {
   def quotaViolators(rates: DataFrame, quota: Long): DataFrame =
     rates.filter(col("n") >= quota).select(col("win"), col("key"), col("n"))
 
+  /** Streaming exact deduplication: first occurrence of each key set wins,
+    * duplicates within the watermark horizon are dropped, and state for
+    * expired event times is evicted — `dropDuplicatesWithinWatermark` is the
+    * bounded-state form (an unbounded `dropDuplicates` would grow state
+    * forever at 100 TB/day).
+    */
+  def dedupeStream(df: DataFrame, keyCols: Seq[String], tsCol: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Event-time sessionization: gap-based session windows per key — the
     * streaming-native form of the batch q16_sessionize query. Emits one row
     * per closed session (append mode) with its bounds and size; state is

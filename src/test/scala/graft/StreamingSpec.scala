@@ -101,6 +101,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops duplicate keys within the watermark horizon") {
+    import spark.implicits._
+    val in = mkStream()
+    val out = StreamOps.dedupeStream(in.toDF(), Seq("key"), "ts", "1 minute")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        Ev("a", t("2024-01-01 00:00:01"), 1),
+        Ev("a", t("2024-01-01 00:00:05"), 2), // duplicate key: dropped
+        Ev("b", t("2024-01-01 00:00:03"), 3))
+      q.processAllAvailable()
+      in.addData(Ev("a", t("2024-01-01 00:00:10"), 4)) // still within horizon
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").select(col("key"), col("v"))
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("a", 1L), ("b", 3L)))
+    } finally q.stop()
+  }
+
   test("streaming sessionization closes sessions on gap > threshold") {
     import spark.implicits._
     val in = mkStream()
