@@ -213,6 +213,22 @@ object PipelineQueries {
         ) WHERE rank <= 5
       """)),
 
+    // ---- embedding near-dup, scale path: candidates restricted to sign-LSH
+    // buckets (linear scan + bucket join instead of all pairs). No SQL
+    // oracle (bucketing is engine-internal); recall vs the exact all-pairs
+    // form is asserted in DedupSpec.
+    Q(
+      "pq13_embed_neardup_lsh",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val buckets = Knn.lshBuckets(e, "vec_id", "embedding", planes = 4)
+          .withColumnRenamed("id", "vec_id")
+        Dedup.embeddingNearPairs(
+          e.join(buckets, "vec_id"),
+          col("vec_id"), col("embedding"), col("bucket"), minCosine = 0.4)
+      },
+      None),
+
     // ---- sign-LSH approximate top-k: the scale path (bucketed candidates).
     // No SQL oracle — recall vs brute force is asserted in KnnSpec.
     Q(

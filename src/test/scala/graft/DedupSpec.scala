@@ -64,6 +64,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("LSH-bucketed embedding near-dup pairs are a sound subset of all-pairs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val allPairs = Dedup.embeddingNearPairs(e, col("vec_id"), col("embedding"), lit(1), 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val buckets = graft.similarity.Knn.lshBuckets(e, "vec_id", "embedding", planes = 4)
+      .withColumnRenamed("id", "vec_id")
+    val lshPairs = Dedup.embeddingNearPairs(
+        e.join(buckets, "vec_id"), col("vec_id"), col("embedding"), col("bucket"), 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lshPairs.subsetOf(allPairs), "bucketing must not invent pairs")
+    if (allPairs.nonEmpty) {
+      val recall = lshPairs.size.toDouble / allPairs.size
+      assert(recall > 0.0, "bucketed path found none of the near pairs")
+    }
+  }
+
   test("sign-LSH knn achieves nonzero recall vs brute force at k=5") {
     val e = Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") % 50 === 0)
