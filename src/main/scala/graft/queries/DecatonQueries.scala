@@ -269,6 +269,51 @@ object DecatonQueries {
         FROM events
       """)),
 
+    // ---- T1/T2 typed pipeline through the gate: the RecordProcessor SPI
+    // (mapPartitions, not column expressions) with deterministic tri-state
+    // logic; the oracle recomputes the same dispositions in SQL. This proves
+    // the typed path agrees with the declarative one end-to-end.
+    Q(
+      "dq12_typed_pipeline",
+      (s, dir) => {
+        import graft.api._
+        import graft.core._
+        import graft.sources.TaskSource
+        import s.implicits._
+        val records = TaskSource.fromEvents(s, dir)
+        val extractor = new TaskExtractor[String] {
+          def extract(r: ConsumedRecord): Task[String] = Task(
+            TaskMetadata(timestampMillis = r.timestampMillis),
+            r.key, new String(r.value, "UTF-8"))
+        }
+        val streams = TaskPipeline.consuming(records, extractor)
+          .thenProcess(new RecordProcessor[String, Int] {
+            def process(t: Task[String]): ProcessResult[Int] = {
+              val k = new String(t.key, "UTF-8").toLong
+              if (k % 17 == 0) ProcessResult.Discard
+              else if (k % 10 == 1) ProcessResult.Retry
+              else ProcessResult.Processed(t.value.length)
+            }
+          })
+        val p = streams.processed.map(t => ("processed", t.value.toLong)).toDF("state", "payload_len")
+          .groupBy(col("state")).agg(count(lit(1)).as("n"), sum(col("payload_len")).as("sum_len"))
+        val r = streams.retries(100L, 0L).map(_ => ("retry", 0L)).toDF("state", "payload_len")
+          .groupBy(col("state")).agg(count(lit(1)).as("n"), sum(col("payload_len")).as("sum_len"))
+        val d = streams.discarded.map(_ => ("discard", 0L)).toDF("state", "payload_len")
+          .groupBy(col("state")).agg(count(lit(1)).as("n"), sum(col("payload_len")).as("sum_len"))
+        p.unionAll(r).unionAll(d)
+      },
+      Some("""
+        SELECT 'processed' AS state, count(*) AS n, sum(length(props)) AS sum_len
+        FROM events WHERE user_id % 17 <> 0 AND user_id % 10 <> 1
+        UNION ALL
+        SELECT 'retry' AS state, count(*) AS n, 0 AS sum_len
+        FROM events WHERE user_id % 17 <> 0 AND user_id % 10 = 1
+        UNION ALL
+        SELECT 'discard' AS state, count(*) AS n, 0 AS sum_len
+        FROM events WHERE user_id % 17 = 0
+      """)),
+
     // ---- A3 CMS sketch path (no SQL oracle — sketch layout is engine
     // internal; driver records rows>0, accuracy bound asserted in CmsSpec):
     // per-window estimates for every active key, with exact counts alongside.

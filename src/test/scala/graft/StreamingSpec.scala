@@ -141,6 +141,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late data beyond the watermark is dropped from windowed compaction (documented Spark-side semantic)") {
+    import spark.implicits._
+    // The reference never drops late tasks (scheduled_time only delays —
+    // SURVEY.md §2.10); Spark's windowed aggregation evicts state at the
+    // watermark, so records later than the delay are dropped. Pipelines that
+    // need reference-identical behavior must size watermarkDelay to the
+    // maximum expected lateness; this test pins the behavior so the tradeoff
+    // stays visible.
+    val in = mkStream()
+    val out = StreamOps.compactLatest(
+      in.toDF(), Seq(col("key")), col("ts"), "10 seconds", "0 seconds",
+      payload = Seq(col("v"), col("ts")), rankCols = Seq(col("ts"), col("v")))
+    val q = out.writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(Ev("a", t("2024-01-01 00:00:01"), 1))
+      q.processAllAvailable()
+      in.addData(Ev("b", t("2024-01-01 00:10:00"), 2)) // watermark jumps to 00:10
+      q.processAllAvailable()
+      in.addData(Ev("late", t("2024-01-01 00:00:02"), 3)) // far behind watermark
+      in.addData(Ev("c", t("2024-01-01 00:20:00"), 4))    // close remaining windows
+      q.processAllAvailable()
+      val keys = spark.table("late_out").select(col("key")).as[String].collect().toSet
+      assert(keys.contains("a") && keys.contains("b"))
+      assert(!keys.contains("late"), "late row behind the watermark must be dropped, not emitted")
+    } finally q.stop()
+  }
+
   test("flushInBatches caps delivery size (A2)") {
     import spark.implicits._
     StreamingSpec.flushSizes.clear()
