@@ -121,6 +121,13 @@ object TaskPipeline {
   val TagDiscard = 2
   val TagError = 3
 
+  def stateName(tag: Int): String = tag match {
+    case TagProcessed => "processed"
+    case TagRetry => "retry"
+    case TagDiscard => "discard"
+    case _ => "error"
+  }
+
   /** Entry point mirroring `ProcessorsBuilder.consuming(topic, extractor)`.
     * `records` must have the ConsumedRecord column shape (Kafka source schema
     * or the batch surrogate from [[graft.sources.TaskSource]]).
@@ -148,6 +155,16 @@ final class ProcessedStreams[T, U](tagged: Dataset[(Int, Task[U], Task[T])]) {
       "retry" -> byTag.getOrElse(TagRetry, 0L),
       "discarded" -> byTag.getOrElse(TagDiscard, 0L),
       "error" -> byTag.getOrElse(TagError, 0L))
+  }
+
+  /** One-pass disposition view: (state, original task) for EVERY input row —
+    * including errors — so downstream accounting never re-executes the
+    * processor per split. Prefer this over combining several of the filtered
+    * views below when you need more than one of them materialized.
+    */
+  def dispositions(implicit encT: Encoder[Task[T]]): Dataset[(String, Task[T])] = {
+    implicit val enc: Encoder[(String, Task[T])] = Encoders.tuple(Encoders.STRING, encT)
+    tagged.map(x => (TaskPipeline.stateName(x._1), x._3))
   }
 
   def processed(implicit encU: Encoder[Task[U]]): Dataset[Task[U]] =

@@ -288,23 +288,33 @@ object DecatonQueries {
         }
         val streams = TaskPipeline.consuming(records, extractor)
           .thenProcess(new RecordProcessor[String, Int] {
-            def process(t: Task[String]): ProcessResult[Int] = {
-              val k = new String(t.key, "UTF-8").toLong
-              if (k % 17 == 0) ProcessResult.Discard
-              else if (k % 10 == 1) ProcessResult.Retry
-              else ProcessResult.Processed(t.value.length)
-            }
+            // total function: unparsable keys discard (poison policy) rather
+            // than erroring, so every row lands in an oracle-predictable state
+            def process(t: Task[String]): ProcessResult[Int] =
+              scala.util.Try(new String(t.key, "UTF-8").toLong).toOption match {
+                case None => ProcessResult.Discard
+                case Some(k) if k % 17 == 0 => ProcessResult.Discard
+                case Some(k) if k % 10 == 1 => ProcessResult.Retry
+                case Some(_) => ProcessResult.Processed(t.value.length)
+              }
           })
-        val p = streams.processed.map(t => ("processed", t.value.toLong)).toDF("state", "payload_len")
+        // single pass over the tagged stream; payload length in UTF-8 BYTES
+        // (Java String.length counts UTF-16 code units and DuckDB length()
+        // counts code points — bytes agree everywhere)
+        val agg = streams.dispositions
+          .map { case (state, t) =>
+            (state, if (state == "processed") t.value.getBytes("UTF-8").length.toLong else 0L)
+          }.toDF("state", "payload_len")
           .groupBy(col("state")).agg(count(lit(1)).as("n"), sum(col("payload_len")).as("sum_len"))
-        val r = streams.retries(100L, 0L).map(_ => ("retry", 0L)).toDF("state", "payload_len")
-          .groupBy(col("state")).agg(count(lit(1)).as("n"), sum(col("payload_len")).as("sum_len"))
-        val d = streams.discarded.map(_ => ("discard", 0L)).toDF("state", "payload_len")
-          .groupBy(col("state")).agg(count(lit(1)).as("n"), sum(col("payload_len")).as("sum_len"))
-        p.unionAll(r).unionAll(d)
+        // totality: an empty disposition bucket still yields a 0-row, exactly
+        // like the oracle's ungrouped counts
+        val defaults = Seq(("processed", 0L, 0L), ("retry", 0L, 0L), ("discard", 0L, 0L))
+          .toDF("state", "n", "sum_len")
+        agg.unionAll(defaults).groupBy(col("state"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"))
       },
       Some("""
-        SELECT 'processed' AS state, count(*) AS n, sum(length(props)) AS sum_len
+        SELECT 'processed' AS state, count(*) AS n, coalesce(sum(strlen(props)), 0) AS sum_len
         FROM events WHERE user_id % 17 <> 0 AND user_id % 10 <> 1
         UNION ALL
         SELECT 'retry' AS state, count(*) AS n, 0 AS sum_len
