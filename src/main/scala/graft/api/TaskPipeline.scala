@@ -137,9 +137,21 @@ object TaskPipeline {
     new TaskPipeline(records.mapPartitions(_.map(extractor.extract)))
 }
 
-/** Result of a tri-state processing stage: split views over one tagged pass. */
+/** Result of a tri-state processing stage: split views over one tagged pass.
+  * The views are lazy projections of the same tagged dataset; materializing
+  * SEVERAL of them re-executes the processor unless you call [[persist]]
+  * first (or use [[dispositions]] for single-pass accounting).
+  */
 final class ProcessedStreams[T, U](tagged: Dataset[(Int, Task[U], Task[T])]) {
   import TaskPipeline._
+
+  /** Persist the tagged pass so multiple view materializations share one
+    * processor execution. Returns this for chaining; pair with [[unpersist]].
+    */
+  def persist(level: org.apache.spark.storage.StorageLevel): this.type = {
+    tagged.persist(level); this
+  }
+  def unpersist(): this.type = { tagged.unpersist(); this }
 
   /** Disposition counters — the reference's `tasks.processed` /
     * `tasks.discarded` / `tasks.error` metrics family (`ProcessPipeline

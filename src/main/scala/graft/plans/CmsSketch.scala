@@ -151,8 +151,22 @@ case class CmsEstimate(left: Expression, right: Expression)
   override def nullable: Boolean = left.nullable || right.nullable
 
   override def nullSafeEval(sketch: Any, key: Any): Any = {
-    val (width, depth, cells) = CmsSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
-    CmsSketch.estimate(cells, key.asInstanceOf[Array[Byte]], width, depth)
+    // read only the `depth` probed cells straight from the serialized bytes:
+    // deserializing the full width*depth buffer per row (~6 MB at production
+    // size) would dominate runtime and GC on keyed estimate joins
+    val bytes = sketch.asInstanceOf[Array[Byte]]
+    val bb = ByteBuffer.wrap(bytes)
+    val width = bb.getInt(0)
+    val depth = bb.getInt(4)
+    val s = CmsSketch.slots(key.asInstanceOf[Array[Byte]], width, depth)
+    var est = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val v = bb.getLong(8 + (i.toLong * width + s(i)).toInt * 8)
+      if (v < est) est = v
+      i += 1
+    }
+    if (est == Long.MaxValue) 0L else est
   }
 
   override def prettyName: String = "cms_estimate"

@@ -34,13 +34,19 @@ case class VectorDot(left: Expression, right: Expression)
         s"vector_dot expects array<float|double>, got ${left.dataType} / ${right.dataType}")
   }
 
+  // Result is null for mismatched lengths or any null element — the same
+  // answer the declarative `aggregate(zip_with(a, b, _*_), 0d, _+_)` gives
+  // (zip_with pads/propagates null, the sum absorbs it), so the documented
+  // parity with the fold form holds on ALL inputs, not just clean ones.
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y
@@ -57,12 +63,17 @@ case class VectorDot(left: Expression, right: Expression)
       val getA = if (leftFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getB = if (rightFloat) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $acc = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $acc += $getA * $getB;
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $acc = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += $getA * $getB;
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
         }
-        ${ev.value} = $acc;
       """
     })
 

@@ -31,7 +31,7 @@ object AsyncProcessing {
     * FIXED, not cached: with thousands of in-flight blocking calls a cached
     * pool finds no idle thread at submit time and pays a thread spawn per
     * task (~50 µs, which capped throughput at ~20k tasks/s); fixed threads
-    * persist across tasks. Size via `graft.async.io.threads` (default 4096).
+    * persist across tasks. Size via `graft.async.io.threads` (default 2048).
     */
   private lazy val ioPool: ExecutionContext = {
     val n = sys.props.getOrElse("graft.async.io.threads", "2048").toInt
@@ -67,6 +67,7 @@ object AsyncProcessing {
       val permits = new Semaphore(maxInFlight)
       val chains = mutable.Map.empty[K, Future[_]]
 
+      var sincePrune = 0
       val futures: Iterator[Future[U]] = it.map { t =>
         val k = keyFn(t)
         val prev = chains.getOrElse(k, Future.unit)
@@ -78,6 +79,13 @@ object AsyncProcessing {
           }
         }
         chains(k) = fut
+        // prune completed chains so high-cardinality partitions don't retain
+        // one completed future (and its result) per distinct key
+        sincePrune += 1
+        if (sincePrune >= 1024) {
+          sincePrune = 0
+          chains.filterInPlace((_, cf) => !cf.isCompleted)
+        }
         fut
       }
 
@@ -111,14 +119,25 @@ object AsyncProcessing {
       val permits = new Semaphore(maxInFlight)
       val chains = mutable.Map.empty[K, Future[_]]
 
+      var sincePrune = 0
       val futures: Iterator[Future[U]] = it.map { t =>
         val k = keyFn(t)
         val prev = chains.getOrElse(k, Future.unit)
         permits.acquire()
         val fut = prev.transformWith { _ =>
-          f(t).andThen { case _ => permits.release() }
+          // a synchronously-throwing f must not leak the permit
+          val ff = try f(t) catch { case scala.util.control.NonFatal(e) => Future.failed(e) }
+          ff.andThen { case _ => permits.release() }
         }
         chains(k) = fut
+        // bound chain-map memory on high-cardinality keys: completed chains
+        // pin their results; prune periodically (consumer thread only — the
+        // map is never touched from callbacks, so no race)
+        sincePrune += 1
+        if (sincePrune >= 1024) {
+          sincePrune = 0
+          chains.filterInPlace((_, cf) => !cf.isCompleted)
+        }
         fut
       }
 
@@ -159,14 +178,22 @@ object AsyncProcessing {
             while (due.hasNext) {
               val e = due.next()
               val q = e.getValue
+              // a throwing body must not kill the ticker (every other timer
+              // on this wheel would silently never fire again)
               var f = q.poll()
-              while (f != null) { f(); f = q.poll() }
+              while (f != null) {
+                try f() catch { case scala.util.control.NonFatal(_) => }
+                f = q.poll()
+              }
               if (e.getKey <= now - StaleMs && q.isEmpty) {
                 due.remove()
                 // final drain: catch a body added between the isEmpty check
                 // and removal
                 f = q.poll()
-                while (f != null) { f(); f = q.poll() }
+                while (f != null) {
+                  try f() catch { case scala.util.control.NonFatal(_) => }
+                  f = q.poll()
+                }
               }
             }
             Thread.sleep(1)

@@ -28,6 +28,11 @@ object RetryLoop {
       discarded: Seq[Task[T]],
       errored: Seq[Task[T]],
       gaveUp: Seq[Task[T]],
+      /** Tasks still pending when the loop stopped (only non-empty if the hop
+        * bound was hit before convergence) — surfaced so no task ever
+        * silently vanishes from the accounting.
+        */
+      pending: Seq[Task[T]],
       hops: Int)
 
   def processWithRetries[T, U](
@@ -43,10 +48,16 @@ object RetryLoop {
     var discarded = Vector.empty[Task[T]]
     var errored = Vector.empty[Task[T]]
     var gaveUp = Vector.empty[Task[T]]
-    var hops = 0
+    var hops = 0L
+    // saturating bound: maxRetries = Long.MaxValue means "retry forever"
+    val maxHops = if (maxRetries >= Long.MaxValue - 1) Long.MaxValue else maxRetries + 1
 
-    while (hops <= maxRetries + 1 && !pending.isEmpty) {
+    while (hops <= maxHops && !pending.isEmpty) {
+      // persist the tagged pass so the per-disposition views below share ONE
+      // processor execution — a side-effecting processor must run exactly
+      // once per task per hop
       val streams = new TaskPipeline(pending).thenProcess(processor)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       processed ++= streams.processed.collect()
       discarded ++= streams.discarded.collect()
       errored ++= streams.errored.collect()
@@ -56,9 +67,11 @@ object RetryLoop {
         (retries.filter((t: Task[T]) => t.metadata.retryCount <= maxRetries),
          retries.filter((t: Task[T]) => t.metadata.retryCount > maxRetries))
       gaveUp ++= exhausted.collect()
+      streams.unpersist()
       pending = stillTrying
       hops += 1
     }
-    Outcome(processed, discarded, errored, gaveUp, hops)
+    val leftover = if (pending.isEmpty) Seq.empty[Task[T]] else pending.collect().toSeq
+    Outcome(processed, discarded, errored, gaveUp, leftover, hops.toInt)
   }
 }

@@ -50,7 +50,12 @@ object StatefulCompaction {
             }
             merged.foreach { case (w, deadline) =>
               state.update((w, deadline))
-              state.setTimeoutTimestamp(deadline)
+              // clamp: Spark rejects a timeout at/behind the current
+              // watermark (a later batch can advance the watermark past a
+              // stored deadline before this key's timeout fires); the clamped
+              // timer still fires on the very next watermark move
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(deadline, wm + 1))
             }
             Iterator.empty
           }

@@ -105,8 +105,10 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= quota)
       .select(col("__k")).distinct()
-    val shaped = batch.join(broadcast(bad), keyCol === col("__k"), "left_semi")
-    val ok = batch.join(broadcast(bad), keyCol === col("__k"), "left_anti")
+    // null-safe equality: a bursting NULL-key group must route to shaping
+    // like any other hot key (plain === never matches null)
+    val shaped = batch.join(broadcast(bad), keyCol <=> col("__k"), "left_semi")
+    val ok = batch.join(broadcast(bad), keyCol <=> col("__k"), "left_anti")
     (ok, shaped)
   }
 }

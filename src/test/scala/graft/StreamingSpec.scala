@@ -141,6 +141,19 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("quota routing shapes a bursting NULL-key group (null-safe join)") {
+    import spark.implicits._
+    val rows = Seq(
+      (Option.empty[String], t("2024-01-01 00:00:01")),
+      (Option.empty[String], t("2024-01-01 00:00:02")),
+      (Option.empty[String], t("2024-01-01 00:00:03")),
+      (Some("cold"), t("2024-01-01 00:00:04"))).toDF("key", "ts")
+    val (ok, shaped) = StreamOps.routeByQuota(rows, col("key"), col("ts"), "1 minute", quota = 3)
+    assert(shaped.count() == 3, "null-key burst must be shaped")
+    assert(shaped.filter(col("key").isNull).count() == 3)
+    assert(ok.count() == 1)
+  }
+
   test("late data beyond the watermark is dropped from windowed compaction (documented Spark-side semantic)") {
     import spark.implicits._
     // The reference never drops late tasks (scheduled_time only delays —
