@@ -26,22 +26,33 @@ object ProcessorScope {
 
 /** Scope-aware factory usable inside mapPartitions closures. Serializable:
   * ships the factory, not the instance; instances materialize executor-side.
+  *
+  * Call [[get]] ONCE per partition invocation (at the top of the
+  * mapPartitions closure), not per record: Partition scope constructs a
+  * fresh instance per call by design.
   */
 final class ScopedSupplier[P <: AnyRef](scope: ProcessorScope, factory: () => P)
     extends Serializable {
 
-  @transient private lazy val singleton: P = factory()
+  // identity survives closure serialization so every deserialized copy of
+  // this supplier resolves to the SAME executor-JVM singleton (a @transient
+  // lazy val would re-initialize per task deserialization — per-task, not
+  // per-JVM)
+  private val supplierId: String = java.util.UUID.randomUUID().toString
 
   /** Get the instance for the current partition invocation. */
   def get(partitionId: Int): P = scope match {
     case ProcessorScope.Provided | ProcessorScope.Singleton =>
-      // per-JVM: lazy val materializes once per executor after deserialization
-      singleton
+      ScopedSupplier.jvmSingletons
+        .computeIfAbsent(supplierId, _ => factory()).asInstanceOf[P]
     case ProcessorScope.Partition => factory()
   }
 }
 
 object ScopedSupplier {
+  /** Executor-JVM-wide singleton instances, keyed by supplier identity. */
+  private val jvmSingletons = new ConcurrentHashMap[String, AnyRef]()
+
   /** Executor-JVM-wide instance counter keyed by name — lets tests (and
     * metrics) observe how many instances each scope actually created,
     * mirroring the reference's lifecycle assertions in CoreFunctionalityTest.

@@ -83,7 +83,9 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
     */
   def blockKeys(keys: Seq[Array[Byte]]): TaskPipeline[T] = {
     val keySet = keys.map(_.toSeq).toSet
-    thenTransform(_.filter((t: Task[T]) => !keySet.contains(t.key.toSeq)))
+    // null keys pass through (the reference's filter only matches concrete
+    // blocked keys; one null-key record must not NPE the whole job)
+    thenTransform(_.filter((t: Task[T]) => t.key == null || !keySet.contains(t.key.toSeq)))
   }
 
   /** C1 scheduled execution, batch form: only tasks whose

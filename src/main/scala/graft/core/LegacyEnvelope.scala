@@ -16,14 +16,13 @@ object LegacyEnvelope {
 
   def encode(e: Envelope): Array[Byte] = {
     val out = new ByteArrayOutputStream(64)
-    def varint(v: Long): Unit = {
-      var x = v
-      while ((x & ~0x7fL) != 0L) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
-      out.write(x.toInt & 0x7f)
-    }
     val meta = MetaCodec.encode(e.metadata)
-    varint((1L << 3) | 2); varint(meta.length.toLong); out.write(meta)
-    varint((2L << 3) | 2); varint(e.serializedTask.length.toLong); out.write(e.serializedTask)
+    MetaCodec.writeVarint(out, (1L << 3) | 2)
+    MetaCodec.writeVarint(out, meta.length.toLong)
+    out.write(meta)
+    MetaCodec.writeVarint(out, (2L << 3) | 2)
+    MetaCodec.writeVarint(out, e.serializedTask.length.toLong)
+    out.write(e.serializedTask)
     out.toByteArray
   }
 
@@ -31,34 +30,29 @@ object LegacyEnvelope {
     var meta: TaskMetadata = TaskMetadata()
     var task: Array[Byte] = Array.emptyByteArray
     var p = 0
-    def varint(): Long = {
-      var result = 0L; var shift = 0
-      while (true) {
-        if (p >= bytes.length) throw new IllegalArgumentException("truncated varint")
-        val b = bytes(p); p += 1
-        result |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return result
-        shift += 7
-        if (shift >= 64) throw new IllegalArgumentException("varint too long")
-      }
-      0L
-    }
     while (p < bytes.length) {
-      val key = varint()
+      val (key, p1) = MetaCodec.readVarint(bytes, p)
       val field = (key >>> 3).toInt
       (key & 0x7).toInt match {
         case 2 =>
-          val len = varint().toInt
-          if (len < 0 || p + len > bytes.length) throw new IllegalArgumentException("truncated field")
+          val (len, p2) = MetaCodec.readVarint(bytes, p1)
+          // check the Long length before narrowing (wrap-around safety)
+          if (len < 0 || len > bytes.length - p2)
+            throw new IllegalArgumentException("truncated field")
+          val end = p2 + len.toInt
           field match {
-            case 1 => meta = MetaCodec.decode(java.util.Arrays.copyOfRange(bytes, p, p + len))
-            case 2 => task = java.util.Arrays.copyOfRange(bytes, p, p + len)
+            case 1 => meta = MetaCodec.decode(java.util.Arrays.copyOfRange(bytes, p2, end))
+            case 2 => task = java.util.Arrays.copyOfRange(bytes, p2, end)
             case _ => // unknown
           }
-          p += len
-        case 0 => varint()
-        case 1 => p += 8
-        case 5 => p += 4
+          p = end
+        case 0 => p = MetaCodec.readVarint(bytes, p1)._2
+        case 1 =>
+          if (p1 + 8 > bytes.length) throw new IllegalArgumentException("truncated fixed64")
+          p = p1 + 8
+        case 5 =>
+          if (p1 + 4 > bytes.length) throw new IllegalArgumentException("truncated fixed32")
+          p = p1 + 4
         case w => throw new IllegalArgumentException(s"unsupported wire type $w")
       }
     }
@@ -78,7 +72,10 @@ object LegacyEnvelope {
           if (e.serializedTask.nonEmpty) (e.metadata, e.serializedTask)
           else (TaskMetadata(), value)
         } catch {
-          case _: IllegalArgumentException => (TaskMetadata(), value)
+          // ANY parse failure means "not an envelope" — the fallback contract
+          // is pass-through, so don't let an exotic exception from arbitrary
+          // bytes escape and kill the extractor
+          case scala.util.control.NonFatal(_) => (TaskMetadata(), value)
         }
     }
 }

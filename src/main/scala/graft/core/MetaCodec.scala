@@ -23,7 +23,7 @@ object MetaCodec {
 
   // -- varint primitives ----------------------------------------------------
 
-  private def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
+  private[core] def writeVarint(out: ByteArrayOutputStream, value: Long): Unit = {
     var v = value
     while ((v & ~0x7fL) != 0L) {
       out.write(((v & 0x7f) | 0x80).toInt)
@@ -33,7 +33,7 @@ object MetaCodec {
   }
 
   /** Returns (value, next position); throws on truncated input. */
-  private def readVarint(bytes: Array[Byte], pos: Int): (Long, Int) = {
+  private[core] def readVarint(bytes: Array[Byte], pos: Int): (Long, Int) = {
     var result = 0L
     var shift = 0
     var p = pos
@@ -88,16 +88,24 @@ object MetaCodec {
           p = p2
         case 2 => // length-delimited
           val (len, p2) = readVarint(bytes, p1)
+          // bounds-check the 64-bit length BEFORE narrowing: a wrapped value
+          // like 2^31+5 would otherwise turn into a negative/small int and
+          // either throw from String's ctor or silently misparse
+          if (len < 0 || len > bytes.length - p2)
+            throw new IllegalArgumentException("truncated bytes field")
           val end = p2 + len.toInt
-          if (len < 0 || end > bytes.length) throw new IllegalArgumentException("truncated bytes field")
           field match {
             case 2 => m = m.copy(sourceApplicationId = new String(bytes, p2, len.toInt, "UTF-8"))
             case 3 => m = m.copy(sourceInstanceId = new String(bytes, p2, len.toInt, "UTF-8"))
             case _ => // unknown
           }
           p = end
-        case 1 => p = p1 + 8 // fixed64: skip
-        case 5 => p = p1 + 4 // fixed32: skip
+        case 1 => // fixed64: skip, rejecting truncation
+          if (p1 + 8 > bytes.length) throw new IllegalArgumentException("truncated fixed64")
+          p = p1 + 8
+        case 5 => // fixed32: skip, rejecting truncation
+          if (p1 + 4 > bytes.length) throw new IllegalArgumentException("truncated fixed32")
+          p = p1 + 4
         case _ => throw new IllegalArgumentException(s"unsupported wire type $wire")
       }
     }

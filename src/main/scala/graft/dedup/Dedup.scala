@@ -60,6 +60,8 @@ object Dedup {
     * shingle→minhash→band→bucket-join pipeline, one shuffle per stage.
     */
   def lshBandSignatures(signatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands (uneven bands silently shift the similarity threshold)")
     val rowsPerBand = k / bands
     signatures
       .withColumn("band", (col("hi") / rowsPerBand).cast("int"))

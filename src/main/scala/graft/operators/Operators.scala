@@ -42,10 +42,23 @@ object Compaction {
       keyCols: Seq[Column],
       rankCols: Seq[Column],
       payload: Seq[Column]): DataFrame = {
+    // pre-project the keys under stable names so expression keys (window(),
+    // arithmetic, aliases) group and re-select correctly — col(c.toString)
+    // on an expression would be an unresolvable attribute
+    import org.apache.spark.sql.catalyst.expressions.NamedExpression
+    val names = keyCols.zipWithIndex.map { case (c, i) =>
+      val s = c.toString
+      if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s // plain column reference
+      else graft.functions.toExpr(c) match {
+        case ne: NamedExpression => ne.name // alias
+        case _ => s"__gk_$i" // raw expression key: synthetic stable name
+      }
+    }
+    val projected = keyCols.zip(names).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
     val winner = max_by(struct(payload: _*), struct(rankCols: _*)).as("__winner")
-    df.groupBy(keyCols: _*)
+    projected.groupBy(names.map(col): _*)
       .agg(winner)
-      .select((keyCols.map(c => col(c.toString)) :+ col("__winner.*")): _*)
+      .select((names.map(col) :+ col("__winner.*")): _*)
       .drop("__winner")
   }
 }

@@ -87,7 +87,10 @@ object PerKeyQuota {
       val k = r.get(0)
       scala.util.Try(Option(chooseTopic(k))).toOption.flatten.map(t => (k, t))
     }
-    if (decided.isEmpty) (df, df.limit(0))
+    if (decided.isEmpty)
+      // schema-stable empty shaped side: downstream writers select
+      // shaping_topic regardless of whether any callback succeeded this batch
+      (df, df.limit(0).withColumn("shaping_topic", lit(null).cast("string")))
     else {
       val spark = df.sparkSession
       import org.apache.spark.sql.Row

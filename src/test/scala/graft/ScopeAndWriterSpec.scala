@@ -24,10 +24,9 @@ class ScopeAndWriterSpec extends SparkTestBase {
       Iterator.single(it.size)
     }.collect()
     assert(ScopedSupplier.instanceCounts.get("part").get() == 5)
-    // local mode: all tasks share one JVM, but the supplier deserializes per
-    // task; the lazy singleton materializes at most once per deserialized
-    // copy — assert it's strictly fewer than partition-scoped instances
-    assert(ScopedSupplier.instanceCounts.get("single").get() <= 5)
+    // true per-JVM singleton: exactly one instance regardless of how many
+    // tasks deserialized copies of the supplier
+    assert(ScopedSupplier.instanceCounts.get("single").get() == 1)
   }
 
   test("TaskWriter produces the Kafka sink shape with a decodable dt_meta header (S3)") {
