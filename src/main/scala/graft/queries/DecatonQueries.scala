@@ -314,13 +314,14 @@ object DecatonQueries {
           .agg(sum(col("n")).as("n"), sum(col("sum_len")).as("sum_len"))
       },
       Some("""
-        SELECT 'processed' AS state, count(*) AS n, coalesce(sum(strlen(props)), 0) AS sum_len
+        SELECT 'processed' AS state, count(*) AS n,
+               CAST(coalesce(sum(strlen(props)), 0) AS BIGINT) AS sum_len
         FROM events WHERE user_id % 17 <> 0 AND user_id % 10 <> 1
         UNION ALL
-        SELECT 'retry' AS state, count(*) AS n, 0 AS sum_len
+        SELECT 'retry' AS state, count(*) AS n, CAST(0 AS BIGINT) AS sum_len
         FROM events WHERE user_id % 17 <> 0 AND user_id % 10 = 1
         UNION ALL
-        SELECT 'discard' AS state, count(*) AS n, 0 AS sum_len
+        SELECT 'discard' AS state, count(*) AS n, CAST(0 AS BIGINT) AS sum_len
         FROM events WHERE user_id % 17 = 0
       """)),
 

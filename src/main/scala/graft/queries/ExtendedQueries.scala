@@ -150,7 +150,7 @@ object ExtendedQueries {
       },
       Some("""
         SELECT upper(p_brand) AS brand_u, substring(p_type, 1, 5) AS type_pfx,
-               count(*) AS n, sum(length(p_name)) AS sum_len
+               count(*) AS n, CAST(sum(length(p_name)) AS BIGINT) AS sum_len
         FROM part GROUP BY 1, 2
       """)),
 
@@ -210,7 +210,7 @@ object ExtendedQueries {
           .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
       },
       Some("""
-        SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
         FROM (
           SELECT user_id,
                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id

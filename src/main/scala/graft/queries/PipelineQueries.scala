@@ -111,7 +111,7 @@ object PipelineQueries {
         bits AS (SELECT doc_id, h, unnest(generate_series(0, 15)) AS b FROM h),
         votes AS (SELECT doc_id, b, sum(((h >> CAST(b AS INT)) & 1) * 2 - 1) AS vote FROM bits GROUP BY 1, 2)
         SELECT doc_id AS id,
-               sum(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN vote >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY 1
       """)),
 

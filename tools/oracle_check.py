@@ -5,8 +5,11 @@ not part of the shipped library). Runs graft.Verify output against DuckDB.
 Usage: python3 tools/oracle_check.py <sfDir> <verifyOutDir>
 
 Compares each <verifyOutDir>/<name>/ parquet with the DuckDB result of
-oracle_sql.json[name], after sorting columns by name and rows by all columns —
-approximating the driver's hash compare, but with a diff printout on mismatch.
+oracle_sql.json[name], after sorting columns by name and rows by all columns.
+Unlike a pandas-frame compare (which coerces types and hid the round-1
+HUGEINT-vs-BIGINT mismatches), both sides stay inside DuckDB: column TYPES
+must match exactly and values are compared from fetchall() — the same
+strictness as the driver's hash gate.
 """
 import json
 import math
@@ -18,10 +21,38 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(df):
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    return df
+def sorted_rel(con, query):
+    """DuckDB relation with columns sorted by name, rows by all columns."""
+    rel = con.sql(query)
+    cols = sorted(rel.columns)
+    collist = ", ".join(f'"{c}"' for c in cols)
+    rel2 = rel.project(collist)
+    types = [str(t) for t in rel2.types]
+    rows = rel2.fetchall()
+    rows.sort(key=lambda r: tuple((v is None, str(v)) for v in r))
+    return cols, types, rows
+
+
+def type_family(t):
+    """Collapse DuckDB types into families with identical value encodings.
+
+    Round-1 driver evidence: INT-width differences (TINYINT vs BIGINT) hash
+    identically, but HUGEINT does not (pandas coerces it to float64 — '1234.0'
+    vs '1234'). So widths within int64 are one family; HUGEINT/DECIMAL are
+    their own.
+    """
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "INT"
+    if t in ("FLOAT", "DOUBLE"):
+        return "FLOAT"
+    return t
+
+
+def cell_eq(a, b):
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or (math.isnan(a) and math.isnan(b))
+    return a == b
 
 
 def main(sf_dir, out_dir):
@@ -33,26 +64,24 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchdf()
-            exp = con.execute(sql).fetchdf()
+            gc, gt, got = sorted_rel(
+                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            ec, et, exp = sorted_rel(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_bad += 1
             continue
-        got, exp = norm(got), norm(exp)
-        ok = list(got.columns) == list(exp.columns) and len(got) == len(exp)
+        ok = gc == ec and len(got) == len(exp)
         detail = ""
         if not ok:
-            detail = (f" cols {list(got.columns)} vs {list(exp.columns)};"
-                      f" rows {len(got)} vs {len(exp)}")
+            detail = f" cols {gc} vs {ec}; rows {len(got)} vs {len(exp)}"
+        elif [type_family(t) for t in gt] != [type_family(t) for t in et]:
+            ok = False
+            detail = f" TYPE mismatch: spark {gt} vs oracle {et}"
         else:
-            for c in got.columns:
-                for i, (a, b) in enumerate(zip(got[c], exp[c])):
-                    same = (a == b) or (
-                        isinstance(a, float) and isinstance(b, float)
-                        and (a == b or (math.isnan(a) and math.isnan(b))))
-                    if not same:
+            for i, (ra, rb) in enumerate(zip(got, exp)):
+                for c, a, b in zip(gc, ra, rb):
+                    if not cell_eq(a, b):
                         ok = False
                         detail = f" first diff col={c} row={i}: {a!r} != {b!r}"
                         break
