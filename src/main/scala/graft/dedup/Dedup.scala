@@ -114,19 +114,32 @@ object Dedup {
     * linear scan + bucket join — no blocked cross product. Verify candidates
     * with the exact Hamming distance afterwards.
     */
-  def simHashBandedPairs(simhashes: DataFrame, bits: Int, bands: Int, maxDist: Int): DataFrame = {
+  def simHashBandedPairs(
+      simhashes: DataFrame,
+      bits: Int,
+      bands: Int,
+      maxDist: Int,
+      blockCol: Option[Column] = None): DataFrame = {
     require(maxDist < bands, "pigeonhole guarantee needs maxDist < bands")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
-    val banded = simhashes.select(
-      col("id"), col("simhash"),
+    // optional extra blocking key (e.g. language): pairs must also agree on
+    // it, which keeps output identical to the blocked-exhaustive form while
+    // the bucket join stays linear-scan-shaped
+    val base = blockCol match {
+      case Some(c) => simhashes.select(col("id"), col("simhash"), c.as("__blk"))
+      case None    => simhashes.select(col("id"), col("simhash"), lit(1).as("__blk"))
+    }
+    val banded = base.select(
+      col("id"), col("simhash"), col("__blk"),
       explode(sequence(lit(0), lit(bands - 1))).as("band"))
       .withColumn("band_val", expr(s"shiftright(simhash, cast(band * $bandBits as int))").bitwiseAND(lit(mask)))
     val a = banded.select(col("band").as("band_a"), col("band_val").as("bv_a"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
+      col("__blk").as("blk_a"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band").as("band_b"), col("band_val").as("bv_b"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
-    a.join(b, col("band_a") === col("band_b") && col("bv_a") === col("bv_b") && col("id_a") < col("id_b"))
+      col("__blk").as("blk_b"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, col("band_a") === col("band_b") && col("bv_a") === col("bv_b") &&
+        col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("dist"))
       .distinct()
@@ -186,6 +199,37 @@ object Dedup {
     val b = df.select(blockCol.as("blk2"), idCol.as("id_b"), vecCol.as("vb"))
       .withColumn("sb", sqrt(dot(col("vb"), col("vb"))))
     a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("sa") * col("sb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Embedding near-dup pairs via sign-LSH buckets with multi-probe — the
+    * 100 TB registered path (pq13). Candidates are (home bucket of a) ∩
+    * (probe set of b); one-bit-flip probing is symmetric, so one join
+    * direction covers both. Candidate id pairs are deduped BEFORE the cosine
+    * join, so each pair costs exactly one dot product regardless of how many
+    * probe buckets it collided in.
+    */
+  def embeddingNearPairsLsh(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      planes: Int,
+      probes: Int,
+      minCosine: Double): DataFrame = {
+    val ided = df.select(idCol.as("id"), vecCol.as("v"))
+    val home = graft.similarity.Knn.lshBuckets(ided, "id", "v", planes)
+    val probed = graft.similarity.Knn.lshProbes(ided, "id", "v", planes, probes)
+    val cands = home.select(col("bucket"), col("id").as("id_a"))
+      .join(probed.select(col("bucket").as("bucket_b"), col("id").as("id_b")),
+        col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val dot = graft.functions.vector_dot _
+    val withNorm = ided.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    cands
+      .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("sa")), "id_a")
+      .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("sb")), "id_b")
       .withColumn("cos", dot(col("va"), col("vb")) / (col("sa") * col("sb")))
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))

@@ -28,6 +28,12 @@ package object functions {
   def cms_estimate(sketch: Column, key: Column): Column =
     toColumn(graft.plans.CmsEstimate(toExpr(sketch), toExpr(key)))
 
+  /** Aggregate: element-wise merge of serialized CMS sketches (same
+    * width/depth). Second level of the salted two-level merge.
+    */
+  def cms_merge(sketch: Column): Column =
+    toColumn(graft.plans.CmsMergeAgg(toExpr(sketch)).toAggregateExpression())
+
   /** Canonical key → bytes conversion. ANSI mode forbids numeric→binary
     * casts, so keys normalize through their string form — also what the
     * reference does (printable-ASCII key serializer,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{cms_estimate, cms_sketch}
+import graft.functions.{cms_estimate, cms_merge, cms_sketch}
 import graft.plans.CmsSketch
 
 /** A3/A4 — per-key rate accounting and quota with traffic shaping
@@ -29,7 +29,16 @@ object PerKeyQuota {
     df.groupBy(window(tsCol, windowDur).as("win"), keyCol.as("key"))
       .agg(count(lit(1)).as("n"))
 
-  /** One serialized CMS per tumbling window. */
+  /** One serialized CMS per tumbling window.
+    *
+    * Plain partial aggregation: every input partition builds its own sketch
+    * per window it sees, and the exchange moves only those `width*depth*8`-byte
+    * partials (64 KiB at dq09's 2048×4) — far cheaper than shuffling every row
+    * to co-locate a window, and it keeps all cores busy (a repartition-by-
+    * window funnels a whole day of data into ONE task). Per-partition cells
+    * upper-bound per-partition counts, so the summed merge preserves the CMS
+    * upper-bound guarantee (asserted in CmsSpec).
+    */
   def windowedSketch(
       df: DataFrame,
       keyCol: Column,
@@ -37,13 +46,33 @@ object PerKeyQuota {
       windowDur: String,
       width: Int = CmsSketch.DefaultWidth,
       depth: Int = CmsSketch.DefaultDepth): DataFrame =
-    // pre-partition by window so partial aggregation builds ONE sketch per
-    // window instead of one per (window × input-partition) — the shuffle
-    // moves rows, not width*depth*8-byte partial sketches
     df.withColumn("win", window(tsCol, windowDur))
-      .repartition(col("win"))
       .groupBy(col("win"))
       .agg(cms_sketch(graft.functions.key_bytes(keyCol), width, depth).as("sketch"))
+
+  /** Production-size sketches (the reference's quota budget is 65536×12 ≈
+    * 6 MB — `PerKeyQuotaManager.java:36-51`): with hundreds of input
+    * partitions, M×6 MB partials converging on one reducer per window is its
+    * own hot spot. Two-level merge: salt each row into `salts` subgroups,
+    * aggregate a sketch per (window, salt) — fan-in M/salts per first-level
+    * reducer — then element-wise-merge the `salts` sketches per window.
+    * Identical result to [[windowedSketch]] (merge is commutative +
+    * associative), bounded fan-in at every step.
+    */
+  def windowedSketchSalted(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      salts: Int,
+      width: Int = CmsSketch.DefaultWidth,
+      depth: Int = CmsSketch.DefaultDepth): DataFrame =
+    df.withColumn("win", window(tsCol, windowDur))
+      .withColumn("__salt", pmod(crc32(graft.functions.key_bytes(keyCol)), lit(salts)))
+      .groupBy(col("win"), col("__salt"))
+      .agg(cms_sketch(graft.functions.key_bytes(keyCol), width, depth).as("part"))
+      .groupBy(col("win"))
+      .agg(cms_merge(col("part")).as("sketch"))
 
   /** Estimated count for each (key, window) pair in `keys` via the sketch
     * table (broadcast: one row per window).

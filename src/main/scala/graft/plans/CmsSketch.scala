@@ -143,6 +143,83 @@ case class CmsSketchAgg(
     copy(child = newChild)
 }
 
+/** Aggregate `cms_merge(sketchBytes)` → element-wise sum of serialized
+  * sketches. The buffer stays empty (length 0) until the first input arrives,
+  * at which point it adopts that sketch's width×depth — so the function works
+  * for any sketch size without pre-declaring it. Mixed sizes in one group are
+  * a caller error and fail fast.
+  */
+case class CmsMergeAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  // header (width, depth) is carried in the serialized form; the live buffer
+  // keeps it in two extra leading slots so merges can check compatibility
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  private def absorb(buffer: Array[Long], width: Int, depth: Int, cells: Array[Long]): Array[Long] =
+    if (buffer.length == 0) {
+      val out = new Array[Long](2 + cells.length)
+      out(0) = width
+      out(1) = depth
+      var i = 0
+      while (i < cells.length) { out(2 + i) = cells(i); i += 1 }
+      out
+    } else {
+      require(buffer(0) == width && buffer(1) == depth,
+        s"cms_merge: mixed sketch sizes (${buffer(0)}x${buffer(1)} vs ${width}x$depth)")
+      var i = 0
+      while (i < cells.length) { buffer(2 + i) += cells(i); i += 1 }
+      buffer
+    }
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val (w, d, cells) = CmsSketch.deserialize(v.asInstanceOf[Array[Byte]])
+      absorb(buffer, w, d, cells)
+    }
+  }
+
+  override def merge(buffer: Array[Long], input: Array[Long]): Array[Long] =
+    if (input.length == 0) buffer
+    else absorb(buffer, input(0).toInt, input(1).toInt,
+      java.util.Arrays.copyOfRange(input, 2, input.length))
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.length == 0) null
+    else CmsSketch.serialize(
+      java.util.Arrays.copyOfRange(buffer, 2, buffer.length), buffer(0).toInt, buffer(1).toInt)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    var i = 0
+    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+    bb.array()
+  }
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(storageFormat)
+    val out = new Array[Long](storageFormat.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong; i += 1 }
+    out
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cms_merge"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CmsMergeAgg =
+    copy(child = newChild)
+}
+
 /** Scalar `cms_estimate(sketch, keyBytes)` → estimated count (upper bound). */
 case class CmsEstimate(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {

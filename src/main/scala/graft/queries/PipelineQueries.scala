@@ -116,13 +116,20 @@ object PipelineQueries {
       """)),
 
     // ---- simhash near-dup pairs within language blocks, Hamming <= 3.
+    // Registered form is the pigeonhole-banded bucket join (4 bands of 4 bits;
+    // any pair with dist <= 3 must share a whole band), additionally blocked
+    // on language — provably identical output to the blocked cross product
+    // the oracle runs, but linear-scan + bucket-shuffle shaped: at 100 TB a
+    // language block is billions of docs, and the cross product would be the
+    // bottleneck. Equality of the two forms is asserted in DedupSpec.
     Q(
       "pq05_simhash_pairs",
       (s, dir) => {
         val d = Tables.documents(s, dir)
         val sims = Dedup.simHash(d, col("doc_id"), col("text"), bits = 16)
           .join(d.select(col("doc_id").as("id"), col("lang")), "id")
-        Dedup.simHashNearPairs(sims, col("lang"), maxDist = 3)
+        Dedup.simHashBandedPairs(sims, bits = 16, bands = 4, maxDist = 3,
+          blockCol = Some(col("lang")))
       },
       Some(s"""
         WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
@@ -213,30 +220,29 @@ object PipelineQueries {
         ) WHERE rank <= 5
       """)),
 
-    // ---- embedding near-dup, scale path: candidates restricted to sign-LSH
-    // buckets (linear scan + bucket join instead of all pairs). No SQL
+    // ---- embedding near-dup, scale path (the HEADLINE form; pq07's exact
+    // all-pairs is its correctness baseline): sign-LSH buckets with one-flip
+    // multi-probe — linear scan + bucket join instead of all pairs. No SQL
     // oracle (bucketing is engine-internal); recall vs the exact all-pairs
-    // form is asserted in DedupSpec.
+    // form is asserted in DedupSpec (>= 0.8 on a seeded near-dup corpus).
     Q(
       "pq13_embed_neardup_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        val buckets = Knn.lshBuckets(e, "vec_id", "embedding", planes = 4)
-          .withColumnRenamed("id", "vec_id")
-        Dedup.embeddingNearPairs(
-          e.join(buckets, "vec_id"),
-          col("vec_id"), col("embedding"), col("bucket"), minCosine = 0.4)
+        Dedup.embeddingNearPairsLsh(
+          e, col("vec_id"), col("embedding"), planes = 4, probes = 1, minCosine = 0.4)
       },
       None),
 
-    // ---- sign-LSH approximate top-k: the scale path (bucketed candidates).
-    // No SQL oracle — recall vs brute force is asserted in KnnSpec.
+    // ---- sign-LSH approximate top-k with query-side multi-probe: the scale
+    // path (bucketed candidates). No SQL oracle — recall vs brute force is
+    // asserted in DedupSpec.
     Q(
       "pq09_knn_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val queries = e.filter(col("vec_id") % 50 === 0)
-        Knn.signLshTopK(e, queries, "vec_id", "embedding", k = 5, planes = 4)
+        Knn.signLshTopK(e, queries, "vec_id", "embedding", k = 5, planes = 4, probes = 1)
       },
       None),
 

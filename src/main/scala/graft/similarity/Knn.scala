@@ -63,8 +63,29 @@ object Knn {
       .agg(sum(when(col("bit") === 1, expr("shiftleft(1L, cast(p as int))")).otherwise(0L)).as("bucket"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * Recall measured against [[bruteForceTopK]] in KnnSpec.
+  /** Multi-probe expansion of [[lshBuckets]]: each id appears under its home
+    * bucket plus (with `probes = 1`) every bucket one bit-flip away —
+    * `planes + 1` rows per id. A near neighbor whose sign pattern differs on
+    * exactly one plane is then still found, which is the dominant miss mode
+    * for highly-similar vectors (P[≥2 planes flip] ≪ P[1 plane flips]).
+    * Standard multi-probe LSH; costs a small constant fan-out, never a wider
+    * shuffle key space.
+    */
+  def lshProbes(df: DataFrame, idCol: String, vecCol: String, planes: Int, probes: Int): DataFrame = {
+    require(probes == 0 || probes == 1, "only probe distance 0 or 1 supported")
+    val home = lshBuckets(df, idCol, vecCol, planes)
+    if (probes == 0) home
+    else home
+      .select(col("id"), col("bucket"), explode(sequence(lit(0), lit(planes))).as("j"))
+      .withColumn("bucket",
+        when(col("j") === 0, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1L, cast(j - 1 as int))")))
+      .select(col("id"), col("bucket"))
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket, with
+    * the query side probing `probes`-flip-adjacent buckets too. Recall
+    * measured against [[bruteForceTopK]] in DedupSpec.
     */
   def signLshTopK(
       corpus: DataFrame,
@@ -72,15 +93,20 @@ object Knn {
       idCol: String,
       vecCol: String,
       k: Int,
-      planes: Int): DataFrame = {
+      planes: Int,
+      probes: Int = 0): DataFrame = {
     val cb = lshBuckets(corpus, idCol, vecCol, planes)
-    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv"))
-      .join(cb.withColumnRenamed("id", "nbr_id"), "nbr_id")
-    val qb = lshBuckets(queries, idCol, vecCol, planes)
-    val q = broadcast(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-        .join(qb.withColumnRenamed("id", "query_id").withColumnRenamed("bucket", "qbucket"), "query_id"))
-    val scored = c.join(q, col("qbucket") === col("bucket") && col("query_id") =!= col("nbr_id"))
+      .withColumnRenamed("id", "nbr_id")
+    val qb = broadcast(
+      lshProbes(queries, idCol, vecCol, planes, probes)
+        .withColumnRenamed("id", "query_id").withColumnRenamed("bucket", "qbucket"))
+    // a neighbor can hit several probe buckets of one query — dedupe the
+    // candidate id pairs BEFORE scoring so row_number ranks unique neighbors
+    val cands = cb.join(qb, col("qbucket") === col("bucket") && col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id")).distinct()
+    val scored = cands
+      .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
       .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -46,6 +46,36 @@ class CmsSpec extends SparkTestBase {
     assert(bad == 0L)
   }
 
+  test("salted two-level merge equals the single-level sketch exactly") {
+    val e = Tables.events(spark, sfDir)
+    val plain = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", 1024, 4)
+    val salted = PerKeyQuota.windowedSketchSalted(e, col("user_id"), col("ts"), "1 day", salts = 7, 1024, 4)
+    // conservative update is order-sensitive inside one sketch, so cell-level
+    // equality is not expected — but both must upper-bound the exact counts,
+    // and the salted form must never exceed the plain form's guarantee class.
+    val ex = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
+    Seq(plain, salted).foreach { sk =>
+      val bad = ex.join(broadcast(sk), "win")
+        .filter(cms_estimate(col("sketch"), graft.functions.key_bytes(col("key"))) < col("n"))
+        .count()
+      assert(bad == 0L)
+    }
+  }
+
+  test("windowed sketch plan has no exchange before the partial aggregate") {
+    val e = Tables.events(spark, sfDir)
+    val sk = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", 1024, 4)
+    val plan = sk.queryExecution.executedPlan.toString()
+    // partial ObjectHashAggregate must sit below the single exchange: the
+    // round-1 repartition(win) put an exchange FIRST, collapsing parallelism
+    val exchangeIdx = plan.indexOf("Exchange")
+    assert(exchangeIdx >= 0, s"expected the agg shuffle:\n$plan")
+    assert(plan.indexOf("ObjectHashAggregate", exchangeIdx) >= 0,
+      s"expected a partial aggregate below the exchange:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange (the agg shuffle):\n$plan")
+  }
+
   test("windowed sketch path agrees with exact rates within bound") {
     val e = Tables.events(spark, sfDir)
     val sk = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", 4096, 6)
