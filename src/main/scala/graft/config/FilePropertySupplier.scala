@@ -21,7 +21,11 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
 
   @volatile private var values: Map[String, String] = load()
   @volatile private var closed = false
-  private var bound = List.empty[() => Unit]
+  // registrations live in an AtomicReference: the old code synchronized on
+  // the mutable `bound` field itself, so a bind racing the watcher could
+  // lock different list instances and lose a registration
+  private val bound =
+    new java.util.concurrent.atomic.AtomicReference[List[() => Unit]](Nil)
 
   private val watcher = new Thread(null, () => {
     var lastModified = 0L
@@ -31,7 +35,7 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
         if (m != lastModified) {
           lastModified = m
           values = load()
-          bound.synchronized(bound.foreach(_.apply()))
+          bound.get().foreach(_.apply())
         }
       } catch { case _: Exception => /* keep last-good config */ }
       Thread.sleep(pollMillis)
@@ -67,7 +71,7 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
   def bind[T](dyn: DynamicProperty[T]): Unit = {
     val refresh: () => Unit = () =>
       get(dyn.definition).foreach(v => dyn.set(v))
-    bound.synchronized { bound = refresh :: bound }
+    bound.updateAndGet(refresh :: _)
     refresh()
   }
 

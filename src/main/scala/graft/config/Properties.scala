@@ -74,9 +74,12 @@ object EngineProperties {
   /** max pending records (O5) → maxOffsetsPerTrigger-style intake bound. */
   val MaxPendingRecords: PropertyDefinition[Int] =
     PropertyDefinition("decaton.max.pending.records", 10000, (v: Int) => v > 0)
-  /** processing rate per partition (C2); -1 unlimited, 0 paused. */
+  /** processing rate per partition (C2); -1 unlimited, 0 paused, positive
+    * rates capped at the reference's MAX_RATE (`RateLimiter.java:25`).
+    */
   val ProcessingRate: PropertyDefinition[Long] =
-    PropertyDefinition("decaton.processing.rate.per.partition", -1L, (v: Long) => v >= -1L)
+    PropertyDefinition("decaton.processing.rate.per.partition", -1L,
+      (v: Long) => v >= -1L && v <= graft.operators.RateLimit.MaxRatePerPartition)
   /** commit interval (O6) → trigger interval. */
   val CommitIntervalMs: PropertyDefinition[Long] =
     PropertyDefinition("decaton.commit.interval.ms", 1000L, (v: Long) => v >= 0L)

@@ -138,12 +138,16 @@ object CommitControl {
         count(when(completedCol, lit(1))).as("n_complete"))
 }
 
-/** C2 — rate limiting. The reference meters permits per partition with a
-  * token bucket (`AveragingRateLimiter.java:36-124`, burst = 1 s of permits);
-  * Spark's equivalent control is rows-per-trigger on the source: rate ×
-  * trigger seconds, applied per query (per-topic overrides = per-query
-  * settings, C4). rate 0 ⇒ pause (reference `InfiniteBlocker`), here "take
-  * nothing this trigger"; rate < 0 ⇒ unlimited.
+/** C2 — rate limiting, static half. Two complementary controls:
+  *
+  *  - [[maxOffsetsPerTrigger]] sizes the source intake (rate × trigger
+  *    seconds, per query; per-topic overrides = per-query settings, C4) —
+  *    this bounds a batch but does not pace it;
+  *  - [[graft.operators.DynamicRateLimiter]] + [[graft.operators.RateGate]]
+  *    ENFORCE the rate on a running query: a token bucket (burst = 1 s)
+  *    admits each micro-batch row-by-count, pauses completely at rate 0, and
+  *    hot-reloads from a [[graft.config.DynamicProperty]] at the next
+  *    trigger boundary.
   */
 object RateLimit {
   val MaxRatePerPartition = 1000000L // RateLimiter.java:25
