@@ -1,12 +1,50 @@
 package graft.streaming
 
-import java.util.concurrent.{Executors, Semaphore}
+import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.{Executors, Semaphore, TimeoutException}
 
 import scala.collection.mutable
 import scala.concurrent.duration._
-import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.{Await, ExecutionContext, Future, Promise}
 
 import org.apache.spark.sql.{Dataset, Encoder}
+
+/** T4 — what to do when an in-flight task exceeds its completion timeout
+  * (`Completion.java:24-55`: the timeout callback returns EXTEND to grant
+  * another timeout period or GIVE_UP to complete the offset anyway;
+  * `OffsetStateReaper.java:50-72` drives the callback;
+  * `ProcessorProperties.java:172-198` configures the interval).
+  */
+sealed trait TimeoutDecision
+object TimeoutDecision {
+  /** Grant the task another `timeout` period. */
+  case object Extend extends TimeoutDecision
+  /** Abandon the task: its permit is released, its key unblocks, and the
+    * record is mapped through `onGiveUp` (an error-shaped row — the
+    * tri-state/error stream), so the batch completes instead of stalling.
+    */
+  case object GiveUp extends TimeoutDecision
+}
+
+/** Per-task completion policy for the async operators. `onTimeout(task, n)`
+  * is called after each elapsed timeout period (n = extensions so far);
+  * `onGiveUp` converts the abandoned task to the operator's output type.
+  */
+final case class CompletionPolicy[T, U](
+    timeout: FiniteDuration,
+    onTimeout: (T, Int) => TimeoutDecision,
+    onGiveUp: T => U)
+
+object CompletionPolicy {
+  /** Reference-default posture before T4 existed here: give up by throwing,
+    * which fails the Spark task and replays the partition (at-least-once).
+    */
+  def failTask[T, U](timeout: FiniteDuration = 10.minutes): CompletionPolicy[T, U] =
+    CompletionPolicy(
+      timeout,
+      (_, _) => TimeoutDecision.GiveUp,
+      t => throw new TimeoutException(s"task did not complete within $timeout: $t"))
+}
 
 /** The reference's headline capability — concurrent processing of a single
   * partition with per-key ordering (`docs/why-decaton.adoc`; per-key FIFO
@@ -61,44 +99,24 @@ object AsyncProcessing {
       maxInFlight: Int)(
       keyFn: T => K,
       f: T => U)(
-      implicit encU: Encoder[U]): Dataset[U] = {
-    ds.mapPartitions { it =>
-      implicit val ec: ExecutionContext = ioPool
-      val permits = new Semaphore(maxInFlight)
-      val chains = mutable.Map.empty[K, Future[_]]
+      implicit encU: Encoder[U]): Dataset[U] =
+    mapAsyncKeyed(ds, maxInFlight, CompletionPolicy.failTask[T, U]())(keyFn, f)
 
-      var sincePrune = 0
-      val futures: Iterator[Future[U]] = it.map { t =>
-        val k = keyFn(t)
-        val prev = chains.getOrElse(k, Future.unit)
-        permits.acquire() // bound total in-flight work (back-pressure, O5)
-        val fut = prev.transformWith { _ =>
-          Future {
-            try f(t)
-            finally permits.release()
-          }
-        }
-        chains(k) = fut
-        // prune completed chains so high-cardinality partitions don't retain
-        // one completed future (and its result) per distinct key
-        sincePrune += 1
-        if (sincePrune >= 1024) {
-          sincePrune = 0
-          chains.filterInPlace((_, cf) => !cf.isCompleted)
-        }
-        fut
-      }
-
-      // sliding in-flight window: emit in input order, keep the pipe full
-      new Iterator[U] {
-        private val window = mutable.Queue.empty[Future[U]]
-        private def fill(): Unit =
-          while (window.size < maxInFlight && futures.hasNext) window += futures.next()
-        def hasNext: Boolean = { fill(); window.nonEmpty }
-        def next(): U = { fill(); Await.result(window.dequeue(), 10.minutes) }
-      }
-    }
-  }
+  /** [[mapAsyncKeyed]] with an explicit T4 completion policy: a task that
+    * outlives `policy.timeout` triggers `policy.onTimeout` — EXTEND grants
+    * another period, GIVE_UP releases the task's permit, unblocks its key
+    * chain, and emits `policy.onGiveUp(task)` instead of stalling the
+    * partition.
+    */
+  def mapAsyncKeyed[T, K, U](
+      ds: Dataset[T],
+      maxInFlight: Int,
+      policy: CompletionPolicy[T, U])(
+      keyFn: T => K,
+      f: T => U)(
+      implicit encU: Encoder[U]): Dataset[U] =
+    asyncKeyedImpl(ds, maxInFlight, policy)(keyFn,
+      (t, ec) => Future(f(t))(ec))
 
   /** True-async variant for future-returning I/O clients (async HTTP/RPC):
     * same per-key serial chaining and in-order emission, but an in-flight
@@ -113,40 +131,105 @@ object AsyncProcessing {
       maxInFlight: Int)(
       keyFn: T => K,
       f: T => Future[U])(
+      implicit encU: Encoder[U]): Dataset[U] =
+    flatMapAsyncKeyed(ds, maxInFlight, CompletionPolicy.failTask[T, U]())(keyFn, f)
+
+  /** [[flatMapAsyncKeyed]] with an explicit T4 completion policy (see the
+    * policy-taking [[mapAsyncKeyed]] overload).
+    */
+  def flatMapAsyncKeyed[T, K, U](
+      ds: Dataset[T],
+      maxInFlight: Int,
+      policy: CompletionPolicy[T, U])(
+      keyFn: T => K,
+      f: T => Future[U])(
+      implicit encU: Encoder[U]): Dataset[U] =
+    asyncKeyedImpl(ds, maxInFlight, policy)(keyFn,
+      (t, _) => try f(t) catch { case scala.util.control.NonFatal(e) => Future.failed(e) })
+
+  /** One in-flight record: its result future, the gate successors chain on,
+    * and a release-once latch for its permit (give-up and late completion
+    * must not double-release).
+    */
+  private final case class InFlight[T, U](
+      task: T,
+      fut: Future[U],
+      gate: Promise[Unit],
+      released: AtomicBoolean)
+
+  /** Shared machinery of the async operators. Same-key records chain on a
+    * GATE promise rather than on the result future directly: the gate
+    * completes on task completion OR on give-up, so an abandoned task
+    * releases its key for successors — mirroring the reference, where
+    * reaping a leaked completion lets the per-key queue advance
+    * (`OffsetStateReaper.java:50-72`).
+    */
+  private def asyncKeyedImpl[T, K, U](
+      ds: Dataset[T],
+      maxInFlight: Int,
+      policy: CompletionPolicy[T, U])(
+      keyFn: T => K,
+      run: (T, ExecutionContext) => Future[U])(
       implicit encU: Encoder[U]): Dataset[U] = {
     ds.mapPartitions { it =>
       implicit val ec: ExecutionContext = ioPool
       val permits = new Semaphore(maxInFlight)
-      val chains = mutable.Map.empty[K, Future[_]]
+      val chains = mutable.Map.empty[K, Future[Unit]]
 
       var sincePrune = 0
-      val futures: Iterator[Future[U]] = it.map { t =>
+      val records: Iterator[InFlight[T, U]] = it.map { t =>
         val k = keyFn(t)
         val prev = chains.getOrElse(k, Future.unit)
-        permits.acquire()
+        permits.acquire() // bound total in-flight work (back-pressure, O5)
+        val gate = Promise[Unit]()
+        val released = new AtomicBoolean(false)
         val fut = prev.transformWith { _ =>
-          // a synchronously-throwing f must not leak the permit
-          val ff = try f(t) catch { case scala.util.control.NonFatal(e) => Future.failed(e) }
-          ff.andThen { case _ => permits.release() }
+          run(t, ec).andThen { case _ =>
+            if (!released.getAndSet(true)) permits.release()
+            gate.trySuccess(())
+          }
         }
-        chains(k) = fut
-        // bound chain-map memory on high-cardinality keys: completed chains
-        // pin their results; prune periodically (consumer thread only — the
+        chains(k) = gate.future
+        // prune completed chains so high-cardinality partitions don't retain
+        // one completed future per distinct key (consumer thread only — the
         // map is never touched from callbacks, so no race)
         sincePrune += 1
         if (sincePrune >= 1024) {
           sincePrune = 0
           chains.filterInPlace((_, cf) => !cf.isCompleted)
         }
-        fut
+        InFlight(t, fut, gate, released)
       }
 
+      // sliding in-flight window: emit in input order, keep the pipe full
       new Iterator[U] {
-        private val window = mutable.Queue.empty[Future[U]]
+        private val window = mutable.Queue.empty[InFlight[T, U]]
         private def fill(): Unit =
-          while (window.size < maxInFlight && futures.hasNext) window += futures.next()
+          while (window.size < maxInFlight && records.hasNext) window += records.next()
         def hasNext: Boolean = { fill(); window.nonEmpty }
-        def next(): U = { fill(); Await.result(window.dequeue(), 10.minutes) }
+        def next(): U = {
+          fill()
+          val rec = window.dequeue()
+          var extensions = 0
+          while (true) {
+            try return Await.result(rec.fut, policy.timeout)
+            catch {
+              case _: TimeoutException =>
+                policy.onTimeout(rec.task, extensions) match {
+                  case TimeoutDecision.Extend =>
+                    extensions += 1
+                  case TimeoutDecision.GiveUp =>
+                    // abandon: free the permit exactly once (a late completion
+                    // finds `released` already set), unblock the key chain,
+                    // surface the record as an error-shaped row
+                    if (!rec.released.getAndSet(true)) permits.release()
+                    rec.gate.trySuccess(())
+                    return policy.onGiveUp(rec.task)
+                }
+            }
+          }
+          throw new IllegalStateException("unreachable")
+        }
       }
     }
   }

@@ -8,6 +8,7 @@ import graft.streaming.AsyncProcessing
 object AsyncProcessingSpec {
   val inFlight = new ConcurrentHashMap[String, AtomicBoolean]()
   val violations = new AtomicInteger(0)
+  val timeoutCalls = new AtomicInteger(0)
   def guard(key: String)(body: => Unit): Unit = {
     val g = inFlight.computeIfAbsent(key, _ => new AtomicBoolean(false))
     if (!g.compareAndSet(false, true)) violations.incrementAndGet()
@@ -62,6 +63,50 @@ class AsyncProcessingSpec extends SparkTestBase {
     assert(out.length == n)
     assert(out.toSet == (0L until n.toLong).toSet)
     assert(AsyncProcessingSpec.violations.get() == 0)
+  }
+
+  test("T4: a never-completing task trips GIVE_UP at the configured timeout; batch completes") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    import scala.concurrent.{Future, Promise}
+    AsyncProcessingSpec.timeoutCalls.set(0)
+    val tasks = spark.range(10).map(i => (s"k${i % 3}", i.toLong))
+      .repartition(1, org.apache.spark.sql.functions.col("_1"))
+    val policy = graft.streaming.CompletionPolicy[(String, Long), (Long, Boolean)](
+      timeout = 300.millis,
+      onTimeout = (_, _) => { AsyncProcessingSpec.timeoutCalls.incrementAndGet(); graft.streaming.TimeoutDecision.GiveUp },
+      onGiveUp = t => (t._2, false)) // error-shaped row: ok = false
+    val t0 = System.nanoTime()
+    val out = AsyncProcessing.flatMapAsyncKeyed[(String, Long), String, (Long, Boolean)](tasks, maxInFlight = 8, policy)(
+      _._1,
+      t => if (t._2 == 4L) Promise[(Long, Boolean)]().future // never completes
+           else Future.successful((t._2, true)))
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.length == 10, "batch must complete despite the stuck task")
+    assert(out.toSet.contains((4L, false)), "stuck task must surface as an error row")
+    assert(out.count(_._2 == false) == 1, "exactly one task gives up")
+    assert(AsyncProcessingSpec.timeoutCalls.get() >= 1, "timeout callback must fire")
+    assert(secs < 10.0, f"give-up must be prompt, took $secs%.1fs")
+    // key k1 (tasks 1,4,7): 7 chains behind stuck 4 — give-up must unblock it
+    assert(out.toSet.contains((7L, true)), "successor on the stuck key must still run")
+  }
+
+  test("T4: EXTEND grants more time and the task then completes normally") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    val tasks = spark.range(4).map(i => (s"k$i", i.toLong))
+      .repartition(1, org.apache.spark.sql.functions.col("_1"))
+    val policy = graft.streaming.CompletionPolicy[(String, Long), Long](
+      timeout = 200.millis,
+      // extend up to 5 periods (1s total) before giving up
+      onTimeout = (_, n) => if (n < 5) graft.streaming.TimeoutDecision.Extend else graft.streaming.TimeoutDecision.GiveUp,
+      onGiveUp = _ => -1L)
+    val out = AsyncProcessing.mapAsyncKeyed[(String, Long), String, Long](tasks, maxInFlight = 4, policy)(
+      _._1,
+      t => { if (t._2 == 2L) Thread.sleep(500) ; t._2 }) // needs ~3 extensions
+      .collect()
+    assert(out.toSet == Set(0L, 1L, 2L, 3L), "extended task must complete, not give up")
   }
 
   test("async keyed map preserves input order within a partition") {
