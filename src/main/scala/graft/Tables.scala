@@ -8,10 +8,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * predicate-pushdown / column-pruning into the parquet scan. At 100 TB these
   * would be partitioned tables behind a catalog; the single-file layout here is
   * the sf0.001..0.1 test harness shape.
+  *
+  * Loads are memoized per (session, path): `spark.read.parquet` builds a file
+  * index and reads the footer schema every call, which at 49 queries × 1-3
+  * tables each was a large share of the benchmark's fixed per-query floor.
+  * The cached DataFrame pins only the resolved relation (file index +
+  * schema) — per-query optimization/codegen still runs per plan. Keyed
+  * weakly by session so stopped sessions (tests) release their entries.
   */
 object Tables {
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
+      path => spark.read.parquet(path))
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
@@ -24,12 +40,20 @@ object Tables {
     * vectorized reader rejects. Read it as nanos-since-epoch (legacy conf) and
     * floor-divide to microseconds — exactly what DuckDB does natively on the
     * same file — so event-time comparisons agree across the oracle boundary.
+    * The conf is set only when not already set (a conf write per call would
+    * churn session state on every query).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    val perSession = cache.synchronized {
+      cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$sfDir/events.parquet#micros", _ =>
+      table(spark, sfDir, "events")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -33,7 +33,11 @@ object Dedup {
     * aggregate in ONE wide groupBy pass (no k-fold row explosion), then
     * unpivot to long form.
     */
-  def minHashSignatures(
+  /** Wide form of [[minHashSignatures]]: one row per doc with columns
+    * `mh0..mh{k-1}` — the direct output of the single min-agg pass. Banding
+    * consumes this form without any further shuffle.
+    */
+  def minHashSignaturesWide(
       df: DataFrame,
       idCol: Column,
       textCol: Column,
@@ -50,9 +54,17 @@ object Dedup {
     val aggs = (0 until k).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % MinHashP).as(s"mh$i"))
     shingled.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      k: Int,
+      shingleSize: Int): DataFrame =
+    minHashSignaturesWide(df, idCol, textCol, k, shingleSize)
       .selectExpr("id",
         s"stack($k, ${(0 until k).map(i => s"$i, mh$i").mkString(", ")}) as (hi, mh)")
-  }
 
   /** LSH banding: group the k signature rows into `bands` bands; a band's
     * signature is the md5 of its ordered minhashes. Documents sharing any
@@ -69,6 +81,23 @@ object Dedup {
       .agg(md5(array_join(
         transform(array_sort(collect_list(struct(col("hi"), col("mh")))), x => x.getField("mh").cast("string")),
         ",")).as("band_sig"))
+  }
+
+  /** Band signatures straight from the wide form — identical values to
+    * [[lshBandSignatures]] (md5 of the band's minhashes joined by ","), but
+    * computed row-local with no collect_list shuffle: stack() emits the
+    * `bands` rows per doc in one projection.
+    */
+  def lshBandSignaturesWide(wideSignatures: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands > 0 && k % bands == 0,
+      s"k=$k must be a positive multiple of bands=$bands (uneven bands silently shift the similarity threshold)")
+    val rowsPerBand = k / bands
+    val stackArgs = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"cast(mh$i as string)").mkString(", ")
+      s"$b, md5(concat_ws(',', $cols))"
+    }.mkString(", ")
+    wideSignatures.selectExpr("id", s"stack($bands, $stackArgs) as (band, band_sig)")
   }
 
   /** Candidate near-dup pairs from shared band signatures (a < b). */
@@ -149,6 +178,15 @@ object Dedup {
   /** Word n-gram Jaccard similarity for candidate pairs, blocked by `blockCol`.
     * The threshold comparison is done in exact integer cross-multiplication
     * (inter * den >= num * union), so no float is ever compared.
+    *
+    * `maxDocFreq`: drop grams appearing in more than this many documents
+    * BEFORE sizes and intersections are counted (similarity is then Jaccard
+    * over each document's informative grams — a well-defined, deterministic
+    * variant, mirrored exactly in the oracle SQL). Without a cutoff, stopword
+    * n-grams give the inverted-index self-join quadratic hot keys: a gram in
+    * f docs contributes f² join rows, and at 100 TB the most frequent grams
+    * alone would dominate the shuffle. With DF ≤ f₀ every gram contributes
+    * ≤ f₀² rows — linear in corpus size.
     */
   def ngramJaccardPairs(
       df: DataFrame,
@@ -157,14 +195,38 @@ object Dedup {
       blockCol: Column,
       n: Int,
       thresholdNum: Int,
-      thresholdDen: Int): DataFrame = {
-    val grams = df.select(idCol.as("id"), blockCol.as("blk"),
+      thresholdDen: Int,
+      maxDocFreq: Option[Long] = None): DataFrame = {
+    val allGrams = df.select(idCol.as("id"), blockCol.as("blk"),
         explode(graft.functions.TextFunctions.word_ngrams(textCol, n)).as("g"))
-    val sizes = grams.groupBy(col("id")).agg(count(lit(1)).as("sz")) // grams are distinct already
-    val inter = grams.as("x").join(grams.as("y"),
-        col("x.g") === col("y.g") && col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    val (sizes, inter) = maxDocFreq match {
+      case None =>
+        val sz = allGrams.groupBy(col("id")).agg(count(lit(1)).as("sz")) // grams distinct already
+        val in = allGrams.as("x").join(allGrams.as("y"),
+            col("x.g") === col("y.g") && col("x.blk") === col("y.blk") && col("x.id") < col("y.id"))
+          .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        (sz, in)
+      case Some(f0) =>
+        // posting-list form: ONE groupBy builds the inverted index, the DF
+        // cutoff bounds every posting list at f0 ids, and candidate pairs
+        // explode from each list in a narrow stage — no gram self-join at
+        // all. Grams are distinct per doc, so list length == document
+        // frequency. Sizes count each doc's surviving (informative) grams,
+        // so the Jaccard is over DF-pruned gram sets on both engines.
+        val postings = allGrams.groupBy(col("blk"), col("g"))
+          .agg(collect_list(col("id")).as("ids"))
+          .filter(size(col("ids")) <= f0)
+        val sz = postings.select(explode(col("ids")).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("sz"))
+        val in = postings.filter(size(col("ids")) >= 2)
+          .select(explode(col("ids")).as("id_a"), col("ids"))
+          .select(col("id_a"), explode(col("ids")).as("id_b"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("inter"))
+        (sz, in)
+    }
     inter
       .join(sizes.as("sa"), col("id_a") === col("sa.id"))
       .join(sizes.as("sb"), col("id_b") === col("sb.id"))

@@ -370,17 +370,21 @@ object ExtendedQueries {
       """)),
 
     // ---- min_by/max_by (argmax): latest event value per user — the batch
-    // form of streaming compaction's "keep winner per key".
+    // form of streaming compaction's "keep winner per key". max_by over an
+    // ordering struct is ONE partial-aggregatable shuffle; a row_number
+    // window would pay a full per-partition sort for the same answer (the
+    // same argument Compaction.compactBatch makes).
     Q(
       "q20_argmax",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
-        e.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("event_id").as("last_event_id"),
-                  col("event_type").as("last_type"),
-                  round(dec(col("value")).cast("double"), 2).as("last_value"))
+        e.groupBy(col("user_id"))
+          .agg(max_by(
+            struct(col("event_id"), col("event_type"), col("value")),
+            struct(col("ts"), col("event_id"))).as("w"))
+          .select(col("user_id"), col("w.event_id").as("last_event_id"),
+                  col("w.event_type").as("last_type"),
+                  round(dec(col("w.value")).cast("double"), 2).as("last_value"))
       },
       Some("""
         SELECT user_id, event_id AS last_event_id, event_type AS last_type,

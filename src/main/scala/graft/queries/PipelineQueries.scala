@@ -70,8 +70,8 @@ object PipelineQueries {
         // arrive in thousands of row groups and need no such hint)
         val d = Tables.documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism)
-        val sigs = Dedup.minHashSignatures(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
-        Dedup.lshCandidatePairs(Dedup.lshBandSignatures(sigs, k = 16, bands = 4))
+        val sigs = Dedup.minHashSignaturesWide(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
+        Dedup.lshCandidatePairs(Dedup.lshBandSignaturesWide(sigs, k = 16, bands = 4))
       },
       Some(s"""
         WITH pos AS (
@@ -147,7 +147,10 @@ object PipelineQueries {
       """)),
 
     // ---- word-3-gram Jaccard >= 0.4 within language blocks; threshold via
-    // integer cross-multiplication, so no float compare anywhere.
+    // integer cross-multiplication, so no float compare anywhere. Grams in
+    // more than 64 documents are dropped before sizes/intersections on BOTH
+    // engines: stop-grams are uninformative for near-dup detection and are
+    // the quadratic hot keys of the inverted-index self-join at 100 TB.
     Q(
       "pq06_jaccard_pairs",
       (s, dir) => {
@@ -157,12 +160,14 @@ object PipelineQueries {
         val d = Tables.documents(s, dir)
           .repartition(s.sparkContext.defaultParallelism)
         Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), col("lang"),
-          n = 3, thresholdNum = 2, thresholdDen = 5)
+          n = 3, thresholdNum = 2, thresholdDen = 5, maxDocFreq = Some(64L))
       },
       Some("""
         WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         idx AS (SELECT doc_id, lang, t, unnest(generate_series(0, greatest(len(t)-3, 0))) AS i FROM toks),
-        grams AS (SELECT DISTINCT doc_id, lang, array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS g FROM idx),
+        grams0 AS (SELECT DISTINCT doc_id, lang, array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS g FROM idx),
+        rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 64),
+        grams AS (SELECT grams0.* FROM grams0 JOIN rare USING (g)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

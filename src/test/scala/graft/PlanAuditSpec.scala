@@ -1,0 +1,56 @@
+package graft
+
+/** CI guard for the scale-critical plan properties recorded in PLANS.md:
+  * losing a predicate pushdown, a dimension-table broadcast, or whole-stage
+  * codegen on a registered query fails the build instead of silently
+  * regressing the 100 TB plan shape.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  /** Queries whose scans MUST carry pushed filters (they filter base-table
+    * columns before any shuffle).
+    */
+  private val mustPush = Set(
+    "dq01_key_blocking", "dq04_scheduled", "dq06_retry_backoff",
+    "dq07_quota_exact", "dq09_cms_rates",
+    "pq03_lsh_pairs", "pq05_simhash_pairs", "pq07_embed_neardup",
+    "pq08_knn_brute", "pq09_knn_lsh", "pq13_embed_neardup_lsh",
+    "q01_pricing_summary", "q02_filter_project", "q03_join_revenue",
+    "q04_multi_join", "q05_topk_customers", "q08_setops", "q09_semi_join",
+    "q10_anti_join", "q11_rollup", "q15_above_avg", "q19_union_all",
+    "q23_outer_join", "q24_full_outer")
+
+  /** Queries with a small/dimension side that MUST broadcast (count is per
+    * formatted-plan mention; each join appears twice).
+    */
+  private val mustBroadcast = Map(
+    "dq07_quota_exact" -> 4, "dq09_cms_rates" -> 2,
+    "pq03_lsh_pairs" -> 2, "pq05_simhash_pairs" -> 6, "pq06_jaccard_pairs" -> 4,
+    "pq07_embed_neardup" -> 2, "pq08_knn_brute" -> 2, "pq09_knn_lsh" -> 6,
+    "pq13_embed_neardup_lsh" -> 6,
+    "q03_join_revenue" -> 4, "q04_multi_join" -> 8, "q05_topk_customers" -> 2,
+    "q08_setops" -> 4, "q09_semi_join" -> 2, "q10_anti_join" -> 2,
+    "q11_rollup" -> 2, "q15_above_avg" -> 2, "q23_outer_join" -> 2)
+
+  test("every registered query keeps its pushdown/broadcast/codegen plan shape") {
+    // static audit needs AQE off so pre-execution plans carry codegen ids
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        val f = Explain.audit(fn(spark, sfDir))
+        Seq(
+          (f.wideReads == 0) ->
+            s"$name reads an un-pruned (>400-char) schema — column pruning lost",
+          (f.codegenSpans >= 1) ->
+            s"$name has no whole-stage codegen span",
+          (!mustPush(name) || f.pushedFilters) ->
+            s"$name lost its pushed filters",
+          (f.broadcastJoins >= mustBroadcast.getOrElse(name, 0)) ->
+            s"$name broadcasts ${f.broadcastJoins} < expected ${mustBroadcast.getOrElse(name, 0)}"
+        ).collect { case (false, msg) => msg }
+      }
+      assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+}
