@@ -47,6 +47,18 @@ package object functions {
   def vector_dot(a: Column, b: Column): Column =
     toColumn(graft.plans.VectorDot(toExpr(a), toExpr(b)))
 
+  /** Decode arbitrary protobuf payload bytes per a [[graft.core.ProtoSchema]]
+    * descriptor → struct; null on malformed input.
+    */
+  def proto_decode(c: Column, schema: graft.core.ProtoSchema): Column =
+    toColumn(ProtoDecode(toExpr(c), schema))
+
+  /** Encode a struct (laid out as the descriptor's spark schema) → protobuf
+    * wire bytes.
+    */
+  def proto_encode(c: Column, schema: graft.core.ProtoSchema): Column =
+    toColumn(ProtoEncode(toExpr(c), schema))
+
   /** Decode the legacy value envelope → struct(meta, task); null if invalid. */
   def legacy_envelope_decode(c: Column): Column =
     toColumn(LegacyEnvelopeDecode(toExpr(c)))

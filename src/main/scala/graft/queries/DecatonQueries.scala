@@ -341,6 +341,46 @@ object DecatonQueries {
             col("n").as("exact_n"),
             cms_estimate(col("sketch"), graft.functions.key_bytes(col("key"))).as("est_n"))
       },
-      None)
+      None),
+
+    // ---- generic protobuf payload path: a NON-dt_meta user message
+    // (int64 + string + double + packed-repeated int64) encoded to real wire
+    // bytes and decoded back by descriptor (ProtoCodec — the reference's
+    // ProtocolBuffersDeserializer analog), then aggregated from the DECODED
+    // fields only. The oracle recomputes the same aggregates straight from
+    // the source columns, so any wire-format defect breaks the hash match.
+    Q(
+      "dq13_proto_payload",
+      (s, dir) => {
+        import graft.core.{ProtoField, ProtoSchema, ProtoType}
+        import graft.functions.{proto_decode, proto_encode}
+        val schema = ProtoSchema(Seq(
+          ProtoField(1, "uid", ProtoType.Int64),
+          ProtoField(2, "etype", ProtoType.PString),
+          ProtoField(3, "val", ProtoType.PDouble),
+          ProtoField(4, "tags", ProtoType.Int64, repeated = true)))
+        val e = Tables.events(s, dir)
+        e.withColumn("payload", proto_encode(struct(
+            col("user_id").as("uid"),
+            col("event_type").as("etype"),
+            col("value").cast("double").as("val"),
+            array(pmod(col("user_id"), lit(5)), pmod(col("user_id"), lit(7))).as("tags")), schema))
+          .select(proto_decode(col("payload"), schema).as("d"))
+          .groupBy(col("d.etype").as("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("d.uid")).as("sum_uid"),
+            round(max(col("d.val")), 2).as("max_val"),
+            sum(element_at(col("d.tags"), 1)).as("sum_tag1"),
+            sum(element_at(col("d.tags"), 2)).as("sum_tag2"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid,
+               round(max(CAST(value AS DOUBLE)), 2) AS max_val,
+               CAST(sum(user_id % 5) AS BIGINT) AS sum_tag1,
+               CAST(sum(user_id % 7) AS BIGINT) AS sum_tag2
+        FROM events GROUP BY event_type
+      """))
   )
 }
