@@ -16,7 +16,11 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 sealed trait ProcessorScope
 object ProcessorScope {
-  /** Caller supplies and owns the instance. */
+  /** Caller supplies and owns an EXISTING instance ([[ScopedSupplier.provided]]):
+    * the engine never constructs or closes it. The instance must be
+    * Serializable — each executor JVM works with its own deserialized copy,
+    * the closest distributed analog of the reference's caller-owned object.
+    */
   case object Provided extends ProcessorScope
   /** One instance per executor JVM (the subscription-singleton analog). */
   case object Singleton extends ProcessorScope
@@ -25,14 +29,27 @@ object ProcessorScope {
 }
 
 /** Scope-aware factory usable inside mapPartitions closures. Serializable:
-  * ships the factory, not the instance; instances materialize executor-side.
+  * ships the factory (or, for Provided, the caller's instance itself);
+  * factory-built instances materialize executor-side.
   *
   * Call [[get]] ONCE per partition invocation (at the top of the
   * mapPartitions closure), not per record: Partition scope constructs a
   * fresh instance per call by design.
   */
-final class ScopedSupplier[P <: AnyRef](scope: ProcessorScope, factory: () => P)
+final class ScopedSupplier[P <: AnyRef] private (
+    scope: ProcessorScope,
+    factory: () => P,
+    providedInstance: Option[P])
     extends Serializable {
+
+  /** Factory form — Singleton or Partition scope. For Provided use
+    * [[ScopedSupplier.provided]], which takes the instance itself.
+    */
+  def this(scope: ProcessorScope, factory: () => P) = {
+    this(scope, factory, None)
+    require(scope != ProcessorScope.Provided,
+      "Provided scope takes an existing instance: use ScopedSupplier.provided(instance)")
+  }
 
   // identity survives closure serialization so every deserialized copy of
   // this supplier resolves to the SAME executor-JVM singleton (a @transient
@@ -42,7 +59,8 @@ final class ScopedSupplier[P <: AnyRef](scope: ProcessorScope, factory: () => P)
 
   /** Get the instance for the current partition invocation. */
   def get(partitionId: Int): P = scope match {
-    case ProcessorScope.Provided | ProcessorScope.Singleton =>
+    case ProcessorScope.Provided => providedInstance.get
+    case ProcessorScope.Singleton =>
       ScopedSupplier.jvmSingletons
         .computeIfAbsent(supplierId, _ => factory()).asInstanceOf[P]
     case ProcessorScope.Partition => factory()
@@ -50,6 +68,13 @@ final class ScopedSupplier[P <: AnyRef](scope: ProcessorScope, factory: () => P)
 }
 
 object ScopedSupplier {
+  /** PROVIDED scope: the caller supplies and owns `instance` (pre-built
+    * state, caller-managed close — `ProcessorScope.java:24-45`). It ships
+    * with the closure, so it must be Serializable.
+    */
+  def provided[P <: AnyRef with Serializable](instance: P): ScopedSupplier[P] =
+    new ScopedSupplier[P](ProcessorScope.Provided, () => instance, Some(instance))
+
   /** Executor-JVM-wide singleton instances, keyed by supplier identity. */
   private val jvmSingletons = new ConcurrentHashMap[String, AnyRef]()
 

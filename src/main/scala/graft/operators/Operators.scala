@@ -33,6 +33,21 @@ object KeyBlocking {
   * 100 TB beats row_number by a full sort per partition.
   */
 object Compaction {
+  /** Stable column name for each (possibly expression-valued) key column:
+    * plain references keep their name, aliases resolve to the alias, raw
+    * expressions get a synthetic `<prefix>_i` name. Used to pre-project keys
+    * before groupBy so expression keys (window(), arithmetic) group and
+    * re-select correctly — `col(c.toString)` on an expression would be an
+    * unresolvable attribute.
+    */
+  private[graft] def stableNames(cols: Seq[Column], prefix: String): Seq[String] =
+    cols.zipWithIndex.map { case (c, i) =>
+      val s = c.toString
+      if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s // plain column reference
+      else org.apache.spark.sql.graftbridge.GraftBridge.aliasName(c)
+        .getOrElse(s"${prefix}_$i") // raw expression key: synthetic stable name
+    }
+
   /** Keep, per (keys..., window of `lingerCol`), the row maximizing
     * `rankCols` lexicographically (ties impossible if the last rank col is
     * unique). Returns only the surviving rows' `payload` columns.
@@ -42,18 +57,7 @@ object Compaction {
       keyCols: Seq[Column],
       rankCols: Seq[Column],
       payload: Seq[Column]): DataFrame = {
-    // pre-project the keys under stable names so expression keys (window(),
-    // arithmetic, aliases) group and re-select correctly — col(c.toString)
-    // on an expression would be an unresolvable attribute
-    import org.apache.spark.sql.catalyst.expressions.NamedExpression
-    val names = keyCols.zipWithIndex.map { case (c, i) =>
-      val s = c.toString
-      if (s.matches("[A-Za-z_][A-Za-z0-9_]*")) s // plain column reference
-      else graft.functions.toExpr(c) match {
-        case ne: NamedExpression => ne.name // alias
-        case _ => s"__gk_$i" // raw expression key: synthetic stable name
-      }
-    }
+    val names = stableNames(keyCols, "__gk")
     val projected = keyCols.zip(names).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
     val winner = max_by(struct(payload: _*), struct(rankCols: _*)).as("__winner")
     projected.groupBy(names.map(col): _*)

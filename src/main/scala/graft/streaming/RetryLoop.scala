@@ -51,6 +51,10 @@ object RetryLoop {
     var hops = 0L
     // saturating bound: maxRetries = Long.MaxValue means "retry forever"
     val maxHops = if (maxRetries >= Long.MaxValue - 1) Long.MaxValue else maxRetries + 1
+    // the previous hop's persisted retries: needed only until this hop's
+    // tagged pass materializes (it is `pending`'s lineage parent); without
+    // the handoff below one cached dataset per hop leaks for the session
+    var prevRetries: Option[Dataset[Task[T]]] = None
 
     while (hops <= maxHops && !pending.isEmpty) {
       // persist the tagged pass so the per-disposition views below share ONE
@@ -58,7 +62,9 @@ object RetryLoop {
       // once per task per hop
       val streams = new TaskPipeline(pending).thenProcess(processor)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      processed ++= streams.processed.collect()
+      processed ++= streams.processed.collect() // materializes the full cache
+      prevRetries.foreach(_.unpersist())
+      prevRetries = None
       discarded ++= streams.discarded.collect()
       errored ++= streams.errored.collect()
       val retries = streams.retries(backoffMillis, nowMillis + hops * backoffMillis)
@@ -68,10 +74,12 @@ object RetryLoop {
          retries.filter((t: Task[T]) => t.metadata.retryCount > maxRetries))
       gaveUp ++= exhausted.collect()
       streams.unpersist()
+      prevRetries = Some(retries)
       pending = stillTrying
       hops += 1
     }
     val leftover = if (pending.isEmpty) Seq.empty[Task[T]] else pending.collect().toSeq
+    prevRetries.foreach(_.unpersist())
     Outcome(processed, discarded, errored, gaveUp, leftover, hops.toInt)
   }
 }

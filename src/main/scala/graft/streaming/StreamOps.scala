@@ -28,11 +28,18 @@ object StreamOps {
       watermarkDelay: String,
       payload: Seq[Column],
       rankCols: Seq[Column]): DataFrame = {
-    val tsField = tsCol.toString
-    df.withWatermark(tsField, watermarkDelay)
-      .groupBy((keyCols :+ window(tsCol, lingerWindow).as("win")): _*)
+    // pre-project keys and event time under stable names (shared logic with
+    // Compaction.compactBatch) so expression keys and an expression tsCol
+    // resolve — withWatermark needs a real column, and the re-select after
+    // the agg needs resolvable names
+    val keyNames = graft.operators.Compaction.stableNames(keyCols, "__sk")
+    val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    val projected = (keyCols.zip(keyNames) :+ (tsCol -> tsName))
+      .foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
+    projected.withWatermark(tsName, watermarkDelay)
+      .groupBy((keyNames.map(col) :+ window(col(tsName), lingerWindow).as("win")): _*)
       .agg(max_by(struct(payload: _*), struct(rankCols: _*)).as("__winner"))
-      .select((keyCols.map(c => col(c.toString)) :+ col("win") :+ col("__winner.*")): _*)
+      .select((keyNames.map(col) :+ col("win") :+ col("__winner.*")): _*)
   }
 
   /** A3 — streaming per-key rate accounting: counts per (key, tumbling

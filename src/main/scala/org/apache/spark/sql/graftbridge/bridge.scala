@@ -13,4 +13,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The alias name of `col.as("name")`, if the column is an alias node.
+    * (`expression(c)` returns a lazy ColumnNodeExpression, NOT a catalyst
+    * NamedExpression, so alias detection must look at the column node.)
+    */
+  def aliasName(c: Column): Option[String] = c.node match {
+    case a: org.apache.spark.sql.internal.Alias if a.name.size == 1 => Some(a.name.head)
+    case _ => None
+  }
 }

@@ -29,6 +29,22 @@ class ScopeAndWriterSpec extends SparkTestBase {
     assert(ScopedSupplier.instanceCounts.get("single").get() == 1)
   }
 
+  test("PROVIDED scope returns the caller's instance and never constructs (T3)") {
+    ScopedSupplier.instanceCounts.clear()
+    val mine = new java.util.concurrent.atomic.AtomicLong(42L) // caller-built state
+    val sup = ScopedSupplier.provided(mine)
+    assert(sup.get(0) eq mine, "driver-side get must return the caller's exact instance")
+    import spark.implicits._
+    val seen = spark.range(20).repartition(4).mapPartitions { it =>
+      Iterator.single(sup.get(org.apache.spark.TaskContext.getPartitionId()).get())
+    }.collect()
+    assert(seen.forall(_ == 42L), "executors must see the caller's (deserialized) instance")
+    // factory form must refuse the Provided scope
+    intercept[IllegalArgumentException] {
+      new ScopedSupplier(ProcessorScope.Provided, () => new Object)
+    }
+  }
+
   test("TaskWriter produces the Kafka sink shape with a decodable dt_meta header (S3)") {
     import spark.implicits._
     val e = Tables.events(spark, sfDir).limit(10)

@@ -56,6 +56,26 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("compactLatest resolves expression keys and an expression tsCol") {
+    import spark.implicits._
+    // batch DF through the same code path: withWatermark is a no-op in
+    // batch, so this pins analysis-time resolvability of expression columns
+    val df = Seq(
+      Ev("a", t("2024-01-01 00:00:01"), 1),
+      Ev("a", t("2024-01-01 00:00:03"), 2),
+      Ev("B", t("2024-01-01 00:00:05"), 7)).toDF()
+    val out = StreamOps.compactLatest(
+      df,
+      keyCols = Seq(upper(col("key")).as("ukey")),
+      tsCol = date_trunc("second", col("ts")).as("tsec"),
+      lingerWindow = "10 seconds",
+      watermarkDelay = "0 seconds",
+      payload = Seq(col("v")),
+      rankCols = Seq(col("ts"), col("v")))
+    val rows = out.select(col("ukey"), col("v")).as[(String, Long)].collect().toSet
+    assert(rows == Set(("A", 2L), ("B", 7L)))
+  }
+
   test("streaming windowed rates count per key per window (A3)") {
     import spark.implicits._
     val in = mkStream()
