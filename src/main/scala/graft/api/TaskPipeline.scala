@@ -53,6 +53,14 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
     * the processed stream via the `graft.*` metrics columns).
     */
   def thenProcess[U](p: RecordProcessor[T, U])(
+      implicit encU: Encoder[Task[U]]): ProcessedStreams[T, U] =
+    thenProcessTraced(p, TracingProvider.Noop)
+
+  /** [[thenProcess]] with a tracing span per task (the reference's
+    * `TracingProvider` hook): the span opens before `process` and closes
+    * with the outcome tag, executor-side, including the uncaught-error path.
+    */
+  def thenProcessTraced[U](p: RecordProcessor[T, U], tracing: TracingProvider)(
       implicit encU: Encoder[Task[U]]): ProcessedStreams[T, U] = {
     implicit val encEither: Encoder[(Int, Task[U], Task[T])] =
       Encoders.tuple(Encoders.scalaInt, encU, enc)
@@ -60,16 +68,20 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
     // tag column so downstream splits are cheap column filters.
     val tagged = tasks.mapPartitions { it =>
       it.map { task =>
+        val span = tracing.traceStart(task)
         try {
-          p.process(task) match {
+          val out = p.process(task) match {
             case ProcessResult.Processed(v) =>
               (TaskPipeline.TagProcessed, Task(task.metadata, task.key, v), task)
             case ProcessResult.Retry   => (TaskPipeline.TagRetry, null.asInstanceOf[Task[U]], task)
             case ProcessResult.Discard => (TaskPipeline.TagDiscard, null.asInstanceOf[Task[U]], task)
           }
+          span.close(TaskPipeline.stateName(out._1))
+          out
         } catch {
           // E3: uncaught processor error — complete the offset, count it.
           case scala.util.control.NonFatal(_) =>
+            span.close("error")
             (TaskPipeline.TagError, null.asInstanceOf[Task[U]], task)
         }
       }

@@ -75,5 +75,55 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
     refresh()
   }
 
+  /** Validate every property the file currently sets against `defs`: values
+    * must parse to the definition's type AND pass its validator. Returns one
+    * message per violation (empty = clean); unknown keys are reported too,
+    * so a typo'd property name can't silently fall back to the default.
+    */
+  def validateAll(defs: Seq[PropertyDefinition[_]]): Seq[String] = {
+    val byName = defs.map(d => d.name -> d).toMap
+    values.toSeq.sortBy(_._1).flatMap { case (k, raw) =>
+      byName.get(k) match {
+        case None => Seq(s"unknown property '$k' (not in the published schema)")
+        case Some(d) =>
+          try {
+            d.asInstanceOf[PropertyDefinition[Any]].validate(parseAs(raw, d.default))
+            Nil
+          } catch {
+            case e: Exception => Seq(s"property '$k'='$raw' invalid: ${e.getMessage}")
+          }
+      }
+    }
+  }
+
   override def close(): Unit = closed = true
+}
+
+object FilePropertySupplier {
+  /** Publish the property schema as JSON next to the config source — the
+    * analog of the reference registering a validation schema with its config
+    * service (`CentralDogmaPropertySupplier.register:192-236`), so external
+    * tooling can validate edits before they land. One object per property:
+    * name, JSON-ish type (derived from the default), and the default value.
+    */
+  def publishSchema(defs: Seq[PropertyDefinition[_]], path: java.nio.file.Path): Unit = {
+    def jstr(s: String): String =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    def typeOf(default: Any): String = default match {
+      case _: Long | _: Int => "integer"
+      case _: Boolean       => "boolean"
+      case _: Seq[_]        => "array"
+      case _                => "string"
+    }
+    def jdefault(v: Any): String = v match {
+      case s: Seq[_]       => s.map(x => jstr(x.toString)).mkString("[", ",", "]")
+      case s: String       => jstr(s)
+      case other           => other.toString
+    }
+    val entries = defs.sortBy(_.name).map { d =>
+      s"""    {"name": ${jstr(d.name)}, "type": ${jstr(typeOf(d.default))}, "default": ${jdefault(d.default)}}"""
+    }
+    val json = entries.mkString("{\n  \"properties\": [\n", ",\n", "\n  ]\n}\n")
+    java.nio.file.Files.writeString(path, json)
+  }
 }

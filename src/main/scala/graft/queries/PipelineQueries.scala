@@ -251,6 +251,19 @@ object PipelineQueries {
       },
       None),
 
+    // ---- IVF approximate top-k: the inverted-file scale path (coarse
+    // quantizer + nprobe list search), the data-adaptive alternative to
+    // pq09's sign-LSH. No SQL oracle (centroid lists are engine-internal);
+    // recall vs brute force and determinism asserted in DedupSpec.
+    Q(
+      "pq14_knn_ivf",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        Knn.ivfTopK(e, queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      },
+      None),
+
     // ---- token stats + rolling-hash fingerprint per document.
     Q(
       "pq10_text_stats",

@@ -83,6 +83,69 @@ object Knn {
       .select(col("id"), col("bucket"))
   }
 
+  /** IVF coarse quantizer: `nlist` centroids drawn deterministically from
+    * the corpus itself (the ids with the smallest portable hash under an
+    * "ivf:" salt — reproducible across runs and engines, no driver RNG, and
+    * data-adaptive in the way random hyperplanes are not). At 100 TB this is
+    * one `TakeOrderedAndProject` over (hash, id) — no shuffle of vectors.
+    */
+  def ivfCentroids(corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    corpus.select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(portable_hash(concat_ws(":", lit("ivf"), col("cid"))).asc, col("cid").asc)
+      .limit(nlist)
+
+  /** Assign every row to its nearest centroid by cosine: one broadcast
+    * nested-loop over `nlist` centroids + a max_by — a narrow pass, no
+    * shuffle of the corpus. Returns (id, cid).
+    */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(centroids))
+      .groupBy(col("id"))
+      .agg(max_by(col("cid"), cosine(col("v"), col("cvec"))).as("cid"))
+
+  /** IVF approximate top-k — the inverted-file alternative to sign-LSH
+    * (pq09): corpus vectors are bucketed by nearest centroid, and each query
+    * searches only its `nprobe` nearest centroid lists. Scale shape: the
+    * corpus is scanned once for assignment, the search joins on the coarse
+    * list id, and nlist/nprobe trade recall for candidate volume exactly as
+    * in a production IVF index. Recall vs [[bruteForceTopK]] asserted in
+    * DedupSpec.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe must be in [1, nlist=$nlist]")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+      .withColumnRenamed("id", "nbr_id")
+    // per query: its nprobe closest centroids (centroids broadcast; the
+    // query set is small by contract, same as bruteForceTopK)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qv"), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val cands = assigned.join(broadcast(qprobes), Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id")).distinct()
+    val scored = cands
+      .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket, with
     * the query side probing `probes`-flip-adjacent buckets too. Recall
     * measured against [[bruteForceTopK]] in DedupSpec.

@@ -123,6 +123,30 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.3, s"multi-probe LSH recall $recall below floor")
   }
 
+  test("IVF top-k recall beats its candidate-fraction floor vs brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val brute = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Knn.ivfTopK(e, queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && ivf.nonEmpty)
+    val recall = brute.count(ivf.contains).toDouble / brute.size
+    // probing 4 of 16 data-adaptive lists must beat the uniform 25% floor:
+    // true neighbors concentrate in the query's nearest lists
+    assert(recall >= 0.3, s"IVF recall $recall below floor")
+  }
+
+  test("IVF centroids and assignment are deterministic across runs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val c1 = Knn.ivfCentroids(e, "vec_id", "embedding", 16).select("cid").as[Long].collect().toSeq
+    val c2 = Knn.ivfCentroids(e, "vec_id", "embedding", 16).select("cid").as[Long].collect().toSeq
+    assert(c1 == c2 && c1.size == 16)
+    val a1 = Knn.ivfAssign(e, "vec_id", "embedding", Knn.ivfCentroids(e, "vec_id", "embedding", 16))
+      .as[(Long, Long)].collect().toMap
+    assert(a1.size == e.count())
+  }
+
   test("multimodal decode produces one feature row per sampled frame") {
     val d = Tables.documents(spark, sfDir).withColumn("payload", col("text").cast("binary"))
     val assets = Multimodal.toAssets(d, "doc_id", "payload", "text/fake")

@@ -1,0 +1,61 @@
+package graft
+
+/** The engine's custom expressions through the pure-SQL surface
+  * (GraftExtensions via spark.sql.extensions — see SparkTestBase config).
+  */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("CMS sketch/estimate/merge work from spark.sql") {
+    Tables.events(spark, sfDir).createOrReplaceTempView("ev")
+    val rows = spark.sql("""
+      WITH sk AS (
+        SELECT graft_cms_merge(part) AS s FROM (
+          SELECT graft_cms_sketch(cast(cast(user_id AS string) AS binary), 1024, 4) AS part
+          FROM ev GROUP BY user_id % 8))
+      SELECT e.user_id, count(*) AS n,
+             max(graft_cms_estimate(sk.s, cast(cast(e.user_id AS string) AS binary))) AS est
+      FROM ev e CROSS JOIN sk GROUP BY e.user_id
+    """).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"estimate must upper-bound: $r"))
+  }
+
+  test("vector_dot from spark.sql matches the declarative fold") {
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb")
+    val rows = spark.sql("""
+      SELECT graft_vector_dot(embedding, embedding) AS d,
+             aggregate(zip_with(embedding, embedding, (x, y) -> cast(x AS double) * cast(y AS double)),
+                       cast(0.0 AS double), (acc, v) -> acc + v) AS expected
+      FROM emb LIMIT 50
+    """).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("dt_meta encode/decode roundtrip from spark.sql") {
+    val row = spark.sql("""
+      SELECT graft_dt_meta_decode(graft_dt_meta_encode(named_struct(
+        'timestamp_millis', 123456789L,
+        'source_application_id', 'app',
+        'source_instance_id', 'i-1',
+        'retry_count', 3L,
+        'scheduled_time_millis', 987654321L))) AS m
+    """).head().getStruct(0)
+    assert(row.getLong(0) == 123456789L)
+    assert(row.getString(1) == "app")
+    assert(row.getLong(3) == 3L)
+    assert(row.getLong(4) == 987654321L)
+    // malformed bytes decode to null, not an error (poison-record policy)
+    assert(spark.sql("SELECT graft_dt_meta_decode(cast('junk+junk' AS binary))").head().isNullAt(0))
+  }
+
+  test("registered functions enforce arity and literal-ness of width/depth") {
+    intercept[Exception] {
+      spark.sql("SELECT graft_cms_estimate(cast('x' AS binary))").collect()
+    }
+    intercept[Exception] {
+      Tables.events(spark, sfDir).createOrReplaceTempView("ev2")
+      spark.sql("SELECT graft_cms_sketch(cast(cast(user_id AS string) AS binary), user_id, 4) FROM ev2").collect()
+    }
+  }
+}
