@@ -63,6 +63,33 @@ object TextFunctions {
     array_max(scored).getField("l")
   }
 
+  /** All character trigrams of the text with multiplicity (positions
+    * 1..len-2; shorter texts yield their single clamped substring — the same
+    * clamping rule as SQL substr, so engines agree on edge cases).
+    */
+  def char_trigrams(text: Column): Column =
+    transform(
+      sequence(lit(1), greatest(length(text) - 2, lit(1))),
+      i => text.substr(i, lit(3)))
+
+  /** Character-n-gram language ID — the production-shaped upgrade of
+    * [[lang_guess]]: score = number of the text's trigrams (with
+    * multiplicity) found in each language's frequent-trigram profile, argmax
+    * wins with the same (score, code) tuple comparison in both engines.
+    * Still a pure column expression: one transform + four filters, no UDF.
+    */
+  def lang_guess_ngram(text: Column): Column = {
+    val tg = char_trigrams(text)
+    def score(profile: Seq[String]): Column =
+      size(filter(tg, t => t.isin(profile: _*)))
+    val scored = array(
+      struct(score(TrigramProfiles.de).as("s"), lit("de").as("l")),
+      struct(score(TrigramProfiles.en).as("s"), lit("en").as("l")),
+      struct(score(TrigramProfiles.es).as("s"), lit("es").as("l")),
+      struct(score(TrigramProfiles.fr).as("s"), lit("fr").as("l")))
+    array_max(scored).getField("l")
+  }
+
   /** Polynomial rolling hash (base 31, mod 2^31-1) over the raw characters —
     * a portable document fingerprint. All intermediate values stay < 2^36 so
     * 64-bit arithmetic never overflows in any engine.
@@ -81,6 +108,16 @@ object TextFunctions {
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
+}
+
+/** Frequent character trigrams per language (public corpus statistics,
+  * ASCII-only so no encoding drift between engines).
+  */
+object TrigramProfiles {
+  val en: Seq[String] = Seq("the", "he ", "ing", " th", "and", "ion", "tio", "of ", "nd ", "ed ")
+  val de: Seq[String] = Seq("der", "die", "und", "ein", "ich", "sch", "che", "ung", "den", "ber")
+  val es: Seq[String] = Seq("de ", "la ", "os ", "el ", "ue ", "nte", "ado", "ar ", "que", "aci")
+  val fr: Seq[String] = Seq("le ", "les", "ent", "eur", "ait", "oir", "est", "ons", "ais", "que")
 }
 
 /** Minimal per-language stopword lists (public common words). */

@@ -44,6 +44,31 @@ object Multimodal {
 
   final case class DecodedFeature(asset_id: Long, frame: Long, feature: Array[Float])
 
+  final case class AssetMeta(byte_len: Long, format: String, n_frames: Long)
+  final case class Asset(asset_id: Long, media_type: String, data: Array[Byte], meta: AssetMeta)
+
+  /** Executor-side "resize": re-encode every frame at `scalePct` percent —
+    * the payload-transform plumbing (schema-preserving, meta recomputed from
+    * the new payload, decode+re-encode never on the driver). The pixel work
+    * is the stub boundary ([[FakeCodec.resizeFrame]]); a real impl swaps the
+    * codec and changes no plan shape.
+    */
+  def resizeAssets(assets: DataFrame, scalePct: Int): Dataset[Asset] = {
+    require(scalePct > 0 && scalePct <= 400, s"scalePct out of range: $scalePct")
+    implicit val enc = Encoders.product[Asset]
+    assets.as[Asset].mapPartitions { rows =>
+      rows.map { a =>
+        val resized = FakeCodec.resizePayload(a.data, scalePct)
+        a.copy(
+          data = resized,
+          meta = AssetMeta(
+            byte_len = if (resized == null) 0L else resized.length.toLong,
+            format = a.meta.format,
+            n_frames = (if (resized == null) 0L else resized.length.toLong) / 256 + 1))
+      }
+    }
+  }
+
   /** Executor-side "decode + featurize": one feature vector per sampled
     * frame. Frame sampling takes every `stride`-th frame — the plumbing a
     * real video pipeline needs (explode on the container index, not on
@@ -70,6 +95,22 @@ object Multimodal {
   * stable across runs and partitions, which is all the pipeline tests need.
   */
 object FakeCodec extends Serializable {
+  /** Deterministic stand-in for a frame-wise resize: output length scales by
+    * `scalePct`, content is a stable byte-walk of the input (same input +
+    * scale ⇒ same output on any executor).
+    */
+  def resizePayload(bytes: Array[Byte], scalePct: Int): Array[Byte] = {
+    if (bytes == null) return null
+    val outLen = math.max(1, (bytes.length.toLong * scalePct / 100).toInt)
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) {
+      out(i) = if (bytes.isEmpty) 0 else bytes((i.toLong * bytes.length / outLen).toInt)
+      i += 1
+    }
+    out
+  }
+
   def decodeFrame(bytes: Array[Byte], frame: Long, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     val start = (frame * 256).toInt

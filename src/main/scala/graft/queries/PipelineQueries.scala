@@ -319,6 +319,38 @@ object PipelineQueries {
         FROM sc
       """)),
 
+    // ---- character-n-gram language ID (the production-shaped model; pq11's
+    // stopword vote is the word-level baseline). Profile lists interpolate
+    // from the same Scala constants the operator uses, so the two engines
+    // can never drift.
+    Q(
+      "pq15_langid_ngram",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(
+          col("doc_id"),
+          TextFunctions.lang_guess_ngram(col("text")).as("lang_ng"),
+          col("lang").as("lang_label"))
+      },
+      Some {
+        def inList(prof: Seq[String]) = prof.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+        s"""
+        WITH tg AS (
+          SELECT doc_id, lang,
+                 list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                                i -> substr(text, CAST(i AS INT), 3)) AS g
+          FROM documents)
+        SELECT doc_id,
+          list_max([
+            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.de)}))) AS INT), 'l': 'de'},
+            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.en)}))) AS INT), 'l': 'en'},
+            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.es)}))) AS INT), 'l': 'es'},
+            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.fr)}))) AS INT), 'l': 'fr'}]).l AS lang_ng,
+          lang AS lang_label
+        FROM tg
+      """
+      }),
+
     // ---- multimodal asset wrapping: binary payload + typed metadata.
     // (Text bytes stand in for media bytes; the decode stage is the stubbed
     // FakeCodec, exercised in MultimodalSpec.)

@@ -147,6 +147,37 @@ class DedupSpec extends SparkTestBase {
     assert(a1.size == e.count())
   }
 
+  test("n-gram language ID picks the profiled language on controlled text") {
+    import graft.functions.TextFunctions
+    val fixtures = Seq(
+      ("the thing and nation of the wind", "en"),
+      ("der schein und die schule ich bernstein", "de"),
+      ("la nacion de los aciertos que hablado el mar", "es"),
+      ("le seigneur les avoir est bons frais que", "fr")).toDF("text", "expected")
+    val got = fixtures
+      .select(col("expected"), TextFunctions.lang_guess_ngram(col("text")).as("pred"))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("multimodal resize preserves schema, recomputes meta, and is deterministic") {
+    val d = Tables.documents(spark, sfDir).withColumn("payload", col("text").cast("binary"))
+    val assets = Multimodal.toAssets(d, "doc_id", "payload", "text/fake")
+    val resized = Multimodal.resizeAssets(assets, scalePct = 50)
+    val rows = resized.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { a =>
+      assert(a.meta.byte_len == a.data.length.toLong, "meta must match the new payload")
+      assert(a.meta.n_frames == a.data.length.toLong / 256 + 1)
+    }
+    // half scale halves the payload (±1 from integer floor)
+    val orig = assets.select(col("asset_id"), col("meta.byte_len")).as[(Long, Long)].collect().toMap
+    rows.foreach(a => assert(math.abs(a.meta.byte_len - orig(a.asset_id) / 2) <= 1))
+    // deterministic: same input + scale => identical bytes
+    val again = Multimodal.resizeAssets(assets, 50).collect().map(a => a.asset_id -> a.data.toSeq).toMap
+    rows.foreach(a => assert(again(a.asset_id) == a.data.toSeq))
+  }
+
   test("multimodal decode produces one feature row per sampled frame") {
     val d = Tables.documents(spark, sfDir).withColumn("payload", col("text").cast("binary"))
     val assets = Multimodal.toAssets(d, "doc_id", "payload", "text/fake")

@@ -1,6 +1,8 @@
 package graft
 
 import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
 import java.util.concurrent.ConcurrentLinkedQueue
 import java.util.concurrent.atomic.AtomicLong
 
@@ -11,6 +13,7 @@ import graft.operators.{AveragingRateLimiter, DynamicRateLimiter, RateGate, Rate
 
 object RateLimiterSpec {
   val processed = new ConcurrentLinkedQueue[java.lang.Long]()
+  val blocked = new ConcurrentLinkedQueue[java.lang.Long]()
 }
 
 class RateLimiterSpec extends SparkTestBase {
@@ -102,6 +105,63 @@ class RateLimiterSpec extends SparkTestBase {
       prop.set(graft.operators.RateLimit.MaxRatePerPartition + 1)
     }
     prop.set(graft.operators.RateLimit.MaxRatePerPartition) // at the cap: fine
+  }
+
+  test("a RUNNING streaming query picks up a file-edited blocklist at a trigger boundary (P4)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    RateLimiterSpec.blocked.clear()
+
+    val cfg = Files.createTempFile("graft-blocklist", ".properties")
+    Files.writeString(cfg, "decaton.ignore.keys=\n")
+    val supplier = new FilePropertySupplier(cfg, pollMillis = 50L)
+    val prop = new DynamicProperty(EngineProperties.IgnoreKeys, Seq.empty[String])
+    supplier.bind(prop)
+
+    val in = MemoryStream[Long]
+    val q = in.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        // re-read the dynamic property at each trigger: the broadcast-refresh
+        // pattern — the blocklist the batch sees is whatever the file said
+        // at this trigger boundary
+        val ignore = prop.value
+        graft.operators.KeyBlocking
+          .blockKeys(df, org.apache.spark.sql.functions.col("value").cast("string"), ignore)
+          .collect().foreach(r => RateLimiterSpec.blocked.add(r.getLong(0)))
+      }
+      .start()
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      assert(RateLimiterSpec.blocked.asScala.toSet == Set(1L, 2L, 3L), "empty blocklist passes all")
+      RateLimiterSpec.blocked.clear()
+      Files.writeString(cfg, "decaton.ignore.keys=2,3\n")
+      // wait for the watcher to re-drive the bound property
+      val deadline = System.currentTimeMillis() + 5000
+      while (prop.value != Seq("2", "3") && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(prop.value == Seq("2", "3"), "file edit must reach the dynamic property")
+      in.addData(1L, 2L, 3L, 4L)
+      q.processAllAvailable()
+      assert(RateLimiterSpec.blocked.asScala.toSet == Set(1L, 4L),
+        s"edited blocklist must drop keys 2,3 at the next trigger, saw ${RateLimiterSpec.blocked.asScala.toSet}")
+    } finally {
+      q.stop()
+      supplier.close()
+    }
+  }
+
+  test("C4: shaping topics carry their own per-query rate via source options") {
+    // per-topic rate override = a separate query over the shaping topic with
+    // its own intake bound (SURVEY §2.6 C4): the options must be independent
+    val origin = graft.sources.TaskSource.kafkaOptions("tasks", Some("tasks-retry"), Nil,
+      graft.operators.RateLimit.maxOffsetsPerTrigger(1000, partitions = 4, triggerSeconds = 1))
+    val shaping = graft.sources.TaskSource.kafkaOptions("tasks-shaping", None, Nil,
+      graft.operators.RateLimit.maxOffsetsPerTrigger(50, partitions = 4, triggerSeconds = 1))
+    assert(origin("maxOffsetsPerTrigger") == "4000")
+    assert(shaping("maxOffsetsPerTrigger") == "200")
+    assert(shaping("subscribe") == "tasks-shaping")
+    // rate 0 on a shaping topic pauses it outright (take nothing per trigger)
+    assert(graft.operators.RateLimit.maxOffsetsPerTrigger(0, 4, 1).contains(0L))
   }
 
   test("a RUNNING streaming query picks up a file-edited rate at a trigger boundary (P4)") {
