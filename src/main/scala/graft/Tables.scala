@@ -13,21 +13,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * index and reads the footer schema every call, which at 49 queries × 1-3
   * tables each was a large share of the benchmark's fixed per-query floor.
   * The cached DataFrame pins only the resolved relation (file index +
-  * schema) — per-query optimization/codegen still runs per plan. Keyed
-  * weakly by session so stopped sessions (tests) release their entries.
+  * schema) — per-query optimization/codegen still runs per plan.
+  *
+  * Eviction: a WeakHashMap would never release entries here (the cached
+  * DataFrames strongly reference their SparkSession — a value→key path that
+  * pins the weak key, the exact anti-pattern the WeakHashMap javadoc warns
+  * about), so the cache is a plain map purged of sessions whose
+  * SparkContext has stopped on every access.
   */
 object Tables {
   private val cache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }
-    perSession.computeIfAbsent(s"$sfDir/$name.parquet",
-      path => spark.read.parquet(path))
+  private def perSessionCache(spark: SparkSession) = {
+    cache.keySet.removeIf(s => s.sparkContext.isStopped)
+    cache.computeIfAbsent(spark,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
   }
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    perSessionCache(spark).computeIfAbsent(s"$sfDir/$name.parquet",
+      path => spark.read.parquet(path))
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")
@@ -46,14 +52,13 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
-    val perSession = cache.synchronized {
-      cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-    }
-    perSession.computeIfAbsent(s"$sfDir/events.parquet#micros", _ =>
-      table(spark, sfDir, "events")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))))
+    // resolve the base table BEFORE the computeIfAbsent below: a mapping
+    // function must not update other mappings of the same ConcurrentHashMap
+    // (same-bin recursion throws "Recursive update")
+    val base = table(spark, sfDir, "events")
+    perSessionCache(spark).computeIfAbsent(s"$sfDir/events.parquet#micros", _ =>
+      base.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000"))))
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

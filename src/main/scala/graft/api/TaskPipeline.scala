@@ -69,21 +69,25 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
     val tagged = tasks.mapPartitions { it =>
       it.map { task =>
         val span = tracing.traceStart(task)
-        try {
-          val out = p.process(task) match {
-            case ProcessResult.Processed(v) =>
-              (TaskPipeline.TagProcessed, Task(task.metadata, task.key, v), task)
-            case ProcessResult.Retry   => (TaskPipeline.TagRetry, null.asInstanceOf[Task[U]], task)
-            case ProcessResult.Discard => (TaskPipeline.TagDiscard, null.asInstanceOf[Task[U]], task)
+        val out =
+          try {
+            p.process(task) match {
+              case ProcessResult.Processed(v) =>
+                (TaskPipeline.TagProcessed, Task(task.metadata, task.key, v), task)
+              case ProcessResult.Retry   => (TaskPipeline.TagRetry, null.asInstanceOf[Task[U]], task)
+              case ProcessResult.Discard => (TaskPipeline.TagDiscard, null.asInstanceOf[Task[U]], task)
+            }
+          } catch {
+            // E3: uncaught processor error — complete the offset, count it.
+            case scala.util.control.NonFatal(_) =>
+              (TaskPipeline.TagError, null.asInstanceOf[Task[U]], task)
           }
-          span.close(TaskPipeline.stateName(out._1))
-          out
-        } catch {
-          // E3: uncaught processor error — complete the offset, count it.
-          case scala.util.control.NonFatal(_) =>
-            span.close("error")
-            (TaskPipeline.TagError, null.asInstanceOf[Task[U]], task)
-        }
+        // close OUTSIDE the try, exactly once, and guarded: a throwing span
+        // reporter must not reclassify a processed task as an error (or drop
+        // its output) — tracing can never corrupt the data path
+        try span.close(TaskPipeline.stateName(out._1))
+        catch { case scala.util.control.NonFatal(_) => () }
+        out
       }
     }
     new ProcessedStreams(tagged)

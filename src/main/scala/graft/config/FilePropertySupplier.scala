@@ -35,7 +35,11 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
         if (m != lastModified) {
           lastModified = m
           values = load()
-          bound.get().foreach(_.apply())
+          // each refresh individually guarded: one property whose new value
+          // fails its validator must not abort the refresh of every other
+          // bound property for this file version (it keeps its last-good
+          // value; the others still update)
+          bound.get().foreach(f => try f() catch { case _: Exception => () })
         }
       } catch { case _: Exception => /* keep last-good config */ }
       Thread.sleep(pollMillis)

@@ -48,8 +48,15 @@ final class DynamicProperty[T](val definition: PropertyDefinition[T], initial: T
     val old = ref.getAndSet(validated)
     if (old != validated) listeners.get().foreach(_(old, validated))
   }
-  def onChange(f: (T, T) => Unit): Unit =
+
+  /** Register a change listener; returns a deregistration handle (removal by
+    * listener identity) so listener-holding consumers (e.g. a closed rate
+    * limiter) don't leak for the property's lifetime.
+    */
+  def onChange(f: (T, T) => Unit): () => Unit = {
     listeners.updateAndGet(f :: _)
+    () => { listeners.updateAndGet(_.filterNot(_ eq f)); () }
+  }
 }
 
 /** The engine's property registry with first-supplier-wins resolution. */

@@ -65,10 +65,28 @@ final case class ProtoSchema(fields: Seq[ProtoField]) {
 
   lazy val sparkSchema: StructType =
     StructType(fields.map(f => StructField(f.name, sparkType(f), nullable = true)))
+
+  /** Field-number dispatch table, built once per schema (NOT per record —
+    * decode runs once per row, and nested/repeated messages once per
+    * occurrence; rebuilding this map there would dominate decode cost).
+    */
+  lazy val byNumber: Map[Int, (ProtoField, Int)] =
+    fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
 }
 
 object ProtoCodec {
-  import MetaCodec.{readVarint, writeVarint}
+  import MetaCodec.writeVarint
+
+  /** Varint read bounded by the enclosing region: a varint whose bytes
+    * cross `end` (a packed run or nested message ending mid-varint) is
+    * malformed input and must throw — falling through to the array bound
+    * would decode garbage AND re-parse the overrun bytes as the next field.
+    */
+  private def readVarint(bytes: Array[Byte], pos: Int, end: Int): (Long, Int) = {
+    val r = MetaCodec.readVarint(bytes, pos)
+    if (r._2 > end) throw new IllegalArgumentException("varint crosses region boundary")
+    r
+  }
 
   // -- decode ---------------------------------------------------------------
 
@@ -79,12 +97,12 @@ object ProtoCodec {
     decodeRange(schema, bytes, 0, bytes.length)
 
   private def decodeRange(schema: ProtoSchema, bytes: Array[Byte], start: Int, end: Int): InternalRow = {
-    val byNumber = schema.fields.zipWithIndex.map { case (f, i) => f.number -> ((f, i)) }.toMap
+    val byNumber = schema.byNumber
     val values = new Array[Any](schema.fields.size)
     val repeats = new Array[ArrayBuffer[Any]](schema.fields.size)
     var p = start
     while (p < end) {
-      val (key, p1) = readVarint(bytes, p)
+      val (key, p1) = readVarint(bytes, p, end)
       val fieldNo = (key >>> 3).toInt
       val wire = (key & 0x7).toInt
       byNumber.get(fieldNo) match {
@@ -121,7 +139,7 @@ object ProtoCodec {
 
     (wire, f.ptype) match {
       case (0, ProtoType.Int64 | ProtoType.Int32 | ProtoType.Bool) =>
-        val (raw, p2) = readVarint(bytes, p1)
+        val (raw, p2) = readVarint(bytes, p1, end)
         put(varintValue(raw)); p2
       case (1, ProtoType.PDouble) =>
         require(p1 + 8 <= end, "truncated fixed64")
@@ -130,7 +148,7 @@ object ProtoCodec {
         require(p1 + 4 <= end, "truncated fixed32")
         put(java.lang.Float.intBitsToFloat(readFixed32(bytes, p1))); p1 + 4
       case (2, _) =>
-        val (len, p2) = readVarint(bytes, p1)
+        val (len, p2) = readVarint(bytes, p1, end)
         if (len < 0 || len > end - p2) throw new IllegalArgumentException("truncated bytes field")
         val stop = p2 + len.toInt
         f.ptype match {
@@ -144,7 +162,7 @@ object ProtoCodec {
             // packed repeated varints (proto3 default encoding)
             var q = p2
             while (q < stop) {
-              val (raw, q2) = readVarint(bytes, q)
+              val (raw, q2) = readVarint(bytes, q, stop)
               put(varintValue(raw)); q = q2
             }
           case t => throw new IllegalArgumentException(s"field ${f.name}: length-delimited wire for $t")
@@ -157,10 +175,10 @@ object ProtoCodec {
   }
 
   private def skipField(wire: Int, bytes: Array[Byte], p1: Int, end: Int): Int = wire match {
-    case 0 => readVarint(bytes, p1)._2
+    case 0 => readVarint(bytes, p1, end)._2
     case 1 => require(p1 + 8 <= end, "truncated fixed64"); p1 + 8
     case 2 =>
-      val (len, p2) = readVarint(bytes, p1)
+      val (len, p2) = readVarint(bytes, p1, end)
       if (len < 0 || len > end - p2) throw new IllegalArgumentException("truncated bytes field")
       p2 + len.toInt
     case 5 => require(p1 + 4 <= end, "truncated fixed32"); p1 + 4

@@ -179,10 +179,12 @@ object Dedup {
     * The threshold comparison is done in exact integer cross-multiplication
     * (inter * den >= num * union), so no float is ever compared.
     *
-    * `maxDocFreq`: drop grams appearing in more than this many documents
-    * BEFORE sizes and intersections are counted (similarity is then Jaccard
-    * over each document's informative grams — a well-defined, deterministic
-    * variant, mirrored exactly in the oracle SQL). Without a cutoff, stopword
+    * `maxDocFreq`: drop grams appearing in more than this many documents OF
+    * THE SAME BLOCK (document frequency is per (block, gram) — stop-grams
+    * are block-local, e.g. language-specific) BEFORE sizes and intersections
+    * are counted; similarity is then Jaccard over each document's
+    * informative grams — a well-defined, deterministic variant, mirrored
+    * exactly in the oracle SQL. Without a cutoff, stopword
     * n-grams give the inverted-index self-join quadratic hot keys: a gram in
     * f docs contributes f² join rows, and at 100 TB the most frequent grams
     * alone would dominate the shuffle. With DF ≤ f₀ every gram contributes

@@ -117,17 +117,31 @@ final class DynamicRateLimiter(
 
   private val pauseLock = new Object
   @volatile private var closed = false
-  @volatile private var current: Option[AveragingRateLimiter] = build(prop.value)
-
-  prop.onChange { (_, nv) =>
-    pauseLock.synchronized {
-      current = build(nv)
-      pauseLock.notifyAll() // wake anyone parked on rate 0
-    }
+  // (rate, bucket-for-that-rate): the bucket is derived from the OBSERVED
+  // rate at acquire time, never from listener ordering — DynamicProperty
+  // updates its value BEFORE firing listeners, so a listener-maintained
+  // bucket could be read stale (a 0→N resume would admit unmetered)
+  @volatile private var cached: (Long, Option[AveragingRateLimiter]) = {
+    val r = prop.value
+    (r, build(r))
   }
+
+  // listener only WAKES pause waiters; deregistered on close so a closed
+  // limiter doesn't stay reachable from the property for its lifetime
+  private val deregister: () => Unit =
+    prop.onChange { (_, _) => pauseLock.synchronized(pauseLock.notifyAll()) }
 
   private def build(rate: Long): Option[AveragingRateLimiter] =
     if (rate > 0) Some(new AveragingRateLimiter(rate, 1.0, nanoTime, sleepNanos)) else None
+
+  private def limiterFor(rate: Long): Option[AveragingRateLimiter] = {
+    val c = cached
+    if (c._1 == rate) c._2
+    else synchronized {
+      if (cached._1 != rate) cached = (rate, build(rate))
+      cached._2
+    }
+  }
 
   def acquire(permits: Int): Long = {
     val start = nanoTime()
@@ -139,16 +153,20 @@ final class DynamicRateLimiter(
       }
     }
     val rate = prop.value
-    if (closed || rate < 0) { if (waitedForResume) nanoTime() - start else 0L }
-    else current match {
-      case Some(l) => (if (waitedForResume) nanoTime() - start else 0L) + l.acquire(permits)
-      case None    => if (waitedForResume) nanoTime() - start else 0L
+    val elapsed = if (waitedForResume) nanoTime() - start else 0L
+    if (closed || rate <= 0) elapsed
+    else limiterFor(rate) match {
+      case Some(l) => elapsed + l.acquire(permits)
+      case None    => elapsed
     }
   }
 
-  override def close(): Unit = pauseLock.synchronized {
-    closed = true
-    pauseLock.notifyAll()
+  override def close(): Unit = {
+    pauseLock.synchronized {
+      closed = true
+      pauseLock.notifyAll()
+    }
+    deregister()
   }
 }
 

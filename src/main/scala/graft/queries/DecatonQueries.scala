@@ -364,7 +364,10 @@ object DecatonQueries {
             col("user_id").as("uid"),
             col("event_type").as("etype"),
             col("value").cast("double").as("val"),
-            array(pmod(col("user_id"), lit(5)), pmod(col("user_id"), lit(7))).as("tags")), schema))
+            // % (not pmod): DuckDB's % follows the dividend's sign, pmod
+            // does not — they agree only because user_id >= 0 today; use
+            // the operator that matches the oracle for ALL inputs
+            array(col("user_id") % lit(5), col("user_id") % lit(7)).as("tags")), schema))
           .select(proto_decode(col("payload"), schema).as("d"))
           .groupBy(col("d.etype").as("event_type"))
           .agg(

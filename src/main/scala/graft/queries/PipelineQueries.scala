@@ -148,9 +148,11 @@ object PipelineQueries {
 
     // ---- word-3-gram Jaccard >= 0.4 within language blocks; threshold via
     // integer cross-multiplication, so no float compare anywhere. Grams in
-    // more than 64 documents are dropped before sizes/intersections on BOTH
-    // engines: stop-grams are uninformative for near-dup detection and are
-    // the quadratic hot keys of the inverted-index self-join at 100 TB.
+    // more than 64 documents OF THE SAME LANGUAGE are dropped before
+    // sizes/intersections on BOTH engines (stop-grams are language-local,
+    // and per-block DF is what the blocked posting lists bound): they are
+    // uninformative for near-dup detection and the quadratic hot keys of
+    // the inverted-index self-join at 100 TB.
     Q(
       "pq06_jaccard_pairs",
       (s, dir) => {
@@ -166,8 +168,8 @@ object PipelineQueries {
         WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         idx AS (SELECT doc_id, lang, t, unnest(generate_series(0, greatest(len(t)-3, 0))) AS i FROM toks),
         grams0 AS (SELECT DISTINCT doc_id, lang, array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS g FROM idx),
-        rare AS (SELECT g FROM grams0 GROUP BY g HAVING count(*) <= 64),
-        grams AS (SELECT grams0.* FROM grams0 JOIN rare USING (g)),
+        rare AS (SELECT lang, g FROM grams0 GROUP BY lang, g HAVING count(*) <= 64),
+        grams AS (SELECT grams0.* FROM grams0 JOIN rare USING (lang, g)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -90,6 +90,21 @@ class ProtoCodecSpec extends SparkTestBase {
     assert(df.select(proto_decode(col("b"), flat)).head().isNullAt(0))
   }
 
+  test("a varint crossing its region boundary throws instead of decoding garbage") {
+    // packed run for field 4 declared 1 byte long, but that byte has the
+    // continuation bit set — the varint would spill into the next field
+    intercept[IllegalArgumentException] {
+      ProtoCodec.decode(flat, Array(0x22, 0x01, 0x80, 0x08, 0x07).map(_.toByte))
+    }
+    // nested region ending mid-varint: message field (declared as sub-schema)
+    val withNested = ProtoSchema(Seq(
+      ProtoField(1, "inner", ProtoType.Message(ProtoSchema(Seq(
+        ProtoField(1, "x", ProtoType.Int64)))))))
+    intercept[IllegalArgumentException] {
+      ProtoCodec.decode(withNested, Array(0x0A, 0x02, 0x08, 0x80).map(_.toByte))
+    }
+  }
+
   test("wire/declared type mismatch on a KNOWN field is rejected, not misread") {
     // field 1 declared Int64 but sent len-delimited
     intercept[IllegalArgumentException] {
