@@ -68,7 +68,11 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
     // tag column so downstream splits are cheap column filters.
     val tagged = tasks.mapPartitions { it =>
       it.map { task =>
-        val span = tracing.traceStart(task)
+        // tracing can never corrupt the data path: a throwing traceStart
+        // degrades to a noop span instead of failing the Spark task
+        val span =
+          try tracing.traceStart(task)
+          catch { case scala.util.control.NonFatal(_) => TracingProvider.Noop.traceStart(task) }
         val out =
           try {
             p.process(task) match {

@@ -33,8 +33,11 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
       try {
         val m = if (Files.exists(path)) Files.getLastModifiedTime(path).toMillis else 0L
         if (m != lastModified) {
-          lastModified = m
+          // load FIRST: if the read throws (file mid-write), lastModified
+          // stays put and the next poll retries this version instead of
+          // silently losing the edit forever
           values = load()
+          lastModified = m
           // each refresh individually guarded: one property whose new value
           // fails its validator must not abort the refresh of every other
           // bound property for this file version (it keeps its last-good

@@ -54,8 +54,12 @@ final class DynamicProperty[T](val definition: PropertyDefinition[T], initial: T
     * limiter) don't leak for the property's lifetime.
     */
   def onChange(f: (T, T) => Unit): () => Unit = {
-    listeners.updateAndGet(f :: _)
-    () => { listeners.updateAndGet(_.filterNot(_ eq f)); () }
+    // fresh wrapper per registration: removal is by identity of the ENTRY,
+    // so two registrations sharing one listener function value can't
+    // deregister each other
+    val entry: (T, T) => Unit = (a, b) => f(a, b)
+    listeners.updateAndGet(entry :: _)
+    () => { listeners.updateAndGet(_.filterNot(_ eq entry)); () }
   }
 }
 

@@ -46,6 +46,15 @@ object TextFunctions {
       lit(0.3) * (lit(1.0) - punct / chars), 6)
   }
 
+  /** Argmax over (score, code): max by score, lexicographically-last code
+    * wins ties — the same (s, l) tuple comparison DuckDB's list_max applies,
+    * so both language-ID variants and their oracles agree on every tie.
+    */
+  private def argmaxLang(scored: Seq[(Column, String)]): Column =
+    array_max(array(scored.map { case (s, code) =>
+      struct(s.as("s"), lit(code).as("l"))
+    }: _*)).getField("l")
+
   /** N-gram-free language ID: stopword-list voting with alphabetical
     * tiebreak. (A character-n-gram model is the production upgrade; the
     * operator contract — text in, ISO code out — is the same.)
@@ -53,14 +62,11 @@ object TextFunctions {
   def lang_guess(text: Column): Column = {
     val toks = tokens(text)
     def score(words: Seq[String]): Column = size(filter(toks, t => t.isin(words: _*)))
-    val scored = array(
-      struct(score(Stopwords.de).as("s"), lit("de").as("l")),
-      struct(score(Stopwords.en).as("s"), lit("en").as("l")),
-      struct(score(Stopwords.es).as("s"), lit("es").as("l")),
-      struct(score(Stopwords.fr).as("s"), lit("fr").as("l")))
-    // max by (score, then lexicographically-last code wins ties the same way
-    // in both engines because the comparison tuple is identical)
-    array_max(scored).getField("l")
+    argmaxLang(Seq(
+      score(Stopwords.de) -> "de",
+      score(Stopwords.en) -> "en",
+      score(Stopwords.es) -> "es",
+      score(Stopwords.fr) -> "fr"))
   }
 
   /** All character trigrams of the text with multiplicity (positions
@@ -82,12 +88,11 @@ object TextFunctions {
     val tg = char_trigrams(text)
     def score(profile: Seq[String]): Column =
       size(filter(tg, t => t.isin(profile: _*)))
-    val scored = array(
-      struct(score(TrigramProfiles.de).as("s"), lit("de").as("l")),
-      struct(score(TrigramProfiles.en).as("s"), lit("en").as("l")),
-      struct(score(TrigramProfiles.es).as("s"), lit("es").as("l")),
-      struct(score(TrigramProfiles.fr).as("s"), lit("fr").as("l")))
-    array_max(scored).getField("l")
+    argmaxLang(Seq(
+      score(TrigramProfiles.de) -> "de",
+      score(TrigramProfiles.en) -> "en",
+      score(TrigramProfiles.es) -> "es",
+      score(TrigramProfiles.fr) -> "fr"))
   }
 
   /** Polynomial rolling hash (base 31, mod 2^31-1) over the raw characters —

@@ -101,7 +101,11 @@ object FakeCodec extends Serializable {
     */
   def resizePayload(bytes: Array[Byte], scalePct: Int): Array[Byte] = {
     if (bytes == null) return null
-    val outLen = math.max(1, (bytes.length.toLong * scalePct / 100).toInt)
+    // size the output in Long and refuse to exceed array bounds: a 600 MB
+    // payload at 400% would wrap Int and silently truncate to 1 byte
+    val target = bytes.length.toLong * scalePct / 100
+    require(target <= Int.MaxValue - 8, s"resized payload too large: $target bytes")
+    val outLen = math.max(1L, target).toInt
     val out = new Array[Byte](outLen)
     var i = 0
     while (i < outLen) {

@@ -134,12 +134,18 @@ final class DynamicRateLimiter(
   private def build(rate: Long): Option[AveragingRateLimiter] =
     if (rate > 0) Some(new AveragingRateLimiter(rate, 1.0, nanoTime, sleepNanos)) else None
 
-  private def limiterFor(rate: Long): Option[AveragingRateLimiter] = {
+  /** The bucket for the rate as observed NOW. The synchronized path re-reads
+    * the property inside the lock, so a thread carrying a stale snapshot can
+    * never overwrite a newer bucket with an older rate (which would discard
+    * reservation debt and grant an extra full burst).
+    */
+  private def currentLimiter(): (Long, Option[AveragingRateLimiter]) = {
     val c = cached
-    if (c._1 == rate) c._2
+    if (c._1 == prop.value) c
     else synchronized {
-      if (cached._1 != rate) cached = (rate, build(rate))
-      cached._2
+      val r = prop.value
+      if (cached._1 != r) cached = (r, build(r))
+      cached
     }
   }
 
@@ -152,10 +158,10 @@ final class DynamicRateLimiter(
         if (prop.value == 0 && !closed) pauseLock.wait(100)
       }
     }
-    val rate = prop.value
     val elapsed = if (waitedForResume) nanoTime() - start else 0L
+    val (rate, lim) = currentLimiter()
     if (closed || rate <= 0) elapsed
-    else limiterFor(rate) match {
+    else lim match {
       case Some(l) => elapsed + l.acquire(permits)
       case None    => elapsed
     }
