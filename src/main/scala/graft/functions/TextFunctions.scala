@@ -79,15 +79,32 @@ object TextFunctions {
       i => text.substr(i, lit(3)))
 
   /** Character-n-gram language ID — the production-shaped upgrade of
-    * [[lang_guess]]: score = number of the text's trigrams (with
-    * multiplicity) found in each language's frequent-trigram profile, argmax
-    * wins with the same (score, code) tuple comparison in both engines.
-    * Still a pure column expression: one transform + four filters, no UDF.
+    * [[lang_guess]]: score = number of DISTINCT text trigrams found in each
+    * language's frequent-trigram profile (hash-set intersection, not a
+    * per-element isin chain), argmax wins with the same (score, code) tuple
+    * comparison in both engines.
+    *
+    * Evaluation-cost note: this single-column form re-derives the trigram
+    * array under each of the four scores (Catalyst will not CSE through the
+    * profile intersections); hot paths should pre-project
+    * [[distinct_trigrams]] once and call [[lang_guess_ngram_pre]] — the
+    * projection boundary makes Catalyst evaluate the trigram array once per
+    * row (CollapseProject refuses to inline a non-cheap expression used four
+    * times).
     */
-  def lang_guess_ngram(text: Column): Column = {
-    val tg = char_trigrams(text)
+  def lang_guess_ngram(text: Column): Column =
+    lang_guess_ngram_pre(distinct_trigrams(text))
+
+  /** The text's distinct character trigrams (pre-projection for
+    * [[lang_guess_ngram_pre]]).
+    */
+  def distinct_trigrams(text: Column): Column =
+    array_distinct(char_trigrams(text))
+
+  /** Language ID over a pre-projected [[distinct_trigrams]] column. */
+  def lang_guess_ngram_pre(distinctTrigrams: Column): Column = {
     def score(profile: Seq[String]): Column =
-      size(filter(tg, t => t.isin(profile: _*)))
+      size(array_intersect(distinctTrigrams, array(profile.map(lit): _*)))
     argmaxLang(Seq(
       score(TrigramProfiles.de) -> "de",
       score(TrigramProfiles.en) -> "en",

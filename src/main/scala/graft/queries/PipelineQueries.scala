@@ -329,25 +329,28 @@ object PipelineQueries {
       "pq15_langid_ngram",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        d.select(
-          col("doc_id"),
-          TextFunctions.lang_guess_ngram(col("text")).as("lang_ng"),
-          col("lang").as("lang_label"))
+        // distinct trigrams pre-projected ONCE; the four profile
+        // intersections in the next projection reuse the materialized array
+        d.withColumn("__tg", TextFunctions.distinct_trigrams(col("text")))
+          .select(
+            col("doc_id"),
+            TextFunctions.lang_guess_ngram_pre(col("__tg")).as("lang_ng"),
+            col("lang").as("lang_label"))
       },
       Some {
-        def inList(prof: Seq[String]) = prof.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+        def profList(prof: Seq[String]) = prof.map(t => s"'${t.replace("'", "''")}'").mkString("[", ", ", "]")
         s"""
         WITH tg AS (
           SELECT doc_id, lang,
-                 list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-                                i -> substr(text, CAST(i AS INT), 3)) AS g
+                 list_distinct(list_transform(generate_series(1, greatest(length(text) - 2, 1)),
+                                              i -> substr(text, CAST(i AS INT), 3))) AS g
           FROM documents)
         SELECT doc_id,
           list_max([
-            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.de)}))) AS INT), 'l': 'de'},
-            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.en)}))) AS INT), 'l': 'en'},
-            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.es)}))) AS INT), 'l': 'es'},
-            {'s': CAST(len(list_filter(g, x -> x IN (${inList(graft.functions.TrigramProfiles.fr)}))) AS INT), 'l': 'fr'}]).l AS lang_ng,
+            {'s': CAST(len(list_intersect(g, ${profList(graft.functions.TrigramProfiles.de)})) AS INT), 'l': 'de'},
+            {'s': CAST(len(list_intersect(g, ${profList(graft.functions.TrigramProfiles.en)})) AS INT), 'l': 'en'},
+            {'s': CAST(len(list_intersect(g, ${profList(graft.functions.TrigramProfiles.es)})) AS INT), 'l': 'es'},
+            {'s': CAST(len(list_intersect(g, ${profList(graft.functions.TrigramProfiles.fr)})) AS INT), 'l': 'fr'}]).l AS lang_ng,
           lang AS lang_label
         FROM tg
       """
