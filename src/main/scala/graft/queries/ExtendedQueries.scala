@@ -393,6 +393,68 @@ object ExtendedQueries {
           SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
+      """)),
+
+    // ---- AS-OF join (the classic operator Spark lacks): for every event,
+    // the customer's latest order placed on-or-before the event time. One
+    // keyed shuffle+sort (union + running last_value), never a per-row
+    // subquery; orders are pre-compacted to one row per (cust, date) so the
+    // as-of row is well-defined. DuckDB verifies with its NATIVE ASOF JOIN.
+    Q(
+      "q25_asof_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        val oc = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("ots"))
+          .agg(max_by(struct(col("o_orderkey"), col("o_totalprice")), col("o_orderkey")).as("w"))
+          .select(col("o_custkey"), col("ots"),
+            col("w.o_orderkey").as("ok"), col("w.o_totalprice").as("price"))
+        graft.operators.TemporalJoins.asOfJoin(
+            e, oc, col("user_id"), col("o_custkey"), col("ts"), col("ots"),
+            rightPayload = Seq(col("ok"), col("price")))
+          .select(col("event_id"), col("user_id"),
+            col("asof.ok").as("last_order"),
+            round(dec(col("asof.price")).cast("double"), 2).as("last_price"))
+      },
+      Some("""
+        WITH oc AS (
+          SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS ots,
+                 max(o_orderkey) AS ok, arg_max(o_totalprice, o_orderkey) AS price
+          FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, oc.ok AS last_order,
+               round(CAST(CAST(oc.price AS DECIMAL(12,2)) AS DOUBLE), 2) AS last_price
+        FROM events e ASOF LEFT JOIN oc
+          ON e.user_id = oc.o_custkey AND e.ts >= oc.ots
+      """)),
+
+    // ---- range (interval) join: each (user, day)'s first event opens a
+    // 2-hour window; count the user's events inside it. Bucketed equi-join
+    // (bounded fan-out per interval) instead of the inequality theta join
+    // Spark would plan as a nested loop; DuckDB verifies with the plain
+    // inequality join.
+    Q(
+      "q26_range_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+        val w0 = e.groupBy(col("user_id").as("wk"), to_date(col("ts")).as("day"))
+          .agg(min(col("ts")).as("wstart"))
+          .withColumn("wend", col("wstart") + expr("INTERVAL 2 HOURS"))
+        graft.operators.TemporalJoins.rangeJoin(
+            e, w0, col("user_id"), col("wk"), col("ts"),
+            col("wstart"), col("wend"), bucketSeconds = 2L * 3600)
+          .groupBy(col("wk").as("user_id"), col("day"))
+          .agg(count(lit(1)).as("n_events"), countDistinct(col("event_id")).as("n_distinct"))
+      },
+      Some("""
+        WITH w AS (
+          SELECT user_id AS wk, CAST(ts AS DATE) AS day, min(ts) AS wstart
+          FROM events GROUP BY 1, 2)
+        SELECT w.wk AS user_id, w.day, count(*) AS n_events, count(DISTINCT e.event_id) AS n_distinct
+        FROM w JOIN events e
+          ON e.user_id = w.wk
+         AND e.ts >= w.wstart
+         AND e.ts < w.wstart + INTERVAL 2 HOUR
+        GROUP BY 1, 2
       """))
   )
 }
