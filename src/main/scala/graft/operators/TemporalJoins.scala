@@ -27,9 +27,14 @@ object TemporalJoins {
     * any co-partitioned join.
     *
     * Right rows must be unique per (key, rightTs) — pre-compact with max_by
-    * (see q25) so "the" as-of row is well-defined on every engine.
+    * (see q25) so "the" as-of row is well-defined on every engine. Right
+    * rows with a NULL key or NULL timestamp are dropped before the union
+    * (SQL equality/inequality never match NULL — the same rows DuckDB's
+    * ASOF JOIN can never produce); NULL-key left rows null-extend.
     *
-    * @param rightPayload columns of `right` to carry onto matched left rows
+    * @param rightPayload columns of `right` to carry onto matched left rows,
+    *                     emitted as a struct column named `asof` (the left
+    *                     frame must not already contain that name)
     */
   def asOfJoin(
       left: DataFrame,
@@ -39,6 +44,8 @@ object TemporalJoins {
       leftTs: Column,
       rightTs: Column,
       rightPayload: Seq[Column]): DataFrame = {
+    require(!left.columns.contains("asof"),
+      "left frame already has a column named 'asof' (the output payload name)")
 
     val lStruct = struct(left.columns.map(left(_)): _*)
     val rStruct = struct(rightPayload: _*)
@@ -48,9 +55,14 @@ object TemporalJoins {
     val l = left.select(
       leftKey.as("__k"), leftTs.as("__ts"), lit(1).as("__side"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
-    val r = right.select(
-      rightKey.as("__k"), rightTs.as("__ts"), lit(0).as("__side"),
-      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+    // NULL keys/timestamps can never satisfy an equality/inequality join;
+    // unfiltered they would sort first in the partition (NULLS FIRST) and
+    // their payload would pollute the running last() for every left row
+    val r = right
+      .filter(rightKey.isNotNull && rightTs.isNotNull)
+      .select(
+        rightKey.as("__k"), rightTs.as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lType).as("__l"), rStruct.as("__r"))
 
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").asc)

@@ -32,6 +32,30 @@ class TemporalJoinSpec extends SparkTestBase {
       1L -> None, 2L -> Some(100L), 3L -> Some(200L), 4L -> Some(300L), 5L -> None))
   }
 
+  test("asOfJoin: NULL right keys/timestamps never match; NULL-key left rows null-extend") {
+    val left = Seq(
+      (1L, Some("k1"), t("2024-01-01 12:00:00")),
+      (2L, None, t("2024-01-01 12:00:00"))).toDF("id", "k", "ts")
+    val right = Seq(
+      (Some("k1"), Some(t("2024-01-01 10:00:00")), 100L),
+      (Some("k1"), None, 99L),  // NULL ts: ts >= NULL is never true in SQL
+      (None, Some(t("2024-01-01 11:00:00")), 77L) // NULL key: never equal
+    ).toDF("rk", "rts", "v")
+    val out = TemporalJoins.asOfJoin(
+        left, right, col("k"), col("rk"), col("ts"), col("rts"), Seq(col("v")))
+      .select(col("id"), col("asof.v"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(1L -> Some(100L), 2L -> None))
+  }
+
+  test("asOfJoin refuses a left frame that already has an 'asof' column") {
+    val left = Seq((1L, "k1", t("2024-01-01 12:00:00"), "x")).toDF("id", "k", "ts", "asof")
+    val right = Seq(("k1", t("2024-01-01 10:00:00"), 1L)).toDF("rk", "rts", "v")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfJoin(left, right, col("k"), col("rk"), col("ts"), col("rts"), Seq(col("v")))
+    }
+  }
+
   test("rangeJoin: half-open interval, sub-second boundaries, cross-bucket spans") {
     val left = Seq(
       (1L, "k1", t("2024-01-01 10:00:00")), // == start -> in
