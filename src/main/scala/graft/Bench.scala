@@ -47,6 +47,16 @@ object BenchMetrics {
         tm.getThreadAllocatedBytes(ids).filter(_ > 0).sum
       case _ => 0L
     }
+
+  def threadCount(): Int =
+    java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount
+
+  /** Total CPU nanos across live threads (same approximation as allocated). */
+  def cpuNanos(): Long = {
+    val tm = java.lang.management.ManagementFactory.getThreadMXBean
+    if (!tm.isThreadCpuTimeSupported) 0L
+    else tm.getAllThreadIds.map(id => math.max(0L, tm.getThreadCpuTime(id))).sum
+  }
 }
 
 object Bench {
@@ -120,6 +130,7 @@ object Bench {
     BenchMetrics.reset()
     val (gcCount0, gcTime0) = BenchMetrics.gcSnapshot()
     val alloc0 = BenchMetrics.allocatedBytes()
+    val cpu0 = BenchMetrics.cpuNanos()
     val st0 = System.nanoTime()
     locally {
       import spark.implicits._
@@ -146,6 +157,7 @@ object Bench {
     val tps = streamTasks / streamSecs
     val (gcCount1, gcTime1) = BenchMetrics.gcSnapshot()
     val alloc1 = BenchMetrics.allocatedBytes()
+    val cpu1 = BenchMetrics.cpuNanos()
     val latAvgMs = if (BenchMetrics.latN.sum() == 0) 0.0
       else BenchMetrics.latSum.sum() / 1e6 / BenchMetrics.latN.sum()
     val latMaxMs = BenchMetrics.latMax.get() / 1e6
@@ -173,7 +185,8 @@ object Bench {
       s""""stream_task_count":$streamTasks,""" +
       s""""stream_latency_avg_ms":$latAvgMs,"stream_latency_max_ms":$latMaxMs,""" +
       s""""stream_gc_count":${gcCount1 - gcCount0},"stream_gc_time_ms":${gcTime1 - gcTime0},""" +
-      s""""stream_allocated_mb":${(alloc1 - alloc0) / (1024 * 1024)},"sf":"$sfDir"}""")
+      s""""stream_allocated_mb":${(alloc1 - alloc0) / (1024 * 1024)},""" +
+      s""""stream_cpu_ms":${(cpu1 - cpu0) / 1000000},"threads":${BenchMetrics.threadCount()},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
