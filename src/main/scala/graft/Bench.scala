@@ -51,12 +51,27 @@ object BenchMetrics {
   def threadCount(): Int =
     java.lang.management.ManagementFactory.getThreadMXBean.getThreadCount
 
-  /** Total CPU nanos across live threads (same approximation as allocated). */
-  def cpuNanos(): Long = {
+  /** Per-thread CPU nanos for currently-live threads. Callers diff two
+    * snapshots over COMMON thread ids — a thread that accrued CPU before the
+    * window and died inside it must not subtract its whole history from the
+    * delta (a plain sum-diff can go deeply negative that way).
+    */
+  def cpuSnapshot(): Map[Long, Long] = {
     val tm = java.lang.management.ManagementFactory.getThreadMXBean
-    if (!tm.isThreadCpuTimeSupported) 0L
-    else tm.getAllThreadIds.map(id => math.max(0L, tm.getThreadCpuTime(id))).sum
+    if (!tm.isThreadCpuTimeSupported) Map.empty
+    else tm.getAllThreadIds.flatMap { id =>
+      val t = tm.getThreadCpuTime(id)
+      if (t >= 0) Some(id -> t) else None
+    }.toMap
   }
+
+  def cpuDeltaNanos(before: Map[Long, Long], after: Map[Long, Long]): Long =
+    after.iterator.map { case (id, t1) =>
+      before.get(id) match {
+        case Some(t0) => math.max(0L, t1 - t0)
+        case None     => t1 // born inside the window: count from zero
+      }
+    }.sum
 }
 
 object Bench {
@@ -130,7 +145,7 @@ object Bench {
     BenchMetrics.reset()
     val (gcCount0, gcTime0) = BenchMetrics.gcSnapshot()
     val alloc0 = BenchMetrics.allocatedBytes()
-    val cpu0 = BenchMetrics.cpuNanos()
+    val cpu0 = BenchMetrics.cpuSnapshot()
     val st0 = System.nanoTime()
     locally {
       import spark.implicits._
@@ -157,7 +172,10 @@ object Bench {
     val tps = streamTasks / streamSecs
     val (gcCount1, gcTime1) = BenchMetrics.gcSnapshot()
     val alloc1 = BenchMetrics.allocatedBytes()
-    val cpu1 = BenchMetrics.cpuNanos()
+    val cpuMs = BenchMetrics.cpuDeltaNanos(cpu0, BenchMetrics.cpuSnapshot()) / 1000000
+    // thread count captured HERE, at stream-probe end — every other
+    // stream_* metric describes this window, not post-benchmark steady state
+    val streamThreads = BenchMetrics.threadCount()
     val latAvgMs = if (BenchMetrics.latN.sum() == 0) 0.0
       else BenchMetrics.latSum.sum() / 1e6 / BenchMetrics.latN.sum()
     val latMaxMs = BenchMetrics.latMax.get() / 1e6
@@ -186,7 +204,7 @@ object Bench {
       s""""stream_latency_avg_ms":$latAvgMs,"stream_latency_max_ms":$latMaxMs,""" +
       s""""stream_gc_count":${gcCount1 - gcCount0},"stream_gc_time_ms":${gcTime1 - gcTime0},""" +
       s""""stream_allocated_mb":${(alloc1 - alloc0) / (1024 * 1024)},""" +
-      s""""stream_cpu_ms":${(cpu1 - cpu0) / 1000000},"threads":${BenchMetrics.threadCount()},"sf":"$sfDir"}""")
+      s""""stream_cpu_ms":$cpuMs,"threads":$streamThreads,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

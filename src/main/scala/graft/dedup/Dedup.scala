@@ -45,12 +45,12 @@ object Dedup {
       shingleSize: Int): DataFrame = {
     // distinct shingles per doc BEFORE hashing: min() is idempotent over
     // duplicates, so the signature is identical, and repeated shingles
-    // (common 5-grams) stop paying an md5 each
+    // (common 5-grams) stop paying an md5 each. char_ngrams carries the
+    // clamping rule the oracle SQL mirrors.
     val shingled = df
       .select(idCol.as("id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), greatest(length(textCol) - (shingleSize - 1), lit(1))),
-          p => textCol.substr(p, lit(shingleSize))))).as("sh"))
+        explode(array_distinct(
+          graft.functions.TextFunctions.char_ngrams(textCol, shingleSize))).as("sh"))
       .withColumn("__md5", md5(col("sh")))
       .withColumn("h1", conv(substring(col("__md5"), 1, 15), 16, 10).cast("long") % MinHashP)
       .withColumn("h2", conv(substring(col("__md5"), 16, 15), 16, 10).cast("long") % MinHashP)

@@ -69,14 +69,17 @@ object TextFunctions {
       score(Stopwords.fr) -> "fr"))
   }
 
-  /** All character trigrams of the text with multiplicity (positions
-    * 1..len-2; shorter texts yield their single clamped substring — the same
-    * clamping rule as SQL substr, so engines agree on edge cases).
+  /** All character n-grams of the text with multiplicity (positions
+    * 1..len-n+1; shorter texts yield their single clamped substring — the
+    * same clamping rule as SQL substr, so engines agree on edge cases).
+    * Shared by language ID (n=3) and minhash shingling (n=shingleSize).
     */
-  def char_trigrams(text: Column): Column =
+  def char_ngrams(text: Column, n: Int): Column =
     transform(
-      sequence(lit(1), greatest(length(text) - 2, lit(1))),
-      i => text.substr(i, lit(3)))
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => text.substr(i, lit(n)))
+
+  def char_trigrams(text: Column): Column = char_ngrams(text, 3)
 
   /** Character-n-gram language ID — the production-shaped upgrade of
     * [[lang_guess]]: score = number of DISTINCT text trigrams found in each
