@@ -47,6 +47,12 @@ package object functions {
   def vector_dot(a: Column, b: Column): Column =
     toColumn(graft.plans.VectorDot(toExpr(a), toExpr(b)))
 
+  /** Native sign-LSH bucket id (`planes` hyperplane sign bits packed into a
+    * long); bit-identical to the declarative hyperplane fold.
+    */
+  def sign_lsh(vec: Column, planes: Int): Column =
+    toColumn(graft.plans.SignLsh(toExpr(vec), planes))
+
   /** Decode arbitrary protobuf payload bytes per a [[graft.core.ProtoSchema]]
     * descriptor → struct; null on malformed input.
     */

@@ -81,3 +81,93 @@ case class VectorDot(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
     copy(left = l, right = r)
 }
+
+/** Sign-LSH bucket id for a vector in ONE native pass — `planes` dot
+  * products against deterministic pseudo-random hyperplanes, sign bits
+  * packed into a long.
+  *
+  * Replaces the declarative form (explode over planes + per-element Catalyst
+  * lambda fold + groupBy(id) bit-sum), which paid planes×dim interpreted
+  * lambda evals per row AND a full shuffle of the exploded rows. Bucket
+  * values are bit-identical: hyperplane components reproduce
+  * `(portable_hash(concat_ws(":", p, i)) % 1000000) / 2000000.0` exactly
+  * (md5-hex prefix parse, same truncated-division remainder), and the dot
+  * accumulates left-to-right in double like the zip_with fold. A vector
+  * containing a null element buckets to 0, matching the lambda pipeline
+  * (null dot → CASE WHEN null → 0 bit on every plane).
+  */
+case class SignLsh(child: Expression, planes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = child.nullable
+
+  private lazy val isFloat = child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_lsh expects array<float|double>, got $other")
+    }
+
+  // per-(plane, dim) hyperplane components, grown lazily to the widest
+  // vector seen; one md5 each, computed once per task instead of per row
+  @transient private var comp: Array[Array[Double]] = _
+
+  private def component(p: Int, i: Int): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    (h % 1000000L).toDouble / 2000000.0
+  }
+
+  private def ensure(dim: Int): Unit = {
+    if (comp == null) comp = Array.fill(planes)(Array.emptyDoubleArray)
+    if (comp(0).length < dim) {
+      var p = 0
+      while (p < planes) {
+        val old = comp(p)
+        val grown = java.util.Arrays.copyOf(old, dim)
+        var i = old.length
+        while (i < dim) { grown(i) = component(p, i); i += 1 }
+        comp(p) = grown
+        p += 1
+      }
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    ensure(n)
+    var i = 0
+    while (i < n) { // null element => every plane's dot is null => bucket 0
+      if (arr.isNullAt(i)) return 0L
+      i += 1
+    }
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val plane = comp(p)
+      var dot = 0.0
+      i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += x * plane(i)
+        i += 1
+      }
+      if (dot >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override def prettyName: String = "sign_lsh"
+  override protected def withNewChildInternal(c: Expression): SignLsh = copy(child = c)
+}

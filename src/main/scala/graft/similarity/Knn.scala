@@ -44,12 +44,30 @@ object Knn {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5). */
-  private def planeComponent(plane: Column, dim: Column): Column =
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
+    * (Declarative twin of the native SignLsh expression's component math —
+    * kept for the equivalence test in DedupSpec.)
+    */
+  private[graft] def planeComponent(plane: Column, dim: Column): Column =
     (portable_hash(concat_ws(":", plane, dim)) % 1000000L).cast("double") / 2000000.0
 
-  /** Sign-LSH bucket id (`planes` bits) for each row's vector. */
-  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
+  /** Sign-LSH bucket id (`planes` bits) for each row's vector — ONE native
+    * expression per row ([[graft.plans.SignLsh]]), no explode, no shuffle.
+    * (The original declarative form exploded a row per plane, paid a
+    * Catalyst lambda per element, and re-grouped by id — a full shuffle just
+    * to assign buckets; see [[declarativeLshBuckets]], retained as its
+    * equivalence oracle.)
+    */
+  def lshBuckets(df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.sign_lsh(col(vecCol), planes).as("bucket"))
+
+  /** The pre-native declarative bucket pipeline; bit-identical to
+    * [[lshBuckets]] (asserted in DedupSpec), kept as the equivalence oracle
+    * for the native expression.
+    */
+  private[graft] def declarativeLshBuckets(
+      df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
     val withDims = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), explode(sequence(lit(0), lit(planes - 1))).as("p"))
     // dot(v, plane_p) via an index fold over the vector

@@ -123,6 +123,17 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.3, s"multi-probe LSH recall $recall below floor")
   }
 
+  test("native sign_lsh buckets are bit-identical to the declarative hyperplane fold") {
+    val e = Tables.embeddings(spark, sfDir)
+    val native = Knn.lshBuckets(e, "vec_id", "embedding", planes = 4)
+      .as[(Long, Long)].collect().toMap
+    val declarative = Knn.declarativeLshBuckets(e, "vec_id", "embedding", planes = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(native.size == declarative.size && native.nonEmpty)
+    assert(native == declarative,
+      s"first diff: ${native.find { case (k, v) => declarative.get(k) != Some(v) }}")
+  }
+
   test("IVF top-k recall beats its candidate-fraction floor vs brute force") {
     val e = Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") % 50 === 0)
