@@ -28,25 +28,37 @@ object Dedup {
 
   /** MinHash signatures: k hash functions over character `shingleSize`-grams,
     * derived by double hashing `(h1 + i*h2) mod P` from two 60-bit halves of
-    * ONE md5 per shingle (hex chars 1-15 and 16-30) — same trick the CMS
-    * uses; the family stays engine-portable for the oracle. The k mins
-    * aggregate in ONE wide groupBy pass (no k-fold row explosion), then
-    * unpivot to long form.
+    * ONE md5 per distinct shingle (hex chars 1-15 and 16-30) — same trick the
+    * CMS uses; the family stays engine-portable for the oracle. The whole
+    * signature is computed by ONE native expression per row
+    * ([[graft.plans.MinHashSigs]]) — no shingle explode, no groupBy shuffle.
     */
   /** Wide form of [[minHashSignatures]]: one row per doc with columns
-    * `mh0..mh{k-1}` — the direct output of the single min-agg pass. Banding
-    * consumes this form without any further shuffle.
+    * `mh0..mh{k-1}`. Banding consumes this form without any shuffle.
     */
   def minHashSignaturesWide(
       df: DataFrame,
       idCol: Column,
       textCol: Column,
       k: Int,
+      shingleSize: Int): DataFrame =
+    df.select(idCol.as("id"),
+        graft.functions.minhash_sigs(textCol, shingleSize, k).as("__mh"))
+      // null text drops the doc, as the declarative explode did
+      .filter(col("__mh").isNotNull)
+      .select(col("id") +: (0 until k).map(i => col("__mh")(i).as(s"mh$i")): _*)
+
+  /** The pre-native declarative signature pipeline (explode distinct
+    * shingles → Catalyst md5/conv → k min-aggs in one groupBy); bit-identical
+    * to [[minHashSignaturesWide]] (asserted in DedupSpec), kept as the
+    * equivalence oracle for the native expression.
+    */
+  private[graft] def declarativeMinHashSignaturesWide(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      k: Int,
       shingleSize: Int): DataFrame = {
-    // distinct shingles per doc BEFORE hashing: min() is idempotent over
-    // duplicates, so the signature is identical, and repeated shingles
-    // (common 5-grams) stop paying an md5 each. char_ngrams carries the
-    // clamping rule the oracle SQL mirrors.
     val shingled = df
       .select(idCol.as("id"),
         explode(array_distinct(
@@ -111,11 +123,24 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
-  /** SimHash (bitsPerHash-bit) over whitespace tokens: per bit, majority vote
-    * of token-hash bits. Near-dups then compare by Hamming distance; at scale
-    * candidates come from banding the simhash bytes, not from all-pairs.
+  /** SimHash (bits-bit) over whitespace tokens: per bit, majority vote of
+    * token-hash bits, computed by ONE native expression per row
+    * ([[graft.plans.SimHash]]) — no token×bit row explosion, no shuffle.
+    * Near-dups then compare by Hamming distance; at scale candidates come
+    * from banding the simhash bits, not from all-pairs.
     */
-  def simHash(df: DataFrame, idCol: Column, textCol: Column, bits: Int = 32): DataFrame = {
+  def simHash(df: DataFrame, idCol: Column, textCol: Column, bits: Int = 32): DataFrame =
+    df.select(idCol.as("id"),
+        graft.functions.sim_hash(textCol, bits).as("simhash"))
+      // null text drops the doc, as the declarative explode did
+      .filter(col("simhash").isNotNull)
+
+  /** The pre-native declarative simhash pipeline (explode tokens × explode
+    * bits → two-level groupBy); bit-identical to [[simHash]] (asserted in
+    * DedupSpec), kept as the equivalence oracle for the native expression.
+    */
+  private[graft] def declarativeSimHash(
+      df: DataFrame, idCol: Column, textCol: Column, bits: Int): DataFrame = {
     val toks = df.select(idCol.as("id"), explode(split(textCol, " ")).as("tok"))
       .withColumn("h", portable_hash(col("tok")))
     toks

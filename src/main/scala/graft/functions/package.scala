@@ -53,6 +53,19 @@ package object functions {
   def sign_lsh(vec: Column, planes: Int): Column =
     toColumn(graft.plans.SignLsh(toExpr(vec), planes))
 
+  /** Native k-wide minhash signature (array of k longs) over character
+    * `shingleSize`-grams; bit-identical to the declarative explode→md5→min
+    * pipeline it replaces.
+    */
+  def minhash_sigs(text: Column, shingleSize: Int, k: Int): Column =
+    toColumn(graft.plans.MinHashSigs(toExpr(text), shingleSize, k))
+
+  /** Native `bits`-bit simhash over single-space tokens; bit-identical to
+    * the declarative explode(tokens)×explode(bits)→majority-vote pipeline.
+    */
+  def sim_hash(text: Column, bits: Int): Column =
+    toColumn(graft.plans.SimHash(toExpr(text), bits))
+
   /** Decode arbitrary protobuf payload bytes per a [[graft.core.ProtoSchema]]
     * descriptor → struct; null on malformed input.
     */

@@ -1,0 +1,168 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared md5 plumbing for the portable text-hash family (see
+  * [[graft.functions.TextFunctions.portable_hash]]): both expressions below
+  * must reproduce `conv(substring(md5(s), pos, 15), 16, 10)` bit-for-bit so
+  * the DuckDB oracle recomputes identical values from the SQL form.
+  */
+private[plans] trait Md5HashedText {
+  // one digest instance per (deserialized) expression copy = per task; the
+  // same per-task mutable-state pattern SignLsh uses
+  @transient private var md: MessageDigest = _
+
+  protected final def digest(s: UTF8String): Array[Byte] = {
+    if (md == null) md = MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes)
+  }
+
+  /** Hex chars 1-15 of the digest (nibbles 0-14) as a 60-bit long:
+    * big-endian bytes 0-7 shifted right one nibble.
+    */
+  protected final def hexHead(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
+
+  /** Hex chars 16-30 of the digest (nibbles 15-29) as a 60-bit long:
+    * low nibble of byte 7 followed by bytes 8-14.
+    */
+  protected final def hexTail(d: Array[Byte]): Long = {
+    var v = d(7) & 0xFL
+    var i = 8
+    while (i < 15) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    v
+  }
+
+  protected final def requireString(e: Expression, name: String): TypeCheckResult =
+    e.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"$name expects string, got $other")
+    }
+}
+
+/** The k-wide minhash signature of a document in ONE native pass — distinct
+  * character `shingleSize`-grams, one md5 per distinct shingle, k running
+  * mins of the double-hash family `(h1 + i*h2) mod P`.
+  *
+  * Replaces the declarative pipeline (explode distinct shingles → Catalyst
+  * md5-hex → conv/substring parses → groupBy(id) with k min aggregates),
+  * which paid the string-hex round trip per shingle plus a shuffle whose only
+  * job was to re-assemble rows the map side already had. Values are
+  * bit-identical (asserted in DedupSpec): shingle extraction mirrors
+  * `char_ngrams`'s clamping rule `sequence(1, greatest(len - (n-1), 1))` with
+  * SQL substring semantics, and the two 60-bit hash halves reproduce
+  * `conv(substring(md5(sh), 1|16, 15), 16, 10) % P` exactly.
+  *
+  * Null text → null (the caller filters, matching the explode-drop of the
+  * declarative form); empty text hashes its single "" shingle, as
+  * `substr(text, 1, n)` does on both engines.
+  */
+case class MinHashSigs(child: Expression, shingleSize: Int, k: Int)
+    extends UnaryExpression with CodegenFallback with Md5HashedText {
+  require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  /** Modulus of the double-hash family ([[graft.dedup.Dedup.MinHashP]]). */
+  private val P = 2147483647L
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = requireString(child, "minhash_sigs")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    // char_ngrams clamp: positions 1 .. max(len - (n-1), 1); a doc shorter
+    // than one shingle yields the whole doc as its only shingle
+    val last = math.max(text.numChars() - (shingleSize - 1), 1)
+    val seen = new java.util.HashSet[UTF8String]()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var pos = 1
+    while (pos <= last) {
+      val sh = text.substringSQL(pos, shingleSize)
+      if (seen.add(sh)) {
+        val d = digest(sh)
+        val h1 = hexHead(d) % P
+        val h2 = hexTail(d) % P
+        var i = 0
+        var cur = h1
+        while (i < k) { // (h1 + i*h2) mod P, incrementally
+          if (cur < mins(i)) mins(i) = cur
+          cur += h2
+          if (cur >= P) cur -= P
+          i += 1
+        }
+      }
+      pos += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override def prettyName: String = "minhash_sigs"
+  override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
+}
+
+/** The `bits`-bit simhash of a document in ONE native pass — split on single
+  * spaces (trailing empties kept, duplicate tokens counted, exactly like
+  * `split(text, ' ')` + explode), one 60-bit portable hash per DISTINCT token
+  * (duplicates reuse the memoized hash but still vote), majority vote per bit.
+  *
+  * Replaces the declarative pipeline (explode tokens × explode bits →
+  * two-level groupBy), which materialized tokens × bits rows and shuffled
+  * twice. Values are bit-identical (asserted in DedupSpec): the token hash
+  * reproduces `portable_hash` (md5 hex chars 1-15 as a long, no modulus), a
+  * tie vote sets the bit (`vote >= 0`), and bit b contributes `1L << b`.
+  */
+case class SimHash(child: Expression, bits: Int)
+    extends UnaryExpression with CodegenFallback with Md5HashedText {
+  require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = requireString(child, "sim_hash")
+
+  @transient private lazy val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String]
+    // same tokenization as Spark's split(text, " ") with its default -1
+    // limit: single-space separators, consecutive/trailing empties kept
+    val toks = text.split(space, -1)
+    val votes = new Array[Int](bits)
+    val cache = new java.util.HashMap[UTF8String, java.lang.Long]()
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var h = cache.get(tok)
+      if (h == null) {
+        h = java.lang.Long.valueOf(hexHead(digest(tok)))
+        cache.put(tok, h)
+      }
+      val hv = h.longValue()
+      var b = 0
+      while (b < bits) {
+        if (((hv >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) >= 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override def prettyName: String = "sim_hash"
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+}

@@ -125,9 +125,11 @@ object PipelineQueries {
     Q(
       "pq05_simhash_pairs",
       (s, dir) => {
+        // lang rides the same scan as the native simhash — no join-back;
+        // the banded self-join then reuses ONE exchange for both sides
         val d = Tables.documents(s, dir)
-        val sims = Dedup.simHash(d, col("doc_id"), col("text"), bits = 16)
-          .join(d.select(col("doc_id").as("id"), col("lang")), "id")
+        val sims = d.select(col("doc_id").as("id"),
+          graft.functions.sim_hash(col("text"), 16).as("simhash"), col("lang"))
         Dedup.simHashBandedPairs(sims, bits = 16, bands = 4, maxDist = 3,
           blockCol = Some(col("lang")))
       },

@@ -42,6 +42,46 @@ class DedupSpec extends SparkTestBase {
     assert(avgDist <= 6.0, s"near-dups should have low simhash distance, got avg $avgDist")
   }
 
+  test("native minhash signatures are bit-identical to the declarative explode pipeline") {
+    val d = Tables.documents(spark, sfDir)
+    val key = (r: org.apache.spark.sql.Row) =>
+      r.getLong(0) -> (1 until r.length).map(r.getLong).toVector
+    val native = Dedup.minHashSignaturesWide(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
+      .collect().map(key).toMap
+    val declarative = Dedup.declarativeMinHashSignaturesWide(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
+      .collect().map(key).toMap
+    assert(native.size == declarative.size && native.nonEmpty)
+    assert(native == declarative,
+      s"first diff: ${native.find { case (k, v) => declarative.get(k) != Some(v) }}")
+  }
+
+  test("native simhash is bit-identical to the declarative token-vote pipeline") {
+    val d = Tables.documents(spark, sfDir)
+    val native = Dedup.simHash(d, col("doc_id"), col("text"), bits = 32)
+      .as[(Long, Long)].collect().toMap
+    val declarative = Dedup.declarativeSimHash(d, col("doc_id"), col("text"), bits = 32)
+      .as[(Long, Long)].collect().toMap
+    assert(native.size == declarative.size && native.nonEmpty)
+    assert(native == declarative,
+      s"first diff: ${native.find { case (k, v) => declarative.get(k) != Some(v) }}")
+  }
+
+  test("native minhash/simhash handle empty and sub-shingle texts like the oracle clamp") {
+    import spark.implicits._
+    val tiny = Seq((1L, ""), (2L, "ab"), (3L, "a b"), (4L, "hello world hello"))
+      .toDF("doc_id", "text")
+    val native = Dedup.minHashSignaturesWide(tiny, col("doc_id"), col("text"), k = 4, shingleSize = 5)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector).toMap
+    val declarative = Dedup.declarativeMinHashSignaturesWide(tiny, col("doc_id"), col("text"), k = 4, shingleSize = 5)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector).toMap
+    assert(native == declarative && native.size == 4)
+    val nSim = Dedup.simHash(tiny, col("doc_id"), col("text"), bits = 16)
+      .as[(Long, Long)].collect().toMap
+    val dSim = Dedup.declarativeSimHash(tiny, col("doc_id"), col("text"), bits = 16)
+      .as[(Long, Long)].collect().toMap
+    assert(nSim == dSim && nSim.size == 4)
+  }
+
   test("banded simhash candidates equal blocked-exhaustive pairs (pigeonhole)") {
     val d = Tables.documents(spark, sfDir)
     val sims = Dedup.simHash(d, col("doc_id"), col("text"), bits = 32)

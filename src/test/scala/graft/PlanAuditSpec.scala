@@ -25,7 +25,7 @@ class PlanAuditSpec extends SparkTestBase {
     */
   private val mustBroadcast = Map(
     "dq07_quota_exact" -> 4, "dq09_cms_rates" -> 2,
-    "pq03_lsh_pairs" -> 2, "pq05_simhash_pairs" -> 6, "pq06_jaccard_pairs" -> 4,
+    "pq03_lsh_pairs" -> 2, "pq05_simhash_pairs" -> 2, "pq06_jaccard_pairs" -> 4,
     "pq07_embed_neardup" -> 2, "pq08_knn_brute" -> 2, "pq09_knn_lsh" -> 6,
     "pq13_embed_neardup_lsh" -> 6,
     "q03_join_revenue" -> 4, "q04_multi_join" -> 8, "q05_topk_customers" -> 2,
