@@ -179,15 +179,19 @@ final class DynamicRateLimiter(
 /** foreachBatch admission gates. */
 object RateGate {
   /** Wrap a foreachBatch body so each batch acquires one permit per row
-    * before processing. The count() materializes the batch's row count from
-    * the source (cheap columnar count); bound the batch with
-    * `maxOffsetsPerTrigger` so a single admission never waits more than
-    * roughly one trigger of permits.
+    * before processing. The batch is persisted before counting so the
+    * admission count() and the body share ONE source scan per trigger (a
+    * naked count() would re-read the file/Kafka micro-batch); bound the
+    * batch with `maxOffsetsPerTrigger` so a single admission never waits
+    * more than roughly one trigger of permits.
     */
   def gated(limiter: RateLimiter)(process: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
     (df, batchId) => {
-      val n = df.count()
-      if (n > 0) limiter.acquire(math.min(n, Int.MaxValue.toLong).toInt)
-      process(df, batchId)
+      df.persist()
+      try {
+        val n = df.count()
+        if (n > 0) limiter.acquire(math.min(n, Int.MaxValue.toLong).toInt)
+        process(df, batchId)
+      } finally df.unpersist()
     }
 }

@@ -52,7 +52,15 @@ object TemporalJoins {
     val lType = left.select(lStruct).schema.head.dataType
     val rType = right.select(rStruct).schema.head.dataType
 
-    val l = left.select(
+    // NULL-key left rows can never match any right row — null-extend them
+    // directly and keep them OUT of the window. Left in, they all hash to
+    // the single NULL partition of the window exchange and get sorted for
+    // nothing: one straggler task at any meaningful null-key fraction.
+    val lNull = left.filter(leftKey.isNull)
+      .select(lStruct.as("__l"), lit(null).cast(rType).as("asof"))
+      .select(col("__l.*"), col("asof"))
+
+    val l = left.filter(leftKey.isNotNull).select(
       leftKey.as("__k"), leftTs.as("__ts"), lit(1).as("__side"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"))
     // NULL keys/timestamps can never satisfy an equality/inequality join;
@@ -71,6 +79,7 @@ object TemporalJoins {
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(col("__l.*"), col("__asof").as("asof"))
+      .unionByName(lNull)
   }
 
   /** Range (interval) join, bucketed: pair every left row whose `leftTs`

@@ -3,7 +3,7 @@ package graft.plans
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
@@ -69,7 +69,7 @@ private[plans] trait Md5HashedText {
   * `substr(text, 1, n)` does on both engines.
   */
 case class MinHashSigs(child: Expression, shingleSize: Int, k: Int)
-    extends UnaryExpression with CodegenFallback with Md5HashedText {
+    extends UnaryExpression with Md5HashedText {
   require(shingleSize >= 1, s"shingleSize must be >= 1, got $shingleSize")
   require(k >= 1, s"k must be >= 1, got $k")
 
@@ -107,6 +107,18 @@ case class MinHashSigs(child: Expression, shingleSize: Int, k: Int)
     new GenericArrayData(mins)
   }
 
+  // Not a Java translation of the loop: the generated code calls this very
+  // expression's nullSafeEval through a reference object. The point is to
+  // shed the CodegenFallback marker — any expression carrying it disqualifies
+  // its entire plan node from whole-stage codegen (CollapseCodegenStages),
+  // forcing row materialization around the stage. The per-row work is
+  // identical; the stage fusion around it is what we buy.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSigs", this, classOf[MinHashSigs].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
   override def prettyName: String = "minhash_sigs"
   override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
 }
@@ -123,7 +135,7 @@ case class MinHashSigs(child: Expression, shingleSize: Int, k: Int)
   * tie vote sets the bit (`vote >= 0`), and bit b contributes `1L << b`.
   */
 case class SimHash(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback with Md5HashedText {
+    extends UnaryExpression with Md5HashedText {
   require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
 
   override def dataType: DataType = LongType
@@ -161,6 +173,14 @@ case class SimHash(child: Expression, bits: Int)
       b += 1
     }
     sig
+  }
+
+  // same bridge as MinHashSigs: shed CodegenFallback to keep the stage in
+  // whole-stage codegen; the per-row vote loop itself is unchanged
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simHash", this, classOf[SimHash].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
   }
 
   override def prettyName: String = "sim_hash"

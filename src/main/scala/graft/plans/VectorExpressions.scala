@@ -97,8 +97,7 @@ case class VectorDot(left: Expression, right: Expression)
   * (null dot → CASE WHEN null → 0 bit on every plane).
   */
 case class SignLsh(child: Expression, planes: Int)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
@@ -166,6 +165,17 @@ case class SignLsh(child: Expression, planes: Int)
       p += 1
     }
     bucket
+  }
+
+  // Bridge codegen (same as MinHashSigs/SimHash): the generated code calls
+  // this expression's own nullSafeEval via a reference object. Shedding the
+  // CodegenFallback marker keeps the surrounding stage inside whole-stage
+  // codegen (CodegenFallback anywhere in a plan node's expressions disables
+  // fusion for the whole node); the per-row plane loop is unchanged.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signLsh", this, classOf[SignLsh].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
   }
 
   override def prettyName: String = "sign_lsh"

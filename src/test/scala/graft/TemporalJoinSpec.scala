@@ -48,6 +48,35 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(out == Map(1L -> Some(100L), 2L -> None))
   }
 
+  test("asOfJoin: NULL-key left rows bypass the window exchange (no NULL-partition skew)") {
+    // 30% of left keys NULL: these rows must not enter the window's hash
+    // exchange (they would all land in the single NULL partition and be
+    // sorted for nothing — a straggler task at scale)
+    val left = spark.range(1000)
+      .select(col("id"),
+        when(col("id") % 10 < 3, lit(null).cast("string"))
+          .otherwise(concat(lit("k"), col("id") % 7)).as("k"),
+        timestamp_seconds(col("id") + 1700000000L).as("ts"))
+    val right = spark.range(100)
+      .select(concat(lit("k"), col("id") % 7).as("rk"),
+        timestamp_seconds(col("id") * 10 + 1700000000L).as("rts"),
+        (col("id") * 2).as("v"))
+    val out = TemporalJoins.asOfJoin(
+      left, right, col("k"), col("rk"), col("ts"), col("rts"), Seq(col("v")))
+    // correctness: every NULL-key left row survives, null-extended
+    val nullRows = out.filter(col("k").isNull)
+    assert(nullRows.count() == 300L)
+    assert(nullRows.filter(col("asof").isNotNull).count() == 0L)
+    assert(out.count() == 1000L)
+    // plan: the window's input carries an isnotnull filter on the key — the
+    // NULL partition never reaches the sort
+    val physical = out.queryExecution.executedPlan.toString()
+    val windowIdx = physical.indexOf("Window")
+    assert(windowIdx >= 0, s"expected a Window node in:\n$physical")
+    assert(physical.substring(windowIdx).contains("isnotnull"),
+      s"window input should filter NULL keys:\n$physical")
+  }
+
   test("asOfJoin refuses a left frame that already has an 'asof' column") {
     val left = Seq((1L, "k1", t("2024-01-01 12:00:00"), "x")).toDF("id", "k", "ts", "asof")
     val right = Seq(("k1", t("2024-01-01 10:00:00"), 1L)).toDF("rk", "rts", "v")
