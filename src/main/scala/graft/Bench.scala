@@ -183,23 +183,44 @@ object Bench {
     // Engine-overhead floor: same pipeline, no simulated I/O. The reference's
     // claim is latency-INDEPENDENT throughput (docs/runtime.adoc:64); the gap
     // between this number and tps above is the simulated-I/O timer, not the
-    // engine.
-    val nf0 = System.nanoTime()
-    locally {
+    // engine. The whole probe is a ~1 s window dominated by per-job fixed
+    // costs, so a single sample swings ±2x run to run (the r1→r2 "58.8k vs
+    // 44.4k floor regression" was exactly this) — warm it up untimed, then
+    // report the median of 3 reps plus the reps themselves.
+    def noIoRep(): Double = {
       import spark.implicits._
+      val t0 = System.nanoTime()
       val n = graft.streaming.AsyncProcessing.mapAsyncKeyed(
         spark.range(streamTasks).map(i => (s"key-${i % 10000}", i))
           .repartition(32, org.apache.spark.sql.functions.col("_1")),
         maxInFlight = 64)(_._1, _._2).count()
       require(n == streamTasks)
+      streamTasks / ((System.nanoTime() - t0) / 1e9)
     }
-    val tpsNoIo = streamTasks / ((System.nanoTime() - nf0) / 1e9)
+    noIoRep() // untimed warm-up (JIT for this pipeline shape)
+    val noIoReps = Seq.fill(3)(noIoRep()).sorted
+    val tpsNoIo = noIoReps(1)
+
+    // Production-size CMS probe (the reference's 65536x12 quota budget,
+    // ~6 MB/sketch): records that the salted two-level merge keeps reducer
+    // fan-in bounded at full width — the partial per (window, salt) is the
+    // only thing that crosses the wire, and no reducer merges more than
+    // (input partitions / salts) of them.
+    val cmsT0 = System.nanoTime()
+    graft.operators.PerKeyQuota.windowedSketchSalted(
+        Tables.events(spark, sfDir), org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"), "1 day",
+        salts = 4, width = 65536, depth = 12)
+      .write.format("noop").mode("overwrite").save()
+    val cmsFullSec = (System.nanoTime() - cmsT0) / 1e9
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stream_tasks_per_sec":$tps,"stream_tasks_per_sec_no_io":$tpsNoIo,""" +
+      s""""stream_no_io_reps":${noIoReps.mkString("[", ",", "]")},""" +
+      s""""cms_full_sketch_sec":$cmsFullSec,""" +
       s""""stream_task_count":$streamTasks,""" +
       s""""stream_latency_avg_ms":$latAvgMs,"stream_latency_max_ms":$latMaxMs,""" +
       s""""stream_gc_count":${gcCount1 - gcCount0},"stream_gc_time_ms":${gcTime1 - gcTime0},""" +

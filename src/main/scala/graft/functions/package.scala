@@ -48,10 +48,12 @@ package object functions {
     toColumn(graft.plans.VectorDot(toExpr(a), toExpr(b)))
 
   /** Native sign-LSH bucket id (`planes` hyperplane sign bits packed into a
-    * long); bit-identical to the declarative hyperplane fold.
+    * long); bit-identical to the declarative hyperplane fold. `planeOffset`
+    * selects an independent hyperplane family (table t of b planes passes
+    * t*b) for multi-table LSH.
     */
-  def sign_lsh(vec: Column, planes: Int): Column =
-    toColumn(graft.plans.SignLsh(toExpr(vec), planes))
+  def sign_lsh(vec: Column, planes: Int, planeOffset: Int = 0): Column =
+    toColumn(graft.plans.SignLsh(toExpr(vec), planes, planeOffset))
 
   /** Native k-wide minhash signature (array of k longs) over character
     * `shingleSize`-grams; bit-identical to the declarative explode→md5→min

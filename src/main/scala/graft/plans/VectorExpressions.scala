@@ -96,9 +96,10 @@ case class VectorDot(left: Expression, right: Expression)
   * containing a null element buckets to 0, matching the lambda pipeline
   * (null dot → CASE WHEN null → 0 bit on every plane).
   */
-case class SignLsh(child: Expression, planes: Int)
+case class SignLsh(child: Expression, planes: Int, planeOffset: Int = 0)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+  require(planeOffset >= 0, s"planeOffset must be >= 0, got $planeOffset")
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def nullable: Boolean = child.nullable
@@ -134,7 +135,9 @@ case class SignLsh(child: Expression, planes: Int)
         val old = comp(p)
         val grown = java.util.Arrays.copyOf(old, dim)
         var i = old.length
-        while (i < dim) { grown(i) = component(p, i); i += 1 }
+        // plane ids are global across tables: table t of b planes hashes
+        // planes [t*b, (t+1)*b) — independent hyperplanes per table
+        while (i < dim) { grown(i) = component(p + planeOffset, i); i += 1 }
         comp(p) = grown
         p += 1
       }

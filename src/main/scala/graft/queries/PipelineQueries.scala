@@ -182,18 +182,33 @@ object PipelineQueries {
         WHERE inter * 5 >= (sa.sz + sb.sz - inter) * 2
       """)),
 
-    // ---- embedding cosine near-dup pairs (double-precision left-fold on
-    // both engines; filter on the raw value, emit rounded).
+    // ---- embedding cosine near-dup pairs, blocked on the sign-LSH home
+    // bucket — the quadratic step runs only INSIDE buckets, so no registered
+    // query carries an all-pairs join (the unblocked form survives solely as
+    // DedupSpec's recall oracle for pq13). Fully hash-checked: the oracle SQL
+    // recomputes the identical bucket (same md5 hyperplane components, same
+    // left-fold dot, same >= 0 sign rule) and the identical cosine.
     Q(
       "pq07_embed_neardup",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
-        Dedup.embeddingNearPairs(e, col("vec_id"), col("embedding"), lit(1), minCosine = 0.4)
+        Dedup.embeddingNearPairs(e, col("vec_id"), col("embedding"),
+          graft.functions.sign_lsh(col("embedding"), 4), minCosine = 0.4)
       },
       Some("""
-        WITH p AS (
-          SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.embedding AS va, b.embedding AS vb
-          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WITH b AS (
+          SELECT vec_id, embedding,
+            list_sum(list_transform(generate_series(0,3), p ->
+              CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                list_transform(generate_series(1, len(embedding)), i ->
+                  CAST(embedding[CAST(i AS INT)] AS DOUBLE) *
+                  (CAST(CAST(('0x'||substr(md5(CAST(p AS VARCHAR)||':'||CAST(i-1 AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE) / 2000000.0))),
+                (acc,x) -> acc + x) >= 0
+              THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END)) AS bucket
+          FROM embeddings
+        ), p AS (
+          SELECT x.vec_id AS id_a, y.vec_id AS id_b, x.embedding AS va, y.embedding AS vb
+          FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
         ), c AS (
           SELECT id_a, id_b,
             list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(va)), i -> CAST(va[CAST(i AS INT)] AS DOUBLE) * CAST(vb[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x) AS dot,
@@ -243,15 +258,18 @@ object PipelineQueries {
       },
       None),
 
-    // ---- sign-LSH approximate top-k with query-side multi-probe: the scale
-    // path (bucketed candidates). No SQL oracle — recall vs brute force is
-    // asserted in DedupSpec.
+    // ---- sign-LSH approximate top-k: 8 independent hyperplane tables with
+    // query-side one-flip multi-probe — the scale path (bucketed candidates;
+    // the table union lifts recall to >= 0.7 vs brute force where a single
+    // probed table plateaus near 0.4 — asserted in DedupSpec). No SQL oracle
+    // (bucketing is engine-internal).
     Q(
       "pq09_knn_lsh",
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val queries = e.filter(col("vec_id") % 50 === 0)
-        Knn.signLshTopK(e, queries, "vec_id", "embedding", k = 5, planes = 4, probes = 1)
+        Knn.signLshTopK(e, queries, "vec_id", "embedding", k = 5,
+          planes = 4, probes = 1, tables = 8)
       },
       None),
 

@@ -67,13 +67,14 @@ object Knn {
     * for the native expression.
     */
   private[graft] def declarativeLshBuckets(
-      df: DataFrame, idCol: String, vecCol: String, planes: Int): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, planes: Int,
+      planeOffset: Int = 0): DataFrame = {
     val withDims = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .select(col("id"), col("v"), explode(sequence(lit(0), lit(planes - 1))).as("p"))
-    // dot(v, plane_p) via an index fold over the vector
+    // dot(v, plane_{p+offset}) via an index fold over the vector
     val dot = aggregate(
       zip_with(col("v"), sequence(lit(0), size(col("v")) - 1),
-        (x, i) => x.cast("double") * planeComponent(col("p"), i)),
+        (x, i) => x.cast("double") * planeComponent(col("p") + planeOffset, i)),
       lit(0.0), (acc, x) => acc + x)
     withDims
       .withColumn("bit", when(dot >= 0, lit(1L)).otherwise(lit(0L)))
@@ -99,6 +100,40 @@ object Knn {
         when(col("j") === 0, col("bucket"))
           .otherwise(expr("bucket ^ shiftleft(1L, cast(j - 1 as int))")))
       .select(col("id"), col("bucket"))
+  }
+
+  /** (id, tbl, bucket) under `tables` INDEPENDENT hyperplane families, in
+    * one corpus pass: table t hashes planes [t*planes, (t+1)*planes), and
+    * the per-table buckets posexplode from one array of native sign_lsh
+    * values — constant fan-out, no extra scan. Multi-table LSH is the
+    * standard recall lever (union of tables: 1-(1-r)^L) that probing alone
+    * can't reach once the per-table match probability is low.
+    */
+  def lshTableBuckets(
+      df: DataFrame, idCol: String, vecCol: String, planes: Int, tables: Int): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    df.select(col(idCol).as("id"),
+      posexplode(array((0 until tables).map(t =>
+        graft.functions.sign_lsh(col(vecCol), planes, t * planes)): _*)))
+      .toDF("id", "tbl", "bucket")
+  }
+
+  /** Multi-probe expansion of [[lshTableBuckets]]: per table, the home
+    * bucket plus (probes = 1) every one-bit-flip bucket.
+    */
+  def lshTableProbes(
+      df: DataFrame, idCol: String, vecCol: String,
+      planes: Int, tables: Int, probes: Int): DataFrame = {
+    require(probes == 0 || probes == 1, "only probe distance 0 or 1 supported")
+    val home = lshTableBuckets(df, idCol, vecCol, planes, tables)
+    if (probes == 0) home
+    else home
+      .select(col("id"), col("tbl"), col("bucket"),
+        explode(sequence(lit(0), lit(planes))).as("j"))
+      .withColumn("bucket",
+        when(col("j") === 0, col("bucket"))
+          .otherwise(expr("bucket ^ shiftleft(1L, cast(j - 1 as int))")))
+      .select(col("id"), col("tbl"), col("bucket"))
   }
 
   /** IVF coarse quantizer: `nlist` centroids drawn deterministically from
@@ -164,9 +199,11 @@ object Knn {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket, with
-    * the query side probing `probes`-flip-adjacent buckets too. Recall
-    * measured against [[bruteForceTopK]] in DedupSpec.
+  /** Approximate top-k: candidates restricted to the query's LSH bucket(s) —
+    * `tables` independent hyperplane families, the query side probing
+    * `probes`-flip-adjacent buckets in each. Recall measured against
+    * [[bruteForceTopK]] in DedupSpec; the union over tables is what lifts it
+    * past what a single table can reach (1-(1-r)^L vs r).
     */
   def signLshTopK(
       corpus: DataFrame,
@@ -175,15 +212,20 @@ object Knn {
       vecCol: String,
       k: Int,
       planes: Int,
-      probes: Int = 0): DataFrame = {
-    val cb = lshBuckets(corpus, idCol, vecCol, planes)
+      probes: Int = 0,
+      tables: Int = 1): DataFrame = {
+    val cb = lshTableBuckets(corpus, idCol, vecCol, planes, tables)
       .withColumnRenamed("id", "nbr_id")
     val qb = broadcast(
-      lshProbes(queries, idCol, vecCol, planes, probes)
-        .withColumnRenamed("id", "query_id").withColumnRenamed("bucket", "qbucket"))
-    // a neighbor can hit several probe buckets of one query — dedupe the
-    // candidate id pairs BEFORE scoring so row_number ranks unique neighbors
-    val cands = cb.join(qb, col("qbucket") === col("bucket") && col("query_id") =!= col("nbr_id"))
+      lshTableProbes(queries, idCol, vecCol, planes, tables, probes)
+        .withColumnRenamed("id", "query_id")
+        .withColumnRenamed("tbl", "qtbl").withColumnRenamed("bucket", "qbucket"))
+    // a neighbor can hit several probe buckets/tables of one query — dedupe
+    // the candidate id pairs BEFORE scoring so each pair costs one dot and
+    // row_number ranks unique neighbors
+    val cands = cb.join(qb,
+        col("qtbl") === col("tbl") && col("qbucket") === col("bucket") &&
+          col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id")).distinct()
     val scored = cands
       .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")

@@ -62,6 +62,43 @@ class CmsSpec extends SparkTestBase {
     }
   }
 
+  test("salted two-level merge holds the upper bound at the production size (65536x12)") {
+    // the reference's quota budget: width 65536 x depth 12 (~6 MB serialized,
+    // PerKeyQuotaManager.java:36-51). The two-level salted merge exists FOR
+    // this size — M x 6 MB partials funneling into one reducer per window is
+    // the hot spot the salt fans out. Assert the full-size path end to end:
+    // merged estimates still upper-bound every exact (key, window) count.
+    val e = Tables.events(spark, sfDir).repartition(16)
+    val salted = PerKeyQuota.windowedSketchSalted(
+      e, col("user_id"), col("ts"), "1 day", salts = 4, width = 65536, depth = 12)
+    val ex = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
+    val joined = ex.join(broadcast(salted), "win")
+      .select(col("n"),
+        cms_estimate(col("sketch"), graft.functions.key_bytes(col("key"))).as("est"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(1) >= r.getLong(0),
+      s"est ${r.getLong(1)} < exact ${r.getLong(0)} at production size"))
+    // at width 65536 and this SF's N, collisions are essentially nil —
+    // estimates should be EXACT for nearly all keys (sanity that the wide
+    // sketch is actually the one consulted, not a narrow default)
+    val inflated = joined.count(r => r.getLong(1) > r.getLong(0))
+    assert(inflated.toDouble / joined.length <= 0.01,
+      s"$inflated/${joined.length} keys inflated at width 65536 — wrong width in play?")
+  }
+
+  test("salted merge bounds reducer fan-in: one sketch partial per (window, salt)") {
+    val e = Tables.events(spark, sfDir)
+    val salted = PerKeyQuota.windowedSketchSalted(
+      e, col("user_id"), col("ts"), "1 day", salts = 4, width = 1024, depth = 4)
+    val plan = salted.queryExecution.executedPlan.toString()
+    // two aggregation levels = two exchanges: (win, salt) then (win); the
+    // first-level reducers each merge only M/salts partials
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"expected exactly two exchanges (salted then final merge):\n$plan")
+    assert(plan.contains("__salt"), s"first-level key should include the salt:\n$plan")
+  }
+
   test("windowed sketch plan has no exchange before the partial aggregate") {
     val e = Tables.events(spark, sfDir)
     val sk = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", 1024, 4)

