@@ -1,0 +1,159 @@
+package graft.sources.kafkalike
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+/** File-backed partitioned log with Kafka's offset semantics — the broker
+  * behind the `graft-kafka` source/sink (the sandbox has no Kafka jars; see
+  * README "Kafka path"). Layout:
+  *
+  * {{{
+  *   <root>/<topic>/.partitions          # partition count (created once)
+  *   <root>/<topic>/p<N>/<offset>.rec    # one record, offset = file name
+  * }}}
+  *
+  * Offsets are REAL Kafka offsets, not list indices: the 20-digit zero-padded
+  * file name IS the record's offset, claimed by atomic rename (produce writes
+  * a hidden temp file, then `Files.move` without REPLACE_EXISTING — the move
+  * fails if a concurrent producer claimed the slot first, and the producer
+  * retries at the next offset). Readers therefore never observe a
+  * half-written record, per-partition offsets are dense and totally ordered
+  * across concurrent producers, and deleting a prefix of files (retention /
+  * data loss) leaves the remaining offsets stable — exactly the property the
+  * `failOnDataLoss` contract needs. At 100 TB this component is the test
+  * stand-in for a real broker; the Spark-facing contract (subscribe lists,
+  * per-partition offset ranges, admission control) is identical either way.
+  *
+  * Record wire format (length-prefixed, -1 = null):
+  * key, value, timestampMillis, headerCount × (utf8 key, bytes value).
+  */
+object BrokerLog {
+
+  final case class Record(
+      key: Array[Byte],
+      value: Array[Byte],
+      timestampMillis: Long,
+      headers: Seq[(String, Array[Byte])])
+
+  private val OffsetWidth = 20
+
+  def topicDir(root: String, topic: String): Path = Paths.get(root, topic)
+  private def partDir(root: String, topic: String, p: Int): Path =
+    topicDir(root, topic).resolve(s"p$p")
+
+  /** Create (or verify) a topic. Idempotent; partition count is fixed at
+    * creation like Kafka's.
+    */
+  def createTopic(root: String, topic: String, partitions: Int): Unit = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    val dir = topicDir(root, topic)
+    Files.createDirectories(dir)
+    val meta = dir.resolve(".partitions")
+    if (Files.exists(meta)) {
+      val existing = new String(Files.readAllBytes(meta), "UTF-8").trim.toInt
+      require(existing == partitions,
+        s"topic $topic already exists with $existing partitions (asked $partitions)")
+    } else {
+      Files.write(meta, partitions.toString.getBytes("UTF-8"))
+      (0 until partitions).foreach(p => Files.createDirectories(partDir(root, topic, p)))
+    }
+  }
+
+  def partitionCount(root: String, topic: String): Int = {
+    val meta = topicDir(root, topic).resolve(".partitions")
+    require(Files.exists(meta), s"unknown topic: $topic (no ${meta.toString})")
+    new String(Files.readAllBytes(meta), "UTF-8").trim.toInt
+  }
+
+  private def offsetOf(p: Path): Long = {
+    val name = p.getFileName.toString
+    name.stripSuffix(".rec").toLong
+  }
+
+  private def recordFiles(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".rec")).toSeq
+
+  /** (earliest, latest-exclusive) offsets of a partition; (0, 0) when empty. */
+  def offsetRange(root: String, topic: String, partition: Int): (Long, Long) = {
+    val files = recordFiles(partDir(root, topic, partition))
+    if (files.isEmpty) (0L, 0L)
+    else {
+      val offs = files.map(offsetOf)
+      (offs.min, offs.max + 1)
+    }
+  }
+
+  /** Append one record; returns its claimed offset. Concurrency-safe across
+    * producers via the atomic-rename claim.
+    */
+  def produce(root: String, topic: String, partition: Int, record: Record): Long = {
+    val dir = partDir(root, topic, partition)
+    require(Files.isDirectory(dir), s"unknown partition $topic/p$partition")
+    val tmp = Files.createTempFile(dir, ".tmp-", ".producing")
+    try {
+      Files.write(tmp, encode(record))
+      var off = offsetRange(root, topic, partition)._2
+      var claimed = -1L
+      while (claimed < 0) {
+        val target = dir.resolve(f"$off%020d.rec")
+        try {
+          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          claimed = off
+        } catch {
+          case _: FileAlreadyExistsException => off += 1 // lost the race; next slot
+        }
+      }
+      claimed
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Records of `partition` with offsets in [from, until), offset-ordered. */
+  def read(root: String, topic: String, partition: Int, from: Long, until: Long): Seq[(Long, Record)] =
+    recordFiles(partDir(root, topic, partition))
+      .map(p => (offsetOf(p), p))
+      .filter { case (o, _) => o >= from && o < until }
+      .sortBy(_._1)
+      .map { case (o, p) => (o, decode(Files.readAllBytes(p))) }
+
+  /** Delete all records below `offset` (retention / simulated data loss). */
+  def truncateBefore(root: String, topic: String, partition: Int, offset: Long): Unit =
+    recordFiles(partDir(root, topic, partition))
+      .filter(offsetOf(_) < offset)
+      .foreach(Files.delete)
+
+  private[kafkalike] def encode(r: Record): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    def bytes(b: Array[Byte]): Unit =
+      if (b == null) out.writeInt(-1) else { out.writeInt(b.length); out.write(b) }
+    bytes(r.key)
+    bytes(r.value)
+    out.writeLong(r.timestampMillis)
+    out.writeInt(r.headers.size)
+    r.headers.foreach { case (k, v) => bytes(k.getBytes("UTF-8")); bytes(v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[kafkalike] def decode(raw: Array[Byte]): Record = {
+    val in = new DataInputStream(new ByteArrayInputStream(raw))
+    def bytes(): Array[Byte] = {
+      val n = in.readInt()
+      if (n < 0) null
+      else { val b = new Array[Byte](n); in.readFully(b); b }
+    }
+    val key = bytes()
+    val value = bytes()
+    val ts = in.readLong()
+    val nh = in.readInt()
+    val headers = (0 until nh).map { _ =>
+      val k = new String(bytes(), "UTF-8")
+      (k, bytes())
+    }
+    Record(key, value, ts, headers)
+  }
+}
