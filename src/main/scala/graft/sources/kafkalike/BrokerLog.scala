@@ -12,19 +12,27 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   <root>/<topic>/.partitions          # partition count (created once)
   *   <root>/<topic>/p<N>/<offset>.rec    # one record, offset = file name
+  *   <root>/<topic>/p<N>/.hw             # persisted log-end (high-water) offset
   * }}}
   *
   * Offsets are REAL Kafka offsets, not list indices: the 20-digit zero-padded
-  * file name IS the record's offset, claimed by atomic rename (produce writes
-  * a hidden temp file, then `Files.move` without REPLACE_EXISTING — the move
-  * fails if a concurrent producer claimed the slot first, and the producer
-  * retries at the next offset). Readers therefore never observe a
-  * half-written record, per-partition offsets are dense and totally ordered
-  * across concurrent producers, and deleting a prefix of files (retention /
-  * data loss) leaves the remaining offsets stable — exactly the property the
-  * `failOnDataLoss` contract needs. At 100 TB this component is the test
-  * stand-in for a real broker; the Spark-facing contract (subscribe lists,
-  * per-partition offset ranges, admission control) is identical either way.
+  * file name IS the record's offset, claimed atomically by
+  * `Files.createLink(target, tmp)` — hard-link creation fails with
+  * `FileAlreadyExistsException` on every POSIX filesystem when the slot is
+  * already taken (unlike `ATOMIC_MOVE`, which maps to rename(2) and silently
+  * replaces), so a losing producer retries at the next offset. Readers never
+  * observe a half-written record, per-partition offsets are dense and totally
+  * ordered across concurrent producers, and deleting a prefix of files
+  * (retention / data loss) leaves the remaining offsets stable.
+  *
+  * Like Kafka, the log-end offset NEVER regresses: every successful claim
+  * bumps a persisted per-partition high-water mark (`.hw`), so truncating ALL
+  * records leaves `offsetRange = (hw, hw)` — a consumer checkpoint past the
+  * truncation point is detected as data loss instead of silently aliasing
+  * re-produced offsets, exactly the property the `failOnDataLoss` contract
+  * needs. At 100 TB this component is the test stand-in for a real broker;
+  * the Spark-facing contract (subscribe lists, per-partition offset ranges,
+  * admission control) is identical either way.
   *
   * Record wire format (length-prefixed, -1 = null):
   * key, value, timestampMillis, headerCount × (utf8 key, bytes value).
@@ -36,8 +44,6 @@ object BrokerLog {
       value: Array[Byte],
       timestampMillis: Long,
       headers: Seq[(String, Array[Byte])])
-
-  private val OffsetWidth = 20
 
   def topicDir(root: String, topic: String): Path = Paths.get(root, topic)
   private def partDir(root: String, topic: String, p: Int): Path =
@@ -61,6 +67,9 @@ object BrokerLog {
     }
   }
 
+  def topicExists(root: String, topic: String): Boolean =
+    Files.exists(topicDir(root, topic).resolve(".partitions"))
+
   def partitionCount(root: String, topic: String): Int = {
     val meta = topicDir(root, topic).resolve(".partitions")
     require(Files.exists(meta), s"unknown topic: $topic (no ${meta.toString})")
@@ -74,21 +83,57 @@ object BrokerLog {
 
   private def recordFiles(dir: Path): Seq[Path] =
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".rec")).toSeq
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".rec")).toSeq
+      finally s.close()
+    }
 
-  /** (earliest, latest-exclusive) offsets of a partition; (0, 0) when empty. */
+  private def highWaterFile(dir: Path): Path = dir.resolve(".hw")
+
+  private def readHighWater(dir: Path): Long = {
+    val f = highWaterFile(dir)
+    if (!Files.exists(f)) 0L
+    else new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+  }
+
+  /** Persist log-end = `value` if it advances the mark. Concurrent bumps race
+    * benignly: each writer re-reads after its atomic replace and retries until
+    * the persisted mark covers its own claim, so the final value is the max.
+    */
+  private def bumpHighWater(dir: Path, value: Long): Unit = {
+    var done = false
+    while (!done) {
+      if (readHighWater(dir) >= value) done = true
+      else {
+        val tmp = Files.createTempFile(dir, ".hw-", ".tmp")
+        Files.write(tmp, value.toString.getBytes("UTF-8"))
+        Files.move(tmp, highWaterFile(dir),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** (earliest, latest-exclusive) offsets of a partition. The latest bound is
+    * `max(listing, persisted high water)` so it survives full truncation —
+    * Kafka's log-end offset never regresses; an empty partition reports
+    * `(hw, hw)`, distinguishing "fresh topic" (0, 0) from "everything lost".
+    */
   def offsetRange(root: String, topic: String, partition: Int): (Long, Long) = {
-    val files = recordFiles(partDir(root, topic, partition))
-    if (files.isEmpty) (0L, 0L)
+    val dir = partDir(root, topic, partition)
+    val files = recordFiles(dir)
+    val hw = readHighWater(dir)
+    if (files.isEmpty) (hw, hw)
     else {
       val offs = files.map(offsetOf)
-      (offs.min, offs.max + 1)
+      (offs.min, math.max(offs.max + 1, hw))
     }
   }
 
   /** Append one record; returns its claimed offset. Concurrency-safe across
-    * producers via the atomic-rename claim.
+    * producers: the hard-link claim is atomic, and the high-water bump right
+    * after makes the claim durable against truncation.
     */
   def produce(root: String, topic: String, partition: Int, record: Record): Long = {
     val dir = partDir(root, topic, partition)
@@ -101,12 +146,13 @@ object BrokerLog {
       while (claimed < 0) {
         val target = dir.resolve(f"$off%020d.rec")
         try {
-          Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+          Files.createLink(target, tmp)
           claimed = off
         } catch {
           case _: FileAlreadyExistsException => off += 1 // lost the race; next slot
         }
       }
+      bumpHighWater(dir, claimed + 1)
       claimed
     } finally Files.deleteIfExists(tmp)
   }
@@ -119,13 +165,15 @@ object BrokerLog {
       .sortBy(_._1)
       .map { case (o, p) => (o, decode(Files.readAllBytes(p))) }
 
-  /** Delete all records below `offset` (retention / simulated data loss). */
+  /** Delete all records below `offset` (retention / simulated data loss).
+    * Offsets of surviving records — and the log-end mark — are unaffected.
+    */
   def truncateBefore(root: String, topic: String, partition: Int, offset: Long): Unit =
     recordFiles(partDir(root, topic, partition))
       .filter(offsetOf(_) < offset)
       .foreach(Files.delete)
 
-  private[kafkalike] def encode(r: Record): Array[Byte] = {
+  private[graft] def encode(r: Record): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     def bytes(b: Array[Byte]): Unit =
@@ -139,7 +187,7 @@ object BrokerLog {
     bos.toByteArray
   }
 
-  private[kafkalike] def decode(raw: Array[Byte]): Record = {
+  private[graft] def decode(raw: Array[Byte]): Record = {
     val in = new DataInputStream(new ByteArrayInputStream(raw))
     def bytes(): Array[Byte] = {
       val n = in.readInt()
