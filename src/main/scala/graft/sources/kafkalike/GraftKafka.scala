@@ -1,0 +1,400 @@
+package graft.sources.kafkalike
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-kafka` — a DataSource-v2 source/sink with Kafka's streaming
+  * contract over the file-backed [[BrokerLog]] (S1/S2/O8; the sandbox ships
+  * no kafka-sql connector jar, see README "Kafka path"). The Spark-facing
+  * surface matches `readStream.format("kafka")` so pipelines swap between the
+  * two by changing the format string:
+  *
+  *  - multi-topic `subscribe` lists ("t,t-retry,t-shaping" — reference
+  *    `ConsumeManager.java:121-179`, `ProcessorSubscription.java:219-225`)
+  *    and explicit `assign` ({"t":[0,1]}) for static partition assignment;
+  *  - Kafka's column schema: key/value/topic/partition/offset/timestamp/
+  *    headers (timestampType omitted; headers always included);
+  *  - `startingOffsets` earliest|latest, `maxOffsetsPerTrigger` admission
+  *    (proportional across partitions, like the Kafka source's rate limit),
+  *    checkpointed offsets, and `failOnDataLoss` honored against truncation
+  *    (`ProcessorSubscription.receive:107-116` offset-regression analog);
+  *  - a write path accepting the Kafka sink shape (`topic`/`key`/`value`/
+  *    `headers`, optional explicit `partition`), routing by key hash so the
+  *    per-key ordering contract matches the reference's producer.
+  *
+  * Reads stream records straight from the broker directory per input
+  * partition (one Spark partition per topic-partition — the same parallelism
+  * contract as the Kafka source); writes produce records one by one with
+  * atomic offset claims. Delivery is at-least-once on both sides (a retried
+  * task re-produces, exactly like a non-transactional Kafka producer).
+  */
+class GraftKafkaProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftKafka.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftKafkaTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftKafka {
+  /** Kafka source column layout (the `includeHeaders=true` shape, minus
+    * timestampType): pipelines written against the real connector read these
+    * columns by name.
+    */
+  val headerType: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", BinaryType, nullable = true)))
+  val schema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = true),
+    StructField("value", BinaryType, nullable = true),
+    StructField("topic", StringType, nullable = false),
+    StructField("partition", IntegerType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("headers", ArrayType(headerType, containsNull = false), nullable = false)))
+
+  def root(options: CaseInsensitiveStringMap): String = {
+    val r = options.get("root")
+    require(r != null && r.nonEmpty, "graft-kafka requires the 'root' option (broker directory)")
+    r
+  }
+
+  /** Resolve the (topic, partition) set from `subscribe` (all partitions) or
+    * `assign` (explicit map), exactly one of which must be present for reads.
+    */
+  def topicPartitions(options: CaseInsensitiveStringMap): Seq[(String, Int)] = {
+    val r = root(options)
+    val subscribe = Option(options.get("subscribe")).map(_.trim).filter(_.nonEmpty)
+    val assign = Option(options.get("assign")).map(_.trim).filter(_.nonEmpty)
+    require(subscribe.isDefined ^ assign.isDefined,
+      "graft-kafka reads need exactly one of 'subscribe' (comma-separated topics) or 'assign' ({\"topic\":[0,1]})")
+    subscribe match {
+      case Some(topics) =>
+        topics.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { t =>
+          (0 until BrokerLog.partitionCount(r, t)).map(p => (t, p))
+        }
+      case None =>
+        parseAssign(assign.get)
+    }
+  }
+
+  /** Parse the Kafka-style assign JSON `{"topicA":[0,1],"topicB":[2]}`. */
+  def parseAssign(s: String): Seq[(String, Int)] = {
+    val topicBlock = """"([^"]+)"\s*:\s*\[([0-9,\s]*)\]""".r
+    val parsed = topicBlock.findAllMatchIn(s).flatMap { m =>
+      m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(p => (m.group(1), p.toInt))
+    }.toSeq
+    require(parsed.nonEmpty, s"could not parse assign spec: $s")
+    parsed
+  }
+}
+
+/** Streaming offset: per-(topic, partition) next-offset-to-read, serialized
+  * as Kafka's checkpoint JSON shape `{"topic":{"0":12,"1":7}}` (sorted, so
+  * the string form is deterministic).
+  */
+case class GraftKafkaOffset(offsets: Map[(String, Int), Long]) extends Offset {
+  override def json(): String =
+    offsets.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (topic, parts) =>
+      val inner = parts.toSeq.map { case ((_, p), off) => (p, off) }.sortBy(_._1)
+        .map { case (p, off) => s""""$p":$off""" }.mkString(",")
+      s""""$topic":{$inner}"""
+    }.mkString("{", ",", "}")
+}
+
+object GraftKafkaOffset {
+  /** Inverse of [[GraftKafkaOffset.json]]; topic names must not contain `"`
+    * (enforced nowhere else either — broker topics are directory names).
+    */
+  def fromJson(s: String): GraftKafkaOffset = {
+    val topicBlock = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val partOff = """"([0-9]+)"\s*:\s*(-?[0-9]+)""".r
+    val m = topicBlock.findAllMatchIn(s).flatMap { tb =>
+      partOff.findAllMatchIn(tb.group(2)).map { po =>
+        (tb.group(1), po.group(1).toInt) -> po.group(2).toLong
+      }
+    }.toMap
+    GraftKafkaOffset(m)
+  }
+}
+
+class GraftKafkaTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
+  override def name(): String =
+    s"graft-kafka(${Option(options.get("subscribe")).orElse(Option(options.get("assign"))).getOrElse(options.get("topic"))})"
+  override def schema(): StructType = GraftKafka.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftKafkaScan(scanOptions)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftKafkaWriteBuilder(info)
+}
+
+class GraftKafkaScan(options: CaseInsensitiveStringMap) extends Scan {
+  private val root = GraftKafka.root(options)
+  private val failOnDataLoss = options.getBoolean("failondataloss", true)
+
+  override def readSchema(): StructType = GraftKafka.schema
+
+  /** Batch read: the full earliest→latest snapshot at planning time (the
+    * `spark.read.format("kafka")` analog; used by tests and backfills).
+    */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftKafka.topicPartitions(options).map { case (t, p) =>
+        val (from, until) = BrokerLog.offsetRange(root, t, p)
+        GraftKafkaInputPartition(root, t, p, from, until): InputPartition
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory = new GraftKafkaReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftKafkaMicroBatchStream(root, GraftKafka.topicPartitions(options),
+      startAtLatest = options.getOrDefault("startingoffsets", "earliest")
+        .equalsIgnoreCase("latest"),
+      failOnDataLoss = failOnDataLoss,
+      maxOffsetsPerTrigger = Option(options.get("maxoffsetspertrigger")).map(_.toLong))
+}
+
+class GraftKafkaMicroBatchStream(
+    root: String,
+    tps: Seq[(String, Int)],
+    startAtLatest: Boolean,
+    failOnDataLoss: Boolean,
+    maxOffsetsPerTrigger: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def logEnds: Map[(String, Int), Long] =
+    tps.map { case (t, p) => (t, p) -> BrokerLog.offsetRange(root, t, p)._2 }.toMap
+
+  override def initialOffset(): Offset =
+    GraftKafkaOffset(tps.map { case (t, p) =>
+      val (earliest, latest) = BrokerLog.offsetRange(root, t, p)
+      (t, p) -> (if (startAtLatest) latest else earliest)
+    }.toMap)
+
+  override def deserializeOffset(json: String): Offset = GraftKafkaOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxOffsetsPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  // Spark calls the admission-control variant below when the stream
+  // implements SupportsAdmissionControl (same contract as the Kafka source)
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(Offset, ReadLimit) is used")
+
+  /** Log-end offsets, capped to at most `maxRows` new records distributed
+    * proportionally to each partition's backlog (the Kafka source's
+    * rate-limit shape — no partition starves, total respects the cap).
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startOffs = start.asInstanceOf[GraftKafkaOffset].offsets
+    val ends = logEnds
+    val capped = limit match {
+      case mr: ReadMaxRows =>
+        val avail = tps.map { tp =>
+          tp -> math.max(0L, ends(tp) - startOffs.getOrElse(tp, ends(tp)))
+        }
+        val total = avail.map(_._2).sum
+        if (total <= mr.maxRows()) ends
+        else {
+          val scale = mr.maxRows().toDouble / total
+          avail.map { case (tp, a) =>
+            tp -> (startOffs.getOrElse(tp, ends(tp)) + math.floor(a * scale).toLong)
+          }.toMap
+        }
+      case _ => ends
+    }
+    GraftKafkaOffset(capped)
+  }
+
+  override def reportLatestOffset(): Offset = GraftKafkaOffset(logEnds)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startOffs = start.asInstanceOf[GraftKafkaOffset].offsets
+    val endOffs = end.asInstanceOf[GraftKafkaOffset].offsets
+    endOffs.toSeq.sortBy { case ((t, p), _) => (t, p) }.map { case ((t, p), until) =>
+      val requested = startOffs.getOrElse((t, p), 0L)
+      val earliestAvailable = BrokerLog.offsetRange(root, t, p)._1
+      val from =
+        if (requested >= earliestAvailable) requested
+        else if (failOnDataLoss)
+          throw new IllegalStateException(
+            s"data loss detected on $t/p$p: requested offset $requested but earliest " +
+            s"available is $earliestAvailable (records truncated). Set failOnDataLoss=false " +
+            "to resume from the earliest available offset.")
+        else math.min(earliestAvailable, until)
+      GraftKafkaInputPartition(root, t, p, from, math.max(from, until)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftKafkaReaderFactory
+
+  override def commit(end: Offset): Unit = () // progress lives in Spark's checkpoint
+  override def stop(): Unit = ()
+}
+
+/** One Spark partition per topic-partition slice — the Kafka source's
+  * parallelism contract (1000 executors ↔ 1000s of topic partitions).
+  */
+case class GraftKafkaInputPartition(
+    root: String, topic: String, partition: Int, from: Long, until: Long)
+  extends InputPartition
+
+class GraftKafkaReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftKafkaInputPartition]
+    new PartitionReader[InternalRow] {
+      private val records = BrokerLog.read(p.root, p.topic, p.partition, p.from, p.until).iterator
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (!records.hasNext) false
+        else {
+          val (off, r) = records.next()
+          val headers = new GenericArrayData(r.headers.map { case (k, v) =>
+            new GenericInternalRow(Array[Any](UTF8String.fromString(k), v))
+          }.toArray[Any])
+          current = new GenericInternalRow(Array[Any](
+            r.key, r.value, UTF8String.fromString(p.topic), p.partition, off,
+            r.timestampMillis * 1000L, headers))
+          true
+        }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Write side: accepts any row shape containing `value` plus optional
+  * `topic` (else the `topic` option), `key`, `partition`, `timestamp`,
+  * `headers` — the exact schema `TaskWriter.toKafkaShape` emits and the real
+  * Kafka sink accepts. Partition routing: explicit `partition` column wins,
+  * else hash(key) % partitions (same-key → same-partition, the ordering
+  * contract), else round-robin for null keys.
+  */
+class GraftKafkaWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
+  override def build(): Write = new Write {
+    private val factory = {
+      val opts = info.options()
+      val schema = info.schema()
+      def idx(name: String): Int = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      val vi = idx("value")
+      require(vi >= 0, "graft-kafka writes require a 'value' column")
+      val ti = idx("topic")
+      val defaultTopic = Option(opts.get("topic"))
+      require(ti >= 0 || defaultTopic.isDefined,
+        "graft-kafka writes need a 'topic' column or the 'topic' option")
+      GraftKafkaWriterFactory(
+        root = GraftKafka.root(opts),
+        defaultTopic = defaultTopic,
+        topicIdx = ti, keyIdx = idx("key"), valueIdx = vi,
+        partitionIdx = idx("partition"), timestampIdx = idx("timestamp"),
+        headersIdx = idx("headers"),
+        timestampIsLong = idx("timestamp") >= 0 &&
+          schema.fields(idx("timestamp")).dataType == LongType,
+        autoCreatePartitions = opts.getInt("autocreatepartitions", 4))
+    }
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = factory
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+    override def toStreaming: StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory = factory
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+case class GraftKafkaCommitMessage(records: Long) extends WriterCommitMessage
+
+/** Produces records as they arrive — like a non-transactional Kafka
+  * producer, a replayed epoch re-produces (at-least-once; the consumer side
+  * dedups by design, reference `AtLeastOnceDelivery.java`).
+  */
+case class GraftKafkaWriterFactory(
+    root: String,
+    defaultTopic: Option[String],
+    topicIdx: Int, keyIdx: Int, valueIdx: Int,
+    partitionIdx: Int, timestampIdx: Int, headersIdx: Int,
+    timestampIsLong: Boolean,
+    autoCreatePartitions: Int)
+  extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer()
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    writer()
+
+  private def writer(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private var written = 0L
+    private var roundRobin = 0
+    private val partCounts = scala.collection.mutable.Map.empty[String, Int]
+
+    private def partitionsOf(topic: String): Int =
+      partCounts.getOrElseUpdate(topic, {
+        if (!BrokerLog.topicExists(root, topic))
+          BrokerLog.createTopic(root, topic, autoCreatePartitions)
+        BrokerLog.partitionCount(root, topic)
+      })
+
+    override def write(row: InternalRow): Unit = {
+      val topic =
+        if (topicIdx >= 0 && !row.isNullAt(topicIdx)) row.getUTF8String(topicIdx).toString
+        else defaultTopic.getOrElse(
+          throw new IllegalArgumentException("row has null topic and no 'topic' option set"))
+      val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx)) row.getBinary(keyIdx) else null
+      val value = if (row.isNullAt(valueIdx)) null else row.getBinary(valueIdx)
+      val ts =
+        if (timestampIdx >= 0 && !row.isNullAt(timestampIdx)) {
+          if (timestampIsLong) row.getLong(timestampIdx)
+          else row.getLong(timestampIdx) / 1000L // TimestampType micros → millis
+        } else System.currentTimeMillis()
+      val headers: Seq[(String, Array[Byte])] =
+        if (headersIdx >= 0 && !row.isNullAt(headersIdx)) {
+          val arr = row.getArray(headersIdx)
+          (0 until arr.numElements()).map { i =>
+            val h = arr.getStruct(i, 2)
+            (h.getUTF8String(0).toString, if (h.isNullAt(1)) null else h.getBinary(1))
+          }
+        } else Nil
+      val n = partitionsOf(topic)
+      val part =
+        if (partitionIdx >= 0 && !row.isNullAt(partitionIdx)) row.getInt(partitionIdx) % n
+        else if (key != null) (util.Arrays.hashCode(key) & Int.MaxValue) % n
+        else { roundRobin += 1; (roundRobin - 1) % n }
+      BrokerLog.produce(root, topic, part, BrokerLog.Record(key, value, ts, headers))
+      written += 1
+    }
+
+    override def commit(): WriterCommitMessage = GraftKafkaCommitMessage(written)
+    override def abort(): Unit = () // already-produced records stand (at-least-once)
+    override def close(): Unit = ()
+  }
+}
