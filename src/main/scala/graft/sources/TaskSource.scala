@@ -12,11 +12,45 @@ import graft.core.ConsumedRecord
   * .option("subscribe", "t,t-retry,t-shaping")` already provides multi-topic
   * subscribe, offset tracking and back-pressure (reference
   * `ConsumeManager.java:121-179` re-expressed as source options; SURVEY.md
-  * §2.1). The kafka-sql connector jar is not in this container, so the
-  * streaming path is exercised with file/memory sources in tests; the option
-  * plumbing lives in [[kafkaOptions]].
+  * §2.1). The kafka-sql connector jar is not in this container, so the same
+  * streaming contract executes through the in-repo
+  * [[graft.sources.kafkalike.GraftKafkaProvider graft-kafka]] DataSource-v2
+  * source ([[brokerStream]]) — swapping to real Kafka is a format-string
+  * change, the options and column schema are identical.
   */
 object TaskSource {
+
+  /** A RUNNING multi-topic task stream over the file-backed broker: the
+    * `readStream.format("kafka")` analog with identical options
+    * ([[kafkaOptions]]) and Kafka's column schema. Offsets are checkpointed
+    * by Spark; back-pressure via `maxOffsetsPerTrigger`.
+    */
+  def brokerStream(
+      spark: SparkSession,
+      brokerRoot: String,
+      originTopic: String,
+      retryTopic: Option[String] = None,
+      shapingTopics: Seq[String] = Nil,
+      maxOffsetsPerTrigger: Option[Long] = None,
+      failOnDataLoss: Boolean = false): DataFrame =
+    spark.readStream.format("graft-kafka")
+      .option("root", brokerRoot)
+      .options(kafkaOptions(originTopic, retryTopic, shapingTopics, maxOffsetsPerTrigger)
+        .updated("failOnDataLoss", failOnDataLoss.toString))
+      .load()
+
+  /** Kafka-schema frame (array-of-struct headers, TIMESTAMP) → the engine's
+    * [[ConsumedRecord]] shape (map headers, epoch millis).
+    */
+  def toConsumedRecords(df: DataFrame): Dataset[ConsumedRecord] = {
+    import df.sparkSession.implicits._
+    df.select(
+      col("topic"), col("partition"), col("offset"),
+      unix_millis(col("timestamp")).as("timestampMillis"),
+      col("key"), col("value"),
+      map_from_entries(col("headers")).as("headers"))
+      .as[ConsumedRecord]
+  }
 
   /** Kafka source options equivalent to the reference consumer setup:
     * origin + retry (+ shaping) topics in one subscription

@@ -1,39 +1,39 @@
 package graft
 
+import java.nio.file.Files
 import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicLong
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.core.{ConsumedRecord, TaskMetadata}
+import graft.core.TaskMetadata
 import graft.sources.{TaskSource, TaskWriter}
+import graft.sources.kafkalike.BrokerLog
 
-/** The reference's `RetryQueueingTest.java` analog, environment-constrained:
-  * no Kafka connector jar exists in this container and egress is disabled
-  * (documented in README "Kafka path"), so the broker is a driver-side
-  * queue delivering the EXACT Kafka record schema both ways — records enter
-  * as the Kafka-source shape (ConsumedRecord) and failed tasks leave through
-  * the real producer surface (`TaskWriter.toRetryShape`, sink-ready
-  * key/value/headers/topic) before being "delivered" back. What this proves
-  * end-to-end on a RUNNING streaming query:
+/** The reference's `RetryQueueingTest.java` analog (347 LoC of semantics),
+  * now through an ACTUAL `readStream.format("graft-kafka")` over the
+  * file-backed broker — no driver-side queue surrogate. The running query:
   *
-  *  - a failed task re-enters via the `<topic>-retry` subscription with
-  *    `retry_count` advanced and a decodable dt_meta header;
-  *  - backoff is honored: the redelivered task is not processed before its
-  *    `scheduled_time_millis` (C1 scheduled execution over the retry hop);
-  *  - every task completes at-least-once, exactly the delivery contract the
-  *    reference asserts.
+  *  - subscribes origin + retry in ONE subscription
+  *    (`ProcessorSubscription.java:219-225`) via [[TaskSource.brokerStream]];
+  *  - failed tasks leave through the real producer surface
+  *    (`TaskWriter.toRetryShape` → `write.format("graft-kafka")`) with
+  *    `retry_count` advanced and a protobuf dt_meta header, landing on
+  *    `<topic>-retry` with a broker-assigned offset;
+  *  - redelivery is the broker's, not the test's: the subscription picks the
+  *    retry record up in a later micro-batch, offsets advancing across
+  *    triggers from Spark's checkpoint;
+  *  - backoff is honored: a not-yet-due record is re-produced untouched (the
+  *    consumer's scheduled-execution pause over the retry hop, C1) and only
+  *    processed once `scheduled_time_millis` passes;
+  *  - every task completes at-least-once.
   */
 object KafkaCycleSpec {
-  // (key, retryCount, lateByMillis) per processed task — static so local-mode
-  // executor closures hit the same instance
-  val processed = new ConcurrentLinkedQueue[(Long, Long, Long)]()
-  val retryProduced = new ConcurrentLinkedQueue[ConsumedRecord]()
-  val requeued = new ConcurrentLinkedQueue[ConsumedRecord]()
-  val offsets = new AtomicLong(1000L)
+  // (batchId, key, retryCount, lateByMillis) per completed task
+  val processed = new ConcurrentLinkedQueue[(Long, Long, Long, Long)]()
+  def reset(): Unit = processed.clear()
 }
 
 class KafkaCycleSpec extends SparkTestBase {
@@ -45,18 +45,19 @@ class KafkaCycleSpec extends SparkTestBase {
     assert(opts("failOnDataLoss") == "false")
   }
 
-  test("a failed task re-enters via the retry topic with backoff on a running query") {
+  test("consume → fail → retry-produce → broker redelivery → backoff → complete on a real readStream") {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    KafkaCycleSpec.processed.clear()
-    KafkaCycleSpec.retryProduced.clear()
-    KafkaCycleSpec.requeued.clear()
+    KafkaCycleSpec.reset()
 
-    val backoffMs = 400L
+    val root = Files.createTempDirectory("graft-kafka-cycle").toString
     val origin = "tasks"
+    val retryTopic = "tasks-retry"
+    BrokerLog.createTopic(root, origin, 2)
+    BrokerLog.createTopic(root, retryTopic, 2)
+    val backoffMs = 400L
 
-    // origin records through the REAL producer surface: toKafkaShape writes
-    // the dt_meta header exactly as the client would
+    // origin production through the REAL producer path: dt_meta header encoded
+    // by the client surface, records landed by the graft-kafka batch sink
     val t0 = System.currentTimeMillis()
     val originRows = spark.range(10)
       .select(col("id"),
@@ -66,71 +67,68 @@ class KafkaCycleSpec extends SparkTestBase {
           lit("i-0").as("source_instance_id"),
           lit(0L).as("retry_count"),
           lit(0L).as("scheduled_time_millis")).as("meta"))
-    val sinkShaped = TaskWriter.toKafkaShape(
-      originRows, col("id"), col("id").cast("string"), col("meta"), origin)
-    val originRecords = sinkShaped.collect().map { r =>
-      val hdrs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers")
-        .map(h => h.getAs[String]("key") -> h.getAs[Array[Byte]]("value")).toMap
-      ConsumedRecord(origin, 0, KafkaCycleSpec.offsets.incrementAndGet(), t0,
-        r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"), hdrs)
-    }
+    TaskWriter.toKafkaShape(originRows, col("id"), col("id").cast("string"), col("meta"), origin)
+      .write.format("graft-kafka").mode("append").option("root", root).save()
+    assert(BrokerLog.offsetRange(root, origin, 0)._2 +
+      BrokerLog.offsetRange(root, origin, 1)._2 == 10L, "10 origin records landed")
 
-    val in = MemoryStream[ConsumedRecord]
-    val q = in.toDS().writeStream.foreachBatch { (batch: org.apache.spark.sql.Dataset[ConsumedRecord], _: Long) =>
-      val now = System.currentTimeMillis()
-      val withMeta = batch.toDF()
-        .withColumn("meta", graft.functions.dt_meta_decode(element_at(col("headers"), TaskMetadata.HeaderKey)))
-        .withColumn("k", col("key").cast("string").cast("long"))
-      val due = withMeta.filter(col("meta.scheduled_time_millis") <= now)
-      // C1: not-yet-due records go back to the broker untouched (the
-      // consumer's scheduled-execution pause over the retry hop)
-      withMeta.filter(col("meta.scheduled_time_millis") > now)
-        .as[ConsumedRecord].collect().foreach(KafkaCycleSpec.requeued.add)
-      // process: keys divisible by 3 fail on first delivery only
-      val failures = due.filter(col("k") % 3 === 0 && col("meta.retry_count") === 0)
-      due.filter(!(col("k") % 3 === 0 && col("meta.retry_count") === 0))
-        .select(col("k"), col("meta.retry_count"), (lit(now) - col("meta.scheduled_time_millis")).as("late"))
-        .as[(Long, Long, Long)].collect()
-        .foreach(KafkaCycleSpec.processed.add)
-      // the real retry producer shape: retry_count+1, scheduled = now+backoff
-      TaskWriter.toRetryShape(
-          failures, col("k"), col("value").cast("string"), col("meta"), origin,
-          lit(now), lit(backoffMs))
-        .collect().foreach { r =>
-          val hdrs = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers")
-            .map(h => h.getAs[String]("key") -> h.getAs[Array[Byte]]("value")).toMap
-          assert(r.getAs[String]("topic") == "tasks-retry", "retry producer must target <topic>-retry")
-          KafkaCycleSpec.retryProduced.add(ConsumedRecord(
-            r.getAs[String]("topic"), 0, KafkaCycleSpec.offsets.incrementAndGet(), now,
-            r.getAs[Array[Byte]]("key"), r.getAs[Array[Byte]]("value"), hdrs))
-        }
-      ()
-    }.start()
+    val q = TaskSource.brokerStream(spark, root, origin, Some(retryTopic))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-kafka-cycle-ckpt").toString)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val now = System.currentTimeMillis()
+        val withMeta = batch
+          .withColumn("meta",
+            graft.functions.dt_meta_decode(
+              element_at(map_from_entries(col("headers")), TaskMetadata.HeaderKey)))
+          .withColumn("k", col("key").cast("string").cast("long"))
+        // C1 pause analog: not-yet-due retry records go back to the broker
+        // untouched and re-arrive in a later trigger
+        withMeta.filter(col("meta.scheduled_time_millis") > now)
+          .select(col("key"), col("value"), col("headers"), lit(retryTopic).as("topic"))
+          .write.format("graft-kafka").mode("append").option("root", root).save()
+        val due = withMeta.filter(col("meta.scheduled_time_millis") <= now)
+        // process: keys divisible by 3 fail on first delivery only
+        val failing = col("k") % 3 === 0 && col("meta.retry_count") === 0
+        due.filter(!failing)
+          .select(col("k"), col("meta.retry_count"),
+            (lit(now) - col("meta.scheduled_time_millis")).as("late"))
+          .as[(Long, Long, Long)].collect()
+          .foreach { case (k, rc, late) => KafkaCycleSpec.processed.add((batchId, k, rc, late)) }
+        // the real retry producer: retry_count+1, scheduled = now+backoff,
+        // target <topic>-retry — straight into the broker sink
+        TaskWriter.toRetryShape(
+            due.filter(failing), col("k"), col("value").cast("string"), col("meta"), origin,
+            lit(now), lit(backoffMs))
+          .write.format("graft-kafka").mode("append").option("root", root).save()
+        ()
+      }.start()
 
     try {
-      in.addData(originRecords.toIndexedSeq: _*)
-      q.processAllAvailable()
-      // broker loop: deliver retry-topic production + requeued records back
-      // into the subscription until every task has completed
-      val deadline = System.currentTimeMillis() + 30000
-      while (KafkaCycleSpec.processed.size() < 10 && System.currentTimeMillis() < deadline) {
-        val redeliver =
-          (KafkaCycleSpec.retryProduced.asScala ++ KafkaCycleSpec.requeued.asScala).toVector
-        KafkaCycleSpec.retryProduced.clear()
-        KafkaCycleSpec.requeued.clear()
-        if (redeliver.nonEmpty) in.addData(redeliver: _*)
-        else Thread.sleep(50)
+      val deadline = System.currentTimeMillis() + 60000
+      while (KafkaCycleSpec.processed.asScala.map(_._2).toSet.size < 10 &&
+             System.currentTimeMillis() < deadline) {
         q.processAllAvailable()
+        Thread.sleep(50)
       }
       val done = KafkaCycleSpec.processed.asScala.toVector
-      assert(done.map(_._1).toSet == (0L until 10L).toSet, s"all tasks must complete, got $done")
-      val retried = done.filter(_._1 % 3 == 0)
-      assert(retried.forall(_._2 == 1L), s"retried tasks must carry retry_count=1: $retried")
-      assert(done.filter(_._1 % 3 != 0).forall(_._2 == 0L))
-      // backoff honored: late = processedAt - scheduledTime >= 0 means the
-      // task was never run before its scheduled time (the due filter), and
-      // scheduling itself was now+backoff
-      assert(retried.forall(_._3 >= 0L), s"task ran before its backoff deadline: $retried")
+      assert(done.map(_._2).toSet == (0L until 10L).toSet, s"all tasks must complete, got $done")
+
+      val retried = done.filter(_._2 % 3 == 0)
+      assert(retried.forall(_._3 == 1L), s"retried tasks must carry retry_count=1: $retried")
+      assert(done.filter(_._2 % 3 != 0).forall(_._3 == 0L))
+      // backoff honored: never processed before scheduled_time_millis
+      assert(retried.forall(_._4 >= 0L), s"task ran before its backoff deadline: $retried")
+
+      // redelivery really crossed the broker: the retry topic carries the
+      // retry production (+ any pause requeues), and the subscription's
+      // offsets advanced across micro-batches (first-pass completions in an
+      // earlier trigger than the backed-off ones)
+      val retryDepth = (0 until 2).map(p => BrokerLog.offsetRange(root, retryTopic, p)._2).sum
+      assert(retryDepth >= 4, s"retry topic must have received the 4 failures, depth=$retryDepth")
+      val firstPassBatch = done.filter(_._2 % 3 != 0).map(_._1).min
+      assert(retried.forall(_._1 > firstPassBatch),
+        s"retried completions must land in a later micro-batch: $done")
     } finally q.stop()
   }
 }
