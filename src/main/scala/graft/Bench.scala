@@ -141,44 +141,66 @@ object Bench {
         }).count()
     }
 
+    // One timed rep of the with-I/O probe; all stream_* metrics describe
+    // its window. Run 3 and report the median by throughput (plus the raw
+    // reps): on shared container kernels a single ~1.5 s window swings with
+    // OS thread-wake scheduling — StreamLatencyProbe measured same-JVM reps
+    // at 26.6k→65.5k t/s with max latency 537→40 ms before this change —
+    // exactly the methodology the no-I/O floor already uses.
     val streamTasks = 50000L
-    BenchMetrics.reset()
-    val (gcCount0, gcTime0) = BenchMetrics.gcSnapshot()
-    val alloc0 = BenchMetrics.allocatedBytes()
-    val cpu0 = BenchMetrics.cpuSnapshot()
-    val st0 = System.nanoTime()
-    locally {
-      import spark.implicits._
-      import scala.concurrent.Future
-      import graft.streaming.AsyncProcessing.delayed
-      val n = graft.streaming.AsyncProcessing.flatMapAsyncKeyed(
-        spark.range(streamTasks).map(i => (s"key-${i % 10000}", i))
-          .repartition(32, org.apache.spark.sql.functions.col("_1")),
-        maxInFlight = 512)(
-        _._1,
-        { t =>
-          // EC resolved inside the executor-side closure (not captured):
-          // continuations are trivial, run them on the completing thread
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.parasitic
-          val t0 = System.nanoTime()
-          (1 to 5).foldLeft(Future.successful(t._2)) { (acc, _) =>
-            acc.flatMap(v => delayed(4L)(v))
-          }.map { v => BenchMetrics.record(System.nanoTime() - t0); v }
-        }).count()
-      require(n == streamTasks)
+    final case class StreamRep(
+        tps: Double, latAvgMs: Double, latMaxMs: Double,
+        gcCount: Long, gcTimeMs: Long, allocMb: Long, cpuMs: Long, threads: Int)
+    def streamRep(): StreamRep = {
+      BenchMetrics.reset()
+      val (gcCount0, gcTime0) = BenchMetrics.gcSnapshot()
+      val alloc0 = BenchMetrics.allocatedBytes()
+      val cpu0 = BenchMetrics.cpuSnapshot()
+      val st0 = System.nanoTime()
+      locally {
+        import spark.implicits._
+        import scala.concurrent.Future
+        import graft.streaming.AsyncProcessing.delayed
+        val n = graft.streaming.AsyncProcessing.flatMapAsyncKeyed(
+          spark.range(streamTasks).map(i => (s"key-${i % 10000}", i))
+            .repartition(32, org.apache.spark.sql.functions.col("_1")),
+          maxInFlight = 512)(
+          _._1,
+          { t =>
+            // EC resolved inside the executor-side closure (not captured):
+            // continuations are trivial, run them on the completing thread
+            implicit val ec: scala.concurrent.ExecutionContext =
+              scala.concurrent.ExecutionContext.parasitic
+            val t0 = System.nanoTime()
+            (1 to 5).foldLeft(Future.successful(t._2)) { (acc, _) =>
+              acc.flatMap(v => delayed(4L)(v))
+            }.map { v => BenchMetrics.record(System.nanoTime() - t0); v }
+          }).count()
+        require(n == streamTasks)
+      }
+      val streamSecs = (System.nanoTime() - st0) / 1e9
+      val (gcCount1, gcTime1) = BenchMetrics.gcSnapshot()
+      StreamRep(
+        tps = streamTasks / streamSecs,
+        latAvgMs = if (BenchMetrics.latN.sum() == 0) 0.0
+          else BenchMetrics.latSum.sum() / 1e6 / BenchMetrics.latN.sum(),
+        latMaxMs = BenchMetrics.latMax.get() / 1e6,
+        gcCount = gcCount1 - gcCount0, gcTimeMs = gcTime1 - gcTime0,
+        allocMb = (BenchMetrics.allocatedBytes() - alloc0) / (1024 * 1024),
+        cpuMs = BenchMetrics.cpuDeltaNanos(cpu0, BenchMetrics.cpuSnapshot()) / 1000000,
+        // thread count captured at rep end — describes the probe window, not
+        // post-benchmark steady state
+        threads = BenchMetrics.threadCount())
     }
-    val streamSecs = (System.nanoTime() - st0) / 1e9
-    val tps = streamTasks / streamSecs
-    val (gcCount1, gcTime1) = BenchMetrics.gcSnapshot()
-    val alloc1 = BenchMetrics.allocatedBytes()
-    val cpuMs = BenchMetrics.cpuDeltaNanos(cpu0, BenchMetrics.cpuSnapshot()) / 1000000
-    // thread count captured HERE, at stream-probe end — every other
-    // stream_* metric describes this window, not post-benchmark steady state
-    val streamThreads = BenchMetrics.threadCount()
-    val latAvgMs = if (BenchMetrics.latN.sum() == 0) 0.0
-      else BenchMetrics.latSum.sum() / 1e6 / BenchMetrics.latN.sum()
-    val latMaxMs = BenchMetrics.latMax.get() / 1e6
+    val streamReps = Seq.fill(3)(streamRep())
+    val medianRep = streamReps.sortBy(_.tps).apply(1)
+    val tps = medianRep.tps
+    val latAvgMs = medianRep.latAvgMs
+    val latMaxMs = medianRep.latMaxMs
+    val (gcCountD, gcTimeD) = (medianRep.gcCount, medianRep.gcTimeMs)
+    val allocMb = medianRep.allocMb
+    val cpuMs = medianRep.cpuMs
+    val streamThreads = medianRep.threads
 
     // Engine-overhead floor: same pipeline, no simulated I/O. The reference's
     // claim is latency-INDEPENDENT throughput (docs/runtime.adoc:64); the gap
@@ -219,13 +241,26 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stream_tasks_per_sec":$tps,"stream_tasks_per_sec_no_io":$tpsNoIo,""" +
+      s""""stream_reps_tps":${streamReps.map(_.tps).mkString("[", ",", "]")},""" +
+      s""""stream_reps_lat_avg_ms":${streamReps.map(_.latAvgMs).mkString("[", ",", "]")},""" +
+      s""""stream_reps_lat_max_ms":${streamReps.map(_.latMaxMs).mkString("[", ",", "]")},""" +
       s""""stream_no_io_reps":${noIoReps.mkString("[", ",", "]")},""" +
       s""""cms_full_sketch_sec":$cmsFullSec,""" +
       s""""stream_task_count":$streamTasks,""" +
       s""""stream_latency_avg_ms":$latAvgMs,"stream_latency_max_ms":$latMaxMs,""" +
-      s""""stream_gc_count":${gcCount1 - gcCount0},"stream_gc_time_ms":${gcTime1 - gcTime0},""" +
-      s""""stream_allocated_mb":${(alloc1 - alloc0) / (1024 * 1024)},""" +
+      s""""stream_gc_count":$gcCountD,"stream_gc_time_ms":$gcTimeD,""" +
+      s""""stream_allocated_mb":$allocMb,""" +
       s""""stream_cpu_ms":$cpuMs,"threads":$streamThreads,"sf":"$sfDir"}""")
+    // Regenerate the committed plan record from the same registered set this
+    // bench just ran, so PLANS.md cannot drift from the shapes PlanAuditSpec
+    // enforces. Sibling session: the audit needs AQE off for codegen ids,
+    // the bench session keeps it on.
+    try {
+      val auditSession = spark.newSession()
+      auditSession.conf.set("spark.sql.adaptive.enabled", "false")
+      Explain.writePlansMd(auditSession, sfDir, "PLANS.md",
+        s"graft.Bench ${java.time.Instant.now()} @ $sfDir")
+    } catch { case e: Throwable => System.err.println(s"[bench] PLANS.md regen failed: $e") }
     spark.stop()
   }
 }

@@ -73,14 +73,33 @@ object AsyncProcessing {
     */
   private lazy val ioPool: ExecutionContext = {
     val n = sys.props.getOrElse("graft.async.io.threads", "2048").toInt
-    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(n, r => {
+    val pool = Executors.newFixedThreadPool(n, r => {
       // small explicit stack: these threads only block on I/O (or sleep);
       // thousands of default 1 MiB stacks would waste native memory and can
       // trip container thread limits
       val t = new Thread(null, r, "graft-async-io", 256 * 1024)
       t.setDaemon(true)
       t
-    }))
+    }).asInstanceOf[java.util.concurrent.ThreadPoolExecutor]
+    // Prestart ALL core threads before first use. Until the pool is full,
+    // ThreadPoolExecutor.execute() adds a core worker INLINE on every
+    // submit — so with fewer submits than core threads the pool NEVER fills
+    // and every single admission pays a thread spawn. On kernels where a
+    // spawn costs ~1 ms behind a process-wide lock (measured on this
+    // container class: 2048 spawns ≈ 1.5 s serial, ~1.1 s with 16 parallel
+    // spawners — clone() is the bottleneck, not JVM setup), that serializes
+    // admission at ~1 ms/task and reads as "no I/O overlap". Paying the
+    // ~1 s once at init, off the submit path, keeps admission at memory
+    // speed; prestarting from 16 spawners shaves what the kernel allows.
+    val spawners = (0 until 16).map { i =>
+      val t = new Thread(null, () => { while (pool.prestartCoreThread()) {} },
+        s"graft-async-io-prestart-$i")
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    spawners.foreach(_.join())
+    ExecutionContext.fromExecutorService(pool)
   }
 
   /** Map `f` over the dataset with up to `maxInFlight` concurrent executions
@@ -172,7 +191,17 @@ object AsyncProcessing {
       run: (T, ExecutionContext) => Future[U])(
       implicit encU: Encoder[U]): Dataset[U] = {
     ds.mapPartitions { it =>
-      implicit val ec: ExecutionContext = ioPool
+      // Chain GLUE — the transformWith/andThen callbacks below (permit
+      // release, gate completion, dispatching the successor) — runs
+      // parasitic: inline on whatever thread completed the previous stage.
+      // Routing it through the pool cost a park/unpark handoff per hop
+      // (~50 µs on a typical kernel, measured 0.3-1 ms on slow-thread-op
+      // container kernels — ChainHandoffProbe) for a few field writes.
+      // Blocking user work still runs on the pool: mapAsyncKeyed dispatches
+      // f via Future(...)(ioPool); flatMapAsyncKeyed's f is non-blocking by
+      // contract (future-returning client), so inlining it is exactly the
+      // "continuations run on the completing thread" posture its docs state.
+      implicit val glue: ExecutionContext = ExecutionContext.parasitic
       val permits = new Semaphore(maxInFlight)
       val chains = mutable.Map.empty[K, Future[Unit]]
 
@@ -184,7 +213,7 @@ object AsyncProcessing {
         val gate = Promise[Unit]()
         val released = new AtomicBoolean(false)
         val fut = prev.transformWith { _ =>
-          run(t, ec).andThen { case _ =>
+          run(t, ioPool).andThen { case _ =>
             if (!released.getAndSet(true)) permits.release()
             gate.trySuccess(())
           }
