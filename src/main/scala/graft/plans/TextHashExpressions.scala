@@ -13,6 +13,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[graft.functions.TextFunctions.portable_hash]]): both expressions below
   * must reproduce `conv(substring(md5(s), pos, 15), 16, 10)` bit-for-bit so
   * the DuckDB oracle recomputes identical values from the SQL form.
+  *
+  * CONTRACT for every `nullSafeEval` in this family: non-null input ⇒
+  * non-null result (an empty document still hashes to a value). The codegen
+  * bridges below rely on it — they assign `ref.nullSafeEval(c)` straight into
+  * `ev.value` with `ev.isNull` already false, so a null return would NPE
+  * (SimHash's `.longValue()`) or corrupt silently (MinHashSigs emitting null
+  * with isNull=false). If an implementation ever needs to return null, the
+  * bridge must grow a defensive `ev.isNull` check at the same time.
   */
 private[plans] trait Md5HashedText {
   // one digest instance per (deserialized) expression copy = per task; the
@@ -22,6 +30,13 @@ private[plans] trait Md5HashedText {
   protected final def digest(s: UTF8String): Array[Byte] = {
     if (md == null) md = MessageDigest.getInstance("MD5")
     md.digest(s.getBytes)
+  }
+
+  /** md5 of a byte range, no intermediate copy. */
+  protected final def digestRange(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    if (md == null) md = MessageDigest.getInstance("MD5")
+    md.update(b, off, len)
+    md.digest()
   }
 
   /** Hex chars 1-15 of the digest (nibbles 0-14) as a 60-bit long:
@@ -79,27 +94,76 @@ case class MinHashSigs(child: Expression, shingleSize: Int, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = requireString(child, "minhash_sigs")
 
+  /** Zero-allocation shingle scan. Profiling (tools/HashCostProbe) put 65%
+    * of eval time in the old `substringSQL` + `HashSet[UTF8String]` pair —
+    * one UTF8String copy plus a boxed set entry per position — against only
+    * ~11% in md5 itself. Shingles here are byte ranges over the document's
+    * UTF-8 bytes (a char-position → byte-offset index is built in one pass),
+    * deduplicated EXACTLY in an open-addressed table of positions: the FNV
+    * hash only places a slot, equality is a byte-range compare, and UTF-8 is
+    * injective so byte equality IS `substringSQL` equality. md5 runs over
+    * the same byte range with no intermediate string. Values are
+    * bit-identical to the declarative pipeline (DedupSpec equivalence
+    * tests, incl. unicode + clamp cases).
+    */
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String]
-    // char_ngrams clamp: positions 1 .. max(len - (n-1), 1); a doc shorter
-    // than one shingle yields the whole doc as its only shingle
-    val last = math.max(text.numChars() - (shingleSize - 1), 1)
-    val seen = new java.util.HashSet[UTF8String]()
+    val bytes = text.getBytes
+    val nChars = text.numChars()
+    // char-position → byte-offset index (UTF-8 start bytes)
+    val starts = new Array[Int](nChars + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < nChars) {
+      starts(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    starts(nChars) = bytes.length
+    // char_ngrams clamp: positions 0 .. max(len - (n-1), 1) - 1; a doc
+    // shorter than one shingle yields the whole doc as its only shingle
+    val last = math.max(nChars - (shingleSize - 1), 1)
+    // open-addressed dedup table of shingle start positions (pos + 1; 0 =
+    // empty), capacity = pow2 >= 2*last so probes stay short
+    val cap = Integer.highestOneBit(math.max(2, last * 2 - 1)) * 2
+    val mask = cap - 1
+    val slots = new Array[Int](cap)
     val mins = Array.fill(k)(Long.MaxValue)
-    var pos = 1
-    while (pos <= last) {
-      val sh = text.substringSQL(pos, shingleSize)
-      if (seen.add(sh)) {
-        val d = digest(sh)
+    var pos = 0
+    while (pos < last) {
+      val s = starts(pos)
+      val e = starts(math.min(pos + shingleSize, nChars))
+      var h = 0x811c9dc5 // FNV-1a over the shingle bytes (placement only)
+      var i = s
+      while (i < e) { h = (h ^ (bytes(i) & 0xff)) * 0x01000193; i += 1 }
+      var slot = h & mask
+      var isNew = true
+      var probing = true
+      while (probing) {
+        val stored = slots(slot)
+        if (stored == 0) { slots(slot) = pos + 1; probing = false }
+        else {
+          val sp = stored - 1
+          val ss = starts(sp)
+          val se = starts(math.min(sp + shingleSize, nChars))
+          if (se - ss == e - s &&
+              java.util.Arrays.equals(bytes, ss, se, bytes, s, e)) {
+            isNew = false
+            probing = false
+          } else slot = (slot + 1) & mask
+        }
+      }
+      if (isNew) {
+        val d = digestRange(bytes, s, e - s)
         val h1 = hexHead(d) % P
         val h2 = hexTail(d) % P
-        var i = 0
+        var j = 0
         var cur = h1
-        while (i < k) { // (h1 + i*h2) mod P, incrementally
-          if (cur < mins(i)) mins(i) = cur
+        while (j < k) { // (h1 + j*h2) mod P, incrementally
+          if (cur < mins(j)) mins(j) = cur
           cur += h2
           if (cur >= P) cur -= P
-          i += 1
+          j += 1
         }
       }
       pos += 1

@@ -175,6 +175,10 @@ case class SignLsh(child: Expression, planes: Int, planeOffset: Int = 0)
   // CodegenFallback marker keeps the surrounding stage inside whole-stage
   // codegen (CodegenFallback anywhere in a plan node's expressions disables
   // fusion for the whole node); the per-row plane loop is unchanged.
+  // CONTRACT: nullSafeEval never returns null for non-null input (a
+  // null-element vector maps to bucket 0, not to null) — the unchecked
+  // `.longValue()` below depends on it; see the Md5HashedText doc for the
+  // family-wide statement.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("signLsh", this, classOf[SignLsh].getName)
     nullSafeCodeGen(ctx, ev, c =>

@@ -205,15 +205,20 @@ object Knn {
     * [[bruteForceTopK]] in DedupSpec; the union over tables is what lifts it
     * past what a single table can reach (1-(1-r)^L vs r).
     */
-  def signLshTopK(
+  /** The deduped (query_id, nbr_id) candidate pairs behind [[signLshTopK]] —
+    * the pre-ranking candidate volume, exposed so tests can measure how much
+    * of the nQ×corpus pair space the bucketing actually admits (DedupSpec
+    * asserts on THIS count, not the k-truncated output, which is capped at
+    * nQ×k regardless of how selective the buckets were).
+    */
+  def signLshCandidates(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int,
       planes: Int,
-      probes: Int = 0,
-      tables: Int = 1): DataFrame = {
+      probes: Int,
+      tables: Int): DataFrame = {
     val cb = lshTableBuckets(corpus, idCol, vecCol, planes, tables)
       .withColumnRenamed("id", "nbr_id")
     val qb = broadcast(
@@ -223,10 +228,22 @@ object Knn {
     // a neighbor can hit several probe buckets/tables of one query — dedupe
     // the candidate id pairs BEFORE scoring so each pair costs one dot and
     // row_number ranks unique neighbors
-    val cands = cb.join(qb,
+    cb.join(qb,
         col("qtbl") === col("tbl") && col("qbucket") === col("bucket") &&
           col("query_id") =!= col("nbr_id"))
       .select(col("query_id"), col("nbr_id")).distinct()
+  }
+
+  def signLshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      planes: Int,
+      probes: Int = 0,
+      tables: Int = 1): DataFrame = {
+    val cands = signLshCandidates(corpus, queries, idCol, vecCol, planes, probes, tables)
     val scored = cands
       .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")

@@ -55,6 +55,32 @@ class DedupSpec extends SparkTestBase {
       s"first diff: ${native.find { case (k, v) => declarative.get(k) != Some(v) }}")
   }
 
+  test("native minhash matches the declarative pipeline on multi-byte unicode text") {
+    // the byte-range shingle scan must honor CHAR positions: multi-byte
+    // code points (2-, 3-, 4-byte UTF-8) shift byte offsets under the
+    // char-indexed clamp, and repeated shingles must still dedup exactly
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "héllo wörld héllo wörld",
+      2L -> "日本語のテキスト日本語のテキスト",
+      3L -> "emoji 😀😀 pair 😀😀 emoji",
+      4L -> "mixedέλληνικά and ascii mixedέλληνικά",
+      5L -> "αβ", // sub-shingle, multi-byte
+      6L -> "") // empty
+      .toDF("doc_id", "text")
+    val native = Dedup.minHashSignaturesWide(docs, col("doc_id"), col("text"), k = 8, shingleSize = 5)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector).toMap
+    val declarative = Dedup.declarativeMinHashSignaturesWide(docs, col("doc_id"), col("text"), k = 8, shingleSize = 5)
+      .collect().map(r => r.getLong(0) -> (1 until r.length).map(r.getLong).toVector).toMap
+    // the declarative explode drops null/empty-shingle-free docs the same
+    // way only for non-empty text; compare on the ids both produced and
+    // assert the native side also covered the empty doc
+    assert(native.keySet.contains(6L))
+    declarative.foreach { case (id, sig) =>
+      assert(native(id) == sig, s"doc $id: native ${native(id)} != declarative $sig")
+    }
+  }
+
   test("native simhash is bit-identical to the declarative token-vote pipeline") {
     val d = Tables.documents(spark, sfDir)
     val native = Dedup.simHash(d, col("doc_id"), col("text"), bits = 32)
@@ -162,10 +188,29 @@ class DedupSpec extends SparkTestBase {
     // union over 8 independent tables (1-(1-r)^8) measured 0.86 — floor 0.7
     // matches pq13/pq14's promise class
     assert(recall >= 0.7, s"multi-table LSH recall $recall below floor")
-    // each table's candidates remain a bucketed subset: sanity that the
-    // union did not degenerate into a full scan (candidate pairs < all pairs)
+    // Bucketing sanity on the PRE-top-k candidate volume (the k-truncated
+    // output is capped at nQ*k no matter how unselective the buckets were,
+    // so asserting on it proves nothing). At the registered recall-first
+    // params (4 planes = 16 buckets, 8 probed tables) the union covers much
+    // of a small corpus by design — the math says 1-(1-5/16)^8 ≈ 0.95 — so
+    // here we assert only that it stays below all-pairs; the scale-shaped
+    // selectivity claim is the separate assertion below.
     val nQ = queries.count()
-    assert(lsh.size <= nQ * 5)
+    val nC = e.count()
+    val candsRegistered = Knn.signLshCandidates(
+      e, queries, "vec_id", "embedding", planes = 4, probes = 1, tables = 8).count()
+    assert(candsRegistered < nQ * (nC - 1),
+      s"registered-params candidates $candsRegistered did not dedupe below all pairs")
+    // Scale-shaped params (8 planes = 256 buckets, 4 tables): candidate
+    // fraction ≈ 1-(1-9/256)^4 ≈ 0.13 of the pair space — the regime a
+    // 100 TB corpus would run with (more planes as the corpus grows keeps
+    // bucket occupancy, and so candidate volume, bounded). Assert the
+    // bucketing actually restricts the search there, with slack for
+    // non-uniform bucket occupancy.
+    val candsScale = Knn.signLshCandidates(
+      e, queries, "vec_id", "embedding", planes = 8, probes = 1, tables = 4).count()
+    assert(candsScale < 0.5 * nQ * nC,
+      s"scale-params candidates $candsScale not well below ${nQ * nC} pairs")
   }
 
   test("single-table sign-LSH with one-flip probing still beats its single-bucket floor") {
