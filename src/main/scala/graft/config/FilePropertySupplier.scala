@@ -4,62 +4,61 @@ import java.nio.file.{Files, Path}
 
 import scala.jdk.CollectionConverters._
 
-/** P3 — dynamic property supplier backed by a watched file, the engine's
-  * analog of the reference's Central Dogma supplier
-  * (`centraldogma/.../CentralDogmaPropertySupplier.java:81-344`): an external
-  * config source feeds hot-reloadable properties; registered
-  * [[DynamicProperty]] instances are re-driven on every observed change.
-  *
-  * Format: one `key=value` per line, `#` comments. Values parse by the
-  * dynamic property's current type (Long / Int / Boolean / String /
-  * comma-separated list). In a Spark deployment the refresh happens on the
-  * driver and propagates at trigger boundaries (broadcast refresh or query
-  * restart for structural knobs — SURVEY.md §2.8 P4).
+/** Shared machinery of the polling property suppliers (file-backed and
+  * remote): a daemon poller fetches (content, version); on a version change
+  * the content is parsed (`key=value` lines, `#` comments) and every bound
+  * [[DynamicProperty]] is re-driven. Values parse by the property's type
+  * (Long / Int / Boolean / String / comma-separated list). In a Spark
+  * deployment the refresh happens on the driver and propagates at trigger
+  * boundaries (broadcast refresh or query restart for structural knobs —
+  * SURVEY.md §2.8 P4).
   */
-final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
+abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
     extends PropertySupplier with AutoCloseable {
 
-  @volatile private var values: Map[String, String] = load()
+  /** Fetch the current config: (content, version token). None / a throw ⇒
+    * keep last-good values and retry next poll.
+    */
+  protected def poll(): Option[(String, String)]
+
+  @volatile private var values: Map[String, String] = Map.empty
   @volatile private var closed = false
-  // registrations live in an AtomicReference: the old code synchronized on
-  // the mutable `bound` field itself, so a bind racing the watcher could
-  // lock different list instances and lose a registration
+  // registrations live in an AtomicReference: binds racing the poller must
+  // not lose a registration
   private val bound =
     new java.util.concurrent.atomic.AtomicReference[List[() => Unit]](Nil)
 
-  private val watcher = new Thread(null, () => {
-    var lastModified = 0L
-    while (!closed) {
-      try {
-        val m = if (Files.exists(path)) Files.getLastModifiedTime(path).toMillis else 0L
-        if (m != lastModified) {
-          // load FIRST: if the read throws (file mid-write), lastModified
-          // stays put and the next poll retries this version instead of
-          // silently losing the edit forever
-          values = load()
-          lastModified = m
+  // synchronous first fetch so get() works immediately after construction
+  // (same posture as the old file supplier's eager load())
+  private var lastVersion: String = ""
+  refresh()
+
+  private def refresh(): Unit =
+    try {
+      poll() match {
+        case Some((content, version)) if version != lastVersion =>
+          // parse FIRST: if it throws (source mid-write), lastVersion stays
+          // put and the next poll retries this version instead of silently
+          // losing the edit forever
+          values = PollingPropertySupplier.parse(content)
+          lastVersion = version
           // each refresh individually guarded: one property whose new value
           // fails its validator must not abort the refresh of every other
-          // bound property for this file version (it keeps its last-good
-          // value; the others still update)
+          // bound property for this version (it keeps its last-good value;
+          // the others still update)
           bound.get().foreach(f => try f() catch { case _: Exception => () })
-        }
-      } catch { case _: Exception => /* keep last-good config */ }
-      Thread.sleep(pollMillis)
-    }
-  }, "graft-config-watcher", 256 * 1024)
-  watcher.setDaemon(true)
-  watcher.start()
+        case _ => ()
+      }
+    } catch { case _: Exception => /* keep last-good config */ }
 
-  private def load(): Map[String, String] =
-    if (!Files.exists(path)) Map.empty
-    else Files.readAllLines(path).asScala
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
-      .map { l =>
-        val i = l.indexOf('=')
-        l.substring(0, i).trim -> l.substring(i + 1).trim
-      }.toMap
+  private val poller = new Thread(null, () => {
+    while (!closed) {
+      Thread.sleep(pollMillis)
+      refresh()
+    }
+  }, threadName, 256 * 1024)
+  poller.setDaemon(true)
+  poller.start()
 
   override def get[T](d: PropertyDefinition[T]): Option[T] =
     values.get(d.name).map(raw => parseAs(raw, d.default).asInstanceOf[T])
@@ -72,20 +71,21 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
     case _ => raw
   }
 
-  /** Keep `dyn` in sync with the file: every observed change re-resolves and
-    * sets the property (listeners fire on actual value changes only).
+  /** Keep `dyn` in sync with the source: every observed change re-resolves
+    * and sets the property (listeners fire on actual value changes only).
     */
   def bind[T](dyn: DynamicProperty[T]): Unit = {
-    val refresh: () => Unit = () =>
+    val refreshOne: () => Unit = () =>
       get(dyn.definition).foreach(v => dyn.set(v))
-    bound.updateAndGet(refresh :: _)
-    refresh()
+    bound.updateAndGet(refreshOne :: _)
+    refreshOne()
   }
 
-  /** Validate every property the file currently sets against `defs`: values
-    * must parse to the definition's type AND pass its validator. Returns one
-    * message per violation (empty = clean); unknown keys are reported too,
-    * so a typo'd property name can't silently fall back to the default.
+  /** Validate every property the source currently sets against `defs`:
+    * values must parse to the definition's type AND pass its validator.
+    * Returns one message per violation (empty = clean); unknown keys are
+    * reported too, so a typo'd property name can't silently fall back to the
+    * default.
     */
   def validateAll(defs: Seq[PropertyDefinition[_]]): Seq[String] = {
     val byName = defs.map(d => d.name -> d).toMap
@@ -104,6 +104,38 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
   }
 
   override def close(): Unit = closed = true
+}
+
+object PollingPropertySupplier {
+  /** `key=value` lines, `#` comments — the config wire format both suppliers
+    * share.
+    */
+  def parse(content: String): Map[String, String] =
+    content.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
+      .map { l =>
+        val i = l.indexOf('=')
+        l.substring(0, i).trim -> l.substring(i + 1).trim
+      }.toMap
+}
+
+/** P3 — dynamic property supplier backed by a watched file, the engine's
+  * analog of the reference's Central Dogma supplier
+  * (`centraldogma/.../CentralDogmaPropertySupplier.java:81-344`): an external
+  * config source feeds hot-reloadable properties; registered
+  * [[DynamicProperty]] instances are re-driven on every observed change.
+  * [[RemotePropertySupplier]] is the same machinery over a fetched source.
+  */
+final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
+    extends PollingPropertySupplier(pollMillis, "graft-config-watcher") {
+
+  protected def poll(): Option[(String, String)] =
+    if (!Files.exists(path)) Some(("", "absent"))
+    else {
+      val version = Files.getLastModifiedTime(path).toMillis.toString
+      Some((Files.readAllLines(path).asScala.mkString("\n"), version))
+    }
 }
 
 object FilePropertySupplier {

@@ -32,4 +32,67 @@ class FilePropertySpec extends AnyFunSuite {
       assert(observed.contains((100L, 0L)))
     } finally supplier.close()
   }
+
+  test("remote supplier re-drives bound properties only on version change") {
+    @volatile var content = "decaton.processing.rate.per.partition=500\n"
+    @volatile var version = "v1"
+    @volatile var fetches = 0
+    val supplier = new RemotePropertySupplier(() => {
+      fetches += 1
+      Some((content, version))
+    }, pollMillis = 30L)
+    try {
+      val props = new Properties(Seq(supplier))
+      assert(props.resolve(EngineProperties.ProcessingRate) == 500L)
+
+      val dyn = props.dynamic(EngineProperties.ProcessingRate)
+      @volatile var changes = 0
+      dyn.onChange((_, _) => changes += 1)
+      supplier.bind(dyn)
+      assert(dyn.value == 500L)
+
+      // content changes but version does not ⇒ no re-drive (conditional-
+      // request semantics: the poller trusts the version token)
+      content = "decaton.processing.rate.per.partition=900\n"
+      Thread.sleep(150)
+      assert(dyn.value == 500L, "version-stable poll must not re-drive")
+
+      // version bump ⇒ re-drive
+      version = "v2"
+      val deadline = System.currentTimeMillis() + 5000
+      while (dyn.value != 900L && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(dyn.value == 900L, "remote change did not propagate")
+      assert(changes >= 1 && fetches >= 2)
+    } finally supplier.close()
+  }
+
+  test("remote supplier keeps last-good config across fetch failures") {
+    @volatile var fail = false
+    val supplier = new RemotePropertySupplier(() => {
+      if (fail) throw new java.io.IOException("remote down")
+      Some(("decaton.partition.concurrency=7\n", "v1"))
+    }, pollMillis = 30L)
+    try {
+      assert(supplier.get(EngineProperties.PartitionConcurrency).contains(7))
+      fail = true
+      Thread.sleep(120)
+      assert(supplier.get(EngineProperties.PartitionConcurrency).contains(7),
+        "fetch failure must keep last-good values")
+    } finally supplier.close()
+  }
+
+  test("uri fetcher serves a file: source through the URL path (offline http(s) analog)") {
+    val f = Files.createTempFile("graft-remote", ".conf")
+    Files.writeString(f, "decaton.max.pending.records=1234\n")
+    val supplier = RemotePropertySupplier.uri(f.toUri, pollMillis = 30L)
+    try {
+      assert(supplier.get(EngineProperties.MaxPendingRecords).contains(1234))
+      // content-hash versioning: an edit with a new hash re-drives
+      Files.writeString(f, "decaton.max.pending.records=4321\n")
+      val deadline = System.currentTimeMillis() + 5000
+      while (!supplier.get(EngineProperties.MaxPendingRecords).contains(4321) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(supplier.get(EngineProperties.MaxPendingRecords).contains(4321))
+    } finally supplier.close()
+  }
 }

@@ -36,6 +36,57 @@ class TracingAndSchemaSpec extends SparkTestBase {
     assert(TracingProvider.Recording.spans.asScala.forall(_._3 >= 0L))
   }
 
+  test("traceparent parse/render round-trips and rejects malformed/zero ids") {
+    val ctx = TraceContext("a" * 32, "b" * 16, sampled = true)
+    assert(TraceContext.parse(ctx.render).contains(ctx))
+    assert(TraceContext.parse(TraceContext("c" * 32, "d" * 16, sampled = false).render)
+      .exists(!_.sampled))
+    assert(TraceContext.parse("junk").isEmpty)
+    assert(TraceContext.parse("00-" + "0" * 32 + "-" + "b" * 16 + "-01").isEmpty)
+    assert(TraceContext.parse("00-" + "a" * 32 + "-" + "0" * 16 + "-01").isEmpty)
+    assert(TraceContext.parse("99-" + "a" * 32 + "-" + "b" * 16 + "-01").isEmpty)
+  }
+
+  test("propagating provider continues an upstream trace and chains across the retry hop") {
+    import PropagatingTracingProvider.journal
+    journal.clear()
+    TracingProvider.Recording.spans.clear()
+    val provider = new PropagatingTracingProvider(new TracingProvider.Recording)
+    val task = Task(TaskMetadata(timestampMillis = 42L), "k1".getBytes, "payload")
+
+    // hop 1: upstream context arrives in the traceparent header
+    val upstream = TraceContext("a1" * 16, "b2" * 8, sampled = true)
+    provider.traceStart(task, Map(TraceContext.HeaderKey ->
+      upstream.render.getBytes("UTF-8"))).close("retry")
+    val (t1, parent1, span1, outcome1) = journal.asScala.last
+    assert(t1 == upstream.traceId, "child span must keep the upstream trace id")
+    assert(parent1 == upstream.spanId, "upstream span must be the parent")
+    assert(span1 != upstream.spanId && outcome1 == "retry")
+    // the inner provider saw the same span lifecycle (SPI composition)
+    assert(TracingProvider.Recording.spans.asScala.map(s => s._1 -> s._2).toList ==
+      List("k1" -> "retry"))
+
+    // hop 2: inject the closed span's context into the retry record's
+    // headers — the downstream consumer must continue the SAME trace with
+    // hop 1's span as parent (the reference injects into the retry produce
+    // exactly like this)
+    val (hk, hv) = provider.inject(PropagatingTracingProvider.lastSpan.get())
+    provider.traceStart(task, Map(hk -> hv)).close("processed")
+    val (t2, parent2, span2, _) = journal.asScala.last
+    assert(t2 == upstream.traceId, "retry hop must stay in the original trace")
+    assert(parent2 == span1, "retry hop's parent must be hop 1's span")
+    assert(span2 != span1)
+
+    // no context → new root, and distinct tasks get distinct traces
+    provider.traceStart(task, Map.empty).close("processed")
+    val (rootTrace, rootParent, _, _) = journal.asScala.last
+    assert(rootParent == "" && rootTrace != upstream.traceId)
+    provider.traceStart(
+      Task(TaskMetadata(timestampMillis = 43L), "k2".getBytes, "x"), Map.empty)
+      .close("processed")
+    assert(journal.asScala.last._1 != rootTrace)
+  }
+
   test("published schema JSON covers the engine properties; file values validate against it") {
     val schemaPath = Files.createTempFile("graft-schema", ".json")
     val defs: Seq[PropertyDefinition[_]] = Seq(
