@@ -133,6 +133,42 @@ object TextFunctions {
         sequence(lit(0), greatest(size(toks) - n, lit(0))),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
+
+  /** Intra-document repetition signals — the Gopher/RefinedWeb-style quality
+    * filters (duplicate-token and most-frequent-bigram fractions flag
+    * boilerplate and generation loops). Per doc: token counts row-local from
+    * array functions; bigram mode frequency via explode → two PARTIAL-AGG
+    * shuffles (per-(doc, bigram) count, then per-doc max/sum), never a join
+    * and never per-doc quadratic work — the 100 TB shape. All outputs are
+    * integers so the DuckDB oracle hash-matches exactly; ratio thresholds
+    * are the caller's integer cross-multiplication (e.g. repetitive ⇔
+    * `top_bigram_count * 5 >= n_bigrams`).
+    */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(idCol.as("doc_id"), tokens(textCol).as("t"))
+    val base = toks.select(
+      col("doc_id"),
+      size(col("t")).as("n_tokens"),
+      size(array_distinct(col("t"))).as("n_distinct_tokens"),
+      when(size(col("t")) < 2, array().cast("array<string>"))
+        .otherwise(expr("transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+        .as("bg"))
+    base
+      // explode_outer keeps bigram-less docs (empty text, single token) as a
+      // null-bigram row, so the aggregate still emits their zero counts
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+        explode_outer(col("bg")).as("bigram"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"), col("bigram"))
+      .count()
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"))
+      .agg(
+        sum(when(col("bigram").isNotNull, col("count")).otherwise(0L)).as("n_bigrams"),
+        count(when(col("bigram").isNotNull, lit(1))).as("n_distinct_bigrams"),
+        max(when(col("bigram").isNotNull, col("count")).otherwise(0L)).as("top_bigram_count"))
+  }
 }
 
 /** Frequent character trigrams per language (public corpus statistics,

@@ -397,6 +397,44 @@ object PipelineQueries {
                length(text) // 256 + 1 AS n_frames,
                md5(text) AS content_hash
         FROM documents
+      """)),
+
+    // ---- intra-document repetition signals (Gopher/RefinedWeb-style
+    // quality filters): duplicate-token and top-bigram frequencies flag
+    // boilerplate/generation loops. Integer outputs; thresholds are the
+    // caller's integer cross-multiplication.
+    Q(
+      "pq16_repetition",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextFunctions.repetitionStats(d, col("doc_id"), col("text"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), base AS (
+          SELECT doc_id,
+                 CAST(len(t) AS INT) AS n_tokens,
+                 CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+                 CASE WHEN len(t) < 2 THEN []
+                      ELSE list_transform(generate_series(1, CAST(len(t) - 1 AS INT)),
+                                          i -> t[i] || ' ' || t[i+1]) END AS bg
+          FROM toks
+        ), ex AS (
+          SELECT doc_id, unnest(bg) AS bigram FROM base
+        ), counted AS (
+          SELECT doc_id, bigram, count(*) AS c FROM ex GROUP BY 1, 2
+        ), agg AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                 count(*) AS n_distinct_bigrams,
+                 CAST(max(c) AS BIGINT) AS top_bigram_count
+          FROM counted GROUP BY 1
+        )
+        SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+               coalesce(a.n_bigrams, 0) AS n_bigrams,
+               coalesce(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+               coalesce(a.top_bigram_count, 0) AS top_bigram_count
+        FROM base b LEFT JOIN agg a USING (doc_id)
       """))
   )
 }

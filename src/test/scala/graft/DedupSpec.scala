@@ -268,6 +268,26 @@ class DedupSpec extends SparkTestBase {
     assert(a1.size == e.count())
   }
 
+  test("repetition stats count tokens/bigrams exactly, including degenerate docs") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      1L -> "a b a b a",   // 5 tokens (2 distinct), 4 bigrams: "a b"x2, "b a"x2
+      2L -> "x y z",       // 3 tokens, 2 distinct bigrams
+      3L -> "solo",        // 1 token, no bigrams
+      4L -> "",            // split("") = [""] -> 1 token, no bigrams
+      5L -> "w w w w")     // "w w" x3
+      .toDF("doc_id", "text")
+    val out = TextFunctions.repetitionStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out(1L) == ((5, 2, 4L, 2L, 2L)))
+    assert(out(2L) == ((3, 3, 2L, 2L, 1L)))
+    assert(out(3L) == ((1, 1, 0L, 0L, 0L)))
+    assert(out(4L) == ((1, 1, 0L, 0L, 0L)))
+    assert(out(5L) == ((4, 1, 3L, 1L, 3L)))
+  }
+
   test("n-gram language ID picks the profiled language on controlled text") {
     import graft.functions.TextFunctions
     val fixtures = Seq(
