@@ -87,16 +87,26 @@ object TextFunctions {
     * per-element isin chain), argmax wins with the same (score, code) tuple
     * comparison in both engines.
     *
-    * Evaluation-cost note: this single-column form re-derives the trigram
-    * array under each of the four scores (Catalyst will not CSE through the
-    * profile intersections); hot paths should pre-project
-    * [[distinct_trigrams]] once and call [[lang_guess_ngram_pre]] — the
-    * projection boundary makes Catalyst evaluate the trigram array once per
-    * row (CollapseProject refuses to inline a non-cheap expression used four
-    * times).
+    * Implementation: "profile trigram ∈ the text's distinct-trigram set" is
+    * exactly "profile trigram is a substring of the text" (a trigram occurs
+    * iff some 3-char window equals it; sub-3-char texts match neither way),
+    * so the score is 10 codegen'd `contains` probes per language — no
+    * trigram-array materialization, no set intersection, and `contains`
+    * compiles to an indexOf the JIT vectorizes. Bit-identical to the
+    * intersection form ([[lang_guess_ngram_pre]], kept as the declarative
+    * twin / oracle shape and asserted equal in DedupSpec): profiles are
+    * duplicate-free, so counting memberships equals the intersection size.
     */
-  def lang_guess_ngram(text: Column): Column =
-    lang_guess_ngram_pre(distinct_trigrams(text))
+  def lang_guess_ngram(text: Column): Column = {
+    def score(profile: Seq[String]): Column =
+      profile.map(tg => when(text.contains(lit(tg)), lit(1)).otherwise(lit(0)))
+        .reduce(_ + _)
+    argmaxLang(Seq(
+      score(TrigramProfiles.de) -> "de",
+      score(TrigramProfiles.en) -> "en",
+      score(TrigramProfiles.es) -> "es",
+      score(TrigramProfiles.fr) -> "fr"))
+  }
 
   /** The text's distinct character trigrams (pre-projection for
     * [[lang_guess_ngram_pre]]).

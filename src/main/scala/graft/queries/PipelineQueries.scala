@@ -349,13 +349,13 @@ object PipelineQueries {
       "pq15_langid_ngram",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        // distinct trigrams pre-projected ONCE; the four profile
-        // intersections in the next projection reuse the materialized array
-        d.withColumn("__tg", TextFunctions.distinct_trigrams(col("text")))
-          .select(
-            col("doc_id"),
-            TextFunctions.lang_guess_ngram_pre(col("__tg")).as("lang_ng"),
-            col("lang").as("lang_label"))
+        // contains-probe form: 40 substring probes per row, no trigram-array
+        // materialization (bit-identical to the intersection form the oracle
+        // computes — see lang_guess_ngram's scaladoc)
+        d.select(
+          col("doc_id"),
+          TextFunctions.lang_guess_ngram(col("text")).as("lang_ng"),
+          col("lang").as("lang_label"))
       },
       Some {
         def profList(prof: Seq[String]) = prof.map(t => s"'${t.replace("'", "''")}'").mkString("[", ", ", "]")

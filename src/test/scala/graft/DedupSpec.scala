@@ -301,6 +301,28 @@ class DedupSpec extends SparkTestBase {
     got.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("contains-probe language ID equals the trigram-intersection form on the corpus") {
+    import graft.functions.TextFunctions
+    val d = Tables.documents(spark, sfDir)
+    val both = d.select(
+      col("doc_id"),
+      TextFunctions.lang_guess_ngram(col("text")).as("fast"),
+      TextFunctions.lang_guess_ngram_pre(
+        TextFunctions.distinct_trigrams(col("text"))).as("declarative"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getString(1) == r.getString(2),
+      s"doc ${r.getLong(0)}: ${r.getString(1)} != ${r.getString(2)}"))
+    // clamp edge: sub-trigram texts score 0 everywhere in both forms
+    import spark.implicits._
+    val short = Seq("ab", "", "x").toDF("text")
+      .select(TextFunctions.lang_guess_ngram(col("text")).as("fast"),
+        TextFunctions.lang_guess_ngram_pre(
+          TextFunctions.distinct_trigrams(col("text"))).as("declarative"))
+      .collect()
+    short.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+
   test("multimodal resize preserves schema, recomputes meta, and is deterministic") {
     val d = Tables.documents(spark, sfDir).withColumn("payload", col("text").cast("binary"))
     val assets = Multimodal.toAssets(d, "doc_id", "payload", "text/fake")
