@@ -236,13 +236,17 @@ object Bench {
     // fan-in bounded at full width — the partial per (window, salt) is the
     // only thing that crosses the wire, and no reducer merges more than
     // (input partitions / salts) of them.
-    val cmsT0 = System.nanoTime()
-    graft.operators.PerKeyQuota.windowedSketchSalted(
-        Tables.events(spark, sfDir), org.apache.spark.sql.functions.col("user_id"),
-        org.apache.spark.sql.functions.col("ts"), "1 day",
-        salts = 4, width = 65536, depth = 12)
-      .write.format("noop").mode("overwrite").save()
-    val cmsFullSec = (System.nanoTime() - cmsT0) / 1e9
+    def cmsRep(): Double = {
+      val cmsT0 = System.nanoTime()
+      graft.operators.PerKeyQuota.windowedSketchSalted(
+          Tables.events(spark, sfDir), org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("ts"), "1 day",
+          salts = 4, width = 65536, depth = 12)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - cmsT0) / 1e9
+    }
+    cmsRep() // untimed warm-up: the full-width plan is not in the query-set warm pass
+    val cmsFullSec = Seq.fill(3)(cmsRep()).sorted.apply(1)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -3,6 +3,8 @@ package graft
 import java.sql.Timestamp
 import java.util.concurrent.ConcurrentLinkedQueue
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -139,6 +141,43 @@ class StreamingSpec extends SparkTestBase {
         .as[(String, Long)].collect().toSet
       assert(rows == Set(("a", 1L), ("b", 3L)))
     } finally q.stop()
+  }
+
+  test("stateful streaming runs on the RocksDB state store (100 TB state posture)") {
+    import spark.implicits._
+    import graft.streaming.StateStores
+    val prev = StateStores.useRocksDb(spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rocksdb-ckpt").toString
+    try {
+      val in = mkStream()
+      val out = StreamOps.dedupeStream(in.toDF(), Seq("key"), "ts", "1 minute")
+      val q = out.writeStream.format("memory").queryName("rocksdb_dedup_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(
+          Ev("a", t("2024-01-01 00:00:01"), 1),
+          Ev("a", t("2024-01-01 00:00:05"), 2),
+          Ev("b", t("2024-01-01 00:00:03"), 3))
+        q.processAllAvailable()
+        val rows = spark.table("rocksdb_dedup_out").select(col("key"), col("v"))
+          .as[(String, Long)].collect().toSet
+        assert(rows == Set(("a", 1L), ("b", 3L)))
+        // the checkpoint must carry RocksDB artifacts (zip snapshots /
+        // changelogs), not the HDFS provider's .delta files — proof the
+        // provider actually served the query
+        val stateFiles = {
+          val dir = java.nio.file.Paths.get(ckpt, "state")
+          val s = java.nio.file.Files.walk(dir)
+          try s.iterator().asScala.map(_.getFileName.toString).toList
+          finally s.close()
+        }
+        assert(!stateFiles.exists(_.endsWith(".delta")),
+          s"HDFS-provider delta files present: $stateFiles")
+        assert(stateFiles.exists(f => f.endsWith(".zip") || f.endsWith(".changelog")),
+          s"no RocksDB snapshot/changelog artifacts in checkpoint: $stateFiles")
+      } finally q.stop()
+    } finally StateStores.restoreProvider(spark, prev)
   }
 
   test("streaming sessionization closes sessions on gap > threshold") {
