@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SkewJoins
+import graft.sources.Bucketing
+
+/** The two ingest-time shuffle levers the 100 TB brief names: bucketed
+  * co-located joins (shuffle paid once at write, zero Exchange per query)
+  * and manual key salting (one hot key spread over many reducers).
+  */
+class BucketingAndSkewSpec extends SparkTestBase {
+
+  test("co-bucketed tables join with zero Exchange and identical results") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+    Bucketing.writeBucketed(orders, "orders_b", s"$tmp/orders_b", 8, Seq("o_custkey"))
+    Bucketing.writeBucketed(customer, "customer_b", s"$tmp/customer_b", 8, Seq("c_custkey"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ/shuffle path
+    try {
+      val ob = Bucketing.readBucketed(spark, "orders_b")
+      val cb = Bucketing.readBucketed(spark, "customer_b")
+      val joined = ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"))
+      // the join subtree must carry NO Exchange at all — both scans read
+      // bucketed (SelectedBucketsCount in the scan), so the SortMergeJoin
+      // consumes them directly
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan did not use buckets:\n$plan")
+
+      // identical rows vs the plain parquet reads (which DO shuffle)
+      val expected = orders.join(customer, orders("o_custkey") === customer("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"))
+        .collect().map(_.toString).sorted
+      val got = joined.collect().map(_.toString).sorted
+      assert(got.sameElements(expected) && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("salted join equals the plain join and actually spreads the hot key") {
+    import spark.implicits._
+    // 90% of left rows share one key — the power-law shape AQE's
+    // partition-splitting cannot fix when one KEY saturates one reducer
+    val left = spark.range(10000L)
+      .select(col("id"),
+        when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"))
+    val right = (Seq("hot") ++ (0 until 100).map(i => s"k${i * 10}"))
+      .toDF("k").withColumn("payload", length(col("k")))
+
+    val plain = left.join(right, Seq("k")).select(col("id"), col("k"), col("payload"))
+    val salted = SkewJoins.saltedJoin(left, right, Seq("k"), col("id"), salts = 8)
+      .select(col("id"), col("k"), col("payload"))
+    val a = plain.collect().map(_.toString).sorted
+    val b = salted.collect().map(_.toString).sorted
+    assert(a.sameElements(b), s"salted join changed the row multiset (${a.length} vs ${b.length})")
+
+    // the hot key's left rows must land in >1 salt cell
+    val saltSpread = left.filter(col("k") === "hot")
+      .select(pmod(hash(col("id")), lit(8)).as("s"))
+      .distinct().count()
+    assert(saltSpread > 4, s"hot key only spread over $saltSpread of 8 salts")
+  }
+}
