@@ -326,4 +326,34 @@ object Dedup {
       .filter(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
+
+  /** Benchmark decontamination — flag corpus documents sharing any word
+    * `n`-gram with an evaluation/benchmark set, the standard pre-training
+    * hygiene step (exact-match n-gram overlap). Returns one row per
+    * contaminated document with its distinct-overlapping-n-gram count.
+    *
+    * Scale shape: the benchmark side is small by definition (eval suites,
+    * not corpora) — its distinct n-grams BROADCAST, so the corpus is one
+    * scan + map-side hash probe + one partial-agg shuffle on doc id; the
+    * 100 TB side never shuffles its text. Per-doc n-grams are distinct
+    * ([[graft.functions.TextFunctions.word_ngrams]]), so `count(1)` is the
+    * distinct overlap count.
+    */
+  def contaminationFlags(
+      corpus: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      benchmark: DataFrame,
+      benchTextCol: Column,
+      n: Int): DataFrame = {
+    val benchNgrams = benchmark
+      .select(explode(graft.functions.TextFunctions.word_ngrams(benchTextCol, n)).as("ng"))
+      .distinct()
+    corpus
+      .select(idCol.as("doc_id"),
+        explode(graft.functions.TextFunctions.word_ngrams(textCol, n)).as("ng"))
+      .join(broadcast(benchNgrams), "ng")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
 }

@@ -435,6 +435,35 @@ object PipelineQueries {
                coalesce(a.n_distinct_bigrams, 0) AS n_distinct_bigrams,
                coalesce(a.top_bigram_count, 0) AS top_bigram_count
         FROM base b LEFT JOIN agg a USING (doc_id)
+      """)),
+
+    // ---- benchmark decontamination: every 50th doc stands in for the eval
+    // suite; the rest of the corpus is flagged by exact word-trigram
+    // overlap. Benchmark n-grams broadcast; the corpus never shuffles text.
+    Q(
+      "pq17_decontaminate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.contaminationFlags(
+          d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 3)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), ng AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(CAST(len(t) AS INT) - 2, 1)),
+                   i -> array_to_string(t[i:i+2], ' ')))) AS ng
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT ng FROM ng WHERE doc_id % 50 = 0
+        )
+        SELECT n.doc_id, count(*) AS n_contaminated
+        FROM ng n JOIN bench b USING (ng)
+        WHERE n.doc_id % 50 <> 0
+        GROUP BY 1
       """))
   )
 }
