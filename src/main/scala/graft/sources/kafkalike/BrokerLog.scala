@@ -1,7 +1,7 @@
 package graft.sources.kafkalike
 
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths}
 
 import scala.jdk.CollectionConverters._
 
@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   <root>/<topic>/.partitions          # partition count (created once)
   *   <root>/<topic>/p<N>/<offset>.rec    # one record, offset = file name
-  *   <root>/<topic>/p<N>/.hw             # persisted log-end (high-water) offset
+  *   <root>/<topic>/p<N>/.hw-<offset>    # log-end (high-water) marker, max wins
   * }}}
   *
   * Offsets are REAL Kafka offsets, not list indices: the 20-digit zero-padded
@@ -90,30 +90,40 @@ object BrokerLog {
       finally s.close()
     }
 
-  private def highWaterFile(dir: Path): Path = dir.resolve(".hw")
-
-  private def readHighWater(dir: Path): Long = {
-    val f = highWaterFile(dir)
-    if (!Files.exists(f)) 0L
-    else new String(Files.readAllBytes(f), "UTF-8").trim.toLong
-  }
-
-  /** Persist log-end = `value` if it advances the mark. Concurrent bumps race
-    * benignly: each writer re-reads after its atomic replace and retries until
-    * the persisted mark covers its own claim, so the final value is the max.
+  /** The high-water mark is a set of create-only marker files
+    * `.hw-<offset>`; the mark IS the max over markers. Create-only makes
+    * monotonicity structural: no writer ever replaces anything, so no
+    * interleaving can regress the max. (The previous single-file scheme
+    * raced: a stale laggard's atomic-replace could overwrite a higher mark,
+    * and both writers exited satisfied — each only re-checked its OWN value.)
+    * Markers strictly below the new max are pruned after each bump, so a
+    * partition carries one or two marker files in steady state.
     */
-  private def bumpHighWater(dir: Path, value: Long): Unit = {
-    var done = false
-    while (!done) {
-      if (readHighWater(dir) >= value) done = true
-      else {
-        val tmp = Files.createTempFile(dir, ".hw-", ".tmp")
-        Files.write(tmp, value.toString.getBytes("UTF-8"))
-        Files.move(tmp, highWaterFile(dir),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-      }
+  private def hwMarkers(dir: Path): Seq[Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".hw-")).toSeq
+      finally s.close()
     }
-  }
+
+  private def markerValue(p: Path): Long =
+    p.getFileName.toString.stripPrefix(".hw-").toLong
+
+  private def readHighWater(dir: Path): Long =
+    hwMarkers(dir).map(markerValue).maxOption.getOrElse(0L)
+
+  /** Persist log-end = `value` if it advances the mark. */
+  private def bumpHighWater(dir: Path, value: Long): Unit =
+    if (readHighWater(dir) < value) {
+      try Files.createFile(dir.resolve(f".hw-$value%020d"))
+      catch { case _: FileAlreadyExistsException => () }
+      // prune strictly-smaller markers; safe because the max never regresses
+      // and a concurrent reader's max is unaffected by deleting non-max
+      // markers (deleteIfExists: two pruners may race on the same file)
+      hwMarkers(dir).filter(markerValue(_) < value).foreach(Files.deleteIfExists)
+    }
 
   /** (earliest, latest-exclusive) offsets of a partition. The latest bound is
     * `max(listing, persisted high water)` so it survives full truncation —

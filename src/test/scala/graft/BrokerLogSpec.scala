@@ -100,6 +100,35 @@ class BrokerLogSpec extends AnyFunSuite {
     assert(BrokerLog.produce(root, "ret", 0, rec("k", "fresh")) == 10L)
   }
 
+  test("log-end survives full truncation even under racing producers (marker monotonicity)") {
+    // the single-file high-water scheme raced: a stale laggard's replace
+    // could overwrite a higher mark and both writers exited satisfied; the
+    // create-only marker scheme makes regression structurally impossible —
+    // race many producers, then truncate EVERYTHING and check the mark
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "hw", 1)
+    val nThreads = 8
+    val perThread = 25
+    val pool = Executors.newFixedThreadPool(nThreads)
+    val start = new CountDownLatch(1)
+    val futures = (0 until nThreads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          start.await()
+          (0 until perThread).foreach(i => BrokerLog.produce(root, "hw", 0, rec(s"t$t", s"$t-$i")))
+        }
+      })
+    }
+    start.countDown()
+    futures.foreach(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    val total = (nThreads * perThread).toLong
+    BrokerLog.truncateBefore(root, "hw", 0, Long.MaxValue)
+    assert(BrokerLog.offsetRange(root, "hw", 0) == (total, total),
+      "racing bumps must never leave a regressed log-end mark")
+    assert(BrokerLog.produce(root, "hw", 0, rec("k", "fresh")) == total)
+  }
+
   test("createTopic is idempotent; partition-count change is rejected") {
     val root = freshRoot()
     BrokerLog.createTopic(root, "t2", 3)
