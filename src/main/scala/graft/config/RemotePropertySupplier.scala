@@ -27,11 +27,20 @@ final class RemotePropertySupplier(
 object RemotePropertySupplier {
   /** Poll `uri` with content-hash versioning (no conditional-request support
     * needed from the server; a hash comparison downgrades gracefully to
-    * "re-drive only on actual change").
+    * "re-drive only on actual change"). Connect/read timeouts are bounded —
+    * URLConnection's defaults are INFINITE, and a hung server would
+    * otherwise pin the poller thread forever, silently freezing every bound
+    * property for the life of the JVM.
     */
-  def uri(u: java.net.URI, pollMillis: Long = 1000L): RemotePropertySupplier =
+  def uri(
+      u: java.net.URI,
+      pollMillis: Long = 1000L,
+      timeoutMillis: Int = 10000): RemotePropertySupplier =
     new RemotePropertySupplier(() => {
-      val in = u.toURL.openStream()
+      val conn = u.toURL.openConnection()
+      conn.setConnectTimeout(timeoutMillis)
+      conn.setReadTimeout(timeoutMillis)
+      val in = conn.getInputStream
       try {
         val content = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
         val d = java.security.MessageDigest.getInstance("MD5").digest(

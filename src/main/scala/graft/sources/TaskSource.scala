@@ -48,7 +48,18 @@ object TaskSource {
       col("topic"), col("partition"), col("offset"),
       unix_millis(col("timestamp")).as("timestampMillis"),
       col("key"), col("value"),
-      map_from_entries(col("headers")).as("headers"))
+      // Kafka headers may repeat a key (the header contract is a LIST);
+      // the map projection keeps the LAST value per key, matching Kafka's
+      // own Headers.lastHeader convention — a bare map_from_entries throws
+      // DUPLICATE_MAP_KEY and kills the query on the first such record
+      aggregate(
+        col("headers"),
+        map_from_entries(array().cast("array<struct<key:string,value:binary>>")),
+        (acc, h) => map_concat(
+          map_filter(acc, (k, _) => k =!= h.getField("key")),
+          map_from_entries(array(struct(
+            h.getField("key").as("key"), h.getField("value").as("value"))))))
+        .as("headers"))
       .as[ConsumedRecord]
   }
 

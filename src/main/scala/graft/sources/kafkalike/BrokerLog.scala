@@ -114,15 +114,22 @@ object BrokerLog {
   private def readHighWater(dir: Path): Long =
     hwMarkers(dir).map(markerValue).maxOption.getOrElse(0L)
 
-  /** Persist log-end = `value` if it advances the mark. */
+  /** Persist log-end = `value` if it advances the mark. Pruning keeps the
+    * TWO largest markers, not just the new one: POSIX readdir only
+    * guarantees a scan sees entries present for its whole duration, so a
+    * reader racing a create-then-prune could miss BOTH the just-created max
+    * and a just-deleted one. With the runner-up retained, every bump leaves
+    * the pre-bump max untouched, so a racing reader observes at least the
+    * mark as of its scan's start — never a regression below a value it
+    * could have read before. (deleteIfExists: two pruners may race on the
+    * same file.)
+    */
   private def bumpHighWater(dir: Path, value: Long): Unit =
     if (readHighWater(dir) < value) {
       try Files.createFile(dir.resolve(f".hw-$value%020d"))
       catch { case _: FileAlreadyExistsException => () }
-      // prune strictly-smaller markers; safe because the max never regresses
-      // and a concurrent reader's max is unaffected by deleting non-max
-      // markers (deleteIfExists: two pruners may race on the same file)
-      hwMarkers(dir).filter(markerValue(_) < value).foreach(Files.deleteIfExists)
+      val stale = hwMarkers(dir).map(markerValue).sorted(Ordering[Long].reverse).drop(2)
+      stale.foreach(v => Files.deleteIfExists(dir.resolve(f".hw-$v%020d")))
     }
 
   /** (earliest, latest-exclusive) offsets of a partition. The latest bound is
@@ -169,10 +176,18 @@ object BrokerLog {
 
   /** Records of `partition` with offsets in [from, until), offset-ordered. */
   def read(root: String, topic: String, partition: Int, from: Long, until: Long): Seq[(Long, Record)] =
+    readLazy(root, topic, partition, from, until).toSeq
+
+  /** [[read]] with one-record-at-a-time decode: only the (offset, path)
+    * listing is strict; bytes load per `next()`, so a reader over a large
+    * backlog holds one record in memory, not the slice.
+    */
+  def readLazy(root: String, topic: String, partition: Int, from: Long, until: Long): Iterator[(Long, Record)] =
     recordFiles(partDir(root, topic, partition))
       .map(p => (offsetOf(p), p))
       .filter { case (o, _) => o >= from && o < until }
       .sortBy(_._1)
+      .iterator
       .map { case (o, p) => (o, decode(Files.readAllBytes(p))) }
 
   /** Delete all records below `offset` (retention / simulated data loss).

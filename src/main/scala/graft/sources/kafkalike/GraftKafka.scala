@@ -91,7 +91,15 @@ object GraftKafka {
           (0 until BrokerLog.partitionCount(r, t)).map(p => (t, p))
         }
       case None =>
-        parseAssign(assign.get)
+        val tps = parseAssign(assign.get)
+        // validate like Kafka's assign: an unknown partition fails loudly
+        // instead of silently reading an empty directory forever
+        tps.foreach { case (t, p) =>
+          val n = BrokerLog.partitionCount(r, t)
+          require(p >= 0 && p < n,
+            s"assign names partition $p of topic '$t', which has $n partitions (0..${n - 1})")
+        }
+        tps
     }
   }
 
@@ -225,7 +233,13 @@ class GraftKafkaMicroBatchStream(
         else {
           val scale = mr.maxRows().toDouble / total
           avail.map { case (tp, a) =>
-            tp -> (startOffs.getOrElse(tp, ends(tp)) + math.floor(a * scale).toLong)
+            // floor the proportional share but never to zero for a partition
+            // with backlog — a sub-1 share floored to 0 on every partition
+            // would re-plan the identical empty batch forever (same
+            // don't-starve rule as the Kafka source; the cap may be slightly
+            // exceeded, progress is guaranteed)
+            val share = if (a == 0L) 0L else math.max(1L, math.floor(a * scale).toLong)
+            tp -> (startOffs.getOrElse(tp, ends(tp)) + share)
           }.toMap
         }
       case _ => ends
@@ -270,7 +284,10 @@ class GraftKafkaReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftKafkaInputPartition]
     new PartitionReader[InternalRow] {
-      private val records = BrokerLog.read(p.root, p.topic, p.partition, p.from, p.until).iterator
+      // lazy per-record decode: a first batch over a large backlog (no
+      // maxOffsetsPerTrigger) must not materialize every record's bytes at
+      // reader construction
+      private val records = BrokerLog.readLazy(p.root, p.topic, p.partition, p.from, p.until)
       private var current: InternalRow = _
       override def next(): Boolean =
         if (!records.hasNext) false
@@ -348,13 +365,17 @@ case class GraftKafkaWriterFactory(
   extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    writer()
+    writer(partitionId)
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    writer()
+    writer(partitionId)
 
-  private def writer(): DataWriter[InternalRow] = new DataWriter[InternalRow] {
+  private def writer(sparkPartitionId: Int): DataWriter[InternalRow] = new DataWriter[InternalRow] {
     private var written = 0L
-    private var roundRobin = 0
+    // null-key round-robin seeded by the Spark partition id: every writer
+    // starting at 0 would pile each task's first null-key records onto
+    // broker partition 0 (Kafka's partitioner randomizes its start for the
+    // same reason; the task id keeps it deterministic)
+    private var roundRobin = sparkPartitionId
     private val partCounts = scala.collection.mutable.Map.empty[String, Int]
 
     private def partitionsOf(topic: String): Int =
@@ -386,9 +407,17 @@ case class GraftKafkaWriterFactory(
         } else Nil
       val n = partitionsOf(topic)
       val part =
-        if (partitionIdx >= 0 && !row.isNullAt(partitionIdx)) row.getInt(partitionIdx) % n
+        if (partitionIdx >= 0 && !row.isNullAt(partitionIdx)) {
+          val p = row.getInt(partitionIdx)
+          // explicit routing must fail on nonexistent partitions like
+          // Kafka's producer — a silent modulo wrap would break any
+          // co-partitioning assumption the caller encoded
+          require(p >= 0 && p < n,
+            s"row routes to partition $p of topic '$topic', which has $n partitions (0..${n - 1})")
+          p
+        }
         else if (key != null) (util.Arrays.hashCode(key) & Int.MaxValue) % n
-        else { roundRobin += 1; (roundRobin - 1) % n }
+        else { roundRobin += 1; math.floorMod(roundRobin - 1, n) }
       BrokerLog.produce(root, topic, part, BrokerLog.Record(key, value, ts, headers))
       written += 1
     }

@@ -188,4 +188,67 @@ class GraftKafkaSourceSpec extends SparkTestBase {
     assert(GraftKafkaOffset.fromJson(off.json()) == off)
     assert(off.json() == """{"t":{"0":5,"1":7},"u":{"0":0}}""")
   }
+
+  test("a per-trigger cap below the partition count still makes progress (no floor-to-zero starvation)") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "tiny", 4)
+    (0 until 4).foreach(p => produceN(root, "tiny", p, 2, prefix = s"p$p-"))
+    GraftKafkaSourceSpec.reset()
+    val q = spark.readStream.format("graft-kafka")
+      .option("root", root).option("subscribe", "tiny")
+      .option("maxOffsetsPerTrigger", "2") // < 4 backlogged partitions
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-kafka-tiny").toString)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("key").cast("string"), col("offset"), col("partition"), col("topic"))
+          .collect().foreach(r => GraftKafkaSourceSpec.delivered.add(
+            (id, r.getString(0), r.getLong(1), r.getInt(2), r.getString(3))))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // a floored share of 0 per partition would re-plan the same empty
+      // batch forever and processAllAvailable would return with 0 delivered
+      assert(GraftKafkaSourceSpec.delivered.asScala.size == 8,
+        s"backlog must fully drain, got ${GraftKafkaSourceSpec.delivered.asScala.size}")
+    } finally q.stop()
+  }
+
+  test("explicit out-of-range write partitions and unknown assign partitions fail loudly") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "strict", 2)
+    import spark.implicits._
+    val bad = Seq(("k", "v", 5)).toDF("key", "value", "partition")
+      .select(col("key").cast("binary"), col("value").cast("binary"), col("partition"))
+    val e = intercept[Exception] {
+      bad.write.format("graft-kafka").mode("append")
+        .option("root", root).option("topic", "strict").save()
+    }
+    assert(e.getMessage != null)
+    // nothing was silently wrap-routed
+    assert(BrokerLog.offsetRange(root, "strict", 0) == (0L, 0L))
+    assert(BrokerLog.offsetRange(root, "strict", 1) == (0L, 0L))
+
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-kafka")
+        .option("root", root).option("assign", """{"strict":[2]}""").load().collect()
+    }
+  }
+
+  test("duplicate header keys keep the last value through toConsumedRecords (Kafka list contract)") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "dup", 1)
+    BrokerLog.produce(root, "dup", 0, BrokerLog.Record(
+      "k".getBytes, "v".getBytes, 1704067200000L,
+      Seq("h" -> "first".getBytes, "other" -> "x".getBytes, "h" -> "last".getBytes)))
+    val recs = graft.sources.TaskSource.toConsumedRecords(
+      spark.read.format("graft-kafka").option("root", root).option("subscribe", "dup").load())
+      .collect()
+    assert(recs.length == 1)
+    val h = recs.head.headers
+    assert(h.keySet == Set("h", "other"))
+    assert(new String(h("h"), "UTF-8") == "last",
+      "duplicate header key must resolve to the LAST value (Headers.lastHeader)")
+  }
 }
