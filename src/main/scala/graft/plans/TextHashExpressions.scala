@@ -212,28 +212,36 @@ case class SimHash(child: Expression, bits: Int)
     // same tokenization as Spark's split(text, " ") with its default -1
     // limit: single-space separators, consecutive/trailing empties kept
     val toks = text.split(space, -1)
-    val votes = new Array[Int](bits)
-    val cache = new java.util.HashMap[UTF8String, java.lang.Long]()
+    // one entry per DISTINCT token: [portable hash, occurrence count].
+    // Votes are count-weighted per distinct token below — the vote sum
+    // commutes, so the result is bit-identical to voting per occurrence,
+    // and the duplicate-heavy docs this expression sees (stopwords) skip
+    // the repeated per-bit loops entirely.
+    val cache = new java.util.HashMap[UTF8String, Array[Long]]()
     var t = 0
     while (t < toks.length) {
       val tok = toks(t)
-      var h = cache.get(tok)
-      if (h == null) {
-        h = java.lang.Long.valueOf(hexHead(digest(tok)))
-        cache.put(tok, h)
-      }
-      val hv = h.longValue()
+      val e = cache.get(tok)
+      if (e == null) cache.put(tok, Array(hexHead(digest(tok)), 1L))
+      else e(1) += 1L
+      t += 1
+    }
+    val votes = new Array[Long](bits)
+    val it = cache.values().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val hv = e(0)
+      val cnt = e(1)
       var b = 0
       while (b < bits) {
-        if (((hv >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        if (((hv >>> b) & 1L) == 1L) votes(b) += cnt else votes(b) -= cnt
         b += 1
       }
-      t += 1
     }
     var sig = 0L
     var b = 0
     while (b < bits) {
-      if (votes(b) >= 0) sig |= 1L << b
+      if (votes(b) >= 0L) sig |= 1L << b
       b += 1
     }
     sig
