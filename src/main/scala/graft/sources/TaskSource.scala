@@ -54,7 +54,7 @@ object TaskSource {
       // DUPLICATE_MAP_KEY and kills the query on the first such record
       aggregate(
         col("headers"),
-        map_from_entries(array().cast("array<struct<key:string,value:binary>>")),
+        map().cast("map<string,binary>"),
         (acc, h) => map_concat(
           map_filter(acc, (k, _) => k =!= h.getField("key")),
           map_from_entries(array(struct(

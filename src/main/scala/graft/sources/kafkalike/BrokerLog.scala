@@ -111,8 +111,26 @@ object BrokerLog {
   private def markerValue(p: Path): Long =
     p.getFileName.toString.stripPrefix(".hw-").toLong
 
-  private def readHighWater(dir: Path): Long =
-    hwMarkers(dir).map(markerValue).maxOption.getOrElse(0L)
+  /** Max over marker files, read with scan-stability: POSIX readdir only
+    * guarantees a scan sees entries present for its WHOLE duration, so a
+    * single scan racing create-then-prune bumps can miss both the new max
+    * and the pruned runner-up. Re-scan until two consecutive scans agree
+    * (markers only ever grow, so the max over all scans is safe to return);
+    * each racing scan requires a produce interleaved with it, so in practice
+    * this loop exits on the second scan.
+    */
+  private def readHighWater(dir: Path): Long = {
+    var best = hwMarkers(dir).map(markerValue).maxOption.getOrElse(0L)
+    var attempts = 0
+    var stable = false
+    while (!stable && attempts < 8) {
+      val next = hwMarkers(dir).map(markerValue).maxOption.getOrElse(0L)
+      stable = next <= best
+      best = math.max(best, next)
+      attempts += 1
+    }
+    best
+  }
 
   /** Persist log-end = `value` if it advances the mark. Pruning keeps the
     * TWO largest markers, not just the new one: POSIX readdir only
@@ -180,7 +198,12 @@ object BrokerLog {
 
   /** [[read]] with one-record-at-a-time decode: only the (offset, path)
     * listing is strict; bytes load per `next()`, so a reader over a large
-    * backlog holds one record in memory, not the slice.
+    * backlog holds one record in memory, not the slice. A file deleted
+    * between listing and its read (retention racing a long iteration) is
+    * skipped — the read behaves as if it started after the truncation,
+    * matching a Kafka consumer that gets OffsetOutOfRange on its next
+    * fetch; a failOnDataLoss=true stream still fails loudly at the NEXT
+    * planning cycle, where the offset regression is visible.
     */
   def readLazy(root: String, topic: String, partition: Int, from: Long, until: Long): Iterator[(Long, Record)] =
     recordFiles(partDir(root, topic, partition))
@@ -188,7 +211,10 @@ object BrokerLog {
       .filter { case (o, _) => o >= from && o < until }
       .sortBy(_._1)
       .iterator
-      .map { case (o, p) => (o, decode(Files.readAllBytes(p))) }
+      .flatMap { case (o, p) =>
+        try Some((o, decode(Files.readAllBytes(p))))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
 
   /** Delete all records below `offset` (retention / simulated data loss).
     * Offsets of surviving records — and the log-end mark — are unaffected.

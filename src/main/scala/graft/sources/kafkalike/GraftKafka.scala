@@ -85,22 +85,26 @@ object GraftKafka {
     val assign = Option(options.get("assign")).map(_.trim).filter(_.nonEmpty)
     require(subscribe.isDefined ^ assign.isDefined,
       "graft-kafka reads need exactly one of 'subscribe' (comma-separated topics) or 'assign' ({\"topic\":[0,1]})")
-    subscribe match {
+    // distinct: "t,t" subscribes or {"t":[0,0]} assigns must not plan a
+    // topic-partition twice (duplicate input partitions would double-read
+    // every record and double-count the backlog in admission control)
+    val tps = subscribe match {
       case Some(topics) =>
         topics.split(",").map(_.trim).filter(_.nonEmpty).toSeq.flatMap { t =>
           (0 until BrokerLog.partitionCount(r, t)).map(p => (t, p))
         }
       case None =>
-        val tps = parseAssign(assign.get)
+        val parsed = parseAssign(assign.get)
         // validate like Kafka's assign: an unknown partition fails loudly
         // instead of silently reading an empty directory forever
-        tps.foreach { case (t, p) =>
+        parsed.foreach { case (t, p) =>
           val n = BrokerLog.partitionCount(r, t)
           require(p >= 0 && p < n,
             s"assign names partition $p of topic '$t', which has $n partitions (0..${n - 1})")
         }
-        tps
+        parsed
     }
+    tps.distinct
   }
 
   /** Parse the Kafka-style assign JSON `{"topicA":[0,1],"topicB":[2]}`. */
@@ -197,8 +201,10 @@ class GraftKafkaMicroBatchStream(
     failOnDataLoss: Boolean,
     maxOffsetsPerTrigger: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
 
+  private def logRanges: Map[(String, Int), (Long, Long)] =
+    tps.map { case (t, p) => (t, p) -> BrokerLog.offsetRange(root, t, p) }.toMap
   private def logEnds: Map[(String, Int), Long] =
-    tps.map { case (t, p) => (t, p) -> BrokerLog.offsetRange(root, t, p)._2 }.toMap
+    logRanges.map { case (tp, (_, end)) => tp -> end }
 
   override def initialOffset(): Offset =
     GraftKafkaOffset(tps.map { case (t, p) =>
@@ -222,11 +228,18 @@ class GraftKafkaMicroBatchStream(
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOffs = start.asInstanceOf[GraftKafkaOffset].offsets
-    val ends = logEnds
+    val ranges = logRanges
+    val ends = ranges.map { case (tp, (_, e)) => tp -> e }
+    // a partition absent from the checkpoint (topic added to the
+    // subscription after the checkpoint existed) starts at its EARLIEST
+    // available offset — the Kafka source's new-partition rule — and the
+    // same default is used by planInputPartitions, so its backlog passes
+    // through admission control instead of arriving as one uncapped batch
+    def startOf(tp: (String, Int)): Long = startOffs.getOrElse(tp, ranges(tp)._1)
     val capped = limit match {
       case mr: ReadMaxRows =>
         val avail = tps.map { tp =>
-          tp -> math.max(0L, ends(tp) - startOffs.getOrElse(tp, ends(tp)))
+          tp -> math.max(0L, ends(tp) - startOf(tp))
         }
         val total = avail.map(_._2).sum
         if (total <= mr.maxRows()) ends
@@ -239,7 +252,7 @@ class GraftKafkaMicroBatchStream(
             // don't-starve rule as the Kafka source; the cap may be slightly
             // exceeded, progress is guaranteed)
             val share = if (a == 0L) 0L else math.max(1L, math.floor(a * scale).toLong)
-            tp -> (startOffs.getOrElse(tp, ends(tp)) + share)
+            tp -> (startOf(tp) + share)
           }.toMap
         }
       case _ => ends
@@ -253,8 +266,11 @@ class GraftKafkaMicroBatchStream(
     val startOffs = start.asInstanceOf[GraftKafkaOffset].offsets
     val endOffs = end.asInstanceOf[GraftKafkaOffset].offsets
     endOffs.toSeq.sortBy { case ((t, p), _) => (t, p) }.map { case ((t, p), until) =>
-      val requested = startOffs.getOrElse((t, p), 0L)
       val earliestAvailable = BrokerLog.offsetRange(root, t, p)._1
+      // absent from the checkpoint = partition new to the subscription:
+      // start at earliest-available (same default latestOffset uses), which
+      // is a legitimate join point, not data loss
+      val requested = startOffs.getOrElse((t, p), earliestAvailable)
       val from =
         if (requested >= earliestAvailable) requested
         else if (failOnDataLoss)
