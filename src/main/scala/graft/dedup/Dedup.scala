@@ -339,6 +339,39 @@ object Dedup {
     * ([[graft.functions.TextFunctions.word_ngrams]]), so `count(1)` is the
     * distinct overlap count.
     */
+  /** Per-document duplicated-span statistics — the scalable core of
+    * exact-substring dedup ("Deduplicating Training Data Makes Language
+    * Models Better", Lee et al. 2022): for token-window size `n`, count the
+    * window positions whose n-gram also occurs in at least one OTHER
+    * document. Callers drop or trim documents whose duplicated fraction is
+    * high (`n_dup_grams * D >= n_grams * N` in integer cross-multiplication).
+    *
+    * 100 TB shape: windows are md5-hashed immediately so nothing after the
+    * first projection carries text — the three shuffles (per-(doc, gram)
+    * count, gram document-frequency, per-doc rollup) all move fixed-width
+    * rows, the first two are partial-agg (map-side combine), and the
+    * gram⋈df join runs on two sides already hash-partitioned by gram. No
+    * suffix array, no pairwise comparison: df>1 on an n-gram is exactly
+    * "this span is duplicated somewhere", which is the per-document signal
+    * the suffix-array pass of the paper feeds back to documents.
+    */
+  def duplicatedSpanStats(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    require(n > 0, s"window size n=$n must be positive")
+    val toks = df.select(idCol.as("doc_id"),
+      graft.functions.TextFunctions.tokens(textCol).as("t"))
+    val grams = toks.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), greatest(size(col("t")) - n, lit(0))),
+        i => md5(array_join(slice(col("t"), i + 1, lit(n)), " ")))).as("g"))
+    val perDocGram = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val gramDf = perDocGram.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    perDocGram.join(gramDf, "g")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_grams"),
+        sum(when(col("df") > 1, col("c")).otherwise(0L)).as("n_dup_grams"))
+  }
+
   def contaminationFlags(
       corpus: DataFrame,
       idCol: Column,

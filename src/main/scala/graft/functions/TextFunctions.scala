@@ -154,6 +154,64 @@ object TextFunctions {
     * are the caller's integer cross-multiplication (e.g. repetitive ⇔
     * `top_bigram_count * 5 >= n_bigrams`).
     */
+  /** Per-document top-`k` characteristic terms, tf-idf-style but in pure
+    * integer ordering so the oracle hash-matches bit-exactly: rank by term
+    * frequency descending, then corpus document-frequency ascending (rarer
+    * term wins the tie — the idf direction), then the token itself. Floats
+    * never appear, so no `ln()` rounding can drift between engines.
+    *
+    * 100 TB shape: explode → per-(doc, token) count and per-token df are
+    * both partial-agg shuffles; the tf⋈df join sees two sides already
+    * hash-partitioned by token; the final top-k is one window shuffle on
+    * doc_id. The vocabulary is never collected or broadcast — it can be
+    * arbitrarily large.
+    */
+  def topTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val tf = df
+      .select(idCol.as("doc_id"), explode(tokens(textCol)).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"))
+  }
+
+  /** RAG-style chunking: split each document into token windows of
+    * `chunkSize` with `overlap` tokens shared between consecutive chunks
+    * (stride = chunkSize - overlap). The trailing chunk may be shorter.
+    * Entirely row-local (sequence → slice → posexplode): zero shuffles, and
+    * chunk ids are (doc_id, chunk_idx) so downstream embedding stages can
+    * repartition however they like.
+    */
+  def chunkByTokens(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column,
+      chunkSize: Int,
+      overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap=$overlap < chunkSize=$chunkSize")
+    val stride = chunkSize - overlap
+    val t = tokens(textCol)
+    df.select(idCol.as("doc_id"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(t) - 1, lit(0)), lit(stride)),
+          i => slice(t, i + 1, lit(chunkSize)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).as("n_tokens"))
+  }
+
   def repetitionStats(
       df: org.apache.spark.sql.DataFrame,
       idCol: Column,

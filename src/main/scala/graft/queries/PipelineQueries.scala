@@ -464,6 +464,110 @@ object PipelineQueries {
         FROM ng n JOIN bench b USING (ng)
         WHERE n.doc_id % 50 <> 0
         GROUP BY 1
+      """)),
+
+    // ---- exact-substring dedup signal (Lee et al. 2022): per doc, how many
+    // 5-token windows also occur in another document. Windows are hashed at
+    // the scan; all shuffles move fixed-width rows.
+    Q(
+      "pq18_dup_spans",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism)
+        Dedup.duplicatedSpanStats(d, col("doc_id"), col("text"), n = 5)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(CAST(len(t) AS INT) - 4, 1))) AS i
+          FROM toks
+        ), g AS (
+          SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS g FROM pos
+        ), pg AS (
+          SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+        ), gdf AS (
+          SELECT g, count(*) AS df FROM pg GROUP BY 1
+        )
+        SELECT pg.doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN df > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams
+        FROM pg JOIN gdf USING (g) GROUP BY 1
+      """)),
+
+    // ---- dataset-mixing sample: per-language per-mille rates decided by
+    // each row's own id hash — reproducible, order-independent, zero-shuffle.
+    Q(
+      "pq19_stratified_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.sampling.Sampling
+          .stratifiedByHash(d, col("doc_id"), col("lang"),
+            Map("en" -> 900, "zh" -> 600, "de" -> 400, "es" -> 250),
+            defaultPerMille = 100)
+          .select(col("doc_id"), col("lang"), col("source"), col("sample_bucket"))
+      },
+      Some("""
+        WITH b AS (
+          SELECT doc_id, lang, source,
+                 CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                   AS sample_bucket
+          FROM documents
+        )
+        SELECT doc_id, lang, source, sample_bucket FROM b
+        WHERE sample_bucket < CASE lang WHEN 'en' THEN 900 WHEN 'zh' THEN 600
+                                        WHEN 'de' THEN 400 WHEN 'es' THEN 250
+                                        ELSE 100 END
+      """)),
+
+    // ---- per-doc top-3 characteristic terms, tf-idf ordering in pure
+    // integers (tf desc, corpus df asc, token): no float idf to drift.
+    Q(
+      "pq20_top_terms",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextFunctions.topTerms(d, col("doc_id"), col("text"), k = 3)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tfreq AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT tok, count(*) AS df FROM tfreq GROUP BY 1
+        ), r AS (
+          SELECT tfreq.doc_id, tfreq.tok, tfreq.tf, dfreq.df,
+                 row_number() OVER (PARTITION BY tfreq.doc_id
+                                    ORDER BY tfreq.tf DESC, dfreq.df ASC, tfreq.tok ASC) AS rank
+          FROM tfreq JOIN dfreq USING (tok)
+        )
+        SELECT doc_id, CAST(rank AS INT) AS rank, tok,
+               CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+        FROM r WHERE rank <= 3
+      """)),
+
+    // ---- RAG chunking: 64-token windows, 16-token overlap (stride 48);
+    // row-local sequence→slice→posexplode, zero shuffles.
+    Q(
+      "pq21_chunks",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextFunctions.chunkByTokens(d, col("doc_id"), col("text"),
+          chunkSize = 64, overlap = 16)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), st AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(CAST(len(t) AS INT), 1), 48)) AS i
+          FROM toks
+        )
+        SELECT doc_id, CAST((i - 1) // 48 AS INT) AS chunk_idx,
+               array_to_string(t[i:i+63], ' ') AS chunk_text,
+               CAST(len(t[i:i+63]) AS INT) AS n_tokens
+        FROM st
       """))
   )
 }

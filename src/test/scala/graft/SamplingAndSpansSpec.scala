@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.sampling.Sampling
+
+/** Unit oracles for the round-4 pipeline additions: duplicated-span stats
+  * (exact-substring dedup signal), hash-stratified sampling, top-terms, and
+  * token-window chunking. The sf0.01 DuckDB oracle checks the same operators
+  * end-to-end; these tests pin the hand-computable semantics.
+  */
+class SamplingAndSpansSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --- duplicatedSpanStats -------------------------------------------------
+
+  test("duplicatedSpanStats counts positions whose n-gram occurs in another doc") {
+    // doc 1 and doc 2 share the exact 5-token run "a b c d e"; doc 3 is unique.
+    val docs = Seq(
+      (1L, "a b c d e x y"),      // 3 windows; window 0 ("a b c d e") duplicated
+      (2L, "q a b c d e"),        // 2 windows; window 1 duplicated
+      (3L, "p q r s t u v")       // 3 windows; none duplicated
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq === Seq(Row(1L, 3L, 1L), Row(2L, 2L, 1L), Row(3L, 3L, 0L)))
+  }
+
+  test("duplicatedSpanStats: repeats inside ONE doc are not duplicated spans") {
+    // the window repeats within the doc but exists nowhere else → df == 1
+    val docs = Seq((1L, "a b a b a b a b a b")).toDF("doc_id", "text")
+    val Array(r) = Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), n = 5).collect()
+    assert(r.getLong(1) === 6L && r.getLong(2) === 0L)
+  }
+
+  test("duplicatedSpanStats: short docs yield exactly one clamped window") {
+    val docs = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpanStats(docs, col("doc_id"), col("text"), n = 5)
+      .orderBy("doc_id").collect()
+    // both docs have the single window "a b", shared → duplicated
+    assert(out.toSeq === Seq(Row(1L, 1L, 1L), Row(2L, 1L, 1L)))
+  }
+
+  // --- stratifiedByHash ----------------------------------------------------
+
+  private val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+  private val rates = Map("en" -> 900, "zh" -> 600, "de" -> 400, "es" -> 250)
+
+  test("stratifiedByHash applies each stratum's rate and the default") {
+    val out = Sampling.stratifiedByHash(
+      corpus, col("doc_id"), col("lang"), rates, defaultPerMille = 100)
+    val bad = out.filter(col("sample_bucket") >=
+      coalesce(element_at(
+        map(rates.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*),
+        col("lang")), lit(100)))
+    assert(bad.count() === 0L)
+    // every stratum present in the corpus survives at these rates
+    assert(out.select("lang").distinct().count() ===
+      corpus.select("lang").distinct().count())
+  }
+
+  test("stratifiedByHash is deterministic and nested across rates") {
+    val a = Sampling.stratifiedByHash(corpus, col("doc_id"), col("lang"),
+      Map.empty, defaultPerMille = 700).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.stratifiedByHash(corpus, col("doc_id"), col("lang"),
+      Map.empty, defaultPerMille = 700).select("doc_id").as[Long].collect().toSet
+    val smaller = Sampling.stratifiedByHash(corpus, col("doc_id"), col("lang"),
+      Map.empty, defaultPerMille = 400).select("doc_id").as[Long].collect().toSet
+    assert(a === b)                       // reproducible
+    assert(smaller.subsetOf(a))           // rate-400 ⊂ rate-700
+    val n = corpus.count()
+    // 700‰ of a 100-doc corpus: loose binomial bounds, deterministic hash
+    assert(smaller.size < a.size && a.size > n * 5 / 10 && a.size < n * 9 / 10)
+  }
+
+  // --- topTerms ------------------------------------------------------------
+
+  test("topTerms ranks by tf desc, then rarer-corpus-term (df asc), then token") {
+    val docs = Seq(
+      (1L, "x x x common common rare"),
+      (2L, "common common y y z")
+    ).toDF("doc_id", "text")
+    val out = TextFunctions.topTerms(docs, col("doc_id"), col("text"), k = 2)
+      .orderBy("doc_id", "rank").collect()
+    assert(out.toSeq === Seq(
+      Row(1L, 1, "x", 3L, 1L),        // tf 3, df 1
+      Row(1L, 2, "common", 2L, 2L),   // tf 2, df 2
+      Row(2L, 1, "y", 2L, 1L),        // tf 2 ties common — df asc: y (df 1) first
+      Row(2L, 2, "common", 2L, 2L)))
+  }
+
+  test("topTerms df-ascending tiebreak puts the rarer term first") {
+    val docs = Seq((1L, "shared unique"), (2L, "shared")).toDF("doc_id", "text")
+    val out = TextFunctions.topTerms(docs, col("doc_id"), col("text"), k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    // tf 1 each; unique has df 1 < shared df 2 → unique ranks first
+    assert(out.toSeq === Seq(Row(1L, 1, "unique", 1L, 1L), Row(1L, 2, "shared", 1L, 2L)))
+  }
+
+  // --- chunkByTokens -------------------------------------------------------
+
+  test("chunkByTokens windows with overlap and a short trailing chunk") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val out = TextFunctions.chunkByTokens(docs, col("doc_id"), col("text"),
+      chunkSize = 4, overlap = 1).orderBy("chunk_idx").collect()
+    assert(out.toSeq === Seq(
+      Row(7L, 0, "t1 t2 t3 t4", 4),
+      Row(7L, 1, "t4 t5 t6 t7", 4),   // starts at stride 3: overlaps t4
+      Row(7L, 2, "t7 t8 t9 t10", 4),
+      Row(7L, 3, "t10", 1)))          // trailing remainder
+  }
+
+  test("chunkByTokens: doc shorter than one chunk is a single chunk") {
+    val docs = Seq((1L, "a b"), (2L, "")).toDF("doc_id", "text")
+    val out = TextFunctions.chunkByTokens(docs, col("doc_id"), col("text"),
+      chunkSize = 64, overlap = 16).orderBy("doc_id").collect()
+    // split("", " ") == Array("") — the empty doc is one empty-token chunk
+    assert(out.toSeq === Seq(Row(1L, 0, "a b", 2), Row(2L, 0, "", 1)))
+  }
+}
