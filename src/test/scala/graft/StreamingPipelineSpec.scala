@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sampling.Sampling
+import graft.sources.kafkalike.BrokerLog
+
+/** The training-data operators composed with the executable streaming path:
+  * documents flow through the `graft-kafka` sink, come back via `readStream`,
+  * and the mixing/chunking operators run per micro-batch — asserting the ops
+  * are batch/stream agnostic (hash-based selection can't depend on which
+  * micro-batch a row arrived in) and that the DSv2 source round-trips real
+  * payloads, not just probe records.
+  */
+object StreamingPipelineSpec {
+  // (doc_id, sample_bucket) for sampled docs; (doc_id, n_chunks) for chunking
+  val sampled = new ConcurrentLinkedQueue[(Long, Long)]()
+  val chunked = new ConcurrentLinkedQueue[(Long, Long)]()
+  def reset(): Unit = { sampled.clear(); chunked.clear() }
+}
+
+class StreamingPipelineSpec extends SparkTestBase {
+
+  private val rates = Map("en" -> 900, "zh" -> 600, "de" -> 400, "es" -> 250)
+
+  test("stratified sampling + chunking over a graft-kafka stream match their batch results") {
+    val root = Files.createTempDirectory("graft-kafka-pipe").toString
+    BrokerLog.createTopic(root, "docs", 4)
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // produce the corpus through the DSv2 sink: key = doc_id, value = "lang|text"
+    docs.select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        concat(col("lang"), lit("|"), col("text")).cast("binary").as("value"))
+      .write.format("graft-kafka").mode("append")
+      .option("root", root).option("topic", "docs").save()
+
+    StreamingPipelineSpec.reset()
+    val ckpt = Files.createTempDirectory("graft-kafka-pipe-ckpt").toString
+    val q = spark.readStream.format("graft-kafka")
+      .option("root", root).option("subscribe", "docs")
+      // several micro-batches, so per-batch selection bias would be caught
+      .option("maxOffsetsPerTrigger", "128")
+      .load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = batch.select(
+          col("key").cast("string").cast("long").as("doc_id"),
+          split(col("value").cast("string"), "\\|", 2).as("kv"))
+          .select(col("doc_id"), col("kv")(0).as("lang"), col("kv")(1).as("text"))
+        Sampling.stratifiedByHash(parsed, col("doc_id"), col("lang"), rates, 100)
+          .select(col("doc_id"), col("sample_bucket")).collect()
+          .foreach(r => StreamingPipelineSpec.sampled.add((r.getLong(0), r.getLong(1))))
+        TextFunctions.chunkByTokens(parsed, col("doc_id"), col("text"), 64, 16)
+          .groupBy("doc_id").agg(count(lit(1)).as("n")).collect()
+          .foreach(r => StreamingPipelineSpec.chunked.add((r.getLong(0), r.getLong(1))))
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+
+    // batch-side expectations straight from the parquet table
+    val expectSampled = Sampling
+      .stratifiedByHash(docs, col("doc_id"), col("lang"), rates, 100)
+      .select(col("doc_id"), col("sample_bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectChunks = TextFunctions
+      .chunkByTokens(docs, col("doc_id"), col("text"), 64, 16)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val gotSampled = StreamingPipelineSpec.sampled.asScala.toSet
+    val gotChunks = StreamingPipelineSpec.chunked.asScala.toSet
+    assert(gotSampled === expectSampled,
+      s"stream-sampled set diverged from batch (stream ${gotSampled.size}, batch ${expectSampled.size})")
+    assert(gotChunks === expectChunks, "per-doc chunk counts diverged from batch")
+    // and the stream really was split into multiple micro-batches
+    assert(docs.count() > 128, "corpus must span several triggers for this test to bite")
+  }
+}
