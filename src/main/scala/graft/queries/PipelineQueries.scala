@@ -568,6 +568,43 @@ object PipelineQueries {
                array_to_string(t[i:i+63], ' ') AS chunk_text,
                CAST(len(t[i:i+63]) AS INT) AS n_tokens
         FROM st
+      """)),
+
+    // ---- flagship curation pipeline: exact dedup → integer quality gates →
+    // stratified mixing sample, one composed declarative plan. One
+    // content-hash shuffle + one co-partitioned join; text never shuffles.
+    Q(
+      "pq22_curation",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.Curation.curate(d, col("doc_id"), col("text"), col("lang"),
+          minTokens = 30, maxTokens = 80, minDistinctPct = 40,
+          Map("en" -> 900, "zh" -> 600, "de" -> 400, "es" -> 250),
+          defaultPerMille = 100)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang AS stratum, md5(text) AS content_hash,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct_tokens
+          FROM documents
+        ), keepers AS (
+          SELECT content_hash, min(doc_id) AS doc_id FROM base GROUP BY 1
+        ), gated AS (
+          SELECT b.doc_id, b.stratum, b.n_tokens, b.n_distinct_tokens
+          FROM base b JOIN keepers k USING (content_hash, doc_id)
+          WHERE b.n_tokens BETWEEN 30 AND 80
+            AND b.n_distinct_tokens * 100 >= b.n_tokens * 40
+        ), bucketed AS (
+          SELECT *, CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                      AS sample_bucket
+          FROM gated
+        )
+        SELECT doc_id, stratum, n_tokens, n_distinct_tokens, sample_bucket
+        FROM bucketed
+        WHERE sample_bucket < CASE stratum WHEN 'en' THEN 900 WHEN 'zh' THEN 600
+                                           WHEN 'de' THEN 400 WHEN 'es' THEN 250
+                                           ELSE 100 END
       """))
   )
 }

@@ -100,6 +100,27 @@ class SamplingAndSpansSpec extends SparkTestBase {
     assert(out.toSeq === Seq(Row(1L, 1, "unique", 1L, 1L), Row(1L, 2, "shared", 1L, 2L)))
   }
 
+  // --- curation pipeline ---------------------------------------------------
+
+  test("curate drops exact dupes (min-id keeper), gates quality, then samples") {
+    val long = (1 to 40).map(i => s"w${i % 20}").mkString(" ")   // 40 toks, 20 distinct
+    val docs = Seq(
+      (10L, long, "en"),              // keeper (min id of the dup pair)
+      (20L, long, "en"),              // exact duplicate → dropped
+      (30L, "a b c", "en"),           // 3 tokens < minTokens → dropped
+      (40L, (1 to 40).map(_ => "x").mkString(" "), "en"), // 1/40 distinct → dropped
+      (50L, (1 to 35).map(i => s"u$i").mkString(" "), "en") // 35 toks, all distinct → kept
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.pipeline.Curation.curate(
+      docs, col("doc_id"), col("text"), col("lang"),
+      minTokens = 30, maxTokens = 80, minDistinctPct = 40,
+      Map("en" -> 1000), defaultPerMille = 0)   // rate 1000 ⇒ sampling keeps all
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 50L))
+    val r10 = out.head
+    assert(r10.getInt(2) === 40 && r10.getInt(3) === 20) // n_tokens, n_distinct
+  }
+
   // --- chunkByTokens -------------------------------------------------------
 
   test("chunkByTokens windows with overlap and a short trailing chunk") {
