@@ -372,6 +372,63 @@ object Dedup {
         sum(when(col("df") > 1, col("c")).otherwise(0L)).as("n_dup_grams"))
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the clustering step that turns LSH near-dup PAIRS into dedup GROUPS
+    * (each doc labeled with the minimum id reachable from it), so a keeper
+    * policy ("retain min id per cluster") sees transitive duplicates
+    * A~B~C as ONE group even when (A,C) itself was never a candidate.
+    *
+    * Algorithm: iterative min-label propagation (the Pregel/GraphX HashMin
+    * formulation). Each round every node takes the min of its own label and
+    * its neighbors' labels; rounds needed = component diameter, which for
+    * near-dup graphs is tiny (dup clusters are quasi-cliques — band
+    * collisions connect most member pairs directly). Each round is ONE
+    * shuffle-join of the edge list against the label table plus one
+    * partial-agg min — both sides hash-partition on the join key, nothing
+    * quadratic. `localCheckpoint` truncates lineage each round so plan
+    * depth stays O(1) instead of O(iterations); the per-round `count`
+    * action is a driver-side SCALAR (convergence test), not collected data.
+    *
+    * 100 TB shape: the edge list is |candidate pairs| ≪ |docs| by
+    * construction (pairs only exist inside LSH buckets), and labels carry
+    * two longs per node — orders of magnitude smaller than the corpus the
+    * pairs came from. For adversarial long-chain graphs the alternating
+    * large-star/small-star algorithm (Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14) halves diameter per round; HashMin
+    * is the right default for dedup-shaped graphs.
+    *
+    * Returns (id, cluster_id) for every node that appears in `pairs`;
+    * singleton docs (no candidate pair) are their own cluster by definition
+    * and are left to the caller (they need no row to be kept).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint() // reused every round: pin the computed pair set
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy(col("u").as("id")).agg(min(col("lbl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old_lbl"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = next.filter(col("lbl") < col("old_lbl")).isEmpty
+      labels = next.select(col("id"), col("lbl"))
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds maxIter")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   def contaminationFlags(
       corpus: DataFrame,
       idCol: Column,

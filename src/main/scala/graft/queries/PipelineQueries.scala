@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -18,6 +19,63 @@ object PipelineQueries {
 
   /** Shared oracle fragment: portable hash of an expression, DuckDB side. */
   private def dh(e: String): String = s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
+
+  /** Spark side of the pq03 LSH pipeline (k=16, 4 bands × 4 rows, 5-char
+    * shingles), shared by the pair/cluster/verify queries so they are all
+    * guaranteed to agree on one candidate-pair definition.
+    */
+  private def lshSigsAndPairs(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
+    // single-file testdata = one row group = one scan task; fan the
+    // expensive shingle/gram map phase out over all cores (real corpora
+    // arrive in thousands of row groups and need no such hint)
+    val d = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+    val sigs = Dedup.minHashSignaturesWide(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
+    (d, sigs, Dedup.lshCandidatePairs(Dedup.lshBandSignaturesWide(sigs, k = 16, bands = 4)))
+  }
+
+  /** DuckDB side of the same pipeline, as CTE definitions ending in
+    * `sigs(doc_id, hi, mh)` and `pairs(id_a, id_b)` — splice after a
+    * `WITH [RECURSIVE]` keyword. Identical text to the pq03 oracle body.
+    */
+  private val lshPairsCtes: String = s"""
+        pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
+        ), sh AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hs AS (
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS h1,
+                 CAST(('0x'||substr(md5(sh),16,15)) AS BIGINT) % 2147483647 AS h2 FROM sh
+        ), hx AS (
+          SELECT doc_id, h1, h2, unnest(generate_series(0, 15)) AS hi FROM hs
+        ), sigs AS (
+          SELECT doc_id, CAST(hi AS INT) AS hi,
+                 min((h1 + hi * h2) % 2147483647) AS mh
+          FROM hx GROUP BY 1, 2
+        ), bsig AS (
+          SELECT doc_id, hi // 4 AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS band_sig
+          FROM sigs GROUP BY doc_id, hi // 4
+        ), pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bsig a JOIN bsig b
+            ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+        )"""
+
+  /** CTEs extending [[lshPairsCtes]] to connected components over the
+    * candidate pairs: `clusters(id, cluster_id)` by transitive closure
+    * (fine at oracle scale; the Spark side label-propagates instead).
+    */
+  private val ccCtes: String = s"""$lshPairsCtes, edges AS (
+          SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        ), clusters AS (
+          SELECT u AS id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+        )"""
 
   val all: Seq[Q] = Seq(
     // ---- exact dedup by content hash: one map-side-combinable shuffle.
@@ -64,15 +122,7 @@ object PipelineQueries {
     // (k=16, 4 bands × 4 rows).
     Q(
       "pq03_lsh_pairs",
-      (s, dir) => {
-        // single-file testdata = one row group = one scan task; fan the
-        // expensive shingle/gram map phase out over all cores (real corpora
-        // arrive in thousands of row groups and need no such hint)
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
-        val sigs = Dedup.minHashSignaturesWide(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
-        Dedup.lshCandidatePairs(Dedup.lshBandSignaturesWide(sigs, k = 16, bands = 4))
-      },
+      (s, dir) => lshSigsAndPairs(s, dir)._3,
       Some(s"""
         WITH pos AS (
           SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
@@ -605,6 +655,103 @@ object PipelineQueries {
         WHERE sample_bucket < CASE stratum WHEN 'en' THEN 900 WHEN 'zh' THEN 600
                                            WHEN 'de' THEN 400 WHEN 'es' THEN 250
                                            ELSE 100 END
+      """)),
+
+    // ---- near-dup CLUSTERS: connected components over the LSH candidate
+    // pairs (HashMin label propagation; rounds = component diameter). The
+    // oracle recomputes the same clusters by recursive transitive closure.
+    Q(
+      "pq23_dedup_clusters",
+      (s, dir) => Dedup.connectedComponents(lshSigsAndPairs(s, dir)._3),
+      Some(s"""
+        WITH RECURSIVE $ccCtes
+        SELECT id, cluster_id FROM clusters
+      """)),
+
+    // ---- near-dup keep-policy: drop every cluster member except the
+    // minimum id (= the cluster label), keep all singleton docs. The drop
+    // set is |cluster members| ≪ corpus, so it BROADCASTS and the corpus
+    // side is one scan + hash-probe anti join — no corpus shuffle.
+    Q(
+      "pq24_neardup_survivors",
+      (s, dir) => {
+        val (d, _, pairs) = lshSigsAndPairs(s, dir)
+        val drops = Dedup.connectedComponents(pairs)
+          .filter(col("id") =!= col("cluster_id"))
+        d.join(broadcast(drops), d("doc_id") === drops("id"), "left_anti")
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some(s"""
+        WITH RECURSIVE $ccCtes
+        SELECT doc_id, lang, source FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM clusters c
+                          WHERE c.id = d.doc_id AND c.id <> c.cluster_id)
+      """)),
+
+    // ---- candidate-pair VERIFICATION by minhash agreement: the estimated
+    // Jaccard of a pair is (matching signature components)/k — integer
+    // arithmetic end to end (cross-multiplied threshold n_match*2 >= k),
+    // so the oracle reproduces it bit-exactly. This is the standard LSH
+    // verify stage: bands propose, signatures confirm, only confirmed
+    // pairs reach the (expensive) exact or clustering step. Two shuffle
+    // joins of the tiny pair list against the signature table, both
+    // hash-partitioned on the join id — the corpus text never moves.
+    Q(
+      "pq25_minhash_verify",
+      (s, dir) => {
+        val (_, sigs, pairs) = lshSigsAndPairs(s, dir)
+        val k = 16
+        val sa = sigs.select(col("id").as("id_a") +: (0 until k).map(i => col(s"mh$i").as(s"a$i")): _*)
+        val sb = sigs.select(col("id").as("id_b") +: (0 until k).map(i => col(s"mh$i").as(s"b$i")): _*)
+        pairs.join(sa, "id_a").join(sb, "id_b")
+          .select(col("id_a"), col("id_b"),
+            (0 until k).map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+              .reduce(_ + _).as("n_match"))
+          .filter(col("n_match") * 2 >= k) // est. Jaccard >= 1/2
+      },
+      Some(s"""
+        WITH $lshPairsCtes
+        SELECT p.id_a, p.id_b,
+               count(*) FILTER (WHERE sa.mh = sb.mh) AS n_match
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.id_a
+        JOIN sigs sb ON sb.doc_id = p.id_b AND sb.hi = sa.hi
+        GROUP BY 1, 2
+        HAVING count(*) FILTER (WHERE sa.mh = sb.mh) * 2 >= 16
+      """)),
+
+    // ---- per-label embedding centroids: posexplode → one partial-agg
+    // shuffle on (label, dim). Components are quantized to 1e-6 fixed
+    // point BEFORE aggregation (float→double is exact, ×1e6 and floor are
+    // single IEEE ops, the sum is then INTEGER) so partition summation
+    // order cannot change the result — the engine's determinism contract
+    // applied to float aggregates. The centroid is recovered by two IEEE
+    // divisions with no round() call, so both engines produce the
+    // bit-identical double.
+    Q(
+      "pq26_label_centroids",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("label"), col("dim"),
+            floor(col("x").cast("double") * lit(1e6)).cast("long").as("xq"))
+          .groupBy(col("label"), col("dim"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("xq")).as("s_micro"))
+          .select(col("label"), col("dim"), col("n_vecs"),
+            (col("s_micro").cast("double") / col("n_vecs") / lit(1e6)).as("centroid"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT label, unnest(generate_series(0, CAST(len(embedding) AS INT) - 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ), q AS (
+          SELECT label, dim, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+          FROM ex
+        )
+        SELECT label, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
+               CAST(sum(xq) AS DOUBLE) / count(*) / 1000000.0 AS centroid
+        FROM q GROUP BY 1, 2
       """))
   )
 }

@@ -138,4 +138,77 @@ class PipelinePropertySpec extends SparkTestBase {
       }
     }
   }
+
+  // --- connectedComponents vs brute-force union-find -----------------------
+
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).toMap
+  }
+
+  test("connectedComponents matches union-find on random graphs (incl. long chains)") {
+    for (round <- 1 to 4) {
+      // sparse random graph: mostly small clusters, some larger merges
+      val n = 60 + rnd.nextInt(40)
+      val random = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      // plus one deliberate 12-node path: worst-case diameter for HashMin
+      val chainBase = 1000L
+      val chain = (0L until 11L).map(i => (chainBase + i, chainBase + i + 1))
+      val edges = (random ++ chain).distinct
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteComponents(edges), s"round $round")
+      // the chain collapsed to its minimum label
+      assert((0L to 11L).forall(i => got(chainBase + i) == chainBase), s"round $round chain")
+    }
+  }
+
+  test("minhash-verify agreement equals the long-form signature intersection") {
+    // two near-identical docs (one token edited) plus unrelated ones: the
+    // near-pair must survive verification, unrelated pairs must score low
+    val base = Seq.fill(40)(s"w${rnd.nextInt(30)}").mkString(" ")
+    val docs = Seq(
+      1L -> base,
+      2L -> (base.split(" ").init.mkString(" ") + " zz"),
+      3L -> Seq.fill(40)(s"v${rnd.nextInt(30)}").mkString(" "))
+    val sigs = Dedup.minHashSignaturesWide(
+      docs.toDF("doc_id", "text"), col("doc_id"), col("text"), k = 16, shingleSize = 5)
+    val wide = sigs.collect().map(r => r.getLong(0) -> (0 until 16).map(i => r.getLong(i + 1))).toMap
+    val agree12 = (0 until 16).count(i => wide(1L)(i) == wide(2L)(i))
+    val agree13 = (0 until 16).count(i => wide(1L)(i) == wide(3L)(i))
+    assert(agree12 * 2 >= 16, s"near-pair agreement $agree12/16 should pass the 1/2 gate")
+    assert(agree13 * 2 < 16, s"unrelated agreement $agree13/16 should fail the 1/2 gate")
+  }
+
+  test("fixed-point label centroids match an in-memory computation") {
+    val vecs = Seq.tabulate(30) { i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f), i % 3)
+    }
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        floor(col("x").cast("double") * lit(1e6)).cast("long").as("xq"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
+      .select(col("label"), col("dim"),
+        (col("s").cast("double") / col("n") / lit(1e6)).as("centroid"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (lbl <- 0 to 2; dim <- 0 until 8) {
+      val members = vecs.filter(_._3 == lbl)
+      val expected = members.map(v => math.floor(v._2(dim).toDouble * 1e6).toLong).sum
+        .toDouble / members.size / 1e6
+      assert(got((lbl, dim)) === expected, s"label $lbl dim $dim")
+    }
+  }
 }
