@@ -116,11 +116,19 @@ object Bench {
     // scheduler stall — VarianceProbe measured one query's warmed reps at
     // 2.8 s to 27.2 s in one JVM — and a median absorbs one outlier where a
     // single shot becomes it. The JSON records the method for comparability.
+    // Any rep that throws marks the query failed in the emitted JSON — a
+    // silently-recorded timing for a query that died is a lie (round-4
+    // lesson: a non-converging loop "benched" as 6.8 s for two rounds of
+    // bench output before the failure was noticed).
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def rep(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> Seq.fill(3)(rep()).sorted.apply(1)
@@ -251,7 +259,9 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3","queries":$qs,""" +
+      s""""failed_queries":$failedJson,""" +
       s""""stream_tasks_per_sec":$tps,"stream_tasks_per_sec_no_io":$tpsNoIo,""" +
       s""""stream_reps_tps":${streamReps.map(_.tps).mkString("[", ",", "]")},""" +
       s""""stream_reps_lat_avg_ms":${streamReps.map(_.latAvgMs).mkString("[", ",", "]")},""" +

@@ -161,15 +161,23 @@ class PipelinePropertySpec extends SparkTestBase {
       val random = Seq.fill(n)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
-      // plus one deliberate 12-node path: worst-case diameter for HashMin
+      // plus one deliberate 200-node path: diameter far beyond the round
+      // budget for plain HashMin — only pointer jumping converges in time
       val chainBase = 1000L
-      val chain = (0L until 11L).map(i => (chainBase + i, chainBase + i + 1))
+      val chainLen = 200L
+      val chain = (0L until chainLen - 1).map(i => (chainBase + i, chainBase + i + 1))
       val edges = (random ++ chain).distinct
-      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === bruteComponents(edges), s"round $round")
-      // the chain collapsed to its minimum label
-      assert((0L to 11L).forall(i => got(chainBase + i) == chainBase), s"round $round chain")
+      // threshold -1 forces the distributed jump loop; MaxValue the driver
+      // union-find fast path — both must produce identical labelings
+      for (threshold <- Seq(-1L, Long.MaxValue)) {
+        val got = Dedup.connectedComponents(
+            edges.toDF("id_a", "id_b"), collectThreshold = threshold)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === bruteComponents(edges), s"round $round threshold $threshold")
+        // the chain collapsed to its minimum label
+        assert((0L until chainLen).forall(i => got(chainBase + i) == chainBase),
+          s"round $round threshold $threshold chain")
+      }
     }
   }
 
