@@ -104,7 +104,11 @@ object Dedup {
     * computed row-local with no collect_list shuffle: stack() emits the
     * `bands` rows per doc in one projection.
     */
-  def lshBandSignaturesWide(wideSignatures: DataFrame, k: Int, bands: Int): DataFrame = {
+  def lshBandSignaturesWide(
+      wideSignatures: DataFrame,
+      k: Int,
+      bands: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(bands > 0 && k % bands == 0,
       s"k=$k must be a positive multiple of bands=$bands (uneven bands silently shift the similarity threshold)")
     val rowsPerBand = k / bands
@@ -113,7 +117,8 @@ object Dedup {
         .map(i => s"cast(mh$i as string)").mkString(", ")
       s"$b, md5(concat_ws(',', $cols))"
     }.mkString(", ")
-    wideSignatures.selectExpr("id", s"stack($bands, $stackArgs) as (band, band_sig)")
+    wideSignatures.selectExpr(
+      "id" +: carry :+ s"stack($bands, $stackArgs) as (band, band_sig)": _*)
   }
 
   /** Candidate near-dup pairs from shared band signatures (a < b). */

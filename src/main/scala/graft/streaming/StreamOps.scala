@@ -70,6 +70,74 @@ object StreamOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming NEAR-dup suppression by signature equality: each document's
+    * full k-component minhash signature becomes its dedup key, so documents
+    * whose signatures collide entirely (exact dups and heavy near-dups —
+    * one signature survives shingle-level edits with probability
+    * Jaccard^k) are dropped after the first arrival. Row-local signature
+    * compute (one native expression) + the built-in watermark-bounded
+    * dedup state — no shuffle beyond the dedup's own key exchange, state
+    * evicted by event time.
+    *
+    * This is deliberately the SIGNATURE-EXACT tier: banded multi-probe
+    * near-dup (catching pairs that share only some bands) needs cross-key
+    * coordination per document, which is a batch join shape — use
+    * [[flagAgainstLshIndex]] for the streaming form of that (new docs
+    * checked against an indexed historical corpus).
+    */
+  def nearDedupeStreamBySignature(
+      df: DataFrame,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      k: Int = 16,
+      shingleSize: Int = 5): DataFrame =
+    df.withColumn("__sig", graft.functions.minhash_sigs(textCol, shingleSize, k))
+      .filter(col("__sig").isNotNull) // null text drops, like the batch path
+      .withColumn("__sig_key",
+        md5(array_join(transform(col("__sig"), _.cast("string")), ",")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__sig_key")
+      .drop("__sig", "__sig_key")
+
+  /** Online near-dup check of a STREAM against an indexed static corpus:
+    * each arriving document's LSH band signatures (row-local, same k/bands
+    * family as the batch pq03 pipeline) stream-static SEMI-join the index
+    * — one row out per (doc, colliding band) — then collapse to one flag
+    * per document via watermark-bounded dedup on the id. The index side is
+    * a plain DataFrame ([[graft.dedup.Dedup.lshBandSignaturesWide]] over
+    * the historical corpus), re-resolved per micro-batch exactly like any
+    * stream-static join, so rebuilding the index file picks up new history
+    * without restarting the query.
+    *
+    * Scale shape: band signatures shuffle on (band, band_sig) to meet the
+    * index (or broadcast when the index is small); per-batch volume is the
+    * micro-batch × bands, never the corpus. Returns (id, tsCol) of flagged
+    * documents.
+    */
+  def flagAgainstLshIndex(
+      stream: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      index: DataFrame,
+      k: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 5): DataFrame = {
+    val wide = stream
+      .select(idCol.as("id"), col(tsCol).as("__ts"),
+        graft.functions.minhash_sigs(textCol, shingleSize, k).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col("id") +: col("__ts") +:
+        (0 until k).map(i => col("__mh")(i).as(s"mh$i")): _*)
+    graft.dedup.Dedup.lshBandSignaturesWide(wide, k, bands, carry = Seq("__ts"))
+      .join(index.select(col("band"), col("band_sig")), Seq("band", "band_sig"), "left_semi")
+      .withWatermark("__ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("id")
+      .select(col("id"), col("__ts").as(tsCol))
+  }
+
   /** Event-time sessionization: gap-based session windows per key — the
     * streaming-native form of the batch q16_sessionize query. Emits one row
     * per closed session (append mode) with its bounds and size; state is

@@ -83,4 +83,72 @@ class StreamingPipelineSpec extends SparkTestBase {
     // and the stream really was split into multiple micro-batches
     assert(docs.count() > 128, "corpus must span several triggers for this test to bite")
   }
+
+  test("streaming signature dedup and static-index flagging match their batch analogs") {
+    import graft.dedup.Dedup
+    import graft.streaming.StreamOps
+
+    val root = Files.createTempDirectory("graft-kafka-nd").toString
+    BrokerLog.createTopic(root, "nd", 4)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // corpus + planted exact duplicates (shifted ids): the dedup must
+    // collapse each planted copy onto its original's signature
+    val planted = docs.limit(20).select(
+      (col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionAll(planted)
+    corpus.select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        col("text").cast("binary").as("value"))
+      .write.format("graft-kafka").mode("append")
+      .option("root", root).option("topic", "nd").save()
+
+    def stream(): DataFrame = spark.readStream.format("graft-kafka")
+      .option("root", root).option("subscribe", "nd")
+      .option("maxOffsetsPerTrigger", "64") // force several micro-batches
+      .load()
+      .select(
+        col("key").cast("string").cast("long").as("doc_id"),
+        col("value").cast("string").as("text"),
+        col("timestamp"))
+
+    // --- signature-exact streaming dedup --------------------------------
+    val ckpt1 = Files.createTempDirectory("graft-kafka-nd-c1").toString
+    val q1 = StreamOps.nearDedupeStreamBySignature(
+        stream(), col("text"), "timestamp", "10 minutes")
+      .select("doc_id", "text")
+      .writeStream.format("memory").queryName("nd_survivors")
+      .option("checkpointLocation", ckpt1).outputMode("append").start()
+    try q1.processAllAvailable() finally q1.stop()
+    val sigKey = md5(array_join(
+      transform(graft.functions.minhash_sigs(col("text"), 5, 16), _.cast("string")), ","))
+    val survivorSigs = spark.table("nd_survivors")
+      .select(sigKey.as("k")).collect().map(_.getString(0)).toSet
+    val batchSigs = corpus.select(sigKey.as("k")).distinct()
+      .collect().map(_.getString(0)).toSet
+    // exactly one survivor per distinct signature, covering every signature
+    assert(spark.table("nd_survivors").count() === batchSigs.size.toLong)
+    assert(survivorSigs === batchSigs)
+
+    // --- online flagging against a static LSH index ---------------------
+    // index = first half of the corpus; expected flags = batch semi-join
+    val half = docs.filter(col("doc_id") < 250)
+    val index = Dedup.lshBandSignaturesWide(
+      Dedup.minHashSignaturesWide(half, col("doc_id"), col("text"), 16, 5), 16, 4)
+    val ckpt2 = Files.createTempDirectory("graft-kafka-nd-c2").toString
+    val q2 = StreamOps.flagAgainstLshIndex(
+        stream(), col("doc_id"), col("text"), "timestamp", "10 minutes", index)
+      .writeStream.format("memory").queryName("nd_flagged")
+      .option("checkpointLocation", ckpt2).outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val gotFlagged = spark.table("nd_flagged")
+      .select("id").collect().map(_.getLong(0)).toSet
+    val expectFlagged = Dedup.lshBandSignaturesWide(
+        Dedup.minHashSignaturesWide(corpus, col("doc_id"), col("text"), 16, 5), 16, 4)
+      .join(index.select("band", "band_sig"), Seq("band", "band_sig"), "left_semi")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(gotFlagged === expectFlagged,
+      s"flagged ${gotFlagged.size} docs, batch semi-join expects ${expectFlagged.size}")
+    assert(expectFlagged.nonEmpty && expectFlagged.size < corpus.count(),
+      "index-flagging test needs a non-trivial flagged subset to bite")
+  }
 }
