@@ -24,6 +24,22 @@ object Dedup {
     df.groupBy(md5(contentCol).as("content_hash"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Canonical text form for fuzzy-exact dedup: lowercase, non-alphanumerics
+    * to spaces, whitespace runs collapsed, trimmed — catches dups that differ
+    * only in case/punctuation/spacing, the cheap tier between exact hashing
+    * and minhash. Row-local; RE2-compatible patterns so the DuckDB oracle
+    * applies the identical transform.
+    */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact dedup on the canonical form — same single partial-agg shuffle as
+    * [[exactByContent]], keyed by md5 of [[canonicalize]].
+    */
+  def exactByCanonicalContent(df: DataFrame, idCol: Column, textCol: Column): DataFrame =
+    df.groupBy(md5(canonicalize(textCol)).as("canonical_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
   /** Modulus of the minhash double-hashing family (2^31-1, prime). */
   val MinHashP = 2147483647L
 

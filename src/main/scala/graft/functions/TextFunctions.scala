@@ -212,6 +212,30 @@ object TextFunctions {
         size(col("col")).as("n_tokens"))
   }
 
+  /** Sequence packing for pre-training batches, concat-then-window style:
+    * within each stratum, documents are laid out in deterministic id order
+    * and the token stream is cut into `budgetTokens`-sized context windows;
+    * a document's pack is the window containing its first token. One
+    * window-function shuffle on the stratum (the running token offset),
+    * everything else row-local and integer-exact. At scale the stratum is
+    * whatever parallel unit the packer works in (shard, date, language) —
+    * packing is embarrassingly parallel across strata by construction.
+    */
+  def packSequences(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column,
+      strataCol: Column,
+      budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stratum")).orderBy(col("doc_id"))
+    df.select(idCol.as("doc_id"), strataCol.as("stratum"),
+        token_count(textCol).cast("long").as("n_tokens"))
+      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_id", expr(s"start_offset div ${budgetTokens.toLong}"))
+  }
+
   def repetitionStats(
       df: org.apache.spark.sql.DataFrame,
       idCol: Column,

@@ -752,6 +752,46 @@ object PipelineQueries {
         SELECT label, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
                CAST(sum(xq) AS DOUBLE) / count(*) / 1000000.0 AS centroid
         FROM q GROUP BY 1, 2
+      """)),
+
+    // ---- sequence packing (concat-then-window, 512-token budget, stratum
+    // = lang): one window shuffle for the running offset, integer-exact.
+    Q(
+      "pq27_pack_sequences",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextFunctions.packSequences(d, col("doc_id"), col("text"), col("lang"),
+          budgetTokens = 512)
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, lang AS stratum,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT doc_id, stratum, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY doc_id)
+                      AS BIGINT) - n_tokens AS start_offset
+          FROM t
+        )
+        SELECT doc_id, stratum, n_tokens, start_offset,
+               start_offset // 512 AS pack_id
+        FROM o
+      """)),
+
+    // ---- fuzzy-exact dedup on the canonical text form (case/punct/
+    // whitespace-insensitive): the cheap tier between exact and minhash.
+    Q(
+      "pq28_canonical_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.exactByCanonicalContent(d, col("doc_id"), col("text"))
+      },
+      Some("""
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS canonical_hash,
+               min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
       """))
   )
 }

@@ -198,6 +198,39 @@ class PipelinePropertySpec extends SparkTestBase {
     assert(agree13 * 2 < 16, s"unrelated agreement $agree13/16 should fail the 1/2 gate")
   }
 
+  test("sequence packing matches an in-memory prefix-sum on random strata") {
+    for (round <- 1 to 3) {
+      val budget = 8 + rnd.nextInt(40)
+      val corpus = randomCorpus(nDocs = 60, vocab = 30, maxLen = 25)
+        .map { case (id, tx) => (id, tx, s"s${rnd.nextInt(4)}") }
+      val got = TextFunctions.packSequences(
+          corpus.toDF("doc_id", "text", "lang"),
+          col("doc_id"), col("text"), col("lang"), budget)
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      corpus.groupBy(_._3).foreach { case (_, docs) =>
+        var offset = 0L
+        docs.sortBy(_._1).foreach { case (id, tx, _) =>
+          val n = tx.split(" ", -1).length.toLong // token_count counts empties like split(' ')
+          assert(got(id) === ((n, offset, offset / budget)), s"round $round doc $id")
+          offset += n
+        }
+      }
+    }
+  }
+
+  test("canonical dedup groups case/punct/whitespace variants together") {
+    val docs = Seq(
+      1L -> "Hello, World!",
+      2L -> "hello   world",
+      3L -> "HELLO WORLD",
+      4L -> "hello worlds", // different canonical form
+      5L -> "  hello!! world  ")
+    val got = Dedup.exactByCanonicalContent(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 4L, 4L -> 1L)) // keep_id -> n_copies
+  }
+
   test("fixed-point label centroids match an in-memory computation") {
     val vecs = Seq.tabulate(30) { i =>
       (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f), i % 3)

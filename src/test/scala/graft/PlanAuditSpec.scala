@@ -32,6 +32,15 @@ class PlanAuditSpec extends SparkTestBase {
     "q08_setops" -> 4, "q09_semi_join" -> 2, "q10_anti_join" -> 2,
     "q11_rollup" -> 2, "q15_above_avg" -> 2, "q23_outer_join" -> 2)
 
+  /** Queries whose REGISTERED form legitimately ends in a local relation:
+    * pq23's cluster table is the driver-union-find residue at test scale
+    * (sub-threshold pair count — see Dedup.connectedComponents), so its
+    * final plan has no codegen span by construction. The distributed jump
+    * loop's plan properties are exercised directly by
+    * PipelinePropertySpec's forced-threshold runs.
+    */
+  private val localResidue = Set("pq23_dedup_clusters")
+
   test("every registered query keeps its pushdown/broadcast/codegen plan shape") {
     // static audit needs AQE off so pre-execution plans carry codegen ids
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -42,7 +51,7 @@ class PlanAuditSpec extends SparkTestBase {
         Seq(
           (f.wideReads == 0) ->
             s"$name reads an un-pruned (>400-char) schema — column pruning lost",
-          (f.codegenSpans >= 1) ->
+          (localResidue(name) || f.codegenSpans >= 1) ->
             s"$name has no whole-stage codegen span",
           (!mustPush(name) || f.pushedFilters) ->
             s"$name lost its pushed filters",
