@@ -455,6 +455,51 @@ object ExtendedQueries {
          AND e.ts >= w.wstart
          AND e.ts < w.wstart + INTERVAL 2 HOUR
         GROUP BY 1, 2
+      """)),
+
+    // ---- CUBE: all grouping-set combinations in one pass (Spark plans one
+    // Expand + single shuffle, not 4 scans). Subtotal rows carry NULL keys
+    // in both engines.
+    Q(
+      "q27_cube",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(dec(col("l_quantity"))).cast("double"), 2).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+               count(*) AS n_lines
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+      """)),
+
+    // ---- PIVOT: order-status columns per customer. Spark's pivot with an
+    // explicit value list compiles to conditional aggregation (one shuffle,
+    // no second pass to discover values) — the oracle states that form
+    // directly. Explicit values are also the 100 TB shape: discovery-pivot
+    // needs an extra distinct scan.
+    Q(
+      "q28_pivot",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.groupBy(col("o_custkey"))
+          .pivot("o_orderstatus", Seq("O", "F", "P"))
+          .agg(round(sum(dec(col("o_totalprice"))).cast("double"), 2))
+          .select(col("o_custkey"),
+            coalesce(col("O"), lit(0d)).as("open_total"),
+            coalesce(col("F"), lit(0d)).as("filled_total"),
+            coalesce(col("P"), lit(0d)).as("partial_total"))
+      },
+      Some("""
+        SELECT o_custkey,
+               coalesce(round(CAST(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2), 0) AS open_total,
+               coalesce(round(CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2), 0) AS filled_total,
+               coalesce(round(CAST(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE), 2), 0) AS partial_total
+        FROM orders GROUP BY o_custkey
       """))
   )
 }

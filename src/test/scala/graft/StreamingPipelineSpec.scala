@@ -151,4 +151,64 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(expectFlagged.nonEmpty && expectFlagged.size < corpus.count(),
       "index-flagging test needs a non-trivial flagged subset to bite")
   }
+
+  test("end-to-end streaming curation: dedup -> quality gates -> mixing sample") {
+    import graft.streaming.StreamOps
+
+    val root = Files.createTempDirectory("graft-kafka-cur").toString
+    BrokerLog.createTopic(root, "raw", 4)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val planted = docs.limit(15).select(
+      (col("doc_id") + 200000L).as("doc_id"), col("lang"), col("text"))
+    val corpus = docs.select(col("doc_id"), col("lang"), col("text")).unionAll(planted)
+    corpus.select(
+        col("doc_id").cast("string").cast("binary").as("key"),
+        concat(col("lang"), lit("|"), col("text")).cast("binary").as("value"))
+      .write.format("graft-kafka").mode("append")
+      .option("root", root).option("topic", "raw").save()
+
+    val ckpt = Files.createTempDirectory("graft-kafka-cur-ckpt").toString
+    val parsed = spark.readStream.format("graft-kafka")
+      .option("root", root).option("subscribe", "raw")
+      .option("maxOffsetsPerTrigger", "96")
+      .load()
+      .select(
+        col("key").cast("string").cast("long").as("doc_id"),
+        split(col("value").cast("string"), "\\|", 2).as("kv"),
+        col("timestamp"))
+      .select(col("doc_id"), col("kv")(0).as("lang"), col("kv")(1).as("text"), col("timestamp"))
+    val deduped = StreamOps.nearDedupeStreamBySignature(
+      parsed, col("text"), "timestamp", "10 minutes")
+    val gated = deduped
+      .withColumn("n_tokens", TextFunctions.token_count(col("text")))
+      .withColumn("n_distinct", size(array_distinct(TextFunctions.tokens(col("text")))))
+      .filter(col("n_tokens").between(30, 80) &&
+        col("n_distinct") * 100 >= col("n_tokens") * 40)
+    val curated = Sampling.stratifiedByHash(gated, col("doc_id"), col("lang"), rates, 100)
+    val q = curated.select("doc_id", "lang", "text")
+      .writeStream.format("memory").queryName("cur_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("cur_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+    // (1) no two survivors share a minhash signature
+    val sigOf = corpus.select(col("doc_id"), md5(array_join(
+        transform(graft.functions.minhash_sigs(col("text"), 5, 16), _.cast("string")), ","))
+        .as("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val outSigs = out.map { case (id, _, _) => sigOf(id) }
+    assert(outSigs.distinct.length === outSigs.length, "two curated docs share a signature")
+    // (2) every survivor passes the gates and its own sampling decision
+    out.foreach { case (id, lang, text) =>
+      val toks = text.split(" ", -1)
+      assert(toks.length >= 30 && toks.length <= 80, s"doc $id violates the token gate")
+      assert(toks.distinct.length * 100 >= toks.length * 40, s"doc $id violates distinct gate")
+      val bucket = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 15), 16) % 1000
+      assert(bucket < rates.getOrElse(lang, 100), s"doc $id fails its own sampling decision")
+    }
+    // (3) the pipeline kept a non-trivial subset: some docs passed, some didn't
+    assert(out.nonEmpty && out.length < corpus.count(), "curation must be a proper subset")
+  }
 }
