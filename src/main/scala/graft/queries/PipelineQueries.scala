@@ -779,6 +779,37 @@ object PipelineQueries {
         FROM o
       """)),
 
+    // ---- int8 embedding quantization (symmetric absmax scaling): the
+    // storage-compression step before ANN indexing. Row-local; floor-based
+    // quantization (not round) because floor on an IEEE double is
+    // bit-identical across engines while round half-up/half-even is not.
+    Q(
+      "pq29_embed_quantize",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        e.select(col("vec_id"),
+            array_max(transform(col("embedding"), x => abs(x))).as("absmax"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .select(col("vec_id"), col("dim"),
+            when(col("absmax") === lit(0f), lit(0L))
+              .otherwise(floor(col("x").cast("double") / col("absmax").cast("double") * lit(127.0))
+                .cast("long")).as("q8"))
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(x))) AS absmax,
+                 unnest(generate_series(0, CAST(len(embedding) AS INT) - 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings
+        )
+        SELECT vec_id, CAST(dim AS INT) AS dim,
+               CASE WHEN absmax = 0 THEN 0
+                    ELSE CAST(floor(CAST(x AS DOUBLE) / CAST(absmax AS DOUBLE) * 127.0) AS BIGINT)
+               END AS q8
+        FROM ex
+      """)),
+
     // ---- fuzzy-exact dedup on the canonical text form (case/punct/
     // whitespace-insensitive): the cheap tier between exact and minhash.
     Q(
