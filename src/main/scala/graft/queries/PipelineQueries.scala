@@ -810,6 +810,31 @@ object PipelineQueries {
         FROM ex
       """)),
 
+    // ---- corpus profile report: per-(source, lang) doc/token/char volumes
+    // and the exact-dup rate — the summary a curation run publishes. ONE
+    // partial-agg shuffle; the distinct-content count rides the same
+    // grouping (Spark plans count(distinct) as a two-phase expand).
+    Q(
+      "pq30_corpus_report",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.groupBy(col("source"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(TextFunctions.token_count(col("text")).cast("long")).as("n_tokens"),
+            countDistinct(md5(col("text"))).as("n_distinct_contents"),
+            sum(col("n_chars")).as("sum_chars"))
+          .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_contents"))
+      },
+      Some("""
+        SELECT source, lang, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               count(DISTINCT md5(text)) AS n_distinct_contents,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+        FROM documents GROUP BY 1, 2
+      """)),
+
     // ---- fuzzy-exact dedup on the canonical text form (case/punct/
     // whitespace-insensitive): the cheap tier between exact and minhash.
     Q(
