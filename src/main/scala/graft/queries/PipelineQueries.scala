@@ -810,6 +810,42 @@ object PipelineQueries {
         FROM ex
       """)),
 
+    // ---- int8-quantized brute-force KNN (the rescoring tier of a
+    // quantized ANN stack): integer dot products, so scores/order/top-k
+    // are bit-exact against the oracle — no rounding anywhere.
+    Q(
+      "pq31_knn_int8",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Knn.int8TopK(e, e.filter(col("vec_id") < 50), "vec_id", "embedding", k = 5)
+      },
+      Some("""
+        WITH ex AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(x))) AS absmax,
+                 unnest(generate_series(0, CAST(len(embedding) AS INT) - 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ), qz AS (
+          SELECT vec_id, dim,
+                 CASE WHEN absmax = 0 THEN 0
+                      ELSE CAST(floor(CAST(x AS DOUBLE) / CAST(absmax AS DOUBLE) * 127.0) AS BIGINT)
+                 END AS q8
+          FROM ex
+        ), s AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id, sum(q.q8 * c.q8) AS score
+          FROM qz q JOIN qz c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 50
+          GROUP BY 1, 2
+        ), r AS (
+          SELECT query_id, nbr_id, CAST(score AS BIGINT) AS score,
+                 row_number() OVER (PARTITION BY query_id ORDER BY score DESC, nbr_id ASC) AS rank
+          FROM s
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, score
+        FROM r WHERE rank <= 5
+      """)),
+
     // ---- corpus profile report: per-(source, lang) doc/token/char volumes
     // and the exact-dup rate — the summary a curation run publishes. ONE
     // partial-agg shuffle; the distinct-content count rides the same

@@ -44,6 +44,44 @@ object Knn {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
   }
 
+  /** Symmetric absmax int8 quantization of a float-vector column — same
+    * math as the pq29 registered query (floor, not round: floor of an IEEE
+    * double is bit-identical across engines). Zero vectors quantize to
+    * zeros. Row-local.
+    */
+  def quantizeInt8(v: Column): Column = {
+    val am = array_max(transform(v, x => abs(x)))
+    when(am === lit(0f), transform(v, _ => lit(0L)))
+      .otherwise(transform(v,
+        x => floor(x.cast("double") / am.cast("double") * lit(127.0)).cast("long")))
+  }
+
+  /** Brute-force top-k on int8-quantized vectors: the rescoring tier of a
+    * quantized ANN stack. INTEGER dot products end to end, so unlike the
+    * float path (which must round cosines for the oracle) the entire
+    * result — scores, ordering, top-k membership — is bit-exact and fully
+    * hash-checkable. Same scale shape as [[bruteForceTopK]]: queries
+    * broadcast, corpus scanned once, one window shuffle for top-k; the
+    * integer dot is zip_with + aggregate (codegen'd builtins, and the
+    * int8 layout is what a columnar SIMD kernel wants at 100 TB).
+    */
+  def int8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nbr_id"), quantizeInt8(col(vecCol)).as("nq"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qq")))
+    val scored = c.join(q, col("query_id") =!= col("nbr_id"))
+      .withColumn("score",
+        aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("score"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
     * (Declarative twin of the native SignLsh expression's component math —
     * kept for the equivalence test in DedupSpec.)

@@ -231,6 +231,30 @@ class PipelinePropertySpec extends SparkTestBase {
     assert(got === Map(1L -> 4L, 4L -> 1L)) // keep_id -> n_copies
   }
 
+  test("int8 quantization (array form) matches the per-element scalar formula") {
+    val vecs = Seq.tabulate(25)(i =>
+      (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f))) :+ (99L, Array.fill(8)(0f))
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), posexplode(graft.similarity.Knn.quantizeInt8(col("embedding"))))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    vecs.foreach { case (id, v) =>
+      val am = v.map(math.abs).max
+      v.zipWithIndex.foreach { case (x, dim) =>
+        val expected =
+          if (am == 0f) 0L
+          else math.floor(x.toDouble / am.toDouble * 127.0).toLong
+        assert(got((id, dim)) === expected, s"vec $id dim $dim")
+      }
+    }
+    // end-points: the max-magnitude component quantizes to ±127 (or -128 never)
+    vecs.filter(_._2.exists(_ != 0f)).foreach { case (id, v) =>
+      val am = v.map(math.abs).max
+      val qs = v.indices.map(d => got((id, d)))
+      assert(qs.contains(127L) || v.forall(x => x != am), s"vec $id missing +127 endpoint")
+      assert(qs.forall(q => q >= -128L && q <= 127L), s"vec $id out of int8 range")
+    }
+  }
+
   test("fixed-point label centroids match an in-memory computation") {
     val vecs = Seq.tabulate(30) { i =>
       (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 2f), i % 3)
