@@ -138,6 +138,32 @@ object StreamOps {
       .select(col("id"), col("__ts").as(tsCol))
   }
 
+  /** Stream-stream inner join bounded in event time: rows join when keys
+    * match AND the right event lies within ±`tolerance` of the left event.
+    * Watermarks go on BOTH sides and the join carries the range condition
+    * — together they are what lets Spark compute how long each side's
+    * state must be retained and evict it; a key-only stream-stream join
+    * would buffer both streams forever (the classic unbounded-state
+    * mistake this helper exists to prevent). Caller supplies
+    * distinctly-named columns on the two sides.
+    */
+  def timeBoundedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyLeft: String,
+      keyRight: String,
+      tsLeft: String,
+      tsRight: String,
+      tolerance: String,
+      watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsLeft, watermarkDelay)
+    val r = right.withWatermark(tsRight, watermarkDelay)
+    l.join(r,
+      col(keyLeft) === col(keyRight) &&
+        col(tsRight) >= col(tsLeft) - expr(s"INTERVAL $tolerance") &&
+        col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $tolerance"))
+  }
+
   /** Event-time sessionization: gap-based session windows per key — the
     * streaming-native form of the batch q16_sessionize query. Emits one row
     * per closed session (append mode) with its bounds and size; state is

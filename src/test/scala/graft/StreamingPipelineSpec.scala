@@ -211,4 +211,55 @@ class StreamingPipelineSpec extends SparkTestBase {
     // (3) the pipeline kept a non-trivial subset: some docs passed, some didn't
     assert(out.nonEmpty && out.length < corpus.count(), "curation must be a proper subset")
   }
+
+  test("stream-stream time-bounded join matches the batch join") {
+    import graft.streaming.StreamOps
+
+    val root = Files.createTempDirectory("graft-kafka-ssj").toString
+    BrokerLog.createTopic(root, "clicks", 2)
+    BrokerLog.createTopic(root, "views", 2)
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    def produce(topic: String, parity: Int): Unit =
+      events.filter(col("event_id") % 2 === parity)
+        .select(col("user_id").cast("string").cast("binary").as("key"),
+          concat_ws("|", col("event_id"), unix_micros(col("ts"))).cast("binary").as("value"))
+        .write.format("graft-kafka").mode("append")
+        .option("root", root).option("topic", topic).save()
+    produce("clicks", 0)
+    produce("views", 1)
+
+    def readSide(topic: String, p: String): DataFrame =
+      spark.readStream.format("graft-kafka")
+        .option("root", root).option("subscribe", topic)
+        .option("maxOffsetsPerTrigger", "128")
+        .load()
+        .select(col("key").cast("string").cast("long").as(s"${p}_user"),
+          split(col("value").cast("string"), "\\|").as("kv"))
+        .select(col(s"${p}_user"), col("kv")(0).cast("long").as(s"${p}_id"),
+          timestamp_micros(col("kv")(1).cast("long")).as(s"${p}_ts"))
+
+    val ckpt = Files.createTempDirectory("graft-kafka-ssj-ckpt").toString
+    val joined = StreamOps.timeBoundedJoin(
+      readSide("clicks", "c"), readSide("views", "v"),
+      "c_user", "v_user", "c_ts", "v_ts",
+      tolerance = "6 HOURS", watermarkDelay = "365 DAYS")
+    val q = joined.select("c_id", "v_id")
+      .writeStream.format("memory").queryName("ssj_out")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val c = events.filter(col("event_id") % 2 === 0)
+      .select(col("user_id").as("cu"), col("event_id").as("cid"), col("ts").as("cts"))
+    val v = events.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("vu"), col("event_id").as("vid"), col("ts").as("vts"))
+    val expect = c.join(v, col("cu") === col("vu") &&
+        col("vts") >= col("cts") - expr("INTERVAL 6 HOURS") &&
+        col("vts") <= col("cts") + expr("INTERVAL 6 HOURS"))
+      .select("cid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expect, s"stream join ${got.size} pairs, batch expects ${expect.size}")
+    assert(expect.size > 100, "join must be non-trivial for this test to bite")
+  }
 }
