@@ -138,6 +138,26 @@ object StreamOps {
       .select(col("id"), col("__ts").as(tsCol))
   }
 
+  /** Effectively-once parquet sink over the engine's at-least-once core:
+    * every micro-batch writes to a directory keyed by its STABLE batch id,
+    * in overwrite mode — so when the checkpoint replays a batch after a
+    * crash (the at-least-once case), the rerun overwrites its own previous
+    * output instead of appending a duplicate. Exactly the idempotent-write
+    * discipline Decaton delegates to the user (at-least-once only,
+    * `docs/why-decaton.adoc`); here it is a one-call upgrade because the
+    * batch id is durable in the checkpoint.
+    */
+  def effectivelyOnceParquet(
+      df: DataFrame,
+      path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+        ()
+      }.start()
+
   /** Stream-stream inner join bounded in event time: rows join when keys
     * match AND the right event lies within ±`tolerance` of the left event.
     * Watermarks go on BOTH sides and the join carries the range condition

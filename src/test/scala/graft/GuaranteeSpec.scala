@@ -110,4 +110,45 @@ class GuaranteeSpec extends SparkTestBase {
     assert(GuaranteeSpec.serialViolations.get() == 0,
       s"${GuaranteeSpec.serialViolations.get()} same-key concurrent executions")
   }
+
+  test("effectively-once sink: batch-id-keyed writes stay exact across a FORCED replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val ckpt = Files.createTempDirectory("graft-eo-ckpt").toString
+    val out = Files.createTempDirectory("graft-eo-out").toString
+    val in = MemoryStream[KeyedTask]
+    val total = 200
+    def mk() = graft.streaming.StreamOps.effectivelyOnceParquet(in.toDF(), out, ckpt)
+
+    var q = mk()
+    in.addData((0 until 120).map(i =>
+      KeyedTask(s"key-${i % 7}", i.toLong, new Timestamp(1704067200000L + i * 1000L))))
+    q.processAllAvailable()
+    in.addData((120 until total).map(i =>
+      KeyedTask(s"key-${i % 7}", i.toLong, new Timestamp(1704067200000L + i * 1000L))))
+    q.processAllAvailable()
+    q.stop()
+
+    // force an at-least-once replay: drop the LAST commit marker, so the
+    // restarted query re-executes that batch with the SAME batch id
+    val commitsDir = new java.io.File(s"$ckpt/commits")
+    val last = commitsDir.listFiles().map(_.getName).filter(_.forall(_.isDigit)).map(_.toInt).max
+    assert(new java.io.File(commitsDir, last.toString).delete(), "failed to drop commit marker")
+    // also drop the checksum shadow, or the re-commit's rename fails and is
+    // misread as a concurrent query on the same checkpoint
+    new java.io.File(commitsDir, s".$last.crc").delete()
+
+    q = mk()
+    q.processAllAvailable()
+    q.stop()
+
+    // the batch really was re-executed: its commit marker is back
+    assert(new java.io.File(commitsDir, last.toString).exists,
+      "restart did not replay the uncommitted batch — the test lost its bite")
+    // and the replayed batch overwrote itself: the sink is EXACT, not at-least-once
+    val got = spark.read.parquet(out).select("id").as[Long].collect().sorted
+    assert(got.toSeq === (0L until total.toLong),
+      s"sink has ${got.length} rows for $total inputs — replay duplicated or lost data")
+  }
 }
