@@ -28,6 +28,13 @@ package object functions {
   def cms_estimate(sketch: Column, key: Column): Column =
     toColumn(graft.plans.CmsEstimate(toExpr(sketch), toExpr(key)))
 
+  /** Aggregate: SpaceSaving heavy-hitters summary over a string column →
+    * array<struct<term, est, err>> (est desc, term asc). Exact while the
+    * distinct-key count stays within `capacity`; ε = N/capacity otherwise.
+    */
+  def space_saving(term: Column, capacity: Int): Column =
+    toColumn(graft.plans.SpaceSavingAgg(toExpr(term), capacity).toAggregateExpression())
+
   /** Aggregate: element-wise merge of serialized CMS sketches (same
     * width/depth). Second level of the salted two-level merge.
     */

@@ -871,6 +871,48 @@ object PipelineQueries {
         FROM documents GROUP BY 1, 2
       """)),
 
+    // ---- corpus-level exact top-k terms: one partial-agg shuffle on the
+    // token, fully ordered top-k. The ground truth pq33's sketch answers
+    // approximately at scales where this shuffle is too expensive.
+    Q(
+      "pq32_corpus_top_terms",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("term").asc)
+          .limit(25)
+      },
+      Some("""
+        SELECT term, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term ORDER BY n DESC, term ASC LIMIT 25
+      """)),
+
+    // ---- SpaceSaving heavy hitters (custom TypedImperativeAggregate):
+    // O(capacity) state per partition + one tiny merge instead of a
+    // full-vocabulary shuffle — the sketch tier of pq32 for 100 TB streams.
+    // At test scale capacity (256) exceeds the corpus vocabulary, so no
+    // eviction occurs, estimates are exact with err=0, and the oracle can
+    // hash-check the full output; SpaceSavingSpec covers the
+    // eviction/ε-bound regime with synthetic large vocabularies.
+    Q(
+      "pq33_heavy_hitters",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+          .agg(graft.functions.space_saving(col("term"), 256).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.term").as("term"), col("e.est").as("est"), col("e.err").as("err"))
+          .orderBy(col("est").desc, col("term").asc)
+          .limit(25)
+      },
+      Some("""
+        SELECT term, count(*) AS est, 0 AS err
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term ORDER BY est DESC, term ASC LIMIT 25
+      """)),
+
     // ---- fuzzy-exact dedup on the canonical text form (case/punct/
     // whitespace-insensitive): the cheap tier between exact and minhash.
     Q(
