@@ -254,7 +254,13 @@ object Bench {
       (System.nanoTime() - cmsT0) / 1e9
     }
     cmsRep() // untimed warm-up: the full-width plan is not in the query-set warm pass
-    val cmsFullSec = Seq.fill(3)(cmsRep()).sorted.apply(1)
+    // The probe allocates ~6 MB/partial × 32 partitions per rep; after 74
+    // queries the heap can be left in a state where EVERY rep runs 10×
+    // slower (measured medians 2.7 s vs 34.7 s across identical JVMs), so a
+    // GC ahead of each rep levels the field and the raw reps are emitted
+    // for interpretability.
+    val cmsReps = Seq.fill(3) { System.gc(); cmsRep() }.sorted
+    val cmsFullSec = cmsReps(1)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -268,6 +274,7 @@ object Bench {
       s""""stream_reps_lat_max_ms":${streamReps.map(_.latMaxMs).mkString("[", ",", "]")},""" +
       s""""stream_no_io_reps":${noIoReps.mkString("[", ",", "]")},""" +
       s""""cms_full_sketch_sec":$cmsFullSec,""" +
+      s""""cms_reps":${cmsReps.mkString("[", ",", "]")},""" +
       s""""stream_task_count":$streamTasks,""" +
       s""""stream_latency_avg_ms":$latAvgMs,"stream_latency_max_ms":$latMaxMs,""" +
       s""""stream_gc_count":$gcCountD,"stream_gc_time_ms":$gcTimeD,""" +
