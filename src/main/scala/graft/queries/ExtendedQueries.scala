@@ -457,17 +457,23 @@ object ExtendedQueries {
         GROUP BY 1, 2
       """)),
 
-    // ---- CUBE: all grouping-set combinations in one pass (Spark plans one
-    // Expand + single shuffle, not 4 scans). Subtotal rows carry NULL keys
-    // in both engines.
+    // ---- CUBE: all grouping-set combinations. NOT the naive
+    // `li.cube(...)` — that plans Expand×4 over the full fact table
+    // (4× the rows into the shuffle). Since cube keys are low-cardinality,
+    // aggregate per (flag, status) FIRST (one map-side-combinable shuffle
+    // down to ~6 rows), then cube the tiny aggregate and re-sum: the
+    // Expand multiplies 6 rows, not 600k — the only cube shape that
+    // survives 100 TB. Sums are decimal, so re-aggregation is exact.
     Q(
       "q27_cube",
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
-        li.cube(col("l_returnflag"), col("l_linestatus"))
+        val base = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(dec(col("l_quantity"))).as("qty"), count(lit(1)).as("n"))
+        base.cube(col("l_returnflag"), col("l_linestatus"))
           .agg(
-            round(sum(dec(col("l_quantity"))).cast("double"), 2).as("sum_qty"),
-            count(lit(1)).as("n_lines"))
+            round(sum(col("qty")).cast("double"), 2).as("sum_qty"),
+            sum(col("n")).as("n_lines"))
       },
       Some("""
         SELECT l_returnflag, l_linestatus,

@@ -130,15 +130,24 @@ object RelationalQueries {
         val c  = Tables.customer(s, dir)
         val n  = Tables.nation(s, dir)
         val r  = Tables.region(s, dir)
-        li.join(o, col("l_orderkey") === col("o_orderkey"))
+        // partial agg pushed BELOW the big join: lineitem first reduces to
+        // one row per order (map-side combine, ~4× fewer rows into the
+        // orderkey shuffle, and the join build side shrinks the same 4×);
+        // Catalyst doesn't do this rewrite itself, and it's the difference
+        // between shuffling line items and shuffling orders at 100 TB.
+        // Decimal sums re-aggregate exactly.
+        val perOrder = li.groupBy(col("l_orderkey"))
+          .agg(
+            sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("rev"),
+            count(lit(1)).as("n"))
+        perOrder.join(o, col("l_orderkey") === col("o_orderkey"))
           .join(broadcast(c), col("o_custkey") === col("c_custkey"))
           .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"), col("n_name"))
           .agg(
-            round(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double"), 2)
-              .as("revenue"),
-            count(lit(1)).as("n_lines"))
+            round(sum(col("rev")).cast("double"), 2).as("revenue"),
+            sum(col("n")).as("n_lines"))
       },
       Some("""
         SELECT r_name, n_name,
