@@ -379,12 +379,10 @@ object Dedup {
     */
   def duplicatedSpanStats(df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     require(n > 0, s"window size n=$n must be positive")
-    val toks = df.select(idCol.as("doc_id"),
-      graft.functions.TextFunctions.tokens(textCol).as("t"))
-    val grams = toks.select(col("doc_id"),
-      explode(transform(
-        sequence(lit(0), greatest(size(col("t")) - n, lit(0))),
-        i => md5(array_join(slice(col("t"), i + 1, lit(n)), " ")))).as("g"))
+    // windows hashed by ONE native expression per row (byte-range md5, no
+    // window-string materialization — plans/TextHashExpressions.scala)
+    val grams = df.select(idCol.as("doc_id"),
+      explode(graft.functions.word_ngram_hashes(textCol, n)).as("g"))
     val perDocGram = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
     val gramDf = perDocGram.groupBy(col("g")).agg(count(lit(1)).as("df"))
     perDocGram.join(gramDf, "g")
@@ -529,12 +527,17 @@ object Dedup {
       benchmark: DataFrame,
       benchTextCol: Column,
       n: Int): DataFrame = {
+    // both sides hash n-gram windows natively (byte-range md5 → 60-bit
+    // long) so the broadcast set and the probe carry 8-byte keys instead
+    // of window strings; per-doc distinct applies on the hash array
     val benchNgrams = benchmark
-      .select(explode(graft.functions.TextFunctions.word_ngrams(benchTextCol, n)).as("ng"))
+      .select(explode(array_distinct(
+        graft.functions.word_ngram_hashes(benchTextCol, n))).as("ng"))
       .distinct()
     corpus
       .select(idCol.as("doc_id"),
-        explode(graft.functions.TextFunctions.word_ngrams(textCol, n)).as("ng"))
+        explode(array_distinct(
+          graft.functions.word_ngram_hashes(textCol, n))).as("ng"))
       .join(broadcast(benchNgrams), "ng")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))

@@ -35,6 +35,12 @@ package object functions {
   def space_saving(term: Column, capacity: Int): Column =
     toColumn(graft.plans.SpaceSavingAgg(toExpr(term), capacity).toAggregateExpression())
 
+  /** Portable 60-bit hash of every n-token window (one native pass, no
+    * window-string materialization); values = `dh(window)` of the oracle.
+    */
+  def word_ngram_hashes(text: Column, n: Int): Column =
+    toColumn(graft.plans.WordNgramHashes(toExpr(text), n))
+
   /** Aggregate: element-wise merge of serialized CMS sketches (same
     * width/depth). Second level of the salted two-level merge.
     */

@@ -187,6 +187,68 @@ case class MinHashSigs(child: Expression, shingleSize: Int, k: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSigs = copy(child = c)
 }
 
+/** Portable 60-bit hashes of every `n`-token window of a document in ONE
+  * native pass — the hot inner step of benchmark decontamination (pq17) and
+  * exact-substring span statistics (pq18).
+  *
+  * Replaces the declarative pipeline (split → sequence → slice →
+  * array_join → md5-hex per window), which MATERIALIZED every window as a
+  * string before hashing it — for a 60-token doc and n=5 that is ~56
+  * overlapping strings, each a fresh copy of ~5 tokens. The key identity:
+  * `split(text, ' ')` re-joined with single spaces reproduces the original
+  * byte sequence, so window i IS the byte range
+  * [tokenStart(i), tokenStart(i+n) - 1) of the document's UTF-8 bytes
+  * (0x20 never occurs inside a multi-byte UTF-8 char, so byte-level token
+  * scanning is exact). md5 runs directly over that range; values equal
+  * `CAST('0x' || substr(md5(window), 1, 15) AS BIGINT)` — the dh() family
+  * the oracle recomputes. Shorter-than-n docs hash their whole text as the
+  * single window, mirroring `slice`'s clamp; null text → null.
+  */
+case class WordNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with Md5HashedText {
+  require(n >= 1, s"n must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = requireString(child, "word_ngram_hashes")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var nToks = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) nToks += 1; i += 1 }
+    val starts = new Array[Int](nToks + 1)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    // sentinel: a virtual separator one past the end, so the "- 1" below
+    // strips either a real trailing space or nothing at the text boundary
+    starts(nToks) = bytes.length + 1
+    val last = math.max(nToks - n, 0)
+    val out = new Array[Long](last + 1)
+    var p = 0
+    while (p <= last) {
+      val s = starts(p)
+      val e = math.min(starts(math.min(p + n, nToks)) - 1, bytes.length)
+      out(p) = hexHead(digestRange(bytes, s, e - s))
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // same eval-bridge as MinHashSigs: shed CodegenFallback, keep the stage fused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordNgramHashes", this, classOf[WordNgramHashes].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "word_ngram_hashes"
+  override protected def withNewChildInternal(c: Expression): WordNgramHashes = copy(child = c)
+}
+
 /** The `bits`-bit simhash of a document in ONE native pass — split on single
   * spaces (trailing empties kept, duplicate tokens counted, exactly like
   * `split(text, ' ')` + explode), one 60-bit portable hash per DISTINCT token

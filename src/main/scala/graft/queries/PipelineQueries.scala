@@ -505,7 +505,7 @@ object PipelineQueries {
           SELECT doc_id,
                  unnest(list_distinct(list_transform(
                    generate_series(1, greatest(CAST(len(t) AS INT) - 2, 1)),
-                   i -> array_to_string(t[i:i+2], ' ')))) AS ng
+                   i -> CAST(('0x'||substr(md5(array_to_string(t[i:i+2], ' ')),1,15)) AS BIGINT)))) AS ng
           FROM toks
         ), bench AS (
           SELECT DISTINCT ng FROM ng WHERE doc_id % 50 = 0
@@ -534,7 +534,9 @@ object PipelineQueries {
                  unnest(generate_series(1, greatest(CAST(len(t) AS INT) - 4, 1))) AS i
           FROM toks
         ), g AS (
-          SELECT doc_id, md5(array_to_string(t[i:i+4], ' ')) AS g FROM pos
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(array_to_string(t[i:i+4], ' ')),1,15)) AS BIGINT) AS g
+          FROM pos
         ), pg AS (
           SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
         ), gdf AS (
