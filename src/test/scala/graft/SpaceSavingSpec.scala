@@ -49,6 +49,39 @@ class SpaceSavingSpec extends SparkTestBase {
     }
   }
 
+  test("windowed heavy hitters run inside streaming state (complete mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = in.toDF().toDF("ts", "term")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(graft.functions.space_saving(col("term"), 64).as("hh"))
+      .select(col("w.start").as("wstart"), explode(col("hh")).as("e"))
+      .select(col("wstart"), col("e.term"), col("e.est"))
+      .writeStream.format("memory").queryName("hh_windows")
+      .outputMode("complete").start()
+    val t0 = 1704067200000L
+    def row(min: Int, term: String) = (new java.sql.Timestamp(t0 + min * 60000L), term)
+    // two windows; data arrives across several batches so sketch state
+    // must survive (serialize/deserialize through) the state store
+    in.addData(Seq(row(1, "a"), row(2, "a"), row(3, "b"), row(12, "c")))
+    q.processAllAvailable()
+    in.addData(Seq(row(4, "a"), row(5, "b"), row(13, "c"), row(14, "d")))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("hh_windows").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2))).toSet
+    val w0 = t0 // minute 0 window start
+    val w1 = t0 + 10 * 60000L
+    assert(got === Set(
+      (w0, "a", 3L), (w0, "b", 2L),
+      (w1, "c", 2L), (w1, "d", 1L)),
+      s"windowed sketch state diverged: $got")
+  }
+
   test("no-eviction regime is exact (capacity >= vocabulary)") {
     val items = Seq.fill(5000)(s"w${rnd.nextInt(20)}")
     val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
