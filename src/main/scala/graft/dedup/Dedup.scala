@@ -249,8 +249,12 @@ object Dedup {
       thresholdNum: Int,
       thresholdDen: Int,
       maxDocFreq: Option[Long] = None): DataFrame = {
+    // grams as native 60-bit hashes (one byte-range-md5 pass per doc, no
+    // window strings): the inverted index and every downstream shuffle key
+    // on 8-byte values; per-doc distinct applies on the hash array
     val allGrams = df.select(idCol.as("id"), blockCol.as("blk"),
-        explode(graft.functions.TextFunctions.word_ngrams(textCol, n)).as("g"))
+        explode(array_distinct(
+          graft.functions.word_ngram_hashes(textCol, n))).as("g"))
     val (sizes, inter) = maxDocFreq match {
       case None =>
         val sz = allGrams.groupBy(col("id")).agg(count(lit(1)).as("sz")) // grams distinct already

@@ -219,7 +219,9 @@ object PipelineQueries {
       Some("""
         WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
         idx AS (SELECT doc_id, lang, t, unnest(generate_series(0, greatest(len(t)-3, 0))) AS i FROM toks),
-        grams0 AS (SELECT DISTINCT doc_id, lang, array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ') AS g FROM idx),
+        grams0 AS (SELECT DISTINCT doc_id, lang,
+                     CAST(('0x'||substr(md5(array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)], ' ')),1,15)) AS BIGINT) AS g
+                   FROM idx),
         rare AS (SELECT lang, g FROM grams0 GROUP BY lang, g HAVING count(*) <= 64),
         grams AS (SELECT grams0.* FROM grams0 JOIN rare USING (lang, g)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY 1),
