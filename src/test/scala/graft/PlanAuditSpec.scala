@@ -32,6 +32,19 @@ class PlanAuditSpec extends SparkTestBase {
     "q08_setops" -> 4, "q09_semi_join" -> 2, "q10_anti_join" -> 2,
     "q11_rollup" -> 2, "q15_above_avg" -> 2, "q23_outer_join" -> 2)
 
+  /** Shuffle BUDGETS for the scale-critical queries: the number of data
+    * Exchanges (broadcast excluded) each is allowed. A regression that adds
+    * an Exchange to one of these — a lost broadcast, a lost co-partitioning,
+    * an accidental repartition — fails the build; the full per-query record
+    * lives in PLANS.md.
+    */
+  private val maxShuffles = Map(
+    "pq01_exact_dedup" -> 1, "pq02_minhash_sigs" -> 1, "pq03_lsh_pairs" -> 3,
+    "pq06_jaccard_pairs" -> 6, "pq17_decontaminate" -> 2, // bench-side distinct + per-doc agg "pq18_dup_spans" -> 6,
+    "pq19_stratified_sample" -> 0, "pq21_chunks" -> 0, "pq22_curation" -> 2,
+    "pq26_label_centroids" -> 1, "pq29_embed_quantize" -> 0,
+    "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2)
+
   /** Queries whose REGISTERED form legitimately ends in a local relation:
     * pq23's cluster table is the driver-union-find residue at test scale
     * (sub-threshold pair count — see Dedup.connectedComponents), so its
@@ -56,7 +69,9 @@ class PlanAuditSpec extends SparkTestBase {
           (!mustPush(name) || f.pushedFilters) ->
             s"$name lost its pushed filters",
           (f.broadcastJoins >= mustBroadcast.getOrElse(name, 0)) ->
-            s"$name broadcasts ${f.broadcastJoins} < expected ${mustBroadcast.getOrElse(name, 0)}"
+            s"$name broadcasts ${f.broadcastJoins} < expected ${mustBroadcast.getOrElse(name, 0)}",
+          (f.exchanges <= maxShuffles.getOrElse(name, Int.MaxValue)) ->
+            s"$name shuffles ${f.exchanges} > budget ${maxShuffles.getOrElse(name, 0)} — an Exchange crept in"
         ).collect { case (false, msg) => msg }
       }
       assert(failures.isEmpty, failures.mkString("\n"))
