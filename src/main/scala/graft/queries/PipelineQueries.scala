@@ -875,6 +875,28 @@ object PipelineQueries {
         FROM documents GROUP BY 1, 2
       """)),
 
+    // ---- fixed-count mixing: exactly 40 docs per language, selected by id
+    // hash with id tiebreak — the hard-budget complement of pq19's
+    // rate-based sample. One window shuffle on the stratum; nested across
+    // budgets (a smaller budget is a strict prefix).
+    Q(
+      "pq34_fixed_count_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.sampling.Sampling.fixedCountByHash(
+            d.select(col("doc_id"), col("lang")), col("doc_id"), col("lang"), 40)
+          .select(col("doc_id"), col("stratum"))
+      },
+      Some(s"""
+        SELECT doc_id, stratum FROM (
+          SELECT doc_id, lang AS stratum,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ${dh("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rk
+          FROM documents
+        ) WHERE rk <= 40
+      """)),
+
     // ---- corpus-level exact top-k terms: one partial-agg shuffle on the
     // token, fully ordered top-k. The ground truth pq33's sketch answers
     // approximately at scales where this shuffle is too expensive.

@@ -44,4 +44,30 @@ object Sampling {
         pmod(portable_hash(idCol.cast("string")), lit(1000L)))
       .filter(col("sample_bucket") < rate)
   }
+
+  /** EXACT per-stratum budgets: keep precisely `min(countPerStratum, |stratum|)`
+    * rows per stratum — the fixed-token-budget form of dataset mixing, where
+    * rate-based sampling can't hit a hard target. Selection order is the
+    * row's own id hash (id as the unique tiebreak), so the sample is
+    * reproducible, order-independent, and NESTED: a budget-100 sample is a
+    * strict prefix of a budget-200 one. One window shuffle on the stratum;
+    * rank is dropped from the output so re-runs with different budgets
+    * compare equal on the shared prefix.
+    */
+  def fixedCountByHash(
+      df: DataFrame,
+      idCol: Column,
+      strataCol: Column,
+      countPerStratum: Int): DataFrame = {
+    require(countPerStratum > 0, s"countPerStratum=$countPerStratum must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("__h").asc, col("__id").asc)
+    df.withColumn("stratum", strataCol)
+      .withColumn("__id", idCol)
+      .withColumn("__h", portable_hash(idCol.cast("string")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= countPerStratum)
+      .drop("__id", "__h", "__rk")
+  }
 }

@@ -231,6 +231,26 @@ class PipelinePropertySpec extends SparkTestBase {
     assert(got === Map(1L -> 4L, 4L -> 1L)) // keep_id -> n_copies
   }
 
+  test("fixed-count sampling is exact, hash-ordered, and nested across budgets") {
+    import graft.sampling.Sampling
+    val corpus = (1L to 120L).map(id => (id, s"s${id % 5}"))
+    val df = corpus.toDF("doc_id", "lang")
+    def sample(n: Int): Map[String, Seq[Long]] = Sampling
+      .fixedCountByHash(df, col("doc_id"), col("lang"), n)
+      .collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val s5 = sample(5)
+    val s10 = sample(10)
+    val byHash = corpus.groupBy(_._2).view.mapValues(_.map(_._1).sortBy(id =>
+      (java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 15), 16), id))).toMap
+    byHash.foreach { case (stratum, ordered) =>
+      assert(s5(stratum) === ordered.take(5).sorted, s"stratum $stratum budget-5")
+      assert(s10(stratum) === ordered.take(10).sorted, s"stratum $stratum budget-10")
+      assert(s5(stratum).toSet.subsetOf(s10(stratum).toSet), s"stratum $stratum not nested")
+    }
+  }
+
   test("int8 quantization (array form) matches the per-element scalar formula") {
     val vecs = Seq.tabulate(25)(i =>
       (i.toLong, Array.fill(8)((rnd.nextFloat() - 0.5f) * 4f))) :+ (99L, Array.fill(8)(0f))
