@@ -215,25 +215,54 @@ object TextFunctions {
   /** Sequence packing for pre-training batches, concat-then-window style:
     * within each stratum, documents are laid out in deterministic id order
     * and the token stream is cut into `budgetTokens`-sized context windows;
-    * a document's pack is the window containing its first token. One
-    * window-function shuffle on the stratum (the running token offset),
-    * everything else row-local and integer-exact. At scale the stratum is
-    * whatever parallel unit the packer works in (shard, date, language) —
-    * packing is embarrassingly parallel across strata by construction.
+    * a document's pack is the window containing its first token.
+    *
+    * Scale shape (strata are languages/sources — a global
+    * `sum().over(Window.partitionBy(stratum).orderBy(doc_id))` would run each
+    * stratum's entire prefix sum through one reducer): the classic two-phase
+    * prefix sum. Ids are cut into contiguous ranges of `idsPerRange` id-space
+    * each (`doc_id div idsPerRange` — truncating division is monotone, so
+    * ranges preserve id order). Phase 1 computes per-range token totals with
+    * a partial aggregation (map-side combined, metadata-sized result) and the
+    * cumulative base offset of each range with a window over that tiny range
+    * table. Phase 2 broadcast-joins the bases back and computes the row's
+    * offset with a running sum inside `(stratum, range)` — a well-distributed
+    * window key (~idsPerRange rows per group). Output is integer-exact and
+    * identical to the single-window form, including duplicate-doc_id tie
+    * handling (ties share a range, and the RANGE frame semantics match).
+    * Requires numeric, non-null doc ids.
     */
   def packSequences(
       df: org.apache.spark.sql.DataFrame,
       idCol: Column,
       textCol: Column,
       strataCol: Column,
-      budgetTokens: Int): org.apache.spark.sql.DataFrame = {
+      budgetTokens: Int,
+      idsPerRange: Long = 4096L): org.apache.spark.sql.DataFrame = {
     require(budgetTokens > 0, s"budgetTokens=$budgetTokens must be positive")
+    require(idsPerRange > 0, s"idsPerRange=$idsPerRange must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("stratum")).orderBy(col("doc_id"))
-    df.select(idCol.as("doc_id"), strataCol.as("stratum"),
+    val t = df.select(idCol.as("doc_id"), strataCol.as("stratum"),
         token_count(textCol).cast("long").as("n_tokens"))
-      .withColumn("start_offset", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("__rng", expr(s"CAST(doc_id AS BIGINT) div ${idsPerRange}L"))
+    // phase 1: per-range totals (partial-agg shuffle, tiny result) and each
+    // range's cumulative base offset (window over the metadata-sized table)
+    val wRng = Window.partitionBy(col("stratum")).orderBy(col("__rng"))
+    val bases = t.groupBy(col("stratum"), col("__rng"))
+      .agg(sum(col("n_tokens")).as("__rng_tokens"))
+      .withColumn("__base", sum(col("__rng_tokens")).over(wRng) - col("__rng_tokens"))
+      .select(col("stratum").as("__b_stratum"), col("__rng").as("__b_rng"),
+        col("__base"))
+    // phase 2: row-local offset within the range, plus the broadcast base
+    val wLocal = Window.partitionBy(col("stratum"), col("__rng"))
+      .orderBy(col("doc_id"))
+    t.join(broadcast(bases),
+        col("stratum") <=> col("__b_stratum") && col("__rng") <=> col("__b_rng"))
+      .withColumn("start_offset",
+        col("__base") + sum(col("n_tokens")).over(wLocal) - col("n_tokens"))
       .withColumn("pack_id", expr(s"start_offset div ${budgetTokens.toLong}"))
+      .select(col("doc_id"), col("stratum"), col("n_tokens"),
+        col("start_offset"), col("pack_id"))
   }
 
   def repetitionStats(

@@ -50,24 +50,46 @@ object Sampling {
     * rate-based sampling can't hit a hard target. Selection order is the
     * row's own id hash (id as the unique tiebreak), so the sample is
     * reproducible, order-independent, and NESTED: a budget-100 sample is a
-    * strict prefix of a budget-200 one. One window shuffle on the stratum;
-    * rank is dropped from the output so re-runs with different budgets
-    * compare equal on the shared prefix.
+    * strict prefix of a budget-200 one.
+    *
+    * Scale shape (strata are languages/sources — cardinality ~10–100, so a
+    * plain `Window.partitionBy(stratum)` would sort whole strata on single
+    * reducers): the selection runs on a narrow `(id, stratum, hash)`
+    * projection in two pruning levels. Level 1 ranks within
+    * `(hash mod pruneBuckets, stratum)` — a well-distributed key — and keeps
+    * each bucket's local top `countPerStratum`; any row in the global
+    * per-stratum top-K is necessarily in its own bucket's top-K, so this
+    * prunes without loss. Level 2 ranks the ≤ buckets×K survivors per
+    * stratum — metadata-sized. The kept ids (≤ strata×K rows) broadcast back
+    * onto the corpus as a semi join, so the full-width rows NEVER shuffle.
+    * Requires unique, non-null ids (the operator's id contract).
     */
   def fixedCountByHash(
       df: DataFrame,
       idCol: Column,
       strataCol: Column,
-      countPerStratum: Int): DataFrame = {
+      countPerStratum: Int,
+      pruneBuckets: Int = 0): DataFrame = {
     require(countPerStratum > 0, s"countPerStratum=$countPerStratum must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("stratum"))
+    val buckets =
+      if (pruneBuckets > 0) pruneBuckets
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    val narrow = df.select(
+      idCol.as("__id"), strataCol.as("__stratum"),
+      portable_hash(idCol.cast("string")).as("__h"))
+    val wLocal = Window
+      .partitionBy(pmod(col("__h"), lit(buckets.toLong)), col("__stratum"))
       .orderBy(col("__h").asc, col("__id").asc)
-    df.withColumn("stratum", strataCol)
-      .withColumn("__id", idCol)
-      .withColumn("__h", portable_hash(idCol.cast("string")))
-      .withColumn("__rk", row_number().over(w))
+    val wGlobal = Window.partitionBy(col("__stratum"))
+      .orderBy(col("__h").asc, col("__id").asc)
+    val keep = narrow
+      .withColumn("__lrk", row_number().over(wLocal))
+      .filter(col("__lrk") <= countPerStratum)
+      .withColumn("__rk", row_number().over(wGlobal))
       .filter(col("__rk") <= countPerStratum)
-      .drop("__id", "__h", "__rk")
+      .select(col("__id").as("__keep_id"))
+    df.withColumn("stratum", strataCol)
+      .join(broadcast(keep), idCol === col("__keep_id"), "left_semi")
   }
 }

@@ -201,11 +201,14 @@ class PipelinePropertySpec extends SparkTestBase {
   test("sequence packing matches an in-memory prefix-sum on random strata") {
     for (round <- 1 to 3) {
       val budget = 8 + rnd.nextInt(40)
+      // idsPerRange forced tiny (including 1 = every doc its own range) so the
+      // two-phase prefix sum crosses many range boundaries even at test scale
+      val idsPerRange = Seq(1L, 7L, 4096L)(round - 1)
       val corpus = randomCorpus(nDocs = 60, vocab = 30, maxLen = 25)
         .map { case (id, tx) => (id, tx, s"s${rnd.nextInt(4)}") }
       val got = TextFunctions.packSequences(
           corpus.toDF("doc_id", "text", "lang"),
-          col("doc_id"), col("text"), col("lang"), budget)
+          col("doc_id"), col("text"), col("lang"), budget, idsPerRange)
         .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
       corpus.groupBy(_._3).foreach { case (_, docs) =>
         var offset = 0L
@@ -216,6 +219,22 @@ class PipelinePropertySpec extends SparkTestBase {
         }
       }
     }
+  }
+
+  test("sequence packing distributes: the data window keys on (stratum, range), not stratum") {
+    val df = randomCorpus(nDocs = 40, vocab = 10, maxLen = 10)
+      .map { case (id, tx) => (id, tx, s"s${id % 3}") }
+      .toDF("doc_id", "text", "lang")
+    val plan = TextFunctions.packSequences(
+        df, col("doc_id"), col("text"), col("lang"), 64, idsPerRange = 8L)
+      .queryExecution.executedPlan.toString
+    val dataWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("n_tokens")).toSeq
+    assert(dataWindows.nonEmpty, "expected a running-sum window over the data")
+    assert(dataWindows.forall(_.contains("__rng")),
+      s"data window must partition by (stratum, __rng), got:\n${dataWindows.mkString("\n")}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "range base offsets must broadcast back, not shuffle the corpus")
   }
 
   test("canonical dedup groups case/punct/whitespace variants together") {
@@ -241,6 +260,14 @@ class PipelinePropertySpec extends SparkTestBase {
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
     val s5 = sample(5)
     val s10 = sample(10)
+    // the bucketed two-level prune is selection-invariant in the bucket
+    // count — 1 (degenerate single bucket) through many must all agree
+    for (buckets <- Seq(1, 3, 17)) {
+      val bucketed = Sampling.fixedCountByHash(df, col("doc_id"), col("lang"), 5, buckets)
+        .collect().map(r => (r.getString(1), r.getLong(0)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+      assert(bucketed === s5, s"pruneBuckets=$buckets changed the selection")
+    }
     val byHash = corpus.groupBy(_._2).view.mapValues(_.map(_._1).sortBy(id =>
       (java.lang.Long.parseLong(
         org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 15), 16), id))).toMap
@@ -249,6 +276,26 @@ class PipelinePropertySpec extends SparkTestBase {
       assert(s10(stratum) === ordered.take(10).sorted, s"stratum $stratum budget-10")
       assert(s5(stratum).toSet.subsetOf(s10(stratum).toSet), s"stratum $stratum not nested")
     }
+  }
+
+  test("fixed-count sampling distributes: ranking pre-prunes in hash buckets, corpus never shuffles") {
+    import graft.sampling.Sampling
+    // parquet-backed input: over a LocalRelation the optimizer eagerly
+    // evaluates the hash+pmod projection and hides the plan shape under test
+    val df = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val qe = Sampling.fixedCountByHash(df, col("doc_id"), col("lang"), 10, pruneBuckets = 8)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    // level-1 window must key on (hash mod buckets, stratum) — the
+    // well-distributed prune — before any per-stratum-only ranking (the
+    // physical plan projects pmod into an alias, so check the logical plan)
+    val windows = plan.linesIterator.filter(_.contains("row_number")).toSeq
+    assert(windows.size >= 2, s"expected two ranking levels, got:\n${windows.mkString("\n")}")
+    assert(qe.optimizedPlan.toString.contains("pmod"),
+      "level-1 ranking must partition by pmod(hash, buckets)")
+    // the kept ids come back as a broadcast semi join — full-width rows never shuffle
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "keep-set must broadcast-semi-join onto the corpus")
   }
 
   test("int8 quantization (array form) matches the per-element scalar formula") {

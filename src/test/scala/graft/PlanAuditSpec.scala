@@ -28,6 +28,9 @@ class PlanAuditSpec extends SparkTestBase {
     "pq03_lsh_pairs" -> 2, "pq05_simhash_pairs" -> 2, "pq06_jaccard_pairs" -> 4,
     "pq07_embed_neardup" -> 2, "pq08_knn_brute" -> 2, "pq09_knn_lsh" -> 6,
     "pq13_embed_neardup_lsh" -> 6,
+    // pq27: range base offsets broadcast back; pq34: keep-ids semi join —
+    // losing either re-shuffles the full corpus
+    "pq27_pack_sequences" -> 2, "pq34_fixed_count_sample" -> 2,
     "q03_join_revenue" -> 4, "q04_multi_join" -> 8, "q05_topk_customers" -> 2,
     "q08_setops" -> 4, "q09_semi_join" -> 2, "q10_anti_join" -> 2,
     "q11_rollup" -> 2, "q15_above_avg" -> 2, "q23_outer_join" -> 2)
@@ -40,10 +43,18 @@ class PlanAuditSpec extends SparkTestBase {
     */
   private val maxShuffles = Map(
     "pq01_exact_dedup" -> 1, "pq02_minhash_sigs" -> 1, "pq03_lsh_pairs" -> 3,
-    "pq06_jaccard_pairs" -> 6, "pq17_decontaminate" -> 2, // bench-side distinct + per-doc agg "pq18_dup_spans" -> 6,
+    "pq06_jaccard_pairs" -> 6,
+    "pq17_decontaminate" -> 2, // bench-side distinct + per-doc agg
+    "pq18_dup_spans" -> 6,
     "pq19_stratified_sample" -> 0, "pq21_chunks" -> 0, "pq22_curation" -> 2,
-    "pq26_label_centroids" -> 1, "pq29_embed_quantize" -> 0,
-    "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2)
+    "pq26_label_centroids" -> 1,
+    "pq27_pack_sequences" -> 3, // range partial-agg + tiny base window + local window
+    "pq28_canonical_dedup" -> 1, "pq29_embed_quantize" -> 0,
+    "pq30_corpus_report" -> 2, "pq32_corpus_top_terms" -> 1,
+    "pq33_heavy_hitters" -> 1,
+    "pq34_fixed_count_sample" -> 2, // bucketed prune + metadata-sized final rank
+    "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
+    "q28_pivot" -> 2)
 
   /** Queries whose REGISTERED form legitimately ends in a local relation:
     * pq23's cluster table is the driver-union-find residue at test scale
