@@ -110,29 +110,48 @@ object Bench {
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
+    // one untimed pass at the TARGET sf: the first run of each plan at this
+    // scale pays costs the steady-state number shouldn't (scan statistics,
+    // remaining JIT tiers at real row counts). The old back-to-back-reps
+    // scheme amortized this into reps 2-3 implicitly; with interleaved
+    // passes (below) it must be paid explicitly up front or pass 1 is
+    // systematically the slowest and the median drifts with pass count.
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] sf warmup $name failed: $e") }
+    }
 
     // Median-of-3 per query (was single-shot through round 3): on shared
     // container kernels a single rep occasionally absorbs a multi-second
     // scheduler stall — VarianceProbe measured one query's warmed reps at
     // 2.8 s to 27.2 s in one JVM — and a median absorbs one outlier where a
-    // single shot becomes it. The JSON records the method for comparability.
-    // Any rep that throws marks the query failed in the emitted JSON — a
-    // silently-recorded timing for a query that died is a lie (round-4
+    // single shot becomes it. The 3 reps run as 3 INTERLEAVED passes over
+    // the whole query set (round-5 change): back-to-back reps let one
+    // multi-minute container stall own all 3 reps of several consecutive
+    // queries (BENCH_r04's q01=32.7 s artifact spanned 8 adjacent queries);
+    // with ~11 min between a query's reps, a stall can poison at most one
+    // rep per query and the median stays clean. The raw reps and each rep's
+    // wall-clock start are emitted so any stall is diagnosable from the
+    // committed JSON alone. Any rep that throws marks the query failed —
+    // a silently-recorded timing for a query that died is a lie (round-4
     // lesson: a non-converging loop "benched" as 6.8 s for two rounds of
     // bench output before the failure was noticed).
     val failed = scala.collection.mutable.LinkedHashSet[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def rep(): Double = {
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          failed += name
-          System.err.println(s"[bench] $name failed: $e")
-        }
-        (System.nanoTime() - t0) / 1e9
+    val queryNames = SparkEntry.queries.keys.toSeq.sorted
+    val repLog = scala.collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+    for (_ <- 1 to 3; name <- queryNames) {
+      val fn = SparkEntry.queries(name)
+      val wallStart = System.currentTimeMillis() / 1e3
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name failed: $e")
       }
-      name -> Seq.fill(3)(rep()).sorted.apply(1)
+      val dur = (System.nanoTime() - t0) / 1e9
+      repLog(name) = repLog.getOrElse(name, Vector.empty) :+ ((wallStart, dur))
     }
+    val results = queryNames.map(n => n -> repLog(n).map(_._2).sorted.apply(1))
     // Streaming task-throughput probe vs the reference baseline (~23k
     // I/O-bound tasks/s/instance at 5×4 ms simulated I/O, docs/runtime.adoc:64):
     // same workload shape — five sequential 4 ms async I/Os per task — with
@@ -264,9 +283,16 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val qReps = queryNames.map { n =>
+      "\"" + n + "\":" + repLog(n).map(_._2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qStarts = queryNames.map { n =>
+      "\"" + n + "\":" + repLog(n).map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3-interleaved","queries":$qs,""" +
+      s""""query_reps":$qReps,"query_rep_starts_epoch_sec":$qStarts,""" +
       s""""failed_queries":$failedJson,""" +
       s""""stream_tasks_per_sec":$tps,"stream_tasks_per_sec_no_io":$tpsNoIo,""" +
       s""""stream_reps_tps":${streamReps.map(_.tps).mkString("[", ",", "]")},""" +
