@@ -36,23 +36,65 @@ import org.apache.spark.unsafe.types.UTF8String
   * is EXACT — which is how the registered query stays hash-checkable.
   */
 object SpaceSaving {
-  /** entry: term -> [count, error] */
-  type Buf = mutable.LinkedHashMap[UTF8String, Array[Long]]
+
+  /** Summary buffer: the (term -> [count, error]) map plus a count-indexed
+    * eviction structure — `byCount` maps each live count to the keys holding
+    * it, insertion-ordered within a tie. This is the Stream-Summary idea
+    * (Metwally §3.1: counters grouped in count buckets, min bucket found
+    * without scanning): `update` is O(log #distinct-counts) and eviction
+    * reads the min bucket directly, instead of the O(capacity) scan the
+    * round-4 version paid on EVERY unseen item under eviction pressure.
+    * Zipf streams — the heavy-hitter workload — spend most updates in
+    * exactly that path (vocab >> capacity), which made eviction the
+    * sketch's hot loop.
+    */
+  final class Buf {
+    // term -> (stableKey, [count, error]). The stableKey is the CLONED
+    // UTF8String that also lives in byCount: the input UTF8String handed to
+    // update() is backed by a reusable UnsafeRow buffer and must never be
+    // retained in either structure (a retained input mutates under the
+    // index and silently corrupts the eviction minimum).
+    val entries = new mutable.HashMap[UTF8String, (UTF8String, Array[Long])]
+    val byCount = new mutable.TreeMap[Long, mutable.LinkedHashSet[UTF8String]]
+
+    def indexAdd(k: UTF8String, count: Long): Unit =
+      byCount.getOrElseUpdate(count, new mutable.LinkedHashSet[UTF8String]) += k
+
+    def indexRemove(k: UTF8String, count: Long): Unit = {
+      val bucket = byCount(count)
+      bucket -= k
+      if (bucket.isEmpty) byCount.remove(count)
+    }
+
+    /** `k` must be an owned (cloned or freshly built) instance. */
+    def put(k: UTF8String, ce: Array[Long]): Unit = {
+      entries.get(k).foreach { case (sk, old) => indexRemove(sk, old(0)) }
+      entries.put(k, (k, ce))
+      indexAdd(k, ce(0))
+    }
+
+    def size: Int = entries.size
+    def minCount: Long = if (entries.isEmpty) 0L else byCount.firstKey
+    def toSeq: Seq[(UTF8String, Array[Long])] =
+      entries.valuesIterator.toSeq.map { case (sk, ce) => (sk, ce) }
+  }
 
   def update(buf: Buf, item: UTF8String, capacity: Int): Unit = {
-    buf.get(item) match {
-      case Some(ce) => ce(0) += 1
+    buf.entries.get(item) match {
+      case Some((sk, ce)) =>
+        buf.indexRemove(sk, ce(0))
+        ce(0) += 1
+        buf.indexAdd(sk, ce(0))
       case None =>
         if (buf.size < capacity) {
           buf.put(item.clone(), Array(1L, 0L))
         } else {
-          // evict the minimum-count entry; the newcomer inherits its count
-          var minKey: UTF8String = null
-          var minCount = Long.MaxValue
-          buf.foreach { case (k, ce) =>
-            if (ce(0) < minCount) { minCount = ce(0); minKey = k }
-          }
-          buf.remove(minKey)
+          // evict a minimum-count entry (min bucket read off the count
+          // index, no scan); the newcomer inherits its count as its error
+          val minCount = buf.byCount.firstKey
+          val victim = buf.byCount(minCount).head
+          buf.indexRemove(victim, minCount)
+          buf.entries.remove(victim)
           buf.put(item.clone(), Array(minCount + 1, minCount))
         }
     }
@@ -64,28 +106,27 @@ object SpaceSaving {
     // the merge credits absentees min(summary) — count AND error — or the
     // never-undercount guarantee breaks (a key heavy in partition 1 but
     // evicted in partition 2 would lose partition 2's observations).
-    def minOf(s: Buf): Long =
-      if (s.size >= capacity) s.valuesIterator.map(_(0)).min else 0L
+    def minOf(s: Buf): Long = if (s.size >= capacity) s.minCount else 0L
     val minA = minOf(a)
     val minB = minOf(b)
-    val out = new Buf
-    a.foreach { case (k, ae) =>
-      b.get(k) match {
-        case Some(be) => out.put(k, Array(ae(0) + be(0), ae(1) + be(1)))
-        case None     => out.put(k, Array(ae(0) + minB, ae(1) + minB))
+    val out = new mutable.HashMap[UTF8String, Array[Long]]
+    a.entries.foreach { case (k, (_, ae)) =>
+      b.entries.get(k) match {
+        case Some((_, be)) => out.put(k, Array(ae(0) + be(0), ae(1) + be(1)))
+        case None          => out.put(k, Array(ae(0) + minB, ae(1) + minB))
       }
     }
-    b.foreach { case (k, be) =>
-      if (!a.contains(k)) out.put(k, Array(be(0) + minA, be(1) + minA))
+    b.entries.foreach { case (k, (_, be)) =>
+      if (!a.entries.contains(k)) out.put(k, Array(be(0) + minA, be(1) + minA))
     }
     val trimmed =
       if (out.size <= capacity) out.toSeq
       // keep the top `capacity` by count (term tiebreak so the trim itself
       // is deterministic)
       else out.toSeq.sortBy { case (k, ce) => (-ce(0), k.toString) }.take(capacity)
-    a.clear()
-    trimmed.foreach { case (k, ce) => a.put(k, ce) }
-    a
+    val res = new Buf
+    trimmed.foreach { case (k, ce) => res.put(k, ce) }
+    res
   }
 
   def serialize(buf: Buf): Array[Byte] = {
