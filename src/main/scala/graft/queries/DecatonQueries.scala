@@ -384,6 +384,70 @@ object DecatonQueries {
                CAST(sum(user_id % 5) AS BIGINT) AS sum_tag1,
                CAST(sum(user_id % 7) AS BIGINT) AS sum_tag2
         FROM events GROUP BY event_type
+      """)),
+
+    // ---- the streaming sessionizer's own code path (StreamOps.sessionized;
+    // withWatermark is a no-op in batch), oracle-checked: Spark's
+    // session_window merges an event into the session when its gap from the
+    // previous event is <= the gap duration (verified empirically — an
+    // exactly-gap-apart pair merges), so the oracle breaks on STRICTLY
+    // greater; session end = last event + gap.
+    Q(
+      "dq14_session_windows",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.streaming.StreamOps.sessionized(
+          e, col("user_id"), col("ts"), gap = "30 minutes", watermarkDelay = "1 hour")
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id AS key, ts,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                   + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+        ), s AS (
+          SELECT key, ts,
+                 sum(brk) OVER (PARTITION BY key ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM d
+        )
+        SELECT key, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY key, sid
+      """)),
+
+    // ---- the streaming windowed compactor's own code path
+    // (StreamOps.compactLatest over a 1-hour linger window), oracle-checked:
+    // per (key, epoch-aligned hour) the (ts, event_id)-max record survives.
+    // Complements dq02, which oracle-checks the integer-bucket batch form.
+    Q(
+      "dq15_windowed_compaction",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.streaming.StreamOps.compactLatest(
+            e,
+            keyCols = Seq(col("user_id")),
+            tsCol = col("ts"),
+            lingerWindow = "1 hour",
+            watermarkDelay = "10 minutes",
+            payload = Seq(col("event_id").as("survivor_id"),
+              round(dec(col("value")).cast("double"), 2).as("survivor_value")),
+            rankCols = Seq(col("ts"), col("event_id")))
+          .select(col("user_id").as("key"), col("win.start").as("win_start"),
+            col("survivor_id"), col("survivor_value"))
+      },
+      Some("""
+        SELECT user_id AS key, win_start, event_id AS survivor_id,
+               round(CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE), 2) AS survivor_value
+        FROM (
+          SELECT *, date_trunc('hour', ts) AS win_start,
+                 row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) WHERE rn = 1
       """))
   )
 }
