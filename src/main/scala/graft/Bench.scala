@@ -84,6 +84,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the Janino codegen cache is an LRU of 100 generated classes; this
+      // workload has ~77 distinct plans × several codegen stages each, so at
+      // the default size interleaved reps (and any production session running
+      // a full query suite) recompile every stage on every run — measured as
+      // a ~0.1-0.5 s fixed tax per query rep at sf0.1. Static conf: must be
+      // set before the session exists.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -55,15 +55,29 @@ object SpaceSaving {
     // retained in either structure (a retained input mutates under the
     // index and silently corrupts the eviction minimum).
     val entries = new mutable.HashMap[UTF8String, (UTF8String, Array[Long])]
+    // count -> keys holding it; built LAZILY at the first eviction. The
+    // no-eviction regime (capacity >= vocabulary — the exact, hash-checkable
+    // mode the registered query runs in) then pays plain HashMap increments
+    // and never maintains the index; the eviction regime amortizes one
+    // O(m log m) build and keeps every later eviction scan-free.
     val byCount = new mutable.TreeMap[Long, mutable.LinkedHashSet[UTF8String]]
+    var indexed = false
 
     def indexAdd(k: UTF8String, count: Long): Unit =
-      byCount.getOrElseUpdate(count, new mutable.LinkedHashSet[UTF8String]) += k
+      if (indexed)
+        byCount.getOrElseUpdate(count, new mutable.LinkedHashSet[UTF8String]) += k
 
-    def indexRemove(k: UTF8String, count: Long): Unit = {
-      val bucket = byCount(count)
-      bucket -= k
-      if (bucket.isEmpty) byCount.remove(count)
+    def indexRemove(k: UTF8String, count: Long): Unit =
+      if (indexed) {
+        val bucket = byCount(count)
+        bucket -= k
+        if (bucket.isEmpty) byCount.remove(count)
+      }
+
+    def buildIndex(): Unit = {
+      byCount.clear()
+      indexed = true
+      entries.valuesIterator.foreach { case (sk, ce) => indexAdd(sk, ce(0)) }
     }
 
     /** `k` must be an owned (cloned or freshly built) instance. */
@@ -74,7 +88,10 @@ object SpaceSaving {
     }
 
     def size: Int = entries.size
-    def minCount: Long = if (entries.isEmpty) 0L else byCount.firstKey
+    def minCount: Long =
+      if (entries.isEmpty) 0L
+      else if (indexed) byCount.firstKey
+      else entries.valuesIterator.map(_._2(0)).min
     def toSeq: Seq[(UTF8String, Array[Long])] =
       entries.valuesIterator.toSeq.map { case (sk, ce) => (sk, ce) }
   }
@@ -91,6 +108,7 @@ object SpaceSaving {
         } else {
           // evict a minimum-count entry (min bucket read off the count
           // index, no scan); the newcomer inherits its count as its error
+          if (!buf.indexed) buf.buildIndex()
           val minCount = buf.byCount.firstKey
           val victim = buf.byCount(minCount).head
           buf.indexRemove(victim, minCount)
