@@ -21,6 +21,9 @@ object SparkTestBase {
       // production wiring under test: the engine's SQL functions arrive via
       // the standard extensions config, exactly as a user would enable them
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // the suites compile far more than 100 distinct codegen stages; the
+      // default LRU cap recompiles them continuously (see Bench.scala)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
