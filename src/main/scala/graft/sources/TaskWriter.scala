@@ -49,4 +49,60 @@ object TaskWriter {
     toKafkaShape(
       df.withColumn("__meta_retry", Retry.advanceRetry(metaCol, nowMillis, backoffMillis)),
       keyCol, valueCol, col("__meta_retry"), Retry.retryTopic(originTopic))
+
+  /** Idempotence marker (EXTENSION — the reference's producer is plain
+    * at-least-once, `DecatonTaskRetryQueueingProcessor.java:60-112`; this is
+    * the Kafka-idempotent-producer idea re-expressed as data): stamp each
+    * record with a `(producer id, sequence)` header pair before producing.
+    * A produce retried after an uncertain failure re-lands the SAME
+    * sequences, so the reader side ([[GraftConsumers.dedupeByMarker]])
+    * collapses duplicates within its watermark horizon and the
+    * produce→consume hop becomes effectively-once. `seqCol` must be unique
+    * and stable per logical record within the producer id (a batch id ×
+    * row id composite, a source offset, a content hash — NOT a timestamp
+    * taken at produce time, which changes on retry).
+    */
+  val PidHeader = "graft_pid"
+  val SeqHeader = "graft_seq"
+
+  def withIdempotenceMarker(
+      kafkaShaped: DataFrame,
+      producerId: String,
+      seqCol: Column): DataFrame =
+    kafkaShaped.withColumn("headers",
+      concat(col("headers"), array(
+        struct(lit(PidHeader).as("key"), lit(producerId).cast("binary").as("value")),
+        struct(lit(SeqHeader).as("key"),
+          seqCol.cast("string").cast("binary").as("value")))))
+}
+
+/** Consumer-side helpers for the producer extensions. */
+object GraftConsumers {
+
+  /** Effectively-once consumption over at-least-once production: drop
+    * records whose `(producer id, sequence)` marker was already delivered
+    * within the watermark horizon. Records WITHOUT a marker pass through
+    * untouched — their dedup key falls back to the record's own
+    * (topic, partition, offset), which is unique by construction, so
+    * unmarked traffic is never collapsed. State is watermark-bounded
+    * (`dropDuplicatesWithinWatermark`), the 100 TB-safe shape.
+    */
+  def dedupeByMarker(stream: DataFrame, watermarkDelay: String): DataFrame = {
+    // last-wins header lookup on the ARRAY (Kafka's lastHeader convention);
+    // a map projection would throw on any repeated header key, and a plain
+    // element_at(-1) throws on the empty filter result of an unmarked record
+    def header(name: String): Column =
+      try_element_at(filter(col("headers"),
+        h => h.getField("key") === lit(name)), lit(-1)).getField("value")
+    stream
+      .withColumn("__dedup_pid",
+        coalesce(header(TaskWriter.PidHeader).cast("string"),
+          concat_ws(":", col("topic"), col("partition"))))
+      .withColumn("__dedup_seq",
+        coalesce(header(TaskWriter.SeqHeader).cast("string"),
+          col("offset").cast("string")))
+      .withWatermark("timestamp", watermarkDelay)
+      .dropDuplicatesWithinWatermark("__dedup_pid", "__dedup_seq")
+      .drop("__dedup_pid", "__dedup_seq")
+  }
 }
