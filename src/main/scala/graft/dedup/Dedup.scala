@@ -353,6 +353,91 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** SemDeDup-style semantic deduplication over an embedding column
+    * ("SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", Abbas et al. 2023): assign every vector to its nearest
+    * seed centroid by cosine (ties → smallest centroid id), then drop any
+    * vector with a same-cluster neighbour of smaller id at cosine >=
+    * `minCosine`. Returns the surviving `(vec_id, cluster)` rows.
+    *
+    * 100 TB shape: centroids are a fixed small set (k-means centroids in
+    * production; here a deterministic id-sampled seed set so the oracle can
+    * reproduce them) and BROADCAST — assignment is one scan with a map-side
+    * argmax that partial-aggs to one row per vector before its single
+    * shuffle. The quadratic near-dup step runs only INSIDE clusters, which
+    * is the entire point of SemDeDup: cluster count grows with the corpus,
+    * bounding per-reducer pair volume exactly like the LSH blocks of
+    * [[embeddingNearPairs]].
+    */
+  def semanticClusterDedup(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      seedModulus: Long,
+      minCosine: Double): DataFrame = {
+    val ided = df.select(idCol.as("id"), vecCol.as("v"))
+    val cents = ided.filter(col("id") % seedModulus === 0)
+      .select(col("id").as("cid"), col("v").as("cv"))
+    val assigned = ided.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .groupBy(col("id"))
+      .agg(max_by(
+        struct(col("cid"), col("v")),
+        struct(col("ccos"), (-col("cid")).as("nc"))).as("best"))
+      .select(col("id"), col("best.cid").as("cluster"), col("best.v").as("v"))
+    val dropped =
+      embeddingNearPairs(assigned, col("id"), col("v"), col("cluster"), minCosine)
+        .select(col("id_b").as("id")).distinct()
+    assigned.join(dropped, Seq("id"), "left_anti")
+      .select(col("id").as("vec_id"), col("cluster"))
+  }
+
+  /** Portable Bloom-filter membership pre-filter for incremental ingestion:
+    * "was this key already ingested?" without joining the full history. The
+    * filter is the RELATIONAL image of a Bloom filter — the distinct set of
+    * bit positions (k md5-derived hashes per seen key, mod m) — so the exact
+    * same structure, including its false-positive behaviour, is recomputable
+    * by any SQL engine, which is what makes the operator oracle-checkable
+    * (Spark's built-in BloomFilter aggregate is the non-portable
+    * alternative). Returns one row per probe id: `maybe_member` is the Bloom
+    * answer (every one of the k probe positions set; false positives
+    * possible, never false negatives), `is_member` the exact ground truth —
+    * rows with `maybe_member AND NOT is_member` ARE the false positives.
+    *
+    * 100 TB shape: the bit-position table is bounded by m rows REGARDLESS of
+    * history size and broadcasts, so the probe corpus is one scan + k-way
+    * position explode + a broadcast anti join — the probe side never
+    * shuffles and the (unboundedly large) seen corpus is never joined. Size
+    * m to the seen-key budget exactly as for a real bitset. `is_member` is
+    * the verification column: computing it IS the expensive exact join the
+    * Bloom pre-filter exists to avoid, so at scale callers drop it (or
+    * compute it only over `maybe_member` survivors, the standard
+    * bloom-then-verify plan).
+    */
+  def bloomSeenFilter(
+      seen: DataFrame,
+      probe: DataFrame,
+      keyCol: Column,
+      idCol: Column,
+      m: Int,
+      k: Int): DataFrame = {
+    def positions(key: Column): Column =
+      array((0 until k).map(j =>
+        portable_hash(concat(lit(s"$j:"), key)) % m): _*)
+    val bits = seen.select(explode(positions(keyCol)).as("bit")).distinct()
+    val seenKeys = seen.select(portable_hash(keyCol).as("kh")).distinct()
+    val missing = probe
+      .select(idCol.as("id"), explode(positions(keyCol)).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left_anti")
+      .select(col("id")).distinct()
+    probe.select(idCol.as("id"), portable_hash(keyCol).as("kh"))
+      .join(missing.withColumn("miss", lit(true)), Seq("id"), "left_outer")
+      .join(broadcast(seenKeys.withColumn("hit", lit(true))), Seq("kh"), "left_outer")
+      .select(col("id"),
+        col("miss").isNull.as("maybe_member"),
+        col("hit").isNotNull.as("is_member"))
+  }
+
   /** Benchmark decontamination — flag corpus documents sharing any word
     * `n`-gram with an evaluation/benchmark set, the standard pre-training
     * hygiene step (exact-match n-gram overlap). Returns one row per

@@ -135,6 +135,35 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 2147483647L)
 
+  /** PII patterns shared by [[redact_pii]] / [[pii_count]] and their oracle
+    * SQL, which interpolates these exact strings — one source of truth, zero
+    * regex-dialect drift. Written in the Java∩RE2 common subset (no
+    * lookaround, no shorthand classes, metacharacters in brackets instead of
+    * backslash escapes) so Spark's Java regex and DuckDB's RE2 agree
+    * match-for-match. Order matters and is part of the contract: URLs before
+    * emails (a URL may embed an `@`), IPs before phone-ish digit runs.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+", "<EMAIL>"),
+    ("ip", "([0-9]{1,3}[.]){3}[0-9]{1,3}", "<IP>"),
+    ("phone", "[+][0-9][-0-9() ]{6,}[0-9]", "<PHONE>"))
+
+  /** Scrub PII spans, replacing each with its `<TYPE>` token — the standard
+    * pre-training redaction pass. Pure `regexp_replace` chain: row-local,
+    * codegen'd, zero shuffle at any scale.
+    */
+  def redact_pii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, re, tok)) =>
+      regexp_replace(c, lit(re), lit(tok))
+    }
+
+  /** Count of matches of one [[piiPatterns]] entry (group 0 = whole match),
+    * for per-type redaction accounting.
+    */
+  def pii_count(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
   /** Word n-grams as strings ("w1 w2 w3"), distinct per document. */
   def word_ngrams(text: Column, n: Int): Column = {
     val toks = tokens(text)

@@ -966,6 +966,123 @@ object PipelineQueries {
                                        ' +', ' ', 'g'))) AS canonical_hash,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1
+      """)),
+
+    // ---- SemDeDup (Abbas et al. 2023): nearest-seed-centroid assignment,
+    // then keep-min-id pruning of same-cluster cosine near-dups. Centroids
+    // are the id-multiple-of-25 vectors so the oracle reproduces them; the
+    // quadratic step runs only inside clusters. Fully hash-checked: same
+    // bit-reproducible left-fold dot, same DESC-cos/ASC-cid argmax.
+    Q(
+      "pq36_semantic_dedup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Dedup.semanticClusterDedup(
+          e, col("vec_id"), col("embedding"), seedModulus = 25L, minCosine = 0.4)
+      },
+      Some {
+        def dot(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
+        def cos(a: String, b: String) =
+          s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+        s"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id % 25 = 0),
+        sc AS (
+          SELECT e.vec_id, c.cid, ${cos("embedding", "cv")} AS ccos
+          FROM e CROSS JOIN c),
+        asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid ASC) AS rn
+            FROM sc) WHERE rn = 1),
+        av AS (SELECT a.vec_id, a.cluster, e.embedding FROM asg a JOIN e ON e.vec_id = a.vec_id),
+        dropped AS (
+          SELECT DISTINCT b.vec_id AS id
+          FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ${cos("a.embedding", "b.embedding")} >= 0.4)
+        SELECT vec_id, cluster FROM asg WHERE vec_id NOT IN (SELECT id FROM dropped)
+        """
+      }),
+
+    // ---- PII redaction. The synthetic corpus carries no PII, so both
+    // engines append the SAME deterministic PII tail (email, phone, IPv4,
+    // URL derived from doc_id) before scrubbing — the oracle then
+    // hash-checks the full cleaned text plus per-type match counts. The
+    // regexes are interpolated from TextFunctions.piiPatterns on BOTH
+    // sides: one source of truth, no dialect drift.
+    Q(
+      "pq37_pii_redaction",
+      (s, dir) => {
+        val salt = concat(
+          col("text"), lit(" reach user"), col("doc_id").cast("string"),
+          lit("@mail-ex.org or +1 (555) 01"), (col("doc_id") % 100).cast("string"),
+          lit(" node 10.2."), (col("doc_id") % 256).cast("string"),
+          lit(".7 via https://ex.org/d/"), col("doc_id").cast("string"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), salt.as("salted"))
+          .select(Seq(
+            col("doc_id"),
+            TextFunctions.redact_pii(col("salted")).as("clean")) ++
+            TextFunctions.piiPatterns.map { case (name, re, _) =>
+              TextFunctions.pii_count(col("salted"), re).as(s"n_$name")
+            }: _*)
+      },
+      Some {
+        val repl = TextFunctions.piiPatterns.foldLeft("salted") {
+          case (inner, (_, re, tok)) => s"regexp_replace($inner, '$re', '$tok', 'g')"
+        }
+        val counts = TextFunctions.piiPatterns.map { case (name, re, _) =>
+          s"len(regexp_extract_all(salted, '$re')) AS n_$name"
+        }.mkString(",\n               ")
+        s"""
+        WITH s AS (
+          SELECT doc_id,
+                 text || ' reach user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail-ex.org or +1 (555) 01' || CAST(doc_id % 100 AS VARCHAR) ||
+                 ' node 10.2.' || CAST(doc_id % 256 AS VARCHAR) ||
+                 '.7 via https://ex.org/d/' || CAST(doc_id AS VARCHAR) AS salted
+          FROM documents)
+        SELECT doc_id, $repl AS clean,
+               $counts
+        FROM s
+        """
+      }),
+
+    // ---- Bloom seen-filter: membership pre-check of the odd-id half of the
+    // corpus against a Bloom filter built from the even-id half (m=2048
+    // bits, k=3 md5-derived hashes — m sized so the false-positive path
+    // actually fires at test scale). maybe && !is rows are the FPs; the
+    // oracle rebuilds the identical bit set, so even the FPs hash-match.
+    Q(
+      "pq38_bloom_seen",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.bloomSeenFilter(
+          seen = d.filter(col("doc_id") % 2 === 0),
+          probe = d.filter(col("doc_id") % 2 === 1),
+          keyCol = col("text"), idCol = col("doc_id"), m = 2048, k = 3)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""
+        WITH seen AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+        probe AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+        ks AS (SELECT unnest(generate_series(0, 2)) AS j),
+        bits AS (
+          SELECT DISTINCT ${dh("CAST(j AS VARCHAR)||':'||text")} % 2048 AS bit
+          FROM seen CROSS JOIN ks),
+        seenk AS (SELECT DISTINCT md5(text) AS kh FROM seen),
+        pp AS (
+          SELECT doc_id, md5(text) AS kh,
+                 ${dh("CAST(j AS VARCHAR)||':'||text")} % 2048 AS bit
+          FROM probe CROSS JOIN ks),
+        agg AS (
+          SELECT doc_id, min(kh) AS kh,
+                 bool_and(bit IN (SELECT bit FROM bits)) AS maybe_member
+          FROM pp GROUP BY 1)
+        SELECT doc_id, maybe_member,
+               kh IN (SELECT kh FROM seenk) AS is_member
+        FROM agg
       """))
   )
 }

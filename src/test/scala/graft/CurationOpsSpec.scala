@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+/** Behavioral properties of the round-5 curation operators that the oracle
+  * hash-check cannot express: the Bloom filter's one-sided error guarantee,
+  * the PII chain's ordering contract, and SemDeDup's coverage invariant
+  * (every dropped vector has a surviving same-cluster representative).
+  */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bloom seen-filter never produces a false negative, at any fill level") {
+    val d = Tables.documents(spark, sfDir)
+    // duplicate the seen half INTO the probe half so is_member is non-trivial
+    val seen = d.filter(col("doc_id") % 2 === 0)
+    val probe = d.withColumn("doc_id", col("doc_id") + 100000)
+    for (m <- Seq(64, 2048)) { // 64: saturated filter; 2048: selective
+      val out = Dedup.bloomSeenFilter(seen, probe, col("text"), col("doc_id"), m, 3)
+      val fn = out.filter(col("is_member") && !col("maybe_member")).count()
+      assert(fn == 0, s"m=$m: $fn false negatives — Bloom's core guarantee broken")
+      val members = out.filter(col("is_member")).count()
+      assert(members == seen.select("text").distinct().count(),
+        s"m=$m: exact membership should flag every seen content")
+    }
+  }
+
+  test("PII redaction scrubs each type and survives its ordering hazards") {
+    val cases = Seq(
+      // the URL embeds an @ — must become <URL>, not a mangled <EMAIL>
+      ("see https://u:p@host.example.com/x now", "see <URL> now"),
+      ("mail a.b+tag@sub.example.org please", "mail <EMAIL> please"),
+      // IP inside a sentence; phone requires the leading +
+      ("node 192.168.1.254 up", "node <IP> up"),
+      ("call +44 (20) 7946-0958 today", "call <PHONE> today"),
+      // digit runs WITHOUT a + or dots stay untouched (no over-redaction)
+      ("order 123456789 shipped", "order 123456789 shipped"))
+    val out = cases.toDF("raw", "expected")
+      .withColumn("clean", TextFunctions.redact_pii(col("raw")))
+    val bad = out.filter(col("clean") =!= col("expected"))
+      .select("raw", "clean").as[(String, String)].collect()
+    assert(bad.isEmpty, bad.map { case (r, c) => s"'$r' -> '$c'" }.mkString("; "))
+  }
+
+  test("semantic dedup: every dropped vector has a surviving near representative") {
+    val e = Tables.embeddings(spark, sfDir)
+    val survivors =
+      Dedup.semanticClusterDedup(e, col("vec_id"), col("embedding"), 25L, 0.4)
+    val dropped = e.join(survivors, "vec_id", "left_anti")
+      .select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    assert(dropped.count() > 0, "fixture should contain semantic near-dups")
+    // each dropped vector must be >= minCosine from SOME survivor (possibly
+    // itself transitively pruned — greedy keep-min-id guarantees a smaller-id
+    // kept-or-dropped chain ends at a survivor within the cluster; assert the
+    // direct-witness form: a smaller-id SAME-CLUSTER vector at >= minCosine)
+    val all = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val witnessed = dropped.join(all, col("id_a") < col("id_b"))
+      .filter(Dedup.cosine(col("va"), col("vb")) >= 0.4)
+      .select("id_b").distinct().count()
+    assert(witnessed == dropped.count(),
+      "a vector was dropped without any smaller-id near neighbour")
+  }
+}

@@ -31,6 +31,9 @@ class PlanAuditSpec extends SparkTestBase {
     // pq27: range base offsets broadcast back; pq34: keep-ids semi join —
     // losing either re-shuffles the full corpus
     "pq27_pack_sequences" -> 2, "pq34_fixed_count_sample" -> 2,
+    // pq36: centroid set; pq38: bit-position + seen-key tables — the
+    // structures that keep the corpus side shuffle-free
+    "pq36_semantic_dedup" -> 2, "pq38_bloom_seen" -> 4,
     "q03_join_revenue" -> 4, "q04_multi_join" -> 8, "q05_topk_customers" -> 2,
     "q08_setops" -> 4, "q09_semi_join" -> 2, "q10_anti_join" -> 2,
     "q11_rollup" -> 2, "q15_above_avg" -> 2, "q23_outer_join" -> 2)
@@ -53,6 +56,9 @@ class PlanAuditSpec extends SparkTestBase {
     "pq30_corpus_report" -> 2, "pq32_corpus_top_terms" -> 1,
     "pq33_heavy_hitters" -> 1,
     "pq34_fixed_count_sample" -> 2, // bucketed prune + metadata-sized final rank
+    "pq36_semantic_dedup" -> 5, // assign agg + in-cluster pair join + drop distinct + anti
+    "pq37_pii_redaction" -> 0,  // pure row-local regexp chain
+    "pq38_bloom_seen" -> 3,     // three DISTINCTs; every join broadcasts
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
