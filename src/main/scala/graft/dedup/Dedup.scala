@@ -221,8 +221,12 @@ object Dedup {
         col("blk_a") === col("blk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("dist"))
-      .distinct()
+      // Hamming filter BEFORE the pair dedup: dist is a function of the
+      // pair, so the order is semantics-free, but the distinct's exchange
+      // then carries only survivors instead of every band collision — at
+      // narrow band widths (16-bit/4-band) that is ~10× fewer rows
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 
   /** Word n-gram Jaccard similarity for candidate pairs, blocked by `blockCol`.
@@ -375,11 +379,15 @@ object Dedup {
       vecCol: Column,
       seedModulus: Long,
       minCosine: Double): DataFrame = {
+    val dot = graft.functions.vector_dot _
+    // norms hoisted OUT of the n×k cross join (value-identical: sqrt of the
+    // same dot, just evaluated once per vector instead of once per pair)
     val ided = df.select(idCol.as("id"), vecCol.as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val cents = ided.filter(col("id") % seedModulus === 0)
-      .select(col("id").as("cid"), col("v").as("cv"))
+      .select(col("id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
     val assigned = ided.crossJoin(broadcast(cents))
-      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nv") * col("ncv")))
       .groupBy(col("id"))
       .agg(max_by(
         struct(col("cid"), col("v")),
