@@ -1049,6 +1049,54 @@ object PipelineQueries {
         """
       }),
 
+    // ---- distributed Lloyd's k-means (2 update rounds, cosine assignment,
+    // pq26's fixed-point means): the centroid trainer behind pq36/IVF.
+    // Centroids live on the driver between iterations (k×d doubles, the
+    // MLlib residency) and enter each pass as literals — assignment is a
+    // row-local argmax, ZERO corpus shuffle. The oracle unrolls the SAME
+    // two rounds as generated CTEs, so every assignment hash-matches.
+    Q(
+      "pq39_kmeans",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Knn.kmeansAssignByCosine(
+          e, col("vec_id"), col("embedding"), seedModulus = 25L, iters = 2)
+      },
+      Some {
+        def dot(a: String, b: String) =
+          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
+        def cos(a: String, b: String) =
+          s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+        def assign(aName: String, cName: String) = s"""
+        $aName AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT p.vec_id, p.v, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid ASC) AS rn
+            FROM p CROSS JOIN $cName c) WHERE rn = 1)"""
+        def update(aName: String, mName: String, cName: String) = s"""
+        ${mName}x AS (
+          SELECT cluster, unnest(generate_series(0, CAST(len(v) AS INT) - 1)) AS dim,
+                 unnest(v) AS x
+          FROM $aName),
+        $mName AS (
+          SELECT cluster, dim,
+                 CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
+          FROM ${mName}x GROUP BY 1, 2),
+        $cName AS (SELECT cluster AS cid, list(c ORDER BY dim) AS cv FROM $mName GROUP BY 1)"""
+        val iters = 2
+        val rounds = (1 to iters).map(i =>
+          assign(s"a$i", s"c${i - 1}") + "," + update(s"a$i", s"m$i", s"c$i")).mkString(",")
+        s"""
+        WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM p WHERE vec_id % 25 = 0),
+        $rounds,
+        ${assign("af", s"c$iters")}
+        SELECT vec_id, cluster FROM af
+        """
+      }),
+
     // ---- Bloom seen-filter: membership pre-check of the odd-id half of the
     // corpus against a Bloom filter built from the even-id half (m=2048
     // bits, k=3 md5-derived hashes — m sized so the false-positive path

@@ -352,4 +352,72 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
   }
+
+  /** Distributed Lloyd's k-means by cosine, `iters` update rounds from a
+    * deterministic id-sampled seed set — the centroid trainer whose output
+    * feeds [[graft.dedup.Dedup.semanticClusterDedup]] and [[ivfTopK]] in
+    * production. Returns the final (vec_id, cluster) assignment.
+    *
+    * 100 TB shape (the one every distributed k-means converges on, e.g.
+    * Spark MLlib's): centroids live on the DRIVER between iterations (k×d
+    * doubles — the collect() here is that residency, not a data collect) and
+    * enter each pass as literals, so assignment is a row-local argmax with
+    * ZERO shuffle of the corpus; the update is a (cluster, dim) partial agg
+    * whose exchange carries ≤ partitions×k×d fixed-width rows. Per-iteration
+    * shuffled bytes are independent of corpus size.
+    *
+    * Engine-portable determinism: per-dimension means use the pq26
+    * fixed-point contract (floor to 1e-6, INTEGER sums — partition order
+    * cannot change the result; the mean is recovered by two IEEE divisions),
+    * cosines are the bit-reproducible left-fold dot, and argmax ties break
+    * to the smallest centroid id — so an oracle that unrolls the same
+    * `iters` rounds in SQL reproduces every assignment exactly. Empty
+    * clusters drop on both sides (the aggregate simply has no group).
+    */
+  def kmeansAssignByCosine(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      seedModulus: Long,
+      iters: Int): DataFrame = {
+    val dot = graft.functions.vector_dot _
+    val pts = df.select(idCol.as("id"), transform(vecCol, _.cast("double")).as("v"))
+      .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+    var cents: Array[(Long, Seq[Double], Double)] =
+      pts.filter(col("id") % seedModulus === 0)
+        .select(col("id"), col("v"), col("nv"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+
+    // row-local argmax over the centroid literals: max struct by
+    // (ccos, -cid) ⇔ ORDER BY ccos DESC, cid ASC
+    def assigned(): DataFrame = {
+      val candidates = array(cents.map { case (cid, cv, ncv) =>
+        struct(
+          (dot(col("v"), typedLit(cv)) / (col("nv") * lit(ncv))).as("ccos"),
+          lit(-cid).as("ncid"), lit(cid).as("cid"))
+      }: _*)
+      pts.withColumn("cluster", array_max(candidates).getField("cid"))
+    }
+
+    for (_ <- 1 to iters) {
+      val upd = assigned()
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("cluster"), col("dim"),
+          floor(col("x") * lit(1e6)).cast("long").as("xq"))
+        .groupBy(col("cluster"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("s"))
+        .select(col("cluster"), col("dim"),
+          (col("s").cast("double") / col("n") / lit(1e6)).as("c"))
+        .groupBy(col("cluster"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          e => e.getField("c")).as("cv"))
+        .withColumn("ncv", sqrt(dot(col("cv"), col("cv"))))
+      cents = upd.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+        .sortBy(_._1)
+    }
+    assigned().select(col("id").as("vec_id"), col("cluster"))
+  }
 }

@@ -45,6 +45,19 @@ class CurationOpsSpec extends SparkTestBase {
     assert(bad.isEmpty, bad.map { case (r, c) => s"'$r' -> '$c'" }.mkString("; "))
   }
 
+  test("k-means assignment is bit-identical across partitionings") {
+    val e = Tables.embeddings(spark, sfDir)
+    def run(parts: Int) =
+      graft.similarity.Knn.kmeansAssignByCosine(
+          e.repartition(parts), col("vec_id"), col("embedding"), 25L, 2)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // the fixed-point mean contract: partition/summation order must not
+    // change a single centroid, hence not a single assignment
+    assert(run(3) == run(7))
+    val clusters = run(3).map(_._2).distinct
+    assert(clusters.size > 1, "fixture should produce multiple clusters")
+  }
+
   test("semantic dedup: every dropped vector has a surviving near representative") {
     val e = Tables.embeddings(spark, sfDir)
     val survivors =

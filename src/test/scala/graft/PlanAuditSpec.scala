@@ -59,6 +59,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq36_semantic_dedup" -> 5, // assign agg + in-cluster pair join + drop distinct + anti
     "pq37_pii_redaction" -> 0,  // pure row-local regexp chain
     "pq38_bloom_seen" -> 3,     // three DISTINCTs; every join broadcasts
+    "pq39_kmeans" -> 0,         // centroid literals: row-local argmax, no corpus shuffle
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
