@@ -400,6 +400,29 @@ object Dedup {
       .select(col("id").as("vec_id"), col("cluster"))
   }
 
+  /** Production SemDeDup, composed: clusters trained by
+    * [[graft.similarity.Knn.kmeansAssignByCosine]] (instead of
+    * [[semanticClusterDedup]]'s raw id-sampled seeds), then the same
+    * keep-min-id in-cluster cosine pruning — the full Abbas-et-al pipeline.
+    * Same scale shape: zero-corpus-shuffle assignment, quadratic step only
+    * inside the (now data-adaptive) clusters.
+    */
+  def semanticClusterDedupKmeans(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      seedModulus: Long,
+      iters: Int,
+      minCosine: Double): DataFrame = {
+    val assigned = graft.similarity.Knn.kmeansAssignFull(
+      df, idCol, vecCol, seedModulus, iters)
+    val dropped =
+      embeddingNearPairs(assigned, col("vec_id"), col("v"), col("cluster"), minCosine)
+        .select(col("id_b").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
   /** Portable Bloom-filter membership pre-filter for incremental ingestion:
     * "was this key already ingested?" without joining the full history. The
     * filter is the RELATIONAL image of a Bloom filter — the distinct set of

@@ -20,6 +20,43 @@ object PipelineQueries {
   /** Shared oracle fragment: portable hash of an expression, DuckDB side. */
   private def dh(e: String): String = s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
 
+  /** Shared oracle fragments for the embedding family: the bit-reproducible
+    * left-fold dot / cosine, and the k-means round CTEs (assignment +
+    * fixed-point mean update) that pq39/pq40 unroll.
+    */
+  private def oDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
+
+  private def oCos(a: String, b: String): String =
+    s"${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
+
+  /** `iters` unrolled k-means rounds over `p(vec_id, v)` seeded by `c0`,
+    * ending in assignment CTE `af(vec_id, v, cluster)` — splice after the
+    * `p`/`c0` definitions.
+    */
+  private def oKmeansRounds(iters: Int): String = {
+    def assign(aName: String, cName: String) = s"""
+        $aName AS (
+          SELECT vec_id, v, cluster FROM (
+            SELECT p.vec_id, p.v, c.cid AS cluster,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${oCos("p.v", "c.cv")} DESC, c.cid ASC) AS rn
+            FROM p CROSS JOIN $cName c) WHERE rn = 1)"""
+    def update(aName: String, mName: String, cName: String) = s"""
+        ${mName}x AS (
+          SELECT cluster, unnest(generate_series(0, CAST(len(v) AS INT) - 1)) AS dim,
+                 unnest(v) AS x
+          FROM $aName),
+        $mName AS (
+          SELECT cluster, dim,
+                 CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
+          FROM ${mName}x GROUP BY 1, 2),
+        $cName AS (SELECT cluster AS cid, list(c ORDER BY dim) AS cv FROM $mName GROUP BY 1)"""
+    val rounds = (1 to iters).map(i =>
+      assign(s"a$i", s"c${i - 1}") + "," + update(s"a$i", s"m$i", s"c$i")).mkString(",")
+    rounds + "," + assign("af", s"c$iters")
+  }
+
   /** Spark side of the pq03 LSH pipeline (k=16, 4 bands × 4 rows, 5-char
     * shingles), shared by the pair/cluster/verify queries so they are all
     * guaranteed to agree on one candidate-pair definition.
@@ -1062,40 +1099,38 @@ object PipelineQueries {
         Knn.kmeansAssignByCosine(
           e, col("vec_id"), col("embedding"), seedModulus = 25L, iters = 2)
       },
-      Some {
-        def dot(a: String, b: String) =
-          s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
-        def cos(a: String, b: String) =
-          s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
-        def assign(aName: String, cName: String) = s"""
-        $aName AS (
-          SELECT vec_id, v, cluster FROM (
-            SELECT p.vec_id, p.v, c.cid AS cluster,
-                   row_number() OVER (PARTITION BY p.vec_id
-                     ORDER BY ${cos("p.v", "c.cv")} DESC, c.cid ASC) AS rn
-            FROM p CROSS JOIN $cName c) WHERE rn = 1)"""
-        def update(aName: String, mName: String, cName: String) = s"""
-        ${mName}x AS (
-          SELECT cluster, unnest(generate_series(0, CAST(len(v) AS INT) - 1)) AS dim,
-                 unnest(v) AS x
-          FROM $aName),
-        $mName AS (
-          SELECT cluster, dim,
-                 CAST(sum(CAST(floor(x * 1000000.0) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0 AS c
-          FROM ${mName}x GROUP BY 1, 2),
-        $cName AS (SELECT cluster AS cid, list(c ORDER BY dim) AS cv FROM $mName GROUP BY 1)"""
-        val iters = 2
-        val rounds = (1 to iters).map(i =>
-          assign(s"a$i", s"c${i - 1}") + "," + update(s"a$i", s"m$i", s"c$i")).mkString(",")
-        s"""
+      Some(s"""
         WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
         c0 AS (SELECT vec_id AS cid, v AS cv FROM p WHERE vec_id % 25 = 0),
-        $rounds,
-        ${assign("af", s"c$iters")}
+        ${oKmeansRounds(2)}
         SELECT vec_id, cluster FROM af
-        """
-      }),
+      """)),
+
+    // ---- production SemDeDup, composed: k-means-trained clusters (the
+    // pq39 rounds) + pq36's keep-min-id in-cluster cosine pruning — the
+    // full Abbas-et-al pipeline in one registered query. Same zero-
+    // corpus-shuffle assignment; the quadratic step still runs only
+    // inside (now data-adaptive) clusters.
+    Q(
+      "pq40_semantic_dedup_kmeans",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Dedup.semanticClusterDedupKmeans(
+          e, col("vec_id"), col("embedding"), seedModulus = 25L, iters = 2,
+          minCosine = 0.4)
+      },
+      Some(s"""
+        WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cv FROM p WHERE vec_id % 25 = 0),
+        ${oKmeansRounds(2)},
+        dropped AS (
+          SELECT DISTINCT b.vec_id AS id
+          FROM af a JOIN af b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+          WHERE ${oCos("a.v", "b.v")} >= 0.4)
+        SELECT vec_id, cluster FROM af WHERE vec_id NOT IN (SELECT id FROM dropped)
+      """)),
 
     // ---- Bloom seen-filter: membership pre-check of the odd-id half of the
     // corpus against a Bloom filter built from the even-id half (m=2048

@@ -379,6 +379,20 @@ object Knn {
       idCol: Column,
       vecCol: Column,
       seedModulus: Long,
+      iters: Int): DataFrame =
+    kmeansAssignFull(df, idCol, vecCol, seedModulus, iters)
+      .select(col("vec_id"), col("cluster"))
+
+  /** [[kmeansAssignByCosine]] keeping the double-cast vector alongside the
+    * assignment (`vec_id, v, cluster`) — for downstream stages that need
+    * both (e.g. SemDeDup's in-cluster pruning) without re-joining the
+    * corpus.
+    */
+  private[graft] def kmeansAssignFull(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      seedModulus: Long,
       iters: Int): DataFrame = {
     val dot = graft.functions.vector_dot _
     val pts = df.select(idCol.as("id"), transform(vecCol, _.cast("double")).as("v"))
@@ -418,6 +432,6 @@ object Knn {
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
     }
-    assigned().select(col("id").as("vec_id"), col("cluster"))
+    assigned().select(col("id").as("vec_id"), col("v"), col("cluster"))
   }
 }

@@ -60,6 +60,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq37_pii_redaction" -> 0,  // pure row-local regexp chain
     "pq38_bloom_seen" -> 3,     // three DISTINCTs; every join broadcasts
     "pq39_kmeans" -> 0,         // centroid literals: row-local argmax, no corpus shuffle
+    "pq40_semantic_dedup_kmeans" -> 2, // in-cluster pair join; drop set broadcast-anti
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
