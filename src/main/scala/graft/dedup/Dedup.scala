@@ -414,8 +414,12 @@ object Dedup {
       seedModulus: Long,
       iters: Int,
       minCosine: Double): DataFrame = {
+    // pin the trained assignment once (the repo's iterative-algorithm
+    // pattern, as in connectedComponents): the pair join reads it on BOTH
+    // sides and the anti join a third time — without the pin each would
+    // re-run the whole k×d argmax scan
     val assigned = graft.similarity.Knn.kmeansAssignFull(
-      df, idCol, vecCol, seedModulus, iters)
+      df, idCol, vecCol, seedModulus, iters).localCheckpoint()
     val dropped =
       embeddingNearPairs(assigned, col("vec_id"), col("v"), col("cluster"), minCosine)
         .select(col("id_b").as("vec_id")).distinct()

@@ -35,6 +35,15 @@ package object functions {
   def space_saving(term: Column, capacity: Int): Column =
     toColumn(graft.plans.SpaceSavingAgg(toExpr(term), capacity).toAggregateExpression())
 
+  /** Aggregate: exact top-`k` (score desc, id asc) → array<struct<id,
+    * score>>. O(k) partial heaps combine map-side — the scale form of a
+    * per-group `row_number() <= k` Window, which would shuffle and sort
+    * every scored row.
+    */
+  def top_k_by(score: Column, id: Column, k: Int): Column =
+    toColumn(graft.plans.TopKByScoreAgg(
+      toExpr(score.cast("double")), toExpr(id.cast("long")), k).toAggregateExpression())
+
   /** Portable 60-bit hash of every n-token window (one native pass, no
     * window-string materialization); values = `dh(window)` of the oracle.
     */

@@ -1,0 +1,117 @@
+package graft.plans
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Exact bounded-heap top-k: keep the `k` largest (score, id) pairs under
+  * the total order (score DESC, id ASC). The per-partition buffer is
+  * O(k); partial heaps merge map-side. This is what makes a per-group
+  * top-k scale: the Window form (`row_number` over `partitionBy(group)`)
+  * shuffles and sorts EVERY scored candidate row, while the aggregate's
+  * exchange carries at most partitions×groups×k fixed-width rows — at a
+  * 100 TB corpus with a broadcast query batch, the difference between
+  * shuffling the corpus's scores and shuffling kilobytes. Exactness: the
+  * kept set under a total order is associative/commutative across any
+  * partitioning, so the result is identical to the Window form row for
+  * row (asserted in CurationOpsSpec).
+  */
+object TopKByScore {
+
+  /** Head = the entry top-k would evict first (smallest score, largest id). */
+  private val worstFirst: Ordering[(Double, Long)] =
+    Ordering.by { case (s, i) => (-s, i) }
+
+  final class Buf {
+    val pq = new mutable.PriorityQueue[(Double, Long)]()(worstFirst)
+  }
+
+  def update(buf: Buf, score: Double, id: Long, k: Int): Unit =
+    if (buf.pq.size < k) buf.pq.enqueue((score, id))
+    else {
+      val (hs, hi) = buf.pq.head
+      if (score > hs || (score == hs && id < hi)) {
+        buf.pq.dequeue()
+        buf.pq.enqueue((score, id))
+      }
+    }
+
+  def merge(a: Buf, b: Buf, k: Int): Buf = {
+    b.pq.foreach { case (s, i) => update(a, s, i, k) }
+    a
+  }
+
+  def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.pq.size * 16)
+    bb.putInt(buf.pq.size)
+    buf.pq.foreach { case (s, i) => bb.putDouble(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new Buf
+    var i = 0
+    while (i < n) { buf.pq.enqueue((bb.getDouble, bb.getLong)); i += 1 }
+    buf
+  }
+}
+
+/** Aggregate `top_k_by(score, id, k)` → array<struct<id, score>> ordered by
+  * (score desc, id asc); rows with a null score or id are ignored.
+  */
+case class TopKByScoreAgg(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKByScore.Buf] with BinaryLike[Expression] {
+
+  require(k > 0, s"k=$k must be positive")
+
+  override def createAggregationBuffer(): TopKByScore.Buf = new TopKByScore.Buf
+
+  override def update(buf: TopKByScore.Buf, input: InternalRow): TopKByScore.Buf = {
+    val s = left.eval(input)
+    val i = right.eval(input)
+    if (s != null && i != null)
+      TopKByScore.update(buf, s.asInstanceOf[Double], i.asInstanceOf[Long], k)
+    buf
+  }
+
+  override def merge(a: TopKByScore.Buf, b: TopKByScore.Buf): TopKByScore.Buf =
+    TopKByScore.merge(a, b, k)
+
+  override def eval(buf: TopKByScore.Buf): Any = {
+    val rows = buf.pq.toSeq
+      .sortBy { case (s, i) => (-s, i) }
+      .map { case (s, i) => InternalRow(i, s) }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: TopKByScore.Buf): Array[Byte] = TopKByScore.serialize(buf)
+  override def deserialize(bytes: Array[Byte]): TopKByScore.Buf = TopKByScore.deserialize(bytes)
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "top_k_by"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScoreAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKByScoreAgg =
+    copy(left = newLeft, right = newRight)
+}

@@ -27,6 +27,27 @@ import graft.functions.TextFunctions.portable_hash
   */
 object Knn {
 
+  /** Exact per-query top-k via the bounded-heap aggregate
+    * ([[graft.plans.TopKByScoreAgg]]): O(k) partial heaps combine map-side,
+    * so the exchange carries partitions×queries×k fixed-width rows where
+    * the former Window form shuffled and sorted EVERY scored candidate —
+    * at 100 TB, the difference between shuffling the corpus's scores and
+    * shuffling kilobytes. Output identical to the Window form under the
+    * total order (score desc, id asc); CurationOpsSpec asserts equality
+    * including ties, the registered-query oracles hash-check it.
+    */
+  private def rankTopK(
+      scored: DataFrame, scoreName: String, k: Int,
+      longScore: Boolean = false): DataFrame = {
+    val out = scored.groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by(col(scoreName), col("nbr_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+    // integer scores ride the double heap exactly (|score| << 2^53)
+    val sc = if (longScore) col("e.score").cast("long") else col("e.score")
+    out.select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+      col("e.id").as("nbr_id"), sc.as(scoreName))
+  }
+
   /** Exact top-k neighbors for each query row (queries small ⇒ broadcast). */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -38,10 +59,7 @@ object Knn {
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
     val scored = c.join(q, col("query_id") =!= col("nbr_id"))
       .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
+    rankTopK(scored, "cos_r", k)
   }
 
   /** Symmetric absmax int8 quantization of a float-vector column — same
@@ -76,10 +94,7 @@ object Knn {
     val scored = c.join(q, col("query_id") =!= col("nbr_id"))
       .withColumn("score",
         aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("score"))
+    rankTopK(scored, "score", k, longScore = true)
   }
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
@@ -231,10 +246,7 @@ object Knn {
       .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
       .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
-    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
+    rankTopK(scored, "cos_r", k)
   }
 
   /** The production quantized-ANN stack, composed: IVF coarse candidate
@@ -280,22 +292,18 @@ object Knn {
     // tier 2: int8 rescoring — integer dots, top rescoreFactor*k survive
     val cq = corpus.select(col(idCol).as("nbr_id"), quantizeInt8(col(vecCol)).as("nq"))
     val qq = broadcast(queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qq")))
-    val wr = Window.partitionBy(col("query_id")).orderBy(col("iscore").desc, col("nbr_id").asc)
     val survivors = cands.join(cq, "nbr_id").join(qq, "query_id")
       .withColumn("iscore",
         aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
-      .withColumn("rrank", row_number().over(wr))
-      .filter(col("rrank") <= k.toLong * rescoreFactor)
-      .select(col("query_id"), col("nbr_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by(col("iscore"), col("nbr_id"), k * rescoreFactor).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("nbr_id"))
     // tier 3: exact re-rank of the survivors only
     val scored = survivors
       .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
       .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
-    val wk = Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
+    rankTopK(scored, "cos_r", k)
   }
 
   /** Approximate top-k: candidates restricted to the query's LSH bucket(s) —
@@ -347,10 +355,7 @@ object Knn {
       .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv")), "nbr_id")
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
       .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_r").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
+    rankTopK(scored, "cos_r", k)
   }
 
   /** Distributed Lloyd's k-means by cosine, `iters` update rounds from a
@@ -404,14 +409,18 @@ object Knn {
         .sortBy(_._1)
 
     // row-local argmax over the centroid literals: max struct by
-    // (ccos, -cid) ⇔ ORDER BY ccos DESC, cid ASC
+    // (ccos, -cid) ⇔ ORDER BY ccos DESC, cid ASC. The whole centroid
+    // matrix rides in ONE typedLit (k×d of DATA in a single Literal node,
+    // iterated by a transform lambda) — an array(struct(lit...)...) of k
+    // members would put k×d literal NODES in the expression tree and spend
+    // multiple seconds in Janino per iteration once k reaches the hundreds
     def assigned(): DataFrame = {
-      val candidates = array(cents.map { case (cid, cv, ncv) =>
-        struct(
-          (dot(col("v"), typedLit(cv)) / (col("nv") * lit(ncv))).as("ccos"),
-          lit(-cid).as("ncid"), lit(cid).as("cid"))
-      }: _*)
-      pts.withColumn("cluster", array_max(candidates).getField("cid"))
+      val centsLit = typedLit(cents.toSeq)
+      val scoredC = transform(centsLit, c => struct(
+        (dot(col("v"), c.getField("_2")) / (col("nv") * c.getField("_3"))).as("ccos"),
+        (-c.getField("_1")).as("ncid"),
+        c.getField("_1").as("cid")))
+      pts.withColumn("cluster", array_max(scoredC).getField("cid"))
     }
 
     for (_ <- 1 to iters) {

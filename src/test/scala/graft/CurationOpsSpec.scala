@@ -45,6 +45,29 @@ class CurationOpsSpec extends SparkTestBase {
     assert(bad.isEmpty, bad.map { case (r, c) => s"'$r' -> '$c'" }.mkString("; "))
   }
 
+  test("top_k_by equals the window row_number form, ties included") {
+    import org.apache.spark.sql.expressions.Window
+    // scores engineered with heavy ties so the (score desc, id asc) total
+    // order is what decides membership, across several partitionings
+    val rows = (0L until 2000L).map(i => (i % 7, i, (i % 13).toDouble / 2.0))
+    for (parts <- Seq(1, 5)) {
+      val scored = rows.toDF("query_id", "nbr_id", "cos_r").repartition(parts)
+      val viaAgg = scored.groupBy(col("query_id"))
+        .agg(graft.functions.top_k_by(col("cos_r"), col("nbr_id"), 9).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("e.id").as("nbr_id"), col("e.score").as("cos_r"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_r").desc, col("nbr_id").asc)
+      val viaWindow = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 9)
+        .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
+      val a = viaAgg.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      val b = viaWindow.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+      assert(a.toSeq == b.toSeq, s"parts=$parts: heap top-k diverged from window top-k")
+    }
+  }
+
   test("k-means assignment is bit-identical across partitionings") {
     val e = Tables.embeddings(spark, sfDir)
     def run(parts: Int) =
