@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkTestBase {
     // pq36: centroid set; pq38: bit-position + seen-key tables — the
     // structures that keep the corpus side shuffle-free
     "pq36_semantic_dedup" -> 2, "pq38_bloom_seen" -> 4,
+    // the KNN family: the query batch must always ride broadcast — losing
+    // it turns a map-side scored scan into a corpus-wide shuffle join
+    "pq14_knn_ivf" -> 10, "pq31_knn_int8" -> 2, "pq35_knn_quantized_stack" -> 14,
     "q03_join_revenue" -> 4, "q04_multi_join" -> 8, "q05_topk_customers" -> 2,
     "q08_setops" -> 4, "q09_semi_join" -> 2, "q10_anti_join" -> 2,
     "q11_rollup" -> 2, "q15_above_avg" -> 2, "q23_outer_join" -> 2)
@@ -45,8 +48,15 @@ class PlanAuditSpec extends SparkTestBase {
     * lives in PLANS.md.
     */
   private val maxShuffles = Map(
+    "dq14_session_windows" -> 1, "dq15_windowed_compaction" -> 1,
     "pq01_exact_dedup" -> 1, "pq02_minhash_sigs" -> 1, "pq03_lsh_pairs" -> 3,
-    "pq06_jaccard_pairs" -> 6,
+    "pq05_simhash_pairs" -> 1, "pq06_jaccard_pairs" -> 6,
+    "pq07_embed_neardup" -> 0,
+    // KNN: one bounded-heap agg exchange each (top_k_by) — a Window
+    // regression here re-sorts every scored candidate
+    "pq08_knn_brute" -> 1, "pq09_knn_lsh" -> 2, "pq13_embed_neardup_lsh" -> 1,
+    "pq14_knn_ivf" -> 3, "pq31_knn_int8" -> 1, "pq35_knn_quantized_stack" -> 3,
+    "pq16_repetition" -> 2, "pq20_top_terms" -> 4, "pq25_minhash_verify" -> 4,
     "pq17_decontaminate" -> 2, // bench-side distinct + per-doc agg
     "pq18_dup_spans" -> 6,
     "pq19_stratified_sample" -> 0, "pq21_chunks" -> 0, "pq22_curation" -> 2,
