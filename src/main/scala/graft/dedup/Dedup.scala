@@ -666,4 +666,50 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
   }
+
+  /** Cross-document exact segment dedup — the REMOVAL form of the Lee et
+    * al. 2022 exact-substring signal (pq18 counts duplicated windows; this
+    * operator rewrites the corpus). Each document is cut into consecutive
+    * `segTokens`-token segments; only the corpus-wide FIRST occurrence of
+    * each distinct segment survives (first = minimal (doc_id, idx), so the
+    * policy is deterministic and order-independent); survivors reassemble in
+    * segment order. Reference behavior: the dedup stage a crawl pipeline
+    * runs before training (deduplicating repeated boilerplate/quotations
+    * across pages, not just whole-page copies).
+    *
+    * 100 TB shape: segments hash at the scan (the 60-bit portable hash
+    * stands in for segment text on the wire); first-occurrence election is
+    * one partial-agg shuffle on the hash; the election joins back
+    * co-partitioned on that same hash (the keeper table is one row per
+    * DISTINCT segment — far too big to broadcast, exactly the co-partitioned
+    * case); reassembly is one shuffle on doc_id carrying each segment once.
+    * No window over an unbounded partition anywhere.
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      segTokens: Int): DataFrame = {
+    val segs = graft.functions.TextFunctions
+      .chunkByTokens(df.select(idCol.as("__id"), textCol.as("__text")),
+        col("__id"), col("__text"), chunkSize = segTokens, overlap = 0)
+      .select(col("doc_id"), col("chunk_idx").as("idx"),
+        col("chunk_text").as("seg"),
+        portable_hash(col("chunk_text")).as("h"))
+    val first = segs.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    segs.join(first, "h")
+      .withColumn("keep",
+        col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("keep"), col("seg"))))
+        .as("xs"))
+      .select(
+        col("doc_id"),
+        array_join(transform(
+          filter(col("xs"), x => x.getField("keep")), x => x.getField("seg")),
+          " ").as("clean_text"),
+        size(col("xs")).as("n_segments"),
+        size(filter(col("xs"), x => !x.getField("keep"))).as("n_dropped"))
+  }
 }

@@ -135,6 +135,22 @@ object TextFunctions {
       lit(0L),
       (acc, c) => (acc * 31 + c) % 2147483647L)
 
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    * algorithm): over the document's sequence of `n`-token window hashes,
+    * slide a width-`w` window and record each position's minimum hash; the
+    * distinct minima are the fingerprints. Any shared run of at least
+    * `w + n - 1` tokens between two documents is guaranteed to share a
+    * fingerprint, with ~2/(w+1) of hashes selected. Pure array expressions
+    * over the native n-gram hasher — row-local, zero shuffles at any scale.
+    */
+  def winnow_fingerprints(text: Column, n: Int, w: Int): Column = {
+    require(n > 0 && w > 0, s"need positive n=$n, w=$w")
+    val hs = graft.functions.word_ngram_hashes(text, n)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hs) - w, lit(0))),
+      i => array_min(slice(hs, i + 1, lit(w)))))
+  }
+
   /** PII patterns shared by [[redact_pii]] / [[pii_count]] and their oracle
     * SQL, which interpolates these exact strings — one source of truth, zero
     * regex-dialect drift. Written in the Java∩RE2 common subset (no

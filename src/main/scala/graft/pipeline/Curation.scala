@@ -60,4 +60,42 @@ object Curation {
       .select(col("doc_id"), col("stratum"), col("n_tokens"),
         col("n_distinct_tokens"), col("sample_bucket"))
   }
+
+  /** Filter-attrition funnel: for each stratum, how many documents survive
+    * each quality rule CUMULATIVELY — the report a pipeline operator reads
+    * before committing to a filter chain (which rule is doing the cutting,
+    * and on which language/source). Rules, applied in order:
+    *   1. token count in `[minTokens, maxTokens]`;
+    *   2. distinct-token ratio ≥ `minDistinctPct`% (cross-multiplied);
+    *   3. mean word length in `[minMeanWordLen, maxMeanWordLen]` — computed
+    *      as total non-space chars vs token count, cross-multiplied, so the
+    *      whole funnel stays in integers and the oracle hash-matches.
+    * Every metric is row-local array/length arithmetic; the funnel itself is
+    * ONE map-side-combinable aggregation to strata cardinality (~10–100
+    * rows). The corpus is scanned once and never shuffled.
+    */
+  def filterFunnel(
+      df: DataFrame,
+      textCol: Column,
+      strataCol: Column,
+      minTokens: Int,
+      maxTokens: Int,
+      minDistinctPct: Int,
+      minMeanWordLen: Int,
+      maxMeanWordLen: Int): DataFrame = {
+    val n = TextFunctions.token_count(textCol).cast("long")
+    val nd = size(array_distinct(TextFunctions.tokens(textCol))).cast("long")
+    // total word chars = doc length minus the n-1 separating spaces
+    val chars = length(textCol).cast("long") - (n - 1)
+    val r1 = n.between(minTokens, maxTokens)
+    val r2 = nd * 100 >= n * minDistinctPct
+    val r3 = chars >= n * minMeanWordLen && chars <= n * maxMeanWordLen
+    val one = (c: Column) => when(c, 1L).otherwise(0L)
+    df.groupBy(strataCol.as("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(one(r1)).as("pass_len"),
+        sum(one(r1 && r2)).as("pass_len_distinct"),
+        sum(one(r1 && r2 && r3)).as("survivors"))
+  }
 }

@@ -1166,6 +1166,137 @@ object PipelineQueries {
         SELECT doc_id, maybe_member,
                kh IN (SELECT kh FROM seenk) AS is_member
         FROM agg
+      """)),
+
+    // ---- cross-doc exact segment dedup, the REMOVAL form of pq18's
+    // signal: only the corpus-wide first occurrence of each 16-token
+    // segment survives; documents reassemble from their surviving
+    // segments. Election is one hash agg + a co-partitioned join on the
+    // same hash; reassembly moves each segment once.
+    Q(
+      "pq41_segment_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.dedupSegments(d, col("doc_id"), col("text"), segTokens = 16)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), st AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(CAST(len(t) AS INT), 1), 16)) AS i
+          FROM toks
+        ), seg AS (
+          SELECT doc_id, CAST((i - 1) // 16 AS INT) AS idx,
+                 array_to_string(t[i:i+15], ' ') AS s
+          FROM st
+        ), m AS (
+          SELECT doc_id, idx, s,
+                 row_number() OVER (PARTITION BY ${dh("s")}
+                                    ORDER BY doc_id, idx) AS rn
+          FROM seg
+        )
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN rn = 1 THEN s END, ' ' ORDER BY idx),
+                        '') AS clean_text,
+               CAST(count(*) AS INT) AS n_segments,
+               CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS INT) AS n_dropped
+        FROM m GROUP BY 1
+      """)),
+
+    // ---- winnowing fingerprints (Schleimer et al. 2003): per position,
+    // the min of a sliding w=5 window over the doc's 4-token-gram hashes;
+    // distinct minima are the fingerprint set. Row-local end to end — the
+    // only plan cost is the explode to (doc, fp) rows.
+    Q(
+      "pq42_winnow_fingerprints",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"),
+          explode(TextFunctions.winnow_fingerprints(col("text"), n = 4, w = 5))
+            .as("fp"))
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(CAST(len(t) AS INT) - 3, 1)),
+                   i -> ${dh("array_to_string(t[i:i+3], ' ')")}) AS h
+          FROM toks
+        )
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 generate_series(1, greatest(CAST(len(h) AS INT) - 4, 1)),
+                 j -> list_min(h[j:j+4])))) AS fp
+        FROM hs
+      """)),
+
+    // ---- budget-driven mixture sampling: acceptance rates DERIVED from a
+    // 200-doc budget and target weights vs each language's census; keep by
+    // id hash. One tiny census agg, rates broadcast, selection row-local.
+    Q(
+      "pq43_budget_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.sampling.Sampling.budgetMixByHash(
+            d, col("doc_id"), col("lang"),
+            Map("en" -> 400, "zh" -> 150, "de" -> 150, "es" -> 150, "fr" -> 150),
+            budget = 200L)
+          .select(col("doc_id"), col("lang"), col("rate_pm"), col("sample_bucket"))
+      },
+      Some(s"""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        r AS (
+          SELECT lang,
+                 least(1000, CAST(floor(200 * (CASE lang WHEN 'en' THEN 400
+                                                         WHEN 'zh' THEN 150
+                                                         WHEN 'de' THEN 150
+                                                         WHEN 'es' THEN 150
+                                                         WHEN 'fr' THEN 150
+                                                         ELSE 0 END) / n) AS BIGINT))
+                   AS rate_pm
+          FROM c
+        ), b AS (
+          SELECT d.doc_id, d.lang, r.rate_pm,
+                 ${dh("CAST(d.doc_id AS VARCHAR)")} % 1000 AS sample_bucket
+          FROM documents d JOIN r USING (lang)
+        )
+        SELECT doc_id, lang, rate_pm, sample_bucket FROM b
+        WHERE sample_bucket < rate_pm
+      """)),
+
+    // ---- filter-attrition funnel: per language, survivors after each
+    // cumulative quality rule (length → distinct ratio → mean word length,
+    // all integer cross-multiplication). One partial-agg shuffle to ~5 rows.
+    Q(
+      "pq44_filter_funnel",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.Curation.filterFunnel(
+          d, col("text"), col("lang"),
+          minTokens = 30, maxTokens = 90, minDistinctPct = 40,
+          minMeanWordLen = 4, maxMeanWordLen = 7)
+      },
+      Some("""
+        WITH b AS (
+          SELECT lang AS stratum,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                 CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd,
+                 CAST(length(text) AS BIGINT)
+                   - (CAST(len(string_split(text, ' ')) AS BIGINT) - 1) AS chars
+          FROM documents
+        )
+        SELECT stratum, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n BETWEEN 30 AND 90 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pass_len,
+               CAST(sum(CASE WHEN n BETWEEN 30 AND 90 AND nd * 100 >= n * 40
+                             THEN 1 ELSE 0 END) AS BIGINT) AS pass_len_distinct,
+               CAST(sum(CASE WHEN n BETWEEN 30 AND 90 AND nd * 100 >= n * 40
+                                  AND chars >= n * 4 AND chars <= n * 7
+                             THEN 1 ELSE 0 END) AS BIGINT) AS survivors
+        FROM b GROUP BY 1
       """))
   )
 }

@@ -45,6 +45,51 @@ object Sampling {
       .filter(col("sample_bucket") < rate)
   }
 
+  /** Budget-DRIVEN mixture sampling: the caller states the mix it wants —
+    * a total row budget and per-stratum target weights (per-mille) — and the
+    * operator derives each stratum's acceptance rate from its measured
+    * population: `rate_pm = min(1000, budget * weight_pm / count(stratum))`
+    * (integer floor). Selection is then the usual id-hash threshold, so the
+    * sample stays reproducible and nested. This is the missing half of
+    * [[stratifiedByHash]]: there the caller must already know the rates;
+    * here an over-represented stratum is automatically downsampled toward
+    * its target share and an under-represented one passes through whole
+    * (rate capped at 1000 — hash sampling cannot upsample).
+    *
+    * Scale shape: the per-stratum census is one map-side-combinable shuffle
+    * producing a strata-cardinality table (~10–100 rows); rates broadcast
+    * back; the keep decision is row-local. The corpus never shuffles.
+    */
+  def budgetMixByHash(
+      df: DataFrame,
+      idCol: Column,
+      strataCol: Column,
+      weightsPerMille: Map[String, Int],
+      budget: Long,
+      defaultWeightPerMille: Int = 0): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    require(weightsPerMille.values.forall(_ >= 0) && defaultWeightPerMille >= 0,
+      "weights must be non-negative")
+    val kvs = weightsPerMille.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val wpm =
+      if (kvs.isEmpty) lit(defaultWeightPerMille)
+      else coalesce(element_at(map(kvs: _*), col("__stratum")),
+        lit(defaultWeightPerMille))
+    // budget*weight_pm stays far below 2^53, so the floor is exact
+    val rates = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("__stratum"),
+        least(lit(1000L),
+          floor(lit(budget) * wpm / col("__n")).cast("long")).as("rate_pm"))
+    df.withColumn("__stratum", strataCol)
+      .join(broadcast(rates), "__stratum")
+      .withColumn("sample_bucket",
+        pmod(portable_hash(idCol.cast("string")), lit(1000L)))
+      .filter(col("sample_bucket") < col("rate_pm"))
+      .drop("__stratum")
+  }
+
   /** EXACT per-stratum budgets: keep precisely `min(countPerStratum, |stratum|)`
     * rows per stratum — the fixed-token-budget form of dataset mixing, where
     * rate-based sampling can't hit a hard target. Selection order is the

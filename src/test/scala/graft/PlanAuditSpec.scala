@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkTestBase {
     // pq36: centroid set; pq38: bit-position + seen-key tables — the
     // structures that keep the corpus side shuffle-free
     "pq36_semantic_dedup" -> 2, "pq38_bloom_seen" -> 4,
+    // pq43: the derived per-stratum rate table rides broadcast — losing it
+    // shuffles the whole corpus onto ~5 stratum keys
+    "pq43_budget_mix" -> 2,
     // the KNN family: the query batch must always ride broadcast — losing
     // it turns a map-side scored scan into a corpus-wide shuffle join
     "pq14_knn_ivf" -> 10, "pq31_knn_int8" -> 2, "pq35_knn_quantized_stack" -> 14,
@@ -71,6 +74,10 @@ class PlanAuditSpec extends SparkTestBase {
     "pq38_bloom_seen" -> 3,     // three DISTINCTs; every join broadcasts
     "pq39_kmeans" -> 0,         // centroid literals: row-local argmax, no corpus shuffle
     "pq40_semantic_dedup_kmeans" -> 2, // in-cluster pair join; drop set broadcast-anti
+    "pq41_segment_dedup" -> 2,  // segment-hash election agg + doc reassembly
+    "pq42_winnow_fingerprints" -> 0, // row-local sliding minima
+    "pq43_budget_mix" -> 1,     // strata census agg; rates broadcast back
+    "pq44_filter_funnel" -> 1,  // one partial-agg shuffle to strata cardinality
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
