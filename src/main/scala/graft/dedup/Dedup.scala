@@ -667,6 +667,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Winnowing-based decontamination: [[contaminationFlags]] probes EVERY
+    * n-gram, which at benchmark sizes of millions of windows strains the
+    * broadcast; this form probes only the winnowing fingerprints
+    * (~2/(w+1) of the hashes — the MOSS selection), keeping the guarantee
+    * that any shared run of ≥ `w + n - 1` tokens still collides on at
+    * least one fingerprint. The benchmark's fingerprint set shrinks by the
+    * same factor, so the broadcast stays feasible for benchmark suites the
+    * full n-gram set would not. Returns per-doc shared-fingerprint counts;
+    * the caller thresholds.
+    */
+  def winnowContamination(
+      corpus: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      benchmark: DataFrame,
+      benchTextCol: Column,
+      n: Int,
+      w: Int): DataFrame = {
+    val fps = (t: Column) =>
+      graft.functions.TextFunctions.winnow_fingerprints(t, n, w)
+    val benchFps = benchmark
+      .select(explode(fps(benchTextCol)).as("fp"))
+      .distinct()
+    corpus
+      .select(idCol.as("doc_id"), explode(fps(textCol)).as("fp"))
+      .join(broadcast(benchFps), "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+  }
+
   /** Cross-document exact segment dedup — the REMOVAL form of the Lee et
     * al. 2022 exact-substring signal (pq18 counts duplicated windows; this
     * operator rewrites the corpus). Each document is cut into consecutive

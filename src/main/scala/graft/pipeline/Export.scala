@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Training-set export: the last mile of the curation pipeline. A trained-on
+  * corpus ships as N shard files in a deterministic per-epoch order plus a
+  * manifest the trainer reads to plan its input pipeline. Both operators are
+  * pure functions of (corpus, salt) — re-running them on any cluster layout
+  * reproduces the same shards bit-for-bit, which is what makes a training
+  * run auditable.
+  */
+object Export {
+
+  /** Deterministic epoch shuffle: every document gets a `(shard, pos)` —
+    * which shard file it lands in and its position inside that shard — from
+    * one salted hash: `oh = hash(salt:doc_id)`, `shard = oh mod nShards`,
+    * `pos` = rank of `(oh, doc_id)` within the shard. Changing `epochSalt`
+    * re-deals both the grouping and the order, giving each epoch an
+    * independent permutation without any RNG state.
+    *
+    * Scale shape: the hash is row-local; the only movement is the
+    * `(shard, pos)` ranking, whose partition key is `shard` — cardinality
+    * `nShards`, which an operator sizes ~corpus/target-shard-bytes (hundreds
+    * to tens of thousands at 100 TB), so every window partition holds one
+    * shard's worth of NARROW rows (id + hash, not text). This is the benign
+    * use of a rank window — contrast the per-stratum (cardinality ~5)
+    * windows that r4 flagged, where the key count cannot grow with the data.
+    */
+  def epochOrder(
+      df: DataFrame,
+      idCol: Column,
+      nShards: Int,
+      epochSalt: Long): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val oh = TextFunctions.portable_hash(
+      concat(lit(s"$epochSalt:"), idCol.cast("string")))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("order_hash"), col("doc_id"))
+    df.select(idCol.as("doc_id"), oh.as("order_hash"))
+      .withColumn("shard", pmod(col("order_hash"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("order_hash"))
+  }
+
+  /** Shard manifest: per-shard document/token/byte totals under the same
+    * `(salt, nShards)` assignment as [[epochOrder]] — the table a trainer's
+    * input planner reads (how many sequences per file, how to stripe files
+    * across data-parallel workers). One map-side-combinable aggregation to
+    * `nShards` rows; the corpus is scanned once and only the fixed-width
+    * per-shard partials move.
+    */
+  def shardManifest(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      nShards: Int,
+      epochSalt: Long): DataFrame = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val oh = TextFunctions.portable_hash(
+      concat(lit(s"$epochSalt:"), idCol.cast("string")))
+    df.select(
+        pmod(oh, lit(nShards.toLong)).cast("int").as("shard"),
+        idCol.cast("long").as("__id"),
+        TextFunctions.token_count(textCol).cast("long").as("__toks"),
+        length(textCol).cast("long").as("__chars"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"),
+        min(col("__id")).as("min_doc_id"),
+        max(col("__id")).as("max_doc_id"))
+  }
+}

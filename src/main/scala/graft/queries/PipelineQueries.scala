@@ -1297,6 +1297,91 @@ object PipelineQueries {
                                   AND chars >= n * 4 AND chars <= n * 7
                              THEN 1 ELSE 0 END) AS BIGINT) AS survivors
         FROM b GROUP BY 1
+      """)),
+
+    // ---- deterministic epoch shuffle: one salted hash deals every doc a
+    // (shard, pos); changing the salt re-deals both. The rank window's key
+    // is `shard` — cardinality sized with the corpus, so no reducer ever
+    // sees more than one shard's narrow (id, hash) rows.
+    Q(
+      "pq45_epoch_order",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.Export.epochOrder(d, col("doc_id"), nShards = 16,
+          epochSalt = 7L)
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT doc_id,
+                 ${dh("'7:' || CAST(doc_id AS VARCHAR)")} AS order_hash
+          FROM documents
+        )
+        SELECT doc_id, CAST(order_hash % 16 AS INT) AS shard,
+               CAST(row_number() OVER (PARTITION BY order_hash % 16
+                                       ORDER BY order_hash, doc_id) AS INT) AS pos,
+               order_hash
+        FROM o
+      """)),
+
+    // ---- shard manifest under the same (salt, nShards) deal: the table a
+    // trainer's input planner reads. One map-side-combinable agg to
+    // nShards rows; only fixed-width partials move.
+    Q(
+      "pq46_shard_manifest",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.Export.shardManifest(d, col("doc_id"), col("text"),
+          nShards = 16, epochSalt = 7L)
+      },
+      Some(s"""
+        WITH o AS (
+          SELECT doc_id,
+                 CAST(${dh("'7:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                 CAST(length(text) AS BIGINT) AS chars
+          FROM documents
+        )
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS n_tokens,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        FROM o GROUP BY 1
+      """)),
+
+    // ---- winnow-based decontamination: probe only the MOSS fingerprints
+    // (~1/3 of the n-gram hashes at w=5) instead of every window — the
+    // broadcast-set diet that keeps benchmark suites broadcastable, while
+    // any shared run of ≥ w+n-1 tokens still collides.
+    Q(
+      "pq47_decontam_winnow",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        Dedup.winnowContamination(
+          d.filter(col("doc_id") % 50 =!= 0), col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 50 === 0), col("text"), n = 4, w = 5)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), hs AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, greatest(CAST(len(t) AS INT) - 3, 1)),
+                   i -> ${dh("array_to_string(t[i:i+3], ' ')")}) AS h
+          FROM toks
+        ), fps AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(CAST(len(h) AS INT) - 4, 1)),
+                   j -> list_min(h[j:j+4])))) AS fp
+          FROM hs
+        ), bench AS (
+          SELECT DISTINCT fp FROM fps WHERE doc_id % 50 = 0
+        )
+        SELECT f.doc_id, count(*) AS n_shared_fp
+        FROM fps f JOIN bench b USING (fp)
+        WHERE f.doc_id % 50 <> 0
+        GROUP BY 1
       """))
   )
 }

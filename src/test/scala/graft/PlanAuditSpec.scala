@@ -37,6 +37,9 @@ class PlanAuditSpec extends SparkTestBase {
     // pq43: the derived per-stratum rate table rides broadcast — losing it
     // shuffles the whole corpus onto ~5 stratum keys
     "pq43_budget_mix" -> 2,
+    // pq47: the winnowed benchmark fingerprint set is the broadcast diet —
+    // losing it shuffles every corpus fingerprint onto the probe join
+    "pq47_decontam_winnow" -> 2,
     // the KNN family: the query batch must always ride broadcast — losing
     // it turns a map-side scored scan into a corpus-wide shuffle join
     "pq14_knn_ivf" -> 10, "pq31_knn_int8" -> 2, "pq35_knn_quantized_stack" -> 14,
@@ -78,6 +81,9 @@ class PlanAuditSpec extends SparkTestBase {
     "pq42_winnow_fingerprints" -> 0, // row-local sliding minima
     "pq43_budget_mix" -> 1,     // strata census agg; rates broadcast back
     "pq44_filter_funnel" -> 1,  // one partial-agg shuffle to strata cardinality
+    "pq45_epoch_order" -> 1,    // the shard-key rank window
+    "pq46_shard_manifest" -> 1, // one partial-agg shuffle to nShards rows
+    "pq47_decontam_winnow" -> 2, // bench-side distinct + per-doc agg
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
