@@ -1382,6 +1382,92 @@ object PipelineQueries {
         FROM fps f JOIN bench b USING (fp)
         WHERE f.doc_id % 50 <> 0
         GROUP BY 1
+      """)),
+
+    // ---- DSIR importance weights: hashed uni+bigram bag, target = three
+    // curated sources vs the raw rest; per-feature log-ratios frozen to
+    // integers once per bucket (driver residency), so the per-doc sum is
+    // partition-order-proof and the corpus text never shuffles.
+    Q(
+      "pq48_dsir_weights",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.quality.Importance.dsirWeights(
+          d, col("doc_id"), col("text"),
+          col("source").isin("src0", "src1", "src2"), buckets = 64)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, source IN ('src0','src1','src2') AS is_t,
+                 string_split(text, ' ') AS t
+          FROM documents
+        ), feats AS (
+          SELECT doc_id, is_t,
+                 unnest(list_transform(generate_series(1, len(t)),
+                   i -> ${dh("t[CAST(i AS INT)]")})) % 64 AS b
+          FROM toks
+          UNION ALL
+          SELECT doc_id, is_t,
+                 unnest(list_transform(
+                   generate_series(1, greatest(CAST(len(t) AS INT) - 1, 1)),
+                   i -> ${dh("array_to_string(t[i:i+1], ' ')")})) % 64 AS b
+          FROM toks
+        ), hist AS (
+          SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+          FROM feats GROUP BY 1
+        ), tot AS (
+          SELECT CAST(sum(ct) AS DOUBLE) + 64.0 AS nt,
+                 CAST(sum(cr) AS DOUBLE) + 64.0 AS nr
+          FROM hist
+        ), l AS (
+          SELECT b, CAST(floor(1000000.0 *
+                   (ln((ct + 1.0) / nt) - ln((cr + 1.0) / nr))) AS BIGINT) AS lfp
+          FROM hist, tot
+        )
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(lfp) AS BIGINT) AS w_fp,
+               CAST(CAST(sum(lfp) AS BIGINT) AS DOUBLE) / 1000000.0 AS weight
+        FROM feats f JOIN l USING (b)
+        GROUP BY 1
+      """)),
+
+    // ---- unigram-LM perplexity filter: LM fit on the English subset with a
+    // df>=2 vocab cutoff (rarer tokens score as one OOV event), every doc
+    // scored by mean -ln p(token). Same frozen-integer contract: one log per
+    // vocab TYPE, per-doc sums are integer.
+    Q(
+      "pq49_unigram_nll",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.quality.Importance.unigramNll(
+          d, col("doc_id"), col("text"), col("lang") === "en", minCount = 2)
+      },
+      Some(s"""
+        WITH toks AS (
+          SELECT doc_id, lang = 'en' AS is_lm,
+                 unnest(string_split(text, ' ')) AS tok
+          FROM documents
+        ), vocab AS (
+          SELECT tok, count(*) AS c FROM toks WHERE is_lm
+          GROUP BY 1 HAVING count(*) >= 2
+        ), tot AS (
+          SELECT CAST(coalesce(sum(c), 0) AS DOUBLE)
+                 + CAST(count(*) AS DOUBLE) + 1.0 AS denom
+          FROM vocab
+        ), l AS (
+          SELECT tok, CAST(floor(-ln((c + 1.0) / denom) * 1000000.0) AS BIGINT) AS lfp
+          FROM vocab, tot
+        ), oov AS (
+          SELECT CAST(floor(-ln(1.0 / denom) * 1000000.0) AS BIGINT) AS lfp
+          FROM tot
+        )
+        SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(coalesce(l.lfp, o.lfp)) AS BIGINT) AS nll_fp,
+               CAST(CAST(sum(coalesce(l.lfp, o.lfp)) AS BIGINT) AS DOUBLE)
+                 / count(*) / 1000000.0 AS avg_nll
+        FROM toks t LEFT JOIN l USING (tok) CROSS JOIN oov o
+        GROUP BY 1
       """))
   )
 }

@@ -40,6 +40,9 @@ class PlanAuditSpec extends SparkTestBase {
     // pq47: the winnowed benchmark fingerprint set is the broadcast diet —
     // losing it shuffles every corpus fingerprint onto the probe join
     "pq47_decontam_winnow" -> 2,
+    // pq48/pq49: the trained side tables (B-bucket ratios / df-pruned vocab)
+    // must ride broadcast — losing one shuffles every exploded feature/token
+    "pq48_dsir_weights" -> 2, "pq49_unigram_nll" -> 2,
     // the KNN family: the query batch must always ride broadcast — losing
     // it turns a map-side scored scan into a corpus-wide shuffle join
     "pq14_knn_ivf" -> 10, "pq31_knn_int8" -> 2, "pq35_knn_quantized_stack" -> 14,
@@ -84,6 +87,8 @@ class PlanAuditSpec extends SparkTestBase {
     "pq45_epoch_order" -> 1,    // the shard-key rank window
     "pq46_shard_manifest" -> 1, // one partial-agg shuffle to nShards rows
     "pq47_decontam_winnow" -> 2, // bench-side distinct + per-doc agg
+    "pq48_dsir_weights" -> 1,   // per-doc agg; ratio table is a broadcast local relation
+    "pq49_unigram_nll" -> 2,    // vocab partial agg + per-doc agg
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
