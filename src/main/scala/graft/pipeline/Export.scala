@@ -46,6 +46,29 @@ object Export {
       .select(col("doc_id"), col("shard"), col("pos"), col("order_hash"))
   }
 
+  /** Materialize the epoch deal as shard files: every row of `df` lands in
+    * `path/shard=K/` in `(order_hash, id)` order — the file layout a
+    * training job streams sequentially. One `repartition` on the shard key
+    * (cardinality `nShards`, uniform by construction of the hash deal) and a
+    * partition-local sort; no global sort, no driver involvement. Re-running
+    * on any cluster layout reproduces byte-identical shard contents.
+    */
+  def writeShards(
+      df: DataFrame,
+      idCol: Column,
+      nShards: Int,
+      epochSalt: Long,
+      path: String): Unit = {
+    require(nShards > 0, s"nShards=$nShards must be positive")
+    val oh = TextFunctions.portable_hash(
+      concat(lit(s"$epochSalt:"), idCol.cast("string")))
+    df.withColumn("order_hash", oh)
+      .withColumn("shard", pmod(col("order_hash"), lit(nShards.toLong)).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("order_hash"), idCol)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
   /** Shard manifest: per-shard document/token/byte totals under the same
     * `(salt, nShards)` assignment as [[epochOrder]] — the table a trainer's
     * input planner reads (how many sequences per file, how to stripe files

@@ -97,6 +97,64 @@ object Knn {
     rankTopK(scored, "score", k, longScore = true)
   }
 
+  /** MMR result diversification (Carbonell & Goldstein 1998): re-rank each
+    * query's top-`m` int8 candidates down to `k` results, greedily picking
+    * `argmax wRel·rel(c) − wDiv·max_{s∈selected} sim(c,s)` each round
+    * (λ = wRel/(wRel+wDiv); the first pick is pure relevance, i.e. the
+    * unselected max-sim term is 0). All relevances and similarities are
+    * INTEGER dot products of int8-quantized vectors, so selection and every
+    * reported score are bit-exact — an oracle that unrolls the same `k`
+    * rounds reproduces them hash-identically despite the iterative argmax.
+    *
+    * 100 TB shape: the corpus-scale work is the [[int8TopK]] scoring scan
+    * (queries broadcast, one bounded-heap exchange) plus one pushed-filter
+    * fetch of the ≤ queries×m candidate vectors; the greedy loop itself
+    * runs on the driver over that bounded set (k-means-style residency —
+    * queries×m×d ints, kilobytes), never touching the corpus again.
+    */
+  def mmrTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      m: Int,
+      wRel: Long,
+      wDiv: Long): DataFrame = {
+    require(k <= m, s"k=$k must be <= candidate pool m=$m")
+    val cand = int8TopK(corpus, queries, idCol, vecCol, m)
+      .select(col("query_id"), col("nbr_id"), col("score").as("rel"))
+    val candRows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val candIds = candRows.map(_._2).distinct.toSeq
+    val vecs = corpus
+      .filter(col(idCol).isin(candIds: _*))
+      .select(col(idCol).as("id"), quantizeInt8(col(vecCol)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+
+    val picked = candRows.groupBy(_._1).toSeq.flatMap { case (q, cs) =>
+      val pool = scala.collection.mutable.Set(cs.map(c => (c._2, c._3)): _*)
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long, Long)]
+      while (sel.size < k && pool.nonEmpty) {
+        val scored = pool.toSeq.map { case (id, rel) =>
+          val msim = if (sel.isEmpty) 0L
+            else sel.map(s => dot(vecs(id), vecs(s._3))).max
+          (id, rel, wRel * rel - wDiv * msim)
+        }
+        val (id, rel, mmr) = scored.minBy { case (id, _, mmr) => (-mmr, id) }
+        sel += ((q, sel.size + 1, id, rel, mmr))
+        pool.remove((id, rel))
+      }
+      sel
+    }
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    picked.toDF("query_id", "rank", "nbr_id", "rel", "mmr")
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
     * (Declarative twin of the native SignLsh expression's component math —
     * kept for the equivalence test in DedupSpec.)
