@@ -386,6 +386,12 @@ object Dedup {
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
     val cents = ided.filter(col("id") % seedModulus === 0)
       .select(col("id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
+    // broadcast-sized by construction, so the emptiness probe is one
+    // limit(1) scan — without it an unlucky modulus yields an empty
+    // cross join and a silently-empty survivor set
+    require(!cents.isEmpty,
+      s"seedModulus=$seedModulus selected no seed ids — the cluster cross " +
+        "join would be empty and every vector silently dropped")
     val assigned = ided.crossJoin(broadcast(cents))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nv") * col("ncv")))
       .groupBy(col("id"))
@@ -460,12 +466,15 @@ object Dedup {
       array((0 until k).map(j =>
         portable_hash(concat(lit(s"$j:"), key)) % m): _*)
     val bits = seen.select(explode(positions(keyCol)).as("bit")).distinct()
-    val seenKeys = seen.select(portable_hash(keyCol).as("kh")).distinct()
+    // exact membership joins on the FULL md5 of the key (fixed-width, still
+    // broadcastable) — a narrower hash would let a collision masquerade as
+    // ground truth, defeating the verification column's whole purpose
+    val seenKeys = seen.select(md5(keyCol.cast("string")).as("kh")).distinct()
     val missing = probe
       .select(idCol.as("id"), explode(positions(keyCol)).as("bit"))
       .join(broadcast(bits), Seq("bit"), "left_anti")
       .select(col("id")).distinct()
-    probe.select(idCol.as("id"), portable_hash(keyCol).as("kh"))
+    probe.select(idCol.as("id"), md5(keyCol.cast("string")).as("kh"))
       .join(missing.withColumn("miss", lit(true)), Seq("id"), "left_outer")
       .join(broadcast(seenKeys.withColumn("hit", lit(true))), Seq("kh"), "left_outer")
       .select(col("id"),

@@ -34,7 +34,11 @@ object TopKByScore {
   }
 
   def update(buf: Buf, score: Double, id: Long, k: Int): Unit =
-    if (buf.pq.size < k) buf.pq.enqueue((score, id))
+    // NaN (e.g. cosine against a zero-norm vector) is excluded outright: the
+    // IEEE comparison below would never evict a NaN head, so one NaN entry
+    // would otherwise block every later insertion into that partial heap.
+    if (score.isNaN) ()
+    else if (buf.pq.size < k) buf.pq.enqueue((score, id))
     else {
       val (hs, hi) = buf.pq.head
       if (score > hs || (score == hs && id < hi)) {
@@ -66,7 +70,8 @@ object TopKByScore {
 }
 
 /** Aggregate `top_k_by(score, id, k)` → array<struct<id, score>> ordered by
-  * (score desc, id asc); rows with a null score or id are ignored.
+  * (score desc, id asc); rows with a null or NaN score, or a null id, are
+  * ignored.
   */
 case class TopKByScoreAgg(
     left: Expression,

@@ -57,6 +57,45 @@ object PipelineQueries {
     rounds + "," + assign("af", s"c$iters")
   }
 
+  /** `k` unrolled MMR greedy rounds (pq50) over a candidate pool
+    * `cand(query_id, nbr_id, rel)` with pairwise candidate dots
+    * `cdot(ia, ib, d)` — CTEs `s1..s$k`, one per selection round, splice
+    * after the `cand`/`cdot` definitions. Round 1 is pure relevance; round
+    * i scores each unselected candidate `wRel·rel − wDiv·max(sim to the
+    * i−1 already selected)`, ties to the smaller id — exactly
+    * [[graft.similarity.Knn.mmrTopK]]'s driver loop, made hash-checkable
+    * because every quantity is an integer.
+    */
+  private def oMmrRounds(k: Int, wRel: Long, wDiv: Long): String = {
+    def selUnion(i: Int) =
+      (1 until i).map(j => s"SELECT * FROM s$j").mkString(" UNION ALL ")
+    val first = s"""
+        s1 AS (
+          SELECT query_id, 1 AS rank, nbr_id, rel, $wRel * rel AS mmr FROM (
+            SELECT query_id, nbr_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY $wRel * rel DESC, nbr_id ASC) AS rn
+            FROM cand) WHERE rn = 1)"""
+    val rest = (2 to k).map { i => s"""
+        p$i AS (
+          SELECT c.query_id, c.nbr_id, c.rel, max(cd.d) AS msim
+          FROM cand c
+          JOIN (${selUnion(i)}) sel ON sel.query_id = c.query_id
+          JOIN cdot cd ON cd.ia = c.nbr_id AND cd.ib = sel.nbr_id
+          WHERE NOT EXISTS (SELECT 1 FROM (${selUnion(i)}) z
+                            WHERE z.query_id = c.query_id AND z.nbr_id = c.nbr_id)
+          GROUP BY 1, 2, 3),
+        s$i AS (
+          SELECT query_id, $i AS rank, nbr_id, rel,
+                 $wRel * rel - $wDiv * msim AS mmr FROM (
+            SELECT query_id, nbr_id, rel, msim,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY ($wRel * rel - $wDiv * msim) DESC, nbr_id ASC) AS rn
+            FROM p$i) WHERE rn = 1)"""
+    }.mkString(",")
+    first + "," + rest
+  }
+
   /** Spark side of the pq03 LSH pipeline (k=16, 4 bands × 4 rows, 5-char
     * shingles), shared by the pair/cluster/verify queries so they are all
     * guaranteed to agree on one candidate-pair definition.
@@ -388,6 +427,60 @@ object PipelineQueries {
           k = 5, nlist = 16, nprobe = 4, rescoreFactor = 4)
       },
       None),
+
+    // ---- MMR result diversification over the int8 top-m pool (Carbonell &
+    // Goldstein 1998): greedy argmax of wRel·rel − wDiv·max-sim-to-selected,
+    // k rounds. Everything is an integer dot product, so the iterative
+    // greedy selection is hash-checkable by unrolling the rounds into CTEs
+    // (the pq39 k-means pattern). The corpus-scale work (scoring scan +
+    // candidate fetch) is audited in PlanAuditSpec; the greedy loop is
+    // driver-resident over a bounded queries×m set by design.
+    Q(
+      "pq50_knn_mmr",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        Knn.mmrTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 4, m = 10, wRel = 3L, wDiv = 1L)
+      },
+      Some(s"""
+        WITH ex AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(x))) AS absmax,
+                 unnest(generate_series(0, CAST(len(embedding) AS INT) - 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ), qz AS (
+          SELECT vec_id, dim,
+                 CASE WHEN absmax = 0 THEN 0
+                      ELSE CAST(floor(CAST(x AS DOUBLE) / CAST(absmax AS DOUBLE) * 127.0) AS BIGINT)
+                 END AS q8
+          FROM ex
+        ), sc AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+                 CAST(sum(q.q8 * c.q8) AS BIGINT) AS rel
+          FROM qz q JOIN qz c ON q.dim = c.dim AND q.vec_id <> c.vec_id
+          WHERE q.vec_id < 10
+          GROUP BY 1, 2
+        ), cand AS (
+          SELECT query_id, nbr_id, rel FROM (
+            SELECT query_id, nbr_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, nbr_id ASC) AS rn
+            FROM sc) WHERE rn <= 10
+        ), cids AS (SELECT DISTINCT nbr_id AS id FROM cand
+        ), cdot AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 CAST(sum(a.q8 * b.q8) AS BIGINT) AS d
+          FROM qz a JOIN qz b ON a.dim = b.dim
+          JOIN cids x ON x.id = a.vec_id
+          JOIN cids y ON y.id = b.vec_id
+          GROUP BY 1, 2
+        ),
+        ${oMmrRounds(4, 3L, 1L)}
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, rel, mmr
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+              UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+      """)),
 
     // ---- token stats + rolling-hash fingerprint per document.
     Q(

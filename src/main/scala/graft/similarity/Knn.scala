@@ -107,10 +107,12 @@ object Knn {
     * rounds reproduces them hash-identically despite the iterative argmax.
     *
     * 100 TB shape: the corpus-scale work is the [[int8TopK]] scoring scan
-    * (queries broadcast, one bounded-heap exchange) plus one pushed-filter
-    * fetch of the ≤ queries×m candidate vectors; the greedy loop itself
-    * runs on the driver over that bounded set (k-means-style residency —
-    * queries×m×d ints, kilobytes), never touching the corpus again.
+    * (queries broadcast, one bounded-heap exchange) plus one broadcast
+    * semi-join fetch of the ≤ queries×m candidate vectors; the greedy loop
+    * itself runs on the driver over that bounded set (k-means-style
+    * residency — queries×m×d ints, kilobytes), never touching the corpus
+    * again. Ids are contractually integral (cast to long for the residency
+    * map); string ids need a surrogate key first.
     */
   def mmrTopK(
       corpus: DataFrame,
@@ -122,15 +124,15 @@ object Knn {
       wRel: Long,
       wDiv: Long): DataFrame = {
     require(k <= m, s"k=$k must be <= candidate pool m=$m")
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
     val cand = int8TopK(corpus, queries, idCol, vecCol, m)
       .select(col("query_id"), col("nbr_id"), col("score").as("rel"))
     val candRows = cand.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val candIds = candRows.map(_._2).distinct.toSeq
-    val vecs = corpus
-      .filter(col(idCol).isin(candIds: _*))
-      .select(col(idCol).as("id"), quantizeInt8(col(vecCol)).as("v"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val vecs =
+      mmrCandidateFetch(corpus, idCol, vecCol, candRows.map(_._2).distinct.toSeq)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
 
     def dot(a: Array[Long], b: Array[Long]): Long =
       a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
@@ -150,9 +152,24 @@ object Knn {
       }
       sel
     }
-    val spark = corpus.sparkSession
-    import spark.implicits._
     picked.toDF("query_id", "rank", "nbr_id", "rel", "mmr")
+  }
+
+  /** [[mmrTopK]]'s candidate-vector fetch: a BROADCAST SEMI-JOIN on the
+    * ≤ queries×m distinct candidate ids. An `isin` of that many literals
+    * bloats the plan past codegen limits and analyzes in O(literals) per
+    * scan row; the semi-join is one hashed-relation probe regardless of
+    * candidate count, with zero data Exchange (PlanAuditSpec pins both).
+    */
+  private[graft] def mmrCandidateFetch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      candIds: Seq[Long]): DataFrame = {
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    corpus
+      .join(broadcast(candIds.toDF("cand_id")),
+        col(idCol) === col("cand_id"), "left_semi")
+      .select(col(idCol).cast("long").as("id"), quantizeInt8(col(vecCol)).as("v"))
   }
 
   /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5).
@@ -465,6 +482,9 @@ object Knn {
         .select(col("id"), col("v"), col("nv"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
         .sortBy(_._1)
+    require(cents.nonEmpty,
+      s"seedModulus=$seedModulus selected no seed ids — every vector would be " +
+        "silently assigned a null cluster; pick a modulus that divides some id")
 
     // row-local argmax over the centroid literals: max struct by
     // (ccos, -cid) ⇔ ORDER BY ccos DESC, cid ASC. The whole centroid

@@ -48,8 +48,15 @@ class CurationOpsSpec extends SparkTestBase {
   test("top_k_by equals the window row_number form, ties included") {
     import org.apache.spark.sql.expressions.Window
     // scores engineered with heavy ties so the (score desc, id asc) total
-    // order is what decides membership, across several partitionings
-    val rows = (0L until 2000L).map(i => (i % 7, i, (i % 13).toDouble / 2.0))
+    // order is what decides membership, across several partitionings; every
+    // 11th row scores NaN (the cosine of a zero-norm vector) — top_k_by must
+    // ignore those rows outright, in ANY arrival order, where Spark's
+    // descending sort would rank them first. The window baseline therefore
+    // runs over the NaN-filtered input.
+    val rows = (0L until 2000L).map { i =>
+      val s = if (i % 11 == 0) Double.NaN else (i % 13).toDouble / 2.0
+      (i % 7, i, s)
+    }
     for (parts <- Seq(1, 5)) {
       val scored = rows.toDF("query_id", "nbr_id", "cos_r").repartition(parts)
       val viaAgg = scored.groupBy(col("query_id"))
@@ -59,7 +66,8 @@ class CurationOpsSpec extends SparkTestBase {
           col("e.id").as("nbr_id"), col("e.score").as("cos_r"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos_r").desc, col("nbr_id").asc)
-      val viaWindow = scored.withColumn("rank", row_number().over(w))
+      val viaWindow = scored.filter(!isnan(col("cos_r")))
+        .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 9)
         .select(col("query_id"), col("rank"), col("nbr_id"), col("cos_r"))
       val a = viaAgg.as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))

@@ -288,6 +288,45 @@ class DedupSpec extends SparkTestBase {
     assert(ranks.forall(r => r._2 == 5L && r._3 == 5), s"bad per-query shape: ${ranks.take(3).toSeq}")
   }
 
+  test("MMR picks are more diverse than pure top-k, never less relevant than the pool") {
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 10)
+    val k = 4
+    // a diversity-heavy weighting so the re-rank provably bites on the
+    // fixture (the registered pq50 uses the relevance-heavy 3:1)
+    val mmr = Knn.mmrTopK(e, queries, "vec_id", "embedding",
+      k = k, m = 10, wRel = 1L, wDiv = 2L)
+    val topk = Knn.int8TopK(e, queries, "vec_id", "embedding", k = k)
+    // per-query picked sets
+    val mmrPicks = mmr.select("query_id", "nbr_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val topPicks = topk.select("query_id", "nbr_id").as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(mmrPicks.keySet == topPicks.keySet && mmrPicks.nonEmpty)
+    assert(mmrPicks.forall(_._2.size == k), "MMR must return exactly k per query")
+    // quantized vectors for pairwise similarity
+    val vecs = Knn.mmrCandidateFetch(e, "vec_id", "embedding",
+        (mmrPicks.values.flatten ++ topPicks.values.flatten).toSeq.distinct)
+      .as[(Long, Seq[Long])].collect().map { case (i, v) => i -> v.toArray }.toMap
+    def pairSim(ids: Seq[Long]): Double = {
+      val sims = for (a <- ids; b <- ids if a < b)
+        yield vecs(a).iterator.zip(vecs(b).iterator).map { case (x, y) => x * y }.sum.toDouble
+      sims.sum / sims.size
+    }
+    val mmrSim = mmrPicks.values.map(pairSim).sum / mmrPicks.size
+    val topSim = topPicks.values.map(pairSim).sum / topPicks.size
+    assert(mmrSim <= topSim,
+      s"MMR picks avg pairwise sim $mmrSim should not exceed top-k's $topSim")
+    assert(mmrPicks != topPicks,
+      "with a 1:2 rel:div weighting the fixture should change at least one pick")
+    // rank-1 of every query is the pure-relevance argmax (MMR's first round)
+    val firstPicks = mmr.filter(col("rank") === 1)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toMap
+    val topFirst = topk.filter(col("rank") === 1)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toMap
+    assert(firstPicks == topFirst, "MMR round 1 must equal the relevance argmax")
+  }
+
   test("IVF centroids and assignment are deterministic across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val c1 = Knn.ivfCentroids(e, "vec_id", "embedding", 16).select("cid").as[Long].collect().toSeq

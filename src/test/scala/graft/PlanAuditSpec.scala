@@ -97,9 +97,12 @@ class PlanAuditSpec extends SparkTestBase {
     * (sub-threshold pair count — see Dedup.connectedComponents), so its
     * final plan has no codegen span by construction. The distributed jump
     * loop's plan properties are exercised directly by
-    * PipelinePropertySpec's forced-threshold runs.
+    * PipelinePropertySpec's forced-threshold runs. pq50's greedy MMR
+    * selection is driver-resident over a bounded queries×m candidate set
+    * by design (k-means-style residency); its corpus-scale inputs are
+    * audited by the dedicated test below.
     */
-  private val localResidue = Set("pq23_dedup_clusters")
+  private val localResidue = Set("pq23_dedup_clusters", "pq50_knn_mmr")
 
   test("every registered query keeps its pushdown/broadcast/codegen plan shape") {
     // static audit needs AQE off so pre-execution plans carry codegen ids
@@ -122,6 +125,31 @@ class PlanAuditSpec extends SparkTestBase {
         ).collect { case (false, msg) => msg }
       }
       assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("mmr's corpus-scale inputs keep their broadcast/shuffle shape") {
+    // the registered pq50 plan is the driver-greedy residue; the plans that
+    // touch the corpus are (a) the int8 scoring scan — the pq31 path, one
+    // broadcast query join + one bounded-heap exchange — and (b) the
+    // candidate-vector fetch, which must be a broadcast SEMI-join with zero
+    // data Exchange (an isin-literal or shuffled-join regression here scans
+    // or shuffles the 100 TB corpus per MMR call)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val e = Tables.embeddings(spark, sfDir)
+      val scoring = graft.similarity.Knn.int8TopK(
+        e, e.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+        "vec_id", "embedding", k = 10)
+      val sa = Explain.audit(scoring)
+      assert(sa.broadcastJoins >= 2, s"scoring lost its query broadcast: $sa")
+      assert(sa.exchanges <= 1, s"scoring exceeds its one heap-agg exchange: $sa")
+      val fetch = graft.similarity.Knn.mmrCandidateFetch(
+        e, "vec_id", "embedding", Seq(1L, 2L, 3L))
+      val fa = Explain.audit(fetch)
+      assert(fa.broadcastJoins >= 2, s"candidate fetch lost its broadcast semi-join: $fa")
+      assert(fa.exchanges == 0, s"candidate fetch shuffles the corpus: $fa")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 }
