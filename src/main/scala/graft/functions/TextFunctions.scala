@@ -140,11 +140,24 @@ object TextFunctions {
     * slide a width-`w` window and record each position's minimum hash; the
     * distinct minima are the fingerprints. Any shared run of at least
     * `w + n - 1` tokens between two documents is guaranteed to share a
-    * fingerprint, with ~2/(w+1) of hashes selected. Pure array expressions
-    * over the native n-gram hasher — row-local, zero shuffles at any scale.
+    * fingerprint, with ~2/(w+1) of hashes selected. Two native expressions
+    * per row (n-gram hasher → monotonic-deque sliding min,
+    * [[graft.plans.SlidingMinDistinct]]) — row-local, O(tokens), zero
+    * shuffles at any scale. [[declarative_winnow_fingerprints]] is the
+    * retained equivalence oracle.
     */
   def winnow_fingerprints(text: Column, n: Int, w: Int): Column = {
     require(n > 0 && w > 0, s"need positive n=$n, w=$w")
+    graft.functions.sliding_min_distinct(
+      graft.functions.word_ngram_hashes(text, n), w)
+  }
+
+  /** The pre-native declarative winnowing form — O(n·w) with a w-array
+    * allocated per window position; bit-identical to
+    * [[winnow_fingerprints]] (asserted in TextFunctionsSpec), kept as the
+    * equivalence oracle for the native sliding-min expression.
+    */
+  private[graft] def declarative_winnow_fingerprints(text: Column, n: Int, w: Int): Column = {
     val hs = graft.functions.word_ngram_hashes(text, n)
     array_distinct(transform(
       sequence(lit(0), greatest(size(hs) - w, lit(0))),

@@ -50,6 +50,13 @@ package object functions {
   def word_ngram_hashes(text: Column, n: Int): Column =
     toColumn(graft.plans.WordNgramHashes(toExpr(text), n))
 
+  /** Native distinct sliding-window minima over an array<bigint> — the
+    * winnowing selection (monotonic deque, O(n)); bit-identical to the
+    * declarative transform/slice/array_min + array_distinct form.
+    */
+  def sliding_min_distinct(hashes: Column, w: Int): Column =
+    toColumn(graft.plans.SlidingMinDistinct(toExpr(hashes), w))
+
   /** Aggregate: element-wise merge of serialized CMS sketches (same
     * width/depth). Second level of the salted two-level merge.
     */

@@ -320,3 +320,86 @@ case class SimHash(child: Expression, bits: Int)
   override def prettyName: String = "sim_hash"
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
 }
+
+/** Distinct sliding-window minima over an `array<bigint>` in ONE native
+  * O(n) pass — the winnowing selection step (Schleimer/Wilkerson/Aiken
+  * 2003) over [[WordNgramHashes]] output.
+  *
+  * Replaces the declarative form (`transform(sequence(...), i =>
+  * array_min(slice(hs, i+1, w)))` + `array_distinct`), which allocated a
+  * fresh w-element array per window position and scanned it linearly —
+  * O(n·w) time and O(n) allocations per document, the two slowest queries
+  * in the round-5 bench (pq42/pq47). Here a monotonic deque of indices
+  * (classic ascending-minima) yields each window's minimum in amortized
+  * O(1) with one fixed w+1-int scratch buffer per row; consecutive equal
+  * minima — the dominant duplicate, since the window min changes only
+  * every ~(w+1)/2 positions — are dropped inline before the seen-set, so
+  * the set sees ~2n/(w+1) candidates, not n. Output is bit-identical to
+  * the declarative form including order (first occurrence wins, position
+  * order), asserted in TextFunctionsSpec.
+  *
+  * Window semantics match `slice`'s clamp: positions 0..max(len−w, 0), so
+  * a shorter-than-w array yields its single global minimum. Empty arrays
+  * (which [[WordNgramHashes]] never emits) yield an empty result rather
+  * than the declarative form's `[null]`. Null elements are not supported
+  * (the hash family never produces them).
+  */
+case class SlidingMinDistinct(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w >= 1, s"window width w must be >= 1, got $w")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sliding_min_distinct needs array<bigint>, got ${t.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    val n = a.length
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new java.util.ArrayList[Long](math.max(4, 2 * n / (w + 1)))
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var last = 0L
+    var any = false
+    def emit(v: Long): Unit =
+      if (!any || v != last) { // inline consecutive-dup drop
+        if (seen.add(v)) out.add(v)
+        last = v; any = true
+      }
+    if (n <= w) {
+      var m = a(0); var i = 1
+      while (i < n) { if (a(i) < m) m = a(i); i += 1 }
+      emit(m)
+    } else {
+      // ring buffer of indices; h/t are monotonic counters, h==t empty.
+      // Head evicted BEFORE push, so occupancy stays <= w < cap.
+      val cap = w + 1
+      val dq = new Array[Int](cap)
+      var h = 0; var t = 0
+      var j = 0
+      while (j < n) {
+        if (t > h && dq(h % cap) <= j - w) h += 1
+        while (t > h && a(dq((t - 1) % cap)) >= a(j)) t -= 1
+        dq(t % cap) = j; t += 1
+        if (j >= w - 1) emit(a(dq(h % cap)))
+        j += 1
+      }
+    }
+    val res = new Array[Long](out.size)
+    var i = 0
+    while (i < res.length) { res(i) = out.get(i); i += 1 }
+    new GenericArrayData(res)
+  }
+
+  // same eval-bridge as MinHashSigs: shed CodegenFallback, keep the stage fused
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("slidingMinDistinct", this, classOf[SlidingMinDistinct].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "sliding_min_distinct"
+  override protected def withNewChildInternal(c: Expression): SlidingMinDistinct = copy(child = c)
+}

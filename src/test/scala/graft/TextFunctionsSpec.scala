@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Equivalence oracle for the native winnowing kernel: the monotonic-deque
+  * [[graft.plans.SlidingMinDistinct]] must be bit-identical — values AND
+  * order — to the declarative transform/slice/array_min + array_distinct
+  * pipeline it replaced, across window regimes and the clamp edge cases
+  * (doc shorter than n tokens, fewer hashes than w).
+  */
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("native winnow fingerprints are bit-identical to the declarative pipeline") {
+    val d = Tables.documents(spark, sfDir)
+    for ((n, w) <- Seq((4, 5), (3, 2), (2, 9), (1, 1))) {
+      val both = d.select(
+          TextFunctions.winnow_fingerprints(col("text"), n, w).as("nat"),
+          TextFunctions.declarative_winnow_fingerprints(col("text"), n, w).as("dec"))
+        .filter(not(col("nat") === col("dec")))
+      assert(both.isEmpty, s"n=$n w=$w: native diverged from declarative")
+    }
+  }
+
+  test("winnow kernel handles degenerate docs like the declarative clamp") {
+    // shorter than n tokens (whole text = one window), exactly w hashes,
+    // w+1 hashes (first real slide), heavy repetition (consecutive-dup
+    // dropping must not lose a LATER re-occurrence separated by other
+    // minima), empty text
+    val docs = Seq(
+      "a", "a b", "one two three", "a b c d e f g",
+      "x x x x x x x x x x", "a b a b a b a b a b a b",
+      "p q r s t u v w x y z p q r s t u v w x y z", "")
+    val df = docs.toDF("text")
+    for ((n, w) <- Seq((4, 5), (2, 3), (1, 2))) {
+      val rows = df.select(
+          TextFunctions.winnow_fingerprints(col("text"), n, w).as("nat"),
+          TextFunctions.declarative_winnow_fingerprints(col("text"), n, w).as("dec"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      rows.zip(docs).foreach { case ((nat, dec), doc) =>
+        assert(nat == dec, s"n=$n w=$w doc='$doc': $nat != $dec")
+      }
+    }
+  }
+
+  test("winnowing guarantee: shared runs of >= w+n-1 tokens share a fingerprint") {
+    val (n, w) = (4, 5)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 = w+n-1 tokens
+    val a = s"unique prefix tokens here $shared and some tail"
+    val b = s"totally different head words $shared other ending material"
+    val fps = Seq(a, b).toDF("text")
+      .select(TextFunctions.winnow_fingerprints(col("text"), n, w).as("fp"))
+      .as[Seq[Long]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty,
+      "documents sharing a w+n-1 token run must share a winnow fingerprint")
+  }
+}
