@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Dataset, Encoder}
 import org.apache.spark.storage.StorageLevel
 
-import graft.api.{ProcessResult, RecordProcessor, TaskPipeline}
+import graft.api.{ProcessedStreams, RecordProcessor, TaskPipeline}
 import graft.core.Task
 
 /** E1 — retry queueing, driven to convergence.
@@ -23,17 +23,30 @@ import graft.core.Task
   */
 object RetryLoop {
 
+  /** Terminal dispositions as DATASETS — lazy unions of per-hop views over
+    * the per-hop persisted tagged passes, so nothing is ever resident on the
+    * driver and the result scales with executor storage, not driver heap.
+    * The backing caches stay pinned until [[Outcome.unpersist]]; consume (or
+    * write out) the views first, then release.
+    */
   final case class Outcome[T, U](
-      processed: Seq[Task[U]],
-      discarded: Seq[Task[T]],
-      errored: Seq[Task[T]],
-      gaveUp: Seq[Task[T]],
+      processed: Dataset[Task[U]],
+      discarded: Dataset[Task[T]],
+      errored: Dataset[Task[T]],
+      gaveUp: Dataset[Task[T]],
       /** Tasks still pending when the loop stopped (only non-empty if the hop
         * bound was hit before convergence) — surfaced so no task ever
         * silently vanishes from the accounting.
         */
-      pending: Seq[Task[T]],
-      hops: Int)
+      pending: Dataset[Task[T]],
+      hops: Int,
+      private val caches: Seq[ProcessedStreams[T, U]]) {
+    /** Release the per-hop caches backing every view above. After this the
+      * views would re-execute the processor if evaluated again — consume
+      * first.
+      */
+    def unpersist(): Unit = caches.foreach(_.unpersist())
+  }
 
   def processWithRetries[T, U](
       input: Dataset[Task[T]],
@@ -43,43 +56,37 @@ object RetryLoop {
       nowMillis: Long)(
       implicit encT: Encoder[Task[T]], encU: Encoder[Task[U]]): Outcome[T, U] = {
 
+    val spark = input.sparkSession
+    def empty[A](implicit enc: Encoder[A]): Dataset[A] = spark.emptyDataset[A]
+    def acc[A](cur: Dataset[A], next: Dataset[A]): Dataset[A] = cur.union(next)
+
     var pending = input
-    var processed = Vector.empty[Task[U]]
-    var discarded = Vector.empty[Task[T]]
-    var errored = Vector.empty[Task[T]]
-    var gaveUp = Vector.empty[Task[T]]
+    var processed = empty[Task[U]]
+    var discarded = empty[Task[T]]
+    var errored = empty[Task[T]]
+    var gaveUp = empty[Task[T]]
+    var caches = Vector.empty[ProcessedStreams[T, U]]
     var hops = 0L
     // saturating bound: maxRetries = Long.MaxValue means "retry forever"
     val maxHops = if (maxRetries >= Long.MaxValue - 1) Long.MaxValue else maxRetries + 1
-    // the previous hop's persisted retries: needed only until this hop's
-    // tagged pass materializes (it is `pending`'s lineage parent); without
-    // the handoff below one cached dataset per hop leaks for the session
-    var prevRetries: Option[Dataset[Task[T]]] = None
 
     while (hops <= maxHops && !pending.isEmpty) {
-      // persist the tagged pass so the per-disposition views below share ONE
-      // processor execution — a side-effecting processor must run exactly
-      // once per task per hop
+      // persist the tagged pass and materialize it FULLY (counts is one
+      // aggregate over every partition) so (a) a side-effecting processor
+      // runs exactly once per task per hop, and (b) the lazy disposition
+      // views below — and the next hop's input — only ever read the cache
       val streams = new TaskPipeline(pending).thenProcess(processor)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      processed ++= streams.processed.collect() // materializes the full cache
-      prevRetries.foreach(_.unpersist())
-      prevRetries = None
-      discarded ++= streams.discarded.collect()
-      errored ++= streams.errored.collect()
+      streams.counts
+      caches :+= streams
+      processed = acc(processed, streams.processed)
+      discarded = acc(discarded, streams.discarded)
+      errored = acc(errored, streams.errored)
       val retries = streams.retries(backoffMillis, nowMillis + hops * backoffMillis)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val (stillTrying, exhausted) =
-        (retries.filter((t: Task[T]) => t.metadata.retryCount <= maxRetries),
-         retries.filter((t: Task[T]) => t.metadata.retryCount > maxRetries))
-      gaveUp ++= exhausted.collect()
-      streams.unpersist()
-      prevRetries = Some(retries)
-      pending = stillTrying
+      gaveUp = acc(gaveUp, retries.filter((t: Task[T]) => t.metadata.retryCount > maxRetries))
+      pending = retries.filter((t: Task[T]) => t.metadata.retryCount <= maxRetries)
       hops += 1
     }
-    val leftover = if (pending.isEmpty) Seq.empty[Task[T]] else pending.collect().toSeq
-    prevRetries.foreach(_.unpersist())
-    Outcome(processed, discarded, errored, gaveUp, leftover, hops.toInt)
+    Outcome(processed, discarded, errored, gaveUp, pending, hops.toInt, caches)
   }
 }

@@ -55,10 +55,12 @@ class EndToEndPipelineSpec extends SparkTestBase {
     }
     val out = RetryLoop.processWithRetries(
       pipeline.tasks, processor, backoffMillis = 100L, maxRetries = 5L, nowMillis = 0L)
-    val accounted = out.processed.size + out.discarded.size + out.errored.size + out.gaveUp.size
+    val accounted = out.processed.count() + out.discarded.count() +
+      out.errored.count() + out.gaveUp.count()
     assert(accounted == afterBlock, s"lost tasks: $accounted != $afterBlock")
-    assert(out.processed.nonEmpty && out.discarded.nonEmpty)
+    assert(!out.processed.isEmpty && !out.discarded.isEmpty)
     assert(out.gaveUp.isEmpty) // k % 3 <= 2 < maxRetries: everything converges
+    out.unpersist()
 
     // S3: survivors leave through the producer shape with decodable headers
     val sink = TaskWriter.toKafkaShape(

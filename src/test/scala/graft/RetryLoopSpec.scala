@@ -25,11 +25,14 @@ class RetryLoopSpec extends SparkTestBase {
     }
     val out = RetryLoop.processWithRetries(mkTasks(30), p,
       backoffMillis = 100L, maxRetries = 5L, nowMillis = 0L)
-    assert(out.processed.size == 30)          // at-least-once: all delivered
+    // specs are the ONE place the outcome views get collected — main code
+    // returns lazy Datasets so nothing is ever driver-resident
+    assert(out.processed.count() == 30)       // at-least-once: all delivered
     assert(out.gaveUp.isEmpty && out.errored.isEmpty)
-    out.processed.foreach { t =>
+    out.processed.collect().foreach { t =>
       assert(t.metadata.retryCount == (t.value / 10) % 3) // succeeded on the right hop
     }
+    out.unpersist()
   }
 
   test("permanently failing tasks give up after maxRetries (retry_count cap)") {
@@ -41,9 +44,10 @@ class RetryLoopSpec extends SparkTestBase {
     }
     val out = RetryLoop.processWithRetries(mkTasks(20), p,
       backoffMillis = 50L, maxRetries = 2L, nowMillis = 0L)
-    assert(out.processed.size == 16)
-    assert(out.gaveUp.size == 4)
-    out.gaveUp.foreach(t => assert(t.metadata.retryCount == 3L)) // maxRetries+1 attempts
+    assert(out.processed.count() == 16)
+    assert(out.gaveUp.count() == 4)
+    out.gaveUp.collect().foreach(t => assert(t.metadata.retryCount == 3L)) // maxRetries+1 attempts
+    out.unpersist()
   }
 
   test("retry metadata carries monotone backoff schedule") {
@@ -55,8 +59,9 @@ class RetryLoopSpec extends SparkTestBase {
     }
     val out = RetryLoop.processWithRetries(mkTasks(5), p,
       backoffMillis = 100L, maxRetries = 3L, nowMillis = 1000L)
-    assert(out.processed.size == 5)
+    assert(out.processed.count() == 5)
     // each survivor was scheduled at hop 2: now + hop*backoff + backoff
-    out.processed.foreach(t => assert(t.metadata.scheduledTimeMillis >= 1100L))
+    out.processed.collect().foreach(t => assert(t.metadata.scheduledTimeMillis >= 1100L))
+    out.unpersist()
   }
 }
