@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact per-group percentiles by DISTRIBUTED two-pass rank selection — the
+  * scale-safe replacement for Spark's `percentile` aggregate, which buffers
+  * a value→count map per group inside final aggregation (one multi-GB hash
+  * map per reducer once distinct values grow with the data;
+  * `Percentile.scala`'s OpenHashMap buffer in the Spark source).
+  *
+  * Shape (nothing group-sized ever sits in one buffer):
+  *   1. `groupBy(group, value).count()` — ONE partial-agg data shuffle;
+  *      the raw rows are never sorted and never pass through a single
+  *      reducer.
+  *   2. Offsets of each distinct value (= rows strictly below it) via the
+  *      same two-phase prefix sum as
+  *      [[graft.functions.TextFunctions.packSequences]]: values are cut
+  *      into monotone ranges (`floor(v / rangeWidth)`), per-range totals
+  *      aggregate to a metadata-sized table whose window yields each
+  *      range's base offset, and the bases broadcast back onto a running
+  *      sum inside the well-distributed `(group, range)` window key.
+  *   3. Target ranks per (group, p) from the group totals (metadata-sized,
+  *      broadcast) with the standard continuous-interpolation positions
+  *      `h = (n-1)·p`, then ONE filtered pass keeps only the distinct
+  *      values whose `[offset, offset+count)` span covers `⌊h⌋` or
+  *      `⌊h⌋+1` and interpolates.
+  *
+  * Matches `percentile(value, p)` bit-for-bit on finite doubles: identical
+  * order statistics and Spark's own weighted interpolation
+  * `(⌈h⌉−h)·v_lo + (h−⌊h⌋)·v_hi` (NOT the algebraically-equal
+  * `v_lo + frac·Δ`, which differs by ULPs), with the builtin's
+  * integral-`h` shortcut returning `v_lo` exactly. Null values are
+  * excluded like the builtin; group keys may be null (`<=>` joins).
+  *
+  * Returns one row per (group, p): `g, p, n, pct`.
+  */
+object Percentiles {
+
+  def exactGroupPercentiles(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      ps: Seq[Double],
+      rangeWidth: Double = 1024.0): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1], got $ps")
+    require(rangeWidth > 0.0, s"rangeWidth=$rangeWidth must be positive")
+
+    val cnts = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("__rng", floor(col("v") / lit(rangeWidth)).cast("long"))
+
+    // phase 1: per-range totals (partial-agg shuffle, metadata-sized) and
+    // each range's cumulative base offset within its group
+    val wRng = Window.partitionBy(col("__bg")).orderBy(col("__brng"))
+    val bases = cnts.groupBy(col("g").as("__bg"), col("__rng").as("__brng"))
+      .agg(sum(col("c")).as("__rt"))
+      .withColumn("__base", sum(col("__rt")).over(wRng) - col("__rt"))
+      .select(col("__bg"), col("__brng"), col("__base"))
+
+    // phase 2: offset of each distinct value = rows strictly below it —
+    // broadcast base + running sum inside the (group, range) window key
+    val wLoc = Window.partitionBy(col("g"), col("__rng")).orderBy(col("v"))
+    val offs = cnts
+      .join(broadcast(bases),
+        col("g") <=> col("__bg") && col("__rng") === col("__brng"))
+      .withColumn("off", col("__base") + sum(col("c")).over(wLoc) - col("c"))
+      .select(col("g"), col("v"), col("c"), col("off"))
+
+    // target ranks per (group, p) — continuous interpolation positions
+    val targets = offs.groupBy(col("g").as("__tg")).agg(sum(col("c")).as("n"))
+      .select(col("__tg"), col("n"),
+        explode(array(ps.map(lit(_)): _*)).as("p"))
+      .withColumn("h", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("r_lo", floor(col("h")).cast("long"))
+      .withColumn("r_hi", least(floor(col("h")).cast("long") + 1, col("n") - 1))
+
+    def covers(r: Column): Column = col("off") <= r && r < col("off") + col("c")
+
+    // one filtered pass: only the <= 2 spanning values per (group, p) survive
+    offs
+      .join(broadcast(targets),
+        col("g") <=> col("__tg") && (covers(col("r_lo")) || covers(col("r_hi"))))
+      .groupBy(col("g"), col("p"), col("n"), col("h"),
+        col("r_lo"), col("r_hi"))
+      .agg(
+        max(when(covers(col("r_lo")), col("v"))).as("v_lo"),
+        max(when(covers(col("r_hi")), col("v"))).as("v_hi"))
+      .select(col("g"), col("p"), col("n"),
+        when(col("r_hi") === col("r_lo"), col("v_lo"))
+          .otherwise(
+            (col("r_hi").cast("double") - col("h")) * col("v_lo") +
+            (col("h") - col("r_lo").cast("double")) * col("v_hi"))
+          .as("pct"))
+  }
+}

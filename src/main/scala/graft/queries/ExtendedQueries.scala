@@ -328,16 +328,24 @@ object ExtendedQueries {
         ON h.u = e.u2
       """)),
 
-    // ---- exact percentiles (sort-based, no sketch): median and p90.
+    // ---- exact percentiles: median and p90 by distributed two-pass rank
+    // selection (graft.operators.Percentiles) — bit-identical to the
+    // `percentile` aggregate this replaced, WITHOUT its per-group
+    // value->count map in final aggregation (a multi-GB reducer buffer once
+    // distinct prices grow with the data).
     Q(
       "q21_percentile",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        o.groupBy(col("o_orderpriority"))
+        val pcts = graft.operators.Percentiles.exactGroupPercentiles(
+          o, col("o_orderpriority"), col("o_totalprice"), Seq(0.5, 0.9))
+        pcts.groupBy(col("g"))
           .agg(
-            round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
-            round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
-            count(lit(1)).as("n"))
+            round(max(when(col("p") === 0.5, col("pct"))), 4).as("median_price"),
+            round(max(when(col("p") === 0.9, col("pct"))), 4).as("p90_price"),
+            max(col("n")).as("n"))
+          .select(col("g").as("o_orderpriority"),
+            col("median_price"), col("p90_price"), col("n"))
       },
       Some("""
         SELECT o_orderpriority,

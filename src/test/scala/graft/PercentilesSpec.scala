@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Percentiles
+
+/** Equivalence oracle for the distributed two-pass rank-selection
+  * percentile: must be bit-identical to Spark's `percentile` aggregate
+  * (which buffers a per-group value map and is the scale-weak form it
+  * replaces) across groups, percentile positions, tie regimes, and the
+  * degenerate single-row / extreme-p cases.
+  */
+class PercentilesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def builtin(df: org.apache.spark.sql.DataFrame, g: String, v: String,
+      ps: Seq[Double]) =
+    df.groupBy(col(g).as("g"))
+      .agg(array(ps.map(p => expr(s"percentile($v, $p)")): _*).as("exp"))
+
+  private def ours(df: org.apache.spark.sql.DataFrame, g: String, v: String,
+      ps: Seq[Double]) =
+    Percentiles.exactGroupPercentiles(df, col(g), col(v), ps)
+      .groupBy(col("g"))
+      .agg(array(ps.map(p => max(when(col("p") === p, col("pct")))): _*).as("got"))
+
+  test("matches the percentile aggregate bit-for-bit on events") {
+    val e = Tables.events(spark, sfDir)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val diff = ours(e, "event_type", "value", ps)
+      .join(builtin(e, "event_type", "value", ps), "g")
+      .filter(not(col("got") === col("exp")))
+    assert(diff.isEmpty, s"diverged: ${diff.collect().mkString(", ")}")
+  }
+
+  test("degenerate groups: single row, all-equal values, heavy ties, nulls") {
+    val rows = Seq(
+      ("solo", Some(42.0)),
+      ("flat", Some(7.0)), ("flat", Some(7.0)), ("flat", Some(7.0)),
+      ("ties", Some(1.0)), ("ties", Some(1.0)), ("ties", Some(2.0)),
+      ("ties", Some(2.0)), ("ties", Some(9.0)),
+      ("null", Some(3.0)), ("null", None), ("null", Some(5.0)),
+      ("neg", Some(-1500.5)), ("neg", Some(-0.25)), ("neg", Some(2048.0)))
+    val df = rows.toDF("g0", "v0")
+    val ps = Seq(0.0, 0.5, 0.75, 1.0)
+    val diff = ours(df, "g0", "v0", ps)
+      .join(builtin(df, "g0", "v0", ps), "g")
+      .filter(not(col("got") === col("exp")))
+    assert(diff.isEmpty, s"diverged: ${diff.collect().mkString(", ")}")
+  }
+
+  test("plan has no percentile buffer and both prefix-sum sides broadcast") {
+    val e = Tables.events(spark, sfDir)
+    val plan = Percentiles.exactGroupPercentiles(
+      e, col("event_type"), col("value"), Seq(0.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), "builtin percentile crept back in")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "bases/targets should broadcast, not shuffle the counts table")
+  }
+}
