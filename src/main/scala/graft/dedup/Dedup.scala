@@ -596,18 +596,7 @@ object Dedup {
     // One scalar agg per round instead of an old-vs-new compare join.
     var prevSum: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
-      val propagated = edges
-        .join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy(col("u").as("id")).agg(min(col("lbl")).as("lbl"))
-      // pointer jump: every label value is itself a node id (labels start
-      // as ids and min only selects existing label values), so the inner
-      // self-join is total; following one hop halves the label forest's
-      // remaining depth each round
-      val next = propagated
-        .join(propagated.select(col("id").as("j_id"), col("lbl").as("j_lbl")),
-          col("lbl") === col("j_id"))
-        .select(col("id"), col("j_lbl").as("lbl"))
-        .localCheckpoint()
+      val next = ccRound(edges, labels).localCheckpoint()
       val s = next.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
       converged =
         if (s == null || prevSum == null) s == null && prevSum == null // empty graph only
@@ -619,6 +608,33 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds maxIter")
     labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** ONE HashMin+pointer-jump round of [[connectedComponents]], exposed
+    * un-checkpointed so the per-round plan is auditable: the loop's
+    * `localCheckpoint` truncates lineage, which makes the registered pq23
+    * plan report `shuffles=0` — a blind spot unless this round plan is
+    * audited directly (Explain's `pq23_cc_round` fact line; pinned in
+    * PlanAuditSpec).
+    *
+    * Steady-state round budget over the LABEL table only (edges are
+    * pre-partitioned by `v` once, outside the loop): 1 labels⋈edges
+    * shuffle, 1 partial-agg min shuffle, 2 pointer-jump self-join
+    * shuffles. The corpus never appears here — labels are two longs per
+    * node.
+    */
+  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val propagated = edges
+      .join(labels.withColumnRenamed("id", "v"), "v")
+      .groupBy(col("u").as("id")).agg(min(col("lbl")).as("lbl"))
+    // pointer jump: every label value is itself a node id (labels start
+    // as ids and min only selects existing label values), so the inner
+    // self-join is total; following one hop halves the label forest's
+    // remaining depth each round
+    propagated
+      .join(propagated.select(col("id").as("j_id"), col("lbl").as("j_lbl")),
+        col("lbl") === col("j_id"))
+      .select(col("id"), col("j_lbl").as("lbl"))
   }
 
   /** Driver union-find with path halving for sub-threshold edge lists —

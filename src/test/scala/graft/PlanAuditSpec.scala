@@ -128,6 +128,22 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("one un-checkpointed connected-components round keeps its label-shuffle budget") {
+    // the registered pq23 plan reports shuffles=0 (localCheckpoint truncates
+    // lineage) — this pins the budget that actually repeats per round:
+    // 1 labels⋈edges shuffle + 1 partial-agg min + 2 pointer-jump self-join
+    // shuffles, plus the ONE pre-paid edges repartition(v) that the real
+    // loop pays outside the loop = 5 Exchanges, all over the label table
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val f = Explain.ccRoundFacts(spark)
+      assert(f.exchanges <= 5,
+        s"cc round shuffles ${f.exchanges} > 5 — an Exchange crept into the label loop")
+      assert(f.codegenSpans >= 1, s"cc round lost whole-stage codegen: $f")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("mmr's corpus-scale inputs keep their broadcast/shuffle shape") {
     // the registered pq50 plan is the driver-greedy residue; the plans that
     // touch the corpus are (a) the int8 scoring scan — the pq31 path, one
