@@ -16,7 +16,7 @@ object Explain {
     */
   final case class PlanFacts(
       pushedFilters: Boolean, broadcastJoins: Int, codegenSpans: Int, wideReads: Int,
-      exchanges: Int)
+      exchanges: Int, reusedExchanges: Int = 0)
 
   def audit(df: org.apache.spark.sql.DataFrame): PlanFacts = {
     val plan = df.queryExecution.explainString(
@@ -30,10 +30,16 @@ object Explain {
     val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(simplePlan)
       .map(_.group(1).toInt).toSet.size
     val fullScans = plan.linesIterator.count(l => l.contains("ReadSchema") && l.length > 400)
-    // data SHUFFLES only: broadcast distribution is counted separately above
+    // data SHUFFLES only: broadcast distribution is counted separately above,
+    // and a ReusedExchange line is a pointer to an already-counted shuffle's
+    // output, not a second data movement — count it separately so a budget
+    // of N live Exchanges can actually reconcile with the plan.
     val exchanges = simplePlan.linesIterator.count(l =>
-      l.contains("Exchange") && !l.contains("BroadcastExchange"))
-    PlanFacts(pushed, broadcasts, codegenSpans, fullScans, exchanges)
+      l.contains("Exchange") && !l.contains("BroadcastExchange") &&
+        !l.contains("ReusedExchange"))
+    val reused = simplePlan.linesIterator.count(l =>
+      l.contains("ReusedExchange") && !l.contains("BroadcastExchange"))
+    PlanFacts(pushed, broadcasts, codegenSpans, fullScans, exchanges, reused)
   }
 
   /** One PLANS.md fact line per registered query. `spark` must have AQE off
@@ -46,18 +52,22 @@ object Explain {
         s"codegenSpans=${f.codegenSpans} wideReads=${f.wideReads} shuffles=${f.exchanges}"
     }
 
-  /** Plan facts for ONE un-checkpointed connected-components round
-    * ([[graft.dedup.Dedup.ccRound]]). The registered pq23 plan reports
-    * `shuffles=0` because the loop's `localCheckpoint` truncates lineage —
-    * this is the audit of the budget that actually repeats per round.
-    * Broadcast is disabled for the audit: at 100 TB the label table is NOT
-    * broadcastable, so the steady-state shape is the shuffle form. The
-    * audited count includes the one pre-paid edges `repartition(v)`
-    * Exchange that the real loop pays once outside the loop; steady state
-    * is audited−1 (all over the two-longs-per-node label table, never the
-    * corpus).
+  /** Plan facts for the TWO phases of one connected-components round
+    * ([[graft.dedup.Dedup.ccPropagate]] then [[graft.dedup.Dedup.ccJump]]
+    * over the loop-pinned propagate result). The registered pq23 plan
+    * reports `shuffles=0` because the loop's `localCheckpoint` truncates
+    * lineage — this is the audit of the budget that actually repeats per
+    * round. Broadcast is disabled for the audit: at 100 TB the label table
+    * is NOT broadcastable, so the steady-state shape is the shuffle form.
+    * The propagate count includes the one pre-paid edges `repartition(v)`
+    * Exchange that the real loop pays once outside the loop, so steady
+    * state per round is (propagate−1) + jump = 3 label-table shuffles;
+    * the jump audits over a checkpointed frame exactly as the loop runs
+    * it, which is what proves the propagate subtree executes ONCE (a jump
+    * audit over the lazy propagate frame would show the subtree planned
+    * twice).
     */
-  def ccRoundFacts(spark: SparkSession): PlanFacts = {
+  def ccRoundFacts(spark: SparkSession): (PlanFacts, PlanFacts) = {
     import org.apache.spark.sql.functions._
     val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -66,15 +76,19 @@ object Explain {
         .select((col("id") % 500).as("u"), (col("id") % 499).as("v"))
         .repartition(col("v"))
       val labels = spark.range(500).select(col("id"), col("id").as("lbl"))
-      audit(graft.dedup.Dedup.ccRound(edges, labels))
+      val propagated = graft.dedup.Dedup.ccPropagate(edges, labels)
+      // tiny synthetic frame — the checkpoint materializes 500 label rows
+      val pinned = propagated.localCheckpoint()
+      (audit(propagated), audit(graft.dedup.Dedup.ccJump(pinned)))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
   }
 
   private def ccRoundLine(spark: SparkSession): String = {
-    val f = ccRoundFacts(spark)
-    s"pq23_cc_round(unchkpt) pushedFilters=${f.pushedFilters} " +
-      s"broadcastJoins=${f.broadcastJoins} codegenSpans=${f.codegenSpans} " +
-      s"wideReads=${f.wideReads} shuffles=${f.exchanges} (1 pre-paid edges repartition + per-round label budget)"
+    val (p, j) = ccRoundFacts(spark)
+    s"pq23_cc_round(unchkpt) propagate shuffles=${p.exchanges} " +
+      s"(1 pre-paid edges repartition + labels→v + agg-min) jump shuffles=${j.exchanges} " +
+      s"reused=${j.reusedExchanges} codegenSpans=${p.codegenSpans}+${j.codegenSpans} " +
+      s"(steady state ${p.exchanges - 1 + j.exchanges}/round over the label table)"
   }
 
   /** Regenerate PLANS.md from the CURRENT registered query set. Called by

@@ -596,7 +596,15 @@ object Dedup {
     // One scalar agg per round instead of an old-vs-new compare join.
     var prevSum: java.math.BigDecimal = null
     while (!converged && iter < maxIter) {
-      val next = ccRound(edges, labels).localCheckpoint()
+      // Pin the propagate result BEFORE the pointer-jump self-join: the jump
+      // references `propagated` twice, and without the pin Spark plans the
+      // whole edges⋈labels + min subtree on both sides (only the shuffles
+      // below it come back as ReusedExchange) — real 2× propagate cost per
+      // round. The pin makes both jump sides scan one materialized
+      // label-table-sized frame, and its preserved hashpartitioning(id)
+      // means the jump's build side needs no Exchange at all.
+      val propagated = ccPropagate(edges, labels).localCheckpoint()
+      val next = ccJump(propagated).localCheckpoint()
       val s = next.agg(sum(col("lbl").cast(DecimalType(38, 0)))).head.getDecimal(0)
       converged =
         if (s == null || prevSum == null) s == null && prevSum == null // empty graph only
@@ -610,23 +618,31 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
-  /** ONE HashMin+pointer-jump round of [[connectedComponents]], exposed
+  /** HashMin propagate half of one [[connectedComponents]] round, exposed
     * un-checkpointed so the per-round plan is auditable: the loop's
     * `localCheckpoint` truncates lineage, which makes the registered pq23
-    * plan report `shuffles=0` — a blind spot unless this round plan is
-    * audited directly (Explain's `pq23_cc_round` fact line; pinned in
-    * PlanAuditSpec).
+    * plan report `shuffles=0` — a blind spot unless the round's two phase
+    * plans are audited directly (Explain's `pq23_cc_*` fact lines; pinned
+    * in PlanAuditSpec).
     *
-    * Steady-state round budget over the LABEL table only (edges are
-    * pre-partitioned by `v` once, outside the loop): 1 labels⋈edges
-    * shuffle, 1 partial-agg min shuffle, 2 pointer-jump self-join
-    * shuffles. The corpus never appears here — labels are two longs per
-    * node.
+    * Steady-state budget over the LABEL table only (edges are
+    * pre-partitioned by `v` once, outside the loop): 1 labels→v shuffle +
+    * 1 partial-agg min shuffle. The corpus never appears here — labels are
+    * two longs per node.
     */
-  private[graft] def ccRound(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val propagated = edges
+  private[graft] def ccPropagate(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
       .join(labels.withColumnRenamed("id", "v"), "v")
       .groupBy(col("u").as("id")).agg(min(col("lbl")).as("lbl"))
+
+  /** Pointer-jump half of one round, over the PINNED propagate result
+    * (`localCheckpoint` in the loop — the pin is what makes the propagate
+    * subtree execute once even though the jump references it twice; it
+    * also preserves the min-agg's hashpartitioning(id), so the `j_id` side
+    * plans with NO Exchange and only the `lbl`-keyed probe side shuffles).
+    * Steady-state budget: 1 label-table shuffle.
+    */
+  private[graft] def ccJump(propagated: DataFrame): DataFrame =
     // pointer jump: every label value is itself a node id (labels start
     // as ids and min only selects existing label values), so the inner
     // self-join is total; following one hop halves the label forest's
@@ -635,7 +651,6 @@ object Dedup {
       .join(propagated.select(col("id").as("j_id"), col("lbl").as("j_lbl")),
         col("lbl") === col("j_id"))
       .select(col("id"), col("j_lbl").as("lbl"))
-  }
 
   /** Driver union-find with path halving for sub-threshold edge lists —
     * collects ONLY the pair residue (never corpus data), labels every node

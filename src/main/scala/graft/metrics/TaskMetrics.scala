@@ -10,13 +10,24 @@ import org.apache.spark.sql.functions._
   *   - `tasks.processed` / `tasks.discarded` / `tasks.error` — the
   *     disposition counters incremented in `ProcessPipeline.java:79-91,
   *     145-184`;
-  *   - `retry.queued.tasks` — `Metrics.java:322-327` (RetryMetrics);
-  *   - `tasks.delivery.latency` — `Metrics.java:192-200`, here as
-  *     avg/max millis per batch window;
-  *   - `tasks.pending` / `offset.latest.consumed` — the per-partition
-  *     gauges (`Metrics.java:256-263`, PartitionStateMetrics), here a
-  *     gauge TABLE keyed by partition (Spark's `observe` aggregates
-  *     whole-frame, so per-partition scope becomes a grouped aggregate).
+  *   - the per-task timers `tasks.complete.duration` /
+  *     `tasks.process.duration` / `tasks.delivery.latency` /
+  *     `tasks.scheduled.process.delay` / `tasks.scheduling.delay`
+  *     (`Metrics.java:175-207,306-315`) — count/avg/max + the reference's
+  *     published 50/90/99/99.9 percentiles per batch window;
+  *   - `tasks.timeout` (`Metrics.java:211-215`, CommitControlMetrics);
+  *   - `retry.queued.tasks` / `retry.queueing.failed` /
+  *     `retry.task.retries` and `shaping.queued.tasks` /
+  *     `shaping.queueing.failed` (`Metrics.java:322-349`);
+  *   - `records.consumed` by envelope format (`Metrics.java:280-301`);
+  *   - the per-partition gauges `tasks.pending` / `partition.paused` /
+  *     `partition.paused.time` / `partition.queue.starved.time` /
+  *     `partition.throttled.time` / `offset.last.committed` /
+  *     `offset.latest.consumed` (`Metrics.java:234-277,316-320`) and the
+  *     per-subpartition `tasks.queued` / `processor.processed.time`
+  *     (`Metrics.java:219-232`) — gauge TABLES keyed by (sub)partition
+  *     (Spark's `observe` aggregates whole-frame, so partition scope
+  *     becomes a grouped aggregate).
   *
   * Implemented with Spark's observable metrics: `df.observe` attaches the
   * counters to the plan itself, so they ride every batch job
@@ -77,4 +88,147 @@ object TaskMetrics {
       .agg(
         count(when(pendingCol, lit(1))).as("tasks.pending"),
         max(offsetCol).as("offset.latest.consumed"))
+
+  /** Micrometer-Timer analog for one duration column: count + avg/max +
+    * the reference's published percentiles (0.5/0.9/0.99/0.999 —
+    * `Metrics.java:180-205` `publishPercentiles`). Rides the plan via
+    * `observe`; `percentile_approx` keeps the sketch mergeable across
+    * partitions so the observation is one map-side pass, no extra job.
+    */
+  private def timerAggs(durationMillis: Column, metric: String): Seq[Column] = Seq(
+    count(durationMillis).as(s"$metric.count"),
+    avg(durationMillis).as(s"$metric.avg.ms"),
+    max(durationMillis).as(s"$metric.max.ms"),
+    percentile_approx(durationMillis, lit(0.5), lit(1000)).as(s"$metric.p50.ms"),
+    percentile_approx(durationMillis, lit(0.9), lit(1000)).as(s"$metric.p90.ms"),
+    percentile_approx(durationMillis, lit(0.99), lit(1000)).as(s"$metric.p99.ms"),
+    percentile_approx(durationMillis, lit(0.999), lit(1000)).as(s"$metric.p999.ms"))
+
+  /** The reference's per-task timers (`Metrics.java:175-205`):
+    * `tasks.complete.duration` (submit→completion, including deferred
+    * completion — T4's EXTEND window) and `tasks.process.duration`
+    * (processor execution alone). Pass the matching timestamp pair from
+    * the pipeline's audit columns.
+    */
+  def observeCompleteDuration(
+      df: DataFrame, submitMillis: Column, completeMillis: Column,
+      name: String = "graft.complete"): DataFrame =
+  {
+    val aggs = timerAggs(completeMillis - submitMillis, "tasks.complete.duration")
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  def observeProcessDuration(
+      df: DataFrame, startMillis: Column, endMillis: Column,
+      name: String = "graft.process"): DataFrame =
+  {
+    val aggs = timerAggs(endMillis - startMillis, "tasks.process.duration")
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** Scheduler timers (`Metrics.java:200-207` `tasks.scheduled.process.delay`,
+    * `Metrics.java:306-315` `tasks.scheduling.delay`): how late after its
+    * scheduled time a task ran, and how long it waited for that time. Both
+    * derive from C1's scheduled-execution columns.
+    */
+  def observeScheduledDelay(
+      df: DataFrame, scheduledMillis: Column, processedMillis: Column,
+      name: String = "graft.scheduled"): DataFrame =
+  {
+    val aggs = timerAggs(processedMillis - scheduledMillis, "tasks.scheduled.process.delay") ++
+      timerAggs(greatest(scheduledMillis - processedMillis, lit(0L)), "tasks.scheduling.delay")
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** `tasks.timeout` (CommitControlMetrics, `Metrics.java:211-215`): tasks
+    * forcefully completed by the deferred-completion timeout — T4's GIVE_UP
+    * disposition column.
+    */
+  def observeTimeouts(df: DataFrame, timedOutCol: Column,
+      name: String = "graft.commitcontrol"): DataFrame =
+    df.observe(name, count(when(timedOutCol, lit(1))).as("tasks.timeout"))
+
+  /** Retry/shaping sink outcome counters (`Metrics.java:322-349`):
+    * `retry.queued.tasks` / `retry.queueing.failed` and
+    * `shaping.queued.tasks` / `shaping.queueing.failed`, plus the
+    * `retry.task.retries` distribution over the task metadata's retry
+    * count. `sinkCol` is the routing column ("retry"/"shaping"), `okCol`
+    * whether the produce succeeded (TaskWriter surfaces per-row produce
+    * disposition; in Spark a failed task RETRIES the whole partition, so
+    * row-level failures here mean rows REJECTED by the writer — oversize,
+    * null key — not transient broker errors).
+    */
+  def observeQueueingOutcomes(
+      df: DataFrame, sinkCol: Column, okCol: Column, retryCountCol: Column,
+      name: String = "graft.queueing"): DataFrame =
+  {
+    val aggs = Seq(
+      count(when(sinkCol === "retry" && okCol, lit(1))).as("retry.queued.tasks"),
+      count(when(sinkCol === "retry" && !okCol, lit(1))).as("retry.queueing.failed"),
+      count(when(sinkCol === "shaping" && okCol, lit(1))).as("shaping.queued.tasks"),
+      count(when(sinkCol === "shaping" && !okCol, lit(1))).as("shaping.queueing.failed"),
+      count(retryCountCol).as("retry.task.retries.count"),
+      avg(retryCountCol).as("retry.task.retries.avg"),
+      max(retryCountCol).as("retry.task.retries.max"))
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** `records.consumed` format counters (RecordMetrics,
+    * `Metrics.java:280-301`): raw records split by envelope format so users
+    * can decide when to disable the legacy parse fallback (F2's decode path
+    * reports which format parsed). Micrometer publishes ONE name with a
+    * `format` tag; `observe` has no tags, so the tag is encoded in the
+    * flattened name the way most registry bridges do it.
+    */
+  def observeRecordFormats(df: DataFrame, isLegacyCol: Column,
+      name: String = "graft.records"): DataFrame =
+    df.observe(name,
+      count(when(!isLegacyCol, lit(1))).as("records.consumed.format.decaton.client.v9"),
+      count(when(isLegacyCol, lit(1))).as("records.consumed.format.other"))
+
+  /** Sub-partition gauge table (ThreadUtilizationMetrics,
+    * `Metrics.java:219-232`): `tasks.queued` per (partition, subpartition)
+    * and `processor.processed.time` — the accumulated processing time the
+    * reference's per-thread timer tracks, here summed from the per-task
+    * duration column. One partial-agg shuffle on the subpartition key.
+    */
+  def subpartitionGauges(
+      df: DataFrame,
+      partitionCol: Column,
+      subpartitionCol: Column,
+      processMillisCol: Column): DataFrame =
+    df.groupBy(partitionCol.as("partition"), subpartitionCol.as("subpartition"))
+      .agg(
+        count(lit(1)).as("tasks.queued"),
+        sum(processMillisCol).as("processor.processed.time.ms"))
+
+  /** Full PartitionStateMetrics gauge table (`Metrics.java:234-277`):
+    * per-partition pending count, paused flag (1/0, latest trigger wins),
+    * accumulated paused / queue-starved / throttled time, and the two
+    * offset gauges. Input is the admission log the source/rate-limiter
+    * surfaces per trigger: one row per (partition, trigger) with that
+    * trigger's state. `offset.last.committed` comes from O1's commit
+    * watermark (the highest offset all of whose predecessors completed),
+    * `offset.latest.consumed` from the raw consume position.
+    */
+  def partitionStateGauges(
+      df: DataFrame,
+      partitionCol: Column,
+      pendingCol: Column,
+      pausedCol: Column,
+      pausedMillisCol: Column,
+      starvedMillisCol: Column,
+      throttledMillisCol: Column,
+      committedOffsetCol: Column,
+      consumedOffsetCol: Column,
+      triggerCol: Column): DataFrame =
+    df.groupBy(partitionCol.as("partition"))
+      .agg(
+        max_by(pendingCol, triggerCol).as("tasks.pending"),
+        max_by(pausedCol.cast("int"), triggerCol).as("partition.paused"),
+        sum(pausedMillisCol).as("partition.paused.time.ms"),
+        sum(starvedMillisCol).as("partition.queue.starved.time.ms"),
+        sum(throttledMillisCol).as("partition.throttled.time.ms"),
+        max(committedOffsetCol).as("offset.last.committed"),
+        max(consumedOffsetCol).as("offset.latest.consumed"))
 }

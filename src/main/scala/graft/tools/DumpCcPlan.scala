@@ -11,8 +11,12 @@ object DumpCcPlan {
     spark.sparkContext.setLogLevel("ERROR")
     val edges = spark.range(1000).select((col("id") % 500).as("u"), (col("id") % 499).as("v")).repartition(col("v"))
     val labels = spark.range(500).select(col("id"), col("id").as("lbl"))
-    val round = graft.dedup.Dedup.ccRound(edges, labels)
-    println(round.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+    val propagated = graft.dedup.Dedup.ccPropagate(edges, labels)
+    println("==== propagate (planned once per round, pinned via localCheckpoint) ====")
+    println(propagated.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+    println("==== jump (over the pinned propagate result, as the loop runs it) ====")
+    val jump = graft.dedup.Dedup.ccJump(propagated.localCheckpoint())
+    println(jump.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
     spark.stop()
   }
 }

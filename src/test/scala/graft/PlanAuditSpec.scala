@@ -128,19 +128,27 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
-  test("one un-checkpointed connected-components round keeps its label-shuffle budget") {
+  test("one connected-components round keeps its label-shuffle budget") {
     // the registered pq23 plan reports shuffles=0 (localCheckpoint truncates
-    // lineage) — this pins the budget that actually repeats per round:
-    // 1 labels⋈edges shuffle + 1 partial-agg min + 2 pointer-jump self-join
-    // shuffles, plus the ONE pre-paid edges repartition(v) that the real
-    // loop pays outside the loop = 5 Exchanges, all over the label table
+    // lineage) — this pins the budget that actually repeats per round, per
+    // phase, exactly as the loop runs it (jump over the PINNED propagate):
+    //   propagate ≤ 3 live Exchanges = the ONE pre-paid edges repartition(v)
+    //     the real loop pays outside the loop + labels→v + partial-agg min;
+    //   jump ≤ 1 live Exchange = the lbl-keyed probe side (the j_id side
+    //     reuses the pin's preserved hashpartitioning(id), no Exchange).
+    // Auditing the jump over a lazy propagate frame would instead show the
+    // whole propagate subtree planned on BOTH join sides (the r6 red-test
+    // bug) — the pin is what makes propagate execute once per round.
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val f = Explain.ccRoundFacts(spark)
-      assert(f.exchanges <= 5,
-        s"cc round shuffles ${f.exchanges} > 5 — an Exchange crept into the label loop")
-      assert(f.codegenSpans >= 1, s"cc round lost whole-stage codegen: $f")
+      val (p, j) = Explain.ccRoundFacts(spark)
+      assert(p.exchanges <= 3,
+        s"cc propagate shuffles ${p.exchanges} > 3 — an Exchange crept into the label loop: $p")
+      assert(j.exchanges <= 1,
+        s"cc jump shuffles ${j.exchanges} > 1 — the pinned self-join lost its co-partitioning: $j")
+      assert(p.codegenSpans >= 1, s"cc propagate lost whole-stage codegen: $p")
+      assert(j.codegenSpans >= 1, s"cc jump lost whole-stage codegen: $j")
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
