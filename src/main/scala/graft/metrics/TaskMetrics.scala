@@ -55,7 +55,8 @@ object TaskMetrics {
 
   /** Generic throughput/latency observation for any task frame: row count,
     * event-time bounds, and the reference's delivery-latency timer
-    * (`tasks.delivery.latency`, `Metrics.java:192-200`) as avg/max millis
+    * (`tasks.delivery.latency`, `Metrics.java:192-200`) with the same
+    * count/avg/max + 50/90/99/99.9 percentiles as the other task timers,
     * against `processedAtMillis` (pass the batch's processing timestamp;
     * the reference measures produce→process the same way, from the task's
     * own timestampMillis).
@@ -64,13 +65,14 @@ object TaskMetrics {
       df: DataFrame,
       tsMillisCol: Column,
       processedAtMillis: Column,
-      name: String = "graft.throughput"): DataFrame =
-    df.observe(name,
+      name: String = "graft.throughput"): DataFrame = {
+    val aggs = Seq(
       count(lit(1)).as("rows"),
       min(tsMillisCol).as("min_event_ts"),
-      max(tsMillisCol).as("max_event_ts"),
-      avg(processedAtMillis - tsMillisCol).as("tasks.delivery.latency.avg.ms"),
-      max(processedAtMillis - tsMillisCol).as("tasks.delivery.latency.max.ms"))
+      max(tsMillisCol).as("max_event_ts")) ++
+      timerAggs(processedAtMillis - tsMillisCol, "tasks.delivery.latency")
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
 
   /** Per-partition gauge table — the reference's partition-scoped gauges
     * (`tasks.pending`, `offset.latest.consumed`; PartitionStateMetrics,
@@ -128,15 +130,21 @@ object TaskMetrics {
 
   /** Scheduler timers (`Metrics.java:200-207` `tasks.scheduled.process.delay`,
     * `Metrics.java:306-315` `tasks.scheduling.delay`): how late after its
-    * scheduled time a task ran, and how long it waited for that time. Both
-    * derive from C1's scheduled-execution columns.
+    * scheduled time a task ran, and how long the scheduler actually slept
+    * waiting for that time. The reference records the sleep from the moment
+    * the task is PICKED UP off the queue (`ExecutionScheduler.java:83` —
+    * `max(0, scheduledTime - timeAtPickup)`), not from when processing
+    * finished — measured against `processedMillis` the clamp would zero
+    * every normal row. So the sleep takes the pickup/dequeue timestamp;
+    * `processedMillis` feeds only the lateness timer.
     */
   def observeScheduledDelay(
-      df: DataFrame, scheduledMillis: Column, processedMillis: Column,
+      df: DataFrame, scheduledMillis: Column, pickupMillis: Column,
+      processedMillis: Column,
       name: String = "graft.scheduled"): DataFrame =
   {
     val aggs = timerAggs(processedMillis - scheduledMillis, "tasks.scheduled.process.delay") ++
-      timerAggs(greatest(scheduledMillis - processedMillis, lit(0L)), "tasks.scheduling.delay")
+      timerAggs(greatest(scheduledMillis - pickupMillis, lit(0L)), "tasks.scheduling.delay")
     df.observe(name, aggs.head, aggs.tail: _*)
   }
 
@@ -152,7 +160,11 @@ object TaskMetrics {
     * `retry.queued.tasks` / `retry.queueing.failed` and
     * `shaping.queued.tasks` / `shaping.queueing.failed`, plus the
     * `retry.task.retries` distribution over the task metadata's retry
-    * count. `sinkCol` is the routing column ("retry"/"shaping"), `okCol`
+    * count — recorded ONLY for tasks routed to the retry sink, matching the
+    * reference's recording site (one Micrometer record per retry-queued
+    * task, `DecatonTaskRetryQueueingProcessor.java:101`) so main/shaping
+    * traffic can't dilute the count/avg.
+    * `sinkCol` is the routing column ("retry"/"shaping"), `okCol`
     * whether the produce succeeded (TaskWriter surfaces per-row produce
     * disposition; in Spark a failed task RETRIES the whole partition, so
     * row-level failures here mean rows REJECTED by the writer — oversize,
@@ -167,9 +179,9 @@ object TaskMetrics {
       count(when(sinkCol === "retry" && !okCol, lit(1))).as("retry.queueing.failed"),
       count(when(sinkCol === "shaping" && okCol, lit(1))).as("shaping.queued.tasks"),
       count(when(sinkCol === "shaping" && !okCol, lit(1))).as("shaping.queueing.failed"),
-      count(retryCountCol).as("retry.task.retries.count"),
-      avg(retryCountCol).as("retry.task.retries.avg"),
-      max(retryCountCol).as("retry.task.retries.max"))
+      count(when(sinkCol === "retry", retryCountCol)).as("retry.task.retries.count"),
+      avg(when(sinkCol === "retry", retryCountCol)).as("retry.task.retries.avg"),
+      max(when(sinkCol === "retry", retryCountCol)).as("retry.task.retries.max"))
     df.observe(name, aggs.head, aggs.tail: _*)
   }
 
