@@ -42,10 +42,14 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame       = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "region")
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which Spark's
-    * vectorized reader rejects. Read it as nanos-since-epoch (legacy conf) and
-    * floor-divide to microseconds — exactly what DuckDB does natively on the
-    * same file — so event-time comparisons agree across the oracle boundary.
+  /** The events table's `ts` column has shipped in two physical forms across
+    * testdata generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects, so it is read as nanos-since-epoch via the legacy conf and
+    * floor-divided to microseconds (exactly what DuckDB does natively on the
+    * same file) — and a plain TIMESTAMP(MICROS), which Spark infers as
+    * TIMESTAMP_NTZ and DuckDB as TIMESTAMP. Normalize both to a session-UTC
+    * TimestampType column so every downstream query and oracle comparison sees
+    * identical values regardless of the file generation.
     * The conf is set only when not already set (a conf write per call would
     * churn session state on every query).
     */
@@ -56,9 +60,17 @@ object Tables {
     // function must not update other mappings of the same ConcurrentHashMap
     // (same-bin recursion throws "Recursive update")
     val base = table(spark, sfDir, "events")
-    perSessionCache(spark).computeIfAbsent(s"$sfDir/events.parquet#micros", _ =>
-      base.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000"))))
+    perSessionCache(spark).computeIfAbsent(s"$sfDir/events.parquet#micros", _ => {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
+      base.schema("ts").dataType match {
+        case LongType => // nanos-as-long generation
+          base.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => base
+        case _ => // TIMESTAMP_NTZ generation: wall time == UTC instant here
+          base.withColumn("ts", col("ts").cast(TimestampType))
+      }
+    })
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame  = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

@@ -124,6 +124,17 @@ object Knn {
       wRel: Long,
       wDiv: Long): DataFrame = {
     require(k <= m, s"k=$k must be <= candidate pool m=$m")
+    // fail at plan time, not mid-job: the driver-resident greedy loop keys
+    // its candidate map by long id, so a non-integral id column (e.g. a
+    // String doc id) must be surrogate-keyed by the caller first
+    locally {
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val idType = corpus.schema(idCol).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+        s"mmrTopK requires an integral id column; '$idCol' is $idType — " +
+          "add a surrogate key (e.g. monotonically_increasing_id or a " +
+          "zipWithIndex join) before re-ranking")
+    }
     val spark0 = corpus.sparkSession
     import spark0.implicits._
     val cand = int8TopK(corpus, queries, idCol, vecCol, m)

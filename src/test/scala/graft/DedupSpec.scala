@@ -327,6 +327,18 @@ class DedupSpec extends SparkTestBase {
     assert(firstPicks == topFirst, "MMR round 1 must equal the relevance argmax")
   }
 
+  test("MMR rejects a non-integral id column at plan time") {
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("sid", concat(lit("doc-"), col("vec_id")))
+    val err = intercept[IllegalArgumentException] {
+      Knn.mmrTopK(e, e.filter(col("vec_id") < 3), "sid", "embedding",
+        k = 2, m = 4, wRel = 1L, wDiv = 1L)
+    }
+    assert(err.getMessage.contains("integral id column") &&
+      err.getMessage.contains("surrogate key"),
+      s"error must name the fix, got: ${err.getMessage}")
+  }
+
   test("IVF centroids and assignment are deterministic across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val c1 = Knn.ivfCentroids(e, "vec_id", "embedding", 16).select("cid").as[Long].collect().toSeq

@@ -107,7 +107,7 @@ class TaskMetricsSpec extends SparkTestBase {
       t, col("submitted"), col("completed")))
     assert(pNames.contains("tasks.process.duration.p99.ms"), pNames.toString)
     val sNames = observedNames(TaskMetrics.observeScheduledDelay(
-      t, col("submitted"), col("completed")))
+      t, col("submitted"), col("submitted"), col("completed")))
     assert(sNames.contains("tasks.scheduled.process.delay.avg.ms") &&
       sNames.contains("tasks.scheduling.delay.avg.ms"), sNames.toString)
   }
@@ -208,7 +208,7 @@ class TaskMetricsSpec extends SparkTestBase {
         observedNames(TaskMetrics.observeThroughput(t, col("a"), col("b"))) ++
         observedNames(TaskMetrics.observeCompleteDuration(t, col("a"), col("b"))) ++
         observedNames(TaskMetrics.observeProcessDuration(t, col("a"), col("b"))) ++
-        observedNames(TaskMetrics.observeScheduledDelay(t, col("a"), col("b"))) ++
+        observedNames(TaskMetrics.observeScheduledDelay(t, col("a"), col("a"), col("b"))) ++
         observedNames(TaskMetrics.observeTimeouts(t, lit(false))) ++
         observedNames(TaskMetrics.observeQueueingOutcomes(t, lit("retry"), lit(true), col("a"))) ++
         observedNames(TaskMetrics.observeRecordFormats(t, lit(false))) ++
