@@ -38,9 +38,14 @@ final class MapPropertySupplier(values: Map[String, Any]) extends PropertySuppli
   * state in the reference (`PartitionContexts.maybeHandlePropertyReload`)
   * maps to a Spark trigger-boundary re-broadcast.
   */
-final class DynamicProperty[T](val definition: PropertyDefinition[T], initial: T) {
+final class DynamicProperty[T](val definition: PropertyDefinition[T], initial: T)
+    extends Serializable {
   private val ref = new AtomicReference[T](definition.validate(initial))
-  private val listeners = new AtomicReference[List[(T, T) => Unit]](Nil)
+  // transient: a property captured in a Spark closure ships its CURRENT
+  // value to the executor (trigger-boundary snapshot); listeners are a
+  // driver-side concern and must not drag arbitrary captures into the
+  // closure. Lazy so a deserialized copy gets a fresh empty list.
+  @transient private lazy val listeners = new AtomicReference[List[(T, T) => Unit]](Nil)
 
   def value: T = ref.get()
   def set(v: T): Unit = {
@@ -100,4 +105,32 @@ object EngineProperties {
   /** legacy envelope fallback parse (F2). */
   val LegacyParseFallbackEnabled: PropertyDefinition[Boolean] =
     PropertyDefinition("decaton.legacy.parse.fallback.enabled", true)
+  /** deferred-completion timeout (T4) → [[graft.streaming.CompletionPolicy
+    * .fromProperty]]. Reference default -1 = reaping disabled
+    * (`ProcessorProperties.java:196-198`): tasks wait unbounded and the
+    * EXTEND/GIVE_UP callback never fires.
+    */
+  val DeferredCompleteTimeoutMs: PropertyDefinition[Long] =
+    PropertyDefinition("decaton.deferred.complete.timeout.ms", -1L,
+      (v: Long) => v >= -1L)
+  /** produce retry tasks in the pre-9.0 value envelope (E1 migration aid,
+    * `ProcessorProperties.java:238-240`) → `TaskWriter.toRetryShape`'s
+    * envelope choice.
+    */
+  val RetryTaskInLegacyFormat: PropertyDefinition[Boolean] =
+    PropertyDefinition("decaton.retry.task.in.legacy.format", false)
+  /** per-poll record cap the reference forces onto every consumer
+    * (`ConsumerSupplier.java:57-61`, default 100) → the default per-trigger
+    * admission cap of `TaskSource.brokerStream` when no explicit
+    * `maxOffsetsPerTrigger` is given.
+    */
+  val MaxPollRecords: PropertyDefinition[Int] =
+    PropertyDefinition("decaton.max.poll.records", 100, (v: Int) => v > 0)
+  /** per-key processing-rate quota (A4), effective only when quota routing
+    * is enabled; -1 unlimited, bounded by the reference's MAX_RATE
+    * (`ProcessorProperties.java:205-210`) → `PerKeyQuota.quotaFromProperties`.
+    */
+  val PerKeyQuotaProcessingRate: PropertyDefinition[Long] =
+    PropertyDefinition("decaton.per.key.quota.processing.rate", -1L,
+      (v: Long) => v >= -1L && v <= graft.operators.RateLimit.MaxRatePerPartition)
 }

@@ -90,6 +90,18 @@ object PerKeyQuota {
       .filter(col("n") >= quota)
       .select(col("key")).distinct()
 
+  /** The `decaton.per.key.quota.processing.rate` binding
+    * ([[graft.config.EngineProperties.PerKeyQuotaProcessingRate]]): None =
+    * unlimited (-1, quota routing disabled — the reference only shapes when
+    * `enablePerKeyQuota` is on AND the rate is set). Resolve per batch for
+    * trigger-boundary hot reload, the property is Reloadable in the
+    * reference too (`ProcessorProperties.java:199-210`).
+    */
+  def quotaFromProperties(props: graft.config.Properties): Option[Long] = {
+    val v = props.resolve(graft.config.EngineProperties.PerKeyQuotaProcessingRate)
+    if (v < 0L) None else Some(v)
+  }
+
   /** S5 routing: split a batch into (compliant, shaped) by key membership in
     * `shapedKeys`. Both sides write in one foreachBatch pass in streaming.
     */

@@ -32,12 +32,28 @@ object TaskSource {
       retryTopic: Option[String] = None,
       shapingTopics: Seq[String] = Nil,
       maxOffsetsPerTrigger: Option[Long] = None,
-      failOnDataLoss: Boolean = false): DataFrame =
+      failOnDataLoss: Boolean = false,
+      properties: Option[graft.config.Properties] = None): DataFrame = {
+    val cap = admissionCap(maxOffsetsPerTrigger, properties)
     spark.readStream.format("graft-kafka")
       .option("root", brokerRoot)
-      .options(kafkaOptions(originTopic, retryTopic, shapingTopics, maxOffsetsPerTrigger)
+      .options(kafkaOptions(originTopic, retryTopic, shapingTopics, cap)
         .updated("failOnDataLoss", failOnDataLoss.toString))
       .load()
+  }
+
+  /** Admission-cap precedence: an explicit `maxOffsetsPerTrigger` wins; else
+    * a supplied property registry contributes `decaton.max.poll.records`
+    * (the cap the reference FORCES onto every consumer it builds,
+    * `ConsumerSupplier.java:57-61`, default 100) as the per-trigger bound;
+    * else unbounded. Per-poll in the reference ≈ per-trigger here: both are
+    * the unit of intake between commit points.
+    */
+  def admissionCap(
+      explicit: Option[Long],
+      properties: Option[graft.config.Properties]): Option[Long] =
+    explicit.orElse(
+      properties.map(_.resolve(graft.config.EngineProperties.MaxPollRecords).toLong))
 
   /** Kafka-schema frame (array-of-struct headers, TIMESTAMP) → the engine's
     * [[ConsumedRecord]] shape (map headers, epoch millis).

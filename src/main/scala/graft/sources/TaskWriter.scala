@@ -37,6 +37,15 @@ object TaskWriter {
 
   /** Retry-topic producer shape (S4): metadata advanced by retry_count+1 and
     * backoff before encoding (`DecatonTaskRetryQueueingProcessor.java:60-112`).
+    *
+    * `legacyFormat` is the `decaton.retry.task.in.legacy.format` toggle
+    * ([[graft.config.EngineProperties.RetryTaskInLegacyFormat]];
+    * `DecatonTaskRetryQueueingProcessor.java:73-92`): when true the advanced
+    * metadata rides INSIDE the pre-9.0 value envelope and the `dt_meta`
+    * header is omitted — the reference removes it explicitly, because a
+    * consumer running legacy-parse fallback dispatches on header presence
+    * and an inconsistent pair fails extraction. Resolve the property per
+    * batch (foreachBatch) for trigger-boundary hot reload.
     */
   def toRetryShape(
       df: DataFrame,
@@ -45,8 +54,17 @@ object TaskWriter {
       metaCol: Column,
       originTopic: String,
       nowMillis: Column,
-      backoffMillis: Column): DataFrame =
-    toKafkaShape(
+      backoffMillis: Column,
+      legacyFormat: Boolean = false): DataFrame =
+    if (legacyFormat) {
+      val advanced = Retry.advanceRetry(metaCol, nowMillis, backoffMillis)
+      df.select(
+        key_bytes(keyCol).as("key"),
+        graft.functions.legacy_envelope_encode(advanced, valueCol.cast("binary"))
+          .as("value"),
+        array().cast("array<struct<key:string,value:binary>>").as("headers"),
+        lit(Retry.retryTopic(originTopic)).as("topic"))
+    } else toKafkaShape(
       df.withColumn("__meta_retry", Retry.advanceRetry(metaCol, nowMillis, backoffMillis)),
       keyCol, valueCol, col("__meta_retry"), Retry.retryTopic(originTopic))
 

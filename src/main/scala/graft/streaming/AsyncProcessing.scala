@@ -29,11 +29,28 @@ object TimeoutDecision {
 /** Per-task completion policy for the async operators. `onTimeout(task, n)`
   * is called after each elapsed timeout period (n = extensions so far);
   * `onGiveUp` converts the abandoned task to the operator's output type.
+  *
+  * `dynamicTimeoutMs`, when set, is consulted before EVERY await round, so a
+  * hot-reloaded `decaton.deferred.complete.timeout.ms` re-times in-flight
+  * waits in the same JVM immediately and executor-side tasks from the next
+  * trigger onward (the closure re-serializes per batch — the trigger-boundary
+  * reload posture of SURVEY §2.8 P4). A negative value reproduces the
+  * reference default `-1` = reaper disabled (`ProcessorProperties.java:196-198`):
+  * the await is unbounded and `onTimeout` never fires.
   */
 final case class CompletionPolicy[T, U](
     timeout: FiniteDuration,
     onTimeout: (T, Int) => TimeoutDecision,
-    onGiveUp: T => U)
+    onGiveUp: T => U,
+    dynamicTimeoutMs: Option[() => Long] = None) {
+  /** Timeout for the next await round. */
+  def nextTimeout: Duration = dynamicTimeoutMs match {
+    case Some(f) =>
+      val ms = f()
+      if (ms < 0L) Duration.Inf else FiniteDuration(ms, MILLISECONDS)
+    case None => timeout
+  }
+}
 
 object CompletionPolicy {
   /** Reference-default posture before T4 existed here: give up by throwing,
@@ -44,6 +61,20 @@ object CompletionPolicy {
       timeout,
       (_, _) => TimeoutDecision.GiveUp,
       t => throw new TimeoutException(s"task did not complete within $timeout: $t"))
+
+  /** Policy bound to the typed property registry's
+    * `decaton.deferred.complete.timeout.ms` ([[graft.config.EngineProperties
+    * .DeferredCompleteTimeoutMs]]): the timeout re-resolves from the live
+    * [[graft.config.DynamicProperty]] on every await round, so a config-file
+    * edit re-times deferred completions without a query restart.
+    */
+  def fromProperty[T, U](
+      timeoutMs: graft.config.DynamicProperty[Long],
+      onTimeout: (T, Int) => TimeoutDecision,
+      onGiveUp: T => U): CompletionPolicy[T, U] =
+    CompletionPolicy(
+      FiniteDuration(math.max(0L, timeoutMs.value), MILLISECONDS),
+      onTimeout, onGiveUp, Some(() => timeoutMs.value))
 }
 
 /** The reference's headline capability — concurrent processing of a single
@@ -241,7 +272,7 @@ object AsyncProcessing {
           val rec = window.dequeue()
           var extensions = 0
           while (true) {
-            try return Await.result(rec.fut, policy.timeout)
+            try return Await.result(rec.fut, policy.nextTimeout)
             catch {
               case _: TimeoutException =>
                 policy.onTimeout(rec.task, extensions) match {

@@ -81,6 +81,61 @@ class FilePropertySpec extends AnyFunSuite {
     } finally supplier.close()
   }
 
+  test("deferred-complete timeout property drives CompletionPolicy hot-reload (T4 binding)") {
+    import scala.concurrent.duration._
+    import graft.streaming.{CompletionPolicy, TimeoutDecision}
+    val f = Files.createTempFile("graft-props", ".conf")
+    // reference default -1 = reaper disabled → unbounded await
+    val supplier = new FilePropertySupplier(f, pollMillis = 30L)
+    try {
+      val props = new Properties(Seq(supplier))
+      assert(props.resolve(EngineProperties.DeferredCompleteTimeoutMs) == -1L)
+      val dyn = props.dynamic(EngineProperties.DeferredCompleteTimeoutMs)
+      supplier.bind(dyn)
+      val policy = CompletionPolicy.fromProperty[String, String](
+        dyn, (_, _) => TimeoutDecision.GiveUp, t => s"gave-up:$t")
+      assert(!policy.nextTimeout.isFinite,
+        "-1 must disable the timeout (unbounded await), like the disabled reaper")
+
+      // hot reload: a file edit re-times the NEXT await round, no restart
+      Files.writeString(f, "decaton.deferred.complete.timeout.ms=250\n")
+      val deadline = System.currentTimeMillis() + 5000
+      while (dyn.value != 250L && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(policy.nextTimeout == 250.millis,
+        s"reloaded timeout must bind the policy, got ${policy.nextTimeout}")
+      // validator: below -1 is rejected, last-good value retained
+      intercept[IllegalArgumentException](dyn.set(-2L))
+      assert(dyn.value == 250L)
+    } finally supplier.close()
+  }
+
+  test("max.poll.records property is the default admission cap; explicit cap wins") {
+    val props = new Properties(Seq(new MapPropertySupplier(Map.empty)))
+    // the reference forces 100 onto every consumer it builds
+    assert(graft.sources.TaskSource.admissionCap(None, Some(props)).contains(100L))
+    val tuned = new Properties(Seq(
+      new MapPropertySupplier(Map("decaton.max.poll.records" -> 500))))
+    assert(graft.sources.TaskSource.admissionCap(None, Some(tuned)).contains(500L))
+    assert(graft.sources.TaskSource.admissionCap(Some(9L), Some(tuned)).contains(9L),
+      "an explicit maxOffsetsPerTrigger must beat the property")
+    assert(graft.sources.TaskSource.admissionCap(None, None).isEmpty,
+      "no registry, no explicit cap: unbounded")
+  }
+
+  test("per-key quota rate property resolves to the routing decision (A4 binding)") {
+    val unlimited = new Properties(Seq(new MapPropertySupplier(Map.empty)))
+    assert(graft.operators.PerKeyQuota.quotaFromProperties(unlimited).isEmpty,
+      "-1 default = unlimited = quota routing disabled")
+    val quota = new Properties(Seq(
+      new MapPropertySupplier(Map("decaton.per.key.quota.processing.rate" -> 40L))))
+    assert(graft.operators.PerKeyQuota.quotaFromProperties(quota).contains(40L))
+    // validator mirrors the reference's [-1, MAX_RATE] bound
+    val bad = new Properties(Seq(
+      new MapPropertySupplier(Map("decaton.per.key.quota.processing.rate" -> -5L))))
+    intercept[IllegalArgumentException](
+      bad.resolve(EngineProperties.PerKeyQuotaProcessingRate))
+  }
+
   test("uri fetcher serves a file: source through the URL path (offline http(s) analog)") {
     val f = Files.createTempFile("graft-remote", ".conf")
     Files.writeString(f, "decaton.max.pending.records=1234\n")

@@ -82,4 +82,34 @@ class ScopeAndWriterSpec extends SparkTestBase {
     assert(decoded.retryCount == 2L)
     assert(decoded.scheduledTimeMillis == 1250L)
   }
+
+  test("retry.task.in.legacy.format produces the pre-9.0 envelope with no dt_meta header") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir).limit(5)
+      .withColumn("meta", struct(
+        unix_millis(col("ts")).as("timestamp_millis"),
+        lit("graft").as("source_application_id"),
+        lit("i-1").as("source_instance_id"),
+        lit(1L).as("retry_count"),
+        lit(0L).as("scheduled_time_millis")))
+    val legacy = TaskWriter.toRetryShape(e, col("user_id"), col("props"), col("meta"),
+      "events", lit(1000L), lit(250L),
+      legacyFormat = true)
+    val row = legacy.head()
+    assert(row.getAs[String]("topic") == "events-retry")
+    // the reference REMOVES the metadata header in legacy mode
+    // (DecatonTaskRetryQueueingProcessor.java:91) so fallback parsing can
+    // dispatch on header absence
+    assert(row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("headers").isEmpty)
+    // the advanced metadata and the original payload round-trip through the
+    // legacy value envelope
+    val unwrapped = legacy.select(
+      graft.functions.legacy_envelope_decode(col("value")).as("t"))
+      .select(col("t.meta.retry_count"), col("t.meta.scheduled_time_millis"),
+        col("t.task").cast("string"))
+      .as[(Long, Long, String)].head()
+    assert(unwrapped._1 == 2L && unwrapped._2 == 1250L)
+    val originals = e.select(col("props")).as[String].collect().toSet
+    assert(originals.contains(unwrapped._3), "payload must survive the envelope")
+  }
 }
