@@ -2,113 +2,60 @@ package graft
 
 import java.nio.file.Files
 import java.sql.Timestamp
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions._
 
-/** Spark port of the reference's semantic test harness
-  * (`testing/.../processor/ProcessorTestSuite.java:87-123`,
-  * `ProcessingGuarantee.java:34-114`): produce a keyed task stream, kill and
-  * restart the query mid-run (the rebalance-storm analog), then assert the
+/** The reference's semantic test harness, exercised through the PUBLIC
+  * testkit (`graft.testing.GuaranteeSuite` — the `ProcessorTestSuite
+  * .java:87-123` / `ProcessingGuarantee.java:34-114` analog): produce a
+  * keyed task stream, kill and restart the query mid-run, then assert the
   * three delivery guarantees. foreachBatch + checkpoint is at-least-once:
-  * replays are legal, loss is not (`AtLeastOnceDelivery.java`,
-  * `ProcessOrdering.java`, `SerialProcessing.java`).
+  * replays are legal, loss is not.
   */
-object GuaranteeSpec {
-  // cross-thread observation log: (key, id) in processing order per key
-  val observed = new ConcurrentHashMap[String, java.util.List[Long]]()
-  val inFlight = new ConcurrentHashMap[String, AtomicBoolean]()
-  val serialViolations = new AtomicInteger(0)
-
-  def reset(): Unit = { observed.clear(); inFlight.clear(); serialViolations.set(0) }
-
-  def record(key: String, id: Long): Unit = {
-    val guard = inFlight.computeIfAbsent(key, _ => new AtomicBoolean(false))
-    if (!guard.compareAndSet(false, true)) serialViolations.incrementAndGet()
-    try {
-      observed.computeIfAbsent(key, _ => java.util.Collections.synchronizedList(new java.util.ArrayList[Long]())).add(id)
-      Thread.sleep(0, 50000) // widen the race window for the serial check
-    } finally guard.set(false)
-  }
-}
-
 case class KeyedTask(key: String, id: Long, ts: Timestamp)
 
 class GuaranteeSpec extends SparkTestBase {
 
-  test("at-least-once + per-key ordering + serial-per-key across a restart") {
-    import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    GuaranteeSpec.reset()
+  test("at-least-once + per-key ordering + serial-per-key across a restart (public testkit)") {
+    // a user chaos-tests a pipeline in three lines:
+    val suite = graft.testing.GuaranteeSuite()
+    suite.chaosTest(spark, nKeys = 10, total = 400)(identity)
+    // chaosTest already ran assertAll(); re-assert to show it is callable
+    // standalone after more manual events too
+    suite.assertAll()
+  }
 
-    val checkpoint = Files.createTempDirectory("graft-guarantee-ckpt").toString
-    val in = MemoryStream[KeyedTask]
-    val nKeys = 10
-    val total = 400
-
-    def mkQuery() =
-      in.toDF().writeStream
-        .option("checkpointLocation", checkpoint)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          // O2: same key → same partition; per-partition FIFO by production order
-          batch.repartition(4, col("key"))
-            .sortWithinPartitions(col("key"), col("id"))
-            .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-              it.foreach(r => GuaranteeSpec.record(r.getAs[String]("key"), r.getAs[Long]("id")))
-            }
-          ()
-        }.start()
-
-    def tasks(from: Int, until: Int): Seq[KeyedTask] =
-      (from until until).map(i =>
-        KeyedTask(s"key-${i % nKeys}", i.toLong, new Timestamp(1704067200000L + i * 1000L)))
-
-    // phase 1
-    var q = mkQuery()
-    in.addData(tasks(0, 150))
-    q.processAllAvailable()
-    // chaos: kill the query mid-stream, enqueue more, restart from checkpoint
-    q.stop()
-    in.addData(tasks(150, 300))
-    q = mkQuery()
-    in.addData(tasks(300, total))
-    q.processAllAvailable()
-    q.stop()
-
-    // AT_LEAST_ONCE_DELIVERY: every produced id observed at least once
-    val seen = GuaranteeSpec.observed.values().asScala.flatMap(_.asScala).toSet
-    assert((0L until total.toLong).forall(seen.contains), {
-      val missing = (0L until total.toLong).filterNot(seen.contains)
-      s"lost tasks: ${missing.take(10)}"
-    })
-
-    // PROCESS_ORDERING (ProcessingGuarantee.java:44-72): per key, the observed
-    // sequence must be a concatenation of non-decreasing runs (replay legal),
-    // and every id's predecessors (same key) must be observed by the end.
-    GuaranteeSpec.observed.asScala.foreach { case (key, list) =>
-      val ids = list.asScala.toVector
-      val keyIds = (0L until total.toLong).filter(i => s"key-${i % nKeys}" == key)
-      assert(ids.toSet == keyIds.toSet, s"$key missing ids")
-      // non-decreasing within each replay run: a decrease marks a replay
-      // restart, which must restart from a previously-seen id
-      var prev = Long.MinValue
-      val seenSoFar = scala.collection.mutable.Set[Long]()
-      ids.foreach { id =>
-        if (id < prev)
-          assert(seenSoFar.contains(id), s"$key replayed unseen id $id (order violation)")
-        seenSoFar += id
-        prev = id
-      }
+  test("the testkit checkers detect the violations they claim to (negative cases)") {
+    import graft.testing._
+    // loss → at-least-once trips
+    locally {
+      val g = new AtLeastOnceDelivery
+      g.onProduce("k", 1L); g.onProduce("k", 2L); g.onProcessStart("k", 1L)
+      val e = intercept[AssertionError](g.doAssert())
+      assert(e.getMessage.contains("never processed"))
     }
-
-    // SERIAL_PROCESSING: no same-key concurrency observed
-    assert(GuaranteeSpec.serialViolations.get() == 0,
-      s"${GuaranteeSpec.serialViolations.get()} same-key concurrent executions")
+    // replay jumping back to UNSEEN work → ordering trips; legal replay passes
+    locally {
+      val g = new ProcessOrdering
+      Seq(1L, 2L, 3L).foreach(g.onProduce("k", _))
+      Seq(1L, 2L, 1L, 2L, 3L).foreach(g.onProcessStart("k", _)) // legal replay
+      g.doAssert()
+      val bad = new ProcessOrdering
+      Seq(1L, 2L, 3L).foreach(bad.onProduce("k", _))
+      Seq(2L, 3L, 1L).foreach(bad.onProcessStart("k", _)) // 1 was never seen
+      val e = intercept[AssertionError](bad.doAssert())
+      assert(e.getMessage.contains("ordering violated"))
+    }
+    // same-key overlap → serial trips; distinct keys do not
+    locally {
+      val g = new SerialProcessing
+      g.onProcessStart("a", 1L); g.onProcessStart("b", 2L) // cross-key overlap ok
+      g.onProcessEnd("a", 1L); g.onProcessEnd("b", 2L)
+      g.doAssert()
+      g.onProcessStart("a", 3L); g.onProcessStart("a", 4L) // same-key overlap
+      val e = intercept[AssertionError](g.doAssert())
+      assert(e.getMessage.contains("serial-per-key violated"))
+    }
   }
 
   test("effectively-once sink: batch-id-keyed writes stay exact across a FORCED replay") {
