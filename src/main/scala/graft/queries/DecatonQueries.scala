@@ -448,6 +448,97 @@ object DecatonQueries {
                                     ORDER BY ts DESC, event_id DESC) AS rn
           FROM events
         ) WHERE rn = 1
+      """)),
+
+    // ---- the streaming near-dedup's own code path
+    // (StreamOps.nearDedupeStreamBySignature; in batch the watermark-bounded
+    // dedup state reduces to a plain signature-distinct — Catalyst's
+    // batch-mode rewrite of dropDuplicatesWithinWatermark), oracle-checked.
+    // WHICH row survives per signature is arrival-order-dependent (first
+    // seen), so the registered projection is the survivor's SIGNATURE — the
+    // dedup key itself, identical across any legal survivor choice — making
+    // the output the corpus's distinct minhash-signature set, deterministic
+    // in both engines. Same md5-derived hash family as pq02/pq03.
+    Q(
+      "dq16_stream_near_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+        graft.streaming.StreamOps.nearDedupeStreamBySignature(
+            d, col("text"), "__ts", "1 hour", k = 16, shingleSize = 5)
+          .select(md5(array_join(
+            transform(graft.functions.minhash_sigs(col("text"), 5, 16), _.cast("string")),
+            ",")).as("sig_key"))
+      },
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
+        ), sh AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hs AS (
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS h1,
+                 CAST(('0x'||substr(md5(sh),16,15)) AS BIGINT) % 2147483647 AS h2 FROM sh
+        ), hx AS (
+          SELECT doc_id, h1, h2, unnest(generate_series(0, 15)) AS hi FROM hs
+        ), sigs AS (
+          SELECT doc_id, CAST(hi AS INT) AS hi,
+                 min((h1 + hi * h2) % 2147483647) AS mh
+          FROM hx GROUP BY 1, 2
+        ), skeys AS (
+          SELECT doc_id, md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS sig_key
+          FROM sigs GROUP BY doc_id
+        )
+        SELECT DISTINCT sig_key FROM skeys
+      """)),
+
+    // ---- the streaming LSH-index flagger's own code path
+    // (StreamOps.flagAgainstLshIndex): odd doc_ids arrive as the "stream",
+    // even doc_ids are the indexed history (Dedup.lshBandSignaturesWide);
+    // a stream doc is flagged when any of its 4 band signatures collides
+    // with the index. Output ids are the dedup key — deterministic. The
+    // oracle replays the same band join in SQL.
+    Q(
+      "dq17_stream_lsh_flag",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val hist = d.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id").as("id"),
+            graft.functions.minhash_sigs(col("text"), 5, 16).as("__mh"))
+          .filter(col("__mh").isNotNull)
+          .select(col("id") +: (0 until 16).map(i => col("__mh")(i).as(s"mh$i")): _*)
+        val index = graft.dedup.Dedup.lshBandSignaturesWide(hist, 16, 4)
+        val stream = d.filter(col("doc_id") % 2 === 1)
+          .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+        graft.streaming.StreamOps.flagAgainstLshIndex(
+            stream, col("doc_id"), col("text"), "__ts", "1 hour", index,
+            k = 16, bands = 4, shingleSize = 5)
+          .select(col("id"))
+      },
+      Some("""
+        WITH pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
+        ), sh AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hs AS (
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS h1,
+                 CAST(('0x'||substr(md5(sh),16,15)) AS BIGINT) % 2147483647 AS h2 FROM sh
+        ), hx AS (
+          SELECT doc_id, h1, h2, unnest(generate_series(0, 15)) AS hi FROM hs
+        ), sigs AS (
+          SELECT doc_id, CAST(hi AS INT) AS hi,
+                 min((h1 + hi * h2) % 2147483647) AS mh
+          FROM hx GROUP BY 1, 2
+        ), bsig AS (
+          SELECT doc_id, hi // 4 AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS band_sig
+          FROM sigs GROUP BY doc_id, hi // 4
+        )
+        SELECT DISTINCT o.doc_id AS id
+        FROM bsig o JOIN bsig h
+          ON o.band = h.band AND o.band_sig = h.band_sig
+        WHERE o.doc_id % 2 = 1 AND h.doc_id % 2 = 0
       """))
   )
 }

@@ -67,8 +67,22 @@ object StreamOps {
     * forever at 100 TB/day).
     */
   def dedupeStream(df: DataFrame, keyCols: Seq[String], tsCol: String, watermarkDelay: String): DataFrame =
-    df.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark(keyCols)
+    dedupeBounded(df, tsCol, watermarkDelay, keyCols)
+
+  /** Watermark-bounded dedup with a batch fallback: on a stream this is the
+    * evictable-state `dropDuplicatesWithinWatermark`; on a batch frame (the
+    * dq16/dq17 oracle path and any backfill reusing the streaming pipeline)
+    * Spark rejects that operator outright, and the SAME relation is a plain
+    * `dropDuplicates` — a bounded batch has no unbounded-state hazard and
+    * every event is inside any watermark horizon.
+    */
+  private def dedupeBounded(
+      df: DataFrame, tsCol: String, watermarkDelay: String,
+      keyCols: Seq[String]): DataFrame =
+    if (df.isStreaming)
+      df.withWatermark(tsCol, watermarkDelay)
+        .dropDuplicatesWithinWatermark(keyCols)
+    else df.dropDuplicates(keyCols)
 
   /** Streaming NEAR-dup suppression by signature equality: each document's
     * full k-component minhash signature becomes its dedup key, so documents
@@ -96,8 +110,7 @@ object StreamOps {
       .filter(col("__sig").isNotNull) // null text drops, like the batch path
       .withColumn("__sig_key",
         md5(array_join(transform(col("__sig"), _.cast("string")), ",")))
-      .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicatesWithinWatermark("__sig_key")
+      .transform(dedupeBounded(_, tsCol, watermarkDelay, Seq("__sig_key")))
       .drop("__sig", "__sig_key")
 
   /** Online near-dup check of a STREAM against an indexed static corpus:
@@ -133,8 +146,7 @@ object StreamOps {
         (0 until k).map(i => col("__mh")(i).as(s"mh$i")): _*)
     graft.dedup.Dedup.lshBandSignaturesWide(wide, k, bands, carry = Seq("__ts"))
       .join(index.select(col("band"), col("band_sig")), Seq("band", "band_sig"), "left_semi")
-      .withWatermark("__ts", watermarkDelay)
-      .dropDuplicatesWithinWatermark("id")
+      .transform(dedupeBounded(_, "__ts", watermarkDelay, Seq("id")))
       .select(col("id"), col("__ts").as(tsCol))
   }
 
