@@ -335,6 +335,76 @@ object Knn {
     rankTopK(scored, "cos_r", k)
   }
 
+  /** A PERSISTED IVF index (the production posture — `ivfTopK` recomputes
+    * centroid lists inline on every run, which at 100 TB re-scans the corpus
+    * per query batch): the coarse-quantizer assignment is materialized ONCE
+    * as an external bucketed table ([[graft.sources.Bucketing]]) keyed and
+    * bucketed by the inverted-list id `cid`, carrying each vector in both
+    * float and int8 form; the tiny centroid table persists alongside it.
+    * Probes then read ONLY the probed lists: the probe cid set is a bounded
+    * driver-resident literal list (≤ queries × nprobe ids — the same
+    * k-means-style residency contract as `mmrTopK`), so the `cid IN (...)`
+    * filter bucket-prunes the scan to nprobe/nlist of the index files.
+    * Rebuild when the corpus changes (an IVF index is a snapshot — same as
+    * any ANN system's).
+    */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      tableName: String,
+      path: String,
+      buckets: Int): Unit = {
+    val spark0 = corpus.sparkSession
+    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    // sibling path, not nested: the bucketed overwrite below clears `path`
+    cents.write.mode("overwrite").format("parquet")
+      .option("path", s"${path}_centroids").saveAsTable(s"${tableName}_centroids")
+    val assigned = ivfAssign(corpus, idCol, vecCol, spark0.table(s"${tableName}_centroids"))
+      .withColumnRenamed("id", "nbr_id")
+      .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv"),
+        quantizeInt8(col(vecCol)).as("nq")), "nbr_id")
+    graft.sources.Bucketing.writeBucketed(
+      assigned, tableName, path, buckets, keys = Seq("cid"), sortCols = Seq("cid"))
+  }
+
+  /** [[ivfTopK]] against a [[buildIvfIndex]]-persisted index: same results
+    * as the inline form over the same corpus (both derive the same
+    * deterministic centroids), but the corpus is never re-assigned and the
+    * scan touches only the probed inverted lists (bucket pruning — asserted
+    * in PlanAuditSpec/DedupSpec).
+    */
+  def ivfProbeTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cents = spark.table(s"${tableName}_centroids")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qv"), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    // literal probe-list: what turns the join key into a bucket-prunable
+    // scan filter. Bounded by contract (queries small, like bruteForceTopK).
+    val probeCids = qprobes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = graft.sources.Bucketing.readBucketed(spark, tableName)
+      .filter(col("cid").isin(probeCids: _*))
+    val scored = idx.join(broadcast(qprobes), Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")
+      .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
+      .select(col("query_id"), col("nbr_id"), col("cos_r")).distinct()
+    rankTopK(scored, "cos_r", k)
+  }
+
   /** The production quantized-ANN stack, composed: IVF coarse candidate
     * generation (pq14's tier) → int8 integer-dot rescoring (pq31's tier)
     * → exact float re-rank of the few survivors. Scale shape per tier:

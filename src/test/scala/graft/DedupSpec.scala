@@ -327,6 +327,46 @@ class DedupSpec extends SparkTestBase {
     assert(firstPicks == topFirst, "MMR round 1 must equal the relevance argmax")
   }
 
+  test("persisted IVF index: probe equals inline IVF and bucket-prunes to the probed lists") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") < 10)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-idx").toString
+    Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 16,
+      tableName = "ivf_idx_spec", path = s"$tmp/ivf_idx", buckets = 8)
+    try {
+      val probe = Knn.ivfProbeTopK(spark, "ivf_idx_spec", queries,
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      // identical results to the inline form: both derive the same
+      // deterministic centroids, the index just persists the assignment
+      val inline = Knn.ivfTopK(e, queries, "vec_id", "embedding",
+        k = 5, nlist = 16, nprobe = 4)
+      val pRows = probe.select("query_id", "rank", "nbr_id")
+        .as[(Long, Int, Long)].collect().toSet
+      val iRows = inline.select("query_id", "rank", "nbr_id")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(pRows == iRows,
+        s"probe and inline IVF disagree: only-probe=${(pRows -- iRows).take(5)} " +
+          s"only-inline=${(iRows -- pRows).take(5)}")
+      // the index scan is bucket-pruned: only the probed inverted lists'
+      // buckets are read, not the whole index — the IVF read pattern. A
+      // 10-query × nprobe=4 probe set can legitimately touch every bucket,
+      // so the pruning assertion uses the sharpest probe: one query, one
+      // list → at most 1 of the 8 buckets scanned.
+      val narrow = Knn.ivfProbeTopK(spark, "ivf_idx_spec",
+        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 5, nprobe = 1)
+      val plan = narrow.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan)
+      assert(sel.isDefined, s"index scan must be bucketed, plan:\n$plan")
+      assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"probe must prune buckets (read ${sel.get.group(1)} of ${sel.get.group(2)})")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_spec")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_spec_centroids")
+    }
+  }
+
   test("MMR rejects a non-integral id column at plan time") {
     val e = Tables.embeddings(spark, sfDir)
       .withColumn("sid", concat(lit("doc-"), col("vec_id")))
