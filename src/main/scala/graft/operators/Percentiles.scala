@@ -96,4 +96,35 @@ object Percentiles {
             (col("h") - col("r_lo").cast("double")) * col("v_hi"))
           .as("pct"))
   }
+
+  /** The cheap path: Spark's built-in `approx_percentile` (a GK summary —
+    * bounded O(1/accuracy) state per group, single aggregation, no second
+    * pass) behind the same output shape as [[exactGroupPercentiles]]. Rank
+    * error is bounded by 1/accuracy of the row count per group; the merge
+    * order of partial summaries varies with partitioning, so results are
+    * APPROXIMATE AND PARTITIONING-DEPENDENT — use the exact form wherever a
+    * reproducible number matters (the oracle-checked q21 path), this one for
+    * interactive scans where a ±1/accuracy rank band is acceptable at a
+    * fraction of the cost (1 shuffle vs 10 at sf0.1 — see README bench
+    * notes). PercentilesSpec pins the rank-error tolerance vs the exact
+    * form.
+    */
+  def approxGroupPercentiles(
+      df: DataFrame,
+      groupCol: Column,
+      valueCol: Column,
+      ps: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0,1], got $ps")
+    df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("v"),
+          array(ps.map(lit(_)): _*), lit(accuracy)).as("pcts"))
+      .select(col("g"), col("n"), posexplode(col("pcts")).as(Seq("__i", "pct")))
+      .withColumn("p", element_at(array(ps.map(lit(_)): _*), col("__i") + 1))
+      .select(col("g"), col("p"), col("n"), col("pct"))
+  }
 }

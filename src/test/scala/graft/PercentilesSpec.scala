@@ -49,6 +49,40 @@ class PercentilesSpec extends SparkTestBase {
     assert(diff.isEmpty, s"diverged: ${diff.collect().mkString(", ")}")
   }
 
+  test("approx twin stays inside its rank-error band vs the exact form, at a fraction of the plan") {
+    val e = Tables.events(spark, sfDir)
+    val ps = Seq(0.1, 0.5, 0.9)
+    val acc = 1000
+    val exact = Percentiles.exactGroupPercentiles(e, col("event_type"), col("value"), ps)
+      .select(col("g"), col("p"), col("pct").as("pct_exact"))
+    val approx = Percentiles.approxGroupPercentiles(
+      e, col("event_type"), col("value"), ps, accuracy = acc)
+    // GK guarantee is on RANK, not value: for each (g, p) the approximate
+    // answer's rank must lie within n/accuracy of the target rank. Verify
+    // by counting values <= answer within the group.
+    val vals = e.select(col("event_type").as("g"), col("value").cast("double").as("v"))
+      .filter(col("v").isNotNull)
+    val checked = approx.join(vals, "g")
+      .groupBy(col("g"), col("p"), col("n"), col("pct"))
+      .agg(count(when(col("v") < col("pct"), 1)).as("rank_lo"),
+        count(when(col("v") <= col("pct"), 1)).as("rank_hi"))
+      .withColumn("target", (col("n") - 1).cast("double") * col("p"))
+      .withColumn("band", col("n").cast("double") / acc + 1)
+      // the answer is a real data value occupying 0-based ranks
+      // [rank_lo, rank_hi-1]; the GK bound allows the target to miss that
+      // span by at most n/accuracy
+      .filter(col("target") < col("rank_lo").cast("double") - col("band") ||
+        col("target") > (col("rank_hi") - 1).cast("double") + col("band"))
+    assert(checked.isEmpty,
+      s"approx percentile outside rank band: ${checked.collect().take(5).mkString(", ")}")
+    // and it must be the CHEAP plan: one aggregation, no second-pass joins
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      "approx path must be a single aggregation, no prefix-sum machinery")
+    // sanity: both forms produce one row per (group, p)
+    assert(approx.count() == exact.count())
+  }
+
   test("plan has no percentile buffer and both prefix-sum sides broadcast") {
     val e = Tables.events(spark, sfDir)
     val plan = Percentiles.exactGroupPercentiles(
