@@ -73,6 +73,50 @@ object Importance {
       .withColumn("weight", col("w_fp").cast("double") / lit(1e6))
   }
 
+  /** Linear quality classifier SCORER — the fastText-style quality-filter
+    * step (a trained linear model over hashed bag-of-ngram features, the
+    * GPT-3/CCNet-lineage "quality classifier" applied at corpus scale). The
+    * model arrives as data: a `(b, w_fp)` weight table in the same hashed
+    * uni+bigram bucket space as [[dsirWeights]] (train anywhere — including
+    * with `dsirWeights` itself, whose ratio table IS a naive-Bayes linear
+    * model), fixed-point integers under the pq26/pq39 determinism contract.
+    *
+    * Per doc: `logit_fp = Σ w_fp[bucket(feature)] + bias_fp · n_feats`, so
+    * `logit_fp / n_feats` is the mean per-feature logit (length-invariant);
+    * `keep` gates on that mean vs `threshold_fp` by integer
+    * cross-multiplication — no float ever decides a row.
+    *
+    * 100 TB shape: the weight table broadcasts (B rows), features are
+    * row-local hashes, and the only shuffle is the per-doc partial agg of
+    * two fixed-width integers — text never moves.
+    */
+  def linearQualityScore(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      weights: DataFrame, // (b: Int, w_fp: Long) fixed-point 1e-6 weights
+      buckets: Int,
+      biasFp: Long = 0L,
+      thresholdFp: Long = 0L): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val feats = df
+      .select(idCol.as("doc_id"),
+        concat(
+          graft.functions.word_ngram_hashes(textCol, 1),
+          graft.functions.word_ngram_hashes(textCol, 2)).as("hs"))
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .withColumn("b", pmod(col("h"), lit(buckets.toLong)).cast("int"))
+    feats
+      .join(broadcast(weights.select(col("b"), col("w_fp"))), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_fp"), lit(0L))).as("sum_fp"))
+      .withColumn("logit_fp", col("sum_fp") + lit(biasFp) * col("n_feats"))
+      .withColumn("score",
+        col("logit_fp").cast("double") / col("n_feats") / lit(1e6))
+      .withColumn("keep", col("logit_fp") >= lit(thresholdFp) * col("n_feats"))
+  }
+
   /** Unigram-LM negative log-likelihood per token — the CCNet/Gopher-family
     * "perplexity filter" reduced to its engine-shaped core: fit add-one
     * smoothed unigram probabilities on the `lmSubset` rows (vocabulary

@@ -1561,6 +1561,54 @@ object PipelineQueries {
                  / count(*) / 1000000.0 AS avg_nll
         FROM toks t LEFT JOIN l USING (tok) CROSS JOIN oov o
         GROUP BY 1
+      """)),
+
+    // ---- linear quality classifier (fastText-style trained-model scorer):
+    // hashed uni+bigram features scored against a broadcast weight table.
+    // The registered model is a deterministic pseudo-random weight per
+    // bucket (Knuth multiplicative hash, integer arithmetic both engines
+    // reproduce exactly) — the op's contract is scoring ANY weight table;
+    // training lives in pq48 (whose DSIR ratio table is itself a linear
+    // model in this same bucket space). keep = mean per-feature logit >= 0
+    // decided by integer cross-multiplication, never a float.
+    Q(
+      "pq51_quality_classifier",
+      (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val weights = (0 until 64)
+          .map(b => (b, (b.toLong * 2654435761L) % 1000003L - 500000L))
+          .toDF("b", "w_fp")
+        graft.quality.Importance.linearQualityScore(
+          d, col("doc_id"), col("text"), weights, buckets = 64)
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT CAST(b AS INT) AS b,
+                 (CAST(b AS BIGINT) * 2654435761) % 1000003 - 500000 AS w_fp
+          FROM (SELECT unnest(generate_series(0, 63)) AS b)
+        ), toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), feats AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(t)),
+                   i -> ${dh("t[CAST(i AS INT)]")})) % 64 AS b
+          FROM toks
+          UNION ALL
+          SELECT doc_id,
+                 unnest(list_transform(
+                   generate_series(1, greatest(CAST(len(t) AS INT) - 1, 1)),
+                   i -> ${dh("array_to_string(t[i:i+1], ' ')")})) % 64 AS b
+          FROM toks
+        )
+        SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+               CAST(sum(w.w_fp) AS BIGINT) AS sum_fp,
+               CAST(sum(w.w_fp) AS BIGINT) AS logit_fp,
+               CAST(CAST(sum(w.w_fp) AS BIGINT) AS DOUBLE)
+                 / count(*) / 1000000.0 AS score,
+               CAST(sum(w.w_fp) AS BIGINT) >= 0 AS keep
+        FROM feats f JOIN w USING (b)
+        GROUP BY 1
       """))
   )
 }

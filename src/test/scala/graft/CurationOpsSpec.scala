@@ -107,4 +107,56 @@ class CurationOpsSpec extends SparkTestBase {
     assert(witnessed == dropped.count(),
       "a vector was dropped without any smaller-id near neighbour")
   }
+
+  test("linear quality classifier: sign-coherent gating, and DSIR weights compose as its model") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Tables.documents(spark, sfDir)
+    val buckets = 64
+    // an all-positive model keeps everything; all-negative drops everything —
+    // the integer cross-multiplied gate can never disagree with the score sign
+    val allPos = (0 until buckets).map(b => (b, 5L)).toDF("b", "w_fp")
+    val allNeg = (0 until buckets).map(b => (b, -5L)).toDF("b", "w_fp")
+    val kept = graft.quality.Importance.linearQualityScore(
+      d, col("doc_id"), col("text"), allPos, buckets)
+    assert(kept.filter(not(col("keep"))).isEmpty, "positive model must keep all")
+    val dropped = graft.quality.Importance.linearQualityScore(
+      d, col("doc_id"), col("text"), allNeg, buckets)
+    assert(dropped.filter(col("keep")).isEmpty, "negative model must drop all")
+    // keep agrees with the double score's sign on every row (gate is integer,
+    // score is derived — they must never contradict)
+    val mixed = (0 until buckets)
+      .map(b => (b, (b.toLong * 2654435761L) % 1000003L - 500000L)).toDF("b", "w_fp")
+    val scored = graft.quality.Importance.linearQualityScore(
+      d, col("doc_id"), col("text"), mixed, buckets)
+    assert(scored.filter(col("keep") =!= (col("score") >= 0.0)).isEmpty)
+    // composability: DSIR's ratio table trains the model; target-corpus docs
+    // must average a higher mean logit than the raw pool under it
+    val isT = col("source").isin("src0", "src1", "src2")
+    val ratioTable = {
+      // rebuild the frozen ratio table exactly as dsirWeights does, exposed
+      // as a (b, w_fp) model for the scorer
+      val feats = d.select(col("doc_id"), isT.as("is_t"),
+          explode(concat(
+            graft.functions.word_ngram_hashes(col("text"), 1),
+            graft.functions.word_ngram_hashes(col("text"), 2))).as("h"))
+        .withColumn("b", pmod(col("h"), lit(buckets.toLong)).cast("int"))
+      val hist = feats.groupBy(col("b")).agg(
+          sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+          sum(when(col("is_t"), 0L).otherwise(1L)).as("cr"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val nT = hist.map(_._2).sum.toDouble + buckets
+      val nR = hist.map(_._3).sum.toDouble + buckets
+      hist.toSeq.map { case (b, ct, cr) =>
+        (b, math.floor(1e6 * (math.log((ct + 1) / nT) - math.log((cr + 1) / nR))).toLong)
+      }.toDF("b", "w_fp")
+    }
+    val byDsir = graft.quality.Importance.linearQualityScore(
+        d, col("doc_id"), col("text"), ratioTable, buckets)
+      .join(d.select(col("doc_id"), isT.as("is_t")), "doc_id")
+    val means = byDsir.groupBy(col("is_t")).agg(avg(col("score")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"DSIR-trained model must rank target docs above the pool: $means")
+  }
 }
