@@ -92,6 +92,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq47_decontam_winnow" -> 2, // bench-side distinct + per-doc agg
     "pq48_dsir_weights" -> 1,   // per-doc agg; ratio table is a broadcast local relation
     "pq49_unigram_nll" -> 2,    // vocab partial agg + per-doc agg
+    "pq51_quality_classifier" -> 1, // weight table broadcast; one per-doc agg
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
