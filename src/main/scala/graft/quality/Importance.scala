@@ -117,6 +117,39 @@ object Importance {
       .withColumn("keep", col("logit_fp") >= lit(thresholdFp) * col("n_feats"))
   }
 
+  /** [[linearQualityScore]] in ROW-LOCAL form: the weight table rides as one
+    * map literal (fine for the classifier-sized B of real quality models;
+    * use the broadcast-join form when B outgrows a literal), so scoring is a
+    * single stateless projection — zero shuffle, zero state. That makes it
+    * directly usable inside an append-mode STREAMING pipeline as a gate
+    * stage (the groupBy form would demand a stateful aggregation there);
+    * StreamingPipelineSpec runs it online, CurationOpsSpec asserts it equals
+    * the broadcast-join form row for row.
+    */
+  def linearQualityScoreRowLocal(
+      df: DataFrame,
+      textCol: Column,
+      weights: Map[Int, Long],
+      buckets: Int,
+      biasFp: Long = 0L,
+      thresholdFp: Long = 0L): DataFrame = {
+    require(buckets > 0, s"buckets=$buckets must be positive")
+    val wMap = typedLit(weights)
+    val hs = concat(
+      graft.functions.word_ngram_hashes(textCol, 1),
+      graft.functions.word_ngram_hashes(textCol, 2))
+    df.withColumn("__hs", hs)
+      .withColumn("n_feats", size(col("__hs")).cast("long"))
+      .withColumn("sum_fp", aggregate(col("__hs"), lit(0L), (acc, h) =>
+        acc + coalesce(
+          element_at(wMap, pmod(h, lit(buckets.toLong)).cast("int")), lit(0L))))
+      .withColumn("logit_fp", col("sum_fp") + lit(biasFp) * col("n_feats"))
+      .withColumn("score",
+        col("logit_fp").cast("double") / col("n_feats") / lit(1e6))
+      .withColumn("keep", col("logit_fp") >= lit(thresholdFp) * col("n_feats"))
+      .drop("__hs")
+  }
+
   /** Unigram-LM negative log-likelihood per token — the CCNet/Gopher-family
     * "perplexity filter" reduced to its engine-shaped core: fit add-one
     * smoothed unigram probabilities on the `lmSubset` rows (vocabulary

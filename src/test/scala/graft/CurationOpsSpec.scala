@@ -158,5 +158,17 @@ class CurationOpsSpec extends SparkTestBase {
       .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
     assert(means(true) > means(false),
       s"DSIR-trained model must rank target docs above the pool: $means")
+
+    // the row-local (map-literal, stateless) form equals the broadcast-join
+    // form row for row — it's the same model, just streaming-shaped
+    val mixedMap = (0 until buckets)
+      .map(b => b -> ((b.toLong * 2654435761L) % 1000003L - 500000L)).toMap
+    val local = graft.quality.Importance.linearQualityScoreRowLocal(
+        d, col("text"), mixedMap, buckets)
+      .select(col("doc_id"), col("n_feats"), col("sum_fp"), col("logit_fp"), col("keep"))
+    val joinForm = scored.select(
+      col("doc_id"), col("n_feats"), col("sum_fp"), col("logit_fp"), col("keep"))
+    assert(local.exceptAll(joinForm).isEmpty && joinForm.exceptAll(local).isEmpty,
+      "row-local and broadcast-join classifier forms diverged")
   }
 }

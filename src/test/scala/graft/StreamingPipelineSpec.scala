@@ -184,7 +184,15 @@ class StreamingPipelineSpec extends SparkTestBase {
       .withColumn("n_distinct", size(array_distinct(TextFunctions.tokens(col("text")))))
       .filter(col("n_tokens").between(30, 80) &&
         col("n_distinct") * 100 >= col("n_tokens") * 40)
-    val curated = Sampling.stratifiedByHash(gated, col("doc_id"), col("lang"), rates, 100)
+    // trained-model quality gate, ONLINE: the row-local classifier form is a
+    // stateless projection, so it rides the append-mode stream directly
+    val clsWeights = (0 until 64)
+      .map(b => b -> ((b.toLong * 2654435761L) % 1000003L - 500000L)).toMap
+    val classified = graft.quality.Importance.linearQualityScoreRowLocal(
+        gated, col("text"), clsWeights, buckets = 64)
+      .filter(col("keep"))
+      .drop("n_feats", "sum_fp", "logit_fp", "score", "keep")
+    val curated = Sampling.stratifiedByHash(classified, col("doc_id"), col("lang"), rates, 100)
     val q = curated.select("doc_id", "lang", "text")
       .writeStream.format("memory").queryName("cur_out")
       .option("checkpointLocation", ckpt).outputMode("append").start()
@@ -207,6 +215,13 @@ class StreamingPipelineSpec extends SparkTestBase {
       val bucket = java.lang.Long.parseLong(
         org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString).substring(0, 15), 16) % 1000
       assert(bucket < rates.getOrElse(lang, 100), s"doc $id fails its own sampling decision")
+    }
+    // (2b) every survivor passes the ONLINE classifier's own batch decision
+    val clsKeep = graft.quality.Importance.linearQualityScoreRowLocal(
+        corpus, col("text"), clsWeights, buckets = 64)
+      .filter(col("keep")).select("doc_id").collect().map(_.getLong(0)).toSet
+    out.foreach { case (id, _, _) =>
+      assert(clsKeep(id), s"doc $id survived the stream but fails the classifier in batch")
     }
     // (3) the pipeline kept a non-trivial subset: some docs passed, some didn't
     assert(out.nonEmpty && out.length < corpus.count(), "curation must be a proper subset")
