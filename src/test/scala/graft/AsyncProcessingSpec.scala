@@ -130,6 +130,33 @@ class AsyncProcessingSpec extends SparkTestBase {
     assert(out.toSet == Set(0L, 1L, 2L, 3L), "extended task must complete, not give up")
   }
 
+  test("T4: a property-bound policy times out executor-side and honors -1 = never") {
+    import spark.implicits._
+    import scala.concurrent.{Future, Promise}
+    import graft.config.{EngineProperties, MapPropertySupplier, Properties}
+    // bound at 250 ms from the registry: the stuck task gives up promptly
+    val props = new Properties(Seq(new MapPropertySupplier(
+      Map("decaton.deferred.complete.timeout.ms" -> 250L))))
+    val dyn = props.dynamic(EngineProperties.DeferredCompleteTimeoutMs)
+    val policy = graft.streaming.CompletionPolicy.fromProperty[(String, Long), (Long, Boolean)](
+      dyn,
+      onTimeout = (_, _) => graft.streaming.TimeoutDecision.GiveUp,
+      onGiveUp = t => (t._2, false))
+    val tasks = spark.range(6).map(i => (s"k${i % 2}", i.toLong))
+      .repartition(1, org.apache.spark.sql.functions.col("_1"))
+    val out = AsyncProcessing.flatMapAsyncKeyed[(String, Long), String, (Long, Boolean)](
+      tasks, maxInFlight = 4, policy)(
+      _._1,
+      t => if (t._2 == 1L) Promise[(Long, Boolean)]().future
+           else Future.successful((t._2, true)))
+      .collect()
+    assert(out.length == 6 && out.toSet.contains((1L, false)),
+      "property-bound timeout must reap the stuck task through the Spark closure")
+    // -1 (the reference default) = reaper disabled: nextTimeout is unbounded
+    dyn.set(-1L)
+    assert(!policy.nextTimeout.isFinite, "-1 must disable the timeout after hot reload")
+  }
+
   test("async keyed map preserves input order within a partition") {
     import spark.implicits._
     val tasks = spark.range(500).map(i => (s"k${i % 7}", i))
