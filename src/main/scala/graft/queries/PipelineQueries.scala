@@ -1609,6 +1609,37 @@ object PipelineQueries {
                CAST(sum(w.w_fp) AS BIGINT) >= 0 AS keep
         FROM feats f JOIN w USING (b)
         GROUP BY 1
+      """)),
+
+    // ---- temperature (α=0.5) mixing: per-language rates derived from the
+    // corpus census itself — resulting share ∝ sqrt(n_lang), the standard
+    // multilingual rebalancing. ⌊√n⌋ then pure 64-bit integer arithmetic
+    // (two-step floor is the defined semantics, replicated verbatim here),
+    // so the rates hash-compare as integers.
+    Q(
+      "pq52_temperature_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.sampling.Sampling.temperatureMixByHash(
+            d, col("doc_id"), col("lang"), alpha = "sqrt", budget = 150L)
+          .select(col("doc_id"), col("lang"), col("rate_pm"), col("sample_bucket"))
+      },
+      Some("""
+        WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        w AS (SELECT lang, n,
+                     CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w
+              FROM c),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        r AS (SELECT lang,
+                     least(CAST(1000 AS BIGINT),
+                           (1000 * ((150 * w) // sw)) // n) AS rate_pm
+              FROM w, tot),
+        b AS (SELECT d.doc_id, d.lang, r.rate_pm,
+                     CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                       AS sample_bucket
+              FROM documents d JOIN r USING (lang))
+        SELECT doc_id, lang, rate_pm, sample_bucket FROM b
+        WHERE sample_bucket < rate_pm
       """))
   )
 }

@@ -90,6 +90,59 @@ object Sampling {
       .drop("__stratum")
   }
 
+  /** Temperature (α) mixing — derive the mix FROM the corpus itself: the
+    * resulting stratum share is ∝ n_s^α, the standard rebalancing rule for
+    * multilingual/multi-domain pretraining (α=1 natural proportions, α≈0.5
+    * the sqrt smoothing of the mBERT/XLM-R lineage, α=0 equal shares).
+    * [[budgetMixByHash]] needs the caller to STATE weights; this computes
+    * them: `w_s ∈ {n_s, ⌊√n_s⌋, 1}`, per-stratum kept-row targets
+    * `k_s = (B·w_s) div Σw`, acceptance `rate_pm = min(1000, (1000·k_s)
+    * div n_s)`, then the usual id-hash threshold.
+    *
+    * Engine-exactness: ⌊√n⌋ of an exact integer is floor of a correctly-
+    * rounded IEEE sqrt — identical in any engine — and everything after it
+    * is 64-bit integer arithmetic (the two-step floor is the DEFINED
+    * semantics, replicated verbatim in the oracle), so rates compare as
+    * integers, never floats. Overflow guard: B·w_s must fit a long.
+    *
+    * Scale shape: one census shuffle to strata cardinality, Σw a driver
+    * scalar, rates broadcast back, keep decision row-local — the corpus
+    * never shuffles.
+    */
+  def temperatureMixByHash(
+      df: DataFrame,
+      idCol: Column,
+      strataCol: Column,
+      alpha: String,
+      budget: Long): DataFrame = {
+    require(Seq("equal", "sqrt", "prop").contains(alpha),
+      s"alpha must be one of equal|sqrt|prop (α=0, 0.5, 1), got $alpha")
+    require(budget > 0, s"budget=$budget must be positive")
+    val census = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val wCol = alpha match {
+      case "equal" => lit(1L)
+      case "sqrt"  => floor(sqrt(col("__n").cast("double"))).cast("long")
+      case "prop"  => col("__n")
+    }
+    val weighted = census.withColumn("__w", wCol)
+    // Σw and the overflow guard are driver-resident (strata ~10-100 rows)
+    val rows = weighted.select(col("__stratum"), col("__n"), col("__w")).collect()
+    val sumW = rows.map(_.getLong(2)).sum
+    require(sumW > 0, "no stratum has positive weight")
+    rows.foreach(r => require(r.getLong(2) == 0L || budget <= Long.MaxValue / r.getLong(2),
+      s"budget * weight overflows for stratum ${r.get(0)}"))
+    val rates = weighted.selectExpr(
+      "__stratum",
+      s"least(1000L, (1000 * ((${budget}L * __w) div ${sumW}L)) div __n) AS rate_pm")
+    df.withColumn("__stratum", strataCol)
+      .join(broadcast(rates), "__stratum")
+      .withColumn("sample_bucket",
+        pmod(portable_hash(idCol.cast("string")), lit(1000L)))
+      .filter(col("sample_bucket") < col("rate_pm"))
+      .drop("__stratum")
+  }
+
   /** EXACT per-stratum budgets: keep precisely `min(countPerStratum, |stratum|)`
     * rows per stratum — the fixed-token-budget form of dataset mixing, where
     * rate-based sampling can't hit a hard target. Selection order is the

@@ -76,6 +76,40 @@ class SamplingAndSpansSpec extends SparkTestBase {
     assert(smaller.size < a.size && a.size > n * 5 / 10 && a.size < n * 9 / 10)
   }
 
+  test("temperatureMix rebalances toward n^alpha shares and nests within strata") {
+    val docs = Tables.documents(spark, sfDir)
+    val census = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = census.values.sum / 3
+    val prop = Sampling.temperatureMixByHash(docs, col("doc_id"), col("lang"), "prop", budget)
+    val sqrtM = Sampling.temperatureMixByHash(docs, col("doc_id"), col("lang"), "sqrt", budget)
+    val equal = Sampling.temperatureMixByHash(docs, col("doc_id"), col("lang"), "equal", budget)
+    def shares(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.groupBy(col("lang")).agg(count(lit(1)).as("k"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (big, small) = {
+      val s = census.toSeq.sortBy(-_._2); (s.head._1, s.last._1)
+    }
+    // only meaningful when the corpus is actually imbalanced
+    assert(census(big) > 2 * census(small), s"fixture not imbalanced: $census")
+    def ratio(m: Map[String, Long]): Double =
+      m.getOrElse(big, 0L).toDouble / math.max(1L, m.getOrElse(small, 0L))
+    // α=1 keeps natural imbalance; α=0.5 compresses it; α=0 flattens hardest
+    assert(ratio(shares(prop)) > ratio(shares(sqrtM)),
+      s"sqrt must compress the ${ratio(shares(prop))} vs ${ratio(shares(sqrtM))}")
+    assert(ratio(shares(sqrtM)) >= ratio(shares(equal)),
+      "equal shares must be at least as flat as sqrt")
+    // per-stratum rates derived by integer math: every kept row passes its
+    // own published rate, and the sample nests within each stratum across
+    // budgets (same hash threshold discipline as stratifiedByHash)
+    import spark.implicits._
+    val smallSet = Sampling.temperatureMixByHash(docs, col("doc_id"), col("lang"), "sqrt", budget / 2)
+      .select("doc_id").as[Long].collect().toSet
+    val bigSet = sqrtM.select("doc_id").as[Long].collect().toSet
+    assert(smallSet.subsetOf(bigSet), "half-budget sample must nest in the full one")
+    assert(sqrtM.filter(col("sample_bucket") >= col("rate_pm")).isEmpty)
+  }
+
   // --- topTerms ------------------------------------------------------------
 
   test("topTerms ranks by tf desc, then rarer-corpus-term (df asc), then token") {
