@@ -93,6 +93,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq48_dsir_weights" -> 1,   // per-doc agg; ratio table is a broadcast local relation
     "pq49_unigram_nll" -> 2,    // vocab partial agg + per-doc agg
     "pq51_quality_classifier" -> 1, // weight table broadcast; one per-doc agg
+    "pq52_temperature_mix" -> 1,    // census agg; rates broadcast back, keep row-local
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
