@@ -69,6 +69,32 @@ object Multimodal {
     }
   }
 
+  /** Frame features → ONE asset-level embedding: per-dimension mean over the
+    * sampled frames, summed in 1e-6 fixed point (the pq26 contract) so the
+    * pooled vector is bit-identical across partitionings, then divided once.
+    * This is the bridge from [[decodeFeatures]]' per-frame output to the
+    * `embeddings`-table shape every ANN/dedup operator consumes
+    * (bruteForceTopK, ivfTopK, semanticClusterDedup, mmrTopK…) — i.e. the
+    * whole multimodal retrieval path is: binary asset → frame features →
+    * pooled embedding → ANN, with only the codec stubbed.
+    *
+    * Scale shape: posexplode to (asset, dim) rows — fixed width, no frame
+    * array ever buffered per group — one partial-agged shuffle on
+    * (asset, dim), then a dim-bounded collect per asset. Returns
+    * (asset_id, embedding: array<float>).
+    */
+  def meanPoolFeatures(features: Dataset[DecodedFeature]): DataFrame =
+    features.toDF()
+      .select(col("asset_id"), posexplode(col("feature")).as(Seq("dim", "v")))
+      .withColumn("v_fp", floor(col("v").cast("double") * lit(1e6)).cast("long"))
+      .groupBy(col("asset_id"), col("dim"))
+      .agg(sum(col("v_fp")).as("s_fp"), count(lit(1)).as("n"))
+      .withColumn("m",
+        (col("s_fp").cast("double") / col("n").cast("double") / lit(1e6)).cast("float"))
+      .groupBy(col("asset_id"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m")).as("embedding"))
+
   /** Executor-side "decode + featurize": one feature vector per sampled
     * frame. Frame sampling takes every `stride`-th frame — the plumbing a
     * real video pipeline needs (explode on the container index, not on

@@ -475,4 +475,34 @@ class DedupSpec extends SparkTestBase {
       .collect().map(_.feature.toSeq).toSet
     assert(a == b)
   }
+
+  test("multimodal retrieval end-to-end: binary -> frame features -> pooled embedding -> ANN") {
+    // distinct payloads: exact-dup texts would tie at cosine 1.0 and make
+    // the expected nearest neighbor ambiguous
+    val d = Tables.documents(spark, sfDir).dropDuplicates("text")
+      .withColumn("payload", col("text").cast("binary"))
+    val assets = Multimodal.toAssets(d, "doc_id", "payload", "text/fake")
+    val pooled = Multimodal.meanPoolFeatures(
+      Multimodal.decodeFeatures(assets, stride = 1, dim = 8))
+    // pooled shape: one embedding per asset, dim preserved, dims in order
+    assert(pooled.count() == assets.count())
+    assert(pooled.head().getSeq[Float](1).length == 8)
+    // partition-order independence: the fixed-point pooling contract
+    val p1 = pooled.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val p2 = Multimodal.meanPoolFeatures(
+        Multimodal.decodeFeatures(assets.repartition(7, col("asset_id")), 1, 8))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(p1 == p2, "pooled embeddings must be bit-identical across partitionings")
+    // the pooled table feeds the ANN surface directly: exact top-k runs and
+    // an asset's own duplicate payload is its nearest neighbor
+    val dup = pooled.limit(5).withColumn("asset_id", col("asset_id") + 1000000L)
+    val corpus = pooled.unionAll(dup)
+    val knn = graft.similarity.Knn.bruteForceTopK(
+      corpus, dup, "asset_id", "embedding", k = 1)
+    val top = knn.filter(col("rank") === 1)
+      .select(col("query_id"), col("nbr_id")).as[(Long, Long)].collect().toMap
+    top.foreach { case (q, n) =>
+      assert(n == q - 1000000L, s"duplicate asset $q must retrieve its original, got $n")
+    }
+  }
 }
