@@ -1640,6 +1640,100 @@ object PipelineQueries {
               FROM documents d JOIN r USING (lang))
         SELECT doc_id, lang, rate_pm, sample_bucket FROM b
         WHERE sample_bucket < rate_pm
+      """)),
+
+    // ---- BM25 top-k retrieval: one stats scan to a single row (driver
+    // residency = a Long per distinct term), one row-local scoring scan into
+    // bounded-heap top-k — no inverted index, no posting shuffle, text never
+    // moves. Per-(doc,term) components frozen to floor(1e6·idf·w) integers,
+    // so partition order cannot change a score; the oracle replicates the
+    // exact association order of every IEEE op (see Bm25.scala).
+    Q(
+      "pq53_bm25_topk",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.retrieval.Bm25.bm25TopK(
+          d, col("doc_id"), col("text"),
+          Seq(
+            1L -> Seq("hash", "join"),
+            2L -> Seq("window", "agg", "scan"),
+            3L -> Seq("customer", "order")),
+          k = 10)
+      },
+      Some("""
+        WITH q AS (
+          SELECT CAST(qid AS BIGINT) AS qid, term FROM (VALUES
+            (1, 'hash'), (1, 'join'),
+            (2, 'window'), (2, 'agg'), (2, 'scan'),
+            (3, 'customer'), (3, 'order')) AS v(qid, term)
+        ), base AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM base
+        ), terms AS (
+          SELECT DISTINCT term FROM q
+        ), dfs AS (
+          SELECT tm.term,
+                 CAST(sum(CASE WHEN list_contains(b.t, tm.term) THEN 1 ELSE 0 END) AS BIGINT) AS df
+          FROM base b CROSS JOIN terms tm
+          GROUP BY 1
+        ), comp AS (
+          SELECT b.doc_id, q.qid,
+                 CASE WHEN len(list_filter(b.t, x -> x = q.term)) > 0
+                      THEN CAST(floor(1000000.0
+                             * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                             * (CAST(len(list_filter(b.t, x -> x = q.term)) AS DOUBLE) * (1.2 + 1.0)
+                                / (CAST(len(list_filter(b.t, x -> x = q.term)) AS DOUBLE)
+                                   + 1.2 * (1.0 - 0.75 + 0.75 * CAST(b.dl AS DOUBLE) / s.avgdl))))
+                           AS BIGINT)
+                      ELSE 0 END AS c,
+                 CASE WHEN len(list_filter(b.t, x -> x = q.term)) > 0 THEN 1 ELSE 0 END AS m
+          FROM base b CROSS JOIN q
+          JOIN dfs d USING (term) CROSS JOIN stats s
+        ), scores AS (
+          SELECT doc_id, qid, CAST(sum(c) AS BIGINT) AS score_fp
+          FROM comp GROUP BY 1, 2 HAVING sum(m) > 0
+        ), ranked AS (
+          SELECT qid, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id ASC) AS rk
+          FROM scores
+        )
+        SELECT qid, CAST(rk AS INT) AS rank, doc_id, score_fp,
+               CAST(score_fp AS DOUBLE) / 1000000.0 AS score
+        FROM ranked WHERE rk <= 10
+      """)),
+
+    // ---- hard-negative mining (contrastive training data): per anchor, the
+    // top-k most similar DIFFERENT-label vectors. pq08's plan with the label
+    // inequality folded into the broadcast join condition — same-label rows
+    // die before anything shuffles.
+    Q(
+      "pq54_hard_negatives",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val anchors = e.filter(col("vec_id") % 50 === 0)
+        Knn.hardNegativesTopK(e, anchors, "vec_id", "embedding", "label", k = 5)
+      },
+      Some("""
+        WITH q AS (SELECT vec_id AS query_id, label AS ql, embedding AS qv
+                   FROM embeddings WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS nbr_id, label AS nl, embedding AS nv FROM embeddings),
+        s AS (
+          SELECT query_id, nbr_id,
+            round(
+              list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(qv)), i -> CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(nv[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)
+              / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(qv)), i -> CAST(qv[CAST(i AS INT)] AS DOUBLE) * CAST(qv[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x))
+               * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len(nv)), i -> CAST(nv[CAST(i AS INT)] AS DOUBLE) * CAST(nv[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x))), 4) AS cos_r
+          FROM c CROSS JOIN q WHERE query_id <> nbr_id AND ql <> nl)
+        SELECT query_id, rank, nbr_id, cos_r FROM (
+          SELECT query_id, nbr_id, cos_r,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id ASC) AS rank
+          FROM s
+        ) WHERE rank <= 5
       """))
   )
 }

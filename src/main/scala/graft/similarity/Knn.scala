@@ -62,6 +62,33 @@ object Knn {
     rankTopK(scored, "cos_r", k)
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-negatives
+    * upgrade of SimCLR/DPR-style pipelines): for each anchor, the top-`k`
+    * most cosine-similar corpus items with a DIFFERENT label — the
+    * negatives that actually move a contrastive loss. Same scale shape as
+    * [[bruteForceTopK]] (anchors broadcast, corpus scanned once, bounded-
+    * heap top-k; the label inequality rides the broadcast join condition,
+    * so same-label candidates are dropped before scoring ever shuffles).
+    * Output is pq08's (query_id, rank, nbr_id, cos_r) shape; membership —
+    * not an output column — encodes the label constraint.
+    */
+  def hardNegativesTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      k: Int): DataFrame = {
+    val c = corpus.select(
+      col(idCol).as("nbr_id"), col(labelCol).as("nbr_label"), col(vecCol).as("nv"))
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(labelCol).as("q_label"), col(vecCol).as("qv")))
+    val scored = c
+      .join(q, col("query_id") =!= col("nbr_id") && col("q_label") =!= col("nbr_label"))
+      .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
+    rankTopK(scored, "cos_r", k)
+  }
+
   /** Symmetric absmax int8 quantization of a float-vector column — same
     * math as the pq29 registered query (floor, not round: floor of an IEEE
     * double is bit-identical across engines). Zero vectors quantize to

@@ -213,6 +213,34 @@ class DedupSpec extends SparkTestBase {
       s"scale-params candidates $candsScale not well below ${nQ * nC} pairs")
   }
 
+  test("hard negatives: different-label only, equal to per-anchor filtered brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val anchors = e.filter(col("vec_id") % 50 === 0)
+    val hard = Knn.hardNegativesTopK(e, anchors, "vec_id", "embedding", "label", 5)
+    val labels = e.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val rows = hard.select("query_id", "rank", "nbr_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    // no returned negative shares its anchor's label, ranks are dense from 1
+    rows.foreach { case (qid, _, nid) =>
+      assert(labels(nid) != labels(qid), s"anchor $qid got same-label neighbor $nid")
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.map(_._2).sorted == (1 to g.size).toList)
+    }
+    // equivalence: per anchor, identical to brute force over the
+    // different-label slice of the corpus
+    val anchorRows = anchors.select(col("vec_id"), col("label")).as[(Long, Int)].collect()
+    anchorRows.take(3).foreach { case (qid, ql) =>
+      val expect = Knn.bruteForceTopK(
+          e.filter(col("label") =!= ql), anchors.filter(col("vec_id") === qid),
+          "vec_id", "embedding", 5)
+        .select("rank", "nbr_id").as[(Int, Long)].collect().toSet
+      val got = rows.filter(_._1 == qid).map(r => (r._2, r._3)).toSet
+      assert(got == expect, s"anchor $qid mismatch vs filtered brute force")
+    }
+  }
+
   test("single-table sign-LSH with one-flip probing still beats its single-bucket floor") {
     val e = Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") % 50 === 0)

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkTestBase {
   private val mustBroadcast = Map(
     "dq07_quota_exact" -> 4, "dq09_cms_rates" -> 2,
     "pq03_lsh_pairs" -> 2, "pq05_simhash_pairs" -> 2, "pq06_jaccard_pairs" -> 4,
-    "pq07_embed_neardup" -> 2, "pq08_knn_brute" -> 2, "pq09_knn_lsh" -> 6,
+    "pq07_embed_neardup" -> 2, "pq08_knn_brute" -> 2, "pq54_hard_negatives" -> 2,
+    "pq09_knn_lsh" -> 6,
     "pq13_embed_neardup_lsh" -> 6,
     // pq27: range base offsets broadcast back; pq34: keep-ids semi join —
     // losing either re-shuffles the full corpus
@@ -94,6 +95,8 @@ class PlanAuditSpec extends SparkTestBase {
     "pq49_unigram_nll" -> 2,    // vocab partial agg + per-doc agg
     "pq51_quality_classifier" -> 1, // weight table broadcast; one per-doc agg
     "pq52_temperature_mix" -> 1,    // census agg; rates broadcast back, keep row-local
+    "pq53_bm25_topk" -> 1,          // row-local scoring; only the per-query heap exchange
+    "pq54_hard_negatives" -> 1,     // anchors broadcast; only the heap exchange
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 

@@ -55,7 +55,7 @@ def cell_eq(a, b):
     return a == b
 
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, prefix=""):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -63,6 +63,8 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if not name.startswith(prefix):
+            continue
         try:
             gc, gt, got = sorted_rel(
                 con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -98,4 +100,5 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else ""))
