@@ -74,6 +74,75 @@ object Curation {
     * ONE map-side-combinable aggregation to strata cardinality (~10–100
     * rows). The corpus is scanned once and never shuffled.
     */
+  /** Per-source document cap (RefinedWeb-style "domain cap"): within each
+    * `groupCol` bucket keep at most `cap` documents, ranked by `scoreCol`
+    * descending (ties broken by ascending id). Output: one row per kept doc
+    * with its 1-based rank inside the source plus the source's total count.
+    *
+    * 100 TB shape: this is NOT a window sort. Each source's candidates are
+    * folded into a bounded `top_k_by` heap (`graft.plans.TopKByScoreAgg`) —
+    * partial heaps merge map-side, so the only exchange carries one
+    * `cap`-sized buffer per source, never the documents. A hot source (the
+    * usual crawl skew: one domain = 10% of the corpus) costs its reducer a
+    * single bounded heap, not a sorted partition of every row.
+    */
+  def perSourceCap(
+      df: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      scoreCol: Column,
+      cap: Int): DataFrame =
+    df.select(groupCol.as("source"), idCol.as("id"),
+        scoreCol.cast("double").as("s"))
+      .groupBy(col("source"))
+      .agg(
+        graft.functions.top_k_by(col("s"), col("id"), cap).as("kept"),
+        count(lit(1)).as("n_total"))
+      .select(col("source"), col("n_total"),
+        posexplode(col("kept")).as(Seq("i", "x")))
+      .select(col("source"), (col("i") + 1).cast("int").as("rank"),
+        col("x.id").as("doc_id"), col("x.score").as("score"), col("n_total"))
+
+  /** Pairwise overlap matrix over per-group distinct key sets: for every
+    * pair of groups, `n_shared` = how many distinct keys appear in BOTH,
+    * each group's set size, and the integer-exact Jaccard
+    * `⌊1000·shared/union⌋`. Feed it (source, token) for vocabulary overlap,
+    * (source, content-hash) for exact-dup provenance, or (source, winnow
+    * fingerprint) for near-dup provenance — the report that tells a corpus
+    * owner which feeds are re-crawling each other before any dedup decision.
+    *
+    * 100 TB shape: one distinct shuffle on (group, key) then one partial-agg
+    * shuffle on key; the per-key group set is bounded by the GROUP
+    * cardinality (thousands of sources), so the row-local pair explosion is
+    * bounded by |groups|² per shared key, never by corpus size. Keys (hashes
+    * / tokens) stand in for documents — text never moves.
+    */
+  def overlapMatrix(
+      df: DataFrame,
+      groupCol: Column,
+      keyCol: Column): DataFrame = {
+    val gk = df.select(groupCol.as("src"), keyCol.as("k")).distinct()
+    val sizes = gk.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    val sets = gk.groupBy(col("k"))
+      .agg(sort_array(collect_set(col("src"))).as("ss"))
+      .filter(size(col("ss")) > 1)
+    // all i<j pairs of the (sorted) per-key group set, row-locally
+    val pairs = sets.select(explode(flatten(transform(col("ss"),
+      (a, i) => transform(slice(col("ss"), i + lit(2), size(col("ss"))),
+        b => struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+    pairs.groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.withColumnRenamed("src", "src_a")
+        .withColumnRenamed("n", "n_a")), "src_a")
+      .join(broadcast(sizes.withColumnRenamed("src", "src_b")
+        .withColumnRenamed("n", "n_b")), "src_b")
+      .withColumn("jaccard_pm",
+        floor(lit(1000.0) * col("n_shared") /
+          (col("n_a") + col("n_b") - col("n_shared"))).cast("long"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard_pm"))
+  }
+
   def filterFunnel(
       df: DataFrame,
       textCol: Column,

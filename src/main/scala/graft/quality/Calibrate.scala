@@ -1,0 +1,51 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quality-threshold calibration: instead of hand-picking a score cutoff,
+  * derive the cutoff FROM the corpus so that an exact target fraction
+  * survives — the way production quality gates are actually tuned (score the
+  * corpus, look at the distribution, cut at a percentile).
+  */
+object Calibrate {
+
+  /** Keep (at least) the top `keepFrac` of rows by `scoreCol`, with the
+    * threshold derived from the corpus itself. The threshold is the score at
+    * 0-based ascending rank `floor((1-keepFrac)·n)` — a DISCRETE quantile,
+    * i.e. an actual score value, never an interpolated float — so the final
+    * `score >= thr` gate compares two identically-computed doubles and can
+    * never knife-edge between engines. Ties at the threshold are all kept
+    * (survivor count may exceed `keepFrac·n` by the tie width; it is never
+    * below).
+    *
+    * 100 TB shape: the corpus is scanned once into a (score → count)
+    * partial-agg shuffle; everything after operates on DISTINCT scores.
+    * `scoreCol` contracts to bounded cardinality (e.g. a 6-dp rounded score
+    * in [0,1] has ≤ 10⁶+1 distinct values), so the unpartitioned cumulative
+    * window runs over at most that many metadata rows — never over the
+    * corpus. The threshold row is broadcast back; the corpus itself is
+    * filtered row-locally on re-scan, no second shuffle.
+    */
+  def calibratedFilter(
+      scored: DataFrame,
+      scoreCol: Column,
+      keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0,
+      s"keepFrac=$keepFrac must be in (0,1]")
+    val byScore = scored.select(scoreCol.as("__s"))
+      .filter(col("__s").isNotNull)
+      .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
+    // cumulative count strictly below each distinct score (bounded rows)
+    val cum = byScore.withColumn("__below",
+      sum(col("__c")).over(Window.orderBy(col("__s"))) - col("__c"))
+    val tot = byScore.agg(sum(col("__c")).as("__n"))
+    val thr = cum.crossJoin(broadcast(tot))
+      .withColumn("__r", floor((lit(1.0) - lit(keepFrac)) * col("__n")).cast("long"))
+      .filter(col("__below") <= col("__r") &&
+        col("__r") < col("__below") + col("__c"))
+      .select(col("__s").as("thr"))
+    scored.crossJoin(broadcast(thr)).filter(scoreCol >= col("thr"))
+  }
+}

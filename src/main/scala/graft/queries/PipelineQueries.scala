@@ -1734,6 +1734,94 @@ object PipelineQueries {
                  row_number() OVER (PARTITION BY query_id ORDER BY cos_r DESC, nbr_id ASC) AS rank
           FROM s
         ) WHERE rank <= 5
+      """)),
+
+    // ---- per-source document cap (RefinedWeb-style domain cap): within
+    // each source keep the top-20 docs by quality score. Bounded-heap
+    // top_k_by per source — the only exchange carries one 20-slot buffer per
+    // source, never the documents (no window sort of a hot domain).
+    Q(
+      "pq55_source_cap",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.Curation.perSourceCap(
+          d, col("doc_id"), col("source"),
+          TextFunctions.quality_score(col("text")), cap = 20)
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+        sc AS (
+          SELECT doc_id, source,
+            round(0.4 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)) +
+                  0.3 * least(len(toks) / 100.0, 1.0) +
+                  0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / length(text)), 6) AS score
+          FROM t),
+        r AS (
+          SELECT source, doc_id, score,
+                 row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rank,
+                 count(*) OVER (PARTITION BY source) AS n_total
+          FROM sc)
+        SELECT source, CAST(rank AS INT) AS rank, doc_id, score, n_total
+        FROM r WHERE rank <= 20
+      """)),
+
+    // ---- source-pair vocabulary overlap (provenance/governance report):
+    // which feeds re-crawl each other. Distinct (source, token) shuffle,
+    // per-token source sets (bounded by |sources|), row-local i<j pair
+    // explosion, integer-exact Jaccard.
+    Q(
+      "pq56_source_overlap",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("source"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        graft.pipeline.Curation.overlapMatrix(toks, col("source"), col("tok"))
+      },
+      Some("""
+        WITH ts AS (
+          SELECT DISTINCT src, t FROM (
+            SELECT source AS src, unnest(string_split(text, ' ')) AS t
+            FROM documents)),
+        sz AS (SELECT src, count(*) AS n FROM ts GROUP BY 1),
+        sh AS (
+          SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+          FROM ts a JOIN ts b ON a.t = b.t AND a.src < b.src
+          GROUP BY 1, 2)
+        SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+               CAST(floor(1000.0 * n_shared / (sa.n + sb.n - n_shared)) AS BIGINT) AS jaccard_pm
+        FROM sh JOIN sz sa ON sh.src_a = sa.src JOIN sz sb ON sh.src_b = sb.src
+      """)),
+
+    // ---- calibrated quality gate: keep the top 70% by quality score with
+    // the threshold derived FROM the corpus (discrete quantile — an actual
+    // score value, so the >= gate compares identically-computed doubles and
+    // cannot knife-edge between engines). Score-histogram shuffle + bounded
+    // cumulative window over distinct scores; threshold broadcast back.
+    Q(
+      "pq57_calibrated_quality",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(col("doc_id"), col("lang"),
+          TextFunctions.quality_score(col("text")).as("score"))
+        graft.quality.Calibrate.calibratedFilter(scored, col("score"), keepFrac = 0.7)
+          .select(col("doc_id"), col("lang"), col("score"), col("thr"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
+        sc AS (
+          SELECT doc_id, lang,
+            round(0.4 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)) +
+                  0.3 * least(len(toks) / 100.0, 1.0) +
+                  0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / length(text)), 6) AS score
+          FROM t),
+        cs AS (SELECT score, count(*) AS c FROM sc GROUP BY 1),
+        cum AS (SELECT score, c, sum(c) OVER (ORDER BY score) - c AS below FROM cs),
+        tot AS (SELECT count(*) AS n FROM sc),
+        thr AS (
+          SELECT score AS thr FROM cum, tot
+          WHERE below <= CAST(floor((1.0 - 0.7) * n) AS BIGINT)
+            AND CAST(floor((1.0 - 0.7) * n) AS BIGINT) < below + c)
+        SELECT doc_id, lang, score, thr FROM sc, thr WHERE score >= thr
       """))
   )
 }

@@ -171,4 +171,77 @@ class CurationOpsSpec extends SparkTestBase {
     assert(local.exceptAll(joinForm).isEmpty && joinForm.exceptAll(local).isEmpty,
       "row-local and broadcast-join classifier forms diverged")
   }
+
+  test("per-source cap equals the window row_number form and never over-admits") {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(spark, sfDir)
+    val score = TextFunctions.quality_score(col("text"))
+    for (cap <- Seq(3, 20)) {
+      val viaOp = graft.pipeline.Curation
+        .perSourceCap(d, col("doc_id"), col("source"), score, cap)
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("s").desc, col("doc_id").asc)
+      val viaWindow = d.select(col("source"), col("doc_id"), score.as("s"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("n_total", count(lit(1)).over(Window.partitionBy(col("source"))))
+        .filter(col("rank") <= cap)
+        .select(col("source"), col("rank").cast("int").as("rank"),
+          col("doc_id"), col("s").as("score"), col("n_total"))
+      val a = viaOp.as[(String, Int, Long, Double, Long)].collect().sorted
+      val b = viaWindow.as[(String, Int, Long, Double, Long)].collect().sorted
+      assert(a.toSeq == b.toSeq, s"cap=$cap: heap cap diverged from window cap")
+      val over = viaOp.groupBy(col("source")).agg(count(lit(1)).as("k"))
+        .filter(col("k") > cap).count()
+      assert(over == 0, s"cap=$cap: a source admitted more than cap docs")
+    }
+  }
+
+  test("overlap matrix is exact against a brute-force set intersection") {
+    val d = Tables.documents(spark, sfDir)
+    val toks = d.select(col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val m = graft.pipeline.Curation.overlapMatrix(toks, col("source"), col("tok"))
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // brute-force on the driver from the same rows
+    val sets = toks.as[(String, String)].collect()
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val srcs = sets.keys.toSeq.sorted
+    for (a <- srcs; b <- srcs if a < b) {
+      val shared = (sets(a) & sets(b)).size.toLong
+      if (shared == 0) assert(!m.contains((a, b)), s"($a,$b) should be absent")
+      else {
+        val (_, _, nShared, nA, nB, jpm) = m((a, b))
+        assert(nShared == shared && nA == sets(a).size && nB == sets(b).size,
+          s"($a,$b): got ($nShared,$nA,$nB), want ($shared,${sets(a).size},${sets(b).size})")
+        val union = nA + nB - nShared
+        assert(jpm == math.floor(1000.0 * nShared / union).toLong,
+          s"($a,$b): jaccard_pm $jpm inconsistent")
+      }
+    }
+  }
+
+  test("calibrated filter keeps at least keepFrac and cuts strictly below the threshold") {
+    val d = Tables.documents(spark, sfDir)
+    val scored = d.select(col("doc_id"),
+      TextFunctions.quality_score(col("text")).as("score"))
+    val n = scored.count()
+    for (keepFrac <- Seq(0.3, 0.7, 1.0); parts <- Seq(1, 7)) {
+      val kept = graft.quality.Calibrate
+        .calibratedFilter(scored.repartition(parts), col("score"), keepFrac)
+      val thr = kept.select(col("thr")).distinct().as[Double].collect()
+      assert(thr.length == 1, s"keepFrac=$keepFrac: threshold must be unique, got ${thr.toSeq}")
+      val k = kept.count()
+      assert(k >= math.ceil(keepFrac * n).toLong - 1,
+        s"keepFrac=$keepFrac: kept $k of $n — under target")
+      // everything strictly above the dropped mass survives: the drop side
+      // is exactly the scores strictly below thr
+      val dropped = n - k
+      val belowThr = scored.filter(col("score") < thr(0)).count()
+      assert(dropped == belowThr,
+        s"keepFrac=$keepFrac: dropped $dropped != strictly-below-threshold $belowThr")
+      assert(dropped <= math.floor((1 - keepFrac) * n).toLong,
+        s"keepFrac=$keepFrac: dropped $dropped — over the drop budget")
+    }
+  }
 }

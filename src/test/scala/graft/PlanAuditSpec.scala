@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkTestBase {
     // pq48/pq49: the trained side tables (B-bucket ratios / df-pruned vocab)
     // must ride broadcast — losing one shuffles every exploded feature/token
     "pq48_dsir_weights" -> 2, "pq49_unigram_nll" -> 2,
+    // pq56: the per-group set sizes; pq57: the total + threshold rows — each
+    // must ride broadcast or the corpus re-shuffles for a metadata join
+    "pq56_source_overlap" -> 4, "pq57_calibrated_quality" -> 4,
     // the KNN family: the query batch must always ride broadcast — losing
     // it turns a map-side scored scan into a corpus-wide shuffle join
     "pq14_knn_ivf" -> 10, "pq31_knn_int8" -> 2, "pq35_knn_quantized_stack" -> 14,
@@ -97,6 +100,9 @@ class PlanAuditSpec extends SparkTestBase {
     "pq52_temperature_mix" -> 1,    // census agg; rates broadcast back, keep row-local
     "pq53_bm25_topk" -> 1,          // row-local scoring; only the per-query heap exchange
     "pq54_hard_negatives" -> 1,     // anchors broadcast; only the heap exchange
+    "pq55_source_cap" -> 1,         // bounded per-source heap agg; no window sort
+    "pq56_source_overlap" -> 4,     // (src,key) distinct + sizes + per-key sets + pair agg
+    "pq57_calibrated_quality" -> 3, // score histogram + bounded cum window; thr broadcast back
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
