@@ -74,6 +74,42 @@ object PerKeyQuota {
       .groupBy(col("win"))
       .agg(cms_merge(col("part")).as("sketch"))
 
+  /** Backfill form of [[windowedSketchSalted]] for MANY windows at once:
+    * co-locate rows by (window, salt) FIRST, then sketch. The partial-agg
+    * forms emit one width×depth partial per (window, salt) per input
+    * partition — right for a streaming trigger (one or two live windows:
+    * salts×6 MB per partition ≪ the rows), but a 30-day batch backfill at
+    * the production 65536×12 budget makes EVERY input partition emit
+    * 30×salts×3 MB ≈ 360 MB of partials and hold 30×salts×6 MB of live
+    * buffers — partial traffic and heap churn proportional to
+    * windows×salts×sketchBytes×partitions, REGARDLESS of row count. This
+    * form pays one narrow row shuffle (bounded by the event bytes) instead;
+    * after the repartition the aggregation needs no further Exchange and
+    * each task holds only its own few buffers. Crossover: prefer the
+    * partial forms when bytes-per-partition ≫ windows×salts×sketchBytes,
+    * this one otherwise (at sf0.1/local[32]/8g the two tie at ~3 s — the
+    * partial flood still fits that heap; the win is the bounded memory
+    * profile, which is what survives the 100× backfill). Same estimate
+    * guarantee (per-key salt routing keeps each key's updates in one
+    * conservative-update buffer; the summed cross-salt merge preserves the
+    * CMS upper bound, asserted in CmsSpec).
+    */
+  def windowedSketchRepartitioned(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      salts: Int,
+      width: Int = CmsSketch.DefaultWidth,
+      depth: Int = CmsSketch.DefaultDepth): DataFrame =
+    df.withColumn("win", window(tsCol, windowDur))
+      .withColumn("__salt", pmod(crc32(graft.functions.key_bytes(keyCol)), lit(salts)))
+      .repartition(col("win"), col("__salt"))
+      .groupBy(col("win"), col("__salt"))
+      .agg(cms_sketch(graft.functions.key_bytes(keyCol), width, depth).as("part"))
+      .groupBy(col("win"))
+      .agg(cms_merge(col("part")).as("sketch"))
+
   /** Estimated count for each (key, window) pair in `keys` via the sketch
     * table (broadcast: one row per window).
     */

@@ -21,17 +21,30 @@ object CmsProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.events(spark, dir).write.format("noop").mode("overwrite").save()
-    val times = (1 to reps).map { i =>
-      val t0 = System.nanoTime()
-      graft.operators.PerKeyQuota.windowedSketchSalted(
-          Tables.events(spark, dir), col("user_id"), col("ts"), "1 day",
-          salts = 4, width = 65536, depth = 12)
-        .write.format("noop").mode("overwrite").save()
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"CMSREP $i: $s%.2f s")
-      s
+    def run(label: String)(mk: => org.apache.spark.sql.DataFrame): Seq[Double] = {
+      val times = (1 to reps).map { i =>
+        val t0 = System.nanoTime()
+        mk.write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        println(f"CMSREP $label $i: $s%.2f s")
+        s
+      }
+      println(f"CMSREP $label median: ${times.sorted.apply(reps / 2)}%.2f s")
+      times
     }
-    println(f"CMSREP median: ${times.sorted.apply(reps / 2)}%.2f s")
+    // -Dcms.form=salted|repart|both (default both) so a fresh JVM can time
+    // one form without the other's heap history
+    val form = sys.props.getOrElse("cms.form", "both")
+    if (form == "salted" || form == "both") run("salted") {
+      graft.operators.PerKeyQuota.windowedSketchSalted(
+        Tables.events(spark, dir), col("user_id"), col("ts"), "1 day",
+        salts = 4, width = 65536, depth = 12)
+    }
+    if (form == "repart" || form == "both") run("repart") {
+      graft.operators.PerKeyQuota.windowedSketchRepartitioned(
+        Tables.events(spark, dir), col("user_id"), col("ts"), "1 day",
+        salts = 4, width = 65536, depth = 12)
+    }
     spark.stop()
   }
 }

@@ -87,6 +87,25 @@ class CmsSpec extends SparkTestBase {
       s"$inflated/${joined.length} keys inflated at width 65536 — wrong width in play?")
   }
 
+  test("repartitioned backfill form upper-bounds and builds buffers only after the row shuffle") {
+    val e = Tables.events(spark, sfDir)
+    val rep = PerKeyQuota.windowedSketchRepartitioned(
+      e, col("user_id"), col("ts"), "1 day", salts = 4, width = 1024, depth = 4)
+    // same guarantee class as the partial forms: estimates upper-bound exact
+    val ex = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
+    val bad = ex.join(broadcast(rep), "win")
+      .filter(cms_estimate(col("sketch"), graft.functions.key_bytes(col("key"))) < col("n"))
+      .count()
+    assert(bad == 0L, "repartitioned sketch lost the CMS upper bound")
+    // plan shape: the row repartition on (win, salt) must satisfy the
+    // aggregation's distribution — no THIRD exchange between the row shuffle
+    // and the sketch agg (that's the whole point: buffers are built only
+    // where their group lives)
+    val plan = rep.queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(plan).size == 2,
+      s"expected exactly two exchanges (row repartition, then final merge):\n$plan")
+  }
+
   test("salted merge bounds reducer fan-in: one sketch partial per (window, salt)") {
     val e = Tables.events(spark, sfDir)
     val salted = PerKeyQuota.windowedSketchSalted(
