@@ -1822,6 +1822,80 @@ object PipelineQueries {
           WHERE below <= CAST(floor((1.0 - 0.7) * n) AS BIGINT)
             AND CAST(floor((1.0 - 0.7) * n) AS BIGINT) < below + c)
         SELECT doc_id, lang, score, thr FROM sc, thr WHERE score >= thr
+      """)),
+
+    // ---- corpus snapshot diff (incremental ingestion CDC): old vs new
+    // version → added/removed/changed/unchanged per doc. One co-partitioned
+    // full-outer join on id; 128-bit hashes stand in for text. The synthetic
+    // "new" snapshot drops ids %10 (removed), edits ids %7 (changed), and
+    // ships ids %13 under fresh ids (added).
+    Q(
+      "pq58_snapshot_diff",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val oldSnap = d.select(col("doc_id"), col("text"))
+        val newSnap = d.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 13 === 0)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.pipeline.Snapshots.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+      },
+      Some("""
+        WITH olds AS (SELECT doc_id, md5(text) AS h FROM documents),
+        news AS (
+          SELECT doc_id,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+          FROM documents WHERE doc_id % 10 <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, md5(text) FROM documents WHERE doc_id % 13 = 0),
+        j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.h AS oh, n.h AS nh
+          FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+        SELECT doc_id,
+               CASE WHEN oh IS NULL THEN 'added'
+                    WHEN nh IS NULL THEN 'removed'
+                    WHEN oh <> nh THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM j
+      """)),
+
+    // ---- Zipf fit over the top-30 terms: the corpus-health slope reviewers
+    // watch across snapshot versions. Token-count shuffle →
+    // TakeOrderedAndProject top-N → 6-dp-rounded lns summed in exact
+    // DECIMAL; the only doubles are the final divisions, association-order
+    // mirrored in the oracle.
+    Q(
+      "pq59_zipf_fit",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.quality.CorpusStats.zipfFit(d, col("text"), topN = 30)
+      },
+      Some("""
+        WITH c AS (
+          SELECT t, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+          GROUP BY 1),
+        top AS (SELECT t, c FROM c ORDER BY c DESC, t ASC LIMIT 30),
+        r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS rank FROM top),
+        v AS (SELECT CAST(round(ln(rank), 6) AS DECIMAL(12,6)) AS x,
+                     CAST(round(ln(c), 6) AS DECIMAL(12,6)) AS y FROM r),
+        s AS (SELECT count(*) AS n,
+                     CAST(sum(x) AS DECIMAL(14,6)) AS sx,
+                     CAST(sum(y) AS DECIMAL(14,6)) AS sy,
+                     CAST(sum(x*y) AS DECIMAL(20,12)) AS sxy,
+                     CAST(sum(x*x) AS DECIMAL(20,12)) AS sxx
+              FROM v)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+          round(-(CAST(CAST(n AS DECIMAL(4,0)) * sxy - sx * sy AS DOUBLE)
+                  / CAST(CAST(n AS DECIMAL(4,0)) * sxx - sx * sx AS DOUBLE)), 6) AS alpha,
+          round((CAST(sy AS DOUBLE)
+                 - (CAST(CAST(n AS DECIMAL(4,0)) * sxy - sx * sy AS DOUBLE)
+                    / CAST(CAST(n AS DECIMAL(4,0)) * sxx - sx * sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE))
+                / CAST(n AS DOUBLE), 6) AS intercept
+        FROM s
       """))
   )
 }

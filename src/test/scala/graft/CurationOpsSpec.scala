@@ -244,4 +244,49 @@ class CurationOpsSpec extends SparkTestBase {
         s"keepFrac=$keepFrac: dropped $dropped — over the drop budget")
     }
   }
+
+  test("snapshot diff partitions ids correctly and reprocessSet = added ∪ changed") {
+    val d = Tables.documents(spark, sfDir)
+    val oldSnap = d.select(col("doc_id"), col("text"))
+    // self-diff: everything unchanged
+    val self = graft.pipeline.Snapshots.diff(oldSnap, oldSnap, col("doc_id"), col("text"))
+    assert(self.filter(col("status") =!= "unchanged").count() == 0)
+    // mutated snapshot: drop %10, edit %7, add fresh ids for %13
+    val newSnap = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val diff = graft.pipeline.Snapshots.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+    val by = diff.groupBy(col("status")).count()
+      .as[(String, Long)].collect().toMap
+    val nOld = oldSnap.count(); val nNew = newSnap.count()
+    assert(by("removed") + by("changed") + by("unchanged") == nOld,
+      s"old-side partition broken: $by vs $nOld old docs")
+    assert(by("added") + by("changed") + by("unchanged") == nNew,
+      s"new-side partition broken: $by vs $nNew new docs")
+    val rs = graft.pipeline.Snapshots.reprocessSet(oldSnap, newSnap, col("doc_id"), col("text"))
+    assert(rs.count() == by("added") + by("changed"))
+    val viaDiff = diff.filter(col("status").isin("added", "changed")).select("doc_id")
+    assert(rs.exceptAll(viaDiff).isEmpty && viaDiff.exceptAll(rs).isEmpty)
+  }
+
+  test("zipf fit recovers a known exponent and is partition-invariant") {
+    // construct a corpus whose term counts ARE zipfian with alpha=1: term i
+    // appears floor(1200/i) times, i = 1..40
+    val words = (1 to 40).flatMap(i => Seq.fill(1200 / i)(s"w$i"))
+    val docs = scala.util.Random.shuffle(words).grouped(50)
+      .map(_.mkString(" ")).toSeq.toDF("text")
+    val fits = Seq(1, 8).map { parts =>
+      val r = graft.quality.CorpusStats.zipfFit(docs.repartition(parts), col("text"), topN = 40)
+        .as[(Long, Double, Double)].collect().head
+      assert(r._1 == 40, s"parts=$parts: fitted ${r._1} terms, want 40")
+      assert(math.abs(r._2 - 1.0) < 0.05,
+        s"parts=$parts: alpha ${r._2} should be ~1.0 for a 1/i count curve")
+      r
+    }
+    assert(fits.distinct.size == 1,
+      s"fit must be bit-identical across partitionings: $fits")
+  }
 }

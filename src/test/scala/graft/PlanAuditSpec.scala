@@ -103,6 +103,8 @@ class PlanAuditSpec extends SparkTestBase {
     "pq55_source_cap" -> 1,         // bounded per-source heap agg; no window sort
     "pq56_source_overlap" -> 4,     // (src,key) distinct + sizes + per-key sets + pair agg
     "pq57_calibrated_quality" -> 3, // score histogram + bounded cum window; thr broadcast back
+    "pq58_snapshot_diff" -> 2,      // both snapshots keyed once for the full-outer id join
+    "pq59_zipf_fit" -> 1,           // token-count agg; TakeOrdered top-N, no global sort
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
