@@ -174,6 +174,37 @@ class DedupSpec extends SparkTestBase {
     assert(recall >= 0.8, s"seeded near-dup recall $recall below 0.8 ($hit/${ids.length})")
   }
 
+  test("Eval recall API matches the driver-side set computation, per query and pooled") {
+    val e = Tables.embeddings(spark, sfDir)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+    val exact = Knn.bruteForceTopK(e, queries, "vec_id", "embedding", 5)
+    val approx = Knn.signLshTopK(e, queries, "vec_id", "embedding", 5,
+      planes = 4, probes = 1, tables = 8)
+    // reference computation on the driver, per query
+    val truth = exact.select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val found = approx.select("query_id", "nbr_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val perQ = graft.similarity.Eval.recallPerQuery(approx, exact)
+      .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    assert(perQ.keySet == truth.keySet, "every ground-truth query must be scored")
+    truth.foreach { case (q, t) =>
+      val expected = t.count(found.getOrElse(q, Set.empty).contains).toDouble / t.size
+      assert(math.abs(perQ(q) - expected) < 1e-12, s"query $q: ${perQ(q)} vs $expected")
+    }
+    val s = graft.similarity.Eval.recallSummary(approx, exact)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(s._1 == truth.size)
+    val micro = truth.map { case (q, t) => t.count(found.getOrElse(q, Set.empty).contains) }.sum.toDouble /
+      truth.values.map(_.size).sum
+    assert(math.abs(s._3 - micro) < 1e-12, s"micro recall ${s._3} vs $micro")
+    assert(s._4 <= s._2 && s._2 <= 1.0 && s._4 >= 0.0)
+    // an index evaluated against itself is perfect
+    val self = graft.similarity.Eval.recallSummary(exact, exact)
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(self._2 == 1.0 && self._3 == 1.0 && self._4 == 1.0)
+  }
+
   test("multi-table sign-LSH knn holds the 0.7 recall floor at pq09's registered params") {
     val e = Tables.embeddings(spark, sfDir)
     val queries = e.filter(col("vec_id") % 50 === 0)
