@@ -76,6 +76,13 @@ package object functions {
   def vector_dot(a: Column, b: Column): Column =
     toColumn(graft.plans.VectorDot(toExpr(a), toExpr(b)))
 
+  /** Native integer dot product over array<long> (the int8-quantized tier;
+    * exact — integer addition is order-free). Null semantics match the
+    * declarative fold: length mismatch or null element → null.
+    */
+  def vector_dot_long(a: Column, b: Column): Column =
+    toColumn(graft.plans.VectorDotLong(toExpr(a), toExpr(b)))
+
   /** Native sign-LSH bucket id (`planes` hyperplane sign bits packed into a
     * long); bit-identical to the declarative hyperplane fold. `planeOffset`
     * selects an independent hyperplane family (table t of b planes passes

@@ -69,6 +69,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_vector_dot(a, b) - double-precision left-fold dot product", Seq(2)) {
       case Seq(a, b) => VectorDot(a, b)
     }
+    register(ext, "graft_vector_dot_long",
+      "graft_vector_dot_long(a, b) - exact integer dot product over array<long>", Seq(2)) {
+      case Seq(a, b) => VectorDotLong(a, b)
+    }
     register(ext, "graft_dt_meta_decode",
       "graft_dt_meta_decode(bytes) - decode the dt_meta task header (null on malformed)", Seq(1)) {
       case Seq(b) => DtMetaDecode(b)

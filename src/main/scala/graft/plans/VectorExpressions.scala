@@ -188,3 +188,73 @@ case class SignLsh(child: Expression, planes: Int, planeOffset: Int = 0)
   override def prettyName: String = "sign_lsh"
   override protected def withNewChildInternal(c: Expression): SignLsh = copy(child = c)
 }
+
+/** Integer dot product of two `array<long>` vectors (the int8-quantized
+  * tier: elements are in [-127, 127], so a 64-dim dot is ≤ 2^20 — exact in
+  * long with no overflow concern at any realistic dimension).
+  *
+  * Same motivation as [[VectorDot]]: the declarative
+  * `aggregate(zip_with(a, b, _*_), 0L, _+_)` interprets two Catalyst
+  * lambdas per element per pair AND blocks whole-stage codegen around the
+  * scoring projection; this is the identical sum (integer addition is
+  * order-free, so exactness is trivial) in a tight generated loop. Null
+  * semantics match the fold form: mismatched lengths or any null element
+  * → null.
+  */
+case class VectorDotLong(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vector_dot_long expects array<long>, got ${left.dataType} / ${right.dataType}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          long $acc = 0L;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+            $acc += $a.getLong($i) * $b.getLong($i);
+          }
+          if (!${ev.isNull}) { ${ev.value} = $acc; }
+        }
+      """
+    })
+
+  override def prettyName: String = "vector_dot_long"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDotLong =
+    copy(left = l, right = r)
+}

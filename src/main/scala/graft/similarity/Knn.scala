@@ -107,8 +107,11 @@ object Knn {
     * result — scores, ordering, top-k membership — is bit-exact and fully
     * hash-checkable. Same scale shape as [[bruteForceTopK]]: queries
     * broadcast, corpus scanned once, one window shuffle for top-k; the
-    * integer dot is zip_with + aggregate (codegen'd builtins, and the
-    * int8 layout is what a columnar SIMD kernel wants at 100 TB).
+    * integer dot is the native [[graft.plans.VectorDotLong]] (a generated
+    * tight loop — the declarative zip_with/aggregate fold interprets two
+    * Catalyst lambdas per element and blocks whole-stage codegen around
+    * the scoring projection; the int8 layout is what a columnar SIMD
+    * kernel wants at 100 TB).
     */
   def int8TopK(
       corpus: DataFrame,
@@ -119,8 +122,7 @@ object Knn {
     val c = corpus.select(col(idCol).as("nbr_id"), quantizeInt8(col(vecCol)).as("nq"))
     val q = broadcast(queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qq")))
     val scored = c.join(q, col("query_id") =!= col("nbr_id"))
-      .withColumn("score",
-        aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("score", graft.functions.vector_dot_long(col("qq"), col("nq")))
     rankTopK(scored, "score", k, longScore = true)
   }
 
@@ -476,8 +478,7 @@ object Knn {
     val cq = corpus.select(col(idCol).as("nbr_id"), quantizeInt8(col(vecCol)).as("nq"))
     val qq = broadcast(queries.select(col(idCol).as("query_id"), quantizeInt8(col(vecCol)).as("qq")))
     val survivors = cands.join(cq, "nbr_id").join(qq, "query_id")
-      .withColumn("iscore",
-        aggregate(zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, x) => acc + x))
+      .withColumn("iscore", graft.functions.vector_dot_long(col("qq"), col("nq")))
       .groupBy(col("query_id"))
       .agg(graft.functions.top_k_by(col("iscore"), col("nbr_id"), k * rescoreFactor).as("tk"))
       .select(col("query_id"), explode(col("tk.id")).as("nbr_id"))

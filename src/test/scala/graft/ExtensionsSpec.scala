@@ -32,6 +32,24 @@ class ExtensionsSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("vector_dot_long matches the declarative integer fold, nulls and mismatches included") {
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("embl")
+    val rows = spark.sql("""
+      WITH q AS (SELECT transform(embedding, x -> cast(floor(x * 100) AS bigint)) AS v FROM embl LIMIT 50)
+      SELECT graft_vector_dot_long(v, v) AS d,
+             aggregate(zip_with(v, v, (x, y) -> x * y), 0L, (acc, e) -> acc + e) AS expected
+      FROM q
+    """).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // length mismatch and null element → null, exactly like the fold
+    val edge = spark.sql("""
+      SELECT graft_vector_dot_long(array(1L, 2L), array(1L)) AS mismatch,
+             graft_vector_dot_long(array(1L, NULL), array(1L, 2L)) AS withNull
+    """).head()
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+  }
+
   test("dt_meta encode/decode roundtrip from spark.sql") {
     val row = spark.sql("""
       SELECT graft_dt_meta_decode(graft_dt_meta_encode(named_struct(
