@@ -20,6 +20,15 @@ object PipelineQueries {
   /** Shared oracle fragment: portable hash of an expression, DuckDB side. */
   private def dh(e: String): String = s"CAST(('0x'||substr(md5($e),1,15)) AS BIGINT)"
 
+  /** Shared oracle fragment: [[TextFunctions.quality_score]] over a
+    * `toks`/`text` pair (pq11/pq55/pq57 — ONE source so the replicas cannot
+    * drift from each other).
+    */
+  private def oQualityScore: String =
+    """round(0.4 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)) +
+                  0.3 * least(len(toks) / 100.0, 1.0) +
+                  0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / length(text)), 6)"""
+
   /** Shared oracle fragments for the embedding family: the bit-reproducible
     * left-fold dot / cosine, and the k-means round CTEs (assignment +
     * fixed-point mean update) that pq39/pq40 unroll.
@@ -1748,13 +1757,11 @@ object PipelineQueries {
           d, col("doc_id"), col("source"),
           TextFunctions.quality_score(col("text")), cap = 20)
       },
-      Some("""
+      Some(s"""
         WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
         sc AS (
           SELECT doc_id, source,
-            round(0.4 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)) +
-                  0.3 * least(len(toks) / 100.0, 1.0) +
-                  0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / length(text)), 6) AS score
+            $oQualityScore AS score
           FROM t),
         r AS (
           SELECT source, doc_id, score,
@@ -1806,13 +1813,11 @@ object PipelineQueries {
         graft.quality.Calibrate.calibratedFilter(scored, col("score"), keepFrac = 0.7)
           .select(col("doc_id"), col("lang"), col("score"), col("thr"))
       },
-      Some("""
+      Some(s"""
         WITH t AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents),
         sc AS (
           SELECT doc_id, lang,
-            round(0.4 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)) +
-                  0.3 * least(len(toks) / 100.0, 1.0) +
-                  0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / length(text)), 6) AS score
+            $oQualityScore AS score
           FROM t),
         cs AS (SELECT score, count(*) AS c FROM sc GROUP BY 1),
         cum AS (SELECT score, c, sum(c) OVER (ORDER BY score) - c AS below FROM cs),
