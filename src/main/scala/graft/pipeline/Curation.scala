@@ -103,6 +103,49 @@ object Curation {
       .select(col("source"), (col("i") + 1).cast("int").as("rank"),
         col("x.id").as("doc_id"), col("x.score").as("score"), col("n_total"))
 
+  /** The flagship end-to-end composition, round 9: canonical-exact dedup →
+    * corpus-calibrated quality gate → per-source cap → temperature mix, as
+    * ONE declarative plan. A user points this at a raw crawl and gets the
+    * training mix; every stage is the library operator it is built from
+    * (pq28 / pq57 / pq55 / pq52), so each stage's scale shape is the one
+    * already audited:
+    *   1. dedup: one partial-agg shuffle on the canonical 128-bit hash +
+    *      a co-keyed (hash, id) join — text never shuffles;
+    *   2. gate: score-histogram shuffle, cumulative window over DISTINCT
+    *      scores only, threshold broadcast back;
+    *   3. cap: one bounded `top_k_by` heap buffer per source on the wire;
+    *   4. mix: stratum census agg, integer-exact rates broadcast back,
+    *      keep decided row-locally by the row's own id hash.
+    * Output: one row per sampled doc with its provenance (rank inside its
+    * source, calibrated score, stratum rate).
+    */
+  def curateTrainingMix(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      sourceCol: Column,
+      strataCol: Column,
+      keepFrac: Double,
+      cap: Int,
+      alpha: String,
+      budget: Long): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), sourceCol.as("source"),
+      strataCol.as("stratum"), textCol.as("text"))
+    val withCh = base.withColumn("ch",
+      md5(graft.dedup.Dedup.canonicalize(col("text"))))
+    val keepers = withCh.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = withCh.join(keepers, Seq("ch", "doc_id"))
+    val scored = deduped.select(col("doc_id"), col("source"), col("stratum"),
+      TextFunctions.quality_score(col("text")).as("score"))
+    val gated = graft.quality.Calibrate.calibratedFilter(scored, col("score"), keepFrac)
+    val capped = perSourceCap(gated, col("doc_id"), col("source"), col("score"), cap)
+    val enriched = capped.join(gated.select(col("doc_id"), col("stratum")), "doc_id")
+    Sampling.temperatureMixByHash(
+        enriched, col("doc_id"), col("stratum"), alpha, budget)
+      .select(col("doc_id"), col("source"), col("stratum"), col("rank"),
+        col("score"), col("rate_pm"), col("sample_bucket"))
+  }
+
   /** Pairwise overlap matrix over per-group distinct key sets: for every
     * pair of groups, `n_shared` = how many distinct keys appear in BOTH,
     * each group's set size, and the integer-exact Jaccard

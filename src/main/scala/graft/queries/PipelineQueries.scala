@@ -1901,6 +1901,59 @@ object PipelineQueries {
                    * CAST(sx AS DOUBLE))
                 / CAST(n AS DOUBLE), 6) AS intercept
         FROM s
+      """)),
+
+    // ---- the flagship composition, hash-checked END TO END: canonical
+    // dedup → calibrated quality gate (keep 80%) → per-source cap (15) →
+    // sqrt-temperature mix (budget 120). Every stage is the already-audited
+    // library operator; the oracle chains the four stage oracles as CTEs.
+    Q(
+      "pq60_training_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.Curation.curateTrainingMix(
+          d, col("doc_id"), col("text"), col("source"), col("lang"),
+          keepFrac = 0.8, cap = 15, alpha = "sqrt", budget = 120L)
+      },
+      Some(s"""
+        WITH canon AS (
+          SELECT doc_id, source, lang AS stratum, text,
+                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                         ' +', ' ', 'g'))) AS ch
+          FROM documents),
+        keep AS (
+          SELECT c.doc_id, c.source, c.stratum, c.text
+          FROM canon c JOIN (SELECT ch, min(doc_id) AS doc_id FROM canon GROUP BY 1) k
+            ON c.ch = k.ch AND c.doc_id = k.doc_id),
+        sc AS (
+          SELECT doc_id, source, stratum, $oQualityScore AS score
+          FROM (SELECT doc_id, source, stratum, text, string_split(text, ' ') AS toks FROM keep)),
+        cs AS (SELECT score, count(*) AS c FROM sc GROUP BY 1),
+        cum AS (SELECT score, c, sum(c) OVER (ORDER BY score) - c AS below FROM cs),
+        tot AS (SELECT count(*) AS n FROM sc),
+        thr AS (
+          SELECT score AS thr FROM cum, tot
+          WHERE below <= CAST(floor((1.0 - 0.8) * n) AS BIGINT)
+            AND CAST(floor((1.0 - 0.8) * n) AS BIGINT) < below + c),
+        gated AS (SELECT sc.* FROM sc, thr WHERE score >= thr),
+        capped AS (
+          SELECT source, doc_id, stratum, score, rank FROM (
+            SELECT source, doc_id, stratum, score,
+                   row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rank
+            FROM gated) WHERE rank <= 15),
+        cen AS (SELECT stratum, count(*) AS n FROM capped GROUP BY 1),
+        w AS (SELECT stratum, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM cen),
+        sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        r AS (SELECT stratum,
+                     least(CAST(1000 AS BIGINT), (1000 * ((120 * w) // sw)) // n) AS rate_pm
+              FROM w, sw),
+        b AS (SELECT c.doc_id, c.source, c.stratum, CAST(c.rank AS INT) AS rank, c.score,
+                     r.rate_pm,
+                     CAST(('0x'||substr(md5(CAST(c.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                       AS sample_bucket
+              FROM capped c JOIN r USING (stratum))
+        SELECT doc_id, source, stratum, rank, score, rate_pm, sample_bucket
+        FROM b WHERE sample_bucket < rate_pm
       """))
   )
 }

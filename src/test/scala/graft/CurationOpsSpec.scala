@@ -272,6 +272,31 @@ class CurationOpsSpec extends SparkTestBase {
     assert(rs.exceptAll(viaDiff).isEmpty && viaDiff.exceptAll(rs).isEmpty)
   }
 
+  test("training-mix composition: caps hold, gate holds, and samples nest across budgets") {
+    val d = Tables.documents(spark, sfDir)
+    def mix(budget: Long) = graft.pipeline.Curation.curateTrainingMix(
+      d, col("doc_id"), col("text"), col("source"), col("lang"),
+      keepFrac = 0.8, cap = 15, alpha = "sqrt", budget = budget)
+    val out = mix(120L)
+    assert(out.count() > 0)
+    assert(out.select("doc_id").distinct().count() == out.count(), "duplicate docs in the mix")
+    val overCap = out.groupBy(col("source")).count().filter(col("count") > 15).count()
+    assert(overCap == 0, "a source exceeded its cap inside the composition")
+    assert(out.filter(col("rank") > 15).count() == 0)
+    // every sampled doc passed the calibrated gate: its score is >= the
+    // stage-2 threshold computed over the DEDUPED corpus
+    val scored = d.select(col("doc_id"),
+      TextFunctions.quality_score(col("text")).as("score"))
+    val thr = graft.quality.Calibrate.calibratedFilter(scored, col("score"), 0.8)
+      .select(min(col("thr"))).as[Double].head()
+    assert(out.filter(col("score") < thr).count() == 0, "sampled doc below the gate")
+    // nesting: integer rates are monotone in the budget and the bucket is
+    // the doc's own hash, so a smaller budget's sample is a strict subset
+    val small = mix(60L).select("doc_id")
+    assert(small.exceptAll(out.select("doc_id")).isEmpty,
+      "budget-60 sample must nest inside budget-120")
+  }
+
   test("zipf fit recovers a known exponent and is partition-invariant") {
     // construct a corpus whose term counts ARE zipfian with alpha=1: term i
     // appears floor(1200/i) times, i = 1..40

@@ -47,6 +47,9 @@ class PlanAuditSpec extends SparkTestBase {
     // pq56: the per-group set sizes; pq57: the total + threshold rows — each
     // must ride broadcast or the corpus re-shuffles for a metadata join
     "pq56_source_overlap" -> 4, "pq57_calibrated_quality" -> 4,
+    // pq60: the composed gate threshold, mix rates, and n-rows must all
+    // ride broadcast — losing any one re-shuffles the corpus stage
+    "pq60_training_mix" -> 10,
     // the KNN family: the query batch must always ride broadcast — losing
     // it turns a map-side scored scan into a corpus-wide shuffle join
     "pq14_knn_ivf" -> 10, "pq31_knn_int8" -> 2, "pq35_knn_quantized_stack" -> 14,
@@ -105,6 +108,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq57_calibrated_quality" -> 3, // score histogram + bounded cum window; thr broadcast back
     "pq58_snapshot_diff" -> 2,      // both snapshots keyed once for the full-outer id join
     "pq59_zipf_fit" -> 1,           // token-count agg; TakeOrdered top-N, no global sort
+    "pq60_training_mix" -> 9,       // dedup 2 + gate 3 + cap 1 + stratum re-join 2 + census 1
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
