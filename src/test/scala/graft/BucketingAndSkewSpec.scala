@@ -10,6 +10,7 @@ import graft.sources.Bucketing
   * and manual key salting (one hot key spread over many reducers).
   */
 class BucketingAndSkewSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("co-bucketed tables join with zero Exchange and identical results") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
@@ -42,6 +43,42 @@ class BucketingAndSkewSpec extends SparkTestBase {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("snapshot diff over co-bucketed corpus versions runs with zero Exchange") {
+    // the pq58 scale claim made concrete: when both corpus versions are
+    // stored bucketed by doc_id, the CDC full-outer join needs no shuffle
+    // at all — the 100 TB posture for every incremental ingestion run
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val d = Tables.documents(spark, sfDir)
+    val newSnap = d.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    Bucketing.writeBucketed(d.select(col("doc_id"), col("text")),
+      "snap_old", s"$tmp/snap_old", 8, Seq("doc_id"))
+    Bucketing.writeBucketed(newSnap, "snap_new", s"$tmp/snap_new", 8, Seq("doc_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diffB = graft.pipeline.Snapshots.diff(
+        Bucketing.readBucketed(spark, "snap_old"),
+        Bucketing.readBucketed(spark, "snap_new"),
+        col("doc_id"), col("text"))
+      val plan = diffB.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed snapshot diff must not shuffle either side:\n$plan")
+      // identical statuses vs the plain (shuffling) reads
+      val expected = graft.pipeline.Snapshots.diff(
+          d.select(col("doc_id"), col("text")), newSnap, col("doc_id"), col("text"))
+        .as[(Long, String)].collect().sorted
+      val got = diffB.as[(Long, String)].collect().sorted
+      assert(got.sameElements(expected) && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS snap_old")
+      spark.sql("DROP TABLE IF EXISTS snap_new")
     }
   }
 
