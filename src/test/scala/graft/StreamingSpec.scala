@@ -241,6 +241,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming per-source cap converges to the batch cap, re-delivery included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic scored docs across 3 sources, delivered in 3 chunks with
+    // one chunk re-delivered (at-least-once ingestion)
+    val docs = (1L to 60L).map(i => (s"src${i % 3}", i, ((i * 37) % 100).toDouble))
+    val in = MemoryStream[(String, Long, Double)]
+    val out = graft.streaming.StreamingCaps.perSourceCapStream(
+      in.toDF().toDF("source", "id", "s"),
+      col("id"), col("source"), col("s"), cap = 5)
+    val q = out.writeStream.format("memory").queryName("cap_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val chunks = docs.grouped(20).toSeq
+      in.addData(chunks(0)); q.processAllAvailable()
+      in.addData(chunks(1)); q.processAllAvailable()
+      in.addData(chunks(1)); q.processAllAvailable() // re-delivery: same chunk again
+      in.addData(chunks(2)); q.processAllAvailable()
+      // last emission per source = final admitted set
+      val finalSets = spark.table("cap_out")
+        .groupBy(col("source"))
+        .agg(last(col("admitted")).as("admitted"))
+        .as[(String, Seq[Long])].collect().toMap
+      val batch = graft.pipeline.Curation.perSourceCap(
+          docs.toDF("source", "id", "s"), col("id"), col("source"), col("s"), cap = 5)
+        .select(col("source"), col("doc_id"))
+        .as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      assert(finalSets.keySet == batch.keySet)
+      batch.foreach { case (src, ids) =>
+        assert(finalSets(src).toSet == ids,
+          s"$src: streaming admitted ${finalSets(src).toSet}, batch keeps $ids")
+      }
+    } finally q.stop()
+  }
+
   test("flushInBatches caps delivery size (A2)") {
     import spark.implicits._
     StreamingSpec.flushSizes.clear()
