@@ -1954,6 +1954,29 @@ object PipelineQueries {
               FROM capped c JOIN r USING (stratum))
         SELECT doc_id, source, stratum, rank, score, rate_pm, sample_bucket
         FROM b WHERE sample_bucket < rate_pm
+      """)),
+
+    // ---- label-balanced resampling: deterministic replication to the
+    // majority-class size (round-half-up integer copies, copy index in the
+    // output row — no RNG, no with-replacement draws). The input is
+    // pre-skewed (labels 0-4 keep only vec_id%7=0) so the balancing bites
+    // hard: minority labels replicate ~7-8x.
+    Q(
+      "pq61_label_balance",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+          .filter(col("label") >= 5 || col("vec_id") % 7 === 0)
+        graft.sampling.Sampling.balanceByReplication(e, col("vec_id"), col("label"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, label FROM embeddings WHERE label >= 5 OR vec_id % 7 = 0),
+        c AS (SELECT label, count(*) AS n FROM base GROUP BY 1),
+        t AS (SELECT max(n) AS t FROM c),
+        r AS (SELECT label, n, (2 * t + n) // (2 * n) AS k FROM c, t)
+        SELECT b.vec_id AS id, b.label, r.n AS n_orig, r.k AS n_copies,
+               CAST(unnest(generate_series(1, r.k)) AS BIGINT) AS copy
+        FROM base b JOIN r USING (label)
       """))
   )
 }

@@ -162,6 +162,35 @@ object Sampling {
     * onto the corpus as a semi join, so the full-width rows NEVER shuffle.
     * Requires unique, non-null ids (the operator's id contract).
     */
+  /** Label-balanced resampling by deterministic replication: every row of
+    * label `l` is emitted `k_l = round(target / n_l)` times (integer
+    * round-half-up, computed as `(2·target + n_l) div (2·n_l)`), where
+    * `target` is the majority-class size — the standard upsampling move for
+    * imbalanced classifier training, made reproducible (no RNG, no
+    * with-replacement draws: the copy index is part of the output row).
+    *
+    * Balanced class sizes land within ±n_l/2 of `target` (the rounding
+    * tolerance); exact-to-the-row balance would need a per-label order
+    * statistic over the full label — a single-reducer sort of the majority
+    * class at scale — which this operator deliberately avoids: the census
+    * is the only shuffle, `k` rides a broadcast, and the replication is
+    * row-local `explode(sequence(1, k))`. Compose with [[fixedCountByHash]]
+    * to trim overshoot exactly when the cost is acceptable.
+    */
+  def balanceByReplication(
+      df: DataFrame,
+      idCol: Column,
+      labelCol: Column): DataFrame = {
+    val census = df.groupBy(labelCol.as("__lbl")).agg(count(lit(1)).as("__n"))
+    val tgt = census.agg(max(col("__n")).as("__t"))
+    val rates = census.crossJoin(broadcast(tgt))
+      .withColumn("__k", expr("(2 * __t + __n) div (2 * __n)"))
+    df.join(broadcast(rates), labelCol === col("__lbl"))
+      .select(idCol.as("id"), labelCol.as("label"),
+        col("__n").as("n_orig"), col("__k").as("n_copies"),
+        explode(sequence(lit(1L), col("__k"))).as("copy"))
+  }
+
   def fixedCountByHash(
       df: DataFrame,
       idCol: Column,

@@ -176,4 +176,32 @@ class SamplingAndSpansSpec extends SparkTestBase {
     // split("", " ") == Array("") — the empty doc is one empty-token chunk
     assert(out.toSeq === Seq(Row(1L, 0, "a b", 2), Row(2L, 0, "", 1)))
   }
+
+  test("label-balanced replication lands every class within half its size of the target") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+      .filter(col("label") >= 5 || col("vec_id") % 7 === 0)
+    val out = graft.sampling.Sampling.balanceByReplication(e, col("vec_id"), col("label"))
+    val orig = e.groupBy(col("label")).count()
+      .as[(Int, Long)].collect().toMap
+    val target = orig.values.max
+    val balanced = out.groupBy(col("label")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(balanced.keySet == orig.keySet)
+    balanced.foreach { case (l, n) =>
+      assert(math.abs(n - target) <= (orig(l) + 1) / 2,
+        s"label $l: balanced to $n, target $target, tolerance ${orig(l) / 2}")
+    }
+    // the majority class is untouched; a minority class actually replicated
+    assert(balanced(orig.maxBy(_._2)._1) == target)
+    val minority = orig.minBy(_._2)._1
+    assert(balanced(minority) >= 4 * orig(minority),
+      s"minority label $minority should replicate hard: ${orig(minority)} -> ${balanced(minority)}")
+    // per (id) the copy indexes are exactly 1..k — usable as a replication key
+    val badRuns = out.groupBy(col("id"), col("n_copies"))
+      .agg(count(lit(1)).as("c"), min(col("copy")).as("lo"), max(col("copy")).as("hi"))
+      .filter(col("c") =!= col("n_copies") || col("lo") =!= 1 || col("hi") =!= col("n_copies"))
+      .count()
+    assert(badRuns == 0, "copy indexes must be a complete 1..k run per row")
+  }
 }
