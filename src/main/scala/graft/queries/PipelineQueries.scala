@@ -1977,6 +1977,45 @@ object PipelineQueries {
         SELECT b.vec_id AS id, b.label, r.n AS n_orig, r.k AS n_copies,
                CAST(unnest(generate_series(1, r.k)) AS BIGINT) AS copy
         FROM base b JOIN r USING (label)
+      """)),
+
+    // ---- ColBERT-style late-interaction retrieval (MaxSim): documents as
+    // BAGS of vectors — embeddings grouped 10-per-doc stand in for token/
+    // frame vectors. Per-query-vector maxes frozen to floor(1e6·cos) before
+    // the integer sum, so the score is partition-order-proof. Production
+    // passes ANN candidates to bound the pair space (PLAID); the full cross
+    // here is what makes the oracle exact.
+    Q(
+      "pq62_maxsim_topk",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val fr = e.select((col("vec_id") / 10).cast("long").as("doc_id"),
+          (col("vec_id") % 10).as("frame_id"), col("embedding").as("vec"))
+        val qf = fr.filter(col("doc_id") % 20 === 0)
+        graft.retrieval.LateInteraction.maxSimTopK(
+          fr, qf, "doc_id", "frame_id", "vec", k = 5)
+      },
+      Some(s"""
+        WITH fr AS (
+          SELECT vec_id // 10 AS doc_id, vec_id % 10 AS frame_id, embedding AS v
+          FROM embeddings),
+        q AS (SELECT doc_id AS query_id, frame_id AS qf, v AS qv
+              FROM fr WHERE doc_id % 20 = 0),
+        c AS (SELECT doc_id AS nbr_id, v AS cv FROM fr),
+        m AS (
+          SELECT query_id, nbr_id, qf,
+                 CAST(floor(1000000.0 * max(${oCos("qv", "cv")})) AS BIGINT) AS m_fp
+          FROM c JOIN q ON query_id <> nbr_id
+          GROUP BY 1, 2, 3),
+        sc AS (SELECT query_id, nbr_id, CAST(sum(m_fp) AS BIGINT) AS maxsim_fp
+               FROM m GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, maxsim_fp,
+               CAST(maxsim_fp AS DOUBLE) / 1000000.0 AS maxsim
+        FROM (SELECT query_id, nbr_id, maxsim_fp,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY maxsim_fp DESC, nbr_id ASC) AS rank
+              FROM sc)
+        WHERE rank <= 5
       """))
   )
 }

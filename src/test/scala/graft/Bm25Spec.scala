@@ -87,4 +87,36 @@ class Bm25Spec extends SparkTestBase {
       Bm25.bm25TopK(df, col("doc_id"), col("text"), Seq(1L -> Seq.empty), k = 1)
     }
   }
+
+  test("maxsim: a frame-for-frame duplicate outranks everything, and ANN candidates keep recall") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val fr = e.select((col("vec_id") / 10).cast("long").as("doc_id"),
+      (col("vec_id") % 10).as("frame_id"), col("embedding").as("vec"))
+    // plant a duplicate of doc 0's frames under a fresh id — MaxSim must
+    // rank it first for query doc 0 (every per-frame max hits cos=1)
+    val dupId = 100000L
+    val planted = fr.unionByName(
+      fr.filter(col("doc_id") === 0)
+        .select(lit(dupId).as("doc_id"), col("frame_id"), col("vec")))
+    val q0 = fr.filter(col("doc_id") === 0)
+    val full = graft.retrieval.LateInteraction.maxSimTopK(
+      planted, q0, "doc_id", "frame_id", "vec", k = 5)
+    val top = full.filter(col("rank") === 1)
+      .select(col("nbr_id")).as[Long].head()
+    assert(top == dupId, s"frame-duplicate doc should rank 1, got $top")
+
+    // candidate-restricted scoring (the PLAID shape) must reproduce the
+    // full-cross ranking whenever the true top-k are inside the candidates
+    val queries = fr.filter(col("doc_id") % 20 === 0)
+    val fullAll = graft.retrieval.LateInteraction.maxSimTopK(
+      fr, queries, "doc_id", "frame_id", "vec", k = 5)
+    val cands = fullAll.select(col("query_id"), col("nbr_id")) // oracle candidates
+      .unionByName(fr.select(col("doc_id").as("query_id"), (col("doc_id") + 1).as("nbr_id")).distinct())
+    val restricted = graft.retrieval.LateInteraction.maxSimTopK(
+      fr, queries, "doc_id", "frame_id", "vec", k = 5, candidates = Some(cands))
+    val s = graft.similarity.Eval.recallSummary(restricted, fullAll)
+      .select(col("macro_recall")).as[Double].head()
+    assert(s == 1.0, s"candidates contained the true top-k, recall must be 1.0, got $s")
+  }
 }
