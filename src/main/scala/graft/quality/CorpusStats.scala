@@ -27,6 +27,47 @@ object CorpusStats {
     * `orderBy.limit` plans as TakeOrderedAndProject — per-partition top-N
     * heaps, never a global sort; everything after operates on `topN` rows.
     */
+  /** Term-distribution drift between two corpus slices (reference vs
+    * current): KL divergence in both directions over the union vocabulary
+    * with add-one smoothing — the number a production pipeline alarms on
+    * when a crawler update or an upstream feed silently changes what's
+    * coming in.
+    *
+    * Determinism contract: KL(P‖Q) decomposes as
+    * `Σ (a_t+1)·l_t / (A+V) + ln((B+V)/(A+V))` with
+    * `l_t = ln((a_t+1)/(b_t+1))` — the per-term logs are rounded to 6 dp
+    * and summed against integer counts in exact DECIMAL, so the only
+    * doubles are the final division and the one global log, written in the
+    * identical association order on the oracle side. The reverse direction
+    * reuses `-l_t` (round is sign-symmetric in both engines).
+    *
+    * 100 TB shape: two token-count shuffles + one full-outer merge on the
+    * term — all partial-agg friendly, vocabulary-sized, never corpus-sized;
+    * the result is a single row.
+    */
+  def termDriftKl(ref: DataFrame, cur: DataFrame, textCol: Column): DataFrame = {
+    def counts(df: DataFrame, name: String) =
+      df.select(explode(split(textCol, " ")).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as(name))
+    val j = counts(ref, "a").join(counts(cur, "b"), Seq("t"), "full_outer")
+      .na.fill(0L, Seq("a", "b"))
+    val dec6 = DecimalType(12, 6)
+    val dec20 = DecimalType(20, 0)
+    val l = round(log((col("a") + 1).cast("double") / (col("b") + 1).cast("double")), 6)
+      .cast(dec6)
+    val s = j.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("a")).as("na"), sum(col("b")).as("nb"),
+      sum((col("a") + lit(1)).cast(dec20) * l).as("s_ab"),
+      sum((col("b") + lit(1)).cast(dec20) * (lit(0).cast(dec6) - l)).as("s_ba"))
+    val av = (col("na") + col("n_terms")).cast("double")
+    val bv = (col("nb") + col("n_terms")).cast("double")
+    s.select(
+      col("n_terms"), col("na").as("n_ref_tokens"), col("nb").as("n_cur_tokens"),
+      round(col("s_ab").cast("double") / av + log(bv / av), 6).as("kl_ref_cur"),
+      round(col("s_ba").cast("double") / bv + log(av / bv), 6).as("kl_cur_ref"))
+  }
+
   def zipfFit(df: DataFrame, textCol: Column, topN: Int): DataFrame = {
     require(topN >= 2, s"topN=$topN: need at least 2 ranks to fit a line")
     val counts = df.select(explode(split(textCol, " ")).as("t"))

@@ -2016,6 +2016,42 @@ object PipelineQueries {
                        ORDER BY maxsim_fp DESC, nbr_id ASC) AS rank
               FROM sc)
         WHERE rank <= 5
+      """)),
+
+    // ---- term-distribution drift (both-direction smoothed KL) between the
+    // even- and odd-numbered sources — the data-drift alarm for a feed that
+    // silently changes. Per-term logs frozen to 6 dp and summed against
+    // integer counts in exact DECIMAL; only the final division and one
+    // global log run in doubles, association-order mirrored.
+    Q(
+      "pq63_term_drift",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val srcNum = substring(col("source"), 4, 10).cast("int")
+        graft.quality.CorpusStats.termDriftKl(
+          d.filter(srcNum % 2 === 0), d.filter(srcNum % 2 === 1), col("text"))
+      },
+      Some("""
+        WITH ref AS (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 0),
+        cur AS (SELECT text FROM documents WHERE CAST(substr(source, 4) AS INT) % 2 = 1),
+        ca AS (SELECT t, count(*) AS a FROM (SELECT unnest(string_split(text, ' ')) AS t FROM ref) GROUP BY 1),
+        cb AS (SELECT t, count(*) AS b FROM (SELECT unnest(string_split(text, ' ')) AS t FROM cur) GROUP BY 1),
+        j AS (
+          SELECT coalesce(ca.a, 0) AS a, coalesce(cb.b, 0) AS b,
+                 CAST(round(ln(CAST(coalesce(ca.a, 0) + 1 AS DOUBLE)
+                             / CAST(coalesce(cb.b, 0) + 1 AS DOUBLE)), 6) AS DECIMAL(12,6)) AS l
+          FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+        s AS (
+          SELECT count(*) AS n_terms, CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb,
+                 sum(CAST(a + 1 AS DECIMAL(20,0)) * l) AS s_ab,
+                 sum(CAST(b + 1 AS DECIMAL(20,0)) * (CAST(0 AS DECIMAL(12,6)) - l)) AS s_ba
+          FROM j)
+        SELECT n_terms, na AS n_ref_tokens, nb AS n_cur_tokens,
+               round(CAST(s_ab AS DOUBLE) / CAST(na + n_terms AS DOUBLE)
+                     + ln(CAST(nb + n_terms AS DOUBLE) / CAST(na + n_terms AS DOUBLE)), 6) AS kl_ref_cur,
+               round(CAST(s_ba AS DOUBLE) / CAST(nb + n_terms AS DOUBLE)
+                     + ln(CAST(na + n_terms AS DOUBLE) / CAST(nb + n_terms AS DOUBLE)), 6) AS kl_cur_ref
+        FROM s
       """))
   )
 }

@@ -297,6 +297,26 @@ class CurationOpsSpec extends SparkTestBase {
       "budget-60 sample must nest inside budget-120")
   }
 
+  test("term drift: zero on self, non-negative, and rises under a planted vocabulary shift") {
+    val d = Tables.documents(spark, sfDir)
+    def kl(ref: org.apache.spark.sql.DataFrame, cur: org.apache.spark.sql.DataFrame) =
+      graft.quality.CorpusStats.termDriftKl(ref, cur, col("text"))
+        .select(col("kl_ref_cur"), col("kl_cur_ref"))
+        .as[(Double, Double)].collect().head
+    val self = kl(d, d)
+    assert(self._1 == 0.0 && self._2 == 0.0, s"self-drift must be exactly zero, got $self")
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val base = kl(d.filter(srcNum % 2 === 0), d.filter(srcNum % 2 === 1))
+    assert(base._1 >= 0.0 && base._2 >= 0.0, s"smoothed KL must be non-negative: $base")
+    // planted shift: the "current" slice's vocabulary mutates wholesale —
+    // drift must rise by orders of magnitude over the natural slice noise
+    val shifted = d.filter(srcNum % 2 === 1)
+      .withColumn("text", regexp_replace(col("text"), "table", "zzztable"))
+    val drifted = kl(d.filter(srcNum % 2 === 0), shifted)
+    assert(drifted._1 > 10 * math.max(base._1, 1e-6),
+      s"planted vocab shift should dominate slice noise: $drifted vs $base")
+  }
+
   test("zipf fit recovers a known exponent and is partition-invariant") {
     // construct a corpus whose term counts ARE zipfian with alpha=1: term i
     // appears floor(1200/i) times, i = 1..40

@@ -111,6 +111,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq60_training_mix" -> 9,       // dedup 2 + gate 3 + cap 1 + stratum re-join 2 + census 1
     "pq61_label_balance" -> 3,      // census + target aggs; k broadcast, replication row-local
     "pq62_maxsim_topk" -> 3,        // per-qframe max + per-doc sum + bounded heap; qframes broadcast
+    "pq63_term_drift" -> 3,         // two vocab-sized count aggs + the full-outer term merge
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
     "q28_pivot" -> 2)
 
