@@ -34,9 +34,20 @@ object Explain {
     // and a ReusedExchange line is a pointer to an already-counted shuffle's
     // output, not a second data movement — count it separately so a budget
     // of N live Exchanges can actually reconcile with the plan.
-    val exchanges = simplePlan.linesIterator.count(l =>
+    // Count DISTINCT exchanges by plan_id, not printed lines: a cached
+    // (InMemoryRelation) subtree is printed once under every consuming
+    // InMemoryTableScan, so its one exchange would otherwise be counted
+    // once per consumer despite executing once (pq60's dedup exchange
+    // appears four times in the text, all [plan_id=N] for the same N).
+    val exchangeLines = simplePlan.linesIterator.filter(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange") &&
-        !l.contains("ReusedExchange"))
+        !l.contains("ReusedExchange")).toSeq
+    val planId = "\\[plan_id=(\\d+)\\]".r
+    val (withId, withoutId) =
+      exchangeLines.partition(l => planId.findFirstIn(l).isDefined)
+    val exchanges =
+      withId.flatMap(l => planId.findFirstMatchIn(l).map(_.group(1))).distinct.size +
+        withoutId.size
     val reused = simplePlan.linesIterator.count(l =>
       l.contains("ReusedExchange") && !l.contains("BroadcastExchange"))
     PlanFacts(pushed, broadcasts, codegenSpans, fullScans, exchanges, reused)

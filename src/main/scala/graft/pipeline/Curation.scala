@@ -135,13 +135,36 @@ object Curation {
       md5(graft.dedup.Dedup.canonicalize(col("text"))))
     val keepers = withCh.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = withCh.join(keepers, Seq("ch", "doc_id"))
+    // Materialize the scored table ONCE: four consumers follow (calibration
+    // histogram, gate re-scan, cap heap, cut admission), and without a
+    // materialization each one re-executes the dedup-join + text-scoring
+    // chain — the dominant cost. The cached projection is narrow (ids +
+    // integer score, no text), the standard stage boundary of a production
+    // curation pipeline; MEMORY_AND_DISK spills rather than OOMs at scale.
     val scored = deduped.select(col("doc_id"), col("source"), col("stratum"),
-      TextFunctions.quality_score(col("text")).as("score"))
+        TextFunctions.quality_score(col("text")).as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = graft.quality.Calibrate.calibratedFilter(scored, col("score"), keepFrac)
-    val capped = perSourceCap(gated, col("doc_id"), col("source"), col("score"), cap)
-    val enriched = capped.join(gated.select(col("doc_id"), col("stratum")), "doc_id")
+    // cap WITHOUT re-joining the heavy gated subtree for its payload: the
+    // heap's weakest admitted element per source is a CUT (score, id) —
+    // broadcast the cuts and admit row-locally (identical membership: row r
+    // is in the top-cap iff r beats-or-equals the cap-th element in the
+    // (score desc, id asc) order). One fewer evaluation of the dedup+score
+    // chain and no sort-merge join of capped against gated.
+    val heap = gated.groupBy(col("source"))
+      .agg(graft.functions.top_k_by(col("score"), col("doc_id"), cap).as("kept"))
+    val cut = heap.select(col("source"),
+      element_at(col("kept"), size(col("kept"))).as("t"))
+    val admitted = gated.join(broadcast(cut), "source")
+      .filter(col("score") > col("t.score") ||
+        (col("score") === col("t.score") && col("doc_id") <= col("t.id")))
+      .drop("t")
+    // ranks over the admitted residue only (≤ sources×cap rows)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id").asc)
+    val ranked = admitted.withColumn("rank", row_number().over(w).cast("int"))
     Sampling.temperatureMixByHash(
-        enriched, col("doc_id"), col("stratum"), alpha, budget)
+        ranked, col("doc_id"), col("stratum"), alpha, budget)
       .select(col("doc_id"), col("source"), col("stratum"), col("rank"),
         col("score"), col("rate_pm"), col("sample_bucket"))
   }

@@ -108,7 +108,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq57_calibrated_quality" -> 3, // score histogram + bounded cum window; thr broadcast back
     "pq58_snapshot_diff" -> 2,      // both snapshots keyed once for the full-outer id join
     "pq59_zipf_fit" -> 1,           // token-count agg; TakeOrdered top-N, no global sort
-    "pq60_training_mix" -> 9,       // dedup 2 + gate 3 + cap 1 + stratum re-join 2 + census 1
+    "pq60_training_mix" -> 7,       // dedup 1 (cached scored stage, executes once) + gate 3 + cap heap 1 + residue rank window 1 + census 1
     "pq61_label_balance" -> 3,      // census + target aggs; k broadcast, replication row-local
     "pq62_maxsim_topk" -> 3,        // per-qframe max + per-doc sum + bounded heap; qframes broadcast
     "pq63_term_drift" -> 3,         // two vocab-sized count aggs + the full-outer term merge
