@@ -135,14 +135,28 @@ object Curation {
       md5(graft.dedup.Dedup.canonicalize(col("text"))))
     val keepers = withCh.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = withCh.join(keepers, Seq("ch", "doc_id"))
+    val scored = deduped.select(col("doc_id"), col("source"), col("stratum"),
+      TextFunctions.quality_score(col("text")).as("score"))
+    mixStages(scored, keepFrac, cap, alpha, budget)
+  }
+
+  /** Calibrated gate → per-source cap → temperature mix over a post-dedup
+    * scored table `(doc_id, source, stratum, score)` — the shared tail of
+    * [[curateTrainingMix]] and [[mixFromScored]].
+    */
+  private def mixStages(
+      scoredIn: DataFrame,
+      keepFrac: Double,
+      cap: Int,
+      alpha: String,
+      budget: Long): DataFrame = {
     // Materialize the scored table ONCE: four consumers follow (calibration
     // histogram, gate re-scan, cap heap, cut admission), and without a
-    // materialization each one re-executes the dedup-join + text-scoring
-    // chain — the dominant cost. The cached projection is narrow (ids +
-    // integer score, no text), the standard stage boundary of a production
-    // curation pipeline; MEMORY_AND_DISK spills rather than OOMs at scale.
-    val scored = deduped.select(col("doc_id"), col("source"), col("stratum"),
-        TextFunctions.quality_score(col("text")).as("score"))
+    // materialization each one re-executes the upstream dedup-join +
+    // text-scoring chain — the dominant cost. The cached projection is
+    // narrow (ids + integer score, no text), the standard stage boundary of
+    // a production curation pipeline; MEMORY_AND_DISK spills, never OOMs.
+    val scored = scoredIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gated = graft.quality.Calibrate.calibratedFilter(scored, col("score"), keepFrac)
     // cap WITHOUT re-joining the heavy gated subtree for its payload: the
@@ -167,6 +181,88 @@ object Curation {
         ranked, col("doc_id"), col("stratum"), alpha, budget)
       .select(col("doc_id"), col("source"), col("stratum"), col("rank"),
         col("score"), col("rate_pm"), col("sample_bucket"))
+  }
+
+  /** The persistable SCORE ARTIFACT of a corpus version: one row per raw
+    * (pre-dedup) document — `(doc_id, source, stratum, ch, score)` with `ch`
+    * the canonical 128-bit content hash and `score` the (expensive) quality
+    * score. This is the table an incremental pipeline keeps between corpus
+    * versions: the hash detects content change, the score is what reuse
+    * saves. `scorer` defaults to the library quality score but is pluggable
+    * — in production it is a classifier inference pass, which is exactly why
+    * re-scoring unchanged documents is the cost worth engineering away.
+    */
+  def scoreCorpus(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      sourceCol: Column,
+      strataCol: Column,
+      scorer: Column => Column = TextFunctions.quality_score): DataFrame =
+    df.select(idCol.as("doc_id"), sourceCol.as("source"),
+        strataCol.as("stratum"), textCol.as("text"))
+      .select(col("doc_id"), col("source"), col("stratum"),
+        md5(graft.dedup.Dedup.canonicalize(col("text"))).as("ch"),
+        scorer(col("text")).as("score"))
+
+  /** Score corpus version N against version N-1's score artifact, paying
+    * the scorer ONLY for added/changed documents. A left join on `doc_id`
+    * brings the previous `(ch, score)`; rows whose content hash matches
+    * reuse the stored score, the rest evaluate `scorer` (Spark's `when`
+    * short-circuits per row in codegen, so unchanged rows never run the
+    * scorer). Output schema = [[scoreCorpus]], and — because the scorer is
+    * deterministic in the text — the output is ROW-IDENTICAL to
+    * `scoreCorpus(dfNew)`: incremental is an optimization, never a drift
+    * (CurationOpsSpec proves both the equivalence and, via a poisoned
+    * scorer, that unchanged rows truly take the reuse branch).
+    *
+    * 100 TB shape: one co-partitioned id join of the new corpus against the
+    * narrow artifact (store both bucketed by id for zero Exchange —
+    * [[graft.sources.Bucketing]]); the scorer cost scales with the CHANGE
+    * rate, not the corpus. Removed documents fall out naturally (left
+    * join), added ones have a null previous hash and get scored.
+    */
+  def scoreIncremental(
+      prevScored: DataFrame,
+      dfNew: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      sourceCol: Column,
+      strataCol: Column,
+      scorer: Column => Column = TextFunctions.quality_score): DataFrame =
+    dfNew.select(idCol.as("doc_id"), sourceCol.as("source"),
+        strataCol.as("stratum"), textCol.as("text"))
+      .withColumn("ch", md5(graft.dedup.Dedup.canonicalize(col("text"))))
+      .join(prevScored.select(col("doc_id"), col("ch").as("__prev_ch"),
+        col("score").as("__prev_score")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("stratum"), col("ch"),
+        when(col("__prev_ch") === col("ch"), col("__prev_score"))
+          .otherwise(scorer(col("text"))).as("score"))
+
+  /** [[curateTrainingMix]] from a score artifact instead of raw text: elect
+    * canonical-dedup keepers on the artifact's own `(ch, doc_id)` — no text
+    * read at all — then run the calibrated gate → cap → mix tail. Feeding
+    * it [[scoreIncremental]]'s output is the incremental form of the
+    * flagship pipeline, and its result is row-identical to running
+    * [[curateTrainingMix]] on the full new corpus: all global decisions
+    * (dedup election, calibration threshold, cap cuts, census rates) are
+    * recomputed on the cheap narrow table, so incrementality saves the
+    * scorer without ever approximating the output.
+    */
+  def mixFromScored(
+      scored: DataFrame,
+      keepFrac: Double,
+      cap: Int,
+      alpha: String,
+      budget: Long): DataFrame = {
+    // the election and the keeper join both consume the artifact; when it
+    // arrives as a live incremental plan (not a table read), materialize it
+    // so the scorer's work is never repeated
+    val art = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keepers = art.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
+    val deduped = art.join(keepers, Seq("ch", "doc_id"))
+      .select(col("doc_id"), col("source"), col("stratum"), col("score"))
+    mixStages(deduped, keepFrac, cap, alpha, budget)
   }
 
   /** Pairwise overlap matrix over per-group distinct key sets: for every

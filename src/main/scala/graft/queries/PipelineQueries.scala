@@ -2052,6 +2052,72 @@ object PipelineQueries {
                round(CAST(s_ba AS DOUBLE) / CAST(nb + n_terms AS DOUBLE)
                      + ln(CAST(na + n_terms AS DOUBLE) / CAST(nb + n_terms AS DOUBLE)), 6) AS kl_cur_ref
         FROM s
+      """)),
+
+    // ---- INCREMENTAL curation: version-1 corpus (doc_id%11==3 absent →
+    // "added" in v2; doc_id%9==0 carries older text → "changed"; extra
+    // %13==5 rows → "removed") is scored into the persistable artifact,
+    // then v2 is scored INCREMENTALLY against it (scorer runs only where
+    // the content hash moved) and mixed. The oracle is the FROM-SCRATCH
+    // pipeline on v2 — the whole point: incremental must be row-identical
+    // to recomputing the world, or it is drift, not optimization.
+    Q(
+      "pq64_incremental_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val v1 = d.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"), col("source"), col("lang"),
+            when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v1")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(d.filter(col("doc_id") % 13 === 5)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+              col("lang"), col("text")))
+        val prev = graft.pipeline.Curation.scoreCorpus(
+          v1, col("doc_id"), col("text"), col("source"), col("lang"))
+        val inc = graft.pipeline.Curation.scoreIncremental(
+          prev, d, col("doc_id"), col("text"), col("source"), col("lang"))
+        graft.pipeline.Curation.mixFromScored(
+          inc, keepFrac = 0.75, cap = 12, alpha = "prop", budget = 100L)
+      },
+      Some(s"""
+        WITH canon AS (
+          SELECT doc_id, source, lang AS stratum, text,
+                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                         ' +', ' ', 'g'))) AS ch
+          FROM documents),
+        keep AS (
+          SELECT c.doc_id, c.source, c.stratum, c.text
+          FROM canon c JOIN (SELECT ch, min(doc_id) AS doc_id FROM canon GROUP BY 1) k
+            ON c.ch = k.ch AND c.doc_id = k.doc_id),
+        sc AS (
+          SELECT doc_id, source, stratum, $oQualityScore AS score
+          FROM (SELECT doc_id, source, stratum, text, string_split(text, ' ') AS toks FROM keep)),
+        cs AS (SELECT score, count(*) AS c FROM sc GROUP BY 1),
+        cum AS (SELECT score, c, sum(c) OVER (ORDER BY score) - c AS below FROM cs),
+        tot AS (SELECT count(*) AS n FROM sc),
+        thr AS (
+          SELECT score AS thr FROM cum, tot
+          WHERE below <= CAST(floor((1.0 - 0.75) * n) AS BIGINT)
+            AND CAST(floor((1.0 - 0.75) * n) AS BIGINT) < below + c),
+        gated AS (SELECT sc.* FROM sc, thr WHERE score >= thr),
+        capped AS (
+          SELECT source, doc_id, stratum, score, rank FROM (
+            SELECT source, doc_id, stratum, score,
+                   row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rank
+            FROM gated) WHERE rank <= 12),
+        cen AS (SELECT stratum, count(*) AS n FROM capped GROUP BY 1),
+        w AS (SELECT stratum, n, n AS w FROM cen),
+        sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        r AS (SELECT stratum,
+                     least(CAST(1000 AS BIGINT), (1000 * ((100 * w) // sw)) // n) AS rate_pm
+              FROM w, sw),
+        b AS (SELECT c.doc_id, c.source, c.stratum, CAST(c.rank AS INT) AS rank, c.score,
+                     r.rate_pm,
+                     CAST(('0x'||substr(md5(CAST(c.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                       AS sample_bucket
+              FROM capped c JOIN r USING (stratum))
+        SELECT doc_id, source, stratum, rank, score, rate_pm, sample_bucket
+        FROM b WHERE sample_bucket < rate_pm
       """))
   )
 }

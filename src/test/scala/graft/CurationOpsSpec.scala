@@ -297,6 +297,41 @@ class CurationOpsSpec extends SparkTestBase {
       "budget-60 sample must nest inside budget-120")
   }
 
+  test("incremental scoring reuses unchanged scores exactly and matches from-scratch end to end") {
+    import graft.pipeline.Curation
+    val d = Tables.documents(spark, sfDir)
+    // v1: %11==3 absent (added in v2), %9==0 older text (changed), extra rows (removed)
+    val v1 = d.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(d.filter(col("doc_id") % 13 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("source"),
+          col("lang"), col("text")))
+    val prev = Curation.scoreCorpus(v1, col("doc_id"), col("text"), col("source"), col("lang"))
+    // 1. the incremental artifact is ROW-IDENTICAL to scoring v2 from scratch
+    val inc = Curation.scoreIncremental(prev, d, col("doc_id"), col("text"), col("source"), col("lang"))
+    val full = Curation.scoreCorpus(d, col("doc_id"), col("text"), col("source"), col("lang"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+      "incremental score artifact drifted from the from-scratch one")
+    // 2. poisoned scorer: unchanged rows must take the REUSE branch (keep the
+    // v1 score), added/changed rows must take the scorer branch (poison value)
+    val poisoned = Curation.scoreIncremental(prev, d,
+      col("doc_id"), col("text"), col("source"), col("lang"), scorer = _ => lit(-999.0))
+    val changedOrAdded = poisoned.filter(col("score") === -999.0)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = d.filter(col("doc_id") % 9 === 0 || col("doc_id") % 11 === 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(changedOrAdded == expected,
+      "scorer ran on the wrong row set: reuse branch must cover exactly the unchanged docs")
+    // 3. the flagship mix over the incremental artifact equals the from-scratch mix on v2
+    val viaInc = Curation.mixFromScored(inc, keepFrac = 0.75, cap = 12, alpha = "prop", budget = 100L)
+    val scratch = Curation.curateTrainingMix(d, col("doc_id"), col("text"), col("source"), col("lang"),
+      keepFrac = 0.75, cap = 12, alpha = "prop", budget = 100L)
+    assert(viaInc.exceptAll(scratch).isEmpty && scratch.exceptAll(viaInc).isEmpty,
+      "incremental mix output differs from recomputing the world")
+  }
+
   test("term drift: zero on self, non-negative, and rises under a planted vocabulary shift") {
     val d = Tables.documents(spark, sfDir)
     def kl(ref: org.apache.spark.sql.DataFrame, cur: org.apache.spark.sql.DataFrame) =
