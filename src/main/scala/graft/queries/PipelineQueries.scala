@@ -2118,6 +2118,57 @@ object PipelineQueries {
               FROM capped c JOIN r USING (stratum))
         SELECT doc_id, source, stratum, rank, score, rate_pm, sample_bucket
         FROM b WHERE sample_bucket < rate_pm
+      """)),
+
+    // ---- product quantization ADC top-k (Jégou et al. 2011): 64-dim
+    // vectors → 8 one-byte codes (32× compression), queries scored against
+    // CODES ONLY through per-query dot tables frozen to floor(1e6·⟨q_s,c⟩)
+    // BEFORE the per-doc sum — every score an exact integer. The codebook
+    // is the pq51-style deterministic synthetic model (the oracle
+    // regenerates it in SQL); TRAINED codebooks are proven by recall /
+    // equivalence specs, like pq39's trained k-means.
+    Q(
+      "pq65_pq_adc",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+        graft.similarity.Pq.adcTopK(
+          e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", cb, k = 10)
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+        codes AS (SELECT unnest(generate_series(0, 15)) AS c),
+        cb AS (
+          SELECT s, c,
+                 list(CAST((c*31 + dim*17 + s*7) % 13 - 6 AS DOUBLE) / 6.0 ORDER BY dim) AS cv
+          FROM subs CROSS JOIN codes CROSS JOIN dims
+          GROUP BY 1, 2),
+        p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        sv AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
+               FROM p CROSS JOIN subs),
+        enc AS (
+          SELECT vec_id, s, c AS code FROM (
+            SELECT sv.vec_id, sv.s, cb.c,
+                   row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                     ORDER BY (${oDot("sv", "sv")} - 2.0 * ${oDot("sv", "cv2")} + ${oDot("cv2", "cv2")}) ASC,
+                              cb.c ASC) AS rn
+            FROM sv JOIN (SELECT s, c, cv AS cv2 FROM cb) cb USING (s)) WHERE rn = 1),
+        qt AS (
+          SELECT q.vec_id AS query_id, cb.s, cb.c,
+                 CAST(floor(1000000.0 * ${oDot("qs", "cv")}) AS BIGINT) AS t
+          FROM (SELECT vec_id, s, sv AS qs FROM sv WHERE vec_id % 25 = 0) q
+          JOIN cb USING (s)),
+        sc AS (
+          SELECT qt.query_id, e.vec_id AS nbr_id, CAST(sum(qt.t) AS BIGINT) AS score_fp
+          FROM enc e JOIN qt ON qt.s = e.s AND qt.c = e.code AND qt.query_id <> e.vec_id
+          GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, score_fp FROM (
+          SELECT query_id, nbr_id, score_fp,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_fp DESC, nbr_id ASC) AS rank
+          FROM sc) WHERE rank <= 10
       """))
   )
 }

@@ -36,7 +36,7 @@ object Knn {
     * total order (score desc, id asc); CurationOpsSpec asserts equality
     * including ties, the registered-query oracles hash-check it.
     */
-  private def rankTopK(
+  private[similarity] def rankTopK(
       scored: DataFrame, scoreName: String, k: Int,
       longScore: Boolean = false): DataFrame = {
     val out = scored.groupBy(col("query_id"))

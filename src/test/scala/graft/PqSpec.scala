@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.similarity.{Eval, Knn, Pq}
+
+/** Product quantization: ADC scoring exactness, encode determinism, and the
+  * trained-codebook recall floor (pq65 hash-checks the synthetic-codebook
+  * registered query; these specs cover what the oracle cannot — the trained
+  * path and the lookup-table algebra).
+  */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val m = 8
+  private val kCodes = 16
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("ADC table-lookup scores equal reconstruct-then-dot, bit for bit") {
+    val cb = Pq.syntheticCodebooks(m, kCodes, 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val got = Pq.adcTopK(emb, queries, "vec_id", "embedding", cb, k = 5)
+      .select("query_id", "rank", "nbr_id", "score_fp")
+      .as[(Long, Int, Long, Long)].collect().toSet
+
+    // independent reference: reconstruct each corpus vector from its codes,
+    // score per subspace in plain Scala with the same freeze, rank greedily
+    val codes = Pq.encode(emb, col("vec_id"), col("embedding"), cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    val vecs = emb.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val w = 8
+    def tableScore(q: Seq[Double], code: Seq[Long]): Long =
+      (0 until m).map { s =>
+        val qs = q.slice(s * w, (s + 1) * w)
+        val cv = cb(s)(code(s).toInt)
+        val dot = qs.zip(cv).foldLeft(0.0) { case (acc, (a, b)) => acc + a * b }
+        math.floor(1e6 * dot).toLong
+      }.sum
+    val expected = (for {
+      (qid, qv) <- vecs.toSeq if qid % 50 == 0
+      ranked = codes.toSeq.filter(_._1 != qid)
+        .map { case (nid, code) => (nid, tableScore(qv, code)) }
+        .sortBy { case (nid, sc) => (-sc, nid) }.take(5)
+      ((nid, sc), i) <- ranked.zipWithIndex
+    } yield (qid, i + 1, nid, sc)).toSet
+    assert(got == expected, "ADC ranking diverged from the reconstruct-then-dot reference")
+  }
+
+  test("encoding is deterministic across partitionings and codes stay in range") {
+    val cb = Pq.train(emb, col("vec_id"), col("embedding"),
+      m = m, k = kCodes, seedModulus = 31L, iters = 2)
+    val a = Pq.encode(emb, col("vec_id"), col("embedding"), cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = Pq.encode(emb.repartition(7, col("vec_id")),
+        col("vec_id"), col("embedding"), cb)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a == b, "codes changed under a different partitioning")
+    assert(a.values.forall(c => c.size == m && c.forall(x => x >= 0 && x < kCodes)))
+  }
+
+  test("trained codebooks beat synthetic ones; shortlist+rescore clears the recall floor") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      Eval.recallSummary(df, exact).select("macro_recall").as[Double].head()
+    // finer quantization for the trained tier: 16 subspaces of width 4
+    val trainedCb = Pq.train(emb, col("vec_id"), col("embedding"),
+      m = 16, k = kCodes, seedModulus = 31L, iters = 2)
+    val trainedAdc = recall(Pq.adcTopK(emb, queries, "vec_id", "embedding", trainedCb, k = 10))
+    val syntheticAdc = recall(Pq.adcTopK(emb, queries, "vec_id", "embedding",
+      Pq.syntheticCodebooks(16, kCodes, 4), k = 10))
+    assert(trainedAdc >= syntheticAdc,
+      s"training made recall WORSE: trained=$trainedAdc synthetic=$syntheticAdc")
+    assert(trainedAdc >= 0.3, s"trained raw-ADC recall $trainedAdc below floor 0.3")
+    // the production two-stage: codes-only shortlist, exact rescore of it
+    val rescored = recall(Pq.adcRescoreTopK(
+      emb, queries, "vec_id", "embedding", trainedCb, shortlist = 50, k = 10))
+    assert(rescored >= 0.7, s"shortlist+rescore recall $rescored below floor 0.7")
+    assert(rescored >= trainedAdc, "exact rescoring cannot lose to raw ADC ranks")
+  }
+
+  test("train keeps an emptied centroid in place instead of dropping it") {
+    // 2 clusters of data but k=4 codebook: at least two centroids lose all
+    // members in round one; the codebook must keep its k entries
+    val tight = emb.limit(40)
+    val cb = Pq.train(tight, col("vec_id"), col("embedding"),
+      m = 2, k = 4, seedModulus = 7L, iters = 2)
+    assert(cb.size == 2 && cb.forall(_.size == 4))
+    assert(cb.forall(_.forall(_.size == 32)))
+    // encoding against it still succeeds and stays in range
+    val codes = Pq.encode(tight, col("vec_id"), col("embedding"), cb)
+      .as[(Long, Seq[Long])].collect()
+    assert(codes.forall(_._2.forall(c => c >= 0 && c < 4)))
+  }
+}
