@@ -2169,6 +2169,22 @@ object PipelineQueries {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY score_fp DESC, nbr_id ASC) AS rank
           FROM sc) WHERE rank <= 10
-      """))
+      """)),
+
+    // ---- IVF-PQ (FAISS `IVFx,PQy` layout): coarse nlist/nprobe pruning
+    // over the PQ code table — each query ADC-scores only its 8/32 probed
+    // lists' codes. Rows-only by design like pq14/pq35 (the coarse
+    // assignment has no SQL form); PqSpec pins nprobe=nlist ≡ plain ADC
+    // exactly and the nprobe<nlist recall floor.
+    Q(
+      "pq66_knn_ivfpq",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+        graft.similarity.Pq.ivfAdcTopK(
+          e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", cb,
+          k = 10, nlist = 32, nprobe = 8)
+      },
+      None)
   )
 }

@@ -82,20 +82,72 @@ object Pq {
       vecCol: String,
       cb: Seq[Seq[Seq[Double]]],
       k: Int): DataFrame = {
-    val w = cb.head.head.size
-    val cbLit = typedLit(cb)
     val enc = encode(corpus, col(idCol), col(vecCol), cb)
       .select(col("id").as("nbr_id"), col("codes"))
-    val qtab = transform(cbLit, (subCb, s) =>
-      transform(subCb, cv => floor(lit(1e6) *
-        dot(slice(transform(col(vecCol), _.cast("double")), s * w + 1, lit(w)), cv))
-        .cast("long")))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), qtab.as("qtab")))
+    val q = broadcast(queryTables(queries, idCol, vecCol, cb))
     val scored = enc.join(q, col("query_id") =!= col("nbr_id"))
       .withColumn("score_fp",
         aggregate(zip_with(col("codes"), col("qtab"),
           (c, tab) => element_at(tab, (c + 1).cast("int"))), lit(0L), _ + _))
     // the integer rides the heap's double exactly: |score_fp| ≤ m·1e6·max|dot| ≪ 2^53
+    Knn.rankTopK(scored, "score_fp", k, longScore = true)
+  }
+
+  /** Per-query frozen dot tables `(query_id, qtab)` — `qtab(s)(c) =
+    * floor(1e6·⟨q_s, cb(s)(c)⟩)`, the ADC lookup rows both [[adcTopK]] and
+    * [[ivfAdcTopK]] broadcast.
+    */
+  private def queryTables(
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val w = cb.head.head.size
+    val cbLit = typedLit(cb)
+    val qtab = transform(cbLit, (subCb, s) =>
+      transform(subCb, cv => floor(lit(1e6) *
+        dot(slice(transform(col(vecCol), _.cast("double")), s * w + 1, lit(w)), cv))
+        .cast("long")))
+    queries.select(col(idCol).as("query_id"), qtab.as("qtab"))
+  }
+
+  /** IVF-PQ: the coarse inverted file ([[Knn.ivfTopK]]'s nlist/nprobe
+    * pruning) over PQ codes instead of floats — the layout a production
+    * 100 TB ANN index actually ships (FAISS `IVFx,PQy`). Each query probes
+    * its `nprobe` nearest coarse lists and ADC-scores ONLY those lists'
+    * codes: the scanned fraction is nprobe/nlist of an already-32×-
+    * compressed table. With `nprobe = nlist` the result is exactly
+    * [[adcTopK]] (PqSpec asserts it); recall at nprobe < nlist is floored
+    * in the spec, same contract as pq14/pq35.
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nlist: Int,
+      nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe=$nprobe must be in [1, nlist=$nlist]")
+    val cents = Knn.ivfCentroids(corpus, idCol, vecCol, nlist)
+    val index = Knn.ivfAssign(corpus, idCol, vecCol, cents)
+      .join(encode(corpus, col(idCol), col(vecCol), cb), Seq("id"))
+      .select(col("id").as("nbr_id"), col("cid"), col("codes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", graft.dedup.Dedup.cosine(col("qv"), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val scored = index.join(broadcast(qprobes), Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .join(broadcast(queryTables(queries, idCol, vecCol, cb)), "query_id")
+      .withColumn("score_fp",
+        aggregate(zip_with(col("codes"), col("qtab"),
+          (c, tab) => element_at(tab, (c + 1).cast("int"))), lit(0L), _ + _))
     Knn.rankTopK(scored, "score_fp", k, longScore = true)
   }
 

@@ -82,6 +82,27 @@ class PqSpec extends SparkTestBase {
     assert(rescored >= trainedAdc, "exact rescoring cannot lose to raw ADC ranks")
   }
 
+  test("IVF-PQ equals plain ADC at nprobe = nlist and clears its recall floor below it") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cb = Pq.train(emb, col("vec_id"), col("embedding"),
+      m = 16, k = kCodes, seedModulus = 31L, iters = 2)
+    // full probe ⇒ identical candidates, identical integer scores
+    val full = Pq.ivfAdcTopK(emb, queries, "vec_id", "embedding", cb,
+        k = 10, nlist = 16, nprobe = 16)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val plain = Pq.adcTopK(emb, queries, "vec_id", "embedding", cb, k = 10)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(full == plain, "nprobe=nlist IVF-PQ must reproduce plain ADC exactly")
+    // partial probe: recall vs the PLAIN-ADC ranking (the coarse pruning's
+    // own cost, isolated from PQ quantization error)
+    val probed = Pq.ivfAdcTopK(emb, queries, "vec_id", "embedding", cb,
+      k = 10, nlist = 16, nprobe = 6)
+    val r = Eval.recallSummary(probed,
+        Pq.adcTopK(emb, queries, "vec_id", "embedding", cb, k = 10))
+      .select("macro_recall").as[Double].head()
+    assert(r >= 0.5, s"IVF-PQ nprobe=6/16 recall $r below floor 0.5")
+  }
+
   test("train keeps an emptied centroid in place instead of dropping it") {
     // 2 clusters of data but k=4 codebook: at least two centroids lose all
     // members in round one; the codebook must keep its k entries
