@@ -2185,6 +2185,39 @@ object PipelineQueries {
           e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", cb,
           k = 10, nlist = 32, nprobe = 8)
       },
-      None)
+      None),
+
+    // ---- perceptual frame fingerprints for multimodal assets: 60-bit
+    // block-hash per container frame (bit j = parity of region j's content
+    // hash, Horner-folded — codec-free stand-in for a pixel pHash with the
+    // same locality property: a localized payload edit flips only the
+    // touched regions' bits). Near-dup pairing rides the SAME banded-
+    // Hamming machinery as text simhash (MediaDedupSpec).
+    Q(
+      "pq67_media_fingerprints",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("payload", col("text").cast("binary"))
+        graft.multimodal.MediaDedup.frameFingerprints(
+          Multimodal.toAssets(d, "doc_id", "payload", "text/fake"))
+      },
+      Some("""
+        WITH f AS (SELECT doc_id AS asset_id, text,
+                          length(text) // 256 + 1 AS nf FROM documents),
+        fr AS (SELECT asset_id, text,
+                      unnest(generate_series(CAST(0 AS BIGINT), nf - 1)) AS frame
+               FROM f),
+        fs AS (SELECT asset_id, frame,
+                      substr(text, CAST(frame * 256 + 1 AS BIGINT), 256) AS fs
+               FROM fr)
+        SELECT asset_id, frame,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(0, 59), j ->
+                     CAST(('0x'||substr(md5(CAST(j AS VARCHAR) || ':' ||
+                       substr(fs, j*4 + 1, 4)), 1, 15)) AS BIGINT) % 2)),
+                 (acc, x) -> acc * 2 + x) AS fp
+        FROM fs
+      """))
   )
 }
