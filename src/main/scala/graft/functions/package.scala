@@ -35,6 +35,13 @@ package object functions {
   def space_saving(term: Column, capacity: Int): Column =
     toColumn(graft.plans.SpaceSavingAgg(toExpr(term), capacity).toAggregateExpression())
 
+  /** BPE subword tokenization (the true greedy merge loop) → one
+    * array<string> of subwords per whitespace word. The merge table is
+    * driver-resident vocabulary baked into the expression.
+    */
+  def bpe_subwords(text: Column, merges: Seq[(String, String)]): Column =
+    toColumn(graft.plans.BpeSubwords(toExpr(text), merges))
+
   /** Aggregate: exact top-`k` (score desc, id asc) → array<struct<id,
     * score>>. O(k) partial heaps combine map-side — the scale form of a
     * per-group `row_number() <= k` Window, which would shuffle and sort

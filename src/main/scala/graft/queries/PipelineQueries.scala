@@ -2218,6 +2218,24 @@ object PipelineQueries {
                        substr(fs, j*4 + 1, 4)), 1, 15)) AS BIGINT) % 2)),
                  (acc, x) -> acc * 2 + x) AS fp
         FROM fs
-      """))
+      """)),
+
+    // ---- real BPE subword counts (the greedy merge loop, not the regex
+    // approximation) under a fixed merge table — the counts token budgets
+    // and packing consume. No SQL form for the loop (a merge can create an
+    // earlier-rank pair, so no bounded unrolling exists) ⇒ rows-only like
+    // pq14/pq35/pq66; BpeSpec pins the encoder bit-for-bit against an
+    // independent reference implementation.
+    Q(
+      "pq68_bpe_tokens",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val merges = Seq(
+          "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+          "e" -> "r", "o" -> "n", "r" -> "e", "in" -> "g", "a" -> "t",
+          "e" -> "s", "o" -> "u", "s" -> "t", "e" -> "n", "o" -> "r")
+        graft.functions.Bpe.tokenStats(d, col("doc_id"), col("text"), merges)
+      },
+      None)
   )
 }
