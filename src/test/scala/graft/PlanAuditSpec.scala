@@ -136,6 +136,11 @@ class PlanAuditSpec extends SparkTestBase {
     // static audit needs AQE off so pre-execution plans carry codegen ids
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // pin the COLD plan: earlier suites may have executed the cache-using
+    // pipelines (pq60/pq64 persist their scored stage), and a POPULATED
+    // InMemoryRelation carries real size stats that can flip a small join
+    // from broadcast to sort-merge — a runtime state, not a plan regression
+    spark.catalog.clearCache()
     try {
       val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val f = Explain.audit(fn(spark, sfDir))
