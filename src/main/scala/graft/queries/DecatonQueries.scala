@@ -539,6 +539,56 @@ object DecatonQueries {
         FROM bsig o JOIN bsig h
           ON o.band = h.band AND o.band_sig = h.band_sig
         WHERE o.doc_id % 2 = 1 AND h.doc_id % 2 = 0
+      """)),
+
+    // ---- the streaming PQ-index flagger's code path
+    // (StreamOps.flagAgainstPqIndex): odd vec_ids arrive as the embedding
+    // "stream", even vec_ids are the indexed history as PQ code-band
+    // signatures (Pq.codeBandSignatures, pq65's synthetic codebook); a
+    // stream vector is flagged when any of its 4 code bands collides. The
+    // oracle replays encode + banding + the band join in SQL.
+    Q(
+      "dq18_stream_pq_flag",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+        val index = graft.similarity.Pq.codeBandSignatures(
+          e.filter(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"),
+          cb, bands = 2)
+        val stream = e.filter(col("vec_id") % 2 === 1)
+          .withColumn("__ts", timestamp_micros(col("vec_id") * 1000000L))
+        graft.streaming.StreamOps.flagAgainstPqIndex(
+            stream, col("vec_id"), col("embedding"), "__ts", "1 hour", index,
+            cb, bands = 2)
+          .select(col("id"))
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+        cods AS (SELECT unnest(generate_series(0, 15)) AS c),
+        cb AS (
+          SELECT s, c,
+                 list(CAST((c*31 + dim*17 + s*7) % 13 - 6 AS DOUBLE) / 6.0 ORDER BY dim) AS cv
+          FROM subs CROSS JOIN cods CROSS JOIN dims
+          GROUP BY 1, 2),
+        p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        sv AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
+               FROM p CROSS JOIN subs),
+        enc AS (
+          SELECT vec_id, s, c AS code FROM (
+            SELECT sv.vec_id, sv.s, cb.c,
+                   row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                     ORDER BY (${PipelineQueries.oDot("sv", "sv")} - 2.0 * ${PipelineQueries.oDot("sv", "cv2")} + ${PipelineQueries.oDot("cv2", "cv2")}) ASC,
+                              cb.c ASC) AS rn
+            FROM sv JOIN (SELECT s, c, cv AS cv2 FROM cb) cb USING (s)) WHERE rn = 1),
+        bs AS (
+          SELECT vec_id, s // 4 AS band,
+                 md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY s)) AS band_sig
+          FROM enc GROUP BY vec_id, s // 4)
+        SELECT DISTINCT o.vec_id AS id
+        FROM bs o JOIN bs h ON o.band = h.band AND o.band_sig = h.band_sig
+        WHERE o.vec_id % 2 = 1 AND h.vec_id % 2 = 0
       """))
   )
 }

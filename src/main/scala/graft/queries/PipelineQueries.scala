@@ -33,7 +33,7 @@ object PipelineQueries {
     * left-fold dot / cosine, and the k-means round CTEs (assignment +
     * fixed-point mean update) that pq39/pq40 unroll.
     */
-  private def oDot(a: String, b: String): String =
+  private[queries] def oDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
 
   private def oCos(a: String, b: String): String =

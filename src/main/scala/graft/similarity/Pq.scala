@@ -52,21 +52,52 @@ object Pq {
     * (ties to the smaller code). Row-local — the whole codebook is one
     * literal; nothing shuffles.
     */
-  def encode(
-      df: DataFrame,
-      idCol: Column,
-      vecCol: Column,
-      cb: Seq[Seq[Seq[Double]]]): DataFrame = {
+  /** The code vector as a pure COLUMN (row-local, stream-safe): usable
+    * anywhere an expression fits — batch encode, streaming flaggers,
+    * joins — without forcing the (id, codes) projection.
+    */
+  def codesFor(vecCol: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
     val w = cb.head.head.size
     val cbLit = typedLit(cb)
-    val codes = transform(cbLit, (subCb, s) => {
+    transform(cbLit, (subCb, s) => {
       val sv = slice(transform(vecCol, _.cast("double")), s * w + 1, lit(w))
       // max of (−d2, −c) ⇔ min of (d2, c): argmin distance, ties to smaller code
       array_max(zip_with(subCb, sequence(lit(0), lit(cb.head.size - 1)),
         (cv, c) => struct((-l2sq(sv, cv)).as("nd"), (-c).as("ncc"), c.as("c"))))
         .getField("c").cast("long")
     })
-    df.select(idCol.as("id"), codes.as("codes"))
+  }
+
+  def encode(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cb: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(idCol.as("id"), codesFor(vecCol, cb).as("codes"))
+
+  /** Band signatures over a code vector: the `m` codes split into `bands`
+    * contiguous groups, each hashed to one signature — the PQ analog of LSH
+    * band signatures (two vectors sharing a whole band of quantization
+    * cells are near in every banded subspace). `(id, band, band_sig)` rows;
+    * feed the history side to [[graft.streaming.StreamOps.flagAgainstPqIndex]].
+    */
+  def codeBandSignatures(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      cb: Seq[Seq[Seq[Double]]],
+      bands: Int): DataFrame = {
+    val m = cb.size
+    require(m % bands == 0, s"bands=$bands must divide m=$m subspaces")
+    val bandSize = m / bands
+    df.select(idCol.as("id"), codesFor(vecCol, cb).as("codes"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
+        col("codes"))
+      .withColumn("band_sig",
+        md5(concat_ws(",",
+          transform(slice(col("codes"), col("band") * bandSize + 1, lit(bandSize)),
+            _.cast("string")))))
+      .select(col("id"), col("band"), col("band_sig"))
   }
 
   /** ADC top-k: score every encoded corpus row against each query through

@@ -150,6 +150,45 @@ object StreamOps {
       .select(col("id"), col("__ts").as(tsCol))
   }
 
+  /** Streaming semantic near-dup flag against a static PQ-code index — the
+    * embedding-stream counterpart of [[flagAgainstLshIndex]]: an incoming
+    * vector is flagged when ANY of its PQ code bands (contiguous groups of
+    * quantization cells, [[graft.similarity.Pq.codeBandSignatures]])
+    * collides with the indexed history. Encoding is a pure row-local
+    * expression (stream-safe, codebook rides the plan); the check is one
+    * stream-static left-semi join on (band, band_sig) — 8-byte keys, the
+    * index's float vectors never load; flagged ids dedupe inside the
+    * watermark. Batch frames take the same plan with the dedupe reduced to
+    * a plain distinct (the dq16/dq17 fallback), which is what dq18
+    * oracle-checks.
+    */
+  def flagAgainstPqIndex(
+      stream: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      index: DataFrame,
+      cb: Seq[Seq[Seq[Double]]],
+      bands: Int): DataFrame = {
+    val m = cb.size
+    require(m % bands == 0, s"bands=$bands must divide m=$m subspaces")
+    val bandSize = m / bands
+    val banded = stream
+      .select(idCol.as("id"), col(tsCol).as("__ts"),
+        graft.similarity.Pq.codesFor(vecCol, cb).as("__codes"))
+      .select(col("id"), col("__ts"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("__codes"))
+      .withColumn("band_sig",
+        md5(concat_ws(",",
+          transform(slice(col("__codes"), col("band") * bandSize + 1, lit(bandSize)),
+            _.cast("string")))))
+    banded
+      .join(index.select(col("band"), col("band_sig")), Seq("band", "band_sig"), "left_semi")
+      .transform(dedupeBounded(_, "__ts", watermarkDelay, Seq("id")))
+      .select(col("id"), col("__ts").as(tsCol))
+  }
+
   /** Effectively-once parquet sink over the engine's at-least-once core:
     * every micro-batch writes to a directory keyed by its STABLE batch id,
     * in overwrite mode — so when the checkpoint replays a batch after a

@@ -277,4 +277,41 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(got === expect, s"stream join ${got.size} pairs, batch expects ${expect.size}")
     assert(expect.size > 100, "join must be non-trivial for this test to bite")
   }
+
+  test("online PQ-index flagging on a live embedding stream equals the batch semi-join") {
+    import graft.similarity.Pq
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])].collect()
+    val cb = Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+    val history = Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 0)
+    val index = Pq.codeBandSignatures(history, col("vec_id"), col("embedding"), cb, bands = 2)
+
+    val in = MemoryStream[(Long, Array[Float])]
+    val stream = in.toDF().toDF("vec_id", "embedding")
+      .withColumn("__ts", timestamp_micros(col("vec_id") * 1000000L))
+    val ckpt = Files.createTempDirectory("pq-flag-ckpt").toString
+    val q = StreamOps.flagAgainstPqIndex(
+        stream.filter(col("vec_id") % 2 === 1), col("vec_id"), col("embedding"),
+        "__ts", "1 hour", index, cb, bands = 2)
+      .writeStream.format("memory").queryName("pq_flagged")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      emb.grouped(100).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("pq_flagged").select("id")
+      .collect().map(_.getLong(0)).toSet
+    val expect = Pq.codeBandSignatures(
+        Tables.embeddings(spark, sfDir).filter(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"), cb, bands = 2)
+      .join(index.select("band", "band_sig"), Seq("band", "band_sig"), "left_semi")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(got === expect, s"flagged ${got.size}, batch semi-join expects ${expect.size}")
+    assert(expect.nonEmpty && expect.size < emb.length / 2,
+      "PQ flagging test needs a non-trivial flagged subset to bite")
+  }
 }
