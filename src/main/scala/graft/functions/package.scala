@@ -35,6 +35,18 @@ package object functions {
   def space_saving(term: Column, capacity: Int): Column =
     toColumn(graft.plans.SpaceSavingAgg(toExpr(term), capacity).toAggregateExpression())
 
+  /** Native 60-bit media frame fingerprint (one md5 per region, Horner fold
+    * — see [[graft.plans.MediaFrameFingerprint]]).
+    */
+  def media_frame_fp(frame: Column): Column =
+    toColumn(graft.plans.MediaFrameFingerprint(toExpr(frame)))
+
+  /** Native PQ encode: m nearest-centroid codes per vector (tight primitive
+    * loop, left-fold float contract — see [[graft.plans.PqEncodeExpr]]).
+    */
+  def pq_encode(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    toColumn(graft.plans.PqEncodeExpr(toExpr(vec), cb))
+
   /** BPE subword tokenization (the true greedy merge loop) → one
     * array<string> of subwords per whitespace word. The merge table is
     * driver-resident vocabulary baked into the expression.

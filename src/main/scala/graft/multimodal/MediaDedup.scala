@@ -55,6 +55,25 @@ object MediaDedup {
       // empty frames all share one fingerprint — without the filter every
       // such asset pair would "match" on the empty frame
       .filter(length(col("fs")) >= minBytes)
+    framed.select(col("asset_id"), col("frame"),
+      graft.functions.media_frame_fp(col("fs")).as("fp"))
+  }
+
+  /** The pre-native declarative fingerprint (60 interpreted
+    * concat→md5→conv→pmod trees per frame) — retained as the
+    * independently-derived equivalence oracle for the native expression
+    * (MediaDedupSpec) alongside pq67's DuckDB hash check.
+    */
+  private[graft] def frameFingerprintsDeclarative(
+      assets: DataFrame, minBytes: Int = 0): DataFrame = {
+    val framed = assets
+      .select(col("asset_id"), decode(col("data"), "UTF-8").as("t"),
+        col("meta.n_frames").as("nf"))
+      .select(col("asset_id"), col("t"),
+        explode(sequence(lit(0L), col("nf") - 1)).as("frame"))
+      .withColumn("fs",
+        expr(s"substring(t, cast(frame * $FrameBytes + 1 as int), $FrameBytes)"))
+      .filter(length(col("fs")) >= minBytes)
     val parity: Column => Column = j =>
       pmod(conv(substring(md5(concat(j.cast("string"), lit(":"),
         col("fs").substr(j * RegionBytes + 1, lit(RegionBytes)))), 1, 15), 16, 10)

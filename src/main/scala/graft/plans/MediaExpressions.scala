@@ -1,0 +1,69 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 60-bit media frame fingerprint: bit for region `j` (a 4-char
+  * slice of the frame) is the parity of
+  * `conv(substring(md5(j ':' region), 1, 15), 16, 10)`, folded MSB-first
+  * by Horner — exactly [[graft.multimodal.MediaDedup]]'s declarative
+  * definition and its DuckDB oracle (pq67 hash-checks it). The parity of
+  * the 15-hex-digit (60-bit) prefix is its lowest bit = hex digit 14's
+  * LSB = bit 4 of md5 byte 7, so the loop needs one digest per region and
+  * no hex-string materialization. The declarative chain (60 interpreted
+  * concat→md5→conv→pmod trees per frame) measured 1.4 s of pq67's bench
+  * at sf0.1.
+  */
+case class MediaFrameFingerprint(child: Expression)
+    extends UnaryExpression {
+
+  private val Regions = 60
+  private val RegionChars = 4
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"media_frame_fp needs a string frame, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val fs = input.asInstanceOf[UTF8String]
+    val md = MessageDigest.getInstance("MD5")
+    var acc = 0L
+    var j = 0
+    while (j < Regions) {
+      // region j: chars [j*4, j*4+4) of the frame (UTF8-aware, SQL substring
+      // semantics — out-of-range yields the empty suffix, same as the
+      // declarative substr)
+      val region = fs.substringSQL(j * RegionChars + 1, RegionChars)
+      md.reset()
+      md.update((j.toString + ":").getBytes("UTF-8"))
+      md.update(region.getBytes)
+      val dig = md.digest()
+      // parity of the 60-bit hex prefix = LSB of hex digit 14 = bit 4 of byte 7
+      val parity = (dig(7) >> 4) & 1
+      acc = acc * 2 + parity
+      j += 1
+    }
+    acc
+  }
+
+  // eval-bridge: shed CodegenFallback so the stage stays fused (the
+  // MinHashSigs pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("mediaFp", this, classOf[MediaFrameFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+  }
+
+  override def prettyName: String = "media_frame_fp"
+  override protected def withNewChildInternal(c: Expression): MediaFrameFingerprint =
+    copy(child = c)
+}

@@ -1,0 +1,96 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native PQ encoder: the m-subspace nearest-centroid argmin as one tight
+  * primitive loop. The declarative form (transform × zip_with × struct
+  * array_max over a codebook literal) interprets two Catalyst lambdas per
+  * centroid element — ~m·k·w boxed evaluations per vector — and measured
+  * 2.2 s of pq65's bench time at sf0.1; this loop is the same arithmetic
+  * in flat double arrays.
+  *
+  * EXACTNESS CONTRACT (the DuckDB oracle hash-checks it): every dot is a
+  * LEFT FOLD (sequential loop sum), the distance is evaluated exactly as
+  * `⟨sv,sv⟩ − 2.0·⟨sv,cv⟩ + ⟨cv,cv⟩` in that association order, floats are
+  * widened to double before any arithmetic, and ties keep the smaller code
+  * (strict `<` while scanning codes in ascending order). `‖cv‖²` is
+  * precomputed once per expression instance with the same left fold.
+  */
+case class PqEncodeExpr(child: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  private val m = cb.size
+  private val k = cb.head.size
+  private val w = cb.head.head.size
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode needs array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val cents: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+
+  @transient private lazy val cnorm: Array[Array[Double]] =
+    cents.map(_.map { cv =>
+      var acc = 0.0
+      var i = 0
+      while (i < cv.length) { acc += cv(i) * cv(i); i += 1 }
+      acc
+    })
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val codes = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      val base = s * w
+      var svv = 0.0
+      var j = 0
+      while (j < w && base + j < n) { val x = v(base + j); svv += x * x; j += 1 }
+      var best = -1
+      var bestD = 0.0
+      var c = 0
+      while (c < k) {
+        val cv = cents(s)(c)
+        var dot = 0.0
+        j = 0
+        while (j < w && base + j < n) { dot += v(base + j) * cv(j); j += 1 }
+        val d2 = svv - 2.0 * dot + cnorm(s)(c)
+        if (best < 0 || d2 < bestD) { best = c; bestD = d2 }
+        c += 1
+      }
+      codes(s) = best.toLong
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  // eval-bridge: shed CodegenFallback so the stage stays fused (the
+  // MinHashSigs pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqEncode", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "pq_encode"
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr = copy(child = c)
+}

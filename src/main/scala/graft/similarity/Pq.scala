@@ -54,9 +54,18 @@ object Pq {
     */
   /** The code vector as a pure COLUMN (row-local, stream-safe): usable
     * anywhere an expression fits — batch encode, streaming flaggers,
-    * joins — without forcing the (id, codes) projection.
+    * joins — without forcing the (id, codes) projection. Backed by the
+    * native [[graft.plans.PqEncodeExpr]] tight loop (the declarative
+    * lambda form below is kept as its equivalence oracle in PqSpec).
     */
-  def codesFor(vecCol: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
+  def codesFor(vecCol: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    graft.functions.pq_encode(vecCol, cb)
+
+  /** The pre-native declarative encoder (transform × zip_with × struct
+    * argmax over the codebook literal) — interpreted-lambda slow, retained
+    * as the independently-derived equivalence oracle for the native path.
+    */
+  private[graft] def codesForDeclarative(vecCol: Column, cb: Seq[Seq[Seq[Double]]]): Column = {
     val w = cb.head.head.size
     val cbLit = typedLit(cb)
     transform(cbLit, (subCb, s) => {

@@ -20,6 +20,16 @@ class MediaDedupSpec extends SparkTestBase {
   private def payload(seed: Int): String =
     Seq.tabulate(512)(i => ('a' + (i * 31 + seed * 97) % 26).toChar).mkString
 
+  test("native fingerprint equals the declarative form bit-for-bit") {
+    val assets = assetsOf((0 until 10).map(i => (i.toLong, payload(i))) :+
+      (10L, payload(0).take(137)) :+ (11L, "") :+ (12L, payload(3) + "tail"))
+    val a = MediaDedup.frameFingerprints(assets)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = MediaDedup.frameFingerprintsDeclarative(assets)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "native media fingerprint diverged from the declarative oracle")
+  }
+
   test("a localized edit flips few fingerprint bits; unrelated payloads differ in many") {
     val base = payload(1)
     val oneRegionEdit = base.updated(10, 'Z').updated(11, 'Z') // inside region 2 of frame 0

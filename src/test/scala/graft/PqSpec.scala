@@ -49,6 +49,22 @@ class PqSpec extends SparkTestBase {
     assert(got == expected, "ADC ranking diverged from the reconstruct-then-dot reference")
   }
 
+  test("native encoder equals the declarative lambda form code-for-code") {
+    import org.apache.spark.sql.functions.col
+    for (cb <- Seq(
+        Pq.syntheticCodebooks(8, 16, 8),
+        Pq.train(emb, col("vec_id"), col("embedding"), m = 16, k = 8,
+          seedModulus = 31L, iters = 1))) {
+      val native = emb.select(col("vec_id"),
+          graft.functions.pq_encode(col("embedding"), cb).as("c"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val decl = emb.select(col("vec_id"),
+          Pq.codesForDeclarative(col("embedding"), cb).as("c"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == decl, "native PQ encode diverged from the declarative oracle")
+    }
+  }
+
   test("encoding is deterministic across partitionings and codes stay in range") {
     val cb = Pq.train(emb, col("vec_id"), col("embedding"),
       m = m, k = kCodes, seedModulus = 31L, iters = 2)
