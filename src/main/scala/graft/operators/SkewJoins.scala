@@ -36,4 +36,35 @@ object SkewJoins {
       explode(sequence(lit(0), lit(salts - 1))))
     l.join(r, keys :+ "__salt").drop("__salt")
   }
+
+  /** The DATA-DRIVEN half of skew handling: the report an operator reads
+    * before committing a 100 TB shuffle key. Per top-`topK` hottest key:
+    * its row count, corpus share in ppm (`⌊1e6·n/total⌋`), and the salt
+    * factor that would level it — `⌈n·partitions/total⌉`, i.e. how many
+    * reducers this key needs so its share of each is at most the average
+    * partition load (1 = no salting needed; feed the max into
+    * [[saltedJoin]]). All integer arithmetic, so the report is exact and
+    * hash-checkable.
+    *
+    * Scale shape: ONE partial-agg shuffle on the key (counts combine
+    * map-side — the hot key itself costs each mapper one counter, never a
+    * sorted partition), the total rides a broadcast, and the top-K is a
+    * TakeOrdered, not a global sort.
+    */
+  def keySkewReport(
+      df: DataFrame,
+      keyCol: Column,
+      partitions: Int,
+      topK: Int): DataFrame = {
+    require(partitions >= 1 && topK >= 1, s"bad partitions=$partitions/topK=$topK")
+    val counts = df.select(keyCol.cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("__total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        floor(lit(1000000L) * col("n") / col("__total")).cast("long").as("share_ppm"),
+        ceil(col("n") * lit(partitions.toLong) / col("__total")).cast("long").as("salt"))
+      .orderBy(col("n").desc, col("key").asc)
+      .limit(topK)
+  }
 }

@@ -2236,6 +2236,27 @@ object PipelineQueries {
           "e" -> "s", "o" -> "u", "s" -> "t", "e" -> "n", "o" -> "r")
         graft.functions.Bpe.tokenStats(d, col("doc_id"), col("text"), merges)
       },
-      None)
+      None),
+
+    // ---- key-skew report: the pre-shuffle advisor — per hottest key its
+    // corpus share and the salt factor that would level it onto the
+    // average partition load (feed the max into SkewJoins.saltedJoin).
+    // One partial-agg shuffle + TakeOrdered; all integer, hash-exact.
+    Q(
+      "pq69_key_skew",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.operators.SkewJoins.keySkewReport(
+          e, col("user_id"), partitions = 32, topK = 20)
+      },
+      Some("""
+        WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+                   FROM events GROUP BY 1),
+        t AS (SELECT sum(n) AS total FROM c)
+        SELECT key, n,
+               CAST(floor(1000000 * n / total) AS BIGINT) AS share_ppm,
+               CAST(ceil(n * 32 / total) AS BIGINT) AS salt
+        FROM c, t ORDER BY n DESC, key ASC LIMIT 20
+      """))
   )
 }

@@ -105,4 +105,26 @@ class BucketingAndSkewSpec extends SparkTestBase {
       .distinct().count()
     assert(saltSpread > 4, s"hot key only spread over $saltSpread of 8 salts")
   }
+
+  test("the skew report names the hot key and its salt levels the reducer load") {
+    // 90% of rows on one key over 32 prospective partitions: the report
+    // must rank it first with salt ≈ ⌈0.9·32⌉ and give singleton keys 1
+    val df = spark.range(10000L)
+      .select(col("id"),
+        when(col("id") % 10 =!= 0, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"))
+    val rep = SkewJoins.keySkewReport(df, col("k"), partitions = 32, topK = 5)
+      .collect()
+    assert(rep.head.getString(0) == "hot", s"hottest key misranked: ${rep.head}")
+    assert(rep.head.getLong(1) == 9000L)
+    assert(rep.head.getLong(2) == 900000L, s"share_ppm ${rep.head.getLong(2)}")
+    val salt = rep.head.getLong(3)
+    assert(salt == 29L, s"salt $salt, want ceil(0.9*32)=29")
+    assert(rep.tail.forall(_.getLong(3) == 1L), "cold keys must need no salting")
+    // the advice composes: salting by the reported factor levels the load
+    val spread = df.filter(col("k") === "hot")
+      .select(pmod(hash(col("id")), lit(salt.toInt)).as("s"))
+      .groupBy(col("s")).count().agg(max(col("count"))).head().getLong(0)
+    assert(spread < 9000L / salt * 3,
+      s"max salted cell $spread not leveled vs 9000 rows / $salt salts")
+  }
 }

@@ -116,6 +116,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq66_knn_ivfpq" -> 3,          // coarse assign agg + index id join + heap; probes/tables/centroids all broadcast
     "pq67_media_fingerprints" -> 0, // row-local: frame explode + 60 region hashes, no shuffle
     "pq68_bpe_tokens" -> 0,         // row-local native greedy-loop encode, merges ride the plan
+    "pq69_key_skew" -> 2,           // key partial-agg + total agg (broadcast back); TakeOrdered top-K
     "pq62_maxsim_topk" -> 3,        // per-qframe max + per-doc sum + bounded heap; qframes broadcast
     "pq63_term_drift" -> 3,         // two vocab-sized count aggs + the full-outer term merge
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
