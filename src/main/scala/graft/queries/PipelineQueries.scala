@@ -2257,6 +2257,72 @@ object PipelineQueries {
                CAST(floor(1000000 * n / total) AS BIGINT) AS share_ppm,
                CAST(ceil(n * 32 / total) AS BIGINT) AS salt
         FROM c, t ORDER BY n DESC, key ASC LIMIT 20
+      """)),
+
+    // ---- retrieval-quality eval (the public Eval API as a query): where
+    // does each query's TRUE cosine top-1 land in the PQ ADC top-10?
+    // rank_found = 0 = missed. Integer per-query artifact behind MRR —
+    // hash-exact where the float summary could not be.
+    Q(
+      "pq70_rank_eval",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") % 25 === 0)
+        val cb = graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+        val approx = graft.similarity.Pq.adcTopK(
+          e, queries, "vec_id", "embedding", cb, k = 10)
+        val exactTop1 = graft.similarity.Knn.bruteForceTopK(
+            e, queries, "vec_id", "embedding", k = 1)
+          .select(col("query_id"), col("nbr_id"))
+        graft.similarity.Eval.rankOfTruth(approx, exactTop1)
+      },
+      Some(s"""
+        WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+        codes AS (SELECT unnest(generate_series(0, 15)) AS c),
+        cb AS (
+          SELECT s, c,
+                 list(CAST((c*31 + dim*17 + s*7) % 13 - 6 AS DOUBLE) / 6.0 ORDER BY dim) AS cv
+          FROM subs CROSS JOIN codes CROSS JOIN dims
+          GROUP BY 1, 2),
+        p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        sv AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
+               FROM p CROSS JOIN subs),
+        enc AS (
+          SELECT vec_id, s, c AS code FROM (
+            SELECT sv.vec_id, sv.s, cb.c,
+                   row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                     ORDER BY (${oDot("sv", "sv")} - 2.0 * ${oDot("sv", "cv2")} + ${oDot("cv2", "cv2")}) ASC,
+                              cb.c ASC) AS rn
+            FROM sv JOIN (SELECT s, c, cv AS cv2 FROM cb) cb USING (s)) WHERE rn = 1),
+        qt AS (
+          SELECT q.vec_id AS query_id, cb.s, cb.c,
+                 CAST(floor(1000000.0 * ${oDot("qs", "cv")}) AS BIGINT) AS t
+          FROM (SELECT vec_id, s, sv AS qs FROM sv WHERE vec_id % 25 = 0) q
+          JOIN cb USING (s)),
+        sc AS (
+          SELECT qt.query_id, e.vec_id AS nbr_id, CAST(sum(qt.t) AS BIGINT) AS score_fp
+          FROM enc e JOIN qt ON qt.s = e.s AND qt.c = e.code AND qt.query_id <> e.vec_id
+          GROUP BY 1, 2),
+        adc AS (
+          SELECT query_id, nbr_id, CAST(rank AS INT) AS rank FROM (
+            SELECT query_id, nbr_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY score_fp DESC, nbr_id ASC) AS rank
+            FROM sc) WHERE rank <= 10),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM p WHERE vec_id % 25 = 0),
+        ex AS (
+          SELECT query_id, nbr_id FROM (
+            SELECT q.query_id, c.vec_id AS nbr_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY round(${oCos("qv", "cv3")}, 4) DESC, c.vec_id ASC) AS rn
+            FROM q JOIN (SELECT vec_id, v AS cv3 FROM p) c ON c.vec_id <> q.query_id)
+          WHERE rn = 1)
+        SELECT ex.query_id, ex.nbr_id AS true_top1,
+               CAST(coalesce(adc.rank, 0) AS INT) AS rank_found
+        FROM ex LEFT JOIN adc
+          ON adc.query_id = ex.query_id AND adc.nbr_id = ex.nbr_id
       """))
   )
 }

@@ -43,4 +43,28 @@ object Eval {
       avg(col("recall")).as("macro_recall"),
       (sum(col("n_hit")).cast("double") / sum(col("n_truth"))).as("micro_recall"),
       min(col("recall")).as("min_recall"))
+
+  /** Where does each query's TRUE top-1 land in the approximate ranking?
+    * `(query_id, true_top1, rank_found)` with `rank_found = 0` when the
+    * approximate list missed it entirely — the per-query integer artifact
+    * behind MRR, exact and hash-checkable (unlike the float summary).
+    * `approx` is the standard `(query_id, rank, nbr_id)` result shape;
+    * `exactTop1` is `(query_id, nbr_id)` ground truth.
+    */
+  def rankOfTruth(approx: DataFrame, exactTop1: DataFrame): DataFrame =
+    exactTop1.select(col("query_id"), col("nbr_id"))
+      .join(approx.select(col("query_id"), col("nbr_id"), col("rank")),
+        Seq("query_id", "nbr_id"), "left")
+      .select(col("query_id"), col("nbr_id").as("true_top1"),
+        coalesce(col("rank"), lit(0)).cast("int").as("rank_found"))
+
+  /** Mean reciprocal rank over [[rankOfTruth]] (misses contribute 0), plus
+    * the hit count — the leaderboard scalar for a retrieval tier.
+    */
+  def mrrSummary(ranks: DataFrame): DataFrame =
+    ranks.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("rank_found") > 0, 1L).otherwise(0L)).as("n_found"),
+      avg(when(col("rank_found") > 0, lit(1.0) / col("rank_found"))
+        .otherwise(lit(0.0))).as("mrr"))
 }

@@ -119,6 +119,29 @@ class PqSpec extends SparkTestBase {
     assert(r >= 0.5, s"IVF-PQ nprobe=6/16 recall $r below floor 0.5")
   }
 
+  test("rankOfTruth/mrrSummary: perfect self-eval, graceful misses") {
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+    val top1 = exact.filter(col("rank") === 1).select("query_id", "nbr_id")
+    // a ranking evaluated against its own top-1 is perfect
+    val self = Eval.mrrSummary(Eval.rankOfTruth(exact, top1))
+      .select("n_queries", "n_found", "mrr").as[(Long, Long, Double)].head()
+    assert(self._1 == self._2 && self._3 == 1.0, s"self-eval not perfect: $self")
+    // drop rank 1 from the list: the truth is gone ⇒ rank_found = 0, mrr = 0
+    val degraded = Eval.mrrSummary(
+        Eval.rankOfTruth(exact.filter(col("rank") > 1), top1))
+      .select("n_found", "mrr").as[(Long, Double)].head()
+    assert(degraded == ((0L, 0.0)), s"missed-truth eval wrong: $degraded")
+    // the PQ tier lands between the two and rank_found stays in [0, 10]
+    val cb = Pq.train(emb, col("vec_id"), col("embedding"),
+      m = 16, k = kCodes, seedModulus = 31L, iters = 2)
+    val pq = Eval.rankOfTruth(
+      Pq.adcTopK(emb, queries, "vec_id", "embedding", cb, k = 10), top1)
+    assert(pq.filter(col("rank_found") < 0 || col("rank_found") > 10).count() == 0)
+    val mrr = Eval.mrrSummary(pq).select("mrr").as[Double].head()
+    assert(mrr > 0.0 && mrr <= 1.0, s"PQ mrr out of range: $mrr")
+  }
+
   test("train keeps an emptied centroid in place instead of dropping it") {
     // 2 clusters of data but k=4 codebook: at least two centroids lose all
     // members in round one; the codebook must keep its k entries
