@@ -348,6 +348,40 @@ object TextFunctions {
         count(when(col("bigram").isNotNull, lit(1))).as("n_distinct_bigrams"),
         max(when(col("bigram").isNotNull, col("count")).otherwise(0L)).as("top_bigram_count"))
   }
+
+  /** Intra-document repetition REMOVAL (the CCNet/Gopher cleanup the stats
+    * above only measure): the document is cut into non-overlapping
+    * `segTokens`-token segments and every repeat of an already-seen segment
+    * is dropped, keeping the FIRST occurrence — the boilerplate/genera-
+    * tion-loop scrubber. Output: `(doc_id, n_segments, n_kept, text_clean)`.
+    *
+    * 100 TB shape: entirely ROW-LOCAL array algebra (split → segment →
+    * keep-first filter via `array_position` → rejoin); no shuffle, no
+    * state, stream-safe. Cross-document segment dedup is pq41's separate
+    * operator; this one never looks outside the row.
+    */
+  def dropRepeatedSegments(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column,
+      segTokens: Int): org.apache.spark.sql.DataFrame = {
+    require(segTokens >= 1, s"segTokens=$segTokens must be positive")
+    val n = segTokens
+    val withSegs = df
+      .select(idCol.as("doc_id"), split(textCol, " ").as("__toks"))
+      .withColumn("__nseg",
+        floor((size(col("__toks")) + lit(n - 1)) / lit(n)).cast("long"))
+      .withColumn("__segs",
+        transform(sequence(lit(0L), col("__nseg") - 1),
+          i => array_join(slice(col("__toks"), (i * n + 1).cast("int"), lit(n)), " ")))
+    withSegs
+      .withColumn("__kept",
+        filter(col("__segs"), (s, i) => array_position(col("__segs"), s) === (i + 1).cast("long")))
+      .select(col("doc_id"),
+        size(col("__segs")).as("n_segments"),
+        size(col("__kept")).as("n_kept"),
+        array_join(col("__kept"), " ").as("text_clean"))
+  }
 }
 
 /** Frequent character trigrams per language (public corpus statistics,

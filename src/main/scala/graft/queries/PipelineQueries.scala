@@ -2323,6 +2323,34 @@ object PipelineQueries {
                CAST(coalesce(adc.rank, 0) AS INT) AS rank_found
         FROM ex LEFT JOIN adc
           ON adc.query_id = ex.query_id AND adc.nbr_id = ex.nbr_id
+      """)),
+
+    // ---- intra-document repetition REMOVAL (pq16 only measures): drop
+    // every repeat of an already-seen 4-token segment, keep the first —
+    // row-local array algebra, no shuffle, stream-safe. The clean text is
+    // pinned by hash so the oracle checks content, not just counts.
+    Q(
+      "pq71_repetition_removal",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextFunctions.dropRepeatedSegments(d, col("doc_id"), col("text"), segTokens = 4)
+          .select(col("doc_id"), col("n_segments"), col("n_kept"),
+            md5(col("text_clean")).as("clean_hash"))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, (len(toks) + 3) // 4 AS nseg, toks FROM t),
+        g AS (SELECT doc_id,
+                list_transform(generate_series(0, CAST(nseg - 1 AS BIGINT)),
+                  i -> array_to_string(list_slice(toks, i*4 + 1, i*4 + 4), ' ')) AS segs
+              FROM s),
+        k AS (SELECT doc_id, segs,
+                list_filter(segs, (x, i) -> list_position(segs, x) = i) AS kept
+              FROM g)
+        SELECT doc_id, CAST(len(segs) AS INT) AS n_segments,
+               CAST(len(kept) AS INT) AS n_kept,
+               md5(array_to_string(kept, ' ')) AS clean_hash
+        FROM k
       """))
   )
 }

@@ -332,6 +332,29 @@ class CurationOpsSpec extends SparkTestBase {
       "incremental mix output differs from recomputing the world")
   }
 
+  test("repetition removal drops planted loops, keeps clean text, and is idempotent") {
+    import spark.implicits._
+    val clean = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens, 2 segments
+    val looped = clean + " " + "alpha beta gamma delta" * 1 + " iota kappa lambda mu"
+    val rows = Seq((1L, clean), (2L, looped), (3L, ""), (4L, "one"))
+    val out = TextFunctions.dropRepeatedSegments(
+        rows.toDF("doc_id", "text"), col("doc_id"), col("text"), segTokens = 4)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    // clean doc untouched
+    assert(out(1L)._4 == clean && out(1L)._2 == out(1L)._3)
+    // the repeated first segment is gone, later content survives
+    assert(out(2L)._4 == clean + " iota kappa lambda mu")
+    assert(out(2L)._2 == 4 && out(2L)._3 == 3)
+    // degenerate docs survive unchanged
+    assert(out(3L)._4 == "" && out(4L)._4 == "one")
+    // idempotent: cleaning the cleaned text changes nothing
+    val again = TextFunctions.dropRepeatedSegments(
+        Seq((2L, out(2L)._4)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), segTokens = 4)
+      .select("text_clean").as[String].head()
+    assert(again == out(2L)._4, "repetition removal is not idempotent")
+  }
+
   test("term drift: zero on self, non-negative, and rises under a planted vocabulary shift") {
     val d = Tables.documents(spark, sfDir)
     def kl(ref: org.apache.spark.sql.DataFrame, cur: org.apache.spark.sql.DataFrame) =
