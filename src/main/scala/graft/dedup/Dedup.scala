@@ -525,6 +525,58 @@ object Dedup {
         sum(when(col("df") > 1, col("c")).otherwise(0L)).as("n_dup_grams"))
   }
 
+  /** Exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better" — the substring-level
+    * form that exact/doc-level dedup misses): every `n`-token window that
+    * occurs more than once ACROSS the corpus keeps exactly one canonical
+    * occurrence (the minimum `(doc_id, pos)`, packed into one long so both
+    * engines elect identically) and every other occurrence's tokens are
+    * cut from their documents; overlapping duplicated windows union into
+    * maximal removed spans via position-distinct coverage. A later exact
+    * copy of a document loses all of it; a document quoting a duplicated
+    * paragraph loses the paragraph.
+    *
+    * Output: `(doc_id, n_tokens, n_removed, text_clean)` — every input doc
+    * present, including fully-scrubbed ones (empty `text_clean`).
+    *
+    * 100 TB shape: windows are hashed by the native one-pass expression
+    * (no window strings materialize); the election is one partial-agg
+    * shuffle on the 60-bit gram hash; coverage and reassembly shuffle only
+    * `(doc_id, pos)` pairs of AFFECTED positions plus one per-doc
+    * collect_list keyed by the doc — the text itself moves once, at the
+    * end, as its own reassembled row.
+    */
+  def removeDuplicatedSpans(
+      df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
+    require(n > 0, s"window size n=$n must be positive")
+    val PosPack = 1048576L // pos < 2^20 tokens per doc; doc_id·2^20 + pos
+    val toks = df.select(idCol.as("doc_id"), split(textCol, " ").as("t"))
+    val grams = toks.select(col("doc_id"),
+        posexplode(graft.functions.word_ngram_hashes(concat_ws(" ", col("t")), n))
+          .as(Seq("pos", "g")))
+    val canon = grams
+      .groupBy(col("g"))
+      .agg(min(col("doc_id") * PosPack + col("pos")).as("keeper"),
+        count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+    val removedPos = grams.join(canon, "g")
+      .filter(col("doc_id") * PosPack + col("pos") =!= col("keeper"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + n - 1)).as("tp"))
+      .distinct()
+    toks
+      .select(col("doc_id"), posexplode(col("t")).as(Seq("tp", "tok")))
+      .join(removedPos.withColumn("__rm", lit(1)), Seq("doc_id", "tp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__rm").isNull,
+            struct(col("tp"), col("tok"))))),
+          e => e.getField("tok")), " ").as("text_clean"))
+  }
+
   /** Connected components over an undirected candidate-pair edge list —
     * the clustering step that turns LSH near-dup PAIRS into dedup GROUPS
     * (each doc labeled with the minimum id reachable from it), so a keeper

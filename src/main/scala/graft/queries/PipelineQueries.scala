@@ -2351,6 +2351,52 @@ object PipelineQueries {
                CAST(len(kept) AS INT) AS n_kept,
                md5(array_to_string(kept, ' ')) AS clean_hash
         FROM k
+      """)),
+
+    // ---- exact duplicated-span REMOVAL (Lee et al. 2022) — the
+    // substring-level dedup pq18 only measures: every 5-token window seen
+    // more than once corpus-wide keeps its canonical (min doc,pos packed)
+    // occurrence; all other occurrences' tokens are cut, overlaps
+    // unioning via position-distinct coverage. Clean text pinned by hash.
+    Q(
+      "pq72_span_removal",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.dedup.Dedup.removeDuplicatedSpans(d, col("doc_id"), col("text"), n = 5)
+          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+            md5(col("text_clean")).as("clean_hash"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        pos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(CAST(len(t) AS INT) - 4, 1))) AS i
+          FROM toks),
+        g AS (
+          SELECT doc_id, i - 1 AS pos,
+                 CAST(('0x'||substr(md5(array_to_string(t[i:i+4], ' ')),1,15)) AS BIGINT) AS g
+          FROM pos),
+        canon AS (
+          SELECT g, min(doc_id * 1048576 + pos) AS keeper
+          FROM g GROUP BY 1 HAVING count(*) > 1),
+        rp AS (
+          SELECT DISTINCT doc_id, tp FROM (
+            SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 4)) AS tp
+            FROM g JOIN canon USING (g)
+            WHERE g.doc_id * 1048576 + g.pos <> canon.keeper)),
+        tk AS (
+          SELECT doc_id, i - 1 AS tp, t[i] AS tok FROM (
+            SELECT doc_id, t, unnest(generate_series(1, CAST(len(t) AS INT))) AS i
+            FROM toks)),
+        j AS (
+          SELECT tk.doc_id, tk.tp, tk.tok, rp.tp IS NOT NULL AS rm
+          FROM tk LEFT JOIN rp ON rp.doc_id = tk.doc_id AND rp.tp = tk.tp)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+               md5(coalesce(string_agg(tok, ' ' ORDER BY tp) FILTER (WHERE NOT rm), ''))
+                 AS clean_hash
+        FROM j GROUP BY doc_id
       """))
   )
 }

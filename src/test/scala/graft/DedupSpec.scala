@@ -564,4 +564,26 @@ class DedupSpec extends SparkTestBase {
       assert(n == q - 1000000L, s"duplicate asset $q must retrieve its original, got $n")
     }
   }
+
+  test("span removal cuts shared paragraphs from later docs and scrubs exact copies") {
+    import spark.implicits._
+    val para = "one two three four five six seven eight" // 8 tokens, shared
+    val a = "alpha beta gamma delta epsilon " + para
+    val b = para + " zeta eta theta iota kappa"
+    val c = a // exact copy of doc 1, higher id
+    val d = "lambda mu nu xi omicron pi rho sigma"      // fully unique
+    val out = Dedup.removeDuplicatedSpans(
+        Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), n = 5)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1 is the canonical occurrence of everything it contains — untouched
+    assert(out(1L)._4 == a && out(1L)._3 == 0L, s"keeper doc mutated: ${out(1L)}")
+    // doc 2 loses the shared paragraph, keeps its unique tail
+    assert(out(2L)._4 == "zeta eta theta iota kappa", s"doc 2: ${out(2L)}")
+    assert(out(2L)._3 == 8L)
+    // the exact copy is fully scrubbed
+    assert(out(3L)._4 == "" && out(3L)._3 == out(3L)._2, s"doc 3: ${out(3L)}")
+    // unique docs are untouched
+    assert(out(4L)._4 == d && out(4L)._3 == 0L)
+  }
 }

@@ -119,6 +119,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq69_key_skew" -> 2,           // key partial-agg + total agg (broadcast back); TakeOrdered top-K
     "pq70_rank_eval" -> 4,          // ADC heap + exact-top1 heap + the (query, nbr) rank join
     "pq71_repetition_removal" -> 0, // row-local segment keep-first filter, no shuffle
+    "pq72_span_removal" -> 3,       // gram election agg + coverage distinct + per-doc reassembly
     "pq62_maxsim_topk" -> 3,        // per-qframe max + per-doc sum + bounded heap; qframes broadcast
     "pq63_term_drift" -> 3,         // two vocab-sized count aggs + the full-outer term merge
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
