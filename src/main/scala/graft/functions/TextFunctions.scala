@@ -349,6 +349,26 @@ object TextFunctions {
         max(when(col("bigram").isNotNull, col("count")).otherwise(0L)).as("top_bigram_count"))
   }
 
+  /** Crawl markup extraction (the WET step of a web pipeline): drop
+    * script/style blocks wholesale, strip every remaining tag, decode the
+    * five common entities (`&amp;` LAST, so `&amp;lt;` yields the literal
+    * `&lt;` instead of double-decoding to `<`), collapse whitespace, trim.
+    * A pure row-local regexp chain (the pq37 PII pattern) — zero shuffle,
+    * codegen'd, stream-safe; every pattern is RE2-compatible so the DuckDB
+    * oracle replays it verbatim.
+    */
+  def extract_text(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      // entity names are regex-metachar-free, so the literals ARE the
+      // patterns (\Q..\E quoting would break the RE2 oracle replay)
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Intra-document repetition REMOVAL (the CCNet/Gopher cleanup the stats
     * above only measure): the document is cut into non-overlapping
     * `segTokens`-token segments and every repeat of an already-seen segment

@@ -2397,6 +2397,59 @@ object PipelineQueries {
                md5(coalesce(string_agg(tok, ' ' ORDER BY tp) FILTER (WHERE NOT rm), ''))
                  AS clean_hash
         FROM j GROUP BY doc_id
+      """)),
+
+    // ---- crawl markup extraction (the WET step): each document is wrapped
+    // in deterministic HTML (head/style, h1, entity-escaped body, trailing
+    // script) and extract_text must recover plain text — script/style
+    // blocks dropped wholesale, tags stripped, entities decoded (&amp;
+    // LAST), whitespace collapsed. Row-local regexp chain; the oracle
+    // replays the same RE2-compatible patterns.
+    Q(
+      "pq73_markup_extract",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val html = concat(
+          lit("<html><head><style>p { color: #333; }</style></head><body><h1>Doc "),
+          col("doc_id"), lit("</h1>\n<p>"),
+          regexp_replace(col("text"), " ", "</p>\n<p>"),
+          lit("</p><script>var n = 1 < 2 && 3 > 2;</script></body></html>"))
+        val extracted = TextFunctions.extract_text(html)
+        d.select(col("doc_id"),
+          md5(extracted).as("clean_hash"),
+          TextFunctions.token_count(extracted).as("n_tokens"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><style>p { color: #333; }</style></head><body><h1>Doc '
+                   || doc_id || '</h1>' || chr(10) || '<p>'
+                   || regexp_replace(text, ' ', '</p>' || chr(10) || '<p>', 'g')
+                   || '</p><script>var n = 1 < 2 && 3 > 2;</script></body></html>' AS html
+          FROM documents),
+        x AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                     '<[^>]*>', ' ', 'g'),
+                     '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                     '&quot;', '"', 'g'),
+                     '&#39;', '''', 'g'),
+                     '&nbsp;', ' ', 'g'),
+                     '&amp;', '&', 'g'),
+                     '\s+', ' ', 'g')) AS t
+          FROM h)
+        SELECT doc_id, md5(t) AS clean_hash,
+               CAST(len(string_split(t, ' ')) AS INT) AS n_tokens
+        FROM x
       """))
   )
 }

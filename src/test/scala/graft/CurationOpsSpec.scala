@@ -332,6 +332,24 @@ class CurationOpsSpec extends SparkTestBase {
       "incremental mix output differs from recomputing the world")
   }
 
+  test("markup extraction recovers wrapped text and survives its ordering hazards") {
+    import spark.implicits._
+    def x(s: String): String = Seq(s).toDF("h")
+      .select(TextFunctions.extract_text(col("h"))).as[String].head()
+    // round trip: tag-wrapped corpus text comes back verbatim
+    val t = "the quick brown fox"
+    assert(x(s"<html><body><p>${t.replace(" ", "</p> <p>")}</p></body></html>") == t)
+    // script/style bodies drop wholesale even when they contain < and >
+    assert(x("a<script>if (1 < 2 && x > y) { f('<div>'); }</script>b") == "a b")
+    assert(x("a<style>p > span { margin: 0; }</style>b") == "a b")
+    // entity order: &amp;lt; must become the LITERAL '&lt;', never '<'
+    assert(x("x &amp;lt; y") == "x &lt; y")
+    assert(x("a &amp; b &lt; c &gt; d &quot;e&quot; &#39;f&#39;") ==
+      "a & b < c > d \"e\" 'f'")
+    // whitespace collapse + trim
+    assert(x("  a\n\n<br/>  b\t c  ") == "a b c")
+  }
+
   test("repetition removal drops planted loops, keeps clean text, and is idempotent") {
     import spark.implicits._
     val clean = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens, 2 segments

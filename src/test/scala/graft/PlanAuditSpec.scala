@@ -120,6 +120,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq70_rank_eval" -> 4,          // ADC heap + exact-top1 heap + the (query, nbr) rank join
     "pq71_repetition_removal" -> 0, // row-local segment keep-first filter, no shuffle
     "pq72_span_removal" -> 3,       // gram election agg + coverage distinct + per-doc reassembly
+    "pq73_markup_extract" -> 0,     // row-local regexp chain, zero shuffle
     "pq62_maxsim_topk" -> 3,        // per-qframe max + per-doc sum + bounded heap; qframes broadcast
     "pq63_term_drift" -> 3,         // two vocab-sized count aggs + the full-outer term merge
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
