@@ -265,6 +265,48 @@ object Curation {
     mixStages(deduped, keepFrac, cap, alpha, budget)
   }
 
+  /** The round-9 flagship: SCRUB then mix — intra-document repetition
+    * removal → corpus-wide duplicated-span removal (Lee et al.) →
+    * [[curateTrainingMix]] (canonical dedup → calibrated gate → per-source
+    * cap → temperature mix), one plan, hash-checked END TO END against an
+    * oracle that chains all six stage oracles as CTEs. This is the
+    * crawl-to-training-mix path a production corpus actually runs: clean
+    * inside documents first, then dedup/select across them.
+    *
+    * 100 TB shape: stage 1 is row-local; stage 2 adds the gram election
+    * partial-agg + affected-position shuffles; the mix stages run on the
+    * scrubbed text with their already-audited shapes (narrow scored table
+    * materialized once, cut-admission cap, census rates broadcast).
+    */
+  def scrubAndMix(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      sourceCol: Column,
+      strataCol: Column,
+      segTokens: Int,
+      spanTokens: Int,
+      keepFrac: Double,
+      cap: Int,
+      alpha: String,
+      budget: Long): DataFrame = {
+    val base = df.select(idCol.as("doc_id"), sourceCol.as("source"),
+      strataCol.as("stratum"), textCol.as("text"))
+    val meta = base.select(col("doc_id"), col("source"), col("stratum"))
+    val rep = TextFunctions.dropRepeatedSegments(
+        base, col("doc_id"), col("text"), segTokens)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    val spans = graft.dedup.Dedup.removeDuplicatedSpans(
+        rep, col("doc_id"), col("text"), spanTokens)
+      // a fully-scrubbed doc (an exact copy) has nothing left to train on —
+      // and nothing the quality score could divide by
+      .filter(length(col("text_clean")) > 0)
+      .select(col("doc_id"), col("text_clean").as("text"))
+    curateTrainingMix(spans.join(meta, "doc_id"),
+      col("doc_id"), col("text"), col("source"), col("stratum"),
+      keepFrac, cap, alpha, budget)
+  }
+
   /** Pairwise overlap matrix over per-group distinct key sets: for every
     * pair of groups, `n_shared` = how many distinct keys appear in BOTH,
     * each group's set size, and the integer-exact Jaccard

@@ -2450,6 +2450,98 @@ object PipelineQueries {
         SELECT doc_id, md5(t) AS clean_hash,
                CAST(len(string_split(t, ' ')) AS INT) AS n_tokens
         FROM x
+      """)),
+
+    // ---- ROUND-9 FLAGSHIP: scrub then mix — repetition removal (4-token
+    // segments) → duplicated-span removal (5-token windows) → canonical
+    // dedup → calibrated gate (keep 70%) → per-source cap (10) →
+    // proportional mix (budget 90), ONE plan; the oracle chains all six
+    // stage oracles as CTEs, hash-exact end to end.
+    Q(
+      "pq74_scrub_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.pipeline.Curation.scrubAndMix(
+          d, col("doc_id"), col("text"), col("source"), col("lang"),
+          segTokens = 4, spanTokens = 5,
+          keepFrac = 0.7, cap = 10, alpha = "prop", budget = 90L)
+      },
+      Some(s"""
+        WITH rt0 AS (SELECT doc_id, string_split(text, ' ') AS rtk FROM documents),
+        rg AS (SELECT doc_id,
+                 list_transform(generate_series(0, CAST((len(rtk) + 3) // 4 - 1 AS BIGINT)),
+                   i -> array_to_string(list_slice(rtk, i*4 + 1, i*4 + 4), ' ')) AS segs
+               FROM rt0),
+        rep AS (SELECT doc_id,
+                  array_to_string(
+                    list_filter(segs, (x, i) -> list_position(segs, x) = i), ' ') AS rtext
+                FROM rg),
+        stoks AS (SELECT doc_id, string_split(rtext, ' ') AS t FROM rep),
+        spos AS (
+          SELECT doc_id, t,
+                 unnest(generate_series(1, greatest(CAST(len(t) AS INT) - 4, 1))) AS i
+          FROM stoks),
+        sg AS (
+          SELECT doc_id, i - 1 AS pos,
+                 CAST(('0x'||substr(md5(array_to_string(t[i:i+4], ' ')),1,15)) AS BIGINT) AS g
+          FROM spos),
+        scanon AS (
+          SELECT g, min(doc_id * 1048576 + pos) AS keeper
+          FROM sg GROUP BY 1 HAVING count(*) > 1),
+        srp AS (
+          SELECT DISTINCT doc_id, tp FROM (
+            SELECT sg.doc_id, unnest(generate_series(sg.pos, sg.pos + 4)) AS tp
+            FROM sg JOIN scanon USING (g)
+            WHERE sg.doc_id * 1048576 + sg.pos <> scanon.keeper)),
+        stk AS (
+          SELECT doc_id, i - 1 AS tp, t[i] AS tok FROM (
+            SELECT doc_id, t, unnest(generate_series(1, CAST(len(t) AS INT))) AS i
+            FROM stoks)),
+        scrub AS (
+          SELECT stk.doc_id,
+                 coalesce(string_agg(stk.tok, ' ' ORDER BY stk.tp)
+                   FILTER (WHERE srp.tp IS NULL), '') AS text
+          FROM stk LEFT JOIN srp ON srp.doc_id = stk.doc_id AND srp.tp = stk.tp
+          GROUP BY stk.doc_id),
+        canon AS (
+          SELECT d.doc_id, d.source, d.lang AS stratum, sc.text,
+                 md5(trim(regexp_replace(regexp_replace(lower(sc.text), '[^a-z0-9 ]', ' ', 'g'),
+                                         ' +', ' ', 'g'))) AS ch
+          FROM documents d JOIN scrub sc ON sc.doc_id = d.doc_id
+          WHERE sc.text <> ''),
+        keep AS (
+          SELECT c.doc_id, c.source, c.stratum, c.text
+          FROM canon c JOIN (SELECT ch, min(doc_id) AS doc_id FROM canon GROUP BY 1) k
+            ON c.ch = k.ch AND c.doc_id = k.doc_id),
+        sc AS (
+          SELECT doc_id, source, stratum, $oQualityScore AS score
+          FROM (SELECT doc_id, source, stratum, text, string_split(text, ' ') AS toks FROM keep)),
+        cs AS (SELECT score, count(*) AS c FROM sc GROUP BY 1),
+        cum AS (SELECT score, c, sum(c) OVER (ORDER BY score) - c AS below FROM cs),
+        tot AS (SELECT count(*) AS n FROM sc),
+        thr AS (
+          SELECT score AS thr FROM cum, tot
+          WHERE below <= CAST(floor((1.0 - 0.7) * n) AS BIGINT)
+            AND CAST(floor((1.0 - 0.7) * n) AS BIGINT) < below + c),
+        gated AS (SELECT sc.* FROM sc, thr WHERE score >= thr),
+        capped AS (
+          SELECT source, doc_id, stratum, score, rank FROM (
+            SELECT source, doc_id, stratum, score,
+                   row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rank
+            FROM gated) WHERE rank <= 10),
+        cen AS (SELECT stratum, count(*) AS n FROM capped GROUP BY 1),
+        w AS (SELECT stratum, n, n AS w FROM cen),
+        sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        r AS (SELECT stratum,
+                     least(CAST(1000 AS BIGINT), (1000 * ((90 * w) // sw)) // n) AS rate_pm
+              FROM w, sw),
+        b AS (SELECT c.doc_id, c.source, c.stratum, CAST(c.rank AS INT) AS rank, c.score,
+                     r.rate_pm,
+                     CAST(('0x'||substr(md5(CAST(c.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                       AS sample_bucket
+              FROM capped c JOIN r USING (stratum))
+        SELECT doc_id, source, stratum, rank, score, rate_pm, sample_bucket
+        FROM b WHERE sample_bucket < rate_pm
       """))
   )
 }

@@ -332,6 +332,26 @@ class CurationOpsSpec extends SparkTestBase {
       "incremental mix output differs from recomputing the world")
   }
 
+  test("scrub-and-mix: planted exact copies never reach the mix, caps hold") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    // plant exact copies under fresh higher ids: span removal must scrub
+    // them to nothing before the mix ever sees them
+    val copies = d.limit(25).select((col("doc_id") + 500000L).as("doc_id"),
+      col("source"), col("lang"), col("text"))
+    val corpus = d.select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .unionByName(copies)
+    val out = graft.pipeline.Curation.scrubAndMix(
+      corpus, col("doc_id"), col("text"), col("source"), col("lang"),
+      segTokens = 4, spanTokens = 5,
+      keepFrac = 0.7, cap = 10, alpha = "prop", budget = 90L)
+    assert(out.count() > 0)
+    assert(out.filter(col("doc_id") >= 500000L).count() == 0,
+      "an exact copy survived the scrub into the training mix")
+    val overCap = out.groupBy(col("source")).count().filter(col("count") > 10).count()
+    assert(overCap == 0, "a source exceeded its cap")
+  }
+
   test("markup extraction recovers wrapped text and survives its ordering hazards") {
     import spark.implicits._
     def x(s: String): String = Seq(s).toDF("h")
