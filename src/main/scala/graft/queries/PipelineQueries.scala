@@ -2542,6 +2542,36 @@ object PipelineQueries {
               FROM capped c JOIN r USING (stratum))
         SELECT doc_id, source, stratum, rank, score, rate_pm, sample_bucket
         FROM b WHERE sample_bucket < rate_pm
+      """)),
+
+    // ---- per-source quality profile: EXACT p50/p90 of the quality score
+    // per source — the feed-health dashboard row. Composes the q21
+    // two-pass exact-rank machinery (no per-group value buffers) with the
+    // shared quality score; hash-exact vs DuckDB's quantile_cont.
+    Q(
+      "pq75_source_quality",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val scored = d.select(col("source"),
+          TextFunctions.quality_score(col("text")).as("q"))
+        graft.operators.Percentiles.exactGroupPercentiles(
+            scored, col("source"), col("q"), Seq(0.5, 0.9))
+          .groupBy(col("g"))
+          .agg(
+            round(max(when(col("p") === 0.5, col("pct"))), 4).as("q50"),
+            round(max(when(col("p") === 0.9, col("pct"))), 4).as("q90"),
+            max(col("n")).as("n"))
+          .select(col("g").as("source"), col("q50"), col("q90"), col("n"))
+      },
+      Some(s"""
+        SELECT source,
+               round(quantile_cont(q, 0.5), 4) AS q50,
+               round(quantile_cont(q, 0.9), 4) AS q90,
+               count(*) AS n
+        FROM (
+          SELECT source, $oQualityScore AS q
+          FROM (SELECT source, text, string_split(text, ' ') AS toks FROM documents))
+        GROUP BY source
       """))
   )
 }
