@@ -89,5 +89,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_legacy_encode(metaStruct, taskBytes) - encode the legacy value envelope", Seq(2)) {
       case Seq(m, t) => LegacyEnvelopeEncode(m, t)
     }
+    register(ext, "graft_minhash_sigs",
+      "graft_minhash_sigs(text, shingleSize, k) - k minhash values over character shingles", Seq(3)) {
+      case Seq(t, s, k) => MinHashSigs(t, intLit(s, "shingleSize"), intLit(k, "k"))
+    }
+    register(ext, "graft_sim_hash",
+      "graft_sim_hash(text, bits) - token-vote simhash fingerprint", Seq(2)) {
+      case Seq(t, b) => SimHash(t, intLit(b, "bits"))
+    }
+    register(ext, "graft_word_ngram_hashes",
+      "graft_word_ngram_hashes(text, n) - portable 60-bit hash of every n-token window", Seq(2)) {
+      case Seq(t, n) => WordNgramHashes(t, intLit(n, "n"))
+    }
+    register(ext, "graft_media_frame_fp",
+      "graft_media_frame_fp(frame) - 60-bit perceptual block-hash of a media frame string", Seq(1)) {
+      case Seq(f) => MediaFrameFingerprint(f)
+    }
+    register(ext, "graft_top_k_by",
+      "graft_top_k_by(score, id, k) - bounded-heap exact top-k aggregate -> array<struct<id,score>>",
+      Seq(3)) {
+      case Seq(s, id, k) =>
+        // the heap buffer stores primitive (double, long) — cast like the
+        // DataFrame wrapper does
+        TopKByScoreAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(s, org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.catalyst.expressions.Cast(id, org.apache.spark.sql.types.LongType),
+          intLit(k, "k")).toAggregateExpression()
+    }
   }
 }

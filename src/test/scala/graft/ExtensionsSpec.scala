@@ -67,6 +67,37 @@ class ExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT graft_dt_meta_decode(cast('junk+junk' AS binary))").head().isNullAt(0))
   }
 
+  test("text-hash, media-fp, and top-k functions work from spark.sql") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // each SQL form must equal its DataFrame-API twin
+    val t = "the quick brown fox jumps over the lazy dog"
+    val sqlRow = spark.sql(s"""
+      SELECT graft_minhash_sigs('$t', 5, 8) AS mh,
+             graft_sim_hash('$t', 16) AS sh,
+             graft_word_ngram_hashes('$t', 3) AS ng,
+             graft_media_frame_fp('$t') AS fp
+    """).head()
+    val dfRow = Seq(t).toDF("t").select(
+      graft.functions.minhash_sigs(col("t"), 5, 8).as("mh"),
+      graft.functions.sim_hash(col("t"), 16).as("sh"),
+      graft.functions.word_ngram_hashes(col("t"), 3).as("ng"),
+      graft.functions.media_frame_fp(col("t")).as("fp")).head()
+    assert(sqlRow.getSeq[Long](0) == dfRow.getSeq[Long](0))
+    assert(sqlRow.getLong(1) == dfRow.getLong(1))
+    assert(sqlRow.getSeq[Long](2) == dfRow.getSeq[Long](2))
+    assert(sqlRow.getLong(3) == dfRow.getLong(3))
+    // bounded-heap top-k as a SQL aggregate, int score cast like the wrapper
+    val tk = spark.sql("""
+      SELECT g, graft_top_k_by(s, id, 2) AS tk FROM VALUES
+        ('a', 3, 10L), ('a', 5, 11L), ('a', 4, 12L), ('b', 1, 20L)
+        AS t(g, s, id)
+      GROUP BY g ORDER BY g
+    """).collect()
+    assert(tk(0).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(11L, 12L))
+    assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(20L))
+  }
+
   test("registered functions enforce arity and literal-ness of width/depth") {
     intercept[Exception] {
       spark.sql("SELECT graft_cms_estimate(cast('x' AS binary))").collect()
