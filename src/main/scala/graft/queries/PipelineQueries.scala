@@ -2572,6 +2572,36 @@ object PipelineQueries {
           SELECT source, $oQualityScore AS q
           FROM (SELECT source, text, string_split(text, ' ') AS toks FROM documents))
         GROUP BY source
+      """)),
+
+    // ---- leakage-safe train/val/test split: the split is decided by the
+    // hash of the doc's canonical-content GROUP (min id per canonical
+    // hash), never its own id — canonical duplicates can never straddle
+    // the boundary and leak training text into eval. 800/100/100 ‰.
+    Q(
+      "pq76_leakage_safe_split",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.sampling.Sampling.leakageSafeSplit(
+          d, col("doc_id"), col("text"),
+          Seq("train" -> 800, "val" -> 100, "test" -> 100))
+      },
+      Some("""
+        WITH canon AS (
+          SELECT doc_id,
+                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                         ' +', ' ', 'g'))) AS ch
+          FROM documents),
+        grp AS (SELECT ch, min(doc_id) AS gk FROM canon GROUP BY 1),
+        j AS (
+          SELECT c.doc_id, g.gk,
+                 CAST(('0x'||substr(md5(CAST(g.gk AS VARCHAR)),1,15)) AS BIGINT) % 1000 AS b
+          FROM canon c JOIN grp g USING (ch))
+        SELECT doc_id, gk AS group_key,
+               CASE WHEN b < 800 THEN 'train'
+                    WHEN b < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM j
       """))
   )
 }

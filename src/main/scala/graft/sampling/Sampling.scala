@@ -219,4 +219,58 @@ object Sampling {
     df.withColumn("stratum", strataCol)
       .join(broadcast(keep), idCol === col("__keep_id"), "left_semi")
   }
+
+  /** LEAKAGE-SAFE train/val/test split: the split is decided by the hash
+    * of a document's canonical-content GROUP (min doc id per canonical
+    * hash), never its own id — so exact/canonical duplicates can NEVER
+    * straddle the boundary and leak training text into eval. `weights` are
+    * per-mille shares in declaration order, summing to 1000; assignment is
+    * by cumulative bucket range, so splits are reproducible, disjoint, and
+    * (like the hash samplers) independent of partitioning or arrival
+    * order. For NEAR-dup safety, feed any cluster label (e.g.
+    * [[graft.dedup.Dedup.connectedComponents]] output) to [[splitByGroup]]
+    * instead of the canonical group.
+    *
+    * Output: one row per input doc — `(doc_id, group_key, split)`.
+    *
+    * 100 TB shape: one partial-agg shuffle on the canonical hash for the
+    * group election + the co-keyed join back (text never moves; the hash
+    * stands in for it); the split decision itself is row-local.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 1000 &&
+      weights.forall(_._2 > 0),
+      s"weights must be positive per-mille shares summing to 1000: $weights")
+    val canon = df.select(idCol.as("doc_id"),
+      md5(graft.dedup.Dedup.canonicalize(textCol)).as("__ch"))
+    val groups = canon.groupBy(col("__ch")).agg(min(col("doc_id")).as("group_key"))
+    splitByGroup(canon.join(groups, "__ch"), col("doc_id"), col("group_key"), weights)
+  }
+
+  /** The split decision of [[leakageSafeSplit]] over PRE-COMPUTED group
+    * labels — feed it `(doc_id, cluster)` from
+    * [[graft.dedup.Dedup.connectedComponents]] for near-dup-safe splits.
+    * Row-local: bucket = portable_hash(group) mod 1000, assigned by
+    * cumulative weight range.
+    */
+  def splitByGroup(
+      df: DataFrame,
+      idCol: Column,
+      groupCol: Column,
+      weights: Seq[(String, Int)]): DataFrame = {
+    require(weights.nonEmpty && weights.map(_._2).sum == 1000 &&
+      weights.forall(_._2 > 0),
+      s"weights must be positive per-mille shares summing to 1000: $weights")
+    val bucket = pmod(portable_hash(groupCol.cast("string")), lit(1000L))
+    val bounds = weights.scanLeft(0)(_ + _._2).tail
+    val split = weights.zip(bounds).reverse
+      .foldLeft(lit(weights.last._1)) { case (acc, ((name, _), hi)) =>
+        when(bucket < hi, name).otherwise(acc)
+      }
+    df.select(idCol.as("doc_id"), groupCol.as("group_key"), split.as("split"))
+  }
 }

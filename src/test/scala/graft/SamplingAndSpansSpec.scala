@@ -204,4 +204,40 @@ class SamplingAndSpansSpec extends SparkTestBase {
       .count()
     assert(badRuns == 0, "copy indexes must be a complete 1..k run per row")
   }
+
+  test("leakage-safe split never separates duplicates, covers all docs, near-matches weights") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // plant canonical duplicates: exact copies AND punctuation-variant copies
+    val copies = d.limit(40).select((col("doc_id") + 700000L).as("doc_id"),
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit("!!")))
+        .otherwise(col("text")).as("text"))
+    val corpus = d.unionByName(copies)
+    val out = graft.sampling.Sampling.leakageSafeSplit(
+      corpus, col("doc_id"), col("text"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    // total coverage, one row per doc
+    assert(out.count() == corpus.count())
+    // no group straddles a split boundary — THE leakage property
+    val straddling = out.groupBy(col("group_key"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1).count()
+    assert(straddling == 0, "a duplicate group straddles the split boundary")
+    // every planted copy sits in the same split as its original
+    val planted = out.filter(col("doc_id") >= 700000L)
+      .select((col("doc_id") - 700000L).as("doc_id"), col("split").as("copy_split"))
+    val mismatched = planted.join(out, "doc_id")
+      .filter(col("split") =!= col("copy_split")).count()
+    assert(mismatched == 0, "a planted duplicate landed in a different split")
+    // shares near the weights (hash noise band)
+    val shares = out.groupBy(col("split")).count().as[(String, Long)].collect().toMap
+    val n = out.count().toDouble
+    assert(math.abs(shares("train") / n - 0.8) < 0.08, s"train share ${shares("train") / n}")
+    assert(shares.keySet == Set("train", "val", "test"))
+    // splitByGroup accepts any precomputed label (near-dup clusters etc.)
+    val viaGroups = graft.sampling.Sampling.splitByGroup(
+      out.select(col("doc_id"), col("group_key")),
+      col("doc_id"), col("group_key"),
+      Seq("train" -> 800, "val" -> 100, "test" -> 100))
+    assert(viaGroups.exceptAll(out).isEmpty, "splitByGroup diverged from the composed form")
+  }
 }
