@@ -82,6 +82,45 @@ class BucketingAndSkewSpec extends SparkTestBase {
     }
   }
 
+  test("incremental scoring over a co-bucketed artifact runs with zero Exchange") {
+    // the pq64 scale claim made concrete: store the score artifact AND the
+    // new corpus version bucketed by doc_id, and the score-reuse join
+    // plans with no shuffle at all — the posture of every nightly
+    // incremental curation run
+    val tmp = java.nio.file.Files.createTempDirectory("graft-incr").toString
+    val d = Tables.documents(spark, sfDir)
+    val v1 = d.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+    val prev = graft.pipeline.Curation.scoreCorpus(
+      v1, col("doc_id"), col("text"), col("source"), col("lang"))
+    Bucketing.writeBucketed(prev, "prev_scored", s"$tmp/prev_scored", 8, Seq("doc_id"))
+    Bucketing.writeBucketed(d.select(col("doc_id"), col("source"), col("lang"), col("text")),
+      "corpus_v2", s"$tmp/corpus_v2", 8, Seq("doc_id"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val inc = graft.pipeline.Curation.scoreIncremental(
+        Bucketing.readBucketed(spark, "prev_scored"),
+        Bucketing.readBucketed(spark, "corpus_v2"),
+        col("doc_id"), col("text"), col("source"), col("lang"))
+      val plan = inc.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed incremental scoring must not shuffle either side:\n$plan")
+      // row-identical to the plain (shuffling) path
+      val expected = graft.pipeline.Curation.scoreIncremental(
+          prev, d, col("doc_id"), col("text"), col("source"), col("lang"))
+        .as[(Long, String, String, String, Double)].collect().sorted
+      val got = inc.as[(Long, String, String, String, Double)].collect().sorted
+      assert(got.sameElements(expected) && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS prev_scored")
+      spark.sql("DROP TABLE IF EXISTS corpus_v2")
+    }
+  }
+
   test("salted join equals the plain join and actually spreads the hot key") {
     import spark.implicits._
     // 90% of left rows share one key — the power-law shape AQE's
