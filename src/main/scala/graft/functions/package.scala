@@ -35,6 +35,14 @@ package object functions {
   def space_saving(term: Column, capacity: Int): Column =
     toColumn(graft.plans.SpaceSavingAgg(toExpr(term), capacity).toAggregateExpression())
 
+  /** Aggregate: fixed-width bucket histogram → array<long> of n counts
+    * (one mergeable summary per group — the streaming-drift building
+    * block; see [[graft.plans.BucketHistAgg]]).
+    */
+  def bucket_hist(bucket: Column, n: Int): Column =
+    toColumn(graft.plans.BucketHistAgg(
+      toExpr(bucket.cast("long")), n).toAggregateExpression())
+
   /** Native 60-bit media frame fingerprint (one md5 per region, Horner fold
     * — see [[graft.plans.MediaFrameFingerprint]]).
     */

@@ -589,6 +589,44 @@ object DecatonQueries {
         SELECT DISTINCT o.vec_id AS id
         FROM bs o JOIN bs h ON o.band = h.band AND o.band_sig = h.band_sig
         WHERE o.vec_id % 2 = 1 AND h.vec_id % 2 = 0
+      """)),
+
+    // ---- the streaming drift alarm's code path (StreamOps.termDriftAlarm,
+    // the live pq63): per 100-second window, the add-one-smoothed
+    // 1e-6-frozen KL of the window's 512-bucket hashed-term histogram
+    // against the whole-corpus reference. ONE stateful windowed agg
+    // (bucket_hist) in the streaming form; the batch form here is
+    // hash-exact via the integer freeze.
+    Q(
+      "dq19_stream_drift",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+        val ref = graft.streaming.StreamOps.termBucketHist(
+          Tables.documents(s, dir), col("text"), nBuckets = 512)
+        graft.streaming.StreamOps.termDriftAlarm(
+            d, col("text"), "__ts", "10 minutes", "100 seconds", ref, nBuckets = 512)
+          .select(unix_seconds(col("w_start")).as("w_sec"),
+            col("n_tokens"), col("kl_fp"))
+      },
+      Some("""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tb AS (SELECT doc_id // 100 AS w,
+                      CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 512 AS cell
+               FROM tok),
+        c AS (SELECT w, cell, count(*) AS a FROM tb GROUP BY 1, 2),
+        ref AS (SELECT cell, count(*) AS rb FROM tb GROUP BY 1),
+        wins AS (SELECT DISTINCT w FROM tb),
+        cells AS (SELECT unnest(generate_series(0, 511)) AS cell),
+        f AS (
+          SELECT wn.w, cl.cell, coalesce(c.a, 0) AS a, coalesce(r.rb, 0) AS rb
+          FROM wins wn CROSS JOIN cells cl
+          LEFT JOIN c ON c.w = wn.w AND c.cell = cl.cell
+          LEFT JOIN ref r ON r.cell = cl.cell)
+        SELECT CAST(w * 100 AS BIGINT) AS w_sec,
+               CAST(sum(a) AS BIGINT) AS n_tokens,
+               CAST(sum((a + 1) * CAST(round(1000000.0 * ln(CAST(a + 1 AS DOUBLE) / CAST(rb + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS kl_fp
+        FROM f GROUP BY w
       """))
   )
 }

@@ -150,6 +150,63 @@ object StreamOps {
       .select(col("id"), col("__ts").as(tsCol))
   }
 
+  /** Streaming term-distribution drift alarm: per event-time window, the
+    * smoothed KL of the window's hashed-term histogram against a reference
+    * histogram — the live form of the pq63 monitor (a feed that silently
+    * changes trips it within one window + watermark delay). Terms hash to
+    * `nBuckets` cells, so ONE stateful windowed aggregation
+    * ([[graft.plans.BucketHistAgg]] — a per-term groupBy would chain two
+    * stateful operators and hold unbounded vocabulary in the store)
+    * produces the whole distribution; the KL folds row-locally against the
+    * reference literal with every per-cell log frozen to an integer, so
+    * the batch form is hash-exact (dq19).
+    *
+    * Output per closed window: `(w_start, w_end, n_tokens, kl_fp)` with
+    * `kl_fp = Σ_cells (a+1)·round(1e6·ln((a+1)/(b+1)))` — the
+    * add-one-smoothed, 1e-6-frozen KL numerator (unnormalized by design:
+    * integers compare across windows of equal token budget, and the
+    * caller divides by `n_tokens + nBuckets` for the nat-scaled value).
+    */
+  def termDriftAlarm(
+      stream: DataFrame,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      refHist: Seq[Long],
+      nBuckets: Int): DataFrame = {
+    require(refHist.size == nBuckets, s"refHist size ${refHist.size} != nBuckets $nBuckets")
+    val isStreaming = stream.isStreaming
+    val base = stream
+      .select(col(tsCol).as("__ts"), explode(split(textCol, " ")).as("__tok"))
+      .select(col("__ts"), pmod(
+        graft.functions.TextFunctions.portable_hash(col("__tok")),
+        lit(nBuckets.toLong)).as("__b"))
+    val windowed =
+      (if (isStreaming) base.withWatermark("__ts", watermarkDelay) else base)
+        .groupBy(window(col("__ts"), windowDuration).as("__w"))
+        .agg(graft.functions.bucket_hist(col("__b"), nBuckets).as("h"))
+    val refLit = typedLit(refHist)
+    windowed.select(
+      col("__w.start").as("w_start"), col("__w.end").as("w_end"),
+      aggregate(col("h"), lit(0L), _ + _).as("n_tokens"),
+      aggregate(zip_with(col("h"), refLit, (a, b) =>
+          (a + 1) * round(lit(1e6) * log((a + 1).cast("double") / (b + 1).cast("double")))
+            .cast("long")),
+        lit(0L), _ + _).as("kl_fp"))
+  }
+
+  /** The reference histogram for [[termDriftAlarm]], computed from a batch
+    * frame (driver-resident: `nBuckets` longs).
+    */
+  def termBucketHist(df: DataFrame, textCol: Column, nBuckets: Int): Seq[Long] = {
+    df.select(explode(split(textCol, " ")).as("__tok"))
+      .select(pmod(graft.functions.TextFunctions.portable_hash(col("__tok")),
+        lit(nBuckets.toLong)).as("__b"))
+      .agg(graft.functions.bucket_hist(col("__b"), nBuckets).as("h"))
+      .head().getSeq[Long](0)
+  }
+
   /** Streaming semantic near-dup flag against a static PQ-code index — the
     * embedding-stream counterpart of [[flagAgainstLshIndex]]: an incoming
     * vector is flagged when ANY of its PQ code bands (contiguous groups of

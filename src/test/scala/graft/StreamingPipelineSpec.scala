@@ -278,6 +278,53 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(expect.size > 100, "join must be non-trivial for this test to bite")
   }
 
+  test("the live drift alarm equals its batch form and trips on a planted shift") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect()
+    // poison window 2 (doc_ids 200-299): replace text with OOV babble
+    val poisoned = docs.map { case (id, t) =>
+      if (id >= 200 && id < 300) (id, "zzq qqz zqz " * 20) else (id, t)
+    }
+    val ref = StreamOps.termBucketHist(
+      Tables.documents(spark, sfDir), col("text"), nBuckets = 512)
+
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+      .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+    val ckpt = Files.createTempDirectory("drift-ckpt").toString
+    val q = StreamOps.termDriftAlarm(
+        stream, col("text"), "__ts", "10 minutes", "100 seconds", ref, nBuckets = 512)
+      .writeStream.format("memory").queryName("drift_windows")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      poisoned.grouped(120).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+      // advance the watermark far past every window so they all close
+      in.addData((100000L, "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val live = spark.table("drift_windows")
+      .select(unix_seconds(col("w_start")).as("w"), col("kl_fp"))
+      .filter(col("w") < 100000L).as[(Long, Long)].collect().toMap
+    val batch = StreamOps.termDriftAlarm(
+        poisoned.toSeq.toDF("doc_id", "text")
+          .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L)),
+        col("text"), "__ts", "10 minutes", "100 seconds", ref, nBuckets = 512)
+      .select(unix_seconds(col("w_start")).as("w"), col("kl_fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(live == batch, s"live windows $live diverged from batch $batch")
+    // the poisoned window's drift dominates every clean window
+    val poisonedKl = live(200L)
+    live.filterNot(_._1 == 200L).foreach { case (w, kl) =>
+      assert(poisonedKl > 2 * kl, s"window 200 kl $poisonedKl not dominant over $w's $kl")
+    }
+  }
+
   test("online PQ-index flagging on a live embedding stream equals the batch semi-join") {
     import graft.similarity.Pq
     import graft.streaming.StreamOps
