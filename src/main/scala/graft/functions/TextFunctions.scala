@@ -39,7 +39,10 @@ object TextFunctions {
     val n = size(toks).cast("double")
     val stop = size(filter(toks, t => t.isin(Stopwords.en: _*))).cast("double")
     val punct = punct_count(text).cast("double")
-    val chars = length(text).cast("double")
+    // empty text: n is never 0 (split('') = ['']), but length IS — guard the
+    // char division so an all-scrubbed doc scores 0.303 instead of raising
+    // ANSI DIVIDE_BY_ZERO (the oracle fragment mirrors the guard)
+    val chars = greatest(length(text), lit(1)).cast("double")
     round(
       lit(0.4) * (stop / n) +
       lit(0.3) * least(n / lit(100.0), lit(1.0)) +

@@ -27,7 +27,7 @@ object PipelineQueries {
   private def oQualityScore: String =
     """round(0.4 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)) +
                   0.3 * least(len(toks) / 100.0, 1.0) +
-                  0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / length(text)), 6)"""
+                  0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / greatest(length(text), 1)), 6)"""
 
   /** Shared oracle fragments for the embedding family: the bit-reproducible
     * left-fold dot / cosine, and the k-means round CTEs (assignment +

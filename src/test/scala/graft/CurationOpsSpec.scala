@@ -332,6 +332,15 @@ class CurationOpsSpec extends SparkTestBase {
       "incremental mix output differs from recomputing the world")
   }
 
+  test("quality score is total: empty text scores 0.303 instead of raising") {
+    import spark.implicits._
+    val s = Seq("", "x", "the fox.").toDF("text")
+      .select(TextFunctions.quality_score(col("text")).as("q"))
+      .as[Double].collect()
+    assert(s(0) == 0.303, s"empty-text score ${s(0)}")
+    assert(s.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
   test("scrub-and-mix: planted exact copies never reach the mix, caps hold") {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir)
