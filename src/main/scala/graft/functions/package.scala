@@ -49,6 +49,12 @@ package object functions {
   def media_frame_fp(frame: Column): Column =
     toColumn(graft.plans.MediaFrameFingerprint(toExpr(frame)))
 
+  /** zlib compression ratio in per-mille — the Gopher-style repetition/
+    * boilerplate signal (see [[graft.plans.CompressionRatioPm]]).
+    */
+  def compression_ratio_pm(text: Column): Column =
+    toColumn(graft.plans.CompressionRatioPm(toExpr(text)))
+
   /** Native PQ encode: m nearest-centroid codes per vector (tight primitive
     * loop, left-fold float contract — see [[graft.plans.PqEncodeExpr]]).
     */

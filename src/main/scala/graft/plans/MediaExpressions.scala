@@ -67,3 +67,44 @@ case class MediaFrameFingerprint(child: Expression)
   override protected def withNewChildInternal(c: Expression): MediaFrameFingerprint =
     copy(child = c)
 }
+
+/** Compression ratio in per-mille: `deflate(text).length · 1000 / max(len,1)`
+  * over the UTF-8 bytes, level-6 zlib — the Gopher-style boilerplate/
+  * generation-loop signal (highly repetitive text compresses far below
+  * natural text; near-random text sits near or above 1000). Deterministic
+  * for a fixed JDK zlib, but with no SQL form — the registered query is
+  * rows-only with a reference-implementation spec, like the BPE loop.
+  */
+case class CompressionRatioPm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"compression_ratio_pm needs a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val out = new Array[Byte](256)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(out)
+      total * 1000L / math.max(bytes.length, 1)
+    } finally d.end()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("comprPm", this, classOf[CompressionRatioPm].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = ((java.lang.Long) $ref.nullSafeEval($c)).longValue();")
+  }
+
+  override def prettyName: String = "compression_ratio_pm"
+  override protected def withNewChildInternal(c: Expression): CompressionRatioPm =
+    copy(child = c)
+}

@@ -2602,6 +2602,20 @@ object PipelineQueries {
                     WHEN b < 900 THEN 'val'
                     ELSE 'test' END AS split
         FROM j
-      """))
+      """)),
+
+    // ---- compression-ratio quality signal (Gopher-style): level-6 zlib
+    // bytes per mille of the raw length — repetitive/boilerplate text
+    // compresses far below natural text. Deterministic for a fixed JDK
+    // zlib but with no SQL form ⇒ rows-only like pq68; exactness is
+    // pinned against a direct java.util.zip reference in the spec.
+    Q(
+      "pq77_compression_quality",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        d.select(col("doc_id"), length(col("text")).cast("long").as("raw_len"),
+          graft.functions.compression_ratio_pm(col("text")).as("ratio_pm"))
+      },
+      None)
   )
 }

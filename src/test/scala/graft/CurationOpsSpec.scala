@@ -332,6 +332,30 @@ class CurationOpsSpec extends SparkTestBase {
       "incremental mix output differs from recomputing the world")
   }
 
+  test("compression ratio matches the zlib reference and separates loops from prose") {
+    import spark.implicits._
+    def ratio(s: String): Long = Seq(s).toDF("t")
+      .select(graft.functions.compression_ratio_pm(col("t"))).as[Long].head()
+    def ref(s: String): Long = {
+      val bytes = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6)
+      try {
+        d.setInput(bytes); d.finish()
+        val out = new Array[Byte](256)
+        var total = 0L
+        while (!d.finished()) total += d.deflate(out)
+        total * 1000L / math.max(bytes.length, 1)
+      } finally d.end()
+    }
+    val docs = Tables.documents(spark, sfDir).select("text").as[String].take(25) :+ ""
+    docs.foreach(t => assert(ratio(t) == ref(t), s"ratio diverged on: ${t.take(40)}…"))
+    // a generation loop compresses far below natural prose
+    val loop = "the cat sat on the mat " * 100
+    val prose = Tables.documents(spark, sfDir).select("text").as[String].head()
+    assert(ratio(loop) < ratio(prose) / 2,
+      s"loop ${ratio(loop)} not well below prose ${ratio(prose)}")
+  }
+
   test("quality score is total: empty text scores 0.303 instead of raising") {
     import spark.implicits._
     val s = Seq("", "x", "the fox.").toDF("text")
