@@ -105,6 +105,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_media_frame_fp(frame) - 60-bit perceptual block-hash of a media frame string", Seq(1)) {
       case Seq(f) => MediaFrameFingerprint(f)
     }
+    register(ext, "graft_compression_ratio_pm",
+      "graft_compression_ratio_pm(text) - level-6 zlib bytes per mille of the raw length", Seq(1)) {
+      case Seq(t) => CompressionRatioPm(t)
+    }
+    register(ext, "graft_bucket_hist",
+      "graft_bucket_hist(bucket, n) - aggregate: fixed-width histogram -> array<long>", Seq(2)) {
+      case Seq(b, n) =>
+        BucketHistAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(b, org.apache.spark.sql.types.LongType),
+          intLit(n, "n")).toAggregateExpression()
+    }
     register(ext, "graft_top_k_by",
       "graft_top_k_by(score, id, k) - bounded-heap exact top-k aggregate -> array<struct<id,score>>",
       Seq(3)) {

@@ -96,6 +96,15 @@ class ExtensionsSpec extends SparkTestBase {
     """).collect()
     assert(tk(0).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(11L, 12L))
     assert(tk(1).getSeq[org.apache.spark.sql.Row](1).map(r => r.getLong(0)) == Seq(20L))
+    // compression ratio + bucket histogram
+    val cr = spark.sql(s"SELECT graft_compression_ratio_pm('$t')").head().getLong(0)
+    val crDf = Seq(t).toDF("t")
+      .select(graft.functions.compression_ratio_pm(col("t"))).head().getLong(0)
+    assert(cr == crDf && cr > 0)
+    val bh = spark.sql("""
+      SELECT graft_bucket_hist(b, 4) FROM VALUES (0L), (1L), (1L), (3L) AS t(b)
+    """).head().getSeq[Long](0)
+    assert(bh == Seq(1L, 2L, 0L, 1L))
   }
 
   test("registered functions enforce arity and literal-ness of width/depth") {
