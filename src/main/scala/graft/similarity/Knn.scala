@@ -384,16 +384,23 @@ object Knn {
       nlist: Int,
       tableName: String,
       path: String,
-      buckets: Int): Unit = {
+      buckets: Int,
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
     val spark0 = corpus.sparkSession
     val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
     // sibling path, not nested: the bucketed overwrite below clears `path`
     cents.write.mode("overwrite").format("parquet")
       .option("path", s"${path}_centroids").saveAsTable(s"${tableName}_centroids")
+    val payload = corpus.select(
+      Seq(col(idCol).as("nbr_id"), col(vecCol).as("nv"),
+        quantizeInt8(col(vecCol)).as("nq")) ++
+      // the IVFx,PQy layout: m one-byte codes beside the list id — the
+      // representation a codes-only probe (ivfPqProbeTopK) reads, leaving
+      // nv/nq columns unscanned via parquet column pruning
+      pqCodebooks.map(cb => Pq.codesFor(col(vecCol), cb).as("codes")).toSeq: _*)
     val assigned = ivfAssign(corpus, idCol, vecCol, spark0.table(s"${tableName}_centroids"))
       .withColumnRenamed("id", "nbr_id")
-      .join(corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("nv"),
-        quantizeInt8(col(vecCol)).as("nq")), "nbr_id")
+      .join(payload, "nbr_id")
     graft.sources.Bucketing.writeBucketed(
       assigned, tableName, path, buckets, keys = Seq("cid"), sortCols = Seq("cid"))
   }
@@ -432,6 +439,47 @@ object Knn {
       .withColumn("cos_r", round(cosine(col("qv"), col("nv")), 4))
       .select(col("query_id"), col("nbr_id"), col("cos_r")).distinct()
     rankTopK(scored, "cos_r", k)
+  }
+
+  /** The codes-only probe over a [[buildIvfIndex]] persisted WITH
+    * `pqCodebooks` — the full shipped IVF-PQ posture: the scan is bucket-
+    * pruned to the probed lists AND column-pruned to `(nbr_id, cid,
+    * codes)`, so query time reads nprobe/nlist of an m-bytes-per-vector
+    * table while the float/int8 columns stay on disk for rescoring tiers.
+    * Same integer ADC scores as [[Pq.ivfAdcTopK]] over the same corpus
+    * (both derive the same deterministic centroids) — asserted in PqSpec
+    * together with the bucket pruning.
+    */
+  def ivfPqProbeTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cents = spark.table(s"${tableName}_centroids")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid").asc)
+    val qprobes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("qv"), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cid"))
+    val probeCids = qprobes.select(col("cid")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = graft.sources.Bucketing.readBucketed(spark, tableName)
+      .filter(col("cid").isin(probeCids: _*))
+      .select(col("cid"), col("nbr_id"), col("codes"))
+    val scored = idx.join(broadcast(qprobes), Seq("cid"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .join(broadcast(Pq.queryTables(queries, idCol, vecCol, cb)), "query_id")
+      .withColumn("score_fp",
+        aggregate(zip_with(col("codes"), col("qtab"),
+          (c, tab) => element_at(tab, (c + 1).cast("int"))), lit(0L), _ + _))
+      .select(col("query_id"), col("nbr_id"), col("score_fp")).distinct()
+    rankTopK(scored, "score_fp", k, longScore = true)
   }
 
   /** The production quantized-ANN stack, composed: IVF coarse candidate

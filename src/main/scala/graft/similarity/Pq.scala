@@ -47,11 +47,6 @@ object Pq {
   private def l2sq(a: Column, b: Column): Column =
     dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
 
-  /** Encode each vector to its `m` nearest-centroid codes:
-    * `(id, codes array<long>)` with `codes(s) = argmin_c ‖v_s − cb(s)(c)‖²`
-    * (ties to the smaller code). Row-local — the whole codebook is one
-    * literal; nothing shuffles.
-    */
   /** The code vector as a pure COLUMN (row-local, stream-safe): usable
     * anywhere an expression fits — batch encode, streaming flaggers,
     * joins — without forcing the (id, codes) projection. Backed by the
@@ -77,6 +72,11 @@ object Pq {
     })
   }
 
+  /** Encode each vector to its `m` nearest-centroid codes:
+    * `(id, codes array<long>)` with `codes(s) = argmin_c ‖v_s − cb(s)(c)‖²`
+    * (ties to the smaller code). Row-local — the whole codebook rides the
+    * plan; nothing shuffles.
+    */
   def encode(
       df: DataFrame,
       idCol: Column,
@@ -137,7 +137,7 @@ object Pq {
     * floor(1e6·⟨q_s, cb(s)(c)⟩)`, the ADC lookup rows both [[adcTopK]] and
     * [[ivfAdcTopK]] broadcast.
     */
-  private def queryTables(
+  private[similarity] def queryTables(
       queries: DataFrame,
       idCol: String,
       vecCol: String,

@@ -119,6 +119,38 @@ class PqSpec extends SparkTestBase {
     assert(r >= 0.5, s"IVF-PQ nprobe=6/16 recall $r below floor 0.5")
   }
 
+  test("the persisted IVF-PQ index probe equals the inline form and prunes buckets") {
+    val cb = Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-idx").toString
+    Knn.buildIvfIndex(emb, "vec_id", "embedding", nlist = 16,
+      tableName = "ivfpq_idx_spec", path = s"$tmp/ivfpq_idx", buckets = 8,
+      pqCodebooks = Some(cb))
+    try {
+      val probe = Knn.ivfPqProbeTopK(spark, "ivfpq_idx_spec", queries,
+        "vec_id", "embedding", cb, k = 5, nprobe = 6)
+      val inline = Pq.ivfAdcTopK(emb, queries, "vec_id", "embedding", cb,
+        k = 5, nlist = 16, nprobe = 6)
+      val p = probe.as[(Long, Int, Long, Long)].collect().toSet
+      val i = inline.as[(Long, Int, Long, Long)].collect().toSet
+      assert(p == i, s"persisted IVF-PQ probe diverged: only-probe=${(p -- i).take(3)} " +
+        s"only-inline=${(i -- p).take(3)}")
+      // sharpest probe: one query, one list — the scan must bucket-prune
+      // AND read only the codes (nv/nq column-pruned away)
+      val narrow = Knn.ivfPqProbeTopK(spark, "ivfpq_idx_spec",
+        emb.filter(col("vec_id") === 0), "vec_id", "embedding", cb, k = 5, nprobe = 1)
+      val plan = narrow.queryExecution.executedPlan.toString
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(plan)
+      assert(sel.isDefined && sel.get.group(1).toInt < sel.get.group(2).toInt,
+        s"IVF-PQ probe must prune buckets:\n$plan")
+      assert(!plan.contains("nv#") && !plan.contains("nq#"),
+        s"codes-only probe must not read the float/int8 columns:\n$plan")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_idx_spec")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_idx_spec_centroids")
+    }
+  }
+
   test("rankOfTruth/mrrSummary: perfect self-eval, graceful misses") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val exact = Knn.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
