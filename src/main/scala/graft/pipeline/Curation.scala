@@ -302,7 +302,12 @@ object Curation {
       // and nothing the quality score could divide by
       .filter(length(col("text_clean")) > 0)
       .select(col("doc_id"), col("text_clean").as("text"))
-    curateTrainingMix(spans.join(meta, "doc_id"),
+    // second stage boundary: the mix's dedup election + keeper join both
+    // consume this frame, and without a materialization each re-executes
+    // the whole scrub chain (repetition pass + span election + reassembly)
+    val scrubbed = spans.join(meta, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    curateTrainingMix(scrubbed,
       col("doc_id"), col("text"), col("source"), col("stratum"),
       keepFrac, cap, alpha, budget)
   }
