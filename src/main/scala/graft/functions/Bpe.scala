@@ -50,6 +50,28 @@ object Bpe {
     merges
   }
 
+  /** [[trainMerges]] over a deterministic hash-decided sample of the
+    * corpus — the practical form for real vocabularies (30k merges × a
+    * full-corpus pair-count shuffle each round is the wrong trade; BPE
+    * merge ranks stabilize on a fraction of the data). The sample is
+    * [[graft.sampling.Sampling.fixedCountByHash]]'s: reproducible,
+    * partition-independent, and NESTED (a bigger budget's sample contains
+    * the smaller's), so re-training with more data refines rather than
+    * reshuffles the vocabulary.
+    */
+  def trainMergesSampled(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      numMerges: Int,
+      sampleCount: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    val sampled = graft.sampling.Sampling.fixedCountByHash(
+      df.select(idCol.as("__id"), textCol.as("__text")),
+      col("__id"), lit("all"), sampleCount)
+    trainMerges(sampled, col("__text"), numMerges, minCount)
+  }
+
   /** Per-document subword statistics under a merge table:
     * `(id, n_words, n_bpe_tokens)` — the counts token budgets and packing
     * actually need. Row-local, zero shuffle.

@@ -76,6 +76,20 @@ class BpeSpec extends SparkTestBase {
     assert(bad == 0, s"$bad documents failed the round trip")
   }
 
+  test("sampled training is deterministic and stays close to full-corpus merges") {
+    val d = Tables.documents(spark, sfDir)
+    val s1 = Bpe.trainMergesSampled(d, col("doc_id"), col("text"),
+      numMerges = 10, sampleCount = 200)
+    val s2 = Bpe.trainMergesSampled(d.repartition(5), col("doc_id"), col("text"),
+      numMerges = 10, sampleCount = 200)
+    assert(s1 == s2, "sampled training depends on partitioning")
+    // merge ranks stabilize on a fraction of the data: the sampled
+    // vocabulary shares most of the full-corpus merge SET
+    val full = Bpe.trainMerges(d, col("text"), 10).toSet
+    assert(s1.toSet.intersect(full).size >= 7,
+      s"sampled merges diverged too far: ${s1.toSet -- full}")
+  }
+
   test("training is deterministic, partition-invariant, and compresses the corpus") {
     val d = Tables.documents(spark, sfDir)
     val m1 = Bpe.trainMerges(d, col("text"), 15)
