@@ -627,6 +627,32 @@ object DecatonQueries {
                CAST(sum(a) AS BIGINT) AS n_tokens,
                CAST(sum((a + 1) * CAST(round(1000000.0 * ln(CAST(a + 1 AS DOUBLE) / CAST(rb + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS kl_fp
         FROM f GROUP BY w
+      """)),
+
+    // ---- the streaming CDC admission gate's code path
+    // (StreamOps.admitChangedAgainstArtifact — the live half of pq64's
+    // incremental curation): a re-crawl streams in against version-1's
+    // (doc_id, ch) artifact; only new or content-changed docs pass to the
+    // scoring stages. v1 = pq64's construction (%11==3 absent ⇒ new,
+    // %9==0 older text ⇒ changed).
+    Q(
+      "dq20_stream_changed",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val v1 = d.filter(col("doc_id") % 11 =!= 3)
+          .select(col("doc_id"), col("source"), col("lang"),
+            when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v1")))
+              .otherwise(col("text")).as("text"))
+        val prev = graft.pipeline.Curation.scoreCorpus(
+          v1, col("doc_id"), col("text"), col("source"), col("lang"))
+        val stream = d.withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+        graft.streaming.StreamOps.admitChangedAgainstArtifact(
+            stream, col("doc_id"), col("text"), "__ts", "1 hour", prev)
+          .select(col("id"))
+      },
+      Some("""
+        SELECT doc_id AS id FROM documents
+        WHERE doc_id % 11 = 3 OR doc_id % 9 = 0
       """))
   )
 }

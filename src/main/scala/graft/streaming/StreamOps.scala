@@ -207,6 +207,33 @@ object StreamOps {
       .head().getSeq[Long](0)
   }
 
+  /** Streaming CDC admission against a previous corpus version's artifact
+    * — the live half of [[graft.pipeline.Curation.scoreIncremental]]: a
+    * re-crawl arrives as a stream, and only documents that are NEW or
+    * whose canonical content hash MOVED pass through to the (expensive)
+    * scoring stages; unchanged re-deliveries drop at the gate. One
+    * stream-static left join on the id against the narrow `(doc_id, ch)`
+    * artifact (floats/text of the artifact never load), the change test
+    * row-local, admitted ids deduped inside the watermark. The batch form
+    * is dq20's oracle.
+    */
+  def admitChangedAgainstArtifact(
+      stream: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      prevArtifact: DataFrame): DataFrame = {
+    val cur = stream.select(idCol.as("id"), col(tsCol).as("__ts"),
+      md5(graft.dedup.Dedup.canonicalize(textCol)).as("__ch"))
+    cur
+      .join(prevArtifact.select(col("doc_id").as("id"),
+        col("ch").as("__prev_ch")), Seq("id"), "left")
+      .filter(col("__prev_ch").isNull || col("__prev_ch") =!= col("__ch"))
+      .transform(dedupeBounded(_, "__ts", watermarkDelay, Seq("id")))
+      .select(col("id"), col("__ts").as(tsCol))
+  }
+
   /** Streaming semantic near-dup flag against a static PQ-code index — the
     * embedding-stream counterpart of [[flagAgainstLshIndex]]: an incoming
     * vector is flagged when ANY of its PQ code bands (contiguous groups of

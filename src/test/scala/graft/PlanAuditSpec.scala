@@ -70,6 +70,7 @@ class PlanAuditSpec extends SparkTestBase {
     "dq16_stream_near_dedup" -> 1, "dq17_stream_lsh_flag" -> 1,
     "dq18_stream_pq_flag" -> 1,    // band-sig semi-join broadcast; one distinct exchange
     "dq19_stream_drift" -> 1,      // ONE windowed bucket_hist agg; KL folds row-locally vs the ref literal
+    "dq20_stream_changed" -> 1,    // artifact id join (broadcast at test SF, co-bucketed in prod) + admit distinct
     "pq01_exact_dedup" -> 1, "pq02_minhash_sigs" -> 1, "pq03_lsh_pairs" -> 3,
     "pq05_simhash_pairs" -> 1, "pq06_jaccard_pairs" -> 6,
     "pq07_embed_neardup" -> 0,

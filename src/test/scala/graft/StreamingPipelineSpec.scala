@@ -278,6 +278,46 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(expect.size > 100, "join must be non-trivial for this test to bite")
   }
 
+  test("the live CDC gate admits exactly the new/changed docs across micro-batches") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val d = Tables.documents(spark, sfDir)
+    val v1 = d.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 9 === 0, concat(col("text"), lit(" v1")))
+          .otherwise(col("text")).as("text"))
+    val prev = graft.pipeline.Curation.scoreCorpus(
+      v1, col("doc_id"), col("text"), col("source"), col("lang"))
+    val docs = d.select("doc_id", "text").as[(Long, String)].collect()
+    // re-deliver every doc TWICE (the at-least-once case): the gate must
+    // still admit each new/changed id exactly once inside the watermark
+    val deliveries = docs ++ docs
+
+    val in = MemoryStream[(Long, String)]
+    // +1h offset: an event time of exactly epoch 0 sits ON the engine's
+    // initial watermark and dropDuplicatesWithinWatermark discards it as
+    // late — synthetic clocks must start strictly after the epoch
+    val stream = in.toDF().toDF("doc_id", "text")
+      .withColumn("__ts", timestamp_micros((col("doc_id") + 3600L) * 1000000L))
+    val ckpt = Files.createTempDirectory("cdc-ckpt").toString
+    val q = StreamOps.admitChangedAgainstArtifact(
+        stream, col("doc_id"), col("text"), "__ts", "1 hour", prev)
+      .writeStream.format("memory").queryName("cdc_admitted")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      deliveries.grouped(150).foreach { chunk => in.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("cdc_admitted").select("id")
+      .as[Long].collect().toSeq
+    val expect = docs.map(_._1).filter(id => id % 11 == 3 || id % 9 == 0).toSet
+    assert(got.toSet == expect,
+      s"admitted ${got.size} ids; want ${expect.size}: extra=${(got.toSet -- expect).take(3)}")
+    assert(got.size == expect.size, "a re-delivered doc was admitted twice")
+  }
+
   test("the live drift alarm equals its batch form and trips on a planted shift") {
     import graft.streaming.StreamOps
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
