@@ -2604,6 +2604,39 @@ object PipelineQueries {
         FROM j
       """)),
 
+    // ---- mixing to an EXPLICIT target distribution — the "40% web, 30%
+    // code…" form beside the census-derived α-mix (pq52). Per-stratum
+    // target ⌊budget·share/1000⌋, rate min(1000, 1000·target÷n), all
+    // 64-bit integer arithmetic, keep decided by the row's own id hash.
+    Q(
+      "pq78_target_mix",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.sampling.Sampling.mixToTarget(
+            d, col("doc_id"), col("lang"),
+            Map("en" -> 500, "de" -> 250, "zh" -> 150, "es" -> 100),
+            budget = 200L)
+          .select(col("doc_id"), col("lang"), col("rate_pm"), col("sample_bucket"))
+      },
+      Some("""
+        WITH cen AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        sh AS (
+          SELECT lang, n,
+                 CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                           WHEN 'zh' THEN 150 WHEN 'es' THEN 100
+                           ELSE 0 END AS share
+          FROM cen),
+        r AS (SELECT lang,
+                     least(CAST(1000 AS BIGINT), (1000 * ((200 * share) // 1000)) // n) AS rate_pm
+              FROM sh)
+        SELECT d.doc_id, d.lang, r.rate_pm,
+               CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                 AS sample_bucket
+        FROM documents d JOIN r USING (lang)
+        WHERE CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,15)) AS BIGINT) % 1000
+                < r.rate_pm
+      """)),
+
     // ---- compression-ratio quality signal (Gopher-style): level-6 zlib
     // bytes per mille of the raw length — repetitive/boilerplate text
     // compresses far below natural text. Deterministic for a fixed JDK

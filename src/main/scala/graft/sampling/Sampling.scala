@@ -220,6 +220,48 @@ object Sampling {
       .join(broadcast(keep), idCol === col("__keep_id"), "left_semi")
   }
 
+  /** Mixing to an EXPLICIT target distribution — the form a data team
+    * actually specifies ("40% web, 30% code, 20% books, 10% wiki"), beside
+    * the census-derived α-mix of [[temperatureMixByHash]]. Per stratum the
+    * target count is `⌊budget·share/1000⌋` and the admit rate
+    * `min(1000, 1000·target ÷ n_s)` — all 64-bit integer arithmetic, the
+    * keep decided by the row's own id hash, so the sample is reproducible,
+    * nested across budgets, and capped at the stratum's population (an
+    * under-represented stratum saturates at 100% rather than inventing
+    * rows; compose with [[balanceByReplication]] to upsample it). Strata
+    * absent from `sharesPerMille` get rate 0.
+    *
+    * Scale shape: one census shuffle to strata cardinality, rates
+    * broadcast back, keep row-local — the corpus never shuffles.
+    */
+  def mixToTarget(
+      df: DataFrame,
+      idCol: Column,
+      strataCol: Column,
+      sharesPerMille: Map[String, Int],
+      budget: Long): DataFrame = {
+    require(sharesPerMille.nonEmpty && sharesPerMille.values.forall(_ > 0) &&
+      sharesPerMille.values.sum <= 1000,
+      s"shares must be positive per-mille values summing to ≤ 1000: $sharesPerMille")
+    require(budget > 0 && budget <= Long.MaxValue / 1000L,
+      s"budget=$budget out of range")
+    val census = df.groupBy(strataCol.as("__stratum"))
+      .agg(count(lit(1)).as("__n"))
+    val shareCol = sharesPerMille.foldLeft(lit(0L)) { case (acc, (s, pm)) =>
+      when(col("__stratum") === s, lit(pm.toLong)).otherwise(acc)
+    }
+    val rates = census
+      .withColumn("__share", shareCol)
+      .selectExpr("__stratum",
+        s"least(1000L, (1000L * ((${budget}L * __share) div 1000L)) div __n) AS rate_pm")
+    df.withColumn("__stratum", strataCol)
+      .join(broadcast(rates), "__stratum")
+      .withColumn("sample_bucket",
+        pmod(portable_hash(idCol.cast("string")), lit(1000L)))
+      .filter(col("sample_bucket") < col("rate_pm"))
+      .drop("__stratum")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split is decided by the hash
     * of a document's canonical-content GROUP (min doc id per canonical
     * hash), never its own id — so exact/canonical duplicates can NEVER

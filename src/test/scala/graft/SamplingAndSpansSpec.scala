@@ -205,6 +205,36 @@ class SamplingAndSpansSpec extends SparkTestBase {
     assert(badRuns == 0, "copy indexes must be a complete 1..k run per row")
   }
 
+  test("target mixing hits shares, saturates small strata, nests, zeroes unknown strata") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    def mix(budget: Long) = graft.sampling.Sampling.mixToTarget(
+      d, col("doc_id"), col("lang"),
+      Map("en" -> 500, "de" -> 250, "zh" -> 150, "es" -> 100), budget)
+    val out = mix(200L)
+    val byLang = out.groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    val census = d.groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    // per-stratum counts near ⌊budget·share/1000⌋ (hash-rate noise band),
+    // capped at the stratum's population
+    Map("en" -> 100L, "de" -> 50L, "zh" -> 30L, "es" -> 20L).foreach { case (l, t) =>
+      val target = math.min(t, census.getOrElse(l, 0L))
+      val got = byLang.getOrElse(l, 0L)
+      assert(math.abs(got - target) <= math.max(6L, target / 3),
+        s"$l: got $got, target $target")
+    }
+    // strata not in the share map contribute nothing
+    assert(out.filter(!col("lang").isin("en", "de", "zh", "es")).count() == 0)
+    // saturation: a budget far above the corpus keeps whole strata, never more
+    val big = mix(1000000L).groupBy(col("lang")).count().as[(String, Long)].collect().toMap
+    Seq("en", "de", "zh", "es").foreach { l =>
+      assert(big.getOrElse(l, 0L) == census.getOrElse(l, 0L),
+        s"$l must saturate at its population")
+    }
+    // nesting: the smaller budget's sample is a subset of the larger's
+    assert(mix(100L).select("doc_id").exceptAll(out.select("doc_id")).isEmpty,
+      "budget-100 sample must nest inside budget-200")
+  }
+
   test("leakage-safe split never separates duplicates, covers all docs, near-matches weights") {
     import spark.implicits._
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
