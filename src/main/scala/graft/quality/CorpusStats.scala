@@ -68,6 +68,36 @@ object CorpusStats {
       round(col("s_ba").cast("double") / bv + log(av / bv), 6).as("kl_cur_ref"))
   }
 
+  /** Per-group out-of-vocabulary rate against the corpus' own top-`topN`
+    * vocabulary: the feed-health number that flags a source drifting into
+    * unseen terms (spam, another language, encoding damage) before any
+    * model sees it. `(group, n_tokens, n_oov, oov_ppm)` with
+    * `oov_ppm = ⌊1e6·n_oov/n_tokens⌋` — integer-exact, hash-checkable.
+    *
+    * 100 TB shape: one global token-count shuffle (partial-agg) +
+    * TakeOrdered for the vocabulary (topN rows, broadcast back), then one
+    * per-group partial agg over the token scan with a row-local membership
+    * probe — the corpus never shuffles by content.
+    */
+  def oovRate(
+      df: DataFrame,
+      groupCol: Column,
+      textCol: Column,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN=$topN must be positive")
+    val toks = df.select(groupCol.as("group"), explode(split(textCol, " ")).as("t"))
+    val vocab = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t").asc).limit(topN)
+      .select(col("t"), lit(1).as("__in"))
+    toks.join(broadcast(vocab), Seq("t"), "left")
+      .groupBy(col("group"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_ppm",
+        floor(lit(1000000L) * col("n_oov") / col("n_tokens")).cast("long"))
+  }
+
   def zipfFit(df: DataFrame, textCol: Column, topN: Int): DataFrame = {
     require(topN >= 2, s"topN=$topN: need at least 2 ranks to fit a line")
     val counts = df.select(explode(split(textCol, " ")).as("t"))

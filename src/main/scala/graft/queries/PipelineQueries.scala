@@ -2637,6 +2637,30 @@ object PipelineQueries {
                 < r.rate_pm
       """)),
 
+    // ---- per-source OOV rate vs the corpus' own top-60 vocabulary: the
+    // feed-health number that flags a source drifting into unseen terms
+    // (spam, another language, encoding damage). Vocabulary broadcast
+    // back; per-source membership probe row-local; integer-exact ppm.
+    Q(
+      "pq79_oov_rate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.quality.CorpusStats.oovRate(d, col("source"), col("text"), topN = 60)
+      },
+      Some("""
+        WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        voc AS (SELECT t FROM (
+          SELECT t, count(*) AS c FROM tok GROUP BY 1
+          ORDER BY c DESC, t ASC LIMIT 60)),
+        j AS (SELECT tok.source, voc.t IS NOT NULL AS inv
+              FROM tok LEFT JOIN voc ON voc.t = tok.t)
+        SELECT source AS "group",
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN inv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+               CAST(floor(1000000 * sum(CASE WHEN inv THEN 0 ELSE 1 END) / count(*)) AS BIGINT) AS oov_ppm
+        FROM j GROUP BY source
+      """)),
+
     // ---- compression-ratio quality signal (Gopher-style): level-6 zlib
     // bytes per mille of the raw length — repetitive/boilerplate text
     // compresses far below natural text. Deterministic for a fixed JDK

@@ -332,6 +332,27 @@ class CurationOpsSpec extends SparkTestBase {
       "incremental mix output differs from recomputing the world")
   }
 
+  test("OOV rate: zero under a covering vocabulary, spikes on a planted alien source") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir).select(col("source"), col("text"))
+    // a full-coverage vocabulary zeroes every source
+    val vocabSize = d.select(explode(split(col("text"), " ")).as("t"))
+      .select("t").distinct().count().toInt
+    val covered = graft.quality.CorpusStats.oovRate(d, col("source"), col("text"), vocabSize)
+    assert(covered.filter(col("n_oov") =!= 0L).count() == 0)
+    // plant an alien source of UNIQUE singleton tokens: corpus words occur
+    // hundreds of times, so no alien token can reach the top-60
+    val alien = Seq(("srcALIEN", (0 until 40).map(i => s"zzq$i").mkString(" ")))
+      .toDF("source", "text")
+    // topN=30: the corpus has ≥30 tokens occurring hundreds of times, so
+    // the vocabulary is pure corpus and every alien token is OOV
+    val out = graft.quality.CorpusStats.oovRate(
+        d.unionByName(alien), col("source"), col("text"), topN = 30)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    assert(out("srcALIEN") == 1000000L, s"alien source ppm ${out("srcALIEN")}")
+    assert(out.filterNot(_._1 == "srcALIEN").values.forall(_ < 1000000L))
+  }
+
   test("compression ratio matches the zlib reference and separates loops from prose") {
     import spark.implicits._
     def ratio(s: String): Long = Seq(s).toDF("t")

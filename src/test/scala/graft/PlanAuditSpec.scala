@@ -128,6 +128,7 @@ class PlanAuditSpec extends SparkTestBase {
     "pq76_leakage_safe_split" -> 1, // one canonical-hash election shuffle; split decision row-local
     "pq77_compression_quality" -> 0, // row-local native deflate, no shuffle
     "pq78_target_mix" -> 1,          // census agg; rates broadcast back, keep row-local
+    "pq79_oov_rate" -> 2,            // vocab count agg (TakeOrdered, broadcast back) + per-group agg
     "pq62_maxsim_topk" -> 3,        // per-qframe max + per-doc sum + bounded heap; qframes broadcast
     "pq63_term_drift" -> 3,         // two vocab-sized count aggs + the full-outer term merge
     "q01_pricing_summary" -> 1, "q04_multi_join" -> 3, "q27_cube" -> 2,
