@@ -6,9 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: only run queries whose name starts with the prefix
-    // (local build-loop aid; the driver always calls with two args)
-    val prefix = if (args.length > 2) args(2) else ""
+    // optional third arg: only run queries whose name starts with one of the
+    // comma-separated prefixes (local build-loop aid; the driver always
+    // calls with two args)
+    val prefixes = if (args.length > 2) args(2).split(",").toSeq else Seq("")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +21,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(_._1.startsWith(prefix)).foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => prefixes.exists(q._1.startsWith)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -19,14 +19,23 @@ package object functions {
   /** Encode a metadata struct (field order of TaskMetadata.schema) → bytes. */
   def dt_meta_encode(c: Column): Column = toColumn(DtMetaEncode(toExpr(c)))
 
-  /** Aggregate: Count-Min sketch (conservative update) over binary keys. */
+  /** Aggregate: Count-Min sketch (conservative update by default) over
+    * binary keys. `conservative = false` switches to plain (sum) updates —
+    * order/partition-independent, externally reproducible; `portable = true`
+    * swaps murmur3 double hashing for the md5-prefix portable family so an
+    * SQL oracle can recompute every cell.
+    */
   def cms_sketch(key: Column, width: Int = graft.plans.CmsSketch.DefaultWidth,
-                 depth: Int = graft.plans.CmsSketch.DefaultDepth): Column =
-    toColumn(graft.plans.CmsSketchAgg(toExpr(key), width, depth).toAggregateExpression())
+                 depth: Int = graft.plans.CmsSketch.DefaultDepth,
+                 conservative: Boolean = true, portable: Boolean = false): Column =
+    toColumn(graft.plans.CmsSketchAgg(toExpr(key), width, depth, conservative, portable)
+      .toAggregateExpression())
 
-  /** Scalar: estimated (upper-bound) count of `key` in a serialized sketch. */
-  def cms_estimate(sketch: Column, key: Column): Column =
-    toColumn(graft.plans.CmsEstimate(toExpr(sketch), toExpr(key)))
+  /** Scalar: estimated (upper-bound) count of `key` in a serialized sketch.
+    * `portable` must match the family the sketch was built with.
+    */
+  def cms_estimate(sketch: Column, key: Column, portable: Boolean = false): Column =
+    toColumn(graft.plans.CmsEstimate(toExpr(sketch), toExpr(key), portable))
 
   /** Aggregate: SpaceSaving heavy-hitters summary over a string column →
     * array<struct<term, est, err>> (est desc, term asc). Exact while the

@@ -45,10 +45,13 @@ object PerKeyQuota {
       tsCol: Column,
       windowDur: String,
       width: Int = CmsSketch.DefaultWidth,
-      depth: Int = CmsSketch.DefaultDepth): DataFrame =
+      depth: Int = CmsSketch.DefaultDepth,
+      conservative: Boolean = true,
+      portable: Boolean = false): DataFrame =
     df.withColumn("win", window(tsCol, windowDur))
       .groupBy(col("win"))
-      .agg(cms_sketch(graft.functions.key_bytes(keyCol), width, depth).as("sketch"))
+      .agg(cms_sketch(graft.functions.key_bytes(keyCol), width, depth, conservative, portable)
+        .as("sketch"))
 
   /** Production-size sketches (the reference's quota budget is 65536×12 ≈
     * 6 MB — `PerKeyQuotaManager.java:36-51`): with hundreds of input

@@ -47,6 +47,30 @@ object CmsSketch {
     out
   }
 
+  /** Engine-portable hash family: row i's slot is
+    * `parseLong(md5("i:" + keyText)[0,15), 16) % width` — the repo-wide
+    * md5-prefix family ([[graft.functions.TextFunctions.portable_hash]]),
+    * so a SQL oracle recomputes every slot with
+    * `CAST(('0x'||substr(md5(i||':'||key),1,15)) AS BIGINT) % width`.
+    * Murmur3 double hashing stays the production default (cheaper per row);
+    * this family exists so a sketch's cells can be hash-checked externally.
+    */
+  def slotsPortable(bytes: Array[Byte], width: Int, depth: Int): Array[Int] = {
+    val keyText = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](depth)
+    var i = 0
+    while (i < depth) {
+      val digest = md.digest(s"$i:$keyText".getBytes("UTF-8"))
+      md.reset()
+      val hex = digest.map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      out(i) = (h % width).toInt
+      i += 1
+    }
+    out
+  }
+
   def estimate(cells: Array[Long], bytes: Array[Byte], width: Int, depth: Int): Long = {
     val s = slots(bytes, width, depth)
     var est = Long.MaxValue
@@ -87,6 +111,8 @@ case class CmsSketchAgg(
     child: Expression,
     width: Int = CmsSketch.DefaultWidth,
     depth: Int = CmsSketch.DefaultDepth,
+    conservative: Boolean = true,
+    portable: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
@@ -99,22 +125,36 @@ case class CmsSketchAgg(
     val v = child.eval(input)
     if (v != null) {
       val bytes = v.asInstanceOf[Array[Byte]]
-      val s = CmsSketch.slots(bytes, width, depth)
-      // conservative update (KeyCounter.java:121-130): raise only the cells
-      // below est+1, keeping overestimation minimal.
-      var est = Long.MaxValue
-      var i = 0
-      while (i < depth) {
-        val c = buffer(i * width + s(i))
-        if (c < est) est = c
-        i += 1
-      }
-      val target = est + 1
-      i = 0
-      while (i < depth) {
-        val idx = i * width + s(i)
-        if (buffer(idx) < target) buffer(idx) = target
-        i += 1
+      val s =
+        if (portable) CmsSketch.slotsPortable(bytes, width, depth)
+        else CmsSketch.slots(bytes, width, depth)
+      if (conservative) {
+        // conservative update (KeyCounter.java:121-130): raise only the cells
+        // below est+1, keeping overestimation minimal.
+        var est = Long.MaxValue
+        var i = 0
+        while (i < depth) {
+          val c = buffer(i * width + s(i))
+          if (c < est) est = c
+          i += 1
+        }
+        val target = est + 1
+        i = 0
+        while (i < depth) {
+          val idx = i * width + s(i)
+          if (buffer(idx) < target) buffer(idx) = target
+          i += 1
+        }
+      } else {
+        // plain update: cell = Σ counts of keys hashing there — order- and
+        // partition-independent (sum-merge is exact), so the whole sketch is
+        // reproducible by an external SQL oracle. Slightly looser estimates
+        // than conservative update; same upper-bound guarantee.
+        var i = 0
+        while (i < depth) {
+          buffer(i * width + s(i)) += 1
+          i += 1
+        }
       }
     }
     buffer
@@ -220,8 +260,11 @@ case class CmsMergeAgg(
     copy(child = newChild)
 }
 
-/** Scalar `cms_estimate(sketch, keyBytes)` → estimated count (upper bound). */
-case class CmsEstimate(left: Expression, right: Expression)
+/** Scalar `cms_estimate(sketch, keyBytes)` → estimated count (upper bound).
+  * `portable = true` probes with [[CmsSketch.slotsPortable]] — must match the
+  * family the sketch was built with.
+  */
+case class CmsEstimate(left: Expression, right: Expression, portable: Boolean = false)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
@@ -235,7 +278,10 @@ case class CmsEstimate(left: Expression, right: Expression)
     val bb = ByteBuffer.wrap(bytes)
     val width = bb.getInt(0)
     val depth = bb.getInt(4)
-    val s = CmsSketch.slots(key.asInstanceOf[Array[Byte]], width, depth)
+    val kb = key.asInstanceOf[Array[Byte]]
+    val s =
+      if (portable) CmsSketch.slotsPortable(kb, width, depth)
+      else CmsSketch.slots(kb, width, depth)
     var est = Long.MaxValue
     var i = 0
     while (i < depth) {

@@ -325,23 +325,55 @@ object DecatonQueries {
         FROM events WHERE user_id % 17 = 0
       """)),
 
-    // ---- A3 CMS sketch path (no SQL oracle — sketch layout is engine
-    // internal; driver records rows>0, accuracy bound asserted in CmsSpec):
-    // per-window estimates for every active key, with exact counts alongside.
+    // ---- A3 CMS sketch path: per-window estimates for every active key,
+    // with exact counts alongside. The registered form uses the PORTABLE
+    // md5-prefix slot family and plain (sum) updates, which makes every
+    // cell — and therefore every estimate — order/partition-independent and
+    // exactly reproducible by the oracle's generate_series replay (the
+    // sum-merge is associative, so the oracle computes cells flat). The
+    // production default (murmur3 + conservative update, the reference's
+    // KeyCounter.java:121-130 shape) keeps its error-bound proof in CmsSpec:
+    // conservative cell values depend on arrival order inside a partition,
+    // which no cross-engine oracle can replay.
     Q(
       "dq09_cms_rates",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        val sketches = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day", width = 2048, depth = 4)
+        val sketches = PerKeyQuota.windowedSketch(
+          e, col("user_id"), col("ts"), "1 day", width = 2048, depth = 4,
+          conservative = false, portable = true)
         val exact = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
         exact.join(broadcast(sketches), "win")
           .select(
             col("win.start").cast("long").as("win_start"),
             col("key").as("user_id"),
             col("n").as("exact_n"),
-            cms_estimate(col("sketch"), graft.functions.key_bytes(col("key"))).as("est_n"))
+            cms_estimate(col("sketch"), graft.functions.key_bytes(col("key")),
+              portable = true).as("est_n"))
       },
-      None),
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 1000000 // 86400) * 86400 AS win_start
+          FROM events),
+        counts AS (SELECT win_start, user_id, count(*) AS n FROM ev GROUP BY 1, 2),
+        rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+        sl AS (
+          SELECT win_start, user_id, n, r,
+                 CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2048 AS slot
+          FROM counts CROSS JOIN rows_),
+        cells AS (
+          SELECT win_start, r, slot, CAST(sum(n) AS BIGINT) AS v
+          FROM sl GROUP BY 1, 2, 3),
+        est AS (
+          SELECT s.win_start, s.user_id, min(c.v) AS est_n
+          FROM sl s JOIN cells c
+            ON c.win_start = s.win_start AND c.r = s.r AND c.slot = s.slot
+          GROUP BY 1, 2)
+        SELECT c.win_start, c.user_id, c.n AS exact_n, e.est_n
+        FROM counts c JOIN est e
+          ON e.win_start = c.win_start AND e.user_id = c.user_id
+      """)),
 
     // ---- generic protobuf payload path: a NON-dt_meta user message
     // (int64 + string + double + packed-repeated int64) encoded to real wire

@@ -39,6 +39,47 @@ object PipelineQueries {
   private def oCos(a: String, b: String): String =
     s"${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
+  /** Shared oracle fragment: the 4-bit sign-LSH home bucket of `vecExpr`
+    * under global plane ids `planeBase + p`, p ∈ [0, 4) — byte-for-byte the
+    * [[graft.plans.SignLsh]] semantics (md5-prefix hyperplane components
+    * `(h(plane:dim) % 1e6) / 2e6`, left-fold double dot, `>= 0` sign bit
+    * per plane). `planeBase` may reference outer columns (pq09 passes
+    * `t*4` for its 8 independent tables).
+    */
+  private def oLshBucket(vecExpr: String, planeBase: String): String =
+    s"""list_sum(list_transform(generate_series(0, 3), p ->
+          CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+            list_transform(generate_series(1, len($vecExpr)), i ->
+              CAST($vecExpr[CAST(i AS INT)] AS DOUBLE) *
+              (CAST(CAST(('0x'||substr(md5(CAST($planeBase + p AS VARCHAR)||':'||CAST(i-1 AS VARCHAR)),1,15)) AS BIGINT) % 1000000 AS DOUBLE) / 2000000.0))),
+            (acc,x) -> acc + x) >= 0
+          THEN CAST(1 AS BIGINT) << CAST(p AS INT) ELSE CAST(0 AS BIGINT) END))"""
+
+  /** Shared oracle fragment: the IVF coarse tier over `p(vec_id, v)` —
+    * CTEs `cents` (the `nlist` deterministic ivf-salt centroids), `asg`
+    * (corpus assignment, cosine argmax with ties to the smallest cid —
+    * [[graft.similarity.Knn.ivfAssign]]'s contract) and `qp` (each query's
+    * `nprobe` nearest lists, query set = rows matching `queryPred`).
+    * Splice after the `p` definition.
+    */
+  private def oIvfCoarse(nlist: Int, nprobe: Int, queryPred: String): String = s"""
+        cents AS (
+          SELECT vec_id AS cid, v AS cv FROM p
+          ORDER BY ${dh("'ivf:'||CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
+          LIMIT $nlist),
+        asg AS (
+          SELECT vec_id AS nbr_id, cid FROM (
+            SELECT p.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${oCos("p.v", "c.cv")} DESC, c.cid ASC) AS rn
+            FROM p CROSS JOIN cents c) WHERE rn = 1),
+        qp AS (
+          SELECT query_id, cid FROM (
+            SELECT p.vec_id AS query_id, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                     ORDER BY ${oCos("p.v", "c.cv")} DESC, c.cid ASC) AS rn
+            FROM p CROSS JOIN cents c WHERE $queryPred) WHERE rn <= $nprobe)"""
+
   /** `iters` unrolled k-means rounds over `p(vec_id, v)` seeded by `c0`,
     * ending in assignment CTE `af(vec_id, v, cluster)` — splice after the
     * `p`/`c0` definitions.
@@ -383,9 +424,12 @@ object PipelineQueries {
 
     // ---- embedding near-dup, scale path (the HEADLINE form; pq07's exact
     // all-pairs is its correctness baseline): sign-LSH buckets with one-flip
-    // multi-probe — linear scan + bucket join instead of all pairs. No SQL
-    // oracle (bucketing is engine-internal); recall vs the exact all-pairs
-    // form is asserted in DedupSpec (>= 0.8 on a seeded near-dup corpus).
+    // multi-probe — linear scan + bucket join instead of all pairs. Fully
+    // hash-checked: the bucketing is the deterministic md5-hyperplane family,
+    // so the oracle replays home buckets, the one-flip probe expansion
+    // (j = 0 home, j >= 1 flips bit j-1), the (home a) ∩ (probe set b)
+    // candidate join and the exact cosine — recall vs the exact all-pairs
+    // form stays asserted in DedupSpec (>= 0.8 on a seeded near-dup corpus).
     Q(
       "pq13_embed_neardup_lsh",
       (s, dir) => {
@@ -393,13 +437,35 @@ object PipelineQueries {
         Dedup.embeddingNearPairsLsh(
           e, col("vec_id"), col("embedding"), planes = 4, probes = 1, minCosine = 0.4)
       },
-      None),
+      Some(s"""
+        WITH b AS (
+          SELECT vec_id, embedding, ${oLshBucket("embedding", "0")} AS bucket
+          FROM embeddings),
+        pr AS (
+          SELECT vec_id, bucket AS home, unnest(generate_series(0, 4)) AS j FROM b),
+        probed AS (
+          SELECT vec_id,
+                 CASE WHEN j = 0 THEN home
+                      ELSE xor(home, CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) END AS bucket
+          FROM pr),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, pb.vec_id AS id_b
+          FROM b a JOIN probed pb ON a.bucket = pb.bucket AND a.vec_id < pb.vec_id),
+        sc AS (
+          SELECT cand.id_a, cand.id_b,
+                 ${oCos("x.embedding", "y.embedding")} AS cos
+          FROM cand JOIN b x ON x.vec_id = cand.id_a JOIN b y ON y.vec_id = cand.id_b)
+        SELECT id_a, id_b, round(cos, 4) AS cos_r FROM sc WHERE cos >= 0.4
+      """)),
 
     // ---- sign-LSH approximate top-k: 8 independent hyperplane tables with
     // query-side one-flip multi-probe — the scale path (bucketed candidates;
     // the table union lifts recall to >= 0.7 vs brute force where a single
-    // probed table plateaus near 0.4 — asserted in DedupSpec). No SQL oracle
-    // (bucketing is engine-internal).
+    // probed table plateaus near 0.4 — asserted in DedupSpec). Fully
+    // hash-checked: table t hashes global planes [t*4, t*4+4), so the oracle
+    // replays all 8 bucket families, the query-side one-flip probes, the
+    // per-table candidate join (deduped across tables like
+    // signLshCandidates) and the exact-cosine rank.
     Q(
       "pq09_knn_lsh",
       (s, dir) => {
@@ -408,12 +474,43 @@ object PipelineQueries {
         Knn.signLshTopK(e, queries, "vec_id", "embedding", k = 5,
           planes = 4, probes = 1, tables = 8)
       },
-      None),
+      Some(s"""
+        WITH tabs AS (SELECT unnest(generate_series(0, 7)) AS t),
+        cb AS (
+          SELECT vec_id, embedding, t, ${oLshBucket("embedding", "t*4")} AS bucket
+          FROM embeddings CROSS JOIN tabs),
+        qpr AS (
+          SELECT vec_id, t, bucket AS home, unnest(generate_series(0, 4)) AS j
+          FROM cb WHERE vec_id % 50 = 0),
+        qprobes AS (
+          SELECT vec_id, t,
+                 CASE WHEN j = 0 THEN home
+                      ELSE xor(home, CAST(1 AS BIGINT) << CAST(j - 1 AS INT)) END AS bucket
+          FROM qpr),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+          FROM cb c JOIN qprobes q
+            ON c.t = q.t AND c.bucket = q.bucket AND q.vec_id <> c.vec_id),
+        e0 AS (SELECT vec_id, embedding FROM embeddings),
+        sc AS (
+          SELECT cand.query_id, cand.nbr_id,
+                 round(${oCos("x.embedding", "y.embedding")}, 4) AS cos_r
+          FROM cand JOIN e0 x ON x.vec_id = cand.query_id
+                    JOIN e0 y ON y.vec_id = cand.nbr_id)
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cos_r FROM (
+          SELECT query_id, nbr_id, cos_r,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_r DESC, nbr_id ASC) AS rank
+          FROM sc) WHERE rank <= 5
+      """)),
 
     // ---- IVF approximate top-k: the inverted-file scale path (coarse
     // quantizer + nprobe list search), the data-adaptive alternative to
-    // pq09's sign-LSH. No SQL oracle (centroid lists are engine-internal);
-    // recall vs brute force and determinism asserted in DedupSpec.
+    // pq09's sign-LSH. Fully hash-checked: centroids are the deterministic
+    // ivf-salt hash sample, assignment argmax ties to the smallest cid, so
+    // the oracle replays the whole coarse tier (oIvfCoarse) and the exact
+    // cosine rank over the probed lists. Recall vs brute force stays
+    // asserted in DedupSpec.
     Q(
       "pq14_knn_ivf",
       (s, dir) => {
@@ -421,12 +518,32 @@ object PipelineQueries {
         val queries = e.filter(col("vec_id") % 50 === 0)
         Knn.ivfTopK(e, queries, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
       },
-      None),
+      Some(s"""
+        WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        ${oIvfCoarse(nlist = 16, nprobe = 4, queryPred = "p.vec_id % 50 = 0")},
+        cand AS (
+          SELECT DISTINCT q.query_id, a.nbr_id
+          FROM asg a JOIN qp q ON a.cid = q.cid AND q.query_id <> a.nbr_id),
+        sc AS (
+          SELECT cand.query_id, cand.nbr_id,
+                 round(${oCos("x.v", "y.v")}, 4) AS cos_r
+          FROM cand JOIN p x ON x.vec_id = cand.query_id
+                    JOIN p y ON y.vec_id = cand.nbr_id)
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cos_r FROM (
+          SELECT query_id, nbr_id, cos_r,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_r DESC, nbr_id ASC) AS rank
+          FROM sc) WHERE rank <= 5
+      """)),
 
     // ---- the composed quantized-ANN stack (pq14's coarse tier + pq31's
     // int8 rescoring + an exact re-rank of the survivors): the production
-    // shape the tiers were built for. Rows-only — approximate by design;
-    // recall floor vs pq08 asserted in DedupSpec.
+    // shape the tiers were built for. Fully hash-checked — every tier is
+    // deterministic (coarse: oIvfCoarse; rescore: integer dots, top-20 by
+    // (iscore desc, id asc) — the bounded-heap contract; re-rank: exact
+    // cosine), so the oracle replays all three. Recall floor vs pq08 stays
+    // asserted in DedupSpec (approximate by DESIGN, exact by construction).
     Q(
       "pq35_knn_quantized_stack",
       (s, dir) => {
@@ -435,7 +552,47 @@ object PipelineQueries {
         Knn.ivfInt8TopK(e, queries, "vec_id", "embedding",
           k = 5, nlist = 16, nprobe = 4, rescoreFactor = 4)
       },
-      None),
+      Some(s"""
+        WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        ${oIvfCoarse(nlist = 16, nprobe = 4, queryPred = "p.vec_id % 50 = 0")},
+        cand AS (
+          SELECT DISTINCT q.query_id, a.nbr_id
+          FROM asg a JOIN qp q ON a.cid = q.cid AND q.query_id <> a.nbr_id),
+        ex AS (
+          SELECT vec_id,
+                 list_max(list_transform(embedding, x -> abs(x))) AS absmax,
+                 unnest(generate_series(0, CAST(len(embedding) AS INT) - 1)) AS dim,
+                 unnest(embedding) AS x
+          FROM embeddings
+        ), qz AS (
+          SELECT vec_id, dim,
+                 CASE WHEN absmax = 0 THEN 0
+                      ELSE CAST(floor(CAST(x AS DOUBLE) / CAST(absmax AS DOUBLE) * 127.0) AS BIGINT)
+                 END AS q8
+          FROM ex
+        ), resc AS (
+          SELECT cand.query_id, cand.nbr_id, sum(q.q8 * c.q8) AS iscore
+          FROM cand JOIN qz q ON q.vec_id = cand.query_id
+                    JOIN qz c ON c.vec_id = cand.nbr_id AND c.dim = q.dim
+          GROUP BY 1, 2
+        ), surv AS (
+          SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY iscore DESC, nbr_id ASC) AS rn
+            FROM resc) WHERE rn <= 20
+        ), sc AS (
+          SELECT surv.query_id, surv.nbr_id,
+                 round(${oCos("x.v", "y.v")}, 4) AS cos_r
+          FROM surv JOIN p x ON x.vec_id = surv.query_id
+                    JOIN p y ON y.vec_id = surv.nbr_id)
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cos_r FROM (
+          SELECT query_id, nbr_id, cos_r,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_r DESC, nbr_id ASC) AS rank
+          FROM sc) WHERE rank <= 5
+      """)),
 
     // ---- MMR result diversification over the int8 top-m pool (Carbonell &
     // Goldstein 1998): greedy argmax of wRel·rel − wDiv·max-sim-to-selected,
@@ -2173,9 +2330,11 @@ object PipelineQueries {
 
     // ---- IVF-PQ (FAISS `IVFx,PQy` layout): coarse nlist/nprobe pruning
     // over the PQ code table — each query ADC-scores only its 8/32 probed
-    // lists' codes. Rows-only by design like pq14/pq35 (the coarse
-    // assignment has no SQL form); PqSpec pins nprobe=nlist ≡ plain ADC
-    // exactly and the nprobe<nlist recall floor.
+    // lists' codes. Fully hash-checked: the oracle splices the pq14 coarse
+    // tier (oIvfCoarse — deterministic centroids, smallest-cid argmax ties)
+    // onto pq65's codebook/encode/dot-table CTEs, so coarse pruning AND the
+    // frozen-integer ADC scores replay exactly. PqSpec keeps the
+    // nprobe=nlist ≡ plain-ADC equivalence and the recall floor.
     Q(
       "pq66_knn_ivfpq",
       (s, dir) => {
@@ -2185,7 +2344,44 @@ object PipelineQueries {
           e, e.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", cb,
           k = 10, nlist = 32, nprobe = 8)
       },
-      None),
+      Some(s"""
+        WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        ${oIvfCoarse(nlist = 32, nprobe = 8, queryPred = "p.vec_id % 25 = 0")},
+        dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+        codes AS (SELECT unnest(generate_series(0, 15)) AS c),
+        cb AS (
+          SELECT s, c,
+                 list(CAST((c*31 + dim*17 + s*7) % 13 - 6 AS DOUBLE) / 6.0 ORDER BY dim) AS cv
+          FROM subs CROSS JOIN codes CROSS JOIN dims
+          GROUP BY 1, 2),
+        sv AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
+               FROM p CROSS JOIN subs),
+        enc AS (
+          SELECT vec_id, s, c AS code FROM (
+            SELECT sv.vec_id, sv.s, cb.c,
+                   row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                     ORDER BY (${oDot("sv", "sv")} - 2.0 * ${oDot("sv", "cv2")} + ${oDot("cv2", "cv2")}) ASC,
+                              cb.c ASC) AS rn
+            FROM sv JOIN (SELECT s, c, cv AS cv2 FROM cb) cb USING (s)) WHERE rn = 1),
+        qt AS (
+          SELECT q.vec_id AS query_id, cb.s, cb.c,
+                 CAST(floor(1000000.0 * ${oDot("qs", "cv")}) AS BIGINT) AS t
+          FROM (SELECT vec_id, s, sv AS qs FROM sv WHERE vec_id % 25 = 0) q
+          JOIN cb USING (s)),
+        sc AS (
+          SELECT q.query_id, a.nbr_id, CAST(sum(qt.t) AS BIGINT) AS score_fp
+          FROM asg a JOIN qp q ON q.cid = a.cid AND q.query_id <> a.nbr_id
+          JOIN enc e ON e.vec_id = a.nbr_id
+          JOIN qt ON qt.query_id = q.query_id AND qt.s = e.s AND qt.c = e.code
+          GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, score_fp FROM (
+          SELECT query_id, nbr_id, score_fp,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY score_fp DESC, nbr_id ASC) AS rank
+          FROM sc) WHERE rank <= 10
+      """)),
 
     // ---- perceptual frame fingerprints for multimodal assets: 60-bit
     // block-hash per container frame (bit j = parity of region j's content

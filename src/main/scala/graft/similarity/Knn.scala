@@ -317,13 +317,17 @@ object Knn {
 
   /** Assign every row to its nearest centroid by cosine: one broadcast
     * nested-loop over `nlist` centroids + a max_by — a narrow pass, no
-    * shuffle of the corpus. Returns (id, cid).
+    * shuffle of the corpus. Returns (id, cid). Ties break to the SMALLEST
+    * centroid id (the struct ordering compares (cos, -cid) lexicographically)
+    * — the kmeans/pq39 tie contract, which is what lets an SQL oracle replay
+    * the assignment as `row_number() OVER (ORDER BY cos DESC, cid ASC)`.
     */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame =
     df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .crossJoin(broadcast(centroids))
       .groupBy(col("id"))
-      .agg(max_by(col("cid"), cosine(col("v"), col("cvec"))).as("cid"))
+      .agg(max_by(col("cid"),
+        struct(cosine(col("v"), col("cvec")).as("c"), (-col("cid")).as("nc"))).as("cid"))
 
   /** IVF approximate top-k — the inverted-file alternative to sign-LSH
     * (pq09): corpus vectors are bucketed by nearest centroid, and each query

@@ -23,6 +23,25 @@ class CmsSpec extends SparkTestBase {
     }
   }
 
+  test("portable plain-update sketch: partition-invariant cells, upper bound holds") {
+    val e = Tables.events(spark, sfDir)
+    def sk(df: org.apache.spark.sql.DataFrame) =
+      df.agg(cms_sketch(graft.functions.key_bytes(col("user_id")), 2048, 4,
+        conservative = false, portable = true).as("s"))
+    // plain updates sum-merge exactly: the serialized sketch is byte-identical
+    // under any repartitioning (what makes dq09 externally oracle-able);
+    // conservative update can NOT promise this — cells depend on arrival order
+    val a = sk(e).select(md5(col("s"))).head().getString(0)
+    val b = sk(e.repartition(13)).select(md5(col("s"))).head().getString(0)
+    assert(a == b, "portable plain-update sketch must be partition-invariant")
+    val exact = e.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val bad = exact.crossJoin(sk(e))
+      .filter(cms_estimate(col("s"), graft.functions.key_bytes(col("user_id")),
+        portable = true) < col("n"))
+      .count()
+    assert(bad == 0L)
+  }
+
   test("CMS error is within additive eps*N at the reference's width regime") {
     val e = Tables.events(spark, sfDir)
     val n = e.count()
