@@ -549,18 +549,22 @@ object Dedup {
   def removeDuplicatedSpans(
       df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
     require(n > 0, s"window size n=$n must be positive")
-    val PosPack = 1048576L // pos < 2^20 tokens per doc; doc_id·2^20 + pos
+    // pos < 2^20 tokens per doc; doc_id·2^20 + pos. packed_id raises on any
+    // row outside the bound (a 2^20-token doc or doc_id ≥ 2^43 would
+    // otherwise silently collide and corrupt the keeper election).
+    val PosPack = 1048576L
+    def packed(doc: Column, pos: Column) = graft.functions.packed_id(doc, pos, PosPack)
     val toks = df.select(idCol.as("doc_id"), split(textCol, " ").as("t"))
     val grams = toks.select(col("doc_id"),
         posexplode(graft.functions.word_ngram_hashes(concat_ws(" ", col("t")), n))
           .as(Seq("pos", "g")))
     val canon = grams
       .groupBy(col("g"))
-      .agg(min(col("doc_id") * PosPack + col("pos")).as("keeper"),
+      .agg(min(packed(col("doc_id"), col("pos"))).as("keeper"),
         count(lit(1)).as("df"))
       .filter(col("df") > 1)
     val removedPos = grams.join(canon, "g")
-      .filter(col("doc_id") * PosPack + col("pos") =!= col("keeper"))
+      .filter(packed(col("doc_id"), col("pos")) =!= col("keeper"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("tp"))
       .distinct()

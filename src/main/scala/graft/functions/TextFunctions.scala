@@ -390,13 +390,19 @@ object TextFunctions {
       segTokens: Int): org.apache.spark.sql.DataFrame = {
     require(segTokens >= 1, s"segTokens=$segTokens must be positive")
     val n = segTokens
+    // null text: size(null __toks) is -1 (legacy sizeOfNull), which without
+    // the greatest/when guards would make sequence(0, -1) emit a DESCENDING
+    // [0,-1] and fabricate two garbage segments — instead a null doc comes
+    // out honest: n_segments = 0, n_kept = 0, text_clean = ''
     val withSegs = df
       .select(idCol.as("doc_id"), split(textCol, " ").as("__toks"))
       .withColumn("__nseg",
-        floor((size(col("__toks")) + lit(n - 1)) / lit(n)).cast("long"))
+        greatest(floor((size(col("__toks")) + lit(n - 1)) / lit(n)).cast("long"), lit(0L)))
       .withColumn("__segs",
-        transform(sequence(lit(0L), col("__nseg") - 1),
-          i => array_join(slice(col("__toks"), (i * n + 1).cast("int"), lit(n)), " ")))
+        when(col("__nseg") > 0,
+          transform(sequence(lit(0L), col("__nseg") - 1),
+            i => array_join(slice(col("__toks"), (i * n + 1).cast("int"), lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))
     withSegs
       .withColumn("__kept",
         filter(col("__segs"), (s, i) => array_position(col("__segs"), s) === (i + 1).cast("long")))

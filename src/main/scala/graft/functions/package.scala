@@ -112,6 +112,25 @@ package object functions {
     */
   def key_bytes(c: Column): Column = c.cast("string").cast("binary")
 
+  /** `hi * loPack + lo` composite-key packing with a per-row bound guard:
+    * any row where `lo >= loPack` (or either part is negative, or `hi`
+    * would overflow the long) RAISES instead of silently colliding with a
+    * different (hi, lo) pair — a >= 2^20-token document must fail loudly,
+    * not corrupt a dedup election. Two long compares per row; stays inside
+    * whole-stage codegen.
+    */
+  def packed_id(hi: Column, lo: Column, loPack: Long): Column = {
+    val hiBound = Long.MaxValue / loPack
+    org.apache.spark.sql.functions.when(
+      hi >= 0 && hi < hiBound && lo >= 0 && lo < loPack, hi * loPack + lo)
+      .otherwise(org.apache.spark.sql.functions.raise_error(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit(
+            s"packed_id: key outside packing bounds (hi < $hiBound, lo < $loPack): hi="),
+          hi.cast("string"),
+          org.apache.spark.sql.functions.lit(" lo="), lo.cast("string"))))
+  }
+
   /** Native dot product over array<float|double> (left-to-right double
     * accumulation — same result as the declarative aggregate/zip_with fold).
     */

@@ -98,8 +98,10 @@ object MediaDedup {
       maxDist: Int): DataFrame = {
     val fps = frameFingerprints(assets, minBytes = 1)
       // frame ids globally unique so the generic pair machinery can treat
-      // them as plain ids: (asset_id, frame) → asset_id * 2^20 + frame
-      .select((col("asset_id") * lit(1048576L) + col("frame")).as("id"),
+      // them as plain ids: (asset_id, frame) → asset_id * 2^20 + frame;
+      // packed_id raises on frame >= 2^20 or asset_id >= 2^43 instead of
+      // silently colliding distinct frames
+      .select(graft.functions.packed_id(col("asset_id"), col("frame"), 1048576L).as("id"),
         col("fp").as("simhash"))
     require(60 % bands == 0, s"bands=$bands must divide the 60-bit fingerprint")
     val pairs = graft.dedup.Dedup.simHashBandedPairs(

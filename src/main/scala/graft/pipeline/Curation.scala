@@ -25,6 +25,29 @@ import graft.sampling.Sampling
   */
 object Curation {
 
+  /** Stage-boundary caches created by the mix pipelines ([[mixFromScored]],
+    * [[scrubAndMix]], the [[curateTrainingMix]] tail). The persists are the
+    * RIGHT plan — without them every downstream consumer re-executes the
+    * scrub/score chain — but a long-lived session running many pipeline
+    * invocations would otherwise accumulate cached blocks indefinitely.
+    * Callers own the lifecycle: materialize the pipeline result, then call
+    * [[releaseStageCaches]] (idempotent; only touches frames this object
+    * persisted, never user caches).
+    */
+  private val stageCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def persistStage(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    stageCaches.add(p)
+    p
+  }
+
+  /** Unpersist every stage-boundary cache created since the last release. */
+  def releaseStageCaches(blocking: Boolean = false): Unit = {
+    var df = stageCaches.poll()
+    while (df != null) { df.unpersist(blocking); df = stageCaches.poll() }
+  }
+
   /** Curate `df`: drop exact duplicates (keep the min-id copy), keep docs
     * with `minTokens <= n_tokens <= maxTokens` and at least
     * `minDistinctPct`% distinct tokens, then sample per-stratum at
@@ -156,8 +179,7 @@ object Curation {
     // text-scoring chain — the dominant cost. The cached projection is
     // narrow (ids + integer score, no text), the standard stage boundary of
     // a production curation pipeline; MEMORY_AND_DISK spills, never OOMs.
-    val scored = scoredIn
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scored = persistStage(scoredIn)
     val gated = graft.quality.Calibrate.calibratedFilter(scored, col("score"), keepFrac)
     // cap WITHOUT re-joining the heavy gated subtree for its payload: the
     // heap's weakest admitted element per source is a CUT (score, id) —
@@ -258,7 +280,7 @@ object Curation {
     // the election and the keeper join both consume the artifact; when it
     // arrives as a live incremental plan (not a table read), materialize it
     // so the scorer's work is never repeated
-    val art = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val art = persistStage(scored)
     val keepers = art.groupBy(col("ch")).agg(min(col("doc_id")).as("doc_id"))
     val deduped = art.join(keepers, Seq("ch", "doc_id"))
       .select(col("doc_id"), col("source"), col("stratum"), col("score"))
@@ -305,8 +327,7 @@ object Curation {
     // second stage boundary: the mix's dedup election + keeper join both
     // consume this frame, and without a materialization each re-executes
     // the whole scrub chain (repetition pass + span election + reassembly)
-    val scrubbed = spans.join(meta, "doc_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scrubbed = persistStage(spans.join(meta, "doc_id"))
     curateTrainingMix(scrubbed,
       col("doc_id"), col("text"), col("source"), col("stratum"),
       keepFrac, cap, alpha, budget)

@@ -70,6 +70,13 @@ object Sampling {
     require(budget > 0, s"budget=$budget must be positive")
     require(weightsPerMille.values.forall(_ >= 0) && defaultWeightPerMille >= 0,
       "weights must be non-negative")
+    // the rate below is floor(budget·w / n) in DOUBLE; enforcing
+    // budget·maxW < 2^53 makes that floor exact (the numerator is an
+    // exactly-representable integer and |a/b−k|≥1/b≫ulp at these widths) —
+    // the same driver-side overflow posture as temperatureMixByHash
+    val maxW = (weightsPerMille.values ++ Iterator(defaultWeightPerMille, 1)).max.toLong
+    require(budget <= (1L << 53) / maxW,
+      s"budget=$budget * max weight=$maxW must stay below 2^53 for exact rates")
     val kvs = weightsPerMille.toSeq.sortBy(_._1)
       .flatMap { case (k, v) => Seq(lit(k), lit(v)) }
     val wpm =

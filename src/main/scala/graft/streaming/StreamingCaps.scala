@@ -15,8 +15,8 @@ import org.apache.spark.sql.streaming.GroupStateTimeout
   *
   * Scale/state shape: O(cap) entries per source — bounded regardless of
   * stream volume — and re-delivered documents (at-least-once ingestion)
-  * fold to the identical state because the merge dedupes exact (score, id)
-  * pairs before re-ranking.
+  * fold to the identical state because the merge dedupes by id (keeping
+  * the highest score seen) before re-ranking.
   */
 object StreamingCaps {
 
@@ -38,9 +38,14 @@ object StreamingCaps {
       .mapGroupsWithState[Seq[(Double, Long)], (String, Seq[Long])](
         GroupStateTimeout.NoTimeout) {
         (src, rows, state) =>
+          // a re-delivered doc must not occupy two slots EVEN IF its score
+          // changed between deliveries: dedupe by id (keeping the highest
+          // score seen — deterministic regardless of arrival order), not by
+          // exact (score, id) pair, so a rescored re-delivery can't
+          // double-count and evict a legitimate document
           val merged = (state.getOption.getOrElse(Seq.empty) ++
               rows.map(r => (r._3, r._2)))
-            .distinct // a re-delivered doc must not occupy two slots
+            .groupBy(_._2).valuesIterator.map(_.maxBy(_._1)).toSeq
             .sortBy { case (s, i) => (-s, i) }
             .take(cap)
           state.update(merged)

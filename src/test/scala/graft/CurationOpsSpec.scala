@@ -447,6 +447,35 @@ class CurationOpsSpec extends SparkTestBase {
     assert(again == out(2L)._4, "repetition removal is not idempotent")
   }
 
+  test("repetition removal: null text yields an honest empty row, not garbage segments") {
+    import spark.implicits._
+    // size(null) = -1 under legacy sizeOfNull; without the guard the segment
+    // sequence(0, -1) DESCENDS and fabricates n_segments = 2 phantom rows
+    val rows = Seq((1L, Some("alpha beta gamma delta")), (2L, None))
+    val out = TextFunctions.dropRepeatedSegments(
+        rows.toDF("doc_id", "text"), col("doc_id"), col("text"), segTokens = 4)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L)._2 == 0 && out(2L)._3 == 0 && out(2L)._4 == "",
+      s"null text must clean to an empty doc, got ${out(2L)}")
+    assert(out(1L)._4 == "alpha beta gamma delta")
+  }
+
+  test("stage-boundary caches release on demand") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val scored = Seq((1L, "a", "en", 10, "x"), (2L, "b", "en", 20, "y"))
+      .toDF("doc_id", "source", "stratum", "score", "txt")
+      .select(col("doc_id"), col("source"), col("stratum"),
+        md5(col("txt")).as("ch"), col("score"))
+    val mixed = graft.pipeline.Curation.mixFromScored(
+      scored, keepFrac = 0.5, cap = 10, alpha = "prop", budget = 10L)
+    mixed.count() // materialize → the stage boundary is now cached
+    assert(!spark.sharedState.cacheManager.isEmpty, "stage cache expected after a mix run")
+    graft.pipeline.Curation.releaseStageCaches(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "releaseStageCaches must drop every pipeline-owned cached frame")
+  }
+
   test("term drift: zero on self, non-negative, and rises under a planted vocabulary shift") {
     val d = Tables.documents(spark, sfDir)
     def kl(ref: org.apache.spark.sql.DataFrame, cur: org.apache.spark.sql.DataFrame) =

@@ -112,6 +112,33 @@ class SamplingAndSpansSpec extends SparkTestBase {
 
   // --- topTerms ------------------------------------------------------------
 
+  test("budgetMixByHash rejects a budget*weight outside the exact-floor range") {
+    val d = Seq((1L, "en")).toDF("doc_id", "lang")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.budgetMixByHash(d, col("doc_id"), col("lang"),
+        Map("en" -> 1000), budget = (1L << 53))
+    }
+    assert(e.getMessage.contains("2^53"), e.getMessage)
+    // in-range budgets still work
+    assert(Sampling.budgetMixByHash(d, col("doc_id"), col("lang"),
+      Map("en" -> 1000), budget = 100L).count() >= 0)
+  }
+
+  test("packed_id packs in-bound keys and raises on out-of-bound ones") {
+    val ok = Seq((5L, 7L)).toDF("hi", "lo").repartition(1)
+      .select(graft.functions.packed_id(col("hi"), col("lo"), 1048576L).as("p"))
+      .as[Long].head()
+    assert(ok == 5L * 1048576L + 7L)
+    // lo at the pack bound would collide with (hi+1, 0) — must fail loudly
+    val e = intercept[Exception] {
+      Seq((5L, 1048576L)).toDF("hi", "lo").repartition(1)
+        .select(graft.functions.packed_id(col("hi"), col("lo"), 1048576L))
+        .collect()
+    }
+    assert(e.getMessage.contains("packed_id") ||
+      Option(e.getCause).exists(_.getMessage.contains("packed_id")), s"unexpected: $e")
+  }
+
   test("topTerms ranks by tf desc, then rarer-corpus-term (df asc), then token") {
     val docs = Seq(
       (1L, "x x x common common rare"),

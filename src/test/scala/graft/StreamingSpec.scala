@@ -277,6 +277,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming per-source cap: a re-delivery with a CHANGED score keeps one slot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long, Double)]
+    val out = graft.streaming.StreamingCaps.perSourceCapStream(
+      in.toDF().toDF("source", "id", "s"),
+      col("id"), col("source"), col("s"), cap = 3)
+    val q = out.writeStream.format("memory").queryName("cap_rescore_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Seq(("s", 1L, 10.0), ("s", 2L, 20.0), ("s", 3L, 30.0), ("s", 4L, 5.0)))
+      q.processAllAvailable()
+      // doc 1 re-delivered with a different score: it must still hold ONE
+      // slot (deduped by id, max score wins), so doc 4 — the cap-3 runner-up
+      // — is NOT evicted by a phantom duplicate of doc 1
+      in.addData(Seq(("s", 1L, 40.0)))
+      q.processAllAvailable()
+      val admitted = spark.table("cap_rescore_out")
+        .groupBy(col("source")).agg(last(col("admitted")).as("admitted"))
+        .as[(String, Seq[Long])].collect().head._2.toSet
+      assert(admitted == Set(1L, 2L, 3L),
+        s"expected doc 1 to occupy one slot at its max score, got $admitted")
+    } finally q.stop()
+  }
+
   test("flushInBatches caps delivery size (A2)") {
     import spark.implicits._
     StreamingSpec.flushSizes.clear()
