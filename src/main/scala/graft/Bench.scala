@@ -159,6 +159,33 @@ object Bench {
       repLog(name) = repLog.getOrElse(name, Vector.empty) :+ ((wallStart, dur))
     }
     val results = queryNames.map(n => n -> repLog(n).map(_._2).sorted.apply(1))
+
+    // Cold-truth medians for the persist-heavy flagships: their interleaved
+    // warm reps share the MEMORY_AND_DISK stage materialization, so the warm
+    // medians above reflect a warm stage cache (~5-7× faster than a cold
+    // single run). Each cold rep starts from a clean slate — pipeline stage
+    // caches released, catalog cache cleared — and is reported BESIDE the
+    // warm number: warm is the steady-state of a long-lived curation session
+    // (the persist is the right plan), cold is the first-run truth.
+    val coldQueries = Seq("pq60_training_mix", "pq64_incremental_mix", "pq74_scrub_mix")
+      .filter(SparkEntry.queries.contains)
+    val coldLog = coldQueries.map { name =>
+      val reps = (1 to 3).map { _ =>
+        graft.pipeline.Curation.releaseStageCaches(blocking = true)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] cold $name failed: $e")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.toVector
+      name -> reps
+    }
+    // leave no bench-owned cache behind for the stream/CMS probes
+    graft.pipeline.Curation.releaseStageCaches(blocking = true)
+    spark.catalog.clearCache()
     // Streaming task-throughput probe vs the reference baseline (~23k
     // I/O-bound tasks/s/instance at 5×4 ms simulated I/O, docs/runtime.adoc:64):
     // same workload shape — five sequential 4 ms async I/Os per task — with
@@ -298,8 +325,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3-interleaved","queries":$qs,""" +
+    val qCold = coldLog.map { case (n, reps) =>
+      "\"" + n + "\":" + reps.sorted.apply(1)
+    }.mkString("{", ",", "}")
+    val qColdReps = coldLog.map { case (n, reps) =>
+      "\"" + n + "\":" + reps.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3-interleaved","queries":$qs,""" +
       s""""query_reps":$qReps,"query_rep_starts_epoch_sec":$qStarts,""" +
+      s""""queries_cold":$qCold,"query_cold_reps":$qColdReps,""" +
       s""""failed_queries":$failedJson,""" +
       s""""stream_tasks_per_sec":$tps,"stream_tasks_per_sec_no_io":$tpsNoIo,""" +
       s""""stream_reps_tps":${streamReps.map(_.tps).mkString("[", ",", "]")},""" +
@@ -312,7 +346,13 @@ object Bench {
       s""""stream_latency_avg_ms":$latAvgMs,"stream_latency_max_ms":$latMaxMs,""" +
       s""""stream_gc_count":$gcCountD,"stream_gc_time_ms":$gcTimeD,""" +
       s""""stream_allocated_mb":$allocMb,""" +
-      s""""stream_cpu_ms":$cpuMs,"threads":$streamThreads,"sf":"$sfDir"}""")
+      s""""stream_cpu_ms":$cpuMs,"threads":$streamThreads,"sf":"$sfDir"}"""
+    println(benchJson)
+    // Also write the line to a committed, prefix-free file: on stdout sbt
+    // prepends "[info] " and the driver's BENCH parser has recorded
+    // parsed:null for it every round — the file is the parseable record.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_SELF.json"), benchJson + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_SELF.json write failed: $e") }
     // Regenerate the committed plan record from the same registered set this
     // bench just ran, so PLANS.md cannot drift from the shapes PlanAuditSpec
     // enforces. Sibling session: the audit needs AQE off for codegen ids,
