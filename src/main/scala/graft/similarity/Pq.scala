@@ -228,6 +228,76 @@ object Pq {
     * (sub, code, dim)-keyed partial agg over (m·d/m)=d-wide rows — the
     * corpus never shuffles by content.
     */
+  /** OPQ-lite dimension permutation (the "balanced variance" initialization
+    * of Ge et al., "Optimized Product Quantization", CVPR 2013 — the cheap,
+    * deterministic member of the OPQ family): order dimensions by variance
+    * and deal them greedily onto the `m` subspaces so each subspace carries
+    * ~equal total variance. A PQ codebook spends k centroids PER SUBSPACE;
+    * when the natural dim order concentrates the variance in a few
+    * subspaces, their quantization error dominates every ADC score while
+    * the quiet subspaces waste their centroid budget. A permutation is an
+    * orthogonal rotation restricted to axis swaps: inner products are
+    * preserved exactly (apply the same permutation to queries), it needs no
+    * SVD, and it is bit-reproducible — so unlike a learned dense rotation
+    * it keeps the oracle/hash-exactness story intact.
+    *
+    * Cost: ONE per-dim variance census (d doubles on the driver — the
+    * k-means-residency contract) and a d-entry literal in the plan.
+    * Returns `perm` with `perm(i)` = the source dim at permuted position i
+    * (positions grouped by subspace: [0, w) is subspace 0, etc.).
+    */
+  def balancedPermutation(df: DataFrame, vecCol: Column, m: Int): Seq[Int] = {
+    val rows = df
+      .select(posexplode(transform(vecCol, _.cast("double"))).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(avg(col("x")).as("mu"), avg(col("x") * col("x")).as("m2"))
+      .select(col("dim"), (col("m2") - col("mu") * col("mu")).as("v"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1)))
+    val d = rows.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val w = d / m
+    // largest-variance dim first; each goes to the least-loaded subspace
+    // with a free slot (ties → smaller subspace id) — deterministic greedy
+    val byVar = rows.sortBy { case (dim, v) => (-v, dim) }
+    val load = Array.fill(m)(0.0)
+    val slots = Array.fill(m)(0)
+    val assigned = Array.fill(m)(List.empty[Int])
+    byVar.foreach { case (dim, v) =>
+      val s = (0 until m).filter(slots(_) < w).minBy(i => (load(i), i))
+      load(s) += v
+      slots(s) += 1
+      assigned(s) = dim :: assigned(s)
+    }
+    // within a subspace keep source-dim order (determinism + readability)
+    assigned.toSeq.flatMap(_.sorted)
+  }
+
+  /** Reorder a vector column by `perm` (from [[balancedPermutation]]):
+    * row-local `array(element_at...)` — no shuffle, same element type.
+    * Apply to corpus AND queries; dots/cosines are permutation-invariant.
+    */
+  def permuteVec(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(p => element_at(vec, p + 1)): _*)
+
+  /** [[train]] with the balanced permutation applied first: returns
+    * `(perm, codebooks)` where the codebooks live in PERMUTED dim order —
+    * encode/score with `permuteVec(vec, perm)` on both corpus and queries.
+    */
+  def trainBalanced(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      m: Int,
+      k: Int,
+      seedModulus: Long,
+      iters: Int): (Seq[Int], Seq[Seq[Seq[Double]]]) = {
+    val perm = balancedPermutation(df, vecCol, m)
+    val cb = train(df.withColumn("__pv", permuteVec(vecCol, perm)),
+      idCol, col("__pv"), m, k, seedModulus, iters)
+    (perm, cb)
+  }
+
   def train(
       df: DataFrame,
       idCol: Column,
