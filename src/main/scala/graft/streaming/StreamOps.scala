@@ -176,16 +176,35 @@ object StreamOps {
       refHist: Seq[Long],
       nBuckets: Int): DataFrame = {
     require(refHist.size == nBuckets, s"refHist size ${refHist.size} != nBuckets $nBuckets")
-    val isStreaming = stream.isStreaming
+    klAgainst(
+      windowedHist(stream, textCol, tsCol, watermarkDelay, windowDuration, nBuckets),
+      refHist)
+  }
+
+  /** The stateful half of [[termDriftAlarm]]: per event-time window, the
+    * `nBuckets`-cell hashed-term histogram (`__w`, `h`).
+    */
+  private def windowedHist(
+      stream: DataFrame,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      nBuckets: Int): DataFrame = {
     val base = stream
       .select(col(tsCol).as("__ts"), explode(split(textCol, " ")).as("__tok"))
       .select(col("__ts"), pmod(
         graft.functions.TextFunctions.portable_hash(col("__tok")),
         lit(nBuckets.toLong)).as("__b"))
-    val windowed =
-      (if (isStreaming) base.withWatermark("__ts", watermarkDelay) else base)
-        .groupBy(window(col("__ts"), windowDuration).as("__w"))
-        .agg(graft.functions.bucket_hist(col("__b"), nBuckets).as("h"))
+    (if (stream.isStreaming) base.withWatermark("__ts", watermarkDelay) else base)
+      .groupBy(window(col("__ts"), windowDuration).as("__w"))
+      .agg(graft.functions.bucket_hist(col("__b"), nBuckets).as("h"))
+  }
+
+  /** The row-local half: fold a window histogram against a reference
+    * literal into the frozen-integer KL numerator.
+    */
+  private def klAgainst(windowed: DataFrame, refHist: Seq[Long]): DataFrame = {
     val refLit = typedLit(refHist)
     windowed.select(
       col("__w.start").as("w_start"), col("__w.end").as("w_end"),
@@ -194,6 +213,53 @@ object StreamOps {
           (a + 1) * round(lit(1e6) * log((a + 1).cast("double") / (b + 1).cast("double")))
             .cast("long")),
         lit(0L), _ + _).as("kl_fp"))
+  }
+
+  /** [[termDriftAlarm]] with a SLOW-CADENCE REFERENCE REFRESH — the
+    * production monitor posture: a corpus's vocabulary drifts legitimately
+    * over weeks, so the reference histogram must periodically catch up or
+    * every alarm eventually becomes a false positive. The stateful windowed
+    * histogram stays in the streaming plan (checkpointed, watermark-
+    * bounded); the row-local KL fold moves into foreachBatch, where every
+    * `refreshEveryBatches` micro-batches the reference is re-resolved from
+    * `refProvider` (e.g. a fresh [[termBucketHist]] census of the trusted
+    * corpus) and enters that batch's plan as a NEW literal — the
+    * trigger-boundary re-broadcast pattern the property registry already
+    * uses (`config.DynamicProperty`). An alarm raised against a stale
+    * reference CLEARS once the reference catches up
+    * (StreamingPipelineSpec).
+    *
+    * `sink` receives each micro-batch's closed windows as
+    * `(w_start, w_end, n_tokens, kl_fp)` — same schema as the static form.
+    */
+  def termDriftAlarmRefreshed(
+      stream: DataFrame,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      refProvider: () => Seq[Long],
+      refreshEveryBatches: Int,
+      nBuckets: Int,
+      checkpointDir: String,
+      queryName: String)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(refreshEveryBatches >= 1, s"refreshEveryBatches=$refreshEveryBatches must be >= 1")
+    val windowed = windowedHist(stream, textCol, tsCol, watermarkDelay, windowDuration, nBuckets)
+    var cachedRef: Seq[Long] = null
+    windowed.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append") // closed windows only — an alarm is final per window
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (cachedRef == null || batchId % refreshEveryBatches == 0) {
+          cachedRef = refProvider()
+          require(cachedRef.size == nBuckets,
+            s"refProvider returned ${cachedRef.size} cells, expected $nBuckets")
+        }
+        sink(klAgainst(batch, cachedRef))
+      }
+      .start()
   }
 
   /** The reference histogram for [[termDriftAlarm]], computed from a batch

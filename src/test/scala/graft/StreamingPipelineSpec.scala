@@ -365,6 +365,64 @@ class StreamingPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("a drift alarm CLEARS after the reference histogram refreshes") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the stream's vocabulary has legitimately shifted to babble; the
+    // monitor starts with the STALE (original-corpus) reference, then the
+    // reference census catches up mid-stream
+    val babble = "zzq qqz zqz xqx qxq " * 12
+    val staleRef = StreamOps.termBucketHist(
+      Tables.documents(spark, sfDir), col("text"), nBuckets = 512)
+    val freshRef = StreamOps.termBucketHist(
+      Seq.tabulate(100)(i => (i.toLong, babble)).toDF("doc_id", "text"),
+      col("text"), nBuckets = 512)
+    @volatile var currentRef = staleRef
+
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("doc_id", "text")
+      .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+    val ckpt = Files.createTempDirectory("drift-refresh-ckpt").toString
+    val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = StreamOps.termDriftAlarmRefreshed(
+        stream, col("text"), "__ts", "10 seconds", "100 seconds",
+        () => currentRef, refreshEveryBatches = 1, nBuckets = 512,
+        checkpointDir = ckpt, queryName = "drift_refresh") { out =>
+      out.select(unix_seconds(col("w_start")), col("n_tokens"), col("kl_fp"))
+        .as[(Long, Long, Long)].collect().foreach(rows.add)
+    }
+    try {
+      // phase 1 — stale reference: windows [0,100) and [100,200) close
+      // against the original-corpus histogram and ALARM
+      in.addData(Seq.tabulate(300)(i => (i.toLong, babble)))
+      q.processAllAvailable()
+      val pre = rows.toArray(Array.empty[(Long, Long, Long)]).toSeq
+      assert(pre.nonEmpty, "no windows closed against the stale reference")
+      // phase 2 — the reference census catches up; later windows of the SAME
+      // babble content close quiet
+      currentRef = freshRef
+      in.addData(Seq.tabulate(300)(i => (300L + i, babble)))
+      in.addData((100000L, "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = rows.toArray(Array.empty[(Long, Long, Long)]).toSeq
+      .filter(_._1 < 100000L).sortBy(_._1)
+    val preW = all.filter(r => Set(0L, 100L).contains(r._1))
+    val postW = all.filter(_._1 >= 300L)
+    assert(preW.size == 2 && postW.nonEmpty, s"window accounting off: $all")
+    // normalized nats: kl_fp / 1e6 / (n_tokens + nBuckets)
+    def nats(r: (Long, Long, Long)) = r._3.toDouble / 1e6 / (r._2 + 512)
+    val preMin = preW.map(nats).min
+    val postMax = postW.map(nats).max
+    info(s"stale-reference windows: ${preW.map(nats)}; refreshed: ${postW.map(nats)}")
+    assert(preMin > 1.0, s"stale-reference drift did not alarm: $preMin nats")
+    assert(postMax < preMin / 10,
+      s"alarm did not clear after the reference refreshed: post=$postMax pre=$preMin")
+  }
+
   test("online PQ-index flagging on a live embedding stream equals the batch semi-join") {
     import graft.similarity.Pq
     import graft.streaming.StreamOps
