@@ -145,20 +145,33 @@ object Bench {
     // bench output before the failure was noticed).
     val failed = scala.collection.mutable.LinkedHashSet[String]()
     val queryNames = SparkEntry.queries.keys.toSeq.sorted
-    val repLog = scala.collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+    // rep value None = the rep THREW: its elapsed time measures a crash, not
+    // a timing, and recording it would contaminate the median with a number
+    // that looks like a measurement (the failed_queries flag alone doesn't
+    // stop a reader of queries{} from trusting the value)
+    val repLog = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[Double])]]
     for (_ <- 1 to 3; name <- queryNames) {
       val fn = SparkEntry.queries(name)
       val wallStart = System.currentTimeMillis() / 1e3
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: $e")
-      }
-      val dur = (System.nanoTime() - t0) / 1e9
+      val dur =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"[bench] $name failed: $e")
+          None
+        }
       repLog(name) = repLog.getOrElse(name, Vector.empty) :+ ((wallStart, dur))
     }
-    val results = queryNames.map(n => n -> repLog(n).map(_._2).sorted.apply(1))
+    // median over the SUCCESSFUL reps only (lower-middle when 2 survive);
+    // a query with no successful rep reports null and is in failed_queries
+    def median(reps: Seq[Option[Double]]): Option[Double] = {
+      val ok = reps.flatten.sorted
+      if (ok.isEmpty) None else Some(ok((ok.size - 1) / 2))
+    }
+    val results = queryNames.map(n => n -> median(repLog(n).map(_._2)))
 
     // Cold-truth medians for the persist-heavy flagships: their interleaved
     // warm reps share the MEMORY_AND_DISK stage materialization, so the warm
@@ -174,12 +187,14 @@ object Bench {
         graft.pipeline.Curation.releaseStageCaches(blocking = true)
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
+        try {
+          SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] cold $name failed: $e")
+          None // time-to-failure is not a timing (same rule as the warm reps)
         }
-        (System.nanoTime() - t0) / 1e9
       }.toVector
       name -> reps
     }
@@ -315,21 +330,22 @@ object Bench {
     val cmsReps = Seq.fill(3) { System.gc(); cmsRep() }.sorted
     val cmsFullSec = cmsReps(1)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def jsonNum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + jsonNum(v) }
       .mkString("{", ",", "}")
     val qReps = queryNames.map { n =>
-      "\"" + n + "\":" + repLog(n).map(_._2).mkString("[", ",", "]")
+      "\"" + n + "\":" + repLog(n).map(r => jsonNum(r._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val qStarts = queryNames.map { n =>
       "\"" + n + "\":" + repLog(n).map(r => f"${r._1}%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qCold = coldLog.map { case (n, reps) =>
-      "\"" + n + "\":" + reps.sorted.apply(1)
+      "\"" + n + "\":" + jsonNum(median(reps))
     }.mkString("{", ",", "}")
     val qColdReps = coldLog.map { case (n, reps) =>
-      "\"" + n + "\":" + reps.mkString("[", ",", "]")
+      "\"" + n + "\":" + reps.map(jsonNum).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3-interleaved","queries":$qs,""" +
       s""""query_reps":$qReps,"query_rep_starts_epoch_sec":$qStarts,""" +

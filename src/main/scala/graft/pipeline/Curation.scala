@@ -25,28 +25,64 @@ import graft.sampling.Sampling
   */
 object Curation {
 
+  /** Handle over the stage-boundary caches one pipeline invocation created.
+    * Frames are held STRONGLY and deliberately so: the SQL `CacheManager`
+    * pins every cached plan until an explicit `unpersist`/`clearCache` — a
+    * weak reference here would let GC collect the only wrapper able to
+    * unpersist while the cache entry itself lives on, turning a bounded
+    * leak into an unreleasable one. The lifecycle answer is scoping, not
+    * reference strength: each invocation's frames live on their own handle
+    * and die at its [[release]].
+    */
+  final class StageCacheHandle private[Curation] () {
+    private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    private[Curation] def add(df: DataFrame): Unit = frames.add(df)
+    /** Unpersist every frame this handle tracked (idempotent). */
+    def release(blocking: Boolean = false): Unit = {
+      var df = frames.poll()
+      while (df != null) { df.unpersist(blocking); df = frames.poll() }
+    }
+  }
+
   /** Stage-boundary caches created by the mix pipelines ([[mixFromScored]],
     * [[scrubAndMix]], the [[curateTrainingMix]] tail). The persists are the
     * RIGHT plan — without them every downstream consumer re-executes the
     * scrub/score chain — but a long-lived session running many pipeline
     * invocations would otherwise accumulate cached blocks indefinitely.
     * Callers own the lifecycle: materialize the pipeline result, then call
-    * [[releaseStageCaches]] (idempotent; only touches frames this object
-    * persisted, never user caches).
+    * [[releaseStageCaches]], or — when pipelines run concurrently in one
+    * session — build inside [[scopedStageCaches]] and release the returned
+    * handle, so one caller's release can never unpersist frames another
+    * invocation is still consuming.
     */
-  private val stageCaches = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val globalStageCaches = new StageCacheHandle()
+
+  private val currentScope =
+    new scala.util.DynamicVariable[StageCacheHandle](globalStageCaches)
 
   private def persistStage(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    stageCaches.add(p)
+    currentScope.value.add(p)
     p
   }
 
-  /** Unpersist every stage-boundary cache created since the last release. */
-  def releaseStageCaches(blocking: Boolean = false): Unit = {
-    var df = stageCaches.poll()
-    while (df != null) { df.unpersist(blocking); df = stageCaches.poll() }
+  /** Build a pipeline plan with its stage caches registered to a PRIVATE
+    * handle instead of the global registry: `val (mix, caches) =
+    * scopedStageCaches(mixFromScored(...))`, materialize `mix`, then
+    * `caches.release()`. Scoping is per-thread for the duration of `f` —
+    * the plan is built (and its stages persisted) inside `f`, so every
+    * persist lands on the returned handle.
+    */
+  def scopedStageCaches[T](f: => T): (T, StageCacheHandle) = {
+    val h = new StageCacheHandle()
+    (currentScope.withValue(h)(f), h)
   }
+
+  /** Unpersist every unscoped stage-boundary cache created since the last
+    * release. Frames built under [[scopedStageCaches]] are not touched.
+    */
+  def releaseStageCaches(blocking: Boolean = false): Unit =
+    globalStageCaches.release(blocking)
 
   /** Curate `df`: drop exact duplicates (keep the min-id copy), keep docs
     * with `minTokens <= n_tokens <= maxTokens` and at least

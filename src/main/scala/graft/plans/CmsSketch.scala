@@ -47,26 +47,58 @@ object CmsSketch {
     out
   }
 
-  /** Engine-portable hash family: row i's slot is
-    * `parseLong(md5("i:" + keyText)[0,15), 16) % width` — the repo-wide
-    * md5-prefix family ([[graft.functions.TextFunctions.portable_hash]]),
-    * so a SQL oracle recomputes every slot with
-    * `CAST(('0x'||substr(md5(i||':'||key),1,15)) AS BIGINT) % width`.
-    * Murmur3 double hashing stays the production default (cheaper per row);
-    * this family exists so a sketch's cells can be hash-checked externally.
+  private val HexUpper = "0123456789ABCDEF".toCharArray
+
+  /** Engine-portable hash family. The key is first hex-encoded (UPPERCASE,
+    * matching Spark `hex()` and DuckDB `hex()`), so arbitrary binary keys
+    * stay distinct — decoding raw bytes as UTF-8 would collapse every
+    * invalid sequence to U+FFFD and systematically conflate non-UTF-8 keys
+    * in all depth rows, outside the CMS collision model. One md5 digest
+    * yields FIVE 60-bit slots (15-hex-char windows at offsets 0/4/8/12/16
+    * of the 32-char digest hex), so depth ≤ 5 costs a single digest per
+    * key; row r reads block ⌊r/5⌋ = md5(block + ":" + hex(key)) at window
+    * r mod 5. A SQL oracle recomputes every slot with
+    * `CAST(('0x'||substr(md5((r//5)||':'||hex(key)), 1+(r%5)*4, 15)) AS
+    * BIGINT) % width`. Murmur3 double hashing stays the production default
+    * (cheaper per row); this family exists so a sketch's cells can be
+    * hash-checked externally.
     */
   def slotsPortable(bytes: Array[Byte], width: Int, depth: Int): Array[Int] = {
-    val keyText = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val keyHex = {
+      val out = new Array[Char](bytes.length * 2)
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        out(2 * i) = HexUpper(b >>> 4)
+        out(2 * i + 1) = HexUpper(b & 0xf)
+        i += 1
+      }
+      new String(out)
+    }
     val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Int](depth)
-    var i = 0
-    while (i < depth) {
-      val digest = md.digest(s"$i:$keyText".getBytes("UTF-8"))
+    var r = 0
+    var block = 0
+    while (r < depth) {
+      val digest = md.digest(s"$block:$keyHex".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
       md.reset()
-      val hex = digest.map(b => f"$b%02x").mkString
-      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
-      out(i) = (h % width).toInt
-      i += 1
+      var wdw = 0
+      while (wdw < 5 && r < depth) {
+        // the 60-bit value of hex chars [4*wdw, 4*wdw+15) read straight off
+        // the digest nibbles — bit-identical to parseLong(substring, 16)
+        var h = 0L
+        var nib = 4 * wdw
+        val end = nib + 15
+        while (nib < end) {
+          val b = digest(nib >> 1) & 0xff
+          h = (h << 4) | (if ((nib & 1) == 0) b >>> 4 else b & 0xf)
+          nib += 1
+        }
+        out(r) = (h % width).toInt
+        r += 1
+        wdw += 1
+      }
+      block += 1
     }
     out
   }

@@ -360,7 +360,7 @@ object DecatonQueries {
         rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
         sl AS (
           SELECT win_start, user_id, n, r,
-                 CAST(('0x'||substr(md5(CAST(r AS VARCHAR)||':'||CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) % 2048 AS slot
+                 CAST(('0x'||substr(md5(CAST(r // 5 AS VARCHAR)||':'||hex(CAST(user_id AS VARCHAR))), 1 + (r % 5) * 4, 15)) AS BIGINT) % 2048 AS slot
           FROM counts CROSS JOIN rows_),
         cells AS (
           SELECT win_start, r, slot, CAST(sum(n) AS BIGINT) AS v

@@ -247,13 +247,23 @@ object Pq {
     * (positions grouped by subspace: [0, w) is subspace 0, etc.).
     */
   def balancedPermutation(df: DataFrame, vecCol: Column, m: Int): Seq[Int] = {
+    // census frozen to the repo's fixed-point convention (long sums of
+    // floor(x·1e6), divide on the driver — kmeansAssignFull's centroid-mean
+    // shape): double avg() sums are partition-order-dependent, and a
+    // near-tied pair of dim variances could otherwise reorder the greedy
+    // assignment across runs, silently changing codebooks and codes
     val rows = df
       .select(posexplode(transform(vecCol, _.cast("double"))).as(Seq("dim", "x")))
       .groupBy(col("dim"))
-      .agg(avg(col("x")).as("mu"), avg(col("x") * col("x")).as("m2"))
-      .select(col("dim"), (col("m2") - col("mu") * col("mu")).as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x") * lit(1e6)).cast("long")).as("sx"),
+        sum(floor(col("x") * col("x") * lit(1e6)).cast("long")).as("sxx"))
       .collect()
-      .map(r => (r.getInt(0), r.getDouble(1)))
+      .map { r =>
+        val n = r.getLong(1).toDouble
+        val mu = r.getLong(2).toDouble / n / 1e6
+        (r.getInt(0), r.getLong(3).toDouble / n / 1e6 - mu * mu)
+      }
     val d = rows.length
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val w = d / m

@@ -476,6 +476,32 @@ class CurationOpsSpec extends SparkTestBase {
       "releaseStageCaches must drop every pipeline-owned cached frame")
   }
 
+  test("scoped stage caches are isolated from the global release") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    def scored(tag: String) = Seq((1L, "a", "en", 10, "x" + tag), (2L, "b", "en", 20, "y" + tag))
+      .toDF("doc_id", "source", "stratum", "score", "txt")
+      .select(col("doc_id"), col("source"), col("stratum"),
+        md5(col("txt")).as("ch"), col("score"))
+    // invocation A under a private handle, invocation B on the global registry
+    val (mixA, cachesA) = graft.pipeline.Curation.scopedStageCaches {
+      graft.pipeline.Curation.mixFromScored(
+        scored("A"), keepFrac = 0.5, cap = 10, alpha = "prop", budget = 10L)
+    }
+    mixA.count()
+    val mixB = graft.pipeline.Curation.mixFromScored(
+      scored("B"), keepFrac = 0.5, cap = 10, alpha = "prop", budget = 10L)
+    mixB.count()
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    // the global release must NOT unpersist the scoped invocation's frames
+    graft.pipeline.Curation.releaseStageCaches(blocking = true)
+    assert(!spark.sharedState.cacheManager.isEmpty,
+      "global release unpersisted a scoped invocation's stage caches")
+    cachesA.release(blocking = true)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "scoped handle must drop its own frames on release")
+  }
+
   test("term drift: zero on self, non-negative, and rises under a planted vocabulary shift") {
     val d = Tables.documents(spark, sfDir)
     def kl(ref: org.apache.spark.sql.DataFrame, cur: org.apache.spark.sql.DataFrame) =
