@@ -67,6 +67,23 @@ object BrokerLog {
     }
   }
 
+  /** Raise a topic's partition count (Kafka's `--alter --partitions N`:
+    * counts only grow, existing partitions keep their data, new partitions
+    * start empty). A subscribed streaming query picks the new partitions up
+    * at its next trigger (subscribe-mode metadata refresh) and reads them
+    * from their earliest offset.
+    */
+  def expandTopic(root: String, topic: String, partitions: Int): Unit = {
+    val existing = partitionCount(root, topic)
+    require(partitions >= existing,
+      s"topic $topic has $existing partitions; Kafka partition counts only grow (asked $partitions)")
+    if (partitions > existing) {
+      (existing until partitions).foreach(p => Files.createDirectories(partDir(root, topic, p)))
+      Files.write(topicDir(root, topic).resolve(".partitions"),
+        partitions.toString.getBytes("UTF-8"))
+    }
+  }
+
   def topicExists(root: String, topic: String): Boolean =
     Files.exists(topicDir(root, topic).resolve(".partitions"))
 

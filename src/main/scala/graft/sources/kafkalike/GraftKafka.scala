@@ -186,20 +186,30 @@ class GraftKafkaScan(options: CaseInsensitiveStringMap) extends Scan {
     override def createReaderFactory(): PartitionReaderFactory = new GraftKafkaReaderFactory
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftKafkaMicroBatchStream(root, GraftKafka.topicPartitions(options),
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    // subscribe mode re-enumerates the topics' partitions at every trigger
+    // (Kafka's consumer metadata refresh: a partition added by --alter joins
+    // the subscription mid-run, read from its earliest offset); assign mode
+    // is static by definition
+    val subscribed = Option(options.get("subscribe")).map(_.trim).exists(_.nonEmpty)
+    val frozen = GraftKafka.topicPartitions(options)
+    new GraftKafkaMicroBatchStream(root,
+      resolveTps = if (subscribed) () => GraftKafka.topicPartitions(options) else () => frozen,
       startAtLatest = options.getOrDefault("startingoffsets", "earliest")
         .equalsIgnoreCase("latest"),
       failOnDataLoss = failOnDataLoss,
       maxOffsetsPerTrigger = Option(options.get("maxoffsetspertrigger")).map(_.toLong))
+  }
 }
 
 class GraftKafkaMicroBatchStream(
     root: String,
-    tps: Seq[(String, Int)],
+    resolveTps: () => Seq[(String, Int)],
     startAtLatest: Boolean,
     failOnDataLoss: Boolean,
     maxOffsetsPerTrigger: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def tps: Seq[(String, Int)] = resolveTps()
 
   private def logRanges: Map[(String, Int), (Long, Long)] =
     tps.map { case (t, p) => (t, p) -> BrokerLog.offsetRange(root, t, p) }.toMap
@@ -238,7 +248,10 @@ class GraftKafkaMicroBatchStream(
     def startOf(tp: (String, Int)): Long = startOffs.getOrElse(tp, ranges(tp)._1)
     val capped = limit match {
       case mr: ReadMaxRows =>
-        val avail = tps.map { tp =>
+        // iterate the SAME snapshot `ranges` was built from: re-resolving tps
+        // here could see a partition added between the two enumerations and
+        // miss its entry in `ends`
+        val avail = ranges.keys.toSeq.sorted.map { tp =>
           tp -> math.max(0L, ends(tp) - startOf(tp))
         }
         val total = avail.map(_._2).sum

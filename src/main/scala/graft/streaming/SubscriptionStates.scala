@@ -1,0 +1,194 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+
+/** Subscription lifecycle states, published under the reference's own
+  * vocabulary (`processor/.../runtime/SubscriptionStateListener.java:50-85`)
+  * so a user's existing health checks translate 1:1. Expected transitions —
+  * the reference's diagram verbatim:
+  *
+  * {{{
+  *                  ┌───┐
+  *                  │   v
+  * INITIALIZING -> RUNNING <-> REBALANCING ┐
+  *                    │                    v
+  *                    └──────> SHUTTING_DOWN -> TERMINATED
+  * }}}
+  *
+  * Spark mapping (one "subscription" = one named streaming query):
+  *   - INITIALIZING — the query run started (sources being resolved, offsets
+  *     restored from the checkpoint); reference: subscription thread entered
+  *     `run()` before `consumeManager.init` (`ProcessorSubscription.java:232`).
+  *   - RUNNING — a micro-batch completed with the same partition assignment
+  *     as the previous one (first batch of a run counts); reference:
+  *     `updateAssignment` → RUNNING (`ProcessorSubscription.java:99`).
+  *   - REBALANCING — the source's partition assignment CHANGED between
+  *     micro-batches (topic expanded mid-run, subscribe-mode metadata
+  *     refresh); published before the RUNNING of the batch that absorbed the
+  *     change, mirroring prepareForRebalance → updateAssignment
+  *     (`ProcessorSubscription.java:77,99`). Spark's analog of a consumer
+  *     rebalance is the trigger boundary: the old plan's partitions are all
+  *     "revoked" at batch end and the new batch plans the new assignment.
+  *   - SHUTTING_DOWN — stop requested; in-flight work drains
+  *     (`ProcessorSubscription.java:256-264`). Published by
+  *     [[SubscriptionStateBridge.stopGracefully]] at the stop request, or
+  *     synthesized just before TERMINATED when the query ends without one
+  *     (the reference always passes through SHUTTING_DOWN, error paths
+  *     included).
+  *   - TERMINATED — the run is fully torn down
+  *     (`ProcessorSubscription.java:288`, cleanUp).
+  *
+  * A RESTARTED query (same name, new runId) begins a new INITIALIZING →
+  * RUNNING sequence, exactly like a re-built ProcessorSubscription on the
+  * same subscription id — the rebalance-recovery story RebalanceStormSpec
+  * drives.
+  */
+object SubscriptionStates {
+
+  sealed abstract class State(val name: String) {
+    override def toString: String = name
+  }
+  case object INITIALIZING extends State("INITIALIZING")
+  case object REBALANCING extends State("REBALANCING")
+  case object RUNNING extends State("RUNNING")
+  case object SHUTTING_DOWN extends State("SHUTTING_DOWN")
+  case object TERMINATED extends State("TERMINATED")
+
+  /** The reference's listener SPI (`SubscriptionStateListener.java:93-99`):
+    * called at each transition; exceptions are logged and swallowed, never
+    * propagated into the engine (`ProcessorSubscription.updateState:208-217`).
+    */
+  @FunctionalInterface
+  trait SubscriptionStateListener {
+    def onChange(newState: State): Unit
+  }
+
+  /** Attach a state bridge for the named query to the session's listener
+    * bus. Returns the bridge; call [[SubscriptionStateBridge.detach]] (or
+    * `spark.streams.removeListener`) when done.
+    */
+  def attach(
+      spark: SparkSession,
+      queryName: String,
+      listeners: SubscriptionStateListener*): SubscriptionStateBridge = {
+    val b = new SubscriptionStateBridge(spark, queryName, listeners)
+    spark.streams.addListener(b)
+    b
+  }
+
+  /** Partition-assignment signature of a progress event: the set of
+    * source-offset coordinates in the per-source end-offset JSONs. For
+    * graft-kafka (and the real Kafka source — same checkpoint JSON shape
+    * `{"topic":{"0":12}}`) that is the (source, topic, partition) set; for
+    * sources without per-partition offsets (memory, rate) it degrades to
+    * the source description set, which never flags a rebalance — correct,
+    * since such sources have no partition assignment to change.
+    */
+  private[streaming] def assignmentSignature(
+      p: org.apache.spark.sql.streaming.StreamingQueryProgress): Set[String] = {
+    val partKeys = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val partNum = """"([0-9]+)"\s*:""".r
+    p.sources.zipWithIndex.flatMap { case (s, i) =>
+      val json = Option(s.endOffset).getOrElse("")
+      val keys = partKeys.findAllMatchIn(json).flatMap { tb =>
+        partNum.findAllMatchIn(tb.group(2)).map(po => s"$i:${tb.group(1)}/${po.group(1)}")
+      }.toSeq
+      if (keys.nonEmpty) keys else Seq(s"$i:${s.description}")
+    }.toSet
+  }
+}
+
+/** The `StreamingQueryListener` bridging one named query's lifecycle to the
+  * reference's state vocabulary. Thread-safe; transitions are published in
+  * order and deduplicated (a RUNNING batch after a RUNNING batch is not a
+  * transition — the reference's cooperative-mode RUNNING → RUNNING self-loop
+  * is collapsed, matching how its own log reads at steady state).
+  */
+final class SubscriptionStateBridge(
+    spark: SparkSession,
+    val queryName: String,
+    listeners: Seq[SubscriptionStates.SubscriptionStateListener]) extends StreamingQueryListener {
+
+  import SubscriptionStates._
+
+  // runIds of started runs of the watched query (terminated events carry no
+  // name, only ids)
+  private val watchedRuns = ConcurrentHashMap.newKeySet[java.util.UUID]()
+  private val historyBuf = new java.util.concurrent.CopyOnWriteArrayList[State]()
+  @volatile private var stateVar: Option[State] = None
+  // survives restarts: a restart with an unchanged assignment is RUNNING,
+  // with a changed one the new run's own first progress publishes its
+  // signature fresh (the new subscription's first assignment is just
+  // updateAssignment → RUNNING in the reference too)
+  @volatile private var lastSignature: Option[Set[String]] = None
+
+  def currentState: Option[State] = stateVar
+  def history: Seq[State] = historyBuf.asScala.toSeq
+
+  def detach(): Unit = spark.streams.removeListener(this)
+
+  /** The graceful-stop path: publish SHUTTING_DOWN at the stop REQUEST (the
+    * reference flips `terminated` and the consume loop publishes before
+    * draining, `ProcessorSubscription.java:245-258`), then stop the query —
+    * in-flight micro-batch work completes inside `stop()`.
+    */
+  def stopGracefully(query: StreamingQuery): Unit = {
+    publish(SHUTTING_DOWN)
+    query.stop()
+  }
+
+  private def publish(s: State): Unit = synchronized {
+    val ok = (stateVar, s) match {
+      case (Some(cur), next) if cur == next => false // self-loop collapsed
+      // terminal: nothing follows TERMINATED until a new run INITIALIZES
+      case (Some(TERMINATED), next) => next == INITIALIZING
+      // draining: progress events from the in-flight batch must not pull the
+      // state back to RUNNING (tasks already in process continue — the
+      // reference's SHUTTING_DOWN contract)
+      case (Some(SHUTTING_DOWN), next) => next == TERMINATED || next == INITIALIZING
+      case _ => true
+    }
+    if (ok) {
+      stateVar = Some(s)
+      historyBuf.add(s)
+      listeners.foreach { l =>
+        try l.onChange(s)
+        catch {
+          case e: Exception =>
+            // the reference's contract: a throwing listener is the user's
+            // bug to observe in logs, never the subscription's to die of
+            System.err.println(s"[graft] state listener threw at $s: $e")
+        }
+      }
+    }
+  }
+
+  override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit =
+    if (event.name == queryName) {
+      watchedRuns.add(event.runId)
+      publish(INITIALIZING)
+    }
+
+  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit =
+    if (watchedRuns.contains(event.progress.runId)) {
+      val sig = assignmentSignature(event.progress)
+      if (lastSignature.exists(prev => prev != sig && stateVar.contains(RUNNING)))
+        publish(REBALANCING)
+      lastSignature = Some(sig)
+      publish(RUNNING)
+    }
+
+  override def onQueryIdle(event: StreamingQueryListener.QueryIdleEvent): Unit =
+    () // idle is RUNNING with an empty poll — no transition
+
+  override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit =
+    if (watchedRuns.remove(event.runId)) {
+      publish(SHUTTING_DOWN) // no-op if stopGracefully already published it
+      publish(TERMINATED)
+    }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+
+import graft.sources.kafkalike.BrokerLog
+import graft.streaming.SubscriptionStates
+import graft.streaming.SubscriptionStates._
+
+/** The subscription lifecycle bridge (reference
+  * `SubscriptionStateListener.java:50-85`): the reference's state vocabulary
+  * published from real streaming-query runs — full lifecycle order, the
+  * REBALANCING ↔ RUNNING loop on a mid-run partition-assignment change
+  * (topic expansion under subscribe-mode metadata refresh), restart
+  * semantics, and the listener-exception contract.
+  */
+class SubscriptionStateSpec extends SparkTestBase {
+
+  private def freshRoot(): String = Files.createTempDirectory("graft-substate").toString
+
+  private def produceN(root: String, topic: String, part: Int, n: Int, prefix: String = "k"): Unit =
+    (0 until n).foreach { i =>
+      BrokerLog.produce(root, topic, part, BrokerLog.Record(
+        s"$prefix$i".getBytes, s"v$i".getBytes, 1704067200000L + i, Seq.empty))
+    }
+
+  private def startQuery(root: String, topic: String, name: String, ckpt: String) =
+    spark.readStream.format("graft-kafka")
+      .option("root", root).option("subscribe", topic)
+      .load()
+      .writeStream.queryName(name)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (_: DataFrame, _: Long) => () }
+      .start()
+
+  /** Listener events are delivered asynchronously off the query thread —
+    * poll until the bridge's history satisfies `cond` (or fail loudly).
+    */
+  private def awaitHistory(b: graft.streaming.SubscriptionStateBridge, what: String)(
+      cond: Seq[State] => Boolean): Unit = {
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (!cond(b.history) && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(cond(b.history), s"$what; history=${b.history}")
+  }
+
+  test("full lifecycle publishes the reference's transition sequence in order") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "life", 2)
+    produceN(root, "life", 0, 4)
+    produceN(root, "life", 1, 4)
+    val seen = new ConcurrentLinkedQueue[State]()
+    val bridge = SubscriptionStates.attach(spark, "life-q",
+      new SubscriptionStateListener { def onChange(s: State): Unit = seen.add(s) },
+      // a throwing listener must be swallowed, not kill the subscription
+      // (ProcessorSubscription.updateState:208-217)
+      new SubscriptionStateListener { def onChange(s: State): Unit = sys.error("user bug") })
+    try {
+      val q = startQuery(root, "life", "life-q",
+        Files.createTempDirectory("graft-substate-ckpt").toString)
+      q.processAllAvailable()
+      awaitHistory(bridge, "INITIALIZING then RUNNING expected after the first batch")(
+        _.take(2) == Seq(INITIALIZING, RUNNING))
+      assert(bridge.currentState.contains(RUNNING))
+      bridge.stopGracefully(q)
+      q.awaitTermination()
+      awaitHistory(bridge, "graceful stop must pass through SHUTTING_DOWN to TERMINATED")(
+        _ == Seq(INITIALIZING, RUNNING, SHUTTING_DOWN, TERMINATED))
+      // the plain (throwing-listener-surviving) callback saw every transition
+      assert(seen.asScala.toSeq == Seq(INITIALIZING, RUNNING, SHUTTING_DOWN, TERMINATED))
+    } finally bridge.detach()
+  }
+
+  test("mid-run topic expansion publishes REBALANCING -> RUNNING and delivers the new partition") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "grow", 2)
+    produceN(root, "grow", 0, 3)
+    produceN(root, "grow", 1, 3)
+    GraftKafkaSourceSpec.reset()
+    val bridge = SubscriptionStates.attach(spark, "grow-q")
+    try {
+      val q = spark.readStream.format("graft-kafka")
+        .option("root", root).option("subscribe", "grow")
+        .load()
+        .writeStream.queryName("grow-q")
+        .option("checkpointLocation", Files.createTempDirectory("graft-substate-grow").toString)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          import org.apache.spark.sql.functions._
+          batch.select(col("key").cast("string"), col("offset"), col("partition"), col("topic"))
+            .collect().foreach(r => GraftKafkaSourceSpec.delivered.add(
+              (id, r.getString(0), r.getLong(1), r.getInt(2), r.getString(3))))
+          ()
+        }
+        .start()
+      try {
+        q.processAllAvailable()
+        awaitHistory(bridge, "steady state before the expansion")(
+          _.take(2) == Seq(INITIALIZING, RUNNING))
+        // Kafka's --alter --partitions 3: the subscribed query's next trigger
+        // re-enumerates the topic and the assignment grows
+        BrokerLog.expandTopic(root, "grow", 3)
+        produceN(root, "grow", 2, 2, prefix = "new")
+        q.processAllAvailable()
+        awaitHistory(bridge, "assignment change must publish REBALANCING then RUNNING")(
+          h => h.containsSlice(Seq(RUNNING, REBALANCING, RUNNING)))
+        // and the records in the NEW partition actually arrived, from offset 0
+        val newRecs = GraftKafkaSourceSpec.delivered.asScala.filter(_._4 == 2).toVector
+        assert(newRecs.map(_._2).sorted == Vector("new0", "new1"),
+          s"new partition's records must be delivered, got $newRecs")
+        assert(newRecs.map(_._3).sorted == Vector(0L, 1L))
+      } finally q.stop()
+    } finally bridge.detach()
+  }
+
+  test("restart with an unchanged assignment re-runs INITIALIZING -> RUNNING without REBALANCING") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "re", 2)
+    produceN(root, "re", 0, 2)
+    val ckpt = Files.createTempDirectory("graft-substate-re").toString
+    val bridge = SubscriptionStates.attach(spark, "re-q")
+    try {
+      val q1 = startQuery(root, "re", "re-q", ckpt)
+      q1.processAllAvailable()
+      q1.stop()
+      awaitHistory(bridge, "first run must reach TERMINATED")(_.lastOption.contains(TERMINATED))
+      // stop() without stopGracefully still passes through SHUTTING_DOWN
+      assert(bridge.history == Seq(INITIALIZING, RUNNING, SHUTTING_DOWN, TERMINATED))
+      produceN(root, "re", 1, 2)
+      val q2 = startQuery(root, "re", "re-q", ckpt)
+      q2.processAllAvailable()
+      bridge.stopGracefully(q2)
+      q2.awaitTermination()
+      awaitHistory(bridge, "second run repeats the lifecycle")(
+        _ == Seq(INITIALIZING, RUNNING, SHUTTING_DOWN, TERMINATED,
+          INITIALIZING, RUNNING, SHUTTING_DOWN, TERMINATED))
+      assert(!bridge.history.contains(REBALANCING),
+        "unchanged assignment across a restart is not a rebalance")
+    } finally bridge.detach()
+  }
+}
