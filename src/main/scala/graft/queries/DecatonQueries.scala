@@ -685,6 +685,44 @@ object DecatonQueries {
       Some("""
         SELECT doc_id AS id FROM documents
         WHERE doc_id % 11 = 3 OR doc_id % 9 = 0
+      """)),
+
+    // ---- the graft-jsonl DSv2 source, end to end at data scale: events
+    // serialized to a sharded JSONL directory by Spark's own text writer
+    // (8 key-routed shards — the many-segments layout the tail source
+    // scales by), batch-read back through the source, parsed schema-on-read
+    // and aggregated from the DECODED fields only. The oracle recomputes
+    // the aggregates straight from the source columns, so a defect anywhere
+    // in the write → list → slice → line-read → parse chain breaks the
+    // hash match. (The streaming tail/offset semantics of the same source
+    // are GraftJsonlSourceSpec/SourceChaosSpec's business.)
+    Q(
+      "dq21_jsonl_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dq21").toString + "/log"
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            to_json(struct(col("user_id"), col("event_type"), col("props"))).as("value"))
+          .repartition(8, col("user_id")).select(col("value"))
+          .write.text(tmp)
+        s.read.format("graft-jsonl")
+          .option("path", tmp).option("suffix", ".txt").load()
+          .select(
+            get_json_object(col("value"), "$.user_id").cast("long").as("uid"),
+            get_json_object(col("value"), "$.event_type").as("event_type"),
+            get_json_object(col("value"), "$.props").as("props"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("uid")).as("sum_uid"),
+            // byte length (octet_length ↔ DuckDB strlen): code-unit vs
+            // code-point counting never agrees across engines
+            sum(octet_length(col("props")).cast("long")).as("sum_props_len"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid,
+               CAST(sum(strlen(props)) AS BIGINT) AS sum_props_len
+        FROM events GROUP BY event_type
       """))
   )
 }

@@ -1,0 +1,370 @@
+package graft.sources.jsonl
+
+import java.io.{File, RandomAccessFile}
+import java.nio.charset.StandardCharsets
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-jsonl` — the engine's SECOND DataSource V2 medium: a directory of
+  * append-only JSONL files tailed as a log (`tail -f` semantics). Each
+  * `*.jsonl` file is an independent log segment; the streaming offset is a
+  * per-file BYTE position after the last complete (newline-terminated) line
+  * consumed, so resume is an O(1) seek, a partial line at EOF (an append in
+  * flight) waits for its newline, and truncation is detectable by
+  * comparison alone. This is a deliberately different shape from both
+  * `graft-kafka` (no broker metadata, no partition dirs, no dense record
+  * offsets) and Spark's built-in file source (which only admits whole new
+  * files and cannot tail a growing one) — the point of the medium is to
+  * prove the offset/guarantee machinery is source-generic.
+  *
+  * Options:
+  *   - `path` (required): the directory to tail;
+  *   - `suffix` (default `.jsonl`): which files participate;
+  *   - `startingOffsets` earliest|latest (first run only; a file that
+  *     APPEARS mid-stream always starts at 0 — the Kafka new-partition
+  *     rule);
+  *   - `maxBytesPerTrigger`: admission cap, distributed proportionally to
+  *     each file's backlog and always cut at a line boundary (the cap may
+  *     be exceeded by at most one line per file — the same
+  *     progress-over-precision rule as graft-kafka's maxOffsetsPerTrigger);
+  *   - `failOnDataLoss` (default true): a checkpointed file that vanished
+  *     or shrank below its checkpoint (its consumed tail was truncated
+  *     away) fails the query; `false` drops the vanished file / resumes the
+  *     shrunken one at its new end of complete data.
+  *
+  * Schema: `(file string, pos long, value string)` — pos is the line's
+  * starting byte offset in its file, so (file, pos) is a stable record id
+  * replays reproduce exactly. Payload typing is schema-on-read
+  * (`from_json` downstream), the reference's serde philosophy.
+  *
+  * Scale shape: one Spark input partition per file slice per micro-batch —
+  * parallelism is the file count, exactly the "one partition per
+  * topic-partition" contract; a production layout shards the stream over
+  * many files the way a topic shards over partitions. The driver never
+  * reads data: per trigger it stats each file plus at most one 64 KiB
+  * boundary probe per capped file.
+  */
+class GraftJsonlProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-jsonl"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = GraftJsonl.schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftJsonlTable(new CaseInsensitiveStringMap(properties))
+}
+
+object GraftJsonl {
+  val schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+
+  def dir(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-jsonl requires the 'path' option (directory to tail)")
+    p
+  }
+
+  /** Participating files, name-sorted for deterministic planning order. */
+  def listFiles(dir: String, suffix: String): Seq[File] = {
+    val d = new File(dir)
+    require(d.isDirectory, s"graft-jsonl path is not a directory: $dir")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(suffix))
+      .sortBy(_.getName).toSeq
+  }
+
+  /** Byte position after the file's last complete line: the file length if
+    * it ends in '\n', else the position after the last '\n' (a partial
+    * append stays invisible until terminated — tail semantics). Backward
+    * chunk scan from EOF; 0 if the file has no newline at all.
+    */
+  def completeLength(f: File): Long = {
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      val len = raf.length()
+      if (len == 0L) return 0L
+      raf.seek(len - 1)
+      if (raf.read() == '\n') return len
+      lastNewlineBefore(raf, len).map(_ + 1).getOrElse(0L)
+    } finally raf.close()
+  }
+
+  /** Highest position p < limit with byte '\n' at p, scanning backward in
+    * 64 KiB chunks; None if no newline exists before `limit`.
+    */
+  private def lastNewlineBefore(raf: RandomAccessFile, limit: Long): Option[Long] = {
+    val chunk = new Array[Byte](64 * 1024)
+    var hi = limit
+    while (hi > 0L) {
+      val lo = math.max(0L, hi - chunk.length)
+      val n = (hi - lo).toInt
+      raf.seek(lo)
+      raf.readFully(chunk, 0, n)
+      var i = n - 1
+      while (i >= 0) {
+        if (chunk(i) == '\n') return Some(lo + i)
+        i -= 1
+      }
+      hi = lo
+    }
+    None
+  }
+
+  /** First position p >= from with byte '\n' at p, forward 64 KiB chunks;
+    * None if the rest of the file has none.
+    */
+  private def firstNewlineFrom(raf: RandomAccessFile, from: Long): Option[Long] = {
+    val chunk = new Array[Byte](64 * 1024)
+    val len = raf.length()
+    var lo = from
+    while (lo < len) {
+      val n = math.min(chunk.length.toLong, len - lo).toInt
+      raf.seek(lo)
+      raf.readFully(chunk, 0, n)
+      var i = 0
+      while (i < n) {
+        if (chunk(i) == '\n') return Some(lo + i)
+        i += 1
+      }
+      lo += n
+    }
+    None
+  }
+
+  /** Largest line-boundary end in (from, target]; if the first line starting
+    * at `from` already overruns `target`, extend to its terminating newline
+    * instead (progress guarantee — the admission cap yields, never starves).
+    * `from` and the result are both positions AFTER a '\n' (or 0/EOF).
+    */
+  def lineBoundaryNear(f: File, from: Long, target: Long): Long = {
+    val raf = new RandomAccessFile(f, "r")
+    try {
+      lastNewlineBefore(raf, math.min(target, raf.length())) match {
+        case Some(p) if p >= from => p + 1
+        case _ =>
+          firstNewlineFrom(raf, math.max(from, target)) match {
+            case Some(p) => p + 1
+            case None    => from // no complete line yet — no progress to make
+          }
+      }
+    } finally raf.close()
+  }
+
+  /** Append lines (adding the terminating '\n' each) to `dir/name` — the
+    * producer util the chaos/roundtrip harnesses write through. Appends are
+    * sequential per call; callers provide cross-call ordering.
+    */
+  def append(dir: String, name: String, lines: Seq[String]): Unit = {
+    val f = new File(dir, name)
+    val out = new java.io.FileOutputStream(f, true)
+    try {
+      val sb = new StringBuilder
+      lines.foreach { l =>
+        require(!l.contains('\n'), "a JSONL record must be newline-free")
+        sb.append(l).append('\n')
+      }
+      out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
+    } finally out.close()
+  }
+}
+
+/** Streaming offset: per-file byte position after the last consumed complete
+  * line, serialized as sorted JSON `{"a.jsonl":123,"b.jsonl":0}`.
+  */
+case class GraftJsonlOffset(positions: Map[String, Long]) extends Offset {
+  override def json(): String =
+    positions.toSeq.sortBy(_._1)
+      .map { case (f, p) => s""""${f}":$p""" }.mkString("{", ",", "}")
+}
+
+object GraftJsonlOffset {
+  def fromJson(s: String): GraftJsonlOffset = {
+    val entry = """"([^"]+)"\s*:\s*([0-9]+)""".r
+    GraftJsonlOffset(entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toLong).toMap)
+  }
+}
+
+class GraftJsonlTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft-jsonl(${GraftJsonl.dir(options)})"
+  override def schema(): StructType = GraftJsonl.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftJsonlScan(scanOptions)
+    }
+}
+
+class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
+  private val dir = GraftJsonl.dir(options)
+  private val suffix = options.getOrDefault("suffix", ".jsonl")
+
+  override def readSchema(): StructType = GraftJsonl.schema
+
+  /** Batch read: the complete-line snapshot of every file at planning time. */
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftJsonl.listFiles(dir, suffix).map { f =>
+        GraftJsonlInputPartition(f.getPath, f.getName, 0L, GraftJsonl.completeLength(f)): InputPartition
+      }.toArray
+    override def createReaderFactory(): PartitionReaderFactory = new GraftJsonlReaderFactory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftJsonlMicroBatchStream(dir, suffix,
+      startAtLatest = options.getOrDefault("startingoffsets", "earliest")
+        .equalsIgnoreCase("latest"),
+      failOnDataLoss = options.getBoolean("failondataloss", true),
+      maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map(_.toLong))
+}
+
+class GraftJsonlMicroBatchStream(
+    dir: String,
+    suffix: String,
+    startAtLatest: Boolean,
+    failOnDataLoss: Boolean,
+    maxBytesPerTrigger: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def files: Seq[File] = GraftJsonl.listFiles(dir, suffix)
+
+  override def initialOffset(): Offset =
+    GraftJsonlOffset(files.map { f =>
+      f.getName -> (if (startAtLatest) GraftJsonl.completeLength(f) else 0L)
+    }.toMap)
+
+  override def deserializeOffset(json: String): Offset = GraftJsonlOffset.fromJson(json)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("latestOffset(Offset, ReadLimit) is used")
+
+  /** End-of-complete-data per file, capped to ~maxBytesPerTrigger of new
+    * bytes distributed proportionally to each file's backlog, every cut on
+    * a line boundary. A file in the checkpoint but no longer on disk keeps
+    * its checkpointed position here — loss handling is planInputPartitions'
+    * job, where failOnDataLoss decides.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startPos = start.asInstanceOf[GraftJsonlOffset].positions
+    val fs = files
+    val complete = fs.map(f => f.getName -> GraftJsonl.completeLength(f)).toMap
+    def startOf(name: String): Long = startPos.getOrElse(name, 0L)
+    val ends: Map[String, Long] = maxBytesPerTrigger match {
+      case Some(cap) =>
+        val backlog = fs.map(f => f -> math.max(0L, complete(f.getName) - startOf(f.getName)))
+        val total = backlog.map(_._2).sum
+        if (total <= cap) complete
+        else {
+          val scale = cap.toDouble / total
+          backlog.map { case (f, b) =>
+            val name = f.getName
+            if (b == 0L) name -> complete(name)
+            else {
+              val share = math.max(1L, math.floor(b * scale).toLong)
+              name -> GraftJsonl.lineBoundaryNear(f, startOf(name), startOf(name) + share)
+            }
+          }.toMap
+        }
+      case None => complete
+    }
+    // keep checkpointed-but-vanished files' positions: dropping them here
+    // would silently forget the loss failOnDataLoss=true must report
+    val vanished = startPos.view.filterKeys(!ends.contains(_)).toMap
+    GraftJsonlOffset(ends ++ vanished)
+  }
+
+  override def reportLatestOffset(): Offset =
+    GraftJsonlOffset(files.map(f => f.getName -> GraftJsonl.completeLength(f)).toMap)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val startPos = start.asInstanceOf[GraftJsonlOffset].positions
+    val endPos = end.asInstanceOf[GraftJsonlOffset].positions
+    val out = ArrayBuffer.empty[InputPartition]
+    endPos.toSeq.sortBy(_._1).foreach { case (name, until) =>
+      val f = new File(dir, name)
+      val from = startPos.getOrElse(name, 0L) // appeared mid-stream: earliest
+      if (!f.isFile) {
+        if (failOnDataLoss)
+          throw new IllegalStateException(
+            s"data loss detected on $name: file vanished with ${until - from} unread bytes " +
+              "checkpointed. Set failOnDataLoss=false to drop it and continue.")
+        // else: drop the file from the plan
+      } else {
+        val len = f.length()
+        if (len < from) {
+          if (failOnDataLoss)
+            throw new IllegalStateException(
+              s"data loss detected on $name: consumed through byte $from but the file now has " +
+                s"only $len bytes (truncated). Set failOnDataLoss=false to resume at the new " +
+                "end of complete data.")
+          // truncated tail: nothing to read until the file regrows past its
+          // checkpoint; re-appended bytes arrive as new records
+        } else if (until > from) {
+          out += GraftJsonlInputPartition(f.getPath, name, from, math.min(until, len))
+        }
+      }
+    }
+    out.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftJsonlReaderFactory
+  override def commit(end: Offset): Unit = () // progress lives in Spark's checkpoint
+  override def stop(): Unit = ()
+}
+
+/** One Spark partition per file slice. */
+case class GraftJsonlInputPartition(path: String, name: String, from: Long, until: Long)
+  extends InputPartition
+
+class GraftJsonlReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftJsonlInputPartition]
+    new PartitionReader[InternalRow] {
+      private val raf = new RandomAccessFile(p.path, "r")
+      raf.seek(p.from)
+      private val in = new java.io.BufferedInputStream(
+        java.nio.channels.Channels.newInputStream(raf.getChannel), 64 * 1024)
+      private var pos = p.from
+      private var linePos = 0L
+      private var line: Array[Byte] = _
+      private val buf = new java.io.ByteArrayOutputStream(256)
+
+      override def next(): Boolean = {
+        if (pos >= p.until) return false
+        linePos = pos
+        buf.reset()
+        var b = in.read()
+        while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
+        if (b == -1) return false // incomplete tail line: wait for its newline
+        pos += buf.size() + 1
+        line = buf.toByteArray
+        true
+      }
+
+      override def get(): InternalRow = {
+        // strip a trailing '\r' so CRLF corpora read identically to LF ones
+        val n = if (line.nonEmpty && line(line.length - 1) == '\r') line.length - 1 else line.length
+        InternalRow(
+          UTF8String.fromString(p.name),
+          linePos,
+          UTF8String.fromBytes(line, 0, n))
+      }
+
+      override def close(): Unit = raf.close()
+    }
+  }
+}

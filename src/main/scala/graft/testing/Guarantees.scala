@@ -166,15 +166,34 @@ final class GuaranteeSuite private[testing] (val id: String) extends Serializabl
       pipeline: DataFrame => DataFrame = identity): Unit = {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val checkpoint =
-      java.nio.file.Files.createTempDirectory("graft-guarantee-ckpt").toString
     val in =
       org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(String, Long)]
+    chaosTestOver(spark, new ChaosMedium {
+      val checkpoint = java.nio.file.Files.createTempDirectory("graft-guarantee-ckpt").toString
+      def write(spark: SparkSession, tasks: Seq[(String, Long)]): Unit = { in.addData(tasks); () }
+      def read(spark: SparkSession): DataFrame = in.toDF().toDF("key", "id")
+    }, nKeys, total, partitions)(pipeline)
+  }
+
+  /** [[chaosTest]] over a pluggable medium: the SAME chaos scenario — kill
+    * mid-stream, produce while down, restart from the checkpoint, assert
+    * every guarantee — against whatever source/sink pair the medium wires
+    * up. The checkers never see the medium; running one scenario over
+    * `graft-kafka`, `graft-jsonl` and MemoryStream is the proof that the
+    * offset/guarantee machinery is source-generic.
+    */
+  def chaosTestOver(
+      spark: SparkSession,
+      medium: ChaosMedium,
+      nKeys: Int = 10,
+      total: Int = 400,
+      partitions: Int = 4)(
+      pipeline: DataFrame => DataFrame = identity): Unit = {
     val self = this
 
     def mkQuery() =
-      in.toDF().toDF("key", "id").writeStream
-        .option("checkpointLocation", checkpoint)
+      medium.read(spark).writeStream
+        .option("checkpointLocation", medium.checkpoint)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           pipeline(batch)
             .repartition(partitions, col("key"))
@@ -186,27 +205,86 @@ final class GuaranteeSuite private[testing] (val id: String) extends Serializabl
           ()
         }.start()
 
-    def tasks(from: Int, until: Int): Seq[(String, Long)] =
-      (from until until).map { i =>
+    def produce(from: Int, until: Int): Unit = {
+      val tasks = (from until until).map { i =>
         val t = (s"key-${i % nKeys}", i.toLong)
         recordProduce(t._1, t._2)
         t
       }
+      medium.write(spark, tasks)
+    }
 
     val phase1 = total * 3 / 8
     val phase2 = total * 3 / 4
     var q = mkQuery()
-    in.addData(tasks(0, phase1))
+    produce(0, phase1)
     q.processAllAvailable()
     // chaos: kill mid-stream, enqueue while down, restart from checkpoint
     q.stop()
-    in.addData(tasks(phase1, phase2))
+    produce(phase1, phase2)
     q = mkQuery()
-    in.addData(tasks(phase2, total))
+    produce(phase2, total)
     q.processAllAvailable()
     q.stop()
 
     assertAll()
+  }
+}
+
+/** A produce/consume medium for [[GuaranteeSuite.chaosTestOver]]: `write`
+  * persists keyed tasks preserving per-key order (sequence order IS the
+  * production order the ordering checker verifies), `read` opens the
+  * matching streaming frame with `key` (string) and `id` (long) columns,
+  * and `checkpoint` stays stable across the scenario's restart.
+  */
+trait ChaosMedium {
+  def checkpoint: String
+  def write(spark: SparkSession, tasks: Seq[(String, Long)]): Unit
+  def read(spark: SparkSession): DataFrame
+}
+
+object ChaosMedium {
+  /** Tasks through a `graft-kafka` topic: the sink's key-hash routing keeps
+    * per-key production order per partition; `id` rides the value bytes.
+    */
+  def kafka(root: String, topic: String, nPartitions: Int): ChaosMedium = new ChaosMedium {
+    graft.sources.kafkalike.BrokerLog.createTopic(root, topic, nPartitions)
+    val checkpoint: String =
+      java.nio.file.Files.createTempDirectory("graft-chaos-kafka-ckpt").toString
+    def write(spark: SparkSession, tasks: Seq[(String, Long)]): Unit =
+      // driver-side sequential produce in sequence order: the sink's
+      // key-hash routing sends a key to one partition, appends in order
+      tasks.foreach { case (k, id) =>
+        graft.sources.kafkalike.BrokerLog.produce(root, topic,
+          math.floorMod(scala.util.hashing.MurmurHash3.stringHash(k), nPartitions),
+          graft.sources.kafkalike.BrokerLog.Record(
+            k.getBytes("UTF-8"), id.toString.getBytes("UTF-8"), 1704067200000L + id, Seq.empty))
+      }
+    def read(spark: SparkSession): DataFrame =
+      spark.readStream.format("graft-kafka")
+        .option("root", root).option("subscribe", topic).load()
+        .select(col("key").cast("string").as("key"),
+          col("value").cast("string").cast("long").as("id"))
+  }
+
+  /** Tasks through a `graft-jsonl` directory: key-hash routing to one of
+    * `nFiles` append-only segments (a key always lands in the same file, so
+    * per-key line order is production order), payload as a JSON object.
+    */
+  def jsonl(dir: String, nFiles: Int): ChaosMedium = new ChaosMedium {
+    val checkpoint: String =
+      java.nio.file.Files.createTempDirectory("graft-chaos-jsonl-ckpt").toString
+    def write(spark: SparkSession, tasks: Seq[(String, Long)]): Unit =
+      tasks.groupBy { case (k, _) =>
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(k), nFiles)
+      }.toSeq.sortBy(_._1).foreach { case (f, ts) =>
+        graft.sources.jsonl.GraftJsonl.append(dir, f"part-$f%03d.jsonl",
+          ts.map { case (k, id) => s"""{"key":"$k","id":$id}""" })
+      }
+    def read(spark: SparkSession): DataFrame =
+      spark.readStream.format("graft-jsonl").option("path", dir).load()
+        .select(get_json_object(col("value"), "$.key").as("key"),
+          get_json_object(col("value"), "$.id").cast("long").as("id"))
   }
 }
 

@@ -1,0 +1,169 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.jsonl.GraftJsonl
+
+/** The `graft-jsonl` directory-tail DSv2 source driven through real
+  * `spark.read`/`readStream` calls: complete-line snapshots, tail growth
+  * across triggers, partial-line invisibility, byte-cap admission on line
+  * boundaries, checkpoint resume, mid-stream file discovery, and
+  * truncation/vanish handling under both failOnDataLoss settings.
+  */
+object GraftJsonlSourceSpec {
+  // (batchId, file, pos, value) per delivered record
+  val delivered = new ConcurrentLinkedQueue[(Long, String, Long, String)]()
+  def reset(): Unit = delivered.clear()
+}
+
+class GraftJsonlSourceSpec extends SparkTestBase {
+
+  private def freshDir(): String = Files.createTempDirectory("graft-jsonl-spec").toString
+
+  private def startTail(dir: String, ckpt: String, extra: Map[String, String] = Map.empty) = {
+    var r = spark.readStream.format("graft-jsonl").option("path", dir)
+    extra.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.collect().foreach(r => GraftJsonlSourceSpec.delivered.add(
+          (id, r.getAs[String]("file"), r.getAs[Long]("pos"), r.getAs[String]("value"))))
+        ()
+      }.start()
+  }
+
+  test("batch read: complete lines only, stable (file, pos) ids, CRLF stripped") {
+    val dir = freshDir()
+    GraftJsonl.append(dir, "a.jsonl", Seq("""{"k":1}""", """{"k":2}"""))
+    // a CRLF line and a PARTIAL (unterminated) trailing line
+    val out = new FileOutputStream(new File(dir, "b.jsonl"), true)
+    out.write("{\"k\":3}\r\n{\"k\":4".getBytes("UTF-8"))
+    out.close()
+    new File(dir, "ignored.txt").createNewFile() // wrong suffix: not a segment
+    val rows = spark.read.format("graft-jsonl").option("path", dir).load()
+      .orderBy("file", "pos").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.toSeq == Seq(
+      ("a.jsonl", 0L, """{"k":1}"""),
+      ("a.jsonl", 8L, """{"k":2}"""),
+      ("b.jsonl", 0L, """{"k":3}""")), // CR stripped, partial k:4 invisible
+      s"got ${rows.toSeq}")
+  }
+
+  test("tailing: appends and new files arrive across triggers; resume is exact") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-jsonl-ckpt").toString
+    GraftJsonl.append(dir, "s0.jsonl", (0 until 5).map(i => s"""{"i":$i}"""))
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, ckpt)
+    try {
+      q.processAllAvailable()
+      assert(GraftJsonlSourceSpec.delivered.size == 5)
+      // append to the existing file AND drop a brand-new file mid-stream
+      GraftJsonl.append(dir, "s0.jsonl", Seq("""{"i":5}"""))
+      GraftJsonl.append(dir, "s1.jsonl", Seq("""{"i":100}"""))
+      q.processAllAvailable()
+      val got = GraftJsonlSourceSpec.delivered.asScala.toVector
+      assert(got.size == 7, s"append + new file must both arrive, got $got")
+      assert(got.exists(r => r._2 == "s1.jsonl" && r._4 == """{"i":100}"""))
+    } finally q.stop()
+
+    // restart from checkpoint: only post-stop appends arrive
+    GraftJsonl.append(dir, "s0.jsonl", Seq("""{"i":6}"""))
+    GraftJsonlSourceSpec.reset()
+    val q2 = startTail(dir, ckpt)
+    try {
+      q2.processAllAvailable()
+      val got = GraftJsonlSourceSpec.delivered.asScala.toVector
+      assert(got.map(_._4) == Vector("""{"i":6}"""),
+        s"resume must deliver exactly the new lines, got $got")
+    } finally q2.stop()
+  }
+
+  test("maxBytesPerTrigger: backlog drains over several line-boundary batches") {
+    val dir = freshDir()
+    // two files, 10 lines each, every line 10 bytes ('{"i":NNN}\n')
+    (0 until 2).foreach(f =>
+      GraftJsonl.append(dir, s"f$f.jsonl", (100 until 110).map(i => s"""{"i":$i}""")))
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, Files.createTempDirectory("graft-jsonl-cap").toString,
+      Map("maxBytesPerTrigger" -> "40"))
+    try {
+      q.processAllAvailable()
+      val got = GraftJsonlSourceSpec.delivered.asScala.toVector
+      assert(got.size == 20, s"all 20 lines must arrive, got ${got.size}")
+      val byBatch = got.groupBy(_._1).toSeq.sortBy(_._1)
+      assert(byBatch.size >= 4,
+        s"200 bytes under a 40-byte cap needs >= 5 batches, got ${byBatch.size}")
+      // every record intact (no mid-line splits) and positions dense per file
+      assert(got.forall(_._4.matches("""\{"i":1\d\d\}""")), s"torn line in $got")
+      Seq("f0.jsonl", "f1.jsonl").foreach { f =>
+        val poss = got.filter(_._2 == f).sortBy(_._1).map(_._3)
+        assert(poss == (0 until 10).map(_ * 10L).toVector, s"$f positions: $poss")
+      }
+    } finally q.stop()
+  }
+
+  test("truncation and deletion: failOnDataLoss=true fails, =false resumes") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-jsonl-loss").toString
+    GraftJsonl.append(dir, "t.jsonl", (0 until 4).map(i => s"""{"i":$i}"""))
+    GraftJsonl.append(dir, "gone.jsonl", Seq("""{"i":9}"""))
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, ckpt)
+    try { q.processAllAvailable(); assert(GraftJsonlSourceSpec.delivered.size == 5) }
+    finally q.stop()
+
+    // truncate t.jsonl below its checkpoint and delete gone.jsonl
+    val ch = new java.io.FileOutputStream(new File(dir, "t.jsonl"), true).getChannel
+    ch.truncate(10L); ch.close()
+    assert(new File(dir, "gone.jsonl").delete())
+
+    // strict mode: the restarted query dies with a data-loss error
+    val qStrict = startTail(dir, ckpt)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qStrict.processAllAvailable()
+    }
+    assert(e.getCause.getMessage.contains("data loss"), s"got: ${e.getCause.getMessage}")
+    qStrict.stop()
+
+    // permissive mode: drops the vanished file, waits out the truncation,
+    // and delivers bytes re-appended past the checkpoint as new records
+    GraftJsonlSourceSpec.reset()
+    val qLoose = startTail(dir, ckpt, Map("failOnDataLoss" -> "false"))
+    try {
+      qLoose.processAllAvailable()
+      assert(GraftJsonlSourceSpec.delivered.isEmpty,
+        "nothing to read until the truncated file regrows")
+      GraftJsonl.append(dir, "t.jsonl", (100 until 104).map(i => s"""{"i":$i}"""))
+      qLoose.processAllAvailable()
+      val got = GraftJsonlSourceSpec.delivered.asScala.toVector
+      // the file regrew from byte 10; reading resumes at the checkpointed
+      // byte 40, which lands mid-regrown-data — records from there on
+      assert(got.nonEmpty && got.forall(_._2 == "t.jsonl"),
+        s"regrown records must flow again, got $got")
+    } finally qLoose.stop()
+  }
+
+  test("startingOffsets=latest skips the existing backlog, then tails") {
+    val dir = freshDir()
+    GraftJsonl.append(dir, "z.jsonl", (0 until 5).map(i => s"""{"i":$i}"""))
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, Files.createTempDirectory("graft-jsonl-latest").toString,
+      Map("startingOffsets" -> "latest"))
+    try {
+      q.processAllAvailable()
+      assert(GraftJsonlSourceSpec.delivered.isEmpty, "backlog must be skipped")
+      GraftJsonl.append(dir, "z.jsonl", Seq("""{"i":99}"""))
+      q.processAllAvailable()
+      assert(GraftJsonlSourceSpec.delivered.asScala.map(_._4).toVector == Vector("""{"i":99}"""))
+    } finally q.stop()
+  }
+}
