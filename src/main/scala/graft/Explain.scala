@@ -16,7 +16,7 @@ object Explain {
     */
   final case class PlanFacts(
       pushedFilters: Boolean, broadcastJoins: Int, codegenSpans: Int, wideReads: Int,
-      exchanges: Int, reusedExchanges: Int = 0)
+      exchanges: Int, reusedExchanges: Int = 0, globalWindows: Int = 0)
 
   def audit(df: org.apache.spark.sql.DataFrame): PlanFacts = {
     val plan = df.queryExecution.explainString(
@@ -50,7 +50,19 @@ object Explain {
         withoutId.size
     val reused = simplePlan.linesIterator.count(l =>
       l.contains("ReusedExchange") && !l.contains("BroadcastExchange"))
-    PlanFacts(pushed, broadcasts, codegenSpans, fullScans, exchanges, reused)
+    // UNPARTITIONED window operators — the "Moving all data to a single
+    // partition" shape that is a scale-killer over data-sized frames. A few
+    // sites are SANCTIONED (a global cumulative window over bounded
+    // METADATA: distinct scores, top-N terms); PlanAuditSpec pins exactly
+    // which queries may carry how many, so an accidental one fails the
+    // build instead of hiding among the sanctioned warnings.
+    val globalWindows = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty => w
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if g.partitionSpec.isEmpty => g
+    }.size
+    PlanFacts(pushed, broadcasts, codegenSpans, fullScans, exchanges, reused, globalWindows)
   }
 
   /** One PLANS.md fact line per registered query. `spark` must have AQE off
@@ -60,7 +72,8 @@ object Explain {
     names.map { name =>
       val f = audit(SparkEntry.queries(name)(spark, sfDir))
       s"$name pushedFilters=${f.pushedFilters} broadcastJoins=${f.broadcastJoins} " +
-        s"codegenSpans=${f.codegenSpans} wideReads=${f.wideReads} shuffles=${f.exchanges}"
+        s"codegenSpans=${f.codegenSpans} wideReads=${f.wideReads} shuffles=${f.exchanges}" +
+        (if (f.globalWindows > 0) s" globalWindows=${f.globalWindows}" else "")
     }
 
   /** Plan facts for the TWO phases of one connected-components round
@@ -115,9 +128,12 @@ object Explain {
          |
          |Per query: predicate pushdown into the parquet scan, broadcast-join count
          |(each join appears twice in formatted output), whole-stage codegen spans,
-         |wide scans (reads of >400-char schemas, i.e. un-pruned columns), and the
+         |wide scans (reads of >400-char schemas, i.e. un-pruned columns), the
          |DATA-shuffle count (Exchange operators excluding broadcast distribution —
-         |the number that has to stay flat as the data grows 1000×).
+         |the number that has to stay flat as the data grows 1000×), and any
+         |UNPARTITIONED windows (globalWindows; only printed when nonzero — each
+         |is a sanctioned bounded-metadata cumulative/rank window, pinned query
+         |by query in PlanAuditSpec's allowlist).
          |Regenerated automatically at the end of every `graft.Bench` run; manual:
          |`sbt "runMain graft.Explain $sfDir"`. These properties are enforced in CI
          |by `PlanAuditSpec` — a lost pushdown, broadcast, or codegen span fails
@@ -146,7 +162,8 @@ object Explain {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val f = audit(df)
       println(s"==== $name pushedFilters=${f.pushedFilters} broadcastJoins=${f.broadcastJoins} " +
-        s"codegenSpans=${f.codegenSpans} wideReads=${f.wideReads} shuffles=${f.exchanges}")
+        s"codegenSpans=${f.codegenSpans} wideReads=${f.wideReads} shuffles=${f.exchanges}" +
+        (if (f.globalWindows > 0) s" globalWindows=${f.globalWindows}" else ""))
       if (sys.env.get("GRAFT_EXPLAIN_FULL").contains("1"))
         println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     }

@@ -146,6 +146,27 @@ class PlanAuditSpec extends SparkTestBase {
     */
   private val localResidue = Set("pq23_dedup_clusters", "pq50_knn_mmr")
 
+  /** UNPARTITIONED-window allowlist: the only sanctioned global windows are
+    * cumulative/rank windows over bounded METADATA frames, never over the
+    * corpus —
+    *   - `Calibrate.calibratedFilter` (quality/Calibrate.scala): cumulative
+    *     count over the DISTINCT integer scores (≤ a few thousand rows) to
+    *     derive the keep threshold — carried by pq57 and, through the mix
+    *     pipelines' gate stage, pq60/pq64/pq74;
+    *   - `CorpusStats.zipfFit` (quality/CorpusStats.scala): rank over the
+    *     already-TakeOrdered top-N terms (N ≤ hundreds) — pq59.
+    * Every other registered query must have ZERO: a global window over a
+    * data-sized frame is the canonical accidental scale-killer ("Moving all
+    * data to a single partition"), and before this list it was
+    * indistinguishable from the sanctioned sites in a warning sweep.
+    */
+  private val globalWindowAllow = Map(
+    "pq57_calibrated_quality" -> 1,
+    "pq59_zipf_fit" -> 1,
+    "pq60_training_mix" -> 1,
+    "pq64_incremental_mix" -> 1,
+    "pq74_scrub_mix" -> 1)
+
   test("every registered query keeps its pushdown/broadcast/codegen plan shape") {
     // static audit needs AQE off so pre-execution plans carry codegen ids
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
@@ -168,7 +189,11 @@ class PlanAuditSpec extends SparkTestBase {
           (f.broadcastJoins >= mustBroadcast.getOrElse(name, 0)) ->
             s"$name broadcasts ${f.broadcastJoins} < expected ${mustBroadcast.getOrElse(name, 0)}",
           (f.exchanges <= maxShuffles.getOrElse(name, Int.MaxValue)) ->
-            s"$name shuffles ${f.exchanges} > budget ${maxShuffles.getOrElse(name, 0)} — an Exchange crept in"
+            s"$name shuffles ${f.exchanges} > budget ${maxShuffles.getOrElse(name, 0)} — an Exchange crept in",
+          (f.globalWindows <= globalWindowAllow.getOrElse(name, 0)) ->
+            (s"$name has ${f.globalWindows} unpartitioned window(s), allowed " +
+              s"${globalWindowAllow.getOrElse(name, 0)} — a single-partition sort over " +
+              "data-sized input crept in (only bounded-metadata windows are sanctioned)")
         ).collect { case (false, msg) => msg }
       }
       assert(failures.isEmpty, failures.mkString("\n"))
