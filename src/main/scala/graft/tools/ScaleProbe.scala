@@ -1,0 +1,165 @@
+package graft.tools
+
+import java.util.concurrent.atomic.LongAdder
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Scale-SHAPE probe (VERDICT r10 "what's missing" #4): turns the "100 TB by
+  * construction" argument into a measured curve. Runs the most expensive
+  * flagship queries at sf0.01 and sf0.1 — a 10× row-count step — capturing
+  * wall time and the executor-truth byte counters (input read, shuffle
+  * write, shuffle read, disk spill) from task metrics, then checks the
+  * property the plan audits only assert statically:
+  *
+  *   **shuffle AMPLIFICATION (shuffle bytes / input bytes) must stay ~flat
+  *   across the 10× step.** Flat amplification is what linear-in-data cost
+  *   looks like from the wire: every shuffle in the plan carries a
+  *   per-row-bounded projection (hashes, ids, integer scores), so 10× rows
+  *   may move ~10× bytes — but a SUPER-linear ratio (an accidental
+  *   all-pairs join, a corpus-sized window, a collect-shaped agg) multiplies
+  *   amplification itself and fails the probe.
+  *
+  * Exit code 1 if any query's amplification grows by more than
+  * [[AmplificationSlack]]× (or its shuffle bytes grow more than
+  * [[BytesRatioMax]]× — super-linear even if input metrics drift) across
+  * the step. Writes SCALE_PROBE.json (committed per round beside
+  * BENCH_SELF.json).
+  *
+  * Wall-clock ratios are reported but NOT asserted: at these scales fixed
+  * per-query costs (planning, codegen, task dispatch) still dominate
+  * seconds-long runs and a time ratio well under 10 is expected; bytes are
+  * the honest scale signal this probe exists to pin.
+  *
+  * Usage: runMain graft.tools.ScaleProbe [sfSmallDir sfBigDir]
+  */
+object ScaleProbe {
+
+  /** Amplification may grow this much across the 10× step before the probe
+    * fails (covers footer/metadata noise and AQE plan drift at small SF).
+    */
+  val AmplificationSlack = 2.0
+  /** And shuffle bytes may grow at most this much on a 10× data step. */
+  val BytesRatioMax = 20.0
+  /** The amplification check needs a meaningful denominator: below this
+    * input size (both SFs) the ratio is footer/metadata noise — e.g. a
+    * pushdown-pruned scan reads KBs and a fixed 100 KB of shuffled
+    * signatures reads as amplification 30 — and only the absolute
+    * shuffle-bytes growth bound applies.
+    */
+  val InputFloorMb = 0.5
+
+  /** The probe set: the three mix flagships (the deepest compositions in
+    * the library), the banded-LSH pair query (the dedup family's shuffle
+    * shape), and the full quantized ANN stack.
+    */
+  val ProbeQueries: Seq[String] = Seq(
+    "pq74_scrub_mix", "pq64_incremental_mix", "pq60_training_mix",
+    "pq03_lsh_pairs", "pq35_knn_quantized_stack")
+
+  final case class Sample(
+      sec: Double, inputMb: Double, shuffleWriteMb: Double,
+      shuffleReadMb: Double, spillMb: Double) {
+    def amplification: Double = if (inputMb == 0) 0.0 else shuffleWriteMb / inputMb
+  }
+
+  /** Executor-truth byte counters over everything run inside `body`. */
+  private final class MetricsTap extends SparkListener {
+    val input = new LongAdder; val sw = new LongAdder
+    val sr = new LongAdder; val spill = new LongAdder
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        input.add(m.inputMetrics.bytesRead)
+        sw.add(m.shuffleWriteMetrics.bytesWritten)
+        sr.add(m.shuffleReadMetrics.totalBytesRead)
+        spill.add(m.diskBytesSpilled)
+      }
+    }
+  }
+
+  private def runOne(spark: SparkSession, name: String, sfDir: String): Sample = {
+    // cold slate per sample: the mix flagships persist their scored stage,
+    // and a warm stage cache would hide the dominant shuffles
+    graft.pipeline.Curation.releaseStageCaches(blocking = true)
+    spark.catalog.clearCache()
+    val tap = new MetricsTap
+    spark.sparkContext.addSparkListener(tap)
+    val t0 = System.nanoTime()
+    try {
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } finally {
+      // listener bus is async (and its drain API is private): poll until the
+      // counters stop moving before reading them
+      def snap() = (tap.input.sum(), tap.sw.sum(), tap.sr.sum(), tap.spill.sum())
+      var prev = snap()
+      var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val cur = snap()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      spark.sparkContext.removeSparkListener(tap)
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    def mb(a: LongAdder) = a.sum() / 1048576.0
+    Sample(sec, mb(tap.input), mb(tap.sw), mb(tap.sr), mb(tap.spill))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.01")
+    val big = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one untimed pass at the small SF: plan compilation out of the window
+    ProbeQueries.foreach { n =>
+      SparkEntry.queries(n)(spark, small).write.format("noop").mode("overwrite").save()
+    }
+
+    val rows = ProbeQueries.map { n =>
+      val s1 = runOne(spark, n, small)
+      val s10 = runOne(spark, n, big)
+      val bytesRatio = if (s1.shuffleWriteMb == 0) 1.0 else s10.shuffleWriteMb / s1.shuffleWriteMb
+      val ampMeaningful = s1.inputMb >= InputFloorMb && s10.inputMb >= InputFloorMb
+      val ampRatio =
+        if (!ampMeaningful || s1.amplification == 0) 1.0 else s10.amplification / s1.amplification
+      val ok = ampRatio <= AmplificationSlack && bytesRatio <= BytesRatioMax
+      System.err.println(f"[scale] $n%-28s 1x=${s1.sec}%6.2fs 10x=${s10.sec}%6.2fs " +
+        f"shufWr ${s1.shuffleWriteMb}%8.1f -> ${s10.shuffleWriteMb}%8.1f MB " +
+        f"amp ${s1.amplification}%5.2f -> ${s10.amplification}%5.2f ok=$ok")
+      (n, s1, s10, bytesRatio, ampRatio, ok)
+    }
+
+    def sampleJson(s: Sample) =
+      f"""{"sec":${s.sec}%.3f,"input_mb":${s.inputMb}%.2f,"shuffle_write_mb":${s.shuffleWriteMb}%.2f,""" +
+        f""""shuffle_read_mb":${s.shuffleReadMb}%.2f,"spill_mb":${s.spillMb}%.2f,""" +
+        f""""amplification":${s.amplification}%.4f}"""
+    val qJson = rows.map { case (n, s1, s10, br, ar, ok) =>
+      f""""$n":{"sf_1x":${sampleJson(s1)},"sf_10x":${sampleJson(s10)},""" +
+        f""""time_ratio":${s10.sec / math.max(1e-9, s1.sec)}%.2f,"shuffle_bytes_ratio":$br%.2f,""" +
+        f""""amplification_ratio":$ar%.3f,"linear_ok":$ok}"""
+    }.mkString("{", ",", "}")
+    val allOk = rows.forall(_._6)
+    val json =
+      s"""{"probe":"scale-shape","step":"10x rows ($small -> $big)","amplification_slack":$AmplificationSlack,""" +
+        s""""bytes_ratio_max":$BytesRatioMax,"queries":$qJson,"all_linear":$allOk}"""
+    println(json)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("SCALE_PROBE.json"), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[scale] SCALE_PROBE.json write failed: $e") }
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}
