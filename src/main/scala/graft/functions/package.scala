@@ -70,6 +70,12 @@ package object functions {
   def pq_encode(vec: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     toColumn(graft.plans.PqEncodeExpr(toExpr(vec), cb))
 
+  /** Native dense mat-vec `y = M·x` — the row-local OPQ rotation
+    * (see [[graft.plans.MatVecExpr]]); the matrix rides the plan once.
+    */
+  def mat_vec(vec: Column, mat: Seq[Seq[Double]]): Column =
+    toColumn(graft.plans.MatVecExpr(toExpr(vec), mat))
+
   /** BPE subword tokenization (the true greedy merge loop) → one
     * array<string> of subwords per whitespace word. The merge table is
     * driver-resident vocabulary baked into the expression.

@@ -94,3 +94,66 @@ case class PqEncodeExpr(child: Expression, cb: Seq[Seq[Seq[Double]]])
   override def prettyName: String = "pq_encode"
   override protected def withNewChildInternal(c: Expression): PqEncodeExpr = copy(child = c)
 }
+
+/** Native dense mat-vec `y = M·x` (`y(i) = Σ_j M(i)(j)·x(j)`, left-fold row
+  * dots, floats widened to double first): the row-local rotation that makes
+  * full OPQ ([[graft.similarity.Pq.trainOpq]]) usable at corpus scale — the
+  * d×d matrix rides the plan once (d=64 → 32 KB), each vector pays one
+  * primitive-loop multiply, nothing shuffles. The declarative equivalent
+  * (transform over a matrix literal with a zip_with dot per output dim)
+  * interprets d² lambda evaluations per row; this is the same arithmetic in
+  * flat arrays, eval-bridged to stay inside whole-stage codegen.
+  */
+case class MatVecExpr(child: Expression, mat: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  private val d = mat.size
+  require(mat.forall(_.size == mat.head.size), "mat_vec needs a rectangular matrix")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"mat_vec needs array<float|double>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val isFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val rows: Array[Array[Double]] = mat.map(_.toArray).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val x = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      x(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val y = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      val r = rows(i)
+      val lim = math.min(r.length, n)
+      var acc = 0.0
+      var j = 0
+      while (j < lim) { acc += r(j) * x(j); j += 1 }
+      y(i) = acc
+      i += 1
+    }
+    new GenericArrayData(y)
+  }
+
+  // eval-bridge: shed CodegenFallback so the stage stays fused (the
+  // MinHashSigs pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("matVec", this, classOf[MatVecExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "mat_vec"
+  override protected def withNewChildInternal(c: Expression): MatVecExpr = copy(child = c)
+}

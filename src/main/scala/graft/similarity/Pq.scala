@@ -308,6 +308,229 @@ object Pq {
     (perm, cb)
   }
 
+  /** Apply a dense rotation to a vector column: `y(i) = Σ_j rot(i)(j)·x(j)`,
+    * row-local via the native [[graft.plans.MatVecExpr]] — the d×d matrix
+    * rides the plan once, nothing shuffles. Apply the SAME rotation to
+    * corpus and queries; inner products are rotation-invariant.
+    */
+  def rotateVec(vec: Column, rot: Seq[Seq[Double]]): Column =
+    graft.functions.mat_vec(vec, rot)
+
+  /** [[balancedPermutation]] as a rotation matrix (`rotate(x)(i) =
+    * x(perm(i))`) — the axis-swap member of the orthogonal group, and
+    * [[trainOpq]]'s initialization.
+    */
+  def permutationMatrix(perm: Seq[Int]): Seq[Seq[Double]] =
+    perm.map(p => Seq.tabulate(perm.size)(j => if (j == p) 1.0 else 0.0))
+
+  /** FULL OPQ (Ge et al., "Optimized Product Quantization", CVPR 2013 —
+    * the non-parametric alternating optimization): learn a dense orthogonal
+    * rotation R and codebooks jointly by alternating
+    *   (1) codebooks ← per-subspace k-means over the rotated sample,
+    *   (2) R ← argmin_R Σ‖R·x − recon(code(x))‖² — the orthogonal
+    *       Procrustes solution `R = V·Uᵀ` from the SVD of the
+    *       data×reconstruction correlation `B = Σ x·yᵀ = U·S·Vᵀ`,
+    * initialized from the balanced-variance permutation (the OPQ-lite tier,
+    * so the learned R can only refine it). Where the permutation only
+    * equalizes per-dim variance across subspaces, the learned R also
+    * DECORRELATES dims into the subspace blocks — the remaining recall gap
+    * on anisotropic data (PqSpec pins the lift).
+    *
+    * TRAINING is driver-resident over a bounded id-ascending sample —
+    * `sampleCap` × d doubles, the industry contract for OPQ/k-means
+    * training (FAISS trains on an in-memory sample of ~10⁵ vectors
+    * regardless of index size) and this library's k-means-residency rule.
+    * Everything corpus-scale — [[rotateVec]], [[codesFor]], ADC scoring —
+    * stays distributed and row-local; R and the codebooks ride the plan as
+    * literals. Deterministic end to end: the sample is id-ordered, the
+    * driver loops are sequential, the Jacobi SVD sweeps in fixed order.
+    *
+    * Returns `(rotation, codebooks)`; encode/score with
+    * `rotateVec(vec, rotation)` on BOTH corpus and queries.
+    */
+  def trainOpq(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      m: Int,
+      k: Int,
+      sampleCap: Int,
+      kmIters: Int,
+      opqIters: Int): (Seq[Seq[Double]], Seq[Seq[Seq[Double]]]) = {
+    // bounded driver residency: sampleCap × d doubles (documented contract)
+    val X: Array[Array[Double]] = df
+      .select(idCol.as("id"), transform(vecCol, _.cast("double")).as("v"))
+      .orderBy(col("id")).limit(sampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(X.length >= k, s"sample ${X.length} < k=$k codewords")
+    val d = X.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val w = d / m
+
+    def matvec(r: Array[Array[Double]], x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        val row = r(i)
+        while (j < d) { acc += row(j) * x(j); j += 1 }
+        y(i) = acc; i += 1
+      }
+      y
+    }
+
+    // per-subspace k-means over rotated sample rows (sequential, ties to
+    // the smaller code, empty cluster keeps its centroid — pq39's rules)
+    def kmeans(xr: Array[Array[Double]]): Array[Array[Array[Double]]] = {
+      val cb = Array.tabulate(m, k)((s, c) =>
+        java.util.Arrays.copyOfRange(xr(c), s * w, (s + 1) * w))
+      for (_ <- 1 to kmIters; s <- 0 until m) {
+        val base = s * w
+        val sums = Array.fill(k, w)(0.0)
+        val counts = new Array[Int](k)
+        xr.foreach { x =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < k) {
+            var acc = 0.0; var j = 0
+            while (j < w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t; j += 1 }
+            if (acc < bestD) { best = c; bestD = acc }
+            c += 1
+          }
+          var j = 0
+          while (j < w) { sums(best)(j) += x(base + j); j += 1 }
+          counts(best) += 1
+        }
+        for (c <- 0 until k if counts(c) > 0; j <- 0 until w)
+          cb(s)(c)(j) = sums(c)(j) / counts(c)
+      }
+      cb
+    }
+
+    def reconstruct(cb: Array[Array[Array[Double]]], x: Array[Double]): Array[Double] = {
+      val y = new Array[Double](d)
+      var s = 0
+      while (s < m) {
+        val base = s * w
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var acc = 0.0; var j = 0
+          while (j < w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t; j += 1 }
+          if (acc < bestD) { best = c; bestD = acc }
+          c += 1
+        }
+        System.arraycopy(cb(s)(best), 0, y, base, w)
+        s += 1
+      }
+      y
+    }
+
+    // init: the balanced-variance permutation of the SAMPLE (driver replica
+    // of balancedPermutation's greedy — sequential sums over the id-ordered
+    // sample are deterministic without fixed-point freezing)
+    val perm: Seq[Int] = {
+      val n = X.length.toDouble
+      val variances = (0 until d).map { j =>
+        var sx = 0.0; var sxx = 0.0
+        X.foreach { x => sx += x(j); sxx += x(j) * x(j) }
+        (j, sxx / n - (sx / n) * (sx / n))
+      }
+      val load = Array.fill(m)(0.0); val slots = Array.fill(m)(0)
+      val assigned = Array.fill(m)(List.empty[Int])
+      variances.sortBy { case (dim, v) => (-v, dim) }.foreach { case (dim, v) =>
+        val s = (0 until m).filter(slots(_) < w).minBy(i => (load(i), i))
+        load(s) += v; slots(s) += 1; assigned(s) = dim :: assigned(s)
+      }
+      assigned.toSeq.flatMap(_.sorted)
+    }
+    var r: Array[Array[Double]] =
+      permutationMatrix(perm).map(_.toArray).toArray
+
+    for (_ <- 1 to opqIters) {
+      val xr = X.map(matvec(r, _))
+      val cb = kmeans(xr)
+      val y = xr.map(reconstruct(cb, _))
+      // B(a)(b) = Σ_i x_i(a)·y_i(b); R = V·Uᵀ maximizes tr(R·B)
+      val b = Array.fill(d, d)(0.0)
+      var i = 0
+      while (i < X.length) {
+        val xi = X(i); val yi = y(i)
+        var a = 0
+        while (a < d) {
+          val xa = xi(a); val row = b(a)
+          var bb = 0
+          while (bb < d) { row(bb) += xa * yi(bb); bb += 1 }
+          a += 1
+        }
+        i += 1
+      }
+      Svd.decompose(b).foreach { case (u, v) =>
+        // R = V·Uᵀ
+        val nr = Array.fill(d, d)(0.0)
+        var a = 0
+        while (a < d) {
+          var c = 0
+          while (c < d) {
+            var acc = 0.0; var j = 0
+            while (j < d) { acc += v(a)(j) * u(c)(j); j += 1 }
+            nr(a)(c) = acc; c += 1
+          }
+          a += 1
+        }
+        r = nr
+      } // degenerate correlation (rank-deficient): keep the previous R
+    }
+    val cb = kmeans(X.map(matvec(r, _)))
+    (r.map(_.toSeq).toSeq, cb.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** Mean `‖R·x − recon(code(R·x))‖²` over a bounded id-ascending sample —
+    * the objective [[trainOpq]] minimizes, as a measurable diagnostic
+    * (PqSpec pins that the learned rotation beats the permutation tier on
+    * it). Pass [[permutationMatrix]] (or an identity) to measure a
+    * permutation/plain codebook on the same scale.
+    */
+  def quantizationDistortion(
+      df: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      rot: Seq[Seq[Double]],
+      cb: Seq[Seq[Seq[Double]]],
+      sampleCap: Int): Double = {
+    val X = df.select(idCol.as("id"), transform(vecCol, _.cast("double")).as("v"))
+      .orderBy(col("id")).limit(sampleCap)
+      .collect().map(_.getSeq[Double](1).toArray)
+    val d = rot.size
+    val m = cb.size
+    val w = cb.head.head.size
+    val r = rot.map(_.toArray).toArray
+    val cents = cb.map(_.map(_.toArray).toArray).toArray
+    val k = cents.head.length
+    var total = 0.0
+    X.foreach { x =>
+      val xr = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += r(i)(j) * x(j); j += 1 }
+        xr(i) = acc; i += 1
+      }
+      var s = 0
+      while (s < m) {
+        val base = s * w
+        var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var acc = 0.0; var j = 0
+          while (j < w) { val t = xr(base + j) - cents(s)(c)(j); acc += t * t; j += 1 }
+          if (acc < bestD) bestD = acc
+          c += 1
+        }
+        total += bestD
+        s += 1
+      }
+    }
+    total / X.length
+  }
+
   def train(
       df: DataFrame,
       idCol: Column,

@@ -145,6 +145,89 @@ class PqSpec extends SparkTestBase {
     assert(permI == Pq.balancedPermutation(emb, col("embedding"), 16))
   }
 
+  test("Jacobi SVD reconstructs and orthogonalizes (the OPQ rotation's algebra)") {
+    // fixed non-symmetric matrix with distinct singular values
+    val d = 8
+    val a = Array.tabulate(d, d)((i, j) => math.sin(i * 2.7 + j * 1.3) + (if (i == j) 2.0 else 0.0))
+    val (u, v) = graft.similarity.Svd.decompose(a.map(_.clone())).get
+    def matmulT(x: Array[Array[Double]], y: Array[Array[Double]]) =
+      Array.tabulate(d, d)((i, j) => (0 until d).map(k => x(i)(k) * y(j)(k)).sum)
+    // U, V orthogonal
+    Seq(u, v).foreach { q =>
+      val qqT = matmulT(q, q)
+      for (i <- 0 until d; j <- 0 until d)
+        assert(math.abs(qqT(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-8,
+          s"Q·Qᵀ($i)($j) = ${qqT(i)(j)}")
+    }
+    // A = U·S·Vᵀ with S = Uᵀ·A·V diagonal
+    val s = Array.tabulate(d, d)((i, j) =>
+      (0 until d).map(p => (0 until d).map(q => u(p)(i) * a(p)(q) * v(q)(j)).sum).sum)
+    for (i <- 0 until d; j <- 0 until d if i != j)
+      assert(math.abs(s(i)(j)) < 1e-7, s"S($i)($j) = ${s(i)(j)} not diagonal")
+  }
+
+  test("full OPQ rotation beats the balanced permutation on correlated anisotropic data") {
+    // the OPQ-lite anisotropy PLUS CROSS-SUBSPACE CORRELATION: each dim
+    // mixes in a dim 4 positions over (the next subspace at w=4), so shared
+    // variance straddles every subspace boundary. No axis-aligned
+    // permutation can decorrelate the blocks — the case a learned dense
+    // rotation exists for (Ge et al. §4's correlated-Gaussian argument).
+    val scaled = emb.withColumn("vs",
+      zip_with(col("embedding"), sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x.cast("double") * when(i < 8, lit(8.0)).otherwise(lit(0.25))))
+    val aniso = scaled.withColumn("va",
+      transform(sequence(lit(0), lit(63)), i =>
+        element_at(col("vs"), i + 1) +
+          element_at(col("vs"), pmod(i + lit(4), lit(64)) + 1)))
+    val queries = aniso.filter(col("vec_id") % 50 === 0)
+    val exact = Knn.bruteForceTopK(aniso, queries, "vec_id", "va", k = 10)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      Eval.recallSummary(df, exact).select("macro_recall").as[Double].head()
+    // baseline: the OPQ-lite permutation tier
+    val (perm, balCb) = Pq.trainBalanced(aniso, col("vec_id"), col("va"),
+      m = 16, k = kCodes, seedModulus = 31L, iters = 2)
+    val anisoP = aniso.withColumn("vp", Pq.permuteVec(col("va"), perm))
+    val balanced = recall(Pq.adcTopK(anisoP,
+      anisoP.filter(col("vec_id") % 50 === 0), "vec_id", "vp", balCb, k = 10))
+    // full OPQ: learned dense rotation + codebooks
+    val (rot, opqCb) = Pq.trainOpq(aniso, col("vec_id"), col("va"),
+      m = 16, k = kCodes, sampleCap = 4096, kmIters = 6, opqIters = 15)
+    // R orthogonal: R·Rᵀ = I
+    val d = rot.size
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(p => rot(i)(p) * rot(j)(p)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8,
+        s"R·Rᵀ($i)($j) = $dot — rotation lost orthogonality")
+    }
+    val anisoR = aniso.withColumn("vr", Pq.rotateVec(col("va"), rot))
+    val opq = recall(Pq.adcTopK(anisoR,
+      anisoR.filter(col("vec_id") % 50 === 0), "vec_id", "vr", opqCb, k = 10))
+    info(s"anisotropic raw-ADC recall: balanced-permutation=$balanced full-OPQ=$opq")
+    assert(opq > balanced,
+      s"learned rotation must beat its own permutation init: $opq vs $balanced")
+    // the OBJECTIVE the rotation optimizes — quantization distortion —
+    // shows the real margin where top-10 recall saturates: the learned R
+    // must cut the permutation tier's distortion by a pinned fraction
+    // (measured ~0.34 → ~0.25 on this probe, deterministic end to end)
+    val balDist = Pq.quantizationDistortion(aniso, col("vec_id"), col("va"),
+      Pq.permutationMatrix(perm), balCb, sampleCap = 4096)
+    val opqDist = Pq.quantizationDistortion(aniso, col("vec_id"), col("va"),
+      rot, opqCb, sampleCap = 4096)
+    info(s"quantization distortion: permutation=$balDist full-OPQ=$opqDist")
+    assert(opqDist <= 0.85 * balDist,
+      s"learned rotation must cut distortion >= 15%: $opqDist vs $balDist")
+    // determinism: sequential driver training + fixed-sweep SVD reproduce
+    val (rot2, _) = Pq.trainOpq(aniso, col("vec_id"), col("va"),
+      m = 16, k = kCodes, sampleCap = 4096, kmIters = 6, opqIters = 15)
+    assert(rot == rot2, "OPQ training must be bit-reproducible")
+    // and the native mat_vec agrees with a driver-side multiply
+    val row = anisoR.select(col("va"), col("vr")).head()
+    val x = row.getSeq[Double](0); val y = row.getSeq[Double](1)
+    val yRef = rot.map(r => r.zip(x).map { case (a2, b2) => a2 * b2 }.sum)
+    y.zip(yRef).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-9, s"mat_vec mismatch: $got vs $want") }
+  }
+
   test("IVF-PQ equals plain ADC at nprobe = nlist and clears its recall floor below it") {
     val queries = emb.filter(col("vec_id") % 50 === 0)
     val cb = Pq.train(emb, col("vec_id"), col("embedding"),
