@@ -563,22 +563,28 @@ object Dedup {
       .agg(min(packed(col("doc_id"), col("pos"))).as("keeper"),
         count(lit(1)).as("df"))
       .filter(col("df") > 1)
-    val removedPos = grams.join(canon, "g")
+    // per-doc sorted removal positions: collect_set dedupes overlapping
+    // windows, so ONLY the affected (doc, pos) pairs shuffle — the
+    // reassembly itself is the row-local native merge-scan
+    // (remove_token_positions); the text meets its removal list in one
+    // doc-keyed join (broadcast when the duplicated set is small,
+    // co-partitioned at scale) instead of the old per-token explode →
+    // join → sorted-collect_list chain, which shuffled every token of
+    // every document twice as (doc, pos, tok) structs.
+    val rmPerDoc = grams.join(canon, "g")
       .filter(packed(col("doc_id"), col("pos")) =!= col("keeper"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + n - 1)).as("tp"))
-      .distinct()
-    toks
-      .select(col("doc_id"), posexplode(col("t")).as(Seq("tp", "tok")))
-      .join(removedPos.withColumn("__rm", lit(1)), Seq("doc_id", "tp"), "left")
       .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(when(col("__rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(when(col("__rm").isNull,
-            struct(col("tp"), col("tok"))))),
-          e => e.getField("tok")), " ").as("text_clean"))
+      .agg(sort_array(collect_set(col("tp"))).as("__rm"))
+    toks.join(rmPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        graft.functions.remove_token_positions(col("t"),
+          coalesce(col("__rm"), array().cast("array<int>"))).as("__r"))
+      .select(col("doc_id"),
+        col("__r.n_tokens").as("n_tokens"),
+        col("__r.n_removed").as("n_removed"),
+        col("__r.text_clean").as("text_clean"))
   }
 
   /** Connected components over an undirected candidate-pair edge list —

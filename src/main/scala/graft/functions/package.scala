@@ -76,6 +76,13 @@ package object functions {
   def mat_vec(vec: Column, mat: Seq[Seq[Double]]): Column =
     toColumn(graft.plans.MatVecExpr(toExpr(vec), mat))
 
+  /** Row-local token removal + reassembly: drop the tokens at the given
+    * SORTED positions → `struct(n_tokens, n_removed, text_clean)`
+    * (see [[graft.plans.RemoveTokenPositions]]).
+    */
+  def remove_token_positions(tokens: Column, positions: Column): Column =
+    toColumn(graft.plans.RemoveTokenPositions(toExpr(tokens), toExpr(positions)))
+
   /** BPE subword tokenization (the true greedy merge loop) → one
     * array<string> of subwords per whitespace word. The merge table is
     * driver-resident vocabulary baked into the expression.

@@ -403,3 +403,81 @@ case class SlidingMinDistinct(child: Expression, w: Int)
   override def prettyName: String = "sliding_min_distinct"
   override protected def withNewChildInternal(c: Expression): SlidingMinDistinct = copy(child = c)
 }
+
+/** Remove the tokens at the given (sorted, distinct) positions and
+  * reassemble the document in ONE row-local pass →
+  * `struct(n_tokens bigint, n_removed bigint, text_clean string)`.
+  *
+  * This is the span-removal REASSEMBLY
+  * ([[graft.dedup.Dedup.removeDuplicatedSpans]]) without moving text: the
+  * declarative form it replaces exploded every token of every document into
+  * `(doc, pos, tok)` rows, left-joined the removed positions and re-built
+  * each document with a sorted `collect_list` — two corpus-sized shuffles
+  * of per-token structs for what is a merge-scan of two sorted sequences.
+  * Here only the affected positions are aggregated per document (the
+  * shuffle the operator genuinely needs) and the text never leaves its row.
+  * `n_removed` counts positions in [0, n_tokens) — out-of-range entries are
+  * ignored, matching the join semantics it replaces.
+  */
+case class RemoveTokenPositions(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  import org.apache.spark.sql.types.StructField
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_removed", LongType, nullable = false),
+    StructField("text_clean", StringType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(org.apache.spark.sql.types.IntegerType | LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"remove_token_positions needs (array<string>, array<int|bigint>), got $other")
+  }
+
+  @transient private lazy val rmIsInt =
+    right.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(toksAny: Any, rmAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val rm = rmAny.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = toks.numElements()
+    val nRm = rm.numElements()
+    val kept = new Array[UTF8String](n)
+    var nKept = 0
+    var removed = 0L
+    var ri = 0
+    var i = 0
+    while (i < n) {
+      // advance the (sorted) removal pointer to >= i
+      var rp = Long.MinValue
+      var hit = false
+      while (ri < nRm && {
+        rp = if (rmIsInt) rm.getInt(ri).toLong else rm.getLong(ri)
+        rp < i
+      }) ri += 1
+      hit = ri < nRm && rp == i
+      if (hit) { removed += 1; ri += 1 }
+      else {
+        val t = toks.getUTF8String(i)
+        kept(nKept) = if (t == null) UTF8String.EMPTY_UTF8 else t
+        nKept += 1
+      }
+      i += 1
+    }
+    val clean = UTF8String.concatWs(
+      UTF8String.fromString(" "), java.util.Arrays.copyOf(kept, nKept): _*)
+    org.apache.spark.sql.catalyst.InternalRow(n.toLong, removed, clean)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("rmPos", this, classOf[RemoveTokenPositions].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($a, $b);")
+  }
+
+  override def prettyName: String = "remove_token_positions"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveTokenPositions =
+    copy(left = l, right = r)
+}

@@ -121,9 +121,9 @@ class PlanAuditSpec extends SparkTestBase {
     "pq69_key_skew" -> 2,           // key partial-agg + total agg (broadcast back); TakeOrdered top-K
     "pq70_rank_eval" -> 4,          // ADC heap + exact-top1 heap + the (query, nbr) rank join
     "pq71_repetition_removal" -> 0, // row-local segment keep-first filter, no shuffle
-    "pq72_span_removal" -> 3,       // gram election agg + coverage distinct + per-doc reassembly
+    "pq72_span_removal" -> 2,       // gram election agg + affected-positions agg; reassembly is row-local (native merge-scan), text shuffles once for the doc join
     "pq73_markup_extract" -> 0,     // row-local regexp chain, zero shuffle
-    "pq74_scrub_mix" -> 10,         // span stages 3 + meta re-join + dedup 1 (cached) + gate 3 + cap heap 1 + rank 1 (+ census broadcast)
+    "pq74_scrub_mix" -> 11,         // span stages 4 (gram election + affected-pos agg + doc-keyed rm join, one corpus-text exchange) + meta re-join + dedup 1 (cached) + gate 3 + cap heap 1 + rank 1 (+ census broadcast); one more Exchange NODE than the old explode-join shape but 3 fewer corpus-sized ones — the per-token struct shuffles are gone
     "pq75_source_quality" -> 9,     // q21's two-pass exact-rank machinery x 2 percentiles + final per-source agg
     "pq76_leakage_safe_split" -> 1, // one canonical-hash election shuffle; split decision row-local
     "pq77_compression_quality" -> 0, // row-local native deflate, no shuffle
