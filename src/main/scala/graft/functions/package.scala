@@ -37,6 +37,13 @@ package object functions {
   def cms_estimate(sketch: Column, key: Column, portable: Boolean = false): Column =
     toColumn(graft.plans.CmsEstimate(toExpr(sketch), toExpr(key), portable))
 
+  /** Scalar: a serialized sketch's width·depth cells as `array<long>` (row r
+    * at `[r·width, (r+1)·width)`) — the relational window for cell-join
+    * estimates (see [[graft.plans.CmsCells]]).
+    */
+  def cms_cells(sketch: Column): Column =
+    toColumn(graft.plans.CmsCells(toExpr(sketch)))
+
   /** Aggregate: SpaceSaving heavy-hitters summary over a string column →
     * array<struct<term, est, err>> (est desc, term asc). Exact while the
     * distinct-key count stays within `capacity`; ε = N/capacity otherwise.

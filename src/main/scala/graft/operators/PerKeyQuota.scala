@@ -114,11 +114,53 @@ object PerKeyQuota {
       .agg(cms_merge(col("part")).as("sketch"))
 
   /** Estimated count for each (key, window) pair in `keys` via the sketch
-    * table (broadcast: one row per window).
+    * table (broadcast: one row per window). Right for POINT lookups; for a
+    * large keyed row stream use [[estimatesPortableByCellJoin]] — this form
+    * carries the full serialized sketch into every joined row, and the
+    * estimate expression's per-row binary extraction copies the whole
+    * width·depth buffer each time (measured: ~6.4 GB of copy for 100k rows
+    * against a 64 KB sketch; 6 MB/row at the production 65536×12 budget).
     */
   def estimateRates(keys: DataFrame, sketches: DataFrame, keyCol: Column): DataFrame =
     keys.join(broadcast(sketches), keys("win") === sketches("win"))
       .select(keys("win"), keyCol, cms_estimate(col("sketch"), graft.functions.key_bytes(keyCol)).as("est"))
+
+  /** Portable-slot expression for hash row `r` over `key_bytes(keyCol)` —
+    * the COLUMN replica of [[graft.plans.CmsSketch.slotsPortable]] (block
+    * ⌊r/5⌋ md5 over the uppercase hex of the key bytes, 15-hex-char window
+    * at offset 4·(r mod 5), mod width), entirely codegen'd builtins.
+    */
+  private def portableSlot(keyCol: Column, r: Int, width: Int): Column =
+    conv(substring(md5(concat(lit(s"${r / 5}:"), hex(graft.functions.key_bytes(keyCol)))),
+      1 + (r % 5) * 4, 15), 16, 10).cast("long") % width
+
+  /** Per-key estimates for a LARGE keyed row stream without moving sketch
+    * bytes through it: each window's sketch explodes ONCE into
+    * `(win, cell-coordinate, value)` rows — windows × width·depth rows,
+    * independent of key count — while each keyed row computes its `depth`
+    * portable slot coordinates row-locally (codegen md5, the exact
+    * [[graft.plans.CmsSketch.slotsPortable]] family) and min-joins on the
+    * coordinate. Input `keyed` must carry `win` and `keyCol`; every other
+    * column passes through (the grain must be unique per (win, key)).
+    * Output: `keyed` + `est_n`. Only fixed-width coordinates shuffle; the
+    * sketch binary never enters a per-key row.
+    */
+  def estimatesPortableByCellJoin(
+      sketches: DataFrame,
+      keyed: DataFrame,
+      keyCol: Column,
+      width: Int,
+      depth: Int): DataFrame = {
+    val cells = sketches.select(col("win").as("__w"),
+      posexplode(graft.functions.cms_cells(col("sketch"))).as(Seq("__ci", "__v")))
+    val passCols = keyed.columns.map(col)
+    val probes = keyed.select(passCols :+
+      explode(array((0 until depth).map(r =>
+        lit(r) * width + portableSlot(keyCol, r, width)): _*)).as("__ci"): _*)
+    probes.join(cells, probes("win") === cells("__w") && probes("__ci") === cells("__ci"))
+      .groupBy(passCols: _*)
+      .agg(min(col("__v")).as("est_n"))
+  }
 
   /** Keys whose exact windowed count reaches `quota` in any window — the
     * shaping decision set (`PerKeyQuotaManager.java:112-135` uses estimated

@@ -328,3 +328,37 @@ case class CmsEstimate(left: Expression, right: Expression, portable: Boolean = 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CmsEstimate =
     copy(left = l, right = r)
 }
+
+/** Scalar `cms_cells(sketch)` → the width·depth cell values as `array<long>`
+  * (row r's cells at indices `[r·width, (r+1)·width)`). The relational
+  * window onto a sketch: explode it ONCE per group and per-key estimates
+  * become an ordinary (coordinate → min) join — see
+  * `PerKeyQuota.estimatesPortableByCellJoin`, which exists because carrying
+  * the serialized sketch binary INTO a per-key row stream copies the full
+  * width·depth buffer per row (6 MB at the reference's production budget).
+  */
+case class CmsCells(child: Expression)
+    extends UnaryExpression with UnaryLike[Expression] {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(sketch: Any): Any = {
+    val (_, _, cells) = CmsSketch.deserialize(sketch.asInstanceOf[Array[Byte]])
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(cells)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("cmsCells", this, classOf[CmsCells].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "cms_cells"
+  override protected def withNewChildInternal(newChild: Expression): CmsCells =
+    copy(child = newChild)
+}

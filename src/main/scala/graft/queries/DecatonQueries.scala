@@ -343,13 +343,17 @@ object DecatonQueries {
           e, col("user_id"), col("ts"), "1 day", width = 2048, depth = 4,
           conservative = false, portable = true)
         val exact = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
-        exact.join(broadcast(sketches), "win")
+        // cell-join estimates: the sketch explodes once per window; the
+        // (win, user) stream never carries sketch bytes (the old broadcast
+        // form copied the 64 KB buffer into every row's estimate eval —
+        // 60% of the query's runtime at sf0.1)
+        PerKeyQuota.estimatesPortableByCellJoin(
+            sketches, exact, col("key"), width = 2048, depth = 4)
           .select(
             col("win.start").cast("long").as("win_start"),
             col("key").as("user_id"),
             col("n").as("exact_n"),
-            cms_estimate(col("sketch"), graft.functions.key_bytes(col("key")),
-              portable = true).as("est_n"))
+            col("est_n"))
       },
       Some("""
         WITH ev AS (

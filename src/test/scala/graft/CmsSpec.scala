@@ -42,6 +42,25 @@ class CmsSpec extends SparkTestBase {
     assert(bad == 0L)
   }
 
+  test("cell-join estimates equal per-row cms_estimate exactly") {
+    val e = Tables.events(spark, sfDir)
+    val sketches = PerKeyQuota.windowedSketch(e, col("user_id"), col("ts"), "1 day",
+      width = 2048, depth = 4, conservative = false, portable = true)
+    val exact = PerKeyQuota.windowedRatesExact(e, col("user_id"), col("ts"), "1 day")
+    val viaJoin = PerKeyQuota.estimatesPortableByCellJoin(
+        sketches, exact, col("key"), width = 2048, depth = 4)
+      .select(col("win.start").cast("long"), col("key"), col("est_n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val viaRow = exact.join(broadcast(sketches), "win")
+      .select(col("win.start").cast("long"), col("key"),
+        graft.functions.cms_estimate(col("sketch"),
+          graft.functions.key_bytes(col("key")), portable = true))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaJoin == viaRow,
+      "cell-join estimates must be value-identical to the per-row scalar form")
+    assert(viaJoin.nonEmpty)
+  }
+
   test("CMS error is within additive eps*N at the reference's width regime") {
     val e = Tables.events(spark, sfDir)
     val n = e.count()
