@@ -200,8 +200,43 @@ case class CmsSketchAgg(
 
   override def eval(buffer: Array[Long]): Any = CmsSketch.serialize(buffer, width, depth)
 
-  override def serialize(buffer: Array[Long]): Array[Byte] = CmsSketch.serialize(buffer, width, depth)
-  override def deserialize(storageFormat: Array[Byte]): Array[Long] = CmsSketch.deserialize(storageFormat)._3
+  /** SHUFFLE format only (partial → merge): a partition's partial sketch is
+    * mostly zeros whenever its distinct-key count is far below width·depth
+    * — at the production 65536×12 budget a 100k-key window fills ~5% of the
+    * 6 MB buffer, so shipping dense partials costs groups × partitions ×
+    * 6 MB of pure zeroes. Encode sparsely (negative-width header, then
+    * (idx, value) pairs) when that is smaller; the FINAL result (`eval`)
+    * stays the dense public format every reader indexes into.
+    */
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    var nnz = 0
+    var i = 0
+    while (i < buffer.length) { if (buffer(i) != 0L) nnz += 1; i += 1 }
+    if (nnz.toLong * 12 >= buffer.length.toLong * 8) CmsSketch.serialize(buffer, width, depth)
+    else {
+      val bb = ByteBuffer.allocate(12 + nnz * 12)
+      bb.putInt(-width).putInt(depth).putInt(nnz)
+      i = 0
+      while (i < buffer.length) {
+        if (buffer(i) != 0L) { bb.putInt(i); bb.putLong(buffer(i)) }
+        i += 1
+      }
+      bb.array()
+    }
+  }
+  override def deserialize(storageFormat: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(storageFormat)
+    val w = bb.getInt
+    if (w >= 0) CmsSketch.deserialize(storageFormat)._3
+    else {
+      val d = bb.getInt
+      val nnz = bb.getInt
+      val cells = new Array[Long](-w * d)
+      var i = 0
+      while (i < nnz) { val idx = bb.getInt; cells(idx) = bb.getLong; i += 1 }
+      cells
+    }
+  }
 
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false

@@ -7,10 +7,12 @@ import java.util
 import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -47,6 +49,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * starting byte offset in its file, so (file, pos) is a stable record id
   * replays reproduce exactly. Payload typing is schema-on-read
   * (`from_json` downstream), the reference's serde philosophy.
+  *
+  * The WRITE side ([[GraftJsonlWriteBuilder]]) closes the medium into a
+  * file-based topic: each epoch's partitions land as immutable
+  * `seg-<epoch>-<partition>.jsonl` segments via atomic rename (idempotent
+  * under replay — effectively-once), and a tailing reader discovers them
+  * as complete new files.
   *
   * Scale shape: one Spark input partition per file slice per micro-batch —
   * parallelism is the file count, exactly the "one partition per
@@ -197,16 +205,125 @@ object GraftJsonlOffset {
   }
 }
 
-class GraftJsonlTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class GraftJsonlTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-jsonl(${GraftJsonl.dir(options)})"
   override def schema(): StructType = GraftJsonl.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new GraftJsonlScan(scanOptions)
     }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftJsonlWriteBuilder(info)
 }
+
+/** The write side of the medium: each epoch's partition becomes ONE new
+  * immutable segment file `seg-<epoch>-<partition>.jsonl` (empty partitions
+  * write nothing), landed by write-to-temp + atomic rename at task commit.
+  * The temp name carries no `.jsonl` suffix, so a tailing reader never sees
+  * a half-written segment — segments APPEAR complete, exactly the
+  * new-file-discovery path the source already handles.
+  *
+  * EFFECTIVELY-ONCE: the segment name is a pure function of (epoch,
+  * partition), so a replayed micro-batch (or a re-attempted task) renames
+  * over its own previous output instead of appending a duplicate — the same
+  * batch-id-keyed idempotence contract as
+  * [[graft.streaming.StreamOps.effectivelyOnceParquet]], proven by the same
+  * drop-the-commit-marker replay test. Input rows must carry a string
+  * `value` column (newline-free); everything else is ignored — the Kafka
+  * sink's value-column contract.
+  */
+class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
+  private val dir = GraftJsonl.dir(new CaseInsensitiveStringMap(info.options()))
+  private val valueIdx = {
+    val idx = info.schema().fieldNames.indexOf("value")
+    require(idx >= 0, "graft-jsonl writes need a 'value' string column")
+    require(info.schema().fields(idx).dataType == StringType,
+      s"graft-jsonl 'value' must be string, got ${info.schema().fields(idx).dataType.catalogString}")
+    idx
+  }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new BatchWrite {
+      override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
+        new GraftJsonlWriterFactory(dir, valueIdx, epochId = -1L)
+      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    }
+    override def toStreaming: StreamingWrite = new StreamingWrite {
+      override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
+        new GraftJsonlStreamingWriterFactory(dir, valueIdx)
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+    }
+  }
+}
+
+class GraftJsonlWriterFactory(dir: String, valueIdx: Int, epochId: Long)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftJsonlSegmentWriter(dir, valueIdx, epochId, partitionId)
+}
+
+class GraftJsonlStreamingWriterFactory(dir: String, valueIdx: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftJsonlSegmentWriter(dir, valueIdx, epochId, partitionId)
+}
+
+class GraftJsonlSegmentWriter(dir: String, valueIdx: Int, epochId: Long, partitionId: Int)
+    extends DataWriter[InternalRow] {
+  private val epochTag = if (epochId < 0) "batch" else f"$epochId%06d"
+  private val finalName = f"seg-$epochTag-$partitionId%04d.jsonl"
+  // no .jsonl suffix: invisible to tailing readers until the atomic rename
+  private val tmp = new File(dir, s".$finalName.inprogress")
+  private var out: java.io.OutputStream = _
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val v = row.getUTF8String(valueIdx)
+    require(v != null, "graft-jsonl: null value row")
+    val bytes = v.getBytes
+    var i = 0
+    while (i < bytes.length) {
+      require(bytes(i) != '\n', "a JSONL record must be newline-free")
+      i += 1
+    }
+    if (out == null) {
+      java.nio.file.Files.createDirectories(new File(dir).toPath)
+      out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 64 * 1024)
+    }
+    out.write(bytes)
+    out.write('\n')
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) {
+      out.close()
+      // idempotent landing: a replayed (epoch, partition) replaces itself
+      java.nio.file.Files.move(tmp.toPath, new File(dir, finalName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    GraftJsonlCommit(finalName, n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    tmp.delete()
+    ()
+  }
+
+  override def close(): Unit = ()
+}
+
+case class GraftJsonlCommit(segment: String, rows: Long) extends WriterCommitMessage
 
 class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
   private val dir = GraftJsonl.dir(options)
