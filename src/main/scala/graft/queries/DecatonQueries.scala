@@ -727,6 +727,41 @@ object DecatonQueries {
                CAST(sum(user_id) AS BIGINT) AS sum_uid,
                CAST(sum(strlen(props)) AS BIGINT) AS sum_props_len
         FROM events GROUP BY event_type
+      """)),
+
+    // ---- the graft-jsonl SINK path at data scale: events written through
+    // the DSv2 writer itself (key-routed shards, per-task immutable
+    // segments landed by atomic rename), read back through the source and
+    // aggregated from the decoded fields only — the write→commit→discover→
+    // read→parse loop closed inside one oracle-checked query. (dq21 covers
+    // the read side over Spark's own text writer; this one proves the
+    // engine's writer produces segments its own reader round-trips.)
+    Q(
+      "dq22_jsonl_sink_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dq22").toString + "/log"
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            to_json(struct(col("user_id"), col("event_type"), col("value"))).as("value"))
+          .repartition(8, col("user_id")).select(col("value"))
+          .write.format("graft-jsonl").mode("append").option("path", tmp).save()
+        s.read.format("graft-jsonl").option("path", tmp).load()
+          .select(
+            get_json_object(col("value"), "$.user_id").cast("long").as("uid"),
+            get_json_object(col("value"), "$.event_type").as("event_type"),
+            get_json_object(col("value"), "$.value").cast("double").as("v"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("uid")).as("sum_uid"),
+            // freeze the double BEFORE summing: JSON round-trips the exact
+            // binary double, but a sum's accumulation order does not
+            sum(floor(col("v") * lit(1e6)).cast("long")).as("sum_v_fp"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid,
+               CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_v_fp
+        FROM events GROUP BY event_type
       """))
   )
 }

@@ -53,11 +53,13 @@ object ScaleProbe {
 
   /** The probe set: the three mix flagships (the deepest compositions in
     * the library), the banded-LSH pair query (the dedup family's shuffle
-    * shape), and the full quantized ANN stack.
+    * shape), the full quantized ANN stack, exact dedup, the Lee-span stats
+    * shape, BM25 retrieval, and the windowed-CMS + cell-join estimates.
     */
   val ProbeQueries: Seq[String] = Seq(
     "pq74_scrub_mix", "pq64_incremental_mix", "pq60_training_mix",
-    "pq03_lsh_pairs", "pq35_knn_quantized_stack")
+    "pq03_lsh_pairs", "pq35_knn_quantized_stack",
+    "pq01_exact_dedup", "pq18_dup_spans", "pq53_bm25_topk", "dq09_cms_rates")
 
   final case class Sample(
       sec: Double, inputMb: Double, shuffleWriteMb: Double,
