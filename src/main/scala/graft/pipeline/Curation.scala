@@ -75,7 +75,15 @@ object Curation {
     */
   def scopedStageCaches[T](f: => T): (T, StageCacheHandle) = {
     val h = new StageCacheHandle()
-    (currentScope.withValue(h)(f), h)
+    try (currentScope.withValue(h)(f), h)
+    catch {
+      case t: Throwable =>
+        // a builder that throws after persisting a stage would otherwise
+        // strand those frames on an unreachable handle — the unreleasable
+        // leak the handle exists to prevent
+        h.release()
+        throw t
+    }
   }
 
   /** Unpersist every unscoped stage-boundary cache created since the last

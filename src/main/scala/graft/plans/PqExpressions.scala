@@ -126,6 +126,11 @@ case class MatVecExpr(child: Expression, mat: Seq[Seq[Double]])
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // fail fast on a dimension mismatch: silently truncating or zero-padding
+    // would return a plausible-looking but mathematically wrong rotation and
+    // poison every downstream PQ code/score
+    require(n == mat.head.size,
+      s"mat_vec: vector has $n dims but the matrix has ${mat.head.size} columns")
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -136,10 +141,9 @@ case class MatVecExpr(child: Expression, mat: Seq[Seq[Double]])
     i = 0
     while (i < d) {
       val r = rows(i)
-      val lim = math.min(r.length, n)
       var acc = 0.0
       var j = 0
-      while (j < lim) { acc += r(j) * x(j); j += 1 }
+      while (j < n) { acc += r(j) * x(j); j += 1 }
       y(i) = acc
       i += 1
     }

@@ -266,21 +266,92 @@ object Pq {
       }
     val d = rows.length
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
-    val w = d / m
-    // largest-variance dim first; each goes to the least-loaded subspace
-    // with a free slot (ties → smaller subspace id) — deterministic greedy
-    val byVar = rows.sortBy { case (dim, v) => (-v, dim) }
+    greedyBalance(rows.toSeq, m, d / m)
+  }
+
+  /** The balanced-variance greedy shared by [[balancedPermutation]],
+    * [[trainOpq]]'s init and OpqProbe — ONE implementation so the
+    * tie-breaking can never drift between the distributed census path and
+    * the driver-sample path: largest-variance dim first, each to the
+    * least-loaded subspace with a free slot (ties → smaller subspace id),
+    * source-dim order within a subspace.
+    */
+  private[graft] def greedyBalance(variances: Seq[(Int, Double)], m: Int, w: Int): Seq[Int] = {
     val load = Array.fill(m)(0.0)
     val slots = Array.fill(m)(0)
     val assigned = Array.fill(m)(List.empty[Int])
-    byVar.foreach { case (dim, v) =>
+    variances.sortBy { case (dim, v) => (-v, dim) }.foreach { case (dim, v) =>
       val s = (0 until m).filter(slots(_) < w).minBy(i => (load(i), i))
       load(s) += v
       slots(s) += 1
       assigned(s) = dim :: assigned(s)
     }
-    // within a subspace keep source-dim order (determinism + readability)
     assigned.toSeq.flatMap(_.sorted)
+  }
+
+  /** Per-subspace L2 k-means over in-memory rows (sequential, ties to the
+    * smaller code, an emptied cluster keeps its centroid — pq39's rules);
+    * seeds are the first `k` rows' subvectors. Shared by [[trainOpq]] and
+    * OpqProbe so the diagnostic can never desynchronize from the trainer.
+    */
+  private[graft] def driverKmeans(
+      xr: Array[Array[Double]], m: Int, k: Int, w: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val cb = Array.tabulate(m, k)((s, c) =>
+      java.util.Arrays.copyOfRange(xr(c), s * w, (s + 1) * w))
+    for (_ <- 1 to iters; s <- 0 until m) {
+      val base = s * w
+      val sums = Array.fill(k, w)(0.0)
+      val counts = new Array[Int](k)
+      xr.foreach { x =>
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var acc = 0.0; var j = 0
+          while (j < w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t; j += 1 }
+          if (acc < bestD) { best = c; bestD = acc }
+          c += 1
+        }
+        var j = 0
+        while (j < w) { sums(best)(j) += x(base + j); j += 1 }
+        counts(best) += 1
+      }
+      for (c <- 0 until k if counts(c) > 0; j <- 0 until w)
+        cb(s)(c)(j) = sums(c)(j) / counts(c)
+    }
+    cb
+  }
+
+  /** Nearest-centroid reconstruction of one (already-rotated) row. */
+  private[graft] def driverReconstruct(
+      cb: Array[Array[Array[Double]]], x: Array[Double], m: Int, w: Int): Array[Double] = {
+    val k = cb.head.length
+    val d = m * w
+    val y = new Array[Double](d)
+    var s = 0
+    while (s < m) {
+      val base = s * w
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < k) {
+        var acc = 0.0; var j = 0
+        while (j < w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t; j += 1 }
+        if (acc < bestD) { best = c; bestD = acc }
+        c += 1
+      }
+      System.arraycopy(cb(s)(best), 0, y, base, w)
+      s += 1
+    }
+    y
+  }
+
+  /** Per-dim variances of in-memory rows (sequential sums — deterministic
+    * over the id-ordered sample without fixed-point freezing).
+    */
+  private[graft] def sampleVariances(x: Array[Array[Double]], d: Int): Seq[(Int, Double)] = {
+    val n = x.length.toDouble
+    (0 until d).map { j =>
+      var sx = 0.0; var sxx = 0.0
+      x.foreach { v => sx += v(j); sxx += v(j) * v(j) }
+      (j, sxx / n - (sx / n) * (sx / n))
+    }
   }
 
   /** Reorder a vector column by `perm` (from [[balancedPermutation]]):
@@ -379,76 +450,17 @@ object Pq {
       y
     }
 
-    // per-subspace k-means over rotated sample rows (sequential, ties to
-    // the smaller code, empty cluster keeps its centroid — pq39's rules)
-    def kmeans(xr: Array[Array[Double]]): Array[Array[Array[Double]]] = {
-      val cb = Array.tabulate(m, k)((s, c) =>
-        java.util.Arrays.copyOfRange(xr(c), s * w, (s + 1) * w))
-      for (_ <- 1 to kmIters; s <- 0 until m) {
-        val base = s * w
-        val sums = Array.fill(k, w)(0.0)
-        val counts = new Array[Int](k)
-        xr.foreach { x =>
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < k) {
-            var acc = 0.0; var j = 0
-            while (j < w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t; j += 1 }
-            if (acc < bestD) { best = c; bestD = acc }
-            c += 1
-          }
-          var j = 0
-          while (j < w) { sums(best)(j) += x(base + j); j += 1 }
-          counts(best) += 1
-        }
-        for (c <- 0 until k if counts(c) > 0; j <- 0 until w)
-          cb(s)(c)(j) = sums(c)(j) / counts(c)
-      }
-      cb
-    }
-
-    def reconstruct(cb: Array[Array[Array[Double]]], x: Array[Double]): Array[Double] = {
-      val y = new Array[Double](d)
-      var s = 0
-      while (s < m) {
-        val base = s * w
-        var best = 0; var bestD = Double.MaxValue; var c = 0
-        while (c < k) {
-          var acc = 0.0; var j = 0
-          while (j < w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t; j += 1 }
-          if (acc < bestD) { best = c; bestD = acc }
-          c += 1
-        }
-        System.arraycopy(cb(s)(best), 0, y, base, w)
-        s += 1
-      }
-      y
-    }
-
-    // init: the balanced-variance permutation of the SAMPLE (driver replica
-    // of balancedPermutation's greedy — sequential sums over the id-ordered
-    // sample are deterministic without fixed-point freezing)
-    val perm: Seq[Int] = {
-      val n = X.length.toDouble
-      val variances = (0 until d).map { j =>
-        var sx = 0.0; var sxx = 0.0
-        X.foreach { x => sx += x(j); sxx += x(j) * x(j) }
-        (j, sxx / n - (sx / n) * (sx / n))
-      }
-      val load = Array.fill(m)(0.0); val slots = Array.fill(m)(0)
-      val assigned = Array.fill(m)(List.empty[Int])
-      variances.sortBy { case (dim, v) => (-v, dim) }.foreach { case (dim, v) =>
-        val s = (0 until m).filter(slots(_) < w).minBy(i => (load(i), i))
-        load(s) += v; slots(s) += 1; assigned(s) = dim :: assigned(s)
-      }
-      assigned.toSeq.flatMap(_.sorted)
-    }
+    // init: the balanced-variance permutation of the SAMPLE (the SHARED
+    // greedy over sequential sample variances — deterministic over the
+    // id-ordered sample without fixed-point freezing)
+    val perm = greedyBalance(sampleVariances(X, d), m, w)
     var r: Array[Array[Double]] =
       permutationMatrix(perm).map(_.toArray).toArray
 
     for (_ <- 1 to opqIters) {
       val xr = X.map(matvec(r, _))
-      val cb = kmeans(xr)
-      val y = xr.map(reconstruct(cb, _))
+      val cb = driverKmeans(xr, m, k, w, kmIters)
+      val y = xr.map(driverReconstruct(cb, _, m, w))
       // B(a)(b) = Σ_i x_i(a)·y_i(b); R = V·Uᵀ maximizes tr(R·B)
       val b = Array.fill(d, d)(0.0)
       var i = 0
@@ -479,7 +491,7 @@ object Pq {
         r = nr
       } // degenerate correlation (rank-deficient): keep the previous R
     }
-    val cb = kmeans(X.map(matvec(r, _)))
+    val cb = driverKmeans(X.map(matvec(r, _)), m, k, w, kmIters)
     (r.map(_.toSeq).toSeq, cb.map(_.map(_.toSeq).toSeq).toSeq)
   }
 

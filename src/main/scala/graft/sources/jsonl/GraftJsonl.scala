@@ -42,8 +42,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     progress-over-precision rule as graft-kafka's maxOffsetsPerTrigger);
   *   - `failOnDataLoss` (default true): a checkpointed file that vanished
   *     or shrank below its checkpoint (its consumed tail was truncated
-  *     away) fails the query; `false` drops the vanished file / resumes the
-  *     shrunken one at its new end of complete data.
+  *     away) fails the query; `false` drops the vanished file and holds the
+  *     shrunken one at its checkpoint until the file regrows past it
+  *     (offsets never regress).
   *
   * Schema: `(file string, pos long, value string)` — pos is the line's
   * starting byte offset in its file, so (file, pos) is a stable record id
@@ -190,18 +191,27 @@ object GraftJsonl {
 }
 
 /** Streaming offset: per-file byte position after the last consumed complete
-  * line, serialized as sorted JSON `{"a.jsonl":123,"b.jsonl":0}`.
+  * line, serialized as sorted JSON `{"a.jsonl":123,"b.jsonl":0}`. File names
+  * are JSON-escaped — a legal Linux name may contain `"` or `\`, and an
+  * unescaped emission would persist a checkpoint offset `fromJson`
+  * mis-parses on restart (truncated name → re-read from 0 → duplicates).
   */
 case class GraftJsonlOffset(positions: Map[String, Long]) extends Offset {
   override def json(): String =
     positions.toSeq.sortBy(_._1)
-      .map { case (f, p) => s""""${f}":$p""" }.mkString("{", ",", "}")
+      .map { case (f, p) =>
+        val esc = f.replace("\\", "\\\\").replace("\"", "\\\"")
+        s""""$esc":$p"""
+      }.mkString("{", ",", "}")
 }
 
 object GraftJsonlOffset {
   def fromJson(s: String): GraftJsonlOffset = {
-    val entry = """"([^"]+)"\s*:\s*([0-9]+)""".r
-    GraftJsonlOffset(entry.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toLong).toMap)
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*([0-9]+)""".r
+    GraftJsonlOffset(entry.findAllMatchIn(s).map { m =>
+      val name = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
+      name -> m.group(2).toLong
+    }.toMap)
   }
 }
 
@@ -250,8 +260,13 @@ class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
+      // per-JOB unique tag, generated once on the driver: stable across task
+      // retries inside this job (idempotent replacement), unique across jobs
+      // (a second SaveMode.Append must ADD segments, not rename over the
+      // previous write's "seg-batch-*" names)
+      private val jobTag = "b" + java.util.UUID.randomUUID().toString.take(8)
       override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
-        new GraftJsonlWriterFactory(dir, valueIdx, epochId = -1L)
+        new GraftJsonlWriterFactory(dir, valueIdx, jobTag)
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
       override def abort(messages: Array[WriterCommitMessage]): Unit = ()
     }
@@ -264,24 +279,28 @@ class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
   }
 }
 
-class GraftJsonlWriterFactory(dir: String, valueIdx: Int, epochId: Long)
+class GraftJsonlWriterFactory(dir: String, valueIdx: Int, epochTag: String)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftJsonlSegmentWriter(dir, valueIdx, epochId, partitionId)
+    new GraftJsonlSegmentWriter(dir, valueIdx, epochTag, partitionId, taskId)
 }
 
 class GraftJsonlStreamingWriterFactory(dir: String, valueIdx: Int)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftJsonlSegmentWriter(dir, valueIdx, epochId, partitionId)
+    new GraftJsonlSegmentWriter(dir, valueIdx, f"$epochId%06d", partitionId, taskId)
 }
 
-class GraftJsonlSegmentWriter(dir: String, valueIdx: Int, epochId: Long, partitionId: Int)
+class GraftJsonlSegmentWriter(
+    dir: String, valueIdx: Int, epochTag: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-  private val epochTag = if (epochId < 0) "batch" else f"$epochId%06d"
   private val finalName = f"seg-$epochTag-$partitionId%04d.jsonl"
-  // no .jsonl suffix: invisible to tailing readers until the atomic rename
-  private val tmp = new File(dir, s".$finalName.inprogress")
+  // temp name carries the ATTEMPT's taskId: concurrent attempts of the same
+  // partition (speculation, zombie tasks) must not write/truncate/delete one
+  // shared temp file — each attempt owns its own, and whichever attempt the
+  // commit coordinator lets commit renames ITS file into the final name.
+  // No .jsonl suffix: invisible to tailing readers until the atomic rename.
+  private val tmp = new File(dir, s".$finalName.$taskId.inprogress")
   private var out: java.io.OutputStream = _
   private var n = 0L
 
@@ -371,18 +390,36 @@ class GraftJsonlMicroBatchStream(
 
   /** End-of-complete-data per file, capped to ~maxBytesPerTrigger of new
     * bytes distributed proportionally to each file's backlog, every cut on
-    * a line boundary. A file in the checkpoint but no longer on disk keeps
-    * its checkpointed position here — loss handling is planInputPartitions'
-    * job, where failOnDataLoss decides.
+    * a line boundary. The end offset NEVER regresses below the checkpoint:
+    * a truncated file is a data-loss error here in strict mode (reporting
+    * it only at plan time leaves a race — the file can regrow between the
+    * two calls and an end below the checkpoint would then COMMIT, replaying
+    * new bytes under previously-issued (file, pos) ids); with
+    * `failOnDataLoss=false` the clamped offset simply waits until the file
+    * regrows past its checkpoint. A file that vanished between the listing
+    * and its stat (log rotation mid-trigger) is treated exactly like a
+    * checkpointed-but-missing file: its position is carried unchanged and
+    * planInputPartitions decides per failOnDataLoss.
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startPos = start.asInstanceOf[GraftJsonlOffset].positions
-    val fs = files
-    val complete = fs.map(f => f.getName -> GraftJsonl.completeLength(f)).toMap
     def startOf(name: String): Long = startPos.getOrElse(name, 0L)
+    def statSafe[A](f: File)(body: => A): Option[A] =
+      try Some(body) catch { case _: java.io.FileNotFoundException => None }
+    val fs = files
+    val complete = fs.flatMap(f =>
+      statSafe(f)(GraftJsonl.completeLength(f)).map(f.getName -> _)).toMap
+    complete.foreach { case (name, c) =>
+      if (c < startOf(name) && failOnDataLoss)
+        throw new IllegalStateException(
+          s"data loss detected on $name: consumed through byte ${startOf(name)} but only " +
+            s"$c complete bytes remain (truncated). Set failOnDataLoss=false to wait for " +
+            "the file to regrow past its checkpoint.")
+    }
     val ends: Map[String, Long] = maxBytesPerTrigger match {
       case Some(cap) =>
-        val backlog = fs.map(f => f -> math.max(0L, complete(f.getName) - startOf(f.getName)))
+        val capped = fs.filter(f => complete.contains(f.getName))
+        val backlog = capped.map(f => f -> math.max(0L, complete(f.getName) - startOf(f.getName)))
         val total = backlog.map(_._2).sum
         if (total <= cap) complete
         else {
@@ -392,16 +429,18 @@ class GraftJsonlMicroBatchStream(
             if (b == 0L) name -> complete(name)
             else {
               val share = math.max(1L, math.floor(b * scale).toLong)
-              name -> GraftJsonl.lineBoundaryNear(f, startOf(name), startOf(name) + share)
+              statSafe(f)(GraftJsonl.lineBoundaryNear(f, startOf(name), startOf(name) + share))
+                .map(name -> _).getOrElse(name -> startOf(name)) // vanished mid-probe
             }
           }.toMap
         }
       case None => complete
     }
+    val clamped = ends.map { case (name, e) => name -> math.max(e, startOf(name)) }
     // keep checkpointed-but-vanished files' positions: dropping them here
     // would silently forget the loss failOnDataLoss=true must report
-    val vanished = startPos.view.filterKeys(!ends.contains(_)).toMap
-    GraftJsonlOffset(ends ++ vanished)
+    val vanished = startPos.view.filterKeys(!clamped.contains(_)).toMap
+    GraftJsonlOffset(clamped ++ vanished)
   }
 
   override def reportLatestOffset(): Offset =
@@ -426,12 +465,12 @@ class GraftJsonlMicroBatchStream(
           if (failOnDataLoss)
             throw new IllegalStateException(
               s"data loss detected on $name: consumed through byte $from but the file now has " +
-                s"only $len bytes (truncated). Set failOnDataLoss=false to resume at the new " +
-                "end of complete data.")
+                s"only $len bytes (truncated). Set failOnDataLoss=false to hold at the " +
+                "checkpoint until the file regrows past it.")
           // truncated tail: nothing to read until the file regrows past its
           // checkpoint; re-appended bytes arrive as new records
         } else if (until > from) {
-          out += GraftJsonlInputPartition(f.getPath, name, from, math.min(until, len))
+          out += GraftJsonlInputPartition(f.getPath, name, from, math.min(until, len), failOnDataLoss)
         }
       }
     }
@@ -444,14 +483,40 @@ class GraftJsonlMicroBatchStream(
 }
 
 /** One Spark partition per file slice. */
-case class GraftJsonlInputPartition(path: String, name: String, from: Long, until: Long)
+case class GraftJsonlInputPartition(
+    path: String, name: String, from: Long, until: Long, failOnDataLoss: Boolean = true)
   extends InputPartition
 
 class GraftJsonlReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftJsonlInputPartition]
+    // the file can vanish between planning's isFile check and this open (log
+    // rotation mid-trigger): permissive mode reads the slice as empty — the
+    // same drop-the-file semantics the planner applies when it sees the
+    // vanish first; strict mode reports the loss instead of a raw IO error
+    val rafOpt =
+      try Some(new RandomAccessFile(p.path, "r"))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          if (p.failOnDataLoss)
+            throw new IllegalStateException(
+              s"data loss detected on ${p.name}: file vanished after planning with " +
+                s"${p.until - p.from} planned bytes. Set failOnDataLoss=false to drop it.", e)
+          None
+      }
+    rafOpt match {
+      case None => new PartitionReader[InternalRow] {
+        override def next(): Boolean = false
+        override def get(): InternalRow = throw new IllegalStateException("empty reader")
+        override def close(): Unit = ()
+      }
+      case Some(r0) => mkReader(p, r0)
+    }
+  }
+
+  private def mkReader(p: GraftJsonlInputPartition, raf0: RandomAccessFile): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
-      private val raf = new RandomAccessFile(p.path, "r")
+      private val raf = raf0
       raf.seek(p.from)
       private val in = new java.io.BufferedInputStream(
         java.nio.channels.Channels.newInputStream(raf.getChannel), 64 * 1024)

@@ -85,19 +85,26 @@ object SubscriptionStates {
     * source-offset coordinates in the per-source end-offset JSONs. For
     * graft-kafka (and the real Kafka source — same checkpoint JSON shape
     * `{"topic":{"0":12}}`) that is the (source, topic, partition) set; for
-    * sources without per-partition offsets (memory, rate) it degrades to
-    * the source description set, which never flags a rebalance — correct,
-    * since such sources have no partition assignment to change.
+    * graft-jsonl's flat `{"a.jsonl":123}` shape it is the (source, file)
+    * set (a new segment joining the tail IS the medium's partition-added
+    * event); for sources without per-partition offsets (memory, rate —
+    * offsets are bare numbers) it degrades to the source description set,
+    * which never flags a rebalance — correct, since such sources have no
+    * partition assignment to change.
     */
   private[streaming] def assignmentSignature(
       p: org.apache.spark.sql.streaming.StreamingQueryProgress): Set[String] = {
     val partKeys = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
     val partNum = """"([0-9]+)"\s*:""".r
+    val flatKeys = """"((?:[^"\\]|\\.)*)"\s*:\s*-?[0-9]""".r
     p.sources.zipWithIndex.flatMap { case (s, i) =>
       val json = Option(s.endOffset).getOrElse("")
-      val keys = partKeys.findAllMatchIn(json).flatMap { tb =>
+      val nested = partKeys.findAllMatchIn(json).flatMap { tb =>
         partNum.findAllMatchIn(tb.group(2)).map(po => s"$i:${tb.group(1)}/${po.group(1)}")
       }.toSeq
+      val keys =
+        if (nested.nonEmpty) nested
+        else flatKeys.findAllMatchIn(json).map(m => s"$i:${m.group(1)}").toSeq
       if (keys.nonEmpty) keys else Seq(s"$i:${s.description}")
     }.toSet
   }

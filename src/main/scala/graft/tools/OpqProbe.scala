@@ -4,11 +4,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.similarity.{Knn, Pq, Eval}
+import graft.similarity.Pq
 
 /** Diagnostic for [[Pq.trainOpq]]: per-iteration quantization distortion
   * (must fall monotonically if the alternating optimization is wired
-  * right) and end recall vs the permutation tier, across iteration knobs.
+  * right). Runs trainOpq's OWN driver loop via the SHARED helpers
+  * (greedyBalance / driverKmeans / driverReconstruct / Svd) — no replicated
+  * algorithm to drift out of sync with the trainer.
   * Usage: runMain graft.tools.OpqProbe [sfDir]
   */
 object OpqProbe {
@@ -18,7 +20,6 @@ object OpqProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
     val emb = Tables.embeddings(spark, sfDir)
     val scaled = emb.withColumn("vs",
@@ -35,67 +36,21 @@ object OpqProbe {
 
     def matvec(r: Array[Array[Double]], x: Array[Double]) =
       Array.tabulate(d)(i => (0 until d).map(j => r(i)(j) * x(j)).sum)
-    def kmeans(xr: Array[Array[Double]], iters: Int): Array[Array[Array[Double]]] = {
-      val cb = Array.tabulate(m, k)((s, c) => java.util.Arrays.copyOfRange(xr(c), s * w, (s + 1) * w))
-      for (_ <- 1 to iters; s <- 0 until m) {
-        val base = s * w
-        val sums = Array.fill(k, w)(0.0); val counts = new Array[Int](k)
-        xr.foreach { x =>
-          var best = 0; var bestD = Double.MaxValue
-          for (c <- 0 until k) {
-            var acc = 0.0
-            for (j <- 0 until w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t }
-            if (acc < bestD) { best = c; bestD = acc }
-          }
-          for (j <- 0 until w) sums(best)(j) += x(base + j)
-          counts(best) += 1
-        }
-        for (c <- 0 until k if counts(c) > 0; j <- 0 until w) cb(s)(c)(j) = sums(c)(j) / counts(c)
-      }
-      cb
-    }
-    def recon(cb: Array[Array[Array[Double]]], x: Array[Double]) = {
-      val y = new Array[Double](d)
-      for (s <- 0 until m) {
-        val base = s * w
-        var best = 0; var bestD = Double.MaxValue
-        for (c <- 0 until k) {
-          var acc = 0.0
-          for (j <- 0 until w) { val t = x(base + j) - cb(s)(c)(j); acc += t * t }
-          if (acc < bestD) { best = c; bestD = acc }
-        }
-        System.arraycopy(cb(s)(best), 0, y, base, w)
-      }
-      y
-    }
     def distortion(r: Array[Array[Double]], cb: Array[Array[Array[Double]]]): Double =
       X.map { x =>
-        val xr = matvec(r, x); val y = recon(cb, xr)
+        val xr = matvec(r, x)
+        val y = Pq.driverReconstruct(cb, xr, m, w)
         (0 until d).map(i => { val t = xr(i) - y(i); t * t }).sum
       }.sum / X.length
 
-    // replicate trainOpq's loop with distortion printing
-    val perm = {
-      val n = X.length.toDouble
-      val variances = (0 until d).map { j =>
-        var sx = 0.0; var sxx = 0.0
-        X.foreach { x => sx += x(j); sxx += x(j) * x(j) }
-        (j, sxx / n - (sx / n) * (sx / n))
-      }
-      val load = Array.fill(m)(0.0); val slots = Array.fill(m)(0)
-      val assigned = Array.fill(m)(List.empty[Int])
-      variances.sortBy { case (dim, v) => (-v, dim) }.foreach { case (dim, v) =>
-        val s = (0 until m).filter(slots(_) < w).minBy(i => (load(i), i))
-        load(s) += v; slots(s) += 1; assigned(s) = dim :: assigned(s)
-      }
-      assigned.toSeq.flatMap(_.sorted)
-    }
-    var r = Pq.permutationMatrix(perm).map(_.toArray).toArray
+    // trainOpq's loop, via the shared helpers, with distortion printing
+    var r = Pq.permutationMatrix(
+      Pq.greedyBalance(Pq.sampleVariances(X, d), m, w)).map(_.toArray).toArray
     for (it <- 1 to 10) {
       val xr = X.map(matvec(r, _))
-      val cb = kmeans(xr, 4)
+      val cb = Pq.driverKmeans(xr, m, k, w, 4)
       println(f"iter $it%2d distortion after kmeans = ${distortion(r, cb)}%.4f")
-      val y = xr.map(recon(cb, _))
+      val y = xr.map(Pq.driverReconstruct(cb, _, m, w))
       val b = Array.fill(d, d)(0.0)
       for (i <- X.indices; a <- 0 until d; bb <- 0 until d) b(a)(bb) += X(i)(a) * y(i)(bb)
       graft.similarity.Svd.decompose(b) match {

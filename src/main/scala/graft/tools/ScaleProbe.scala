@@ -90,9 +90,13 @@ object ScaleProbe {
     val tap = new MetricsTap
     spark.sparkContext.addSparkListener(tap)
     val t0 = System.nanoTime()
+    var sec = 0.0
     try {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // wall time captured BEFORE the listener-drain polling below: the
+      // drain sleeps >=300 ms and would otherwise ride every reported sec
+      sec = (System.nanoTime() - t0) / 1e9
     } finally {
       // listener bus is async (and its drain API is private): poll until the
       // counters stop moving before reading them
@@ -107,7 +111,6 @@ object ScaleProbe {
       }
       spark.sparkContext.removeSparkListener(tap)
     }
-    val sec = (System.nanoTime() - t0) / 1e9
     def mb(a: LongAdder) = a.sum() / 1048576.0
     Sample(sec, mb(tap.input), mb(tap.sw), mb(tap.sr), mb(tap.spill))
   }

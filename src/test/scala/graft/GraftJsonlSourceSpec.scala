@@ -191,6 +191,21 @@ class GraftJsonlSourceSpec extends SparkTestBase {
       "replayed epoch duplicated or lost rows — segment naming is not idempotent")
   }
 
+  test("two batch appends to one directory accumulate (no segment-name collision)") {
+    import spark.implicits._
+    val dir = freshDir()
+    def writeBatch(from: Long, until: Long): Unit =
+      spark.range(from, until).selectExpr("""concat('{"id":', id, '}') AS value""")
+        .repartition(2)
+        .write.format("graft-jsonl").mode("append").option("path", dir).save()
+    writeBatch(0L, 50L)
+    writeBatch(50L, 80L) // same partition ids — must ADD segments, not rename over
+    val got = spark.read.format("graft-jsonl").option("path", dir).load()
+      .selectExpr("CAST(get_json_object(value, '$.id') AS LONG)").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 80L),
+      s"second append overwrote the first write's segments (got ${got.length} rows)")
+  }
+
   test("file topic: sink segments are discovered live by a tailing source query") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

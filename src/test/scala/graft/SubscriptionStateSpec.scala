@@ -115,6 +115,32 @@ class SubscriptionStateSpec extends SparkTestBase {
     } finally bridge.detach()
   }
 
+  test("graft-jsonl assignment changes publish REBALANCING too (source-generic signature)") {
+    // the jsonl medium's flat {"file":pos} offsets must feed the signature
+    // exactly like kafka's nested shape: a new segment joining the tail IS
+    // the medium's partition-added event
+    val dir = Files.createTempDirectory("graft-substate-jsonl").toString
+    graft.sources.jsonl.GraftJsonl.append(dir, "a.jsonl", Seq("""{"i":1}"""))
+    val bridge = SubscriptionStates.attach(spark, "jsonl-q")
+    try {
+      val q = spark.readStream.format("graft-jsonl").option("path", dir)
+        .load()
+        .writeStream.queryName("jsonl-q")
+        .option("checkpointLocation", Files.createTempDirectory("graft-substate-jck").toString)
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .start()
+      try {
+        q.processAllAvailable()
+        awaitHistory(bridge, "steady state on one segment")(
+          _.take(2) == Seq(INITIALIZING, RUNNING))
+        graft.sources.jsonl.GraftJsonl.append(dir, "b.jsonl", Seq("""{"i":2}"""))
+        q.processAllAvailable()
+        awaitHistory(bridge, "a new segment is the jsonl medium's rebalance")(
+          _.containsSlice(Seq(RUNNING, REBALANCING, RUNNING)))
+      } finally q.stop()
+    } finally bridge.detach()
+  }
+
   test("restart with an unchanged assignment re-runs INITIALIZING -> RUNNING without REBALANCING") {
     val root = freshRoot()
     BrokerLog.createTopic(root, "re", 2)
