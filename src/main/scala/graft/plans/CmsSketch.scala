@@ -301,18 +301,53 @@ case class CmsMergeAgg(
     else CmsSketch.serialize(
       java.util.Arrays.copyOfRange(buffer, 2, buffer.length), buffer(0).toInt, buffer(1).toInt)
 
+  /** SHUFFLE format (same sparse rule as [[CmsSketchAgg.serialize]]): a
+    * partial merge buffer over a low-key-count group is mostly zeros at
+    * production width — encode (idx, value) pairs behind a negative-length
+    * marker when smaller. Dense form: plain longs (header slots included),
+    * first long = width > 0, disjoint from the marker.
+    */
   override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(buffer.length * 8)
-    var i = 0
-    while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
-    bb.array()
+    var nnz = 0
+    var i = 2
+    while (i < buffer.length) { if (buffer(i) != 0L) nnz += 1; i += 1 }
+    if (buffer.length == 0 || nnz.toLong * 12 >= (buffer.length - 2).toLong * 8) {
+      val bb = ByteBuffer.allocate(buffer.length * 8)
+      i = 0
+      while (i < buffer.length) { bb.putLong(buffer(i)); i += 1 }
+      bb.array()
+    } else {
+      val bb = ByteBuffer.allocate(24 + nnz * 12)
+      bb.putLong(-buffer(0)).putLong(buffer(1)).putLong(nnz.toLong)
+      i = 2
+      while (i < buffer.length) {
+        if (buffer(i) != 0L) { bb.putInt(i - 2); bb.putLong(buffer(i)) }
+        i += 1
+      }
+      bb.array()
+    }
   }
   override def deserialize(storageFormat: Array[Byte]): Array[Long] = {
+    if (storageFormat.isEmpty) return Array.emptyLongArray
     val bb = ByteBuffer.wrap(storageFormat)
-    val out = new Array[Long](storageFormat.length / 8)
-    var i = 0
-    while (i < out.length) { out(i) = bb.getLong; i += 1 }
-    out
+    val first = bb.getLong
+    if (first >= 0) {
+      val out = new Array[Long](storageFormat.length / 8)
+      out(0) = first
+      var i = 1
+      while (i < out.length) { out(i) = bb.getLong; i += 1 }
+      out
+    } else {
+      val w = (-first).toInt
+      val d = bb.getLong.toInt
+      val nnz = bb.getLong.toInt
+      val out = new Array[Long](2 + w * d)
+      out(0) = w
+      out(1) = d
+      var i = 0
+      while (i < nnz) { val idx = bb.getInt; out(2 + idx) = bb.getLong; i += 1 }
+      out
+    }
   }
 
   override def dataType: DataType = BinaryType

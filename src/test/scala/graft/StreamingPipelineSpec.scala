@@ -227,6 +227,47 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(out.nonEmpty && out.length < corpus.count(), "curation must be a proper subset")
   }
 
+  test("file-topic pipeline: jsonl tail -> streaming near-dedup -> effectively-once parquet, live == batch") {
+    // the two round-11 pillars composed: documents land as JSONL segments,
+    // a tailing query near-dedups them by minhash signature and writes an
+    // exact (batch-id-keyed) parquet output; the result must equal the
+    // SAME operator chain run in batch over the same directory
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ftp").toString
+    def line(id: Int, text: String): String =
+      s"""{"doc_id":$id,"ts":${1704067200L + id},"text":"$text"}"""
+    // planted exact dups: every 3rd doc repeats an earlier text
+    def text(i: Int): String =
+      if (i % 3 == 2) s"the quick brown fox jumps over dog number ${i - 2} again and again"
+      else s"the quick brown fox jumps over dog number $i again and again"
+    graft.sources.jsonl.GraftJsonl.append(dir, "w0.jsonl", (0 until 18).map(i => line(i, text(i))))
+    def parsed(df: org.apache.spark.sql.DataFrame) = df.select(
+      get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+      timestamp_seconds(get_json_object(col("value"), "$.ts").cast("long")).as("ts"),
+      get_json_object(col("value"), "$.text").as("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft-ftp-out").toString
+    val q = graft.streaming.StreamOps.effectivelyOnceParquet(
+      graft.streaming.StreamOps.nearDedupeStreamBySignature(
+        parsed(spark.readStream.format("graft-jsonl").option("path", dir).load()),
+        col("text"), "ts", "10 minutes"),
+      out, java.nio.file.Files.createTempDirectory("graft-ftp-ckpt").toString)
+    try {
+      q.processAllAvailable()
+      // second wave arrives as a NEW segment (incl. dups of wave-1 texts
+      // within the watermark horizon)
+      graft.sources.jsonl.GraftJsonl.append(dir, "w1.jsonl", (18 until 30).map(i => line(i, text(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+    val batch = graft.streaming.StreamOps.nearDedupeStreamBySignature(
+        parsed(spark.read.format("graft-jsonl").option("path", dir).load()),
+        col("text"), "ts", "10 minutes")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(live.nonEmpty && live.size < 30, s"dedup must have dropped planted dups: $live")
+    assert(live == batch, s"live file-topic pipeline diverged from batch: $live vs $batch")
+  }
+
   test("stream-stream time-bounded join matches the batch join") {
     import graft.streaming.StreamOps
 
