@@ -387,6 +387,25 @@ object TextFunctions {
       df: org.apache.spark.sql.DataFrame,
       idCol: Column,
       textCol: Column,
+      segTokens: Int): org.apache.spark.sql.DataFrame =
+    df.select(idCol.as("doc_id"),
+        graft.functions.toColumn(graft.plans.RepeatedSegmentsExpr(
+          graft.functions.toExpr(textCol), segTokens)).as("__r"))
+      .select(col("doc_id"),
+        col("__r.n_segments").as("n_segments"),
+        col("__r.n_kept").as("n_kept"),
+        col("__r.text_clean").as("text_clean"))
+
+  /** The pre-native declarative form of [[dropRepeatedSegments]] —
+    * `transform`+`slice` segments, keep-first via an `array_position`
+    * filter (O(segments²) interpreted comparisons per document). Retained
+    * as the independently-derived equivalence oracle for the native
+    * [[graft.plans.RepeatedSegmentsExpr]] in TextFunctionsSpec.
+    */
+  private[graft] def dropRepeatedSegmentsDeclarative(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: Column,
+      textCol: Column,
       segTokens: Int): org.apache.spark.sql.DataFrame = {
     require(segTokens >= 1, s"segTokens=$segTokens must be positive")
     val n = segTokens

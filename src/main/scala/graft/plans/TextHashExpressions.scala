@@ -481,3 +481,105 @@ case class RemoveTokenPositions(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveTokenPositions =
     copy(left = l, right = r)
 }
+
+/** Keep-first segment dedup of one document in ONE native pass →
+  * `struct(n_segments int, n_kept int, text_clean string)`: the document's
+  * tokens (split on single spaces, empty tokens preserved — exactly Spark's
+  * `split(text, " ")` with its keep-trailing-empties limit=-1 rule) are
+  * grouped into fixed `n`-token segments (last may be shorter) and each
+  * segment is kept iff its exact text has not appeared before.
+  *
+  * Replaces the declarative form (`transform`+`slice` to build segments,
+  * then `filter` with `array_position` — O(segments²) interpreted string
+  * comparisons per document, ~1 s of the scrub pipelines' time at sf0.1)
+  * with a single hash-set pass. NULL text yields the honest empty document
+  * `(0, 0, "")`, the declarative guards' contract (so the expression itself
+  * is never null). The declarative form is retained in TextFunctionsSpec as
+  * this expression's equivalence oracle.
+  */
+case class RepeatedSegmentsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  require(n >= 1, s"segTokens=$n must be positive")
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_segments", IntegerType, nullable = false),
+    StructField("n_kept", IntegerType, nullable = false),
+    StructField("text_clean", StringType, nullable = false)))
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repeated_segments needs string, got ${other.catalogString}")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    evalNullable(child.eval(input).asInstanceOf[AnyRef])
+
+  /** Shared eval entry (interpreted + codegen bridge): null text comes out
+    * as the honest empty document, not null.
+    */
+  def evalNullable(v: AnyRef): Any =
+    if (v == null) org.apache.spark.sql.catalyst.InternalRow(0, 0, UTF8String.EMPTY_UTF8)
+    else compute(v.asInstanceOf[UTF8String])
+
+  private def compute(u: UTF8String): Any = {
+    val bytes = u.getBytes
+    // token boundaries: split on single 0x20 bytes, keeping ALL empty
+    // tokens ("" -> one empty token; "a " -> ["a", ""]) — byte-level is
+    // safe because UTF-8 never embeds 0x20 inside a multi-byte sequence
+    val starts = new scala.collection.mutable.ArrayBuffer[Int](16)
+    starts += 0
+    var i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') starts += i + 1
+      i += 1
+    }
+    val nTok = starts.length
+    def tokEnd(t: Int): Int = if (t + 1 < nTok) starts(t + 1) - 1 else bytes.length
+    val nSeg = (nTok + n - 1) / n
+    val seen = new java.util.HashSet[UTF8String](nSeg * 2)
+    val sb = new java.io.ByteArrayOutputStream(bytes.length)
+    var kept = 0
+    var s = 0
+    while (s < nSeg) {
+      // segment s spans bytes[starts(s·n), end of its last token) — tokens
+      // are contiguous in the source, so the space-joined segment IS a
+      // byte slice of the original text
+      val from = starts(s * n)
+      val until = tokEnd(math.min(s * n + n, nTok) - 1)
+      val seg = UTF8String.fromBytes(bytes, from, until - from)
+      if (seen.add(seg)) {
+        if (kept > 0) sb.write(' ')
+        sb.write(bytes, from, until - from)
+        kept += 1
+      }
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nSeg, kept, UTF8String.fromBytes(sb.toByteArray))
+  }
+
+  // eval-bridge (MinHashSigs pattern), with explicit null-child plumbing
+  // since this expression maps null input to a non-null result
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val ref = ctx.addReferenceObj("repSegs", this, classOf[RepeatedSegmentsExpr].getName)
+    val childGen = child.genCode(ctx)
+    val jt = org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator.javaType(dataType)
+    ev.copy(
+      code = code"""
+        ${childGen.code}
+        $jt ${ev.value} = ($jt) $ref.evalNullable(
+          ${childGen.isNull} ? null : ((Object) ${childGen.value}));
+      """,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override def prettyName: String = "repeated_segments"
+  override protected def withNewChildInternal(c: Expression): RepeatedSegmentsExpr =
+    copy(child = c)
+}

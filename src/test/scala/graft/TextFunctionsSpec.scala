@@ -56,4 +56,32 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty,
       "documents sharing a w+n-1 token run must share a winnow fingerprint")
   }
+
+  test("native repeated-segments dedup equals the declarative form, edges included") {
+    import org.apache.spark.sql.functions.col
+    // corpus rows + adversarial edges: null, empty, single token, trailing
+    // space (split keeps the empty trailing token), multi-space runs,
+    // repeats at segment boundaries, a doc shorter than one segment
+    val edges = Seq(
+      (100001L, null.asInstanceOf[String]),
+      (100002L, ""),
+      (100003L, "one"),
+      (100004L, "a b c d a b c d a b c d"),
+      (100005L, "x y "),
+      (100006L, "p  q   r"),
+      (100007L, "s t u")).toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionAll(edges)
+    for (n <- Seq(1, 4, 7)) {
+      val native = TextFunctions.dropRepeatedSegments(corpus, col("doc_id"), col("text"), n)
+        .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+      val decl = TextFunctions.dropRepeatedSegmentsDeclarative(corpus, col("doc_id"), col("text"), n)
+        .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+      assert(native.keySet == decl.keySet)
+      native.keySet.foreach { id =>
+        assert(native(id) == decl(id),
+          s"segTokens=$n doc $id: native ${native(id)} vs declarative ${decl(id)}")
+      }
+    }
+  }
 }
