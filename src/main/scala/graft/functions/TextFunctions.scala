@@ -35,9 +35,16 @@ object TextFunctions {
     * expression shape, no reordering).
     */
   def quality_score(text: Column): Column = {
-    val toks = tokens(text)
-    val n = size(toks).cast("double")
-    val stop = size(filter(toks, t => t.isin(Stopwords.en: _*))).cast("double")
+    // ONE native byte pass for both counts: size(split(...)) allocated the
+    // whole token array to count it, and the stopword filter was an
+    // interpreted lambda doing |stopwords| compares per token — this is the
+    // per-document hot path of every mix flagship's scored stage. Counts
+    // are value-identical to the declarative forms (TextFunctionsSpec),
+    // so the score (and every oracle hash) is unchanged.
+    val counts = graft.functions.toColumn(graft.plans.TokenStopCountsExpr(
+      graft.functions.toExpr(text), Stopwords.en))
+    val n = counts.getField("n_tokens").cast("double")
+    val stop = counts.getField("n_stop").cast("double")
     val punct = punct_count(text).cast("double")
     // empty text: n is never 0 (split('') = ['']), but length IS — guard the
     // char division so an all-scrubbed doc scores 0.303 instead of raising

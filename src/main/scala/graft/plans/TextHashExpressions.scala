@@ -583,3 +583,65 @@ case class RepeatedSegmentsExpr(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): RepeatedSegmentsExpr =
     copy(child = c)
 }
+
+/** `struct(n_tokens int, n_stop int)` of a document in ONE byte-level pass:
+  * token count under Spark's `split(text, " ")` semantics (single-space
+  * separators, empty tokens preserved → separators + 1) and how many tokens
+  * exactly match the given word set. Replaces the quality-score hot path's
+  * `size(split(...))` (allocates the whole token array to count it) +
+  * `size(filter(toks, isin(words)))` (an interpreted lambda doing
+  * |words| string compares per token) — the scored stage of every mix
+  * flagship evaluates this per document. Null text propagates null,
+  * exactly like `size(split(null, " "))` — the score stays null for null
+  * docs, unchanged.
+  */
+case class TokenStopCountsExpr(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_stop_counts needs string, got ${other.catalogString}")
+  }
+
+  @transient private lazy val wordSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.size * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    var nTok = 1
+    var nStop = 0
+    var tokStart = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (wordSet.contains(UTF8String.fromBytes(bytes, tokStart, i - tokStart))) nStop += 1
+        if (i < bytes.length) nTok += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nTok, nStop)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokStop", this, classOf[TokenStopCountsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "token_stop_counts"
+  override protected def withNewChildInternal(c: Expression): TokenStopCountsExpr =
+    copy(child = c)
+}

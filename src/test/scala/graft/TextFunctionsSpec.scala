@@ -84,4 +84,33 @@ class TextFunctionsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("native token/stopword counts equal the declarative split+filter forms") {
+    import org.apache.spark.sql.functions._
+    val edges = Seq((900001L, null.asInstanceOf[String]), (900002L, ""),
+      (900003L, "the"), (900004L, "the the  and "), (900005L, "a of to in is it that for and the"))
+      .toDF("doc_id", "text")
+    val corpus = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .unionAll(edges)
+    val native = corpus.select(col("doc_id"),
+        graft.functions.toColumn(graft.plans.TokenStopCountsExpr(
+          graft.functions.toExpr(col("text")), graft.functions.Stopwords.en)).as("c"))
+      .select(col("doc_id"),
+        coalesce(col("c.n_tokens"), lit(-1)), coalesce(col("c.n_stop"), lit(-1)))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val decl = corpus.select(col("doc_id"),
+        coalesce(size(split(col("text"), " ")), lit(-1)).as("n"),
+        coalesce(size(filter(split(col("text"), " "),
+          t => t.isin(graft.functions.Stopwords.en: _*))), lit(-1)).as("s"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    corpus.select("doc_id").as[Long].collect().foreach { id =>
+      (native.get(id), decl.get(id)) match {
+        case (Some(nv), Some(dv)) =>
+          // null text: both sides propagate null (coalesced to -1 here) —
+          // the score stays null for null docs, unchanged
+          assert(nv == dv, s"doc $id: native $nv vs declarative $dv")
+        case other => fail(s"doc $id missing: $other")
+      }
+    }
+  }
 }
