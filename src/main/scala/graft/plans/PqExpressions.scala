@@ -128,9 +128,10 @@ case class MatVecExpr(child: Expression, mat: Seq[Seq[Double]])
     val n = arr.numElements()
     // fail fast on a dimension mismatch: silently truncating or zero-padding
     // would return a plausible-looking but mathematically wrong rotation and
-    // poison every downstream PQ code/score
-    require(n == mat.head.size,
-      s"mat_vec: vector has $n dims but the matrix has ${mat.head.size} columns")
+    // poison every downstream PQ code/score (constant-time check against the
+    // materialized array — this runs per row)
+    require(n == rows(0).length,
+      s"mat_vec: vector has $n dims but the matrix has ${rows(0).length} columns")
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {

@@ -192,25 +192,52 @@ object GraftJsonl {
 
 /** Streaming offset: per-file byte position after the last consumed complete
   * line, serialized as sorted JSON `{"a.jsonl":123,"b.jsonl":0}`. File names
-  * are JSON-escaped — a legal Linux name may contain `"` or `\`, and an
-  * unescaped emission would persist a checkpoint offset `fromJson`
-  * mis-parses on restart (truncated name → re-read from 0 → duplicates).
+  * are JSON-escaped — quotes/backslashes AND control characters: a newline
+  * is a legal Linux filename byte, and Spark's offset log is line-oriented,
+  * so an unescaped emission would split the checkpoint record and make
+  * `fromJson` mis-parse on restart (truncated name → re-read from 0 →
+  * duplicates).
   */
 case class GraftJsonlOffset(positions: Map[String, Long]) extends Offset {
   override def json(): String =
     positions.toSeq.sortBy(_._1)
-      .map { case (f, p) =>
-        val esc = f.replace("\\", "\\\\").replace("\"", "\\\"")
-        s""""$esc":$p"""
-      }.mkString("{", ",", "}")
+      .map { case (f, p) => s""""${GraftJsonlOffset.escape(f)}":$p""" }
+      .mkString("{", ",", "}")
 }
 
 object GraftJsonlOffset {
+  private[jsonl] def escape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '"'  => sb.append("\\\"")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private[jsonl] def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def fromJson(s: String): GraftJsonlOffset = {
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*([0-9]+)""".r
     GraftJsonlOffset(entry.findAllMatchIn(s).map { m =>
-      val name = m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")
-      name -> m.group(2).toLong
+      unescape(m.group(1)) -> m.group(2).toLong
     }.toMap)
   }
 }
@@ -263,12 +290,25 @@ class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
       // per-JOB unique tag, generated once on the driver: stable across task
       // retries inside this job (idempotent replacement), unique across jobs
       // (a second SaveMode.Append must ADD segments, not rename over the
-      // previous write's "seg-batch-*" names)
-      private val jobTag = "b" + java.util.UUID.randomUUID().toString.take(8)
+      // previous write's names). FULL uuid: a truncated tag's birthday
+      // collisions would silently REPLACE_EXISTING an earlier append's
+      // segment on a long-lived directory.
+      private val jobTag = "b" + java.util.UUID.randomUUID().toString
       override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
         new GraftJsonlWriterFactory(dir, valueIdx, jobTag)
       override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+      // a failed JOB must not leave its committed tasks' segments behind:
+      // they are visible to readers, and the user's retry runs under a new
+      // tag, so uncleaned orphans would duplicate those partitions' rows
+      override def abort(messages: Array[WriterCommitMessage]): Unit = {
+        val d = new File(dir)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter { f =>
+            val n = f.getName
+            n.startsWith(s"seg-$jobTag-") || n.startsWith(s".seg-$jobTag-")
+          }
+          .foreach(_.delete())
+      }
     }
     override def toStreaming: StreamingWrite = new StreamingWrite {
       override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -347,14 +387,28 @@ case class GraftJsonlCommit(segment: String, rows: Long) extends WriterCommitMes
 class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
   private val dir = GraftJsonl.dir(options)
   private val suffix = options.getOrDefault("suffix", ".jsonl")
+  private val failOnDataLoss = options.getBoolean("failondataloss", true)
 
   override def readSchema(): StructType = GraftJsonl.schema
 
-  /** Batch read: the complete-line snapshot of every file at planning time. */
+  /** Batch read: the complete-line snapshot of every file at planning time.
+    * `failOnDataLoss` rides into the partitions so a file deleted between
+    * planning and task execution (log rotation) honors the option on the
+    * batch path too, not only the streaming one.
+    */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      GraftJsonl.listFiles(dir, suffix).map { f =>
-        GraftJsonlInputPartition(f.getPath, f.getName, 0L, GraftJsonl.completeLength(f)): InputPartition
+      GraftJsonl.listFiles(dir, suffix).flatMap { f =>
+        try Some(GraftJsonlInputPartition(f.getPath, f.getName, 0L,
+          GraftJsonl.completeLength(f), failOnDataLoss): InputPartition)
+        catch {
+          case e: java.io.FileNotFoundException =>
+            // vanished between list and stat (log rotation at planning time)
+            if (failOnDataLoss) throw new IllegalStateException(
+              s"data loss detected on ${f.getName}: file vanished during batch planning. " +
+                "Set failOnDataLoss=false to drop it.", e)
+            None
+        }
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = new GraftJsonlReaderFactory
   }
