@@ -206,6 +206,37 @@ class GraftJsonlSourceSpec extends SparkTestBase {
       s"second append overwrote the first write's segments (got ${got.length} rows)")
   }
 
+  test("batch-write abort deletes the failed job's committed segments") {
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = freshDir()
+    GraftJsonl.append(dir, "keep.jsonl", Seq("""{"id":0}""")) // pre-existing data
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      override def queryId(): String = "test-query"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType)))
+    }
+    val batchWrite = new graft.sources.jsonl.GraftJsonlWriteBuilder(info).build().toBatch
+    val factory = batchWrite.createBatchWriterFactory(null)
+    // task 0 writes and COMMITS its segment; task 1 then fails the job
+    val w0 = factory.createWriter(0, 100L)
+    w0.write(org.apache.spark.sql.catalyst.InternalRow(
+      org.apache.spark.unsafe.types.UTF8String.fromString("""{"id":1}""")))
+    val msg0 = w0.commit()
+    val committed = new File(dir).listFiles().map(_.getName).filter(_.startsWith("seg-b"))
+    assert(committed.length == 1, s"expected the committed segment, got ${committed.toSeq}")
+    // the job aborts: the orphan segment must vanish (a retry runs under a
+    // NEW tag — leaving this one behind would duplicate partition 0's rows),
+    // pre-existing data untouched
+    batchWrite.abort(Array(msg0))
+    val after = new File(dir).listFiles().map(_.getName).toSet
+    assert(!after.exists(_.startsWith("seg-b")), s"orphan segment survived abort: $after")
+    assert(after.contains("keep.jsonl"))
+  }
+
   test("file topic: sink segments are discovered live by a tailing source query") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
