@@ -151,6 +151,11 @@ object PerKeyQuota {
       keyCol: Column,
       width: Int,
       depth: Int): DataFrame = {
+    require(keyed.columns.contains("win") && sketches.columns.contains("win"),
+      "estimatesPortableByCellJoin joins on a 'win' column — both inputs must carry it " +
+        s"(keyed has ${keyed.columns.mkString(", ")})")
+    require(!keyed.columns.exists(Set("__ci", "__w", "__v", "est_n")),
+      "keyed must not carry the reserved columns __ci/__w/__v/est_n")
     val cells = sketches.select(col("win").as("__w"),
       posexplode(graft.functions.cms_cells(col("sketch"))).as(Seq("__ci", "__v")))
     val passCols = keyed.columns.map(col)
