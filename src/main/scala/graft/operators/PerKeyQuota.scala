@@ -151,11 +151,16 @@ object PerKeyQuota {
       keyCol: Column,
       width: Int,
       depth: Int): DataFrame = {
-    require(keyed.columns.contains("win") && sketches.columns.contains("win"),
-      "estimatesPortableByCellJoin joins on a 'win' column — both inputs must carry it " +
-        s"(keyed has ${keyed.columns.mkString(", ")})")
-    require(!keyed.columns.exists(Set("__ci", "__w", "__v", "est_n")),
-      "keyed must not carry the reserved columns __ci/__w/__v/est_n")
+    // case-INSENSITIVE checks: Spark resolves columns case-insensitively by
+    // default, so an 'EST_N' column collides exactly like 'est_n' would
+    Seq("keyed" -> keyed, "sketches" -> sketches).foreach { case (which, df) =>
+      require(df.columns.exists(_.equalsIgnoreCase("win")),
+        s"estimatesPortableByCellJoin joins on a 'win' column — $which lacks it " +
+          s"($which has ${df.columns.mkString(", ")})")
+    }
+    val reserved = Set("__ci", "__w", "__v", "est_n")
+    require(!keyed.columns.exists(c => reserved(c.toLowerCase)),
+      "keyed must not carry the reserved columns __ci/__w/__v/est_n (any case)")
     val cells = sketches.select(col("win").as("__w"),
       posexplode(graft.functions.cms_cells(col("sketch"))).as(Seq("__ci", "__v")))
     val passCols = keyed.columns.map(col)

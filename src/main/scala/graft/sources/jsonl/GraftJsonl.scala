@@ -172,6 +172,40 @@ object GraftJsonl {
     } finally raf.close()
   }
 
+  /** Driver-side landing of one job's/epoch's segments: atomically rename
+    * every committed task's temp into its final name (REPLACE_EXISTING —
+    * a replayed epoch replaces itself), then sweep stray temps of the same
+    * tag (failed/speculative attempts whose messages never reached the
+    * driver). Runs ONLY after every task committed, so an abort can never
+    * race a rename: no final name appears for a job that did not commit.
+    */
+  private[jsonl] def commitSegments(
+      dir: String,
+      tag: String,
+      messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case GraftJsonlCommit(tmpName, segment, _) if tmpName != null =>
+        java.nio.file.Files.move(
+          new File(dir, tmpName).toPath, new File(dir, segment).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      case _ => ()
+    }
+    sweepTemps(dir, tag)
+  }
+
+  /** Abort cleanup: only temps can exist (renames are commit-side). */
+  private[jsonl] def abortSegments(dir: String, tag: String): Unit =
+    sweepTemps(dir, tag)
+
+  private def sweepTemps(dir: String, tag: String): Unit = {
+    val d = new File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s".seg-$tag-") &&
+        f.getName.endsWith(".inprogress"))
+      .foreach(_.delete())
+  }
+
   /** Append lines (adding the terminating '\n' each) to `dir/name` — the
     * producer util the chaos/roundtrip harnesses write through. Appends are
     * sequential per call; callers provide cross-call ordering.
@@ -296,25 +330,18 @@ class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
       private val jobTag = "b" + java.util.UUID.randomUUID().toString
       override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
         new GraftJsonlWriterFactory(dir, valueIdx, jobTag)
-      override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-      // a failed JOB must not leave its committed tasks' segments behind:
-      // they are visible to readers, and the user's retry runs under a new
-      // tag, so uncleaned orphans would duplicate those partitions' rows
-      override def abort(messages: Array[WriterCommitMessage]): Unit = {
-        val d = new File(dir)
-        Option(d.listFiles()).getOrElse(Array.empty)
-          .filter { f =>
-            val n = f.getName
-            n.startsWith(s"seg-$jobTag-") || n.startsWith(s".seg-$jobTag-")
-          }
-          .foreach(_.delete())
-      }
+      override def commit(messages: Array[WriterCommitMessage]): Unit =
+        GraftJsonl.commitSegments(dir, jobTag, messages)
+      override def abort(messages: Array[WriterCommitMessage]): Unit =
+        GraftJsonl.abortSegments(dir, jobTag)
     }
     override def toStreaming: StreamingWrite = new StreamingWrite {
       override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
         new GraftJsonlStreamingWriterFactory(dir, valueIdx)
-      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
-      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        GraftJsonl.commitSegments(dir, f"$epochId%06d", messages)
+      override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+        GraftJsonl.abortSegments(dir, f"$epochId%06d")
     }
   }
 }
@@ -331,16 +358,26 @@ class GraftJsonlStreamingWriterFactory(dir: String, valueIdx: Int)
     new GraftJsonlSegmentWriter(dir, valueIdx, f"$epochId%06d", partitionId, taskId)
 }
 
+/** Task-side writer: lands ONLY its temp file. The rename into the visible
+  * segment name happens at the DRIVER's job/epoch commit
+  * ([[GraftJsonl.commitSegments]]): a task-side rename would race job
+  * abort — a task already authorized by the commit coordinator can finish
+  * its rename after abort's cleanup scan ran, leaving an orphan segment
+  * a retried job (under a fresh tag) would then duplicate. With the
+  * driver doing every rename, abort at most deletes temps and no final
+  * name can appear for a job/epoch that did not commit.
+  */
 class GraftJsonlSegmentWriter(
     dir: String, valueIdx: Int, epochTag: String, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
   private val finalName = f"seg-$epochTag-$partitionId%04d.jsonl"
   // temp name carries the ATTEMPT's taskId: concurrent attempts of the same
   // partition (speculation, zombie tasks) must not write/truncate/delete one
-  // shared temp file — each attempt owns its own, and whichever attempt the
-  // commit coordinator lets commit renames ITS file into the final name.
-  // No .jsonl suffix: invisible to tailing readers until the atomic rename.
-  private val tmp = new File(dir, s".$finalName.$taskId.inprogress")
+  // shared temp file — the commit-coordinator-approved attempt's temp is the
+  // one whose message reaches the driver. No .jsonl suffix: invisible to
+  // tailing readers.
+  private val tmpName = s".$finalName.$taskId.inprogress"
+  private val tmp = new File(dir, tmpName)
   private var out: java.io.OutputStream = _
   private var n = 0L
 
@@ -363,14 +400,8 @@ class GraftJsonlSegmentWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) {
-      out.close()
-      // idempotent landing: a replayed (epoch, partition) replaces itself
-      java.nio.file.Files.move(tmp.toPath, new File(dir, finalName).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
-    GraftJsonlCommit(finalName, n)
+    if (out != null) out.close()
+    GraftJsonlCommit(if (out == null) null else tmpName, finalName, n)
   }
 
   override def abort(): Unit = {
@@ -382,7 +413,8 @@ class GraftJsonlSegmentWriter(
   override def close(): Unit = ()
 }
 
-case class GraftJsonlCommit(segment: String, rows: Long) extends WriterCommitMessage
+case class GraftJsonlCommit(tmpName: String, segment: String, rows: Long)
+  extends WriterCommitMessage
 
 class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
   private val dir = GraftJsonl.dir(options)
@@ -402,11 +434,13 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
         try Some(GraftJsonlInputPartition(f.getPath, f.getName, 0L,
           GraftJsonl.completeLength(f), failOnDataLoss): InputPartition)
         catch {
-          case e: java.io.FileNotFoundException =>
-            // vanished between list and stat (log rotation at planning time)
+          // FileNotFound = vanished between list and stat; EOF = truncated
+          // mid-probe (copy-then-truncate rotation) — both are the same
+          // planning-time loss race
+          case e @ (_: java.io.FileNotFoundException | _: java.io.EOFException) =>
             if (failOnDataLoss) throw new IllegalStateException(
-              s"data loss detected on ${f.getName}: file vanished during batch planning. " +
-                "Set failOnDataLoss=false to drop it.", e)
+              s"data loss detected on ${f.getName}: file vanished or was truncated during " +
+                "batch planning. Set failOnDataLoss=false to drop it.", e)
             None
         }
       }.toArray
@@ -417,7 +451,7 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
     new GraftJsonlMicroBatchStream(dir, suffix,
       startAtLatest = options.getOrDefault("startingoffsets", "earliest")
         .equalsIgnoreCase("latest"),
-      failOnDataLoss = options.getBoolean("failondataloss", true),
+      failOnDataLoss = failOnDataLoss,
       maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map(_.toLong))
 }
 
@@ -459,7 +493,12 @@ class GraftJsonlMicroBatchStream(
     val startPos = start.asInstanceOf[GraftJsonlOffset].positions
     def startOf(name: String): Long = startPos.getOrElse(name, 0L)
     def statSafe[A](f: File)(body: => A): Option[A] =
-      try Some(body) catch { case _: java.io.FileNotFoundException => None }
+      try Some(body)
+      catch {
+        // vanished OR truncated mid-probe: both resolve at the next trigger
+        // (the vanished map / the clamped offset handle each)
+        case _: java.io.FileNotFoundException | _: java.io.EOFException => None
+      }
     val fs = files
     val complete = fs.flatMap(f =>
       statSafe(f)(GraftJsonl.completeLength(f)).map(f.getName -> _)).toMap

@@ -206,6 +206,22 @@ class GraftJsonlSourceSpec extends SparkTestBase {
       s"second append overwrote the first write's segments (got ${got.length} rows)")
   }
 
+  test("offset JSON round-trips hostile file names (quotes, backslashes, control chars)") {
+    import graft.sources.jsonl.GraftJsonlOffset
+    // every class the escaper handles: quote, backslash, literal \u prefix,
+    // trailing backslash, newline/tab (legal Linux filename bytes that would
+    // split Spark's line-oriented offset log), plus a plain name
+    val names = Seq(
+      "plain.jsonl", """he"llo.jsonl""", """back\slash.jsonl""",
+      """tricky\"mix.jsonl""", """literalA.jsonl""", "trail\\",
+      "new\nline.jsonl", "tab\there.jsonl", "ctl.jsonl")
+    val pos = names.zipWithIndex.map { case (n, i) => n -> (i * 37L + 1) }.toMap
+    val json = GraftJsonlOffset(pos).json()
+    assert(!json.exists(_ < 0x20), s"offset JSON must be single-line/control-free: $json")
+    assert(GraftJsonlOffset.fromJson(json).positions == pos,
+      s"round-trip mangled the names: ${GraftJsonlOffset.fromJson(json).positions} vs $pos")
+  }
+
   test("batch-write abort deletes the failed job's committed segments") {
     import org.apache.spark.sql.connector.write.LogicalWriteInfo
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -221,20 +237,32 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     }
     val batchWrite = new graft.sources.jsonl.GraftJsonlWriteBuilder(info).build().toBatch
     val factory = batchWrite.createBatchWriterFactory(null)
-    // task 0 writes and COMMITS its segment; task 1 then fails the job
-    val w0 = factory.createWriter(0, 100L)
-    w0.write(org.apache.spark.sql.catalyst.InternalRow(
-      org.apache.spark.unsafe.types.UTF8String.fromString("""{"id":1}""")))
-    val msg0 = w0.commit()
-    val committed = new File(dir).listFiles().map(_.getName).filter(_.startsWith("seg-b"))
-    assert(committed.length == 1, s"expected the committed segment, got ${committed.toSeq}")
-    // the job aborts: the orphan segment must vanish (a retry runs under a
-    // NEW tag — leaving this one behind would duplicate partition 0's rows),
-    // pre-existing data untouched
+    def writeTask(pid: Int, taskId: Long) = {
+      val w = factory.createWriter(pid, taskId)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"""{"id":$pid}""")))
+      w.commit()
+    }
+    def names() = new File(dir).listFiles().map(_.getName).toSet
+    // task commit lands ONLY the temp: no final name may appear before the
+    // DRIVER commits the job (a task-side rename would race job abort — the
+    // duplicate-on-retry hole this protocol closes)
+    val msg0 = writeTask(0, 100L)
+    assert(!names().exists(_.startsWith("seg-b")),
+      s"no segment may be visible before the driver's job commit: ${names()}")
+    // the job aborts (task 1 failed): temps swept, nothing visible, the
+    // pre-existing data untouched — a retry under a new tag cannot duplicate
     batchWrite.abort(Array(msg0))
-    val after = new File(dir).listFiles().map(_.getName).toSet
-    assert(!after.exists(_.startsWith("seg-b")), s"orphan segment survived abort: $after")
-    assert(after.contains("keep.jsonl"))
+    assert(!names().exists(n => n.startsWith("seg-b") || n.contains("inprogress")),
+      s"abort left write residue: ${names()}")
+    assert(names().contains("keep.jsonl"))
+    // and the success path: driver commit renames every task's temp
+    val msg0b = writeTask(0, 200L)
+    val msg1b = writeTask(1, 201L)
+    batchWrite.commit(Array(msg0b, msg1b))
+    val after = names()
+    assert(after.count(_.startsWith("seg-b")) == 2, s"driver commit must land both: $after")
+    assert(!after.exists(_.contains("inprogress")), s"temps must be swept at commit: $after")
   }
 
   test("file topic: sink segments are discovered live by a tailing source query") {
