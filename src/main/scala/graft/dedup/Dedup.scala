@@ -541,10 +541,10 @@ object Dedup {
     *
     * 100 TB shape: windows are hashed by the native one-pass expression
     * (no window strings materialize); the election is one partial-agg
-    * shuffle on the 60-bit gram hash; coverage and reassembly shuffle only
-    * `(doc_id, pos)` pairs of AFFECTED positions plus one per-doc
-    * collect_list keyed by the doc — the text itself moves once, at the
-    * end, as its own reassembled row.
+    * shuffle on the 60-bit gram hash; only AFFECTED `(doc_id, pos)` pairs
+    * shuffle (collect_set per doc), and reassembly is the row-local native
+    * merge-scan `remove_token_positions` — the text meets its sorted
+    * removal list in one doc-keyed join and never moves token by token.
     */
   def removeDuplicatedSpans(
       df: DataFrame, idCol: Column, textCol: Column, n: Int): DataFrame = {
