@@ -49,7 +49,13 @@ private[graft] object Svd {
           if (math.abs(apq) > eps * math.sqrt(app * aqq) && apq != 0.0) {
             rotated = true
             val tau = (aqq - app) / (2.0 * apq)
-            val t = math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
+            // tau == 0 (equal column norms, nonzero apq) needs the 45°
+            // rotation t = 1: signum(0) = 0 would yield an identity rotation
+            // that never reduces the off-diagonal, spinning to the sweep cap
+            // on exactly-symmetric inputs
+            val t =
+              if (tau == 0.0) 1.0
+              else math.signum(tau) / (math.abs(tau) + math.sqrt(1.0 + tau * tau))
             val c = 1.0 / math.sqrt(1.0 + t * t)
             val s = c * t
             val vp = v(p); val vq = v(q)

@@ -41,10 +41,27 @@ import org.apache.spark.unsafe.types.UTF8String
   *     be exceeded by at most one line per file — the same
   *     progress-over-precision rule as graft-kafka's maxOffsetsPerTrigger);
   *   - `failOnDataLoss` (default true): a checkpointed file that vanished
-  *     or shrank below its checkpoint (its consumed tail was truncated
-  *     away) fails the query; `false` drops the vanished file and holds the
-  *     shrunken one at its checkpoint until the file regrows past it
-  *     (offsets never regress).
+  *     with UNREAD scheduled bytes or shrank below its checkpoint (its
+  *     consumed tail was truncated away) fails the query; `false` drops the
+  *     vanished file and holds the shrunken one at its checkpoint until the
+  *     file regrows past it (offsets never regress). A vanished file whose
+  *     checkpointed position was fully consumed (zero unread bytes) is
+  *     NEVER data loss in either mode — deleting a fully-consumed segment
+  *     is routine log rotation;
+  *   - `retireConsumed` (default true): drop a fully-consumed vanished
+  *     file's entry from the offset map, so externally-rotated segments
+  *     leave the checkpoint instead of being carried forever. `false`
+  *     carries the entry silently (a deleted-and-recreated file name then
+  *     resumes at its old position instead of replaying from 0);
+  *   - `retentionMs`: ACTIVE retirement — the Kafka `retention.ms` analog
+  *     for a medium whose "broker" is a directory: a file that is fully
+  *     consumed (checkpoint == complete length == file length, no partial
+  *     line in flight) and unmodified for at least `retentionMs` is DELETED
+  *     by the source and its entry dropped. With retention on, the offset
+  *     JSON, the checkpoint record, and the per-trigger stat loop are all
+  *     bounded by the ACTIVE file set, not by stream age. Only sensible
+  *     when this query owns the directory (a second consumer would lose
+  *     the retired data — exactly Kafka's retention contract).
   *
   * Schema: `(file string, pos long, value string)` — pos is the line's
   * starting byte offset in its file, so (file, pos) is a stable record id
@@ -217,6 +234,9 @@ object GraftJsonl {
       val sb = new StringBuilder
       lines.foreach { l =>
         require(!l.contains('\n'), "a JSONL record must be newline-free")
+        require(!l.endsWith("\r"),
+          "a JSONL record must not end in '\\r' (the reader strips a trailing CR so CRLF " +
+            "corpora read like LF — such a value would not round-trip)")
         sb.append(l).append('\n')
       }
       out.write(sb.toString.getBytes(StandardCharsets.UTF_8))
@@ -390,6 +410,11 @@ class GraftJsonlSegmentWriter(
       require(bytes(i) != '\n', "a JSONL record must be newline-free")
       i += 1
     }
+    // the reader strips one trailing CR (CRLF tolerance) — a value ending
+    // in '\r' would silently lose that byte on the way back, so the sink
+    // rejects it up front instead of breaking the round-trip contract
+    require(bytes.isEmpty || bytes(bytes.length - 1) != '\r',
+      "a JSONL record must not end in '\\r' (it would not round-trip through the CRLF-tolerant reader)")
     if (out == null) {
       java.nio.file.Files.createDirectories(new File(dir).toPath)
       out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 64 * 1024)
@@ -420,6 +445,11 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
   private val dir = GraftJsonl.dir(options)
   private val suffix = options.getOrDefault("suffix", ".jsonl")
   private val failOnDataLoss = options.getBoolean("failondataloss", true)
+  private val maxSplitBytes = {
+    val v = options.getLong("maxsplitbytes", 128L << 20)
+    require(v > 0, s"maxSplitBytes must be positive, got $v")
+    v
+  }
 
   override def readSchema(): StructType = GraftJsonl.schema
 
@@ -427,13 +457,32 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
     * `failOnDataLoss` rides into the partitions so a file deleted between
     * planning and task execution (log rotation) honors the option on the
     * batch path too, not only the streaming one.
+    *
+    * A file larger than `maxSplitBytes` (default 128 MiB) is planned as
+    * MULTIPLE byte-range partitions — the classic line-snapped text split:
+    * the driver plans raw byte ranges (no boundary probes — O(1) per
+    * split), and each reader resolves its own boundaries by the
+    * first-byte-ownership rule ([[GraftJsonlInputPartition]]). Without
+    * this, one multi-GB JSONL file would read on a single task no matter
+    * how many executors the cluster has.
     */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       GraftJsonl.listFiles(dir, suffix).flatMap { f =>
-        try Some(GraftJsonlInputPartition(f.getPath, f.getName, 0L,
-          GraftJsonl.completeLength(f), failOnDataLoss): InputPartition)
-        catch {
+        try {
+          val complete = GraftJsonl.completeLength(f)
+          if (complete <= maxSplitBytes)
+            Seq(GraftJsonlInputPartition(f.getPath, f.getName, 0L, complete, failOnDataLoss):
+              InputPartition)
+          else {
+            val n = ((complete + maxSplitBytes - 1) / maxSplitBytes).toInt
+            (0 until n).map { i =>
+              GraftJsonlInputPartition(f.getPath, f.getName, i.toLong * maxSplitBytes,
+                math.min((i + 1).toLong * maxSplitBytes, complete), failOnDataLoss,
+                aligned = false): InputPartition
+            }
+          }
+        } catch {
           // FileNotFound = vanished between list and stat; EOF = truncated
           // mid-probe (copy-then-truncate rotation) — both are the same
           // planning-time loss race
@@ -441,7 +490,7 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
             if (failOnDataLoss) throw new IllegalStateException(
               s"data loss detected on ${f.getName}: file vanished or was truncated during " +
                 "batch planning. Set failOnDataLoss=false to drop it.", e)
-            None
+            Seq.empty[InputPartition]
         }
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory = new GraftJsonlReaderFactory
@@ -452,7 +501,9 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
       startAtLatest = options.getOrDefault("startingoffsets", "earliest")
         .equalsIgnoreCase("latest"),
       failOnDataLoss = failOnDataLoss,
-      maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map(_.toLong))
+      maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map(_.toLong),
+      retireConsumed = options.getBoolean("retireconsumed", true),
+      retentionMs = Option(options.get("retentionms")).map(_.toLong))
 }
 
 class GraftJsonlMicroBatchStream(
@@ -460,9 +511,32 @@ class GraftJsonlMicroBatchStream(
     suffix: String,
     startAtLatest: Boolean,
     failOnDataLoss: Boolean,
-    maxBytesPerTrigger: Option[Long]) extends MicroBatchStream with SupportsAdmissionControl {
+    maxBytesPerTrigger: Option[Long],
+    retireConsumed: Boolean = true,
+    retentionMs: Option[Long] = None) extends MicroBatchStream with SupportsAdmissionControl {
 
   private def files: Seq[File] = GraftJsonl.listFiles(dir, suffix)
+
+  /** name -> (length, lastModified, completeLength) memo. A fully-landed
+    * immutable segment never changes, so its boundary probe (an open + a
+    * backward 64 KiB scan) need not repeat every trigger — with the cache
+    * the steady-state per-trigger driver cost is ONE stat per listed file,
+    * and with `retentionMs` the listed set itself is bounded. (length,
+    * mtime) keying is the same freshness contract Spark's own file source
+    * uses; any append or truncation changes the length.
+    */
+  private val probeCache = scala.collection.mutable.HashMap.empty[String, (Long, Long, Long)]
+
+  private def completeLengthCached(f: File): Long = {
+    val len = f.length(); val mtime = f.lastModified()
+    probeCache.get(f.getName) match {
+      case Some((l, m, c)) if l == len && m == mtime => c
+      case _ =>
+        val c = GraftJsonl.completeLength(f)
+        probeCache.put(f.getName, (len, mtime, c))
+        c
+    }
+  }
 
   override def initialOffset(): Offset =
     GraftJsonlOffset(files.map { f =>
@@ -500,8 +574,9 @@ class GraftJsonlMicroBatchStream(
         case _: java.io.FileNotFoundException | _: java.io.EOFException => None
       }
     val fs = files
+    probeCache.filterInPlace { case (name, _) => fs.exists(_.getName == name) }
     val complete = fs.flatMap(f =>
-      statSafe(f)(GraftJsonl.completeLength(f)).map(f.getName -> _)).toMap
+      statSafe(f)(completeLengthCached(f)).map(f.getName -> _)).toMap
     complete.foreach { case (name, c) =>
       if (c < startOf(name) && failOnDataLoss)
         throw new IllegalStateException(
@@ -509,12 +584,32 @@ class GraftJsonlMicroBatchStream(
             s"$c complete bytes remain (truncated). Set failOnDataLoss=false to wait for " +
             "the file to regrow past its checkpoint.")
     }
+    // ACTIVE retirement (the Kafka retention.ms analog): a fully-consumed,
+    // fully-landed file (checkpoint == complete length == raw length — no
+    // partial line in flight) unmodified for retentionMs is DELETED and its
+    // entry dropped, so the offset map, the checkpoint record and the
+    // per-trigger stat loop stay bounded by the ACTIVE file set instead of
+    // stream age. Only files with nothing left to schedule qualify, so no
+    // planned bytes can ever dangle behind a retirement; a crash between
+    // the delete and the offset commit replays as a vanished-but-consumed
+    // file, which the planner treats as benign (never data loss).
+    val retired: Set[String] = retentionMs match {
+      case Some(ret) =>
+        val now = System.currentTimeMillis()
+        fs.filter { f =>
+          val name = f.getName
+          complete.get(name).exists(c => startOf(name) >= c &&
+            statSafe(f)(f.length()).contains(c) &&
+            now - f.lastModified() >= ret) && f.delete()
+        }.map(_.getName).toSet
+      case None => Set.empty
+    }
     val ends: Map[String, Long] = maxBytesPerTrigger match {
       case Some(cap) =>
-        val capped = fs.filter(f => complete.contains(f.getName))
+        val capped = fs.filter(f => complete.contains(f.getName) && !retired(f.getName))
         val backlog = capped.map(f => f -> math.max(0L, complete(f.getName) - startOf(f.getName)))
         val total = backlog.map(_._2).sum
-        if (total <= cap) complete
+        if (total <= cap) complete -- retired
         else {
           val scale = cap.toDouble / total
           backlog.map { case (f, b) =>
@@ -527,17 +622,27 @@ class GraftJsonlMicroBatchStream(
             }
           }.toMap
         }
-      case None => complete
+      case None => complete -- retired
     }
     val clamped = ends.map { case (name, e) => name -> math.max(e, startOf(name)) }
-    // keep checkpointed-but-vanished files' positions: dropping them here
-    // would silently forget the loss failOnDataLoss=true must report
-    val vanished = startPos.view.filterKeys(!clamped.contains(_)).toMap
+    // A checkpointed file absent from the listing has, by construction, a
+    // position equal to everything ever SCHEDULED from it (each batch's end
+    // becomes the next start before any new schedule) — so its deletion
+    // lost no scheduled bytes: routine log rotation, not data loss. With
+    // retireConsumed (default) the entry is dropped so the offset map stays
+    // bounded by the active file set; otherwise it is carried silently (a
+    // deleted-then-recreated name then resumes at its old position instead
+    // of replaying from 0). A file that vanishes MID-trigger (after this
+    // listing) still carries scheduled bytes in `clamped` and is reported
+    // by planInputPartitions per failOnDataLoss.
+    val vanished =
+      if (retireConsumed || retentionMs.isDefined) Map.empty[String, Long]
+      else startPos.view.filterKeys(!clamped.contains(_)).toMap
     GraftJsonlOffset(clamped ++ vanished)
   }
 
   override def reportLatestOffset(): Offset =
-    GraftJsonlOffset(files.map(f => f.getName -> GraftJsonl.completeLength(f)).toMap)
+    GraftJsonlOffset(files.map(f => f.getName -> completeLengthCached(f)).toMap)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startPos = start.asInstanceOf[GraftJsonlOffset].positions
@@ -547,7 +652,9 @@ class GraftJsonlMicroBatchStream(
       val f = new File(dir, name)
       val from = startPos.getOrElse(name, 0L) // appeared mid-stream: earliest
       if (!f.isFile) {
-        if (failOnDataLoss)
+        // a vanished file with zero unread SCHEDULED bytes (until == from)
+        // is routine rotation of a fully-consumed segment, never data loss
+        if (until > from && failOnDataLoss)
           throw new IllegalStateException(
             s"data loss detected on $name: file vanished with ${until - from} unread bytes " +
               "checkpointed. Set failOnDataLoss=false to drop it and continue.")
@@ -563,6 +670,17 @@ class GraftJsonlMicroBatchStream(
           // truncated tail: nothing to read until the file regrows past its
           // checkpoint; re-appended bytes arrive as new records
         } else if (until > from) {
+          if (len < until && failOnDataLoss)
+            // truncated between latestOffset and planning: the checkpoint
+            // will still commit end=until, so a silent clamp would skip
+            // bytes [len, until) forever if the file regrows — the same
+            // regrow race latestOffset plugs. Strict mode must report it;
+            // only permissive mode clamps (its reader emits the intact
+            // lines below the cut and drops any torn tail).
+            throw new IllegalStateException(
+              s"data loss detected on $name: $until bytes were scheduled but the file now has " +
+                s"only $len (truncated mid-trigger). Set failOnDataLoss=false to read what " +
+                "remains and drop the truncated tail.")
           out += GraftJsonlInputPartition(f.getPath, name, from, math.min(until, len), failOnDataLoss)
         }
       }
@@ -575,9 +693,16 @@ class GraftJsonlMicroBatchStream(
   override def stop(): Unit = ()
 }
 
-/** One Spark partition per file slice. */
+/** One Spark partition per file slice. `aligned = true` (streaming, whole
+  * files) means `from`/`until` are exact line boundaries; `aligned = false`
+  * (batch byte-range splits) means raw byte positions with the classic
+  * text-split ownership rule: a line belongs to the split containing its
+  * FIRST byte — the reader skips a partial line at `from` and reads past
+  * `until` to finish the last line it owns.
+  */
 case class GraftJsonlInputPartition(
-    path: String, name: String, from: Long, until: Long, failOnDataLoss: Boolean = true)
+    path: String, name: String, from: Long, until: Long, failOnDataLoss: Boolean = true,
+    aligned: Boolean = true)
   extends InputPartition
 
 class GraftJsonlReaderFactory extends PartitionReaderFactory {
@@ -610,16 +735,29 @@ class GraftJsonlReaderFactory extends PartitionReaderFactory {
   private def mkReader(p: GraftJsonlInputPartition, raf0: RandomAccessFile): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val raf = raf0
-      raf.seek(p.from)
+      // unaligned byte-range split: `from` may land mid-line. Start one byte
+      // early — if the byte before `from` is '\n', `from` is a line start
+      // and nothing is skipped; otherwise the line containing byte from-1
+      // belongs to the PREVIOUS split (which reads past its own `until` to
+      // finish it), so consume through its terminating newline.
+      private val startAt = if (p.aligned || p.from == 0L) p.from else p.from - 1
+      raf.seek(startAt)
       private val in = new java.io.BufferedInputStream(
         java.nio.channels.Channels.newInputStream(raf.getChannel), 64 * 1024)
-      private var pos = p.from
+      private var pos = startAt
+      private var exhausted = false
+      if (startAt < p.from) {
+        var b = in.read()
+        pos += 1
+        while (b != -1 && b != '\n') { b = in.read(); pos += 1 }
+        if (b == -1) exhausted = true // no line starts in this split
+      }
       private var linePos = 0L
       private var line: Array[Byte] = _
       private val buf = new java.io.ByteArrayOutputStream(256)
 
       override def next(): Boolean = {
-        if (pos >= p.until) return false
+        if (exhausted || pos >= p.until) return false
         linePos = pos
         buf.reset()
         var b = in.read()

@@ -290,6 +290,149 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     } finally { producer.stop(); consumer.stop() }
   }
 
+  test("rotation of a fully-consumed segment is not data loss; its offset entry retires") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-jsonl-rotate").toString
+    GraftJsonl.append(dir, "old.jsonl", Seq("""{"i":0}""", """{"i":1}"""))
+    GraftJsonl.append(dir, "live.jsonl", Seq("""{"i":2}"""))
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, ckpt) // strict failOnDataLoss (the default)
+    try { q.processAllAvailable(); assert(GraftJsonlSourceSpec.delivered.size == 3) }
+    finally q.stop()
+
+    // routine log rotation: the fully-consumed segment is deleted externally
+    assert(new File(dir, "old.jsonl").delete())
+
+    // STRICT mode restart must not fail — zero unread bytes were lost — and
+    // the retired entry must leave the offset map (bounded by active files)
+    GraftJsonlSourceSpec.reset()
+    val q2 = startTail(dir, ckpt)
+    try {
+      q2.processAllAvailable()
+      GraftJsonl.append(dir, "live.jsonl", Seq("""{"i":3}"""))
+      q2.processAllAvailable()
+      val got = GraftJsonlSourceSpec.delivered.asScala.toVector
+      assert(got.map(_._4) == Vector("""{"i":3}"""), s"exactly the new line, got $got")
+      val offsetsDir = new File(s"$ckpt/offsets")
+      val latest = offsetsDir.listFiles().map(_.getName).filter(_.forall(_.isDigit))
+        .map(_.toInt).max
+      val offsetJson = new String(
+        java.nio.file.Files.readAllBytes(new File(offsetsDir, latest.toString).toPath), "UTF-8")
+      assert(!offsetJson.contains("old.jsonl"),
+        s"retired segment must leave the checkpointed offset map: $offsetJson")
+      assert(offsetJson.contains("live.jsonl"))
+    } finally q2.stop()
+  }
+
+  test("retireConsumed=false carries a vanished consumed entry silently (still no failure)") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-jsonl-carry").toString
+    GraftJsonl.append(dir, "old.jsonl", Seq("""{"i":0}"""))
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, ckpt, Map("retireConsumed" -> "false"))
+    try { q.processAllAvailable(); assert(GraftJsonlSourceSpec.delivered.size == 1) }
+    finally q.stop()
+    assert(new File(dir, "old.jsonl").delete())
+    GraftJsonlSourceSpec.reset()
+    val q2 = startTail(dir, ckpt, Map("retireConsumed" -> "false"))
+    try {
+      GraftJsonl.append(dir, "live.jsonl", Seq("""{"i":1}"""))
+      q2.processAllAvailable() // must not throw: zero unread bytes vanished
+      assert(GraftJsonlSourceSpec.delivered.asScala.map(_._4).toVector == Vector("""{"i":1}"""))
+      val offsetsDir = new File(s"$ckpt/offsets")
+      val latest = offsetsDir.listFiles().map(_.getName).filter(_.forall(_.isDigit))
+        .map(_.toInt).max
+      val offsetJson = new String(
+        java.nio.file.Files.readAllBytes(new File(offsetsDir, latest.toString).toPath), "UTF-8")
+      assert(offsetJson.contains("old.jsonl"), s"opt-out must carry the entry: $offsetJson")
+    } finally q2.stop()
+  }
+
+  test("retentionMs: the source itself retires consumed segments; offsets stay bounded") {
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-jsonl-retention").toString
+    (0 until 4).foreach(i => GraftJsonl.append(dir, s"r$i.jsonl", Seq(s"""{"i":$i}""")))
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, ckpt, Map("retentionMs" -> "0")) // strict + immediate retirement
+    try {
+      q.processAllAvailable()
+      assert(GraftJsonlSourceSpec.delivered.size == 4)
+      // retirement runs at the trigger AFTER consumption commits; produce a
+      // fresh segment to drive triggers and poll for the deletions
+      GraftJsonl.append(dir, "fresh.jsonl", Seq("""{"i":100}"""))
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 20000
+      def consumedGone() = (0 until 4).forall(i => !new File(dir, s"r$i.jsonl").isFile)
+      while (!consumedGone() && System.currentTimeMillis() < deadline) {
+        GraftJsonl.append(dir, "fresh.jsonl", Seq("""{"i":101}"""))
+        q.processAllAvailable()
+      }
+      assert(consumedGone(), s"retention must delete consumed segments, dir has " +
+        s"${new File(dir).listFiles().map(_.getName).toSeq}")
+      assert(q.exception.isEmpty, s"retirement must not trip strict mode: ${q.exception}")
+    } finally q.stop()
+
+    // restart from the (retired) checkpoint: no failure, no duplicates
+    GraftJsonlSourceSpec.reset()
+    val q2 = startTail(dir, ckpt, Map("retentionMs" -> "0"))
+    try {
+      GraftJsonl.append(dir, "after.jsonl", Seq("""{"i":200}"""))
+      q2.processAllAvailable()
+      val got = GraftJsonlSourceSpec.delivered.asScala.map(_._4).toVector
+      assert(got == Vector("""{"i":200}"""),
+        s"restart must deliver only post-restart data (no replay of retired segments): $got")
+    } finally q2.stop()
+  }
+
+  test("writer rejects a value ending in '\\r' (would not round-trip the CRLF-tolerant reader)") {
+    import spark.implicits._
+    val dir = freshDir()
+    val e = intercept[Exception] {
+      Seq("fine", "broken\r").toDF("value")
+        .write.format("graft-jsonl").mode("append").option("path", dir).save()
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert((e.getMessage + rootMsg(e)).contains("\\r"), s"got: ${e.getMessage}")
+    // the producer util enforces the same contract
+    val e2 = intercept[IllegalArgumentException] {
+      GraftJsonl.append(dir, "x.jsonl", Seq("also broken\r"))
+    }
+    assert(e2.getMessage.contains("\\r"))
+  }
+
+  test("batch byte-range splits: a large file reads on many partitions, rows identical") {
+    val dir = freshDir()
+    // varying line lengths so split boundaries land mid-line, exactly on
+    // line starts, and inside one line LONGER than the split size (it must
+    // be emitted once, by the split owning its first byte, and skipped
+    // through by the rest); plus a CRLF line and an incomplete tail
+    val lines = (0 until 2000).map { i =>
+      if (i == 700) s"""{"i":$i,"pad":"${"x" * 5000}""""
+      else s"""{"i":$i,"pad":"${"y" * (i % 37)}""""
+    }
+    GraftJsonl.append(dir, "big.jsonl", lines)
+    val out = new FileOutputStream(new File(dir, "big.jsonl"), true)
+    out.write("{\"crlf\":1}\r\n{\"partial\":".getBytes("UTF-8"))
+    out.close()
+
+    def readWith(opts: Map[String, String]) = {
+      var r = spark.read.format("graft-jsonl").option("path", dir)
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load()
+    }
+    val whole = readWith(Map.empty)
+    val split = readWith(Map("maxSplitBytes" -> "1000"))
+    assert(whole.rdd.getNumPartitions == 1)
+    assert(split.rdd.getNumPartitions > 20,
+      s"a ~60 KB file under a 1000-byte split must plan many partitions, " +
+        s"got ${split.rdd.getNumPartitions}")
+    val a = whole.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._2)
+    val b = split.collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).sortBy(_._2)
+    assert(a.length == 2001, s"2000 lines + CRLF, partial invisible: ${a.length}")
+    assert(a.toSeq == b.toSeq, "split read must produce byte-identical rows")
+  }
+
   test("startingOffsets=latest skips the existing backlog, then tails") {
     val dir = freshDir()
     GraftJsonl.append(dir, "z.jsonl", (0 until 5).map(i => s"""{"i":$i}"""))

@@ -166,6 +166,32 @@ class PqSpec extends SparkTestBase {
       assert(math.abs(s(i)(j)) < 1e-7, s"S($i)($j) = ${s(i)(j)} not diagonal")
   }
 
+  test("Jacobi SVD converges on exactly-symmetric inputs (tau == 0 rotation)") {
+    // equal diagonal + nonzero off-diagonal ⇒ equal column norms ⇒ tau == 0
+    // on the very first rotation: signum(0) = 0 would freeze the sweep at an
+    // identity rotation and return a non-orthogonal U after the sweep cap
+    val cases = Seq(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)),
+      Array.tabulate(6, 6)((i, j) => if (i == j) 3.0 else 1.0)) // symmetric, structured
+    cases.foreach { a =>
+      val d = a.length
+      val (u, v) = graft.similarity.Svd.decompose(a.map(_.clone())).get
+      def matmulT(x: Array[Array[Double]], y: Array[Array[Double]]) =
+        Array.tabulate(d, d)((i, j) => (0 until d).map(k => x(i)(k) * y(j)(k)).sum)
+      Seq(u, v).foreach { q =>
+        val qqT = matmulT(q, q)
+        for (i <- 0 until d; j <- 0 until d)
+          assert(math.abs(qqT(i)(j) - (if (i == j) 1.0 else 0.0)) < 1e-8,
+            s"d=$d Q·Qᵀ($i)($j) = ${qqT(i)(j)} — symmetric input broke orthogonality")
+      }
+      // and it still factorizes: A = U·S·Vᵀ, S diagonal
+      val s = Array.tabulate(d, d)((i, j) =>
+        (0 until d).map(p => (0 until d).map(q2 => u(p)(i) * a(p)(q2) * v(q2)(j)).sum).sum)
+      for (i <- 0 until d; j <- 0 until d if i != j)
+        assert(math.abs(s(i)(j)) < 1e-7, s"d=$d S($i)($j) = ${s(i)(j)} not diagonal")
+    }
+  }
+
   test("full OPQ rotation beats the balanced permutation on correlated anisotropic data") {
     // the OPQ-lite anisotropy PLUS CROSS-SUBSPACE CORRELATION: each dim
     // mixes in a dim 4 positions over (the next subspace at w=4), so shared
