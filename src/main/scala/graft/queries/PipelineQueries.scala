@@ -2869,6 +2869,32 @@ object PipelineQueries {
         d.select(col("doc_id"), length(col("text")).cast("long").as("raw_len"),
           graft.functions.compression_ratio_pm(col("text")).as("ratio_pm"))
       },
+      None),
+
+    // ---- OPQ-rotated IVF-PQ: the full production ANN layout (learned
+    // orthogonal rotation → PQ encode → coarse-pruned ADC — FAISS
+    // `OPQ,IVFx,PQy`). trainOpq is driver-resident over a bounded
+    // id-ordered sample (the FAISS training contract) and deterministic end
+    // to end (sequential loops, fixed-sweep Jacobi SVD), but the learned R
+    // has no SQL form — an SVD is not oracle-replayable — so this registers
+    // rows-only like pq68/pq77; PqSpec pins the rotation's orthogonality,
+    // determinism, distortion cut and composed recall lift instead.
+    // Everything corpus-scale stays row-local/broadcast: R and the
+    // codebooks ride the plan as literals, the rotation is the native
+    // mat_vec expression, and only nprobe/nlist of the code table is
+    // ADC-scored.
+    Q(
+      "pq80_knn_opq_ivfpq",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val (rot, cb) = graft.similarity.Pq.trainOpq(
+          e, col("vec_id"), col("embedding"),
+          m = 8, k = 16, sampleCap = 4096, kmIters = 4, opqIters = 4)
+        val r = e.withColumn("vr", graft.similarity.Pq.rotateVec(col("embedding"), rot))
+        graft.similarity.Pq.ivfAdcTopK(
+          r, r.filter(col("vec_id") % 25 === 0), "vec_id", "vr", cb,
+          k = 10, nlist = 32, nprobe = 8)
+      },
       None)
   )
 }
