@@ -503,7 +503,8 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
       failOnDataLoss = failOnDataLoss,
       maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map(_.toLong),
       retireConsumed = options.getBoolean("retireconsumed", true),
-      retentionMs = Option(options.get("retentionms")).map(_.toLong))
+      retentionMs = Option(options.get("retentionms")).map(_.toLong),
+      maxSplitBytes = maxSplitBytes)
 }
 
 class GraftJsonlMicroBatchStream(
@@ -513,7 +514,8 @@ class GraftJsonlMicroBatchStream(
     failOnDataLoss: Boolean,
     maxBytesPerTrigger: Option[Long],
     retireConsumed: Boolean = true,
-    retentionMs: Option[Long] = None) extends MicroBatchStream with SupportsAdmissionControl {
+    retentionMs: Option[Long] = None,
+    maxSplitBytes: Long = 128L << 20) extends MicroBatchStream with SupportsAdmissionControl {
 
   private def files: Seq[File] = GraftJsonl.listFiles(dir, suffix)
 
@@ -538,10 +540,17 @@ class GraftJsonlMicroBatchStream(
     }
   }
 
+  // a file vanishing between the listing and its probe (rotation mid-call)
+  // is dropped from the snapshot — the next trigger's listing is the truth
+  private def snapshotSafe(pos: File => Long): Map[String, Long] =
+    files.flatMap { f =>
+      try Some(f.getName -> pos(f))
+      catch { case _: java.io.FileNotFoundException | _: java.io.EOFException => None }
+    }.toMap
+
   override def initialOffset(): Offset =
-    GraftJsonlOffset(files.map { f =>
-      f.getName -> (if (startAtLatest) GraftJsonl.completeLength(f) else 0L)
-    }.toMap)
+    GraftJsonlOffset(snapshotSafe(f =>
+      if (startAtLatest) GraftJsonl.completeLength(f) else 0L))
 
   override def deserializeOffset(json: String): Offset = GraftJsonlOffset.fromJson(json)
 
@@ -642,7 +651,7 @@ class GraftJsonlMicroBatchStream(
   }
 
   override def reportLatestOffset(): Offset =
-    GraftJsonlOffset(files.map(f => f.getName -> completeLengthCached(f)).toMap)
+    GraftJsonlOffset(snapshotSafe(completeLengthCached))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startPos = start.asInstanceOf[GraftJsonlOffset].positions
@@ -681,7 +690,24 @@ class GraftJsonlMicroBatchStream(
               s"data loss detected on $name: $until bytes were scheduled but the file now has " +
                 s"only $len (truncated mid-trigger). Set failOnDataLoss=false to read what " +
                 "remains and drop the truncated tail.")
-          out += GraftJsonlInputPartition(f.getPath, name, from, math.min(until, len), failOnDataLoss)
+          // a catch-up slice larger than maxSplitBytes (first trigger over a
+          // deep backlog with no admission cap) splits into byte-range
+          // partitions, same ownership rule as the batch path. The slice's
+          // `from` is a checkpointed line boundary (byte from-1 is '\n'), so
+          // the unaligned reader's one-byte-back probe self-detects it and
+          // skips nothing.
+          val hi = math.min(until, len)
+          if (hi - from <= maxSplitBytes)
+            out += GraftJsonlInputPartition(f.getPath, name, from, hi, failOnDataLoss)
+          else {
+            val nSplits = ((hi - from + maxSplitBytes - 1) / maxSplitBytes).toInt
+            (0 until nSplits).foreach { i =>
+              out += GraftJsonlInputPartition(f.getPath, name,
+                from + i.toLong * maxSplitBytes,
+                math.min(from + (i + 1).toLong * maxSplitBytes, hi), failOnDataLoss,
+                aligned = false)
+            }
+          }
         }
       }
     }

@@ -433,6 +433,40 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq, "split read must produce byte-identical rows")
   }
 
+  test("streaming catch-up splits a deep backlog slice into byte-range partitions") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.jsonl.{GraftJsonlInputPartition, GraftJsonlMicroBatchStream, GraftJsonlOffset}
+    val dir = freshDir()
+    val lines = (0 until 500).map(i => s"""{"i":$i,"pad":"${"z" * (i % 23)}"}""")
+    GraftJsonl.append(dir, "deep.jsonl", lines)
+    // unit-level planning check: a first trigger over the whole backlog with
+    // no admission cap must parallelize the slice
+    val stream = new GraftJsonlMicroBatchStream(dir, ".jsonl",
+      startAtLatest = false, failOnDataLoss = true, maxBytesPerTrigger = None,
+      maxSplitBytes = 2048L)
+    val start = GraftJsonlOffset(Map.empty)
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+    val parts = stream.planInputPartitions(start, end)
+      .map(_.asInstanceOf[GraftJsonlInputPartition])
+    assert(parts.length > 4, s"a ~15 KB slice under a 2 KB split must plan many partitions, " +
+      s"got ${parts.length}")
+    assert(parts.forall(p => p.until - p.from <= 2048L))
+    // end-to-end: the split read delivers every record exactly once, and a
+    // subsequent append resumes exactly
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, Files.createTempDirectory("graft-jsonl-split-ckpt").toString,
+      Map("maxSplitBytes" -> "2048"))
+    try {
+      q.processAllAvailable()
+      val got = GraftJsonlSourceSpec.delivered.asScala.toVector
+      assert(got.size == 500, s"split catch-up lost or duplicated rows: ${got.size}")
+      assert(got.map(_._4).sorted == lines.sorted.toVector)
+      GraftJsonl.append(dir, "deep.jsonl", Seq("""{"i":500}"""))
+      q.processAllAvailable()
+      assert(GraftJsonlSourceSpec.delivered.size == 501)
+    } finally q.stop()
+  }
+
   test("startingOffsets=latest skips the existing backlog, then tails") {
     val dir = freshDir()
     GraftJsonl.append(dir, "z.jsonl", (0 until 5).map(i => s"""{"i":$i}"""))
