@@ -433,6 +433,75 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     assert(a.toSeq == b.toSeq, "split read must produce byte-identical rows")
   }
 
+  test("property: byte-range splits reproduce the whole-file read for arbitrary content and split size") {
+    // drive the partition reader DIRECTLY (no Spark job) over randomized
+    // content — empty lines, CRLF lines, multi-byte UTF-8, lines longer
+    // than the split, a partial tail — at a randomized split size, and
+    // require byte-identical (pos, value) rows vs the aligned whole-file
+    // read. 60 trials under a fixed seed: the boundary rules (one-byte-back
+    // probe, first-byte ownership, soft until) have no untested corner left
+    import graft.sources.jsonl.{GraftJsonlInputPartition, GraftJsonlReaderFactory}
+    val rnd = new scala.util.Random(20260814L)
+    val factory = new GraftJsonlReaderFactory
+    def readAll(parts: Seq[GraftJsonlInputPartition]): Seq[(Long, String)] =
+      parts.flatMap { p =>
+        val r = factory.createReader(p)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+        while (r.next()) {
+          val row = r.get()
+          out += ((row.getLong(1), row.getUTF8String(2).toString))
+        }
+        r.close()
+        out
+      }
+    (0 until 60).foreach { trial =>
+      val dir = freshDir()
+      val nLines = rnd.nextInt(40)
+      val lines = (0 until nLines).map { _ =>
+        val len = rnd.nextInt(60)
+        val body = (0 until len).map { _ =>
+          rnd.nextInt(4) match {
+            case 0 => ('a' + rnd.nextInt(26)).toChar.toString
+            case 1 => rnd.nextInt(10).toString
+            case 2 => "é" // 2-byte UTF-8: continuation bytes near boundaries
+            case _ => " "
+          }
+        }.mkString
+        if (rnd.nextInt(5) == 0 && body.nonEmpty) body + "\r" else body
+      }
+      val content = lines.map(_ + "\n").mkString +
+        (if (rnd.nextBoolean()) "partial tail with no newline" else "")
+      val f = new File(dir, "p.jsonl")
+      val out = new FileOutputStream(f)
+      out.write(content.getBytes("UTF-8"))
+      out.close()
+      val complete = GraftJsonl.completeLength(f)
+      // the line-level model: (start byte pos, CR-stripped value)
+      var pos = 0L
+      val expected = lines.map { l =>
+        val start = pos
+        pos += l.getBytes("UTF-8").length + 1
+        (start, l.stripSuffix("\r"))
+      }
+      val whole = readAll(Seq(GraftJsonlInputPartition(f.getPath, "p.jsonl", 0L, complete)))
+      assert(whole == expected, s"trial $trial: aligned whole read diverged from the model")
+      val split = math.max(1L, rnd.nextLong(complete + 5L))
+      val parts =
+        if (complete <= split)
+          Seq(GraftJsonlInputPartition(f.getPath, "p.jsonl", 0L, complete))
+        else {
+          val n = ((complete + split - 1) / split).toInt
+          (0 until n).map(i => GraftJsonlInputPartition(f.getPath, "p.jsonl",
+            i.toLong * split, math.min((i + 1).toLong * split, complete), aligned = false))
+        }
+      val got = readAll(parts).sortBy(_._1)
+      assert(got == expected,
+        s"trial $trial (split=$split, complete=$complete, lines=$nLines): " +
+          s"missing=${(expected.toSet diff got.toSet).take(3)} " +
+          s"extra=${(got.toSet diff expected.toSet).take(3)}")
+    }
+  }
+
   test("streaming catch-up splits a deep backlog slice into byte-range partitions") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import graft.sources.jsonl.{GraftJsonlInputPartition, GraftJsonlMicroBatchStream, GraftJsonlOffset}
