@@ -762,6 +762,40 @@ object DecatonQueries {
                CAST(sum(user_id) AS BIGINT) AS sum_uid,
                CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_v_fp
         FROM events GROUP BY event_type
+      """)),
+
+    // ---- the byte-range SPLIT read path under the oracle gate: same
+    // write→tail loop as dq22 but read back with a 4 KiB maxSplitBytes, so
+    // every segment fans out over many first-byte-ownership byte ranges
+    // (the 100 TB posture: one file is never one task). The aggregate must
+    // not notice — identical hash to the same events-table oracle. At
+    // sf0.01 this plans ~200 split partitions; a single missed, torn or
+    // duplicated line anywhere flips sum_uid/n and fails the hash.
+    Q(
+      "dq23_jsonl_split_read",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dq23").toString + "/log"
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            to_json(struct(col("user_id"), col("event_type"), col("props"))).as("value"))
+          .repartition(8, col("user_id")).select(col("value"))
+          .write.format("graft-jsonl").mode("append").option("path", tmp).save()
+        s.read.format("graft-jsonl")
+          .option("path", tmp).option("maxSplitBytes", "4096").load()
+          .select(
+            get_json_object(col("value"), "$.user_id").cast("long").as("uid"),
+            get_json_object(col("value"), "$.event_type").as("event_type"),
+            get_json_object(col("value"), "$.props").as("props"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("uid")).as("sum_uid"),
+            sum(octet_length(col("props")).cast("long")).as("sum_props_len"))
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid,
+               CAST(sum(strlen(props)) AS BIGINT) AS sum_props_len
+        FROM events GROUP BY event_type
       """))
   )
 }

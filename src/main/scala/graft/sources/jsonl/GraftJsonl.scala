@@ -61,7 +61,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     JSON, the checkpoint record, and the per-trigger stat loop are all
   *     bounded by the ACTIVE file set, not by stream age. Only sensible
   *     when this query owns the directory (a second consumer would lose
-  *     the retired data — exactly Kafka's retention contract).
+  *     the retired data — exactly Kafka's retention contract);
+  *   - `maxSplitBytes`: BATCH reads split files larger than this into
+  *     line-snapped byte-range partitions (default 128 MiB — one huge file
+  *     is never one task). STREAMING reads split a catch-up slice the same
+  *     way only when the option is set EXPLICITLY: the default
+  *     one-partition-per-file-slice is the "one partition per
+  *     topic-partition" ordering contract, and a split slice interleaves a
+  *     key's records across tasks — opt in only if downstream reorders by
+  *     the stable `(file, pos)` id.
   *
   * Schema: `(file string, pos long, value string)` — pos is the line's
   * starting byte offset in its file, so (file, pos) is a stable record id
@@ -504,7 +512,11 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
       maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map(_.toLong),
       retireConsumed = options.getBoolean("retireconsumed", true),
       retentionMs = Option(options.get("retentionms")).map(_.toLong),
-      maxSplitBytes = maxSplitBytes)
+      // streaming splits are OPT-IN: the default one-partition-per-file-slice
+      // is the "one partition per topic-partition" ordering contract — a
+      // split catch-up slice interleaves a key's records across tasks, so
+      // only a caller who accepts (file, pos)-based reordering may ask for it
+      maxSplitBytes = Option(options.get("maxsplitbytes")).map(_.toLong))
 }
 
 class GraftJsonlMicroBatchStream(
@@ -515,7 +527,7 @@ class GraftJsonlMicroBatchStream(
     maxBytesPerTrigger: Option[Long],
     retireConsumed: Boolean = true,
     retentionMs: Option[Long] = None,
-    maxSplitBytes: Long = 128L << 20) extends MicroBatchStream with SupportsAdmissionControl {
+    maxSplitBytes: Option[Long] = None) extends MicroBatchStream with SupportsAdmissionControl {
 
   private def files: Seq[File] = GraftJsonl.listFiles(dir, suffix)
 
@@ -690,21 +702,22 @@ class GraftJsonlMicroBatchStream(
               s"data loss detected on $name: $until bytes were scheduled but the file now has " +
                 s"only $len (truncated mid-trigger). Set failOnDataLoss=false to read what " +
                 "remains and drop the truncated tail.")
-          // a catch-up slice larger than maxSplitBytes (first trigger over a
-          // deep backlog with no admission cap) splits into byte-range
-          // partitions, same ownership rule as the batch path. The slice's
-          // `from` is a checkpointed line boundary (byte from-1 is '\n'), so
-          // the unaligned reader's one-byte-back probe self-detects it and
-          // skips nothing.
+          // with maxSplitBytes set (opt-in), a catch-up slice larger than it
+          // (first trigger over a deep backlog with no admission cap) splits
+          // into byte-range partitions, same ownership rule as the batch
+          // path. The slice's `from` is a checkpointed line boundary (byte
+          // from-1 is '\n'), so the unaligned reader's one-byte-back probe
+          // self-detects it and skips nothing.
           val hi = math.min(until, len)
-          if (hi - from <= maxSplitBytes)
+          val split = maxSplitBytes.getOrElse(Long.MaxValue)
+          if (hi - from <= split)
             out += GraftJsonlInputPartition(f.getPath, name, from, hi, failOnDataLoss)
           else {
-            val nSplits = ((hi - from + maxSplitBytes - 1) / maxSplitBytes).toInt
+            val nSplits = ((hi - from + split - 1) / split).toInt
             (0 until nSplits).foreach { i =>
               out += GraftJsonlInputPartition(f.getPath, name,
-                from + i.toLong * maxSplitBytes,
-                math.min(from + (i + 1).toLong * maxSplitBytes, hi), failOnDataLoss,
+                from + i.toLong * split,
+                math.min(from + (i + 1).toLong * split, hi), failOnDataLoss,
                 aligned = false)
             }
           }

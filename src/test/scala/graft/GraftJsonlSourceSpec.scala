@@ -512,7 +512,7 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     // no admission cap must parallelize the slice
     val stream = new GraftJsonlMicroBatchStream(dir, ".jsonl",
       startAtLatest = false, failOnDataLoss = true, maxBytesPerTrigger = None,
-      maxSplitBytes = 2048L)
+      maxSplitBytes = Some(2048L))
     val start = GraftJsonlOffset(Map.empty)
     val end = stream.latestOffset(start, ReadLimit.allAvailable())
     val parts = stream.planInputPartitions(start, end)
