@@ -595,7 +595,8 @@ class GraftJsonlMicroBatchStream(
         case _: java.io.FileNotFoundException | _: java.io.EOFException => None
       }
     val fs = files
-    probeCache.filterInPlace { case (name, _) => fs.exists(_.getName == name) }
+    val listed = fs.iterator.map(_.getName).toSet
+    probeCache.filterInPlace { case (name, _) => listed(name) }
     val complete = fs.flatMap(f =>
       statSafe(f)(completeLengthCached(f)).map(f.getName -> _)).toMap
     complete.foreach { case (name, c) =>
