@@ -61,7 +61,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     JSON, the checkpoint record, and the per-trigger stat loop are all
   *     bounded by the ACTIVE file set, not by stream age. Only sensible
   *     when this query owns the directory (a second consumer would lose
-  *     the retired data — exactly Kafka's retention contract);
+  *     the retired data — exactly Kafka's retention contract). Set the
+  *     horizon LONGER than any producer's maximum replay window: a
+  *     replayed sink epoch recreates its segment by name, and if the
+  *     consumer already retired that name the recreated file reads from 0
+  *     as new data (at-least-once re-delivery) — the same interplay as
+  *     Kafka retention.ms vs a producer retrying past the retention
+  *     horizon;
   *   - `maxSplitBytes`: BATCH reads split files larger than this into
   *     line-snapped byte-range partitions (default 128 MiB — one huge file
   *     is never one task). STREAMING reads split a catch-up slice the same
@@ -231,6 +237,29 @@ object GraftJsonl {
       .foreach(_.delete())
   }
 
+  /** Plan byte-range partitions for `[from, until)` of one file: a single
+    * aligned partition when the range fits in `split`, else ceil-div ranges
+    * with the first-byte ownership rule (`aligned = false`). All arithmetic
+    * in Long — a TB-scale file over a small split must error loudly, not
+    * wrap `.toInt` negative and silently plan ZERO partitions.
+    */
+  private[graft] def splitRange(
+      path: String, name: String, from: Long, until: Long, split: Long,
+      failOnDataLoss: Boolean): Seq[GraftJsonlInputPartition] = {
+    require(split > 0, s"split size must be positive, got $split")
+    if (until - from <= split)
+      Seq(GraftJsonlInputPartition(path, name, from, until, failOnDataLoss))
+    else {
+      val n = (until - from + split - 1) / split
+      require(n <= Int.MaxValue,
+        s"$name: [$from, $until) at split=$split would need $n partitions — raise maxSplitBytes")
+      (0L until n).map { i =>
+        GraftJsonlInputPartition(path, name, from + i * split,
+          math.min(from + (i + 1) * split, until), failOnDataLoss, aligned = false)
+      }
+    }
+  }
+
   /** Append lines (adding the terminating '\n' each) to `dir/name` — the
     * producer util the chaos/roundtrip harnesses write through. Appends are
     * sequential per call; callers provide cross-call ordering.
@@ -333,7 +362,12 @@ class GraftJsonlTable(options: CaseInsensitiveStringMap) extends Table
   * over its own previous output instead of appending a duplicate — the same
   * batch-id-keyed idempotence contract as
   * [[graft.streaming.StreamOps.effectivelyOnceParquet]], proven by the same
-  * drop-the-commit-marker replay test. Input rows must carry a string
+  * drop-the-commit-marker replay test. The contract holds as long as the
+  * replaced name is still the one the reader's checkpoint points at; a
+  * consumer running `retentionMs` shorter than the producer's replay window
+  * can retire the name first, after which the replayed segment reads as new
+  * data (see the retentionMs option note — the Kafka retention analog has
+  * the same horizon rule). Input rows must carry a string
   * `value` column (newline-free); everything else is ignored — the Kafka
   * sink's value-column contract.
   */
@@ -479,17 +513,8 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
       GraftJsonl.listFiles(dir, suffix).flatMap { f =>
         try {
           val complete = GraftJsonl.completeLength(f)
-          if (complete <= maxSplitBytes)
-            Seq(GraftJsonlInputPartition(f.getPath, f.getName, 0L, complete, failOnDataLoss):
-              InputPartition)
-          else {
-            val n = ((complete + maxSplitBytes - 1) / maxSplitBytes).toInt
-            (0 until n).map { i =>
-              GraftJsonlInputPartition(f.getPath, f.getName, i.toLong * maxSplitBytes,
-                math.min((i + 1).toLong * maxSplitBytes, complete), failOnDataLoss,
-                aligned = false): InputPartition
-            }
-          }
+          GraftJsonl.splitRange(f.getPath, f.getName, 0L, complete, maxSplitBytes,
+            failOnDataLoss): Seq[InputPartition]
         } catch {
           // FileNotFound = vanished between list and stat; EOF = truncated
           // mid-probe (copy-then-truncate rotation) — both are the same
@@ -596,6 +621,20 @@ class GraftJsonlMicroBatchStream(
       }
     val fs = files
     val listed = fs.iterator.map(_.getName).toSet
+    // vanished-with-KNOWN-backlog check BEFORE cache eviction: the probe
+    // cache is the only witness that a vanished file had complete bytes
+    // beyond the checkpoint (observed but never scheduled — e.g. deferred
+    // by the admission cap). Within a run, strict mode must report that
+    // loss; across a restart the cache is empty and a pre-restart append
+    // is unobservable — indistinguishable from consumed-then-rotated, so
+    // benign by the fully-consumed rule.
+    if (failOnDataLoss) startPos.foreach { case (name, p) =>
+      if (!listed(name)) probeCache.get(name).foreach { case (_, _, c) =>
+        if (c > p) throw new IllegalStateException(
+          s"data loss detected on $name: file vanished with ${c - p} observed-but-unconsumed " +
+            "bytes beyond the checkpoint. Set failOnDataLoss=false to drop it and continue.")
+      }
+    }
     probeCache.filterInPlace { case (name, _) => listed(name) }
     val complete = fs.flatMap(f =>
       statSafe(f)(completeLengthCached(f)).map(f.getName -> _)).toMap
@@ -649,16 +688,19 @@ class GraftJsonlMicroBatchStream(
     val clamped = ends.map { case (name, e) => name -> math.max(e, startOf(name)) }
     // A checkpointed file absent from the listing has, by construction, a
     // position equal to everything ever SCHEDULED from it (each batch's end
-    // becomes the next start before any new schedule) — so its deletion
-    // lost no scheduled bytes: routine log rotation, not data loss. With
-    // retireConsumed (default) the entry is dropped so the offset map stays
-    // bounded by the active file set; otherwise it is carried silently (a
-    // deleted-then-recreated name then resumes at its old position instead
-    // of replaying from 0). A file that vanishes MID-trigger (after this
-    // listing) still carries scheduled bytes in `clamped` and is reported
-    // by planInputPartitions per failOnDataLoss.
+    // becomes the next start before any new schedule), and the
+    // known-backlog check above already reported any OBSERVED loss — so its
+    // deletion is routine log rotation, not data loss. With retireConsumed
+    // (default) the entry is dropped so the offset map stays bounded by the
+    // active file set; with retireConsumed=false it is carried silently
+    // even when retentionMs is set (a deleted-then-recreated name then
+    // resumes at its old position instead of replaying from 0 — the
+    // behavior that option buys; entries retention itself retires leave via
+    // `ends -- retired`, never this map). A file that vanishes MID-trigger
+    // (after this listing) still carries scheduled bytes in `clamped` and
+    // is reported by planInputPartitions per failOnDataLoss.
     val vanished =
-      if (retireConsumed || retentionMs.isDefined) Map.empty[String, Long]
+      if (retireConsumed) Map.empty[String, Long]
       else startPos.view.filterKeys(!clamped.contains(_)).toMap
     GraftJsonlOffset(clamped ++ vanished)
   }
@@ -710,18 +752,8 @@ class GraftJsonlMicroBatchStream(
           // from-1 is '\n'), so the unaligned reader's one-byte-back probe
           // self-detects it and skips nothing.
           val hi = math.min(until, len)
-          val split = maxSplitBytes.getOrElse(Long.MaxValue)
-          if (hi - from <= split)
-            out += GraftJsonlInputPartition(f.getPath, name, from, hi, failOnDataLoss)
-          else {
-            val nSplits = ((hi - from + split - 1) / split).toInt
-            (0 until nSplits).foreach { i =>
-              out += GraftJsonlInputPartition(f.getPath, name,
-                from + i.toLong * split,
-                math.min(from + (i + 1).toLong * split, hi), failOnDataLoss,
-                aligned = false)
-            }
-          }
+          out ++= GraftJsonl.splitRange(f.getPath, name, from, hi,
+            maxSplitBytes.getOrElse(Long.MaxValue), failOnDataLoss)
         }
       }
     }

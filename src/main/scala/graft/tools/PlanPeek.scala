@@ -23,8 +23,17 @@ object PlanPeek {
     spark.sparkContext.setLogLevel("ERROR")
     args.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
+      // drive THIS DataFrame's own QueryExecution: a df.write would plan a
+      // separate write-command QueryExecution and leave df.queryExecution's
+      // AdaptiveSparkPlanExec unexecuted (isFinalPlan=false), printing the
+      // pre-AQE initial plan instead of the one that ran
+      df.queryExecution.toRdd.foreach(_ => ())
+      // AdaptiveSparkPlanExec prints the final plan followed by an
+      // "== Initial Plan ==" section — keep only what ran
       val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      require(!plan.contains("isFinalPlan=false"),
+        s"$name: adaptive plan did not finalize — the printed skeleton would be the initial plan")
       println(s"== $name @ $sfDir ==")
       plan.linesIterator
         .map(_.trim.dropWhile(c => c == '+' || c == '-' || c == ':' || c == ' ' || c == '*'))

@@ -77,7 +77,8 @@ object RetentionProbe {
           producer.processAllAvailable() // one sink epoch: 2 new segments
           q.processAllAvailable()        // consume + (maybe) retire
           val endOffset = Option(q.lastProgress)
-            .flatMap(p => p.sources.headOption).map(_.endOffset).getOrElse("{}")
+            .flatMap(p => p.sources.headOption).flatMap(s => Option(s.endOffset))
+            .getOrElse("{}")
           offsetBytes += endOffset.length
           segFiles += Option(new File(dir).listFiles()).getOrElse(Array.empty)
             .count(_.getName.endsWith(".jsonl"))

@@ -502,6 +502,48 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     }
   }
 
+  test("strict mode reports a vanished file whose OBSERVED backlog was never scheduled") {
+    // admission cap defers [10, 20) of a 20-byte file; the file then
+    // vanishes. Zero unread SCHEDULED bytes — but the probe cache witnessed
+    // 10 more complete bytes, so within the run strict mode must report the
+    // loss instead of silently retiring the entry
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.jsonl.{GraftJsonlMicroBatchStream, GraftJsonlOffset}
+    val dir = freshDir()
+    GraftJsonl.append(dir, "gone.jsonl", Seq("""{"a":1}""", """{"a":2}""")) // 2 x 8 bytes
+    val stream = new GraftJsonlMicroBatchStream(dir, ".jsonl",
+      startAtLatest = false, failOnDataLoss = true,
+      maxBytesPerTrigger = Some(8L))
+    val e1 = stream.latestOffset(GraftJsonlOffset(Map.empty), ReadLimit.allAvailable())
+      .asInstanceOf[GraftJsonlOffset]
+    assert(e1.positions("gone.jsonl") == 8L, s"cap must defer the second line: $e1")
+    assert(new File(dir, "gone.jsonl").delete())
+    val ex = intercept[IllegalStateException] {
+      stream.latestOffset(e1, ReadLimit.allAvailable())
+    }
+    assert(ex.getMessage.contains("observed-but-unconsumed"), ex.getMessage)
+    // the benign twin: fully consumed at vanish time retires silently
+    val dir2 = freshDir()
+    GraftJsonl.append(dir2, "done.jsonl", Seq("""{"a":1}"""))
+    val s2 = new GraftJsonlMicroBatchStream(dir2, ".jsonl",
+      startAtLatest = false, failOnDataLoss = true, maxBytesPerTrigger = None)
+    val o1 = s2.latestOffset(GraftJsonlOffset(Map.empty), ReadLimit.allAvailable())
+      .asInstanceOf[GraftJsonlOffset]
+    assert(new File(dir2, "done.jsonl").delete())
+    val o2 = s2.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[GraftJsonlOffset]
+    assert(o2.positions.isEmpty, s"fully-consumed vanish must retire, got $o2")
+  }
+
+  test("splitRange refuses a partition count beyond Int range instead of planning zero") {
+    import graft.sources.jsonl.GraftJsonl
+    val parts = GraftJsonl.splitRange("/p", "p", 0L, 10L * (1L << 40), 1L << 30, true)
+    assert(parts.length == 10240) // 10 TiB at 1 GiB splits: fine, Long-safe
+    val e = intercept[IllegalArgumentException] {
+      GraftJsonl.splitRange("/p", "p", 0L, 10L * (1L << 40), 4096L, true)
+    }
+    assert(e.getMessage.contains("raise maxSplitBytes"), e.getMessage)
+  }
+
   test("streaming catch-up splits a deep backlog slice into byte-range partitions") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     import graft.sources.jsonl.{GraftJsonlInputPartition, GraftJsonlMicroBatchStream, GraftJsonlOffset}
