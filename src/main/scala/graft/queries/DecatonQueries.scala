@@ -765,12 +765,16 @@ object DecatonQueries {
       """)),
 
     // ---- the byte-range SPLIT read path under the oracle gate: same
-    // write→tail loop as dq22 but read back with a 4 KiB maxSplitBytes, so
-    // every segment fans out over many first-byte-ownership byte ranges
+    // write→tail loop as dq22 but read back with a 256 KiB maxSplitBytes,
+    // so every segment fans out over many first-byte-ownership byte ranges
     // (the 100 TB posture: one file is never one task). The aggregate must
-    // not notice — identical hash to the same events-table oracle. At
-    // sf0.01 this plans ~200 split partitions; a single missed, torn or
-    // duplicated line anywhere flips sum_uid/n and fails the hash.
+    // not notice — identical hash to the same events-table oracle. This
+    // plans ~48 split partitions at the sf0.01 gate and ~500 at the sf0.1
+    // bench; a single missed, torn or duplicated line anywhere flips
+    // sum_uid/n and fails the hash. (4 KiB was measured first: ~30k
+    // partitions at sf0.1 — 3.6 s of pure local-mode task scheduling with
+    // identical coverage of the boundary rules, which the 60-trial reader
+    // property test already sweeps far harder.)
     Q(
       "dq23_jsonl_split_read",
       (s, dir) => {
@@ -781,7 +785,7 @@ object DecatonQueries {
           .repartition(8, col("user_id")).select(col("value"))
           .write.format("graft-jsonl").mode("append").option("path", tmp).save()
         s.read.format("graft-jsonl")
-          .option("path", tmp).option("maxSplitBytes", "4096").load()
+          .option("path", tmp).option("maxSplitBytes", "262144").load()
           .select(
             get_json_object(col("value"), "$.user_id").cast("long").as("uid"),
             get_json_object(col("value"), "$.event_type").as("event_type"),
