@@ -621,23 +621,27 @@ class GraftJsonlMicroBatchStream(
       }
     val fs = files
     val listed = fs.iterator.map(_.getName).toSet
-    // vanished-with-KNOWN-backlog check BEFORE cache eviction: the probe
-    // cache is the only witness that a vanished file had complete bytes
-    // beyond the checkpoint (observed but never scheduled — e.g. deferred
-    // by the admission cap). Within a run, strict mode must report that
-    // loss; across a restart the cache is empty and a pre-restart append
-    // is unobservable — indistinguishable from consumed-then-rotated, so
+    val complete = fs.flatMap(f =>
+      statSafe(f)(completeLengthCached(f)).map(f.getName -> _)).toMap
+    // vanished-with-KNOWN-backlog check, keyed on the files that actually
+    // STATTED (not merely listed — a file can vanish between the listing
+    // and its stat) and run BEFORE cache eviction: the probe cache is the
+    // only witness that a vanished file had complete bytes beyond the
+    // checkpoint (observed but never scheduled — e.g. deferred by the
+    // admission cap). Within a run, strict mode must report that loss;
+    // across a restart the cache is empty and a pre-restart append is
+    // unobservable — indistinguishable from consumed-then-rotated, so
     // benign by the fully-consumed rule.
     if (failOnDataLoss) startPos.foreach { case (name, p) =>
-      if (!listed(name)) probeCache.get(name).foreach { case (_, _, c) =>
+      if (!complete.contains(name)) probeCache.get(name).foreach { case (_, _, c) =>
         if (c > p) throw new IllegalStateException(
           s"data loss detected on $name: file vanished with ${c - p} observed-but-unconsumed " +
             "bytes beyond the checkpoint. Set failOnDataLoss=false to drop it and continue.")
       }
     }
+    // evict to the LISTED set, not the statted one: a listed file whose
+    // stat failed this trigger keeps its witness entry for the check above
     probeCache.filterInPlace { case (name, _) => listed(name) }
-    val complete = fs.flatMap(f =>
-      statSafe(f)(completeLengthCached(f)).map(f.getName -> _)).toMap
     complete.foreach { case (name, c) =>
       if (c < startOf(name) && failOnDataLoss)
         throw new IllegalStateException(
@@ -654,12 +658,22 @@ class GraftJsonlMicroBatchStream(
     // planned bytes can ever dangle behind a retirement; a crash between
     // the delete and the offset commit replays as a vanished-but-consumed
     // file, which the planner treats as benign (never data loss).
+    // startOf == c EXACTLY: `>=` would also match a file truncated BELOW
+    // its checkpoint, which permissive mode holds until it regrows — a
+    // file whose current content was never delivered must not be deleted.
+    // The retention horizon doubles as the producer-quiescence guard:
+    // only files unmodified for retentionMs qualify, so a producer that
+    // appends within the horizon is never raced; an append landing in the
+    // same instant as the delete is the same torn-rotation hazard as any
+    // external log-rotation delete (retention is for directories whose
+    // landed files are immutable — the sink's segments are by
+    // construction).
     val retired: Set[String] = retentionMs match {
       case Some(ret) =>
         val now = System.currentTimeMillis()
         fs.filter { f =>
           val name = f.getName
-          complete.get(name).exists(c => startOf(name) >= c &&
+          complete.get(name).exists(c => startOf(name) == c &&
             statSafe(f)(f.length()).contains(c) &&
             now - f.lastModified() >= ret) && f.delete()
         }.map(_.getName).toSet
@@ -695,13 +709,16 @@ class GraftJsonlMicroBatchStream(
     // active file set; with retireConsumed=false it is carried silently
     // even when retentionMs is set (a deleted-then-recreated name then
     // resumes at its old position instead of replaying from 0 — the
-    // behavior that option buys; entries retention itself retires leave via
-    // `ends -- retired`, never this map). A file that vanishes MID-trigger
-    // (after this listing) still carries scheduled bytes in `clamped` and
-    // is reported by planInputPartitions per failOnDataLoss.
+    // behavior that option buys). Names retention retired THIS trigger are
+    // excluded from the carry explicitly: they must leave the committed
+    // offset, or the carry would resurrect them every trigger and the
+    // offset JSON would grow with stream age despite retention. A file
+    // that vanishes MID-trigger (after a successful stat) still carries
+    // scheduled bytes in `clamped` and is reported by planInputPartitions
+    // per failOnDataLoss.
     val vanished =
       if (retireConsumed) Map.empty[String, Long]
-      else startPos.view.filterKeys(!clamped.contains(_)).toMap
+      else startPos.view.filterKeys(k => !clamped.contains(k) && !retired(k)).toMap
     GraftJsonlOffset(clamped ++ vanished)
   }
 
@@ -818,11 +835,27 @@ class GraftJsonlReaderFactory extends PartitionReaderFactory {
         java.nio.channels.Channels.newInputStream(raf.getChannel), 64 * 1024)
       private var pos = startAt
       private var exhausted = false
+      // EOF below the planned `until` is truncation-AFTER-planning: every
+      // byte below the planning-time complete length belongs to a
+      // newline-terminated line, so the planned range can only run dry if
+      // the file shrank since. The checkpoint still commits end = until,
+      // so a silent stop here would skip the missing bytes forever if the
+      // file regrows — strict mode must report it (the same regrow race
+      // latestOffset and planInputPartitions already plug at their steps);
+      // permissive mode ends the task, delivering the intact lines below
+      // the cut. (A partial tail line never reaches this: `until` is at or
+      // below the complete length, so its line start is already >= until.)
+      private def truncatedMidRead(): Boolean = {
+        if (p.failOnDataLoss) throw new IllegalStateException(
+          s"data loss detected on ${p.name}: file truncated below planned byte ${p.until} " +
+            s"while reading (at byte $pos). Set failOnDataLoss=false to keep what remains.")
+        true
+      }
       if (startAt < p.from) {
         var b = in.read()
         pos += 1
         while (b != -1 && b != '\n') { b = in.read(); pos += 1 }
-        if (b == -1) exhausted = true // no line starts in this split
+        if (b == -1) exhausted = truncatedMidRead() // else: no line starts here
       }
       private var linePos = 0L
       private var line: Array[Byte] = _
@@ -834,7 +867,7 @@ class GraftJsonlReaderFactory extends PartitionReaderFactory {
         buf.reset()
         var b = in.read()
         while (b != -1 && b != '\n') { buf.write(b); b = in.read() }
-        if (b == -1) return false // incomplete tail line: wait for its newline
+        if (b == -1) return !truncatedMidRead()
         pos += buf.size() + 1
         line = buf.toByteArray
         true

@@ -534,6 +534,75 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     assert(o2.positions.isEmpty, s"fully-consumed vanish must retire, got $o2")
   }
 
+  test("truncation AFTER planning: strict reader reports it, permissive keeps intact lines") {
+    import graft.sources.jsonl.{GraftJsonlInputPartition, GraftJsonlReaderFactory}
+    val dir = freshDir()
+    val f = new File(dir, "t.jsonl")
+    GraftJsonl.append(dir, "t.jsonl", (0 until 10).map(i => s"""{"i":$i}""")) // 10 x 8 bytes
+    def truncateTo(n: Long): Unit = {
+      val ch = new java.io.FileOutputStream(f, true).getChannel
+      ch.truncate(n); ch.close()
+    }
+    val factory = new GraftJsonlReaderFactory
+    def readPart(p: GraftJsonlInputPartition): Seq[String] = {
+      val r = factory.createReader(p)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      try { while (r.next()) out += r.get().getUTF8String(2).toString } finally r.close()
+      out.toSeq
+    }
+    // the batch planned [0, 80); the file then shrank to 36 bytes (mid-line)
+    truncateTo(36L)
+    val ex = intercept[IllegalStateException] {
+      readPart(GraftJsonlInputPartition(f.getPath, "t.jsonl", 0L, 80L, failOnDataLoss = true))
+    }
+    assert(ex.getMessage.contains("truncated below planned byte 80"), ex.getMessage)
+    // permissive: the 4 intact lines below the cut, the torn 5th dropped
+    val got = readPart(GraftJsonlInputPartition(f.getPath, "t.jsonl", 0L, 80L,
+      failOnDataLoss = false))
+    assert(got == (0 until 4).map(i => s"""{"i":$i}"""), s"got $got")
+  }
+
+  test("retention never deletes a truncated-below-checkpoint file being held for regrow") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.jsonl.{GraftJsonlMicroBatchStream, GraftJsonlOffset}
+    val dir = freshDir()
+    GraftJsonl.append(dir, "h.jsonl", (0 until 5).map(i => s"""{"i":$i}""")) // 40 bytes
+    val stream = new GraftJsonlMicroBatchStream(dir, ".jsonl",
+      startAtLatest = false, failOnDataLoss = false, maxBytesPerTrigger = None,
+      retentionMs = Some(0L))
+    val o1 = stream.latestOffset(GraftJsonlOffset(Map.empty), ReadLimit.allAvailable())
+      .asInstanceOf[GraftJsonlOffset]
+    assert(o1.positions("h.jsonl") == 40L)
+    // copy-truncate rotation rewrote the file shorter: its current content
+    // was never delivered — permissive mode holds at the checkpoint, so
+    // retirement (startOf == complete is false) must NOT delete it
+    val ch = new java.io.FileOutputStream(new File(dir, "h.jsonl"), true).getChannel
+    ch.truncate(16L); ch.close()
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[GraftJsonlOffset]
+    assert(new File(dir, "h.jsonl").isFile, "retention deleted a held truncated file")
+    assert(o2.positions("h.jsonl") == 40L, s"checkpoint must hold: $o2")
+  }
+
+  test("retireConsumed=false does not resurrect a retention-retired entry") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.jsonl.{GraftJsonlMicroBatchStream, GraftJsonlOffset}
+    val dir = freshDir()
+    GraftJsonl.append(dir, "r.jsonl", Seq("""{"i":0}"""))
+    val stream = new GraftJsonlMicroBatchStream(dir, ".jsonl",
+      startAtLatest = false, failOnDataLoss = true, maxBytesPerTrigger = None,
+      retireConsumed = false, retentionMs = Some(0L))
+    val o1 = stream.latestOffset(GraftJsonlOffset(Map.empty), ReadLimit.allAvailable())
+      .asInstanceOf[GraftJsonlOffset]
+    assert(o1.positions("r.jsonl") == 8L)
+    val o2 = stream.latestOffset(o1, ReadLimit.allAvailable()).asInstanceOf[GraftJsonlOffset]
+    assert(!new File(dir, "r.jsonl").isFile, "retention must have deleted the consumed file")
+    assert(!o2.positions.contains("r.jsonl"),
+      s"a retired name must leave the offset even with retireConsumed=false: $o2")
+    // and it stays gone on the next trigger (no vanished-carry resurrection)
+    val o3 = stream.latestOffset(o2, ReadLimit.allAvailable()).asInstanceOf[GraftJsonlOffset]
+    assert(!o3.positions.contains("r.jsonl"), s"resurrected: $o3")
+  }
+
   test("splitRange refuses a partition count beyond Int range instead of planning zero") {
     import graft.sources.jsonl.GraftJsonl
     val parts = GraftJsonl.splitRange("/p", "p", 0L, 10L * (1L << 40), 1L << 30, true)
