@@ -84,9 +84,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The WRITE side ([[GraftJsonlWriteBuilder]]) closes the medium into a
   * file-based topic: each epoch's partitions land as immutable
-  * `seg-<epoch>-<partition>.jsonl` segments via atomic rename (idempotent
-  * under replay — effectively-once), and a tailing reader discovers them
-  * as complete new files.
+  * `seg-q<queryTag>-<epoch>-<partition>.jsonl` segments via atomic rename
+  * (idempotent under replay — effectively-once; the tag derives from the
+  * checkpoint-stable query id so distinct queries sharing a directory
+  * never collide), and a tailing reader discovers them as complete new
+  * files.
   *
   * Scale shape: one Spark input partition per file slice per micro-batch —
   * parallelism is the file count, exactly the "one partition per
@@ -351,7 +353,8 @@ class GraftJsonlTable(options: CaseInsensitiveStringMap) extends Table
 }
 
 /** The write side of the medium: each epoch's partition becomes ONE new
-  * immutable segment file `seg-<epoch>-<partition>.jsonl` (empty partitions
+  * immutable segment file `seg-q<queryTag>-<epoch>-<partition>.jsonl`
+  * (streaming; batch uses a per-job uuid tag; empty partitions
   * write nothing), landed by write-to-temp + atomic rename at task commit.
   * The temp name carries no `.jsonl` suffix, so a tailing reader never sees
   * a half-written segment — segments APPEAR complete, exactly the
@@ -372,9 +375,23 @@ class GraftJsonlTable(options: CaseInsensitiveStringMap) extends Table
   * sink's value-column contract.
   */
 class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
+  // streaming epoch tag prefix, derived from the CHECKPOINT-STABLE query id
+  // (verified stable across restarts): a replayed epoch still renames over
+  // its own segment (effectively-once), while two streaming queries
+  // writing one directory can no longer clobber each other's same-numbered
+  // epochs or sweep each other's live temps — the multi-writer hole the
+  // batch path already closed with its per-job uuid tag.
+  private val queryTag = "q" + info.queryId().replace("-", "").take(12)
   private val dir = GraftJsonl.dir(new CaseInsensitiveStringMap(info.options()))
   private val valueIdx = {
-    val idx = info.schema().fieldNames.indexOf("value")
+    // case-insensitive with exact-match preference — the Kafka sink's
+    // value-column contract resolves through Spark's (default
+    // case-insensitive) resolver, so `Value` must work here too
+    val names = info.schema().fieldNames
+    val idx = names.indexOf("value") match {
+      case -1 => names.indexWhere(_.equalsIgnoreCase("value"))
+      case i  => i
+    }
     require(idx >= 0, "graft-jsonl writes need a 'value' string column")
     require(info.schema().fields(idx).dataType == StringType,
       s"graft-jsonl 'value' must be string, got ${info.schema().fields(idx).dataType.catalogString}")
@@ -399,11 +416,11 @@ class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
     }
     override def toStreaming: StreamingWrite = new StreamingWrite {
       override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory =
-        new GraftJsonlStreamingWriterFactory(dir, valueIdx)
+        new GraftJsonlStreamingWriterFactory(dir, valueIdx, queryTag)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-        GraftJsonl.commitSegments(dir, f"$epochId%06d", messages)
+        GraftJsonl.commitSegments(dir, f"$queryTag-$epochId%06d", messages)
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-        GraftJsonl.abortSegments(dir, f"$epochId%06d")
+        GraftJsonl.abortSegments(dir, f"$queryTag-$epochId%06d")
     }
   }
 }
@@ -414,10 +431,10 @@ class GraftJsonlWriterFactory(dir: String, valueIdx: Int, epochTag: String)
     new GraftJsonlSegmentWriter(dir, valueIdx, epochTag, partitionId, taskId)
 }
 
-class GraftJsonlStreamingWriterFactory(dir: String, valueIdx: Int)
+class GraftJsonlStreamingWriterFactory(dir: String, valueIdx: Int, queryTag: String)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
-    new GraftJsonlSegmentWriter(dir, valueIdx, f"$epochId%06d", partitionId, taskId)
+    new GraftJsonlSegmentWriter(dir, valueIdx, f"$queryTag-$epochId%06d", partitionId, taskId)
 }
 
 /** Task-side writer: lands ONLY its temp file. The rename into the visible
@@ -534,9 +551,17 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
       startAtLatest = options.getOrDefault("startingoffsets", "earliest")
         .equalsIgnoreCase("latest"),
       failOnDataLoss = failOnDataLoss,
-      maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map(_.toLong),
+      maxBytesPerTrigger = Option(options.get("maxbytespertrigger")).map { v =>
+        require(v.toLong > 0, s"maxBytesPerTrigger must be positive, got $v")
+        v.toLong
+      },
       retireConsumed = options.getBoolean("retireconsumed", true),
-      retentionMs = Option(options.get("retentionms")).map(_.toLong),
+      retentionMs = Option(options.get("retentionms")).map { v =>
+        // 0 = retire as soon as fully consumed; negative is always a
+        // misconfiguration and must not silently mean "delete everything"
+        require(v.toLong >= 0, s"retentionMs must be >= 0, got $v")
+        v.toLong
+      },
       // streaming splits are OPT-IN: the default one-partition-per-file-slice
       // is the "one partition per topic-partition" ordering contract — a
       // split catch-up slice interleaves a key's records across tasks, so
@@ -671,12 +696,15 @@ class GraftJsonlMicroBatchStream(
     val retired: Set[String] = retentionMs match {
       case Some(ret) =>
         val now = System.currentTimeMillis()
-        fs.filter { f =>
+        val candidates = fs.filter { f =>
           val name = f.getName
           complete.get(name).exists(c => startOf(name) == c &&
             statSafe(f)(f.length()).contains(c) &&
-            now - f.lastModified() >= ret) && f.delete()
-        }.map(_.getName).toSet
+            now - f.lastModified() >= ret)
+        }
+        // the delete is the act of retirement: only names whose delete
+        // succeeded leave the offset (a failed delete stays active)
+        candidates.filter(_.delete()).map(_.getName).toSet
       case None => Set.empty
     }
     val ends: Map[String, Long] = maxBytesPerTrigger match {
@@ -716,10 +744,18 @@ class GraftJsonlMicroBatchStream(
     // that vanishes MID-trigger (after a successful stat) still carries
     // scheduled bytes in `clamped` and is reported by planInputPartitions
     // per failOnDataLoss.
+    // a LISTED file whose stat raced (shrunk/rotated mid-probe) is NOT
+    // vanished — the file exists and resolves next trigger. Its entry must
+    // carry unchanged in every mode: dropping it would restart the name at
+    // 0 (silent re-delivery / offset regression). Names retention retired
+    // this trigger are in the pre-delete listing, so exclude them here.
+    val statRaced = startPos.view.filterKeys(k =>
+      listed(k) && !clamped.contains(k) && !retired(k)).toMap
     val vanished =
       if (retireConsumed) Map.empty[String, Long]
-      else startPos.view.filterKeys(k => !clamped.contains(k) && !retired(k)).toMap
-    GraftJsonlOffset(clamped ++ vanished)
+      else startPos.view.filterKeys(k =>
+        !listed(k) && !clamped.contains(k) && !retired(k)).toMap
+    GraftJsonlOffset(clamped ++ statRaced ++ vanished)
   }
 
   override def reportLatestOffset(): Offset =
@@ -852,10 +888,12 @@ class GraftJsonlReaderFactory extends PartitionReaderFactory {
         true
       }
       if (startAt < p.from) {
-        var b = in.read()
-        pos += 1
-        while (b != -1 && b != '\n') { b = in.read(); pos += 1 }
-        if (b == -1) exhausted = truncatedMidRead() // else: no line starts here
+        var done = false
+        while (!done) {
+          val b = in.read()
+          if (b == -1) { exhausted = truncatedMidRead(); done = true }
+          else { pos += 1; done = b == '\n' } // pos counts only consumed bytes
+        }
       }
       private var linePos = 0L
       private var line: Array[Byte] = _

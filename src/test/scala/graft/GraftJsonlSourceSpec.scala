@@ -174,7 +174,11 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     assert(readBack() == (0L until 100L), s"sink round-trip lost or duplicated rows")
     // segments are per (epoch, partition), no stray temp files visible
     val segs = new File(dir).listFiles().map(_.getName).filter(_.endsWith(".jsonl"))
-    assert(segs.forall(_.matches("seg-\\d{6}-\\d{4}\\.jsonl")), s"unexpected names: ${segs.toSeq}")
+    assert(segs.forall(_.matches("seg-q[0-9a-f]{12}-\\d{6}-\\d{4}\\.jsonl")),
+      s"unexpected names: ${segs.toSeq}")
+    // one query tag only: the name is query-scoped but stable across the
+    // restart below (derived from the checkpoint-stable query id)
+    assert(segs.map(_.take(17)).distinct.length == 1, s"tag not stable: ${segs.toSeq}")
 
     // force an at-least-once replay: drop the LAST commit marker so the
     // restarted query re-executes that epoch with the SAME epoch id — the
@@ -189,6 +193,36 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     assert(new File(commitsDir, last.toString).exists, "replay did not happen — test lost its bite")
     assert(readBack() == (0L until 100L),
       "replayed epoch duplicated or lost rows — segment naming is not idempotent")
+  }
+
+  test("two streaming queries share one directory without clobbering each other") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = freshDir()
+    def mkProducer(in: org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]) =
+      in.toDF().selectExpr("""concat('{"id":', value, '}') AS value""")
+        .writeStream.format("graft-jsonl").option("path", dir)
+        .option("checkpointLocation", Files.createTempDirectory("graft-jsonl-mw").toString)
+        .start()
+    val inA = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val inB = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+    val qA = mkProducer(inA)
+    val qB = mkProducer(inB)
+    try {
+      // both queries run the SAME epoch numbers — without query-scoped
+      // segment tags, B's epoch N would rename over A's epoch N
+      // (REPLACE_EXISTING) and each commit would sweep the other's temps
+      (0 until 3).foreach { e =>
+        inA.addData((e * 10L) until (e * 10L + 10L))
+        inB.addData((100L + e * 10L) until (100L + e * 10L + 10L))
+        qA.processAllAvailable(); qB.processAllAvailable()
+      }
+    } finally { qA.stop(); qB.stop() }
+    val got = spark.read.format("graft-jsonl").option("path", dir).load()
+      .selectExpr("CAST(get_json_object(value, '$.id') AS LONG)").as[Long].collect().sorted
+    val expect = ((0L until 30L) ++ (100L until 130L)).sorted
+    assert(got.toSeq == expect,
+      s"concurrent writers lost rows: missing=${expect.toSet -- got.toSet}")
   }
 
   test("two batch appends to one directory accumulate (no segment-name collision)") {
