@@ -256,6 +256,22 @@ class GraftJsonlSourceSpec extends SparkTestBase {
       s"round-trip mangled the names: ${GraftJsonlOffset.fromJson(json).positions} vs $pos")
   }
 
+  test("property: offset JSON escape round-trips arbitrary names and positions") {
+    import graft.sources.jsonl.GraftJsonlOffset
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { trial =>
+      val names = (0 until 1 + rnd.nextInt(5)).map { _ =>
+        val len = 1 + rnd.nextInt(24)
+        (0 until len).map(_ => rnd.nextInt(0xFFFF).toChar).mkString // incl controls, ", \, surrogates
+      }.distinct
+      val m = names.map(_ -> math.abs(rnd.nextLong() % 1000000000000L)).toMap
+      val json = GraftJsonlOffset(m).json()
+      assert(!json.exists(_ < 0x20), s"trial $trial: control char leaked into the offset line")
+      val back = GraftJsonlOffset.fromJson(json).positions
+      assert(back == m, s"trial $trial: ${m.keys.map(_.getBytes("UTF-8").toSeq)} mangled")
+    }
+  }
+
   test("batch-write abort deletes the failed job's committed segments") {
     import org.apache.spark.sql.connector.write.LogicalWriteInfo
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
