@@ -92,11 +92,17 @@ object SubscriptionStates {
     * which never flags a rebalance — correct, since such sources have no
     * partition assignment to change.
     */
+  // hoisted: recompiling three regexes per progress event is waste on the
+  // shared listener dispatch thread. These mirror the checkpoint shapes the
+  // offset serializers emit (GraftKafkaOffset nested {"topic":{"0":12}},
+  // GraftJsonlOffset flat {"name":pos}) — a format change there must be
+  // reflected here for rebalance detection to keep firing.
+  private val partKeys = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+  private val partNum = """"([0-9]+)"\s*:""".r
+  private val flatKeys = """"((?:[^"\\]|\\.)*)"\s*:\s*-?[0-9]""".r
+
   private[streaming] def assignmentSignature(
       p: org.apache.spark.sql.streaming.StreamingQueryProgress): Set[String] = {
-    val partKeys = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
-    val partNum = """"([0-9]+)"\s*:""".r
-    val flatKeys = """"((?:[^"\\]|\\.)*)"\s*:\s*-?[0-9]""".r
     p.sources.zipWithIndex.flatMap { case (s, i) =>
       val json = Option(s.endOffset).getOrElse("")
       val nested = partKeys.findAllMatchIn(json).flatMap { tb =>
@@ -124,53 +130,73 @@ final class SubscriptionStateBridge(
   import SubscriptionStates._
 
   // runIds of started runs of the watched query (terminated events carry no
-  // name, only ids)
+  // name, only ids). `currentRun` is the LATEST run: start events arrive
+  // synchronously on the starting thread while progress/terminated drain
+  // from the async listener bus (SPARK-18144), so a restart can interleave
+  // run2's INITIALIZING before run1's late SHUTTING_DOWN/TERMINATED — a
+  // superseded run's terminal events must not wedge the new run's bridge
+  // in TERMINATED.
   private val watchedRuns = ConcurrentHashMap.newKeySet[java.util.UUID]()
-  private val historyBuf = new java.util.concurrent.CopyOnWriteArrayList[State]()
+  @volatile private var currentRun: Option[java.util.UUID] = None
+  private val historyBuf = scala.collection.mutable.ArrayBuffer.empty[State]
+  private val HistoryCap = 4096 // bounded: an always-on monitor must not grow with uptime
   @volatile private var stateVar: Option[State] = None
-  // survives restarts: a restart with an unchanged assignment is RUNNING,
-  // with a changed one the new run's own first progress publishes its
-  // signature fresh (the new subscription's first assignment is just
-  // updateAssignment → RUNNING in the reference too)
+  // per-run: reset at each start. A restart's first progress publishes its
+  // assignment fresh (the new subscription's first assignment is just
+  // updateAssignment → RUNNING in the reference too), so no cross-run
+  // signature comparison exists — the stateVar RUNNING gate below already
+  // makes one unreachable.
   @volatile private var lastSignature: Option[Set[String]] = None
 
   def currentState: Option[State] = stateVar
-  def history: Seq[State] = historyBuf.asScala.toSeq
+  def history: Seq[State] = synchronized { historyBuf.toList }
 
   def detach(): Unit = spark.streams.removeListener(this)
 
   /** The graceful-stop path: publish SHUTTING_DOWN at the stop REQUEST (the
     * reference flips `terminated` and the consume loop publishes before
-    * draining, `ProcessorSubscription.java:245-258`), then stop the query —
-    * in-flight micro-batch work completes inside `stop()`.
+    * draining, `ProcessorSubscription.java:245-258`), then stop the query.
+    * Spark's `stop()` CANCELS the in-flight micro-batch rather than
+    * draining it (tasks are interrupted) — SHUTTING_DOWN marks the intent
+    * window, and the engine's drain analog is that effectively-once sinks
+    * make the cancelled batch safe to replay on the next start.
     */
   def stopGracefully(query: StreamingQuery): Unit = {
+    require(query.name == queryName,
+      s"bridge watches '$queryName' but stopGracefully got '${query.name}' — " +
+        "stopping an unrelated query would wedge this bridge in SHUTTING_DOWN")
     publish(SHUTTING_DOWN)
     query.stop()
   }
 
-  private def publish(s: State): Unit = synchronized {
-    val ok = (stateVar, s) match {
-      case (Some(cur), next) if cur == next => false // self-loop collapsed
-      // terminal: nothing follows TERMINATED until a new run INITIALIZES
-      case (Some(TERMINATED), next) => next == INITIALIZING
-      // draining: progress events from the in-flight batch must not pull the
-      // state back to RUNNING (tasks already in process continue — the
-      // reference's SHUTTING_DOWN contract)
-      case (Some(SHUTTING_DOWN), next) => next == TERMINATED || next == INITIALIZING
-      case _ => true
+  private def publish(s: State): Unit = {
+    val notify = synchronized {
+      val ok = (stateVar, s) match {
+        case (Some(cur), next) if cur == next => false // self-loop collapsed
+        // terminal: nothing follows TERMINATED until a new run INITIALIZES
+        case (Some(TERMINATED), next) => next == INITIALIZING
+        // draining: progress events from the in-flight batch must not pull the
+        // state back to RUNNING (tasks already in process continue — the
+        // reference's SHUTTING_DOWN contract)
+        case (Some(SHUTTING_DOWN), next) => next == TERMINATED || next == INITIALIZING
+        case _ => true
+      }
+      if (ok) {
+        stateVar = Some(s)
+        historyBuf += s
+        if (historyBuf.size > HistoryCap) historyBuf.remove(0, historyBuf.size - HistoryCap)
+      }
+      ok
     }
-    if (ok) {
-      stateVar = Some(s)
-      historyBuf.add(s)
-      listeners.foreach { l =>
-        try l.onChange(s)
-        catch {
-          case e: Exception =>
-            // the reference's contract: a throwing listener is the user's
-            // bug to observe in logs, never the subscription's to die of
-            System.err.println(s"[graft] state listener threw at $s: $e")
-        }
+    // listeners run OUTSIDE the monitor: a blocking onChange must not stall
+    // other publishers (or, transitively, Spark's shared listener bus)
+    if (notify) listeners.foreach { l =>
+      try l.onChange(s)
+      catch {
+        case e: Exception =>
+          // the reference's contract: a throwing listener is the user's
+          // bug to observe in logs, never the subscription's to die of
+          System.err.println(s"[graft] state listener threw at $s: $e")
       }
     }
   }
@@ -178,23 +204,34 @@ final class SubscriptionStateBridge(
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit =
     if (event.name == queryName) {
       watchedRuns.add(event.runId)
+      currentRun = Some(event.runId)
+      lastSignature = None
       publish(INITIALIZING)
     }
 
-  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit =
-    if (watchedRuns.contains(event.progress.runId)) {
-      val sig = assignmentSignature(event.progress)
+  override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
+    val p = event.progress
+    // match by runId OR by name: a bridge attached after the query started
+    // (monitoring reattach) never saw the start event but must not be dead
+    // for the whole run — progress carries the name, so adopt the run
+    val adopted = !watchedRuns.contains(p.runId) && queryName == p.name &&
+      { watchedRuns.add(p.runId); currentRun = Some(p.runId); true }
+    if ((watchedRuns.contains(p.runId) || adopted) && currentRun.contains(p.runId)) {
+      val sig = assignmentSignature(p)
       if (lastSignature.exists(prev => prev != sig && stateVar.contains(RUNNING)))
         publish(REBALANCING)
       lastSignature = Some(sig)
       publish(RUNNING)
     }
+  }
 
   override def onQueryIdle(event: StreamingQueryListener.QueryIdleEvent): Unit =
     () // idle is RUNNING with an empty poll — no transition
 
   override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    if (watchedRuns.remove(event.runId)) {
+    if (watchedRuns.remove(event.runId) && currentRun.contains(event.runId)) {
+      // a SUPERSEDED run's late terminal events are dropped: the new run
+      // already owns the bridge (see currentRun note above)
       publish(SHUTTING_DOWN) // no-op if stopGracefully already published it
       publish(TERMINATED)
     }

@@ -166,4 +166,76 @@ class SubscriptionStateSpec extends SparkTestBase {
         "unchanged assignment across a restart is not a rebalance")
     } finally bridge.detach()
   }
+
+  test("fast restart: the old run's late terminal events cannot wedge the new run") {
+    // stop() returns before the terminated EVENT drains from the async
+    // listener bus, while the next start's event is delivered synchronously
+    // — so run2's INITIALIZING can precede run1's SHUTTING_DOWN/TERMINATED.
+    // A superseded run's terminal events must be dropped, or the bridge
+    // reports a live query as TERMINATED for its whole run.
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "fast", 1)
+    produceN(root, "fast", 0, 2)
+    val ckpt = Files.createTempDirectory("graft-substate-fast").toString
+    val bridge = SubscriptionStates.attach(spark, "fast-q")
+    try {
+      val q1 = startQuery(root, "fast", "fast-q", ckpt)
+      q1.processAllAvailable()
+      q1.stop()
+      // NO await here — restart immediately to race the old run's events
+      val q2 = startQuery(root, "fast", "fast-q", ckpt)
+      produceN(root, "fast", 0, 2)
+      q2.processAllAvailable()
+      awaitHistory(bridge, "the new run must reach RUNNING despite the old run's late events")(
+        h => {
+          val afterLastInit = h.lastIndexOf(INITIALIZING)
+          afterLastInit >= 0 && h.drop(afterLastInit).contains(RUNNING)
+        })
+      assert(bridge.currentState.contains(RUNNING),
+        s"bridge wedged by a superseded run: ${bridge.history}")
+      bridge.stopGracefully(q2)
+      q2.awaitTermination()
+      awaitHistory(bridge, "the new run still terminates cleanly")(
+        h => h.lastOption.contains(TERMINATED) && h.init.lastOption.contains(SHUTTING_DOWN))
+    } finally bridge.detach()
+  }
+
+  test("a bridge attached mid-run adopts the query from its progress events") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "adopt", 1)
+    produceN(root, "adopt", 0, 2)
+    val q = startQuery(root, "adopt", "adopt-q",
+      Files.createTempDirectory("graft-substate-adopt").toString)
+    try {
+      q.processAllAvailable() // the query is already running; no bridge yet
+      val bridge = SubscriptionStates.attach(spark, "adopt-q")
+      try {
+        produceN(root, "adopt", 0, 2)
+        q.processAllAvailable()
+        awaitHistory(bridge, "late attach must adopt the run (progress carries the name)")(
+          _.contains(RUNNING))
+        bridge.stopGracefully(q)
+        q.awaitTermination()
+        awaitHistory(bridge, "adopted run terminates through the normal path")(
+          _.lastOption.contains(TERMINATED))
+      } finally bridge.detach()
+    } finally if (q.isActive) q.stop()
+  }
+
+  test("stopGracefully refuses a query the bridge does not watch") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "mine", 1)
+    produceN(root, "mine", 0, 1)
+    val bridge = SubscriptionStates.attach(spark, "some-other-query")
+    val q = startQuery(root, "mine", "mine-q",
+      Files.createTempDirectory("graft-substate-wrongq").toString)
+    try {
+      q.processAllAvailable()
+      val e = intercept[IllegalArgumentException] { bridge.stopGracefully(q) }
+      assert(e.getMessage.contains("some-other-query"), e.getMessage)
+      assert(q.isActive, "the unrelated query must not have been stopped")
+      assert(!bridge.history.contains(SHUTTING_DOWN),
+        "a refused stop must not publish SHUTTING_DOWN")
+    } finally { if (q.isActive) q.stop(); bridge.detach() }
+  }
 }
