@@ -299,33 +299,9 @@ case class GraftJsonlOffset(positions: Map[String, Long]) extends Offset {
 }
 
 object GraftJsonlOffset {
-  private[jsonl] def escape(s: String): String = {
-    val sb = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '\\' => sb.append("\\\\")
-      case '"'  => sb.append("\\\"")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
-    }
-    sb.toString
-  }
-
-  private[jsonl] def unescape(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case 'u' if i + 5 < s.length =>
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
-            i += 6
-          case e => sb.append(e); i += 2
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  // shared with graft-kafka's offset serializer — see graft.sources.OffsetJson
+  private[jsonl] def escape(s: String): String = graft.sources.OffsetJson.escape(s)
+  private[jsonl] def unescape(s: String): String = graft.sources.OffsetJson.unescape(s)
 
   def fromJson(s: String): GraftJsonlOffset = {
     val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*([0-9]+)""".r

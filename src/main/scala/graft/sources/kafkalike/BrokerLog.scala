@@ -186,14 +186,22 @@ object BrokerLog {
   /** Append one record; returns its claimed offset. Concurrency-safe across
     * producers: the hard-link claim is atomic, and the high-water bump right
     * after makes the claim durable against truncation.
+    *
+    * `hint` (optional): start the claim probe at this offset instead of a
+    * full end-of-log scan — pass the caller's last claimed offset + 1. The
+    * claim loop makes any stale hint safe (an occupied slot advances one
+    * step), so a sequential producer pays the directory scan ONCE per
+    * partition instead of once per record; a hint must never exceed the
+    * true log end (last-claimed + 1 by construction cannot).
     */
-  def produce(root: String, topic: String, partition: Int, record: Record): Long = {
+  def produce(root: String, topic: String, partition: Int, record: Record,
+      hint: Long = -1L): Long = {
     val dir = partDir(root, topic, partition)
     require(Files.isDirectory(dir), s"unknown partition $topic/p$partition")
     val tmp = Files.createTempFile(dir, ".tmp-", ".producing")
     try {
       Files.write(tmp, encode(record))
-      var off = offsetRange(root, topic, partition)._2
+      var off = if (hint >= 0L) hint else offsetRange(root, topic, partition)._2
       var claimed = -1L
       while (claimed < 0) {
         val target = dir.resolve(f"$off%020d.rec")

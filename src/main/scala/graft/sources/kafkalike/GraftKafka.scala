@@ -107,9 +107,21 @@ object GraftKafka {
     tps.distinct
   }
 
-  /** Parse the Kafka-style assign JSON `{"topicA":[0,1],"topicB":[2]}`. */
+  /** Parse the Kafka-style assign JSON `{"topicA":[0,1],"topicB":[2]}`.
+    * EVERY topic block must parse: a partially malformed spec (e.g. quoted
+    * partition numbers in one block) must fail loudly like Kafka's own
+    * assign, not silently read only the well-formed topics forever.
+    */
   def parseAssign(s: String): Seq[(String, Int)] = {
     val topicBlock = """"([^"]+)"\s*:\s*\[([0-9,\s]*)\]""".r
+    val anyKey = """"([^"]+)"\s*:""".r
+    val parsedTopics = topicBlock.findAllMatchIn(s).map(_.group(1)).toSet
+    val allKeys = anyKey.findAllMatchIn(s).map(_.group(1)).toSet
+    require(parsedTopics.nonEmpty && allKeys == parsedTopics,
+      s"could not parse assign spec: $s" +
+        (if ((allKeys -- parsedTopics).nonEmpty)
+          s" (unparseable topic blocks: ${(allKeys -- parsedTopics).mkString(", ")})"
+        else ""))
     val parsed = topicBlock.findAllMatchIn(s).flatMap { m =>
       m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
         .map(p => (m.group(1), p.toInt))
@@ -128,20 +140,20 @@ case class GraftKafkaOffset(offsets: Map[(String, Int), Long]) extends Offset {
     offsets.groupBy(_._1._1).toSeq.sortBy(_._1).map { case (topic, parts) =>
       val inner = parts.toSeq.map { case ((_, p), off) => (p, off) }.sortBy(_._1)
         .map { case (p, off) => s""""$p":$off""" }.mkString(",")
-      s""""$topic":{$inner}"""
+      // topic names are directory names — quotes/backslashes/control chars
+      // are legal there and must not corrupt the line-oriented offset log
+      s""""${graft.sources.OffsetJson.escape(topic)}":{$inner}"""
     }.mkString("{", ",", "}")
 }
 
 object GraftKafkaOffset {
-  /** Inverse of [[GraftKafkaOffset.json]]; topic names must not contain `"`
-    * (enforced nowhere else either — broker topics are directory names).
-    */
+  /** Inverse of [[GraftKafkaOffset.json]] (topic names JSON-unescaped). */
   def fromJson(s: String): GraftKafkaOffset = {
-    val topicBlock = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+    val topicBlock = """"((?:[^"\\]|\\.)*)"\s*:\s*\{([^}]*)\}""".r
     val partOff = """"([0-9]+)"\s*:\s*(-?[0-9]+)""".r
     val m = topicBlock.findAllMatchIn(s).flatMap { tb =>
       partOff.findAllMatchIn(tb.group(2)).map { po =>
-        (tb.group(1), po.group(1).toInt) -> po.group(2).toLong
+        (graft.sources.OffsetJson.unescape(tb.group(1)), po.group(1).toInt) -> po.group(2).toLong
       }
     }.toMap
     GraftKafkaOffset(m)
@@ -193,12 +205,20 @@ class GraftKafkaScan(options: CaseInsensitiveStringMap) extends Scan {
     // is static by definition
     val subscribed = Option(options.get("subscribe")).map(_.trim).exists(_.nonEmpty)
     val frozen = GraftKafka.topicPartitions(options)
+    val so = options.getOrDefault("startingoffsets", "earliest").trim
+    // a typo (or the real connector's per-partition JSON form) must not
+    // silently mean "earliest" and replay a whole backlog
+    require(so.equalsIgnoreCase("earliest") || so.equalsIgnoreCase("latest"),
+      s"startingOffsets must be 'earliest' or 'latest', got '$so' " +
+        "(per-partition JSON start offsets are not supported by this medium)")
     new GraftKafkaMicroBatchStream(root,
       resolveTps = if (subscribed) () => GraftKafka.topicPartitions(options) else () => frozen,
-      startAtLatest = options.getOrDefault("startingoffsets", "earliest")
-        .equalsIgnoreCase("latest"),
+      startAtLatest = so.equalsIgnoreCase("latest"),
       failOnDataLoss = failOnDataLoss,
-      maxOffsetsPerTrigger = Option(options.get("maxoffsetspertrigger")).map(_.toLong))
+      maxOffsetsPerTrigger = Option(options.get("maxoffsetspertrigger")).map { v =>
+        require(v.toLong > 0, s"maxOffsetsPerTrigger must be positive, got $v")
+        v.toLong
+      })
   }
 }
 
@@ -239,13 +259,20 @@ class GraftKafkaMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val startOffs = start.asInstanceOf[GraftKafkaOffset].offsets
     val ranges = logRanges
+    lastRanges = Some(ranges)
     val ends = ranges.map { case (tp, (_, e)) => tp -> e }
     // a partition absent from the checkpoint (topic added to the
     // subscription after the checkpoint existed) starts at its EARLIEST
     // available offset — the Kafka source's new-partition rule — and the
     // same default is used by planInputPartitions, so its backlog passes
-    // through admission control instead of arriving as one uncapped batch
-    def startOf(tp: (String, Int)): Long = startOffs.getOrElse(tp, ranges(tp)._1)
+    // through admission control instead of arriving as one uncapped batch.
+    // The EFFECTIVE start is additionally clamped to the earliest available
+    // offset: a checkpoint below a truncation point (permissive mode) spans
+    // phantom records that must not consume the admission budget — counting
+    // them would hand the truncated partition near the whole cap and starve
+    // healthy partitions through hundreds of near-empty triggers.
+    def startOf(tp: (String, Int)): Long =
+      math.max(startOffs.getOrElse(tp, ranges(tp)._1), ranges(tp)._1)
     val capped = limit match {
       case mr: ReadMaxRows =>
         // iterate the SAME snapshot `ranges` was built from: re-resolving tps
@@ -273,7 +300,11 @@ class GraftKafkaMicroBatchStream(
     GraftKafkaOffset(capped)
   }
 
-  override def reportLatestOffset(): Offset = GraftKafkaOffset(logEnds)
+  // progress-reporting reuses the trigger's own scan: a second identical
+  // full-broker enumeration per micro-batch bought nothing
+  @volatile private var lastRanges: Option[Map[(String, Int), (Long, Long)]] = None
+  override def reportLatestOffset(): Offset =
+    GraftKafkaOffset(lastRanges.map(_.map { case (tp, (_, e)) => tp -> e }).getOrElse(logEnds))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val startOffs = start.asInstanceOf[GraftKafkaOffset].offsets
@@ -349,20 +380,41 @@ class GraftKafkaWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
       val opts = info.options()
       val schema = info.schema()
       def idx(name: String): Int = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      // DRIVER-side type validation: ACCEPT_ANY_SCHEMA admits any shape, so
+      // a wrong-typed column would otherwise surface as an opaque executor
+      // ClassCastException. The real Kafka sink accepts string OR binary
+      // key/value (casting strings to UTF-8 bytes) — match that contract.
+      def stringOrBinary(i: Int, name: String): Boolean = {
+        val dt = schema.fields(i).dataType
+        require(dt == BinaryType || dt == StringType,
+          s"graft-kafka '$name' must be binary or string, got ${dt.catalogString}")
+        dt == StringType
+      }
       val vi = idx("value")
       require(vi >= 0, "graft-kafka writes require a 'value' column")
       val ti = idx("topic")
       val defaultTopic = Option(opts.get("topic"))
       require(ti >= 0 || defaultTopic.isDefined,
         "graft-kafka writes need a 'topic' column or the 'topic' option")
+      if (ti >= 0) require(schema.fields(ti).dataType == StringType,
+        s"graft-kafka 'topic' must be string, got ${schema.fields(ti).dataType.catalogString}")
+      val ki = idx("key")
+      val pi = idx("partition")
+      if (pi >= 0) require(schema.fields(pi).dataType == IntegerType,
+        s"graft-kafka 'partition' must be int, got ${schema.fields(pi).dataType.catalogString}")
+      val tsi = idx("timestamp")
+      if (tsi >= 0) require(
+        schema.fields(tsi).dataType == LongType || schema.fields(tsi).dataType == TimestampType,
+        s"graft-kafka 'timestamp' must be long or timestamp, got ${schema.fields(tsi).dataType.catalogString}")
       GraftKafkaWriterFactory(
         root = GraftKafka.root(opts),
         defaultTopic = defaultTopic,
-        topicIdx = ti, keyIdx = idx("key"), valueIdx = vi,
-        partitionIdx = idx("partition"), timestampIdx = idx("timestamp"),
+        topicIdx = ti, keyIdx = ki, valueIdx = vi,
+        partitionIdx = pi, timestampIdx = tsi,
         headersIdx = idx("headers"),
-        timestampIsLong = idx("timestamp") >= 0 &&
-          schema.fields(idx("timestamp")).dataType == LongType,
+        timestampIsLong = tsi >= 0 && schema.fields(tsi).dataType == LongType,
+        valueIsString = stringOrBinary(vi, "value"),
+        keyIsString = ki >= 0 && stringOrBinary(ki, "key"),
         autoCreatePartitions = opts.getInt("autocreatepartitions", 4))
     }
     override def toBatch: BatchWrite = new BatchWrite {
@@ -390,6 +442,8 @@ case class GraftKafkaWriterFactory(
     topicIdx: Int, keyIdx: Int, valueIdx: Int,
     partitionIdx: Int, timestampIdx: Int, headersIdx: Int,
     timestampIsLong: Boolean,
+    valueIsString: Boolean = false,
+    keyIsString: Boolean = false,
     autoCreatePartitions: Int)
   extends DataWriterFactory with StreamingDataWriterFactory {
 
@@ -406,6 +460,11 @@ case class GraftKafkaWriterFactory(
     // same reason; the task id keeps it deterministic)
     private var roundRobin = sparkPartitionId
     private val partCounts = scala.collection.mutable.Map.empty[String, Int]
+    // next-offset hints per (topic, partition): without them every produce
+    // re-scans the partition directory to find the log end — quadratic in
+    // partition size for a task writing many records. The claim loop makes
+    // a stale hint safe (concurrent producers just probe past collisions).
+    private val nextOffset = scala.collection.mutable.Map.empty[(String, Int), Long]
 
     private def partitionsOf(topic: String): Int =
       partCounts.getOrElseUpdate(topic, {
@@ -419,8 +478,11 @@ case class GraftKafkaWriterFactory(
         if (topicIdx >= 0 && !row.isNullAt(topicIdx)) row.getUTF8String(topicIdx).toString
         else defaultTopic.getOrElse(
           throw new IllegalArgumentException("row has null topic and no 'topic' option set"))
-      val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx)) row.getBinary(keyIdx) else null
-      val value = if (row.isNullAt(valueIdx)) null else row.getBinary(valueIdx)
+      // string columns cast to UTF-8 bytes, the real Kafka sink's behavior
+      def bytesAt(i: Int, isString: Boolean): Array[Byte] =
+        if (isString) row.getUTF8String(i).getBytes else row.getBinary(i)
+      val key = if (keyIdx >= 0 && !row.isNullAt(keyIdx)) bytesAt(keyIdx, keyIsString) else null
+      val value = if (row.isNullAt(valueIdx)) null else bytesAt(valueIdx, valueIsString)
       val ts =
         if (timestampIdx >= 0 && !row.isNullAt(timestampIdx)) {
           if (timestampIsLong) row.getLong(timestampIdx)
@@ -431,7 +493,11 @@ case class GraftKafkaWriterFactory(
           val arr = row.getArray(headersIdx)
           (0 until arr.numElements()).map { i =>
             val h = arr.getStruct(i, 2)
-            (h.getUTF8String(0).toString, if (h.isNullAt(1)) null else h.getBinary(1))
+            val k = h.getUTF8String(0)
+            // a clear error beats the bare executor NPE the reference
+            // producer also rejects null header keys
+            require(k != null, s"null header key at headers[$i]")
+            (k.toString, if (h.isNullAt(1)) null else h.getBinary(1))
           }
         } else Nil
       val n = partitionsOf(topic)
@@ -447,7 +513,10 @@ case class GraftKafkaWriterFactory(
         }
         else if (key != null) (util.Arrays.hashCode(key) & Int.MaxValue) % n
         else { roundRobin += 1; math.floorMod(roundRobin - 1, n) }
-      BrokerLog.produce(root, topic, part, BrokerLog.Record(key, value, ts, headers))
+      val claimed = BrokerLog.produce(root, topic, part,
+        BrokerLog.Record(key, value, ts, headers),
+        hint = nextOffset.getOrElse((topic, part), -1L))
+      nextOffset((topic, part)) = claimed + 1
       written += 1
     }
 

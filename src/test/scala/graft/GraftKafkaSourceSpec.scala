@@ -236,6 +236,81 @@ class GraftKafkaSourceSpec extends SparkTestBase {
     }
   }
 
+  test("malformed assign, startingOffsets typos and hostile topic names fail or round-trip") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // a PARTIALLY malformed assign (one well-formed topic, one quoted-number
+    // block) must fail loudly, not silently read only the good topic forever
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.kafkalike.GraftKafka.parseAssign("""{"a":[0],"b":["0"]}""")
+    }
+    assert(e1.getMessage.contains("b"), e1.getMessage)
+    // a typo must not silently mean 'earliest' and replay the whole backlog
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "so", 1)
+    val opts = new CaseInsensitiveStringMap(java.util.Map.of(
+      "root", root, "subscribe", "so", "startingoffsets", "laitest"))
+    val e2 = intercept[IllegalArgumentException] {
+      new graft.sources.kafkalike.GraftKafkaScan(opts).toMicroBatchStream("unused")
+    }
+    assert(e2.getMessage.contains("laitest"), e2.getMessage)
+    // topic names are directory names: quotes/backslashes must round-trip
+    // the checkpoint JSON instead of corrupting the line-oriented offset log
+    val off = GraftKafkaOffset(Map(
+      ("he\"llo", 0) -> 5L, ("back\\slash", 1) -> 7L, ("plain", 0) -> 2L))
+    assert(GraftKafkaOffset.fromJson(off.json()).offsets == off.offsets,
+      s"hostile topic names mangled: ${off.json()}")
+  }
+
+  test("string-typed key/value write as UTF-8 bytes; wrong types fail at build") {
+    import spark.implicits._
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "str", 2)
+    // the real Kafka sink accepts string key/value and casts to bytes
+    Seq(("k1", "v1"), ("k2", "v2")).toDF("key", "value")
+      .write.format("graft-kafka").mode("append")
+      .option("root", root).option("topic", "str").save()
+    val back = spark.read.format("graft-kafka")
+      .option("root", root).option("subscribe", "str").load()
+      .select(col("key").cast("string"), col("value").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(back == Set(("k1", "v1"), ("k2", "v2")), s"string write mangled: $back")
+    // a wrong-typed value must fail DRIVER-side with a clear message, not
+    // as an executor ClassCastException
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(Option(t.getMessage).getOrElse(""))
+    val e = intercept[Exception] {
+      Seq(1, 2).toDF("value").write.format("graft-kafka").mode("append")
+        .option("root", root).option("topic", "str").save()
+    }
+    assert((e.getMessage + rootMsg(e)).contains("must be binary or string"),
+      s"got: ${e.getMessage} / ${rootMsg(e)}")
+  }
+
+  test("admission control ignores truncated phantom offsets (no starvation of healthy partitions)") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.kafkalike.GraftKafkaMicroBatchStream
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "ph", 2)
+    produceN(root, "ph", 0, 10)
+    produceN(root, "ph", 1, 10)
+    // partition 0's prefix is retention-truncated; a permissive checkpoint
+    // still points at 0 — those 8 phantom offsets must not consume budget
+    BrokerLog.truncateBefore(root, "ph", 0, 8)
+    val stream = new GraftKafkaMicroBatchStream(root,
+      resolveTps = () => Seq(("ph", 0), ("ph", 1)),
+      startAtLatest = false, failOnDataLoss = false, maxOffsetsPerTrigger = Some(4))
+    val start = GraftKafkaOffset(Map(("ph", 0) -> 0L, ("ph", 1) -> 0L))
+    val end = stream.latestOffset(start, ReadLimit.maxRows(4))
+      .asInstanceOf[GraftKafkaOffset].offsets
+    // real backlog: p0 has 2 (offsets 8,9), p1 has 10 → p1 gets the larger
+    // share. Unclamped, p0's 10 phantom offsets would halve p1's share AND
+    // plan p0 as an empty range below its earliest.
+    assert(end(("ph", 1)) >= 3L,
+      s"healthy partition starved by phantom backlog: $end")
+    assert(end(("ph", 0)) > 8L,
+      s"truncated partition must schedule from its earliest, got $end")
+  }
+
   test("duplicate header keys keep the last value through toConsumedRecords (Kafka list contract)") {
     val root = freshRoot()
     BrokerLog.createTopic(root, "dup", 1)
