@@ -274,6 +274,17 @@ object AsyncProcessing {
           while (true) {
             try return Await.result(rec.fut, policy.nextTimeout)
             catch {
+              case _: TimeoutException if rec.fut.isCompleted =>
+                // Await.result rethrows a COMPLETED future's own
+                // TimeoutException (an async client's internal deadline)
+                // verbatim — indistinguishable by type from the await's
+                // wall-clock timeout. Only an incomplete future is a
+                // wall-clock timeout; a completed one re-awaits at zero to
+                // return a completion that raced the deadline, or to
+                // propagate the task's REAL failure (an Extend policy would
+                // otherwise busy-spin on the instantly-rethrown exception,
+                // and GiveUp would silently swallow it).
+                return Await.result(rec.fut, Duration.Zero)
               case _: TimeoutException =>
                 policy.onTimeout(rec.task, extensions) match {
                   case TimeoutDecision.Extend =>
@@ -367,7 +378,11 @@ object AsyncProcessing {
   def delayed[U](delayMillis: Long)(value: => U): Future[U] = {
     val p = scala.concurrent.Promise[U]()
     val w = wheels(java.util.concurrent.ThreadLocalRandom.current().nextInt(wheels.length))
-    w.schedule(System.currentTimeMillis() + delayMillis)(() => p.trySuccess(value))
+    // Try(value): a throwing body must FAIL the future — trySuccess would
+    // evaluate the by-name value inside the wheel ticker, whose NonFatal
+    // guard discards the exception and leaves the promise pending forever
+    w.schedule(System.currentTimeMillis() + delayMillis)(() =>
+      p.tryComplete(scala.util.Try(value)))
     p.future
   }
 }

@@ -157,6 +157,53 @@ class AsyncProcessingSpec extends SparkTestBase {
     assert(!policy.nextTimeout.isFinite, "-1 must disable the timeout after hot reload")
   }
 
+  test("a task future FAILED with its own TimeoutException propagates (no Extend busy-spin)") {
+    import spark.implicits._
+    import scala.concurrent.duration._
+    import scala.concurrent.Future
+    // The async client's internal deadline surfaces as a COMPLETED future
+    // failed with TimeoutException — Await.result rethrows it verbatim, so
+    // by type it looks exactly like the wall-clock await timeout. An
+    // Extend-forever policy must NOT busy-spin on the instantly-rethrown
+    // exception: the completed future's failure is the task's real outcome
+    // and must propagate like any other failed future.
+    val tasks = spark.range(3).map(i => (s"k$i", i.toLong))
+      .repartition(1, org.apache.spark.sql.functions.col("_1"))
+    val policy = graft.streaming.CompletionPolicy[(String, Long), Long](
+      timeout = 100.millis,
+      onTimeout = (_, _) => graft.streaming.TimeoutDecision.Extend, // forever
+      onGiveUp = _ => -1L)
+    val t0 = System.nanoTime()
+    val ex = intercept[Exception] {
+      AsyncProcessing.flatMapAsyncKeyed[(String, Long), String, Long](
+        tasks, maxInFlight = 4, policy)(
+        _._1,
+        t => if (t._2 == 1L)
+               Future.failed(new java.util.concurrent.TimeoutException("client deadline"))
+             else Future.successful(t._2))
+        .collect()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(ex).exists(_.isInstanceOf[java.util.concurrent.TimeoutException]),
+      s"task's own TimeoutException must propagate, got: $ex")
+    assert(secs < 30.0, f"Extend policy busy-spun on a completed future: $secs%.1fs")
+  }
+
+  test("delayed() with a throwing body fails the future instead of pending forever") {
+    import scala.concurrent.duration._
+    val boom = new RuntimeException("boom")
+    val f = AsyncProcessing.delayed[Int](5L)(throw boom)
+    scala.concurrent.Await.ready(f, 5.seconds)
+    assert(f.value.exists(_.isFailure), "throwing body must FAIL the future")
+    assert(f.value.get.failed.get eq boom)
+    // inline-fire path (deadline already due) must behave identically
+    val g = AsyncProcessing.delayed[Int](-1000L)(throw boom)
+    scala.concurrent.Await.ready(g, 5.seconds)
+    assert(g.value.exists(_.isFailure) && (g.value.get.failed.get eq boom))
+  }
+
   test("async keyed map preserves input order within a partition") {
     import spark.implicits._
     val tasks = spark.range(500).map(i => (s"k${i % 7}", i))
