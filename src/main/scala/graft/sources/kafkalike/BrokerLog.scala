@@ -193,6 +193,18 @@ object BrokerLog {
     * step), so a sequential producer pays the directory scan ONCE per
     * partition instead of once per record; a hint must never exceed the
     * true log end (last-claimed + 1 by construction cannot).
+    *
+    * A hint is only TRUSTED while its anchor record (`hint - 1`, the
+    * caller's own last claim) still exists: `truncateBefore` deletes a
+    * prefix, so a surviving anchor proves no hole exists at or above the
+    * hint. Without the check, a hint left below a retention truncation
+    * would claim a free slot inside the truncated region — an offset below
+    * the partition's earliest, invisible to any consumer positioned past
+    * the truncation point (silent loss of a freshly produced record) and a
+    * regression of `offsetRange`'s lower bound. An anchor-less hint falls
+    * back to the end-of-log scan (one O(1) stat per produce buys the check;
+    * a truncation racing the stat-to-link window remains the medium's
+    * inherent TOCTOU, identical to two producers racing retention).
     */
   def produce(root: String, topic: String, partition: Int, record: Record,
       hint: Long = -1L): Long = {
@@ -201,7 +213,8 @@ object BrokerLog {
     val tmp = Files.createTempFile(dir, ".tmp-", ".producing")
     try {
       Files.write(tmp, encode(record))
-      var off = if (hint >= 0L) hint else offsetRange(root, topic, partition)._2
+      val anchored = hint > 0L && Files.exists(dir.resolve(f"${hint - 1}%020d.rec"))
+      var off = if (anchored) hint else offsetRange(root, topic, partition)._2
       var claimed = -1L
       while (claimed < 0) {
         val target = dir.resolve(f"$off%020d.rec")

@@ -406,12 +406,23 @@ class GraftKafkaWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
       if (tsi >= 0) require(
         schema.fields(tsi).dataType == LongType || schema.fields(tsi).dataType == TimestampType,
         s"graft-kafka 'timestamp' must be long or timestamp, got ${schema.fields(tsi).dataType.catalogString}")
+      val hi = idx("headers")
+      if (hi >= 0) {
+        val ok = schema.fields(hi).dataType match {
+          case ArrayType(st: StructType, _) =>
+            st.fields.length == 2 &&
+              st.fields(0).dataType == StringType && st.fields(1).dataType == BinaryType
+          case _ => false
+        }
+        require(ok, "graft-kafka 'headers' must be array<struct<key:string,value:binary>>, " +
+          s"got ${schema.fields(hi).dataType.catalogString}")
+      }
       GraftKafkaWriterFactory(
         root = GraftKafka.root(opts),
         defaultTopic = defaultTopic,
         topicIdx = ti, keyIdx = ki, valueIdx = vi,
         partitionIdx = pi, timestampIdx = tsi,
-        headersIdx = idx("headers"),
+        headersIdx = hi,
         timestampIsLong = tsi >= 0 && schema.fields(tsi).dataType == LongType,
         valueIsString = stringOrBinary(vi, "value"),
         keyIsString = ki >= 0 && stringOrBinary(ki, "key"),

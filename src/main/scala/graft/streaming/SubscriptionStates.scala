@@ -97,20 +97,27 @@ object SubscriptionStates {
   // offset serializers emit (GraftKafkaOffset nested {"topic":{"0":12}},
   // GraftJsonlOffset flat {"name":pos}) — a format change there must be
   // reflected here for rebalance detection to keep firing.
-  private val partKeys = """"([^"]+)"\s*:\s*\{([^}]*)\}""".r
+  // Both name patterns are escape-aware ((?:[^"\\]|\\.)*) — the serializers
+  // escape quotes/backslashes in topic and file names (OffsetJson.escape),
+  // and a non-escape-aware match would mis-split on the embedded \" and
+  // produce a mangled key that can collide with a DIFFERENT topic's key,
+  // masking a real rebalance. Names are unescaped so the signature key is
+  // the actual topic/file name.
+  private val partKeys = """"((?:[^"\\]|\\.)*)"\s*:\s*\{([^}]*)\}""".r
   private val partNum = """"([0-9]+)"\s*:""".r
   private val flatKeys = """"((?:[^"\\]|\\.)*)"\s*:\s*-?[0-9]""".r
 
-  private[streaming] def assignmentSignature(
+  private[graft] def assignmentSignature(
       p: org.apache.spark.sql.streaming.StreamingQueryProgress): Set[String] = {
+    import graft.sources.OffsetJson.unescape
     p.sources.zipWithIndex.flatMap { case (s, i) =>
       val json = Option(s.endOffset).getOrElse("")
       val nested = partKeys.findAllMatchIn(json).flatMap { tb =>
-        partNum.findAllMatchIn(tb.group(2)).map(po => s"$i:${tb.group(1)}/${po.group(1)}")
+        partNum.findAllMatchIn(tb.group(2)).map(po => s"$i:${unescape(tb.group(1))}/${po.group(1)}")
       }.toSeq
       val keys =
         if (nested.nonEmpty) nested
-        else flatKeys.findAllMatchIn(json).map(m => s"$i:${m.group(1)}").toSeq
+        else flatKeys.findAllMatchIn(json).map(m => s"$i:${unescape(m.group(1))}").toSeq
       if (keys.nonEmpty) keys else Seq(s"$i:${s.description}")
     }.toSet
   }
@@ -169,6 +176,11 @@ final class SubscriptionStateBridge(
     query.stop()
   }
 
+  // accepted transitions awaiting listener delivery, in state order
+  // (enqueued inside the monitor, so queue order == history order)
+  private val pendingNotify = new java.util.concurrent.ConcurrentLinkedQueue[State]()
+  private val drainingNotify = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   private def publish(s: State): Unit = {
     val notify = synchronized {
       val ok = (stateVar, s) match {
@@ -185,38 +197,72 @@ final class SubscriptionStateBridge(
         stateVar = Some(s)
         historyBuf += s
         if (historyBuf.size > HistoryCap) historyBuf.remove(0, historyBuf.size - HistoryCap)
+        pendingNotify.add(s)
       }
       ok
     }
-    // listeners run OUTSIDE the monitor: a blocking onChange must not stall
-    // other publishers (or, transitively, Spark's shared listener bus)
-    if (notify) listeners.foreach { l =>
-      try l.onChange(s)
-      catch {
-        case e: Exception =>
-          // the reference's contract: a throwing listener is the user's
-          // bug to observe in logs, never the subscription's to die of
-          System.err.println(s"[graft] state listener threw at $s: $e")
-      }
-    }
+    // Listeners run OUTSIDE the monitor (a blocking onChange must not stall
+    // other publishers or, transitively, Spark's shared listener bus), but
+    // IN ORDER: the query-start thread and the listener-bus thread publish
+    // concurrently on a restart, and two threads racing plain callbacks
+    // could deliver INITIALIZING before the older SHUTTING_DOWN/TERMINATED
+    // even though the history is correctly ordered. A single active drainer
+    // delivers the FIFO queue; a publisher that loses the CAS returns
+    // immediately (its transition is delivered by the active drainer), so
+    // nothing ever blocks behind a slow listener.
+    if (notify) drainNotifications()
   }
+
+  private def drainNotifications(): Unit =
+    while (!pendingNotify.isEmpty && drainingNotify.compareAndSet(false, true)) {
+      try {
+        var st = pendingNotify.poll()
+        while (st != null) {
+          listeners.foreach { l =>
+            try l.onChange(st)
+            catch {
+              case e: Exception =>
+                // the reference's contract: a throwing listener is the user's
+                // bug to observe in logs, never the subscription's to die of
+                System.err.println(s"[graft] state listener threw at $st: $e")
+            }
+          }
+          st = pendingNotify.poll()
+        }
+      } finally drainingNotify.set(false)
+      // loop: an item enqueued after our last poll but before the flag
+      // release would otherwise sit undelivered until the next publish
+    }
 
   override def onQueryStarted(event: StreamingQueryListener.QueryStartedEvent): Unit =
     if (event.name == queryName) {
-      watchedRuns.add(event.runId)
-      currentRun = Some(event.runId)
-      lastSignature = None
+      synchronized {
+        watchedRuns.add(event.runId)
+        currentRun = Some(event.runId)
+        lastSignature = None
+      }
       publish(INITIALIZING)
     }
 
   override def onQueryProgress(event: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = event.progress
-    // match by runId OR by name: a bridge attached after the query started
+    // Match by runId OR by name: a bridge attached after the query started
     // (monitoring reattach) never saw the start event but must not be dead
-    // for the whole run — progress carries the name, so adopt the run
-    val adopted = !watchedRuns.contains(p.runId) && queryName == p.name &&
-      { watchedRuns.add(p.runId); currentRun = Some(p.runId); true }
-    if ((watchedRuns.contains(p.runId) || adopted) && currentRun.contains(p.runId)) {
+    // for the whole run — progress carries the name, so adopt the run.
+    // Adoption requires currentRun.isEmpty: only a bridge that has never
+    // owned a run may adopt. An unconditional adoption would let a
+    // SUPERSEDED run's late progress (queued on the async bus across a fast
+    // restart) steal currentRun back from the new run, after which the old
+    // run's terminated event passes the currentRun guard and wedges the
+    // bridge in TERMINATED for the new run's whole life.
+    val owns = synchronized {
+      if (!watchedRuns.contains(p.runId) && queryName == p.name && currentRun.isEmpty) {
+        watchedRuns.add(p.runId)
+        currentRun = Some(p.runId)
+      }
+      currentRun.contains(p.runId)
+    }
+    if (owns) {
       val sig = assignmentSignature(p)
       if (lastSignature.exists(prev => prev != sig && stateVar.contains(RUNNING)))
         publish(REBALANCING)
@@ -229,7 +275,7 @@ final class SubscriptionStateBridge(
     () // idle is RUNNING with an empty poll — no transition
 
   override def onQueryTerminated(event: StreamingQueryListener.QueryTerminatedEvent): Unit =
-    if (watchedRuns.remove(event.runId) && currentRun.contains(event.runId)) {
+    if (synchronized { watchedRuns.remove(event.runId) && currentRun.contains(event.runId) }) {
       // a SUPERSEDED run's late terminal events are dropped: the new run
       // already owns the bridge (see currentRun note above)
       publish(SHUTTING_DOWN) // no-op if stopGracefully already published it

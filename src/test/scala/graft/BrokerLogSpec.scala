@@ -138,4 +138,32 @@ class BrokerLogSpec extends AnyFunSuite {
     assert(BrokerLog.topicExists(root, "t2"))
     assert(!BrokerLog.topicExists(root, "nope"))
   }
+
+  test("a stale produce hint below a retention truncation cannot claim a truncated offset") {
+    val root = freshRoot()
+    BrokerLog.createTopic(root, "tr", 1)
+    var hint = -1L
+    (0 until 20).foreach { i =>
+      val c = BrokerLog.produce(root, "tr", 0, Record(null, s"v$i".getBytes, i.toLong, Seq.empty), hint)
+      hint = c + 1
+    }
+    // writer idles with hint=11 (its last claim was 10); others advance the
+    // log (done above), then retention truncates the prefix
+    val staleHint = 11L
+    BrokerLog.truncateBefore(root, "tr", 0, 15)
+    assert(BrokerLog.offsetRange(root, "tr", 0) == (15L, 20L))
+    // slot 11 is free (deleted) — a naive hinted claim would land THERE,
+    // below earliest=15: invisible to consumers positioned past the
+    // truncation point and a regression of the earliest bound
+    val claimed = BrokerLog.produce(root, "tr", 0,
+      Record(null, "late".getBytes, 99L, Seq.empty), staleHint)
+    assert(claimed == 20L, s"stale hint claimed a truncated slot: offset $claimed")
+    assert(BrokerLog.offsetRange(root, "tr", 0) == (15L, 21L),
+      "earliest must not regress after a hinted produce")
+    assert(BrokerLog.read(root, "tr", 0, 20L, 21L).map(r => new String(r._2.value)) == Seq("late"))
+    // a trusted hint (anchor record still present) still skips the scan path:
+    // claims from it remain dense at the log end
+    val c2 = BrokerLog.produce(root, "tr", 0, Record(null, "next".getBytes, 100L, Seq.empty), claimed + 1)
+    assert(c2 == 21L)
+  }
 }

@@ -284,6 +284,17 @@ class GraftKafkaSourceSpec extends SparkTestBase {
     }
     assert((e.getMessage + rootMsg(e)).contains("must be binary or string"),
       s"got: ${e.getMessage} / ${rootMsg(e)}")
+    // wrong-SHAPED headers (map instead of array<struct<key,value>>) must
+    // also fail driver-side, not as an executor ClassCastException mid-write
+    val eh = intercept[Exception] {
+      Seq(("k1", "v1")).toDF("key", "value")
+        .withColumn("headers", org.apache.spark.sql.functions.map(
+          org.apache.spark.sql.functions.lit("hk"), org.apache.spark.sql.functions.lit("hv")))
+        .write.format("graft-kafka").mode("append")
+        .option("root", root).option("topic", "str").save()
+    }
+    assert((eh.getMessage + rootMsg(eh)).contains("array<struct<key:string,value:binary>>"),
+      s"got: ${eh.getMessage} / ${rootMsg(eh)}")
   }
 
   test("admission control ignores truncated phantom offsets (no starvation of healthy partitions)") {

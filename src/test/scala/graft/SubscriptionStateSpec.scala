@@ -238,4 +238,55 @@ class SubscriptionStateSpec extends SparkTestBase {
         "a refused stop must not publish SHUTTING_DOWN")
     } finally { if (q.isActive) q.stop(); bridge.detach() }
   }
+
+  test("a superseded run's late progress cannot steal the bridge from the new run") {
+    import org.apache.spark.sql.graftbridge.TestEvents
+    // The exact interleaving Spark's listener bus can produce on a fast
+    // restart of a query the bridge never saw start (monitoring reattach):
+    // run2's start is delivered synchronously on the starting thread while
+    // run1's queued progress + terminated drain LATER from the async bus.
+    // Adoption must not fire once the bridge owns a run — an unconditional
+    // adoption hands currentRun back to run1, whose terminated event then
+    // wedges the bridge in TERMINATED for all of run2's life.
+    val run1 = java.util.UUID.randomUUID()
+    val run2 = java.util.UUID.randomUUID()
+    val bridge = new graft.streaming.SubscriptionStateBridge(spark, "steal-q", Seq.empty)
+    try {
+      bridge.onQueryStarted(TestEvents.started(run2, "steal-q")) // new run owns the bridge
+      bridge.onQueryProgress(TestEvents.progress(run1, "steal-q", """{"t":{"0":5}}""")) // late, superseded
+      bridge.onQueryTerminated(TestEvents.terminated(run1)) // late terminal
+      bridge.onQueryProgress(TestEvents.progress(run2, "steal-q", """{"t":{"0":9}}"""))
+      assert(bridge.currentState.contains(RUNNING),
+        s"run2 must still own the bridge, got ${bridge.currentState} (history ${bridge.history})")
+      assert(!bridge.history.contains(TERMINATED),
+        s"superseded run1's terminal events leaked through: ${bridge.history}")
+      // and a mid-run attach (no owner yet) still adopts from progress
+      val fresh = new graft.streaming.SubscriptionStateBridge(spark, "steal-q", Seq.empty)
+      fresh.onQueryProgress(TestEvents.progress(run1, "steal-q", """{"t":{"0":5}}"""))
+      assert(fresh.currentState.contains(RUNNING), "ownerless bridge must adopt from progress")
+      fresh.onQueryTerminated(TestEvents.terminated(run1))
+      assert(fresh.currentState.contains(TERMINATED), "adopted run's termination must publish")
+    } finally bridge.detach()
+  }
+
+  test("assignment signatures are escape-aware: hostile topic names cannot mask a rebalance") {
+    import org.apache.spark.sql.graftbridge.TestEvents
+    def sig(json: String): Set[String] =
+      SubscriptionStates.assignmentSignature(
+        TestEvents.progress(java.util.UUID.randomUUID(), "sig-q", json).progress)
+    // nested (kafka shape): topic he"llo escapes to he\"llo in the offset
+    // JSON; a non-escape-aware match would tokenize the tail as topic `llo`
+    // and collide with a REAL topic named llo, masking the assignment change
+    val hostile = sig("""{"he\"llo":{"0":5}}""")
+    val plain = sig("""{"llo":{"0":5}}""")
+    assert(hostile == Set("0:he\"llo/0"), s"got $hostile")
+    assert(plain == Set("0:llo/0"), s"got $plain")
+    assert(hostile != plain, "escaped and plain topics must sign differently")
+    // flat (jsonl shape): names unescape too
+    val flat = sig("""{"a\"b.jsonl":123}""")
+    assert(flat == Set("0:a\"b.jsonl"), s"got $flat")
+    // backslash in a name round-trips
+    val bs = sig("""{"back\\slash":{"2":7}}""")
+    assert(bs == Set("0:back\\slash/2"), s"got $bs")
+  }
 }
