@@ -106,6 +106,13 @@ package object functions {
     toColumn(graft.plans.TopKByScoreAgg(
       toExpr(score.cast("double")), toExpr(id.cast("long")), k).toAggregateExpression())
 
+  /** KMV distinct-value sketch buffer: the k smallest DISTINCT longs,
+    * ascending (O(k) per partition, map-side mergeable).
+    */
+  def bottom_k_distinct(v: Column, k: Int): Column =
+    toColumn(graft.plans.BottomKDistinctAgg(
+      toExpr(v.cast("long")), k).toAggregateExpression())
+
   /** Portable 60-bit hash of every n-token window (one native pass, no
     * window-string materialization); values = `dh(window)` of the oracle.
     */

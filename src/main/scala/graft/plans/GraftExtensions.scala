@@ -127,5 +127,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Cast(id, org.apache.spark.sql.types.LongType),
           intLit(k, "k")).toAggregateExpression()
     }
+    register(ext, "graft_bottom_k_distinct",
+      "graft_bottom_k_distinct(v, k) - KMV sketch aggregate: k smallest distinct longs -> array<long>",
+      Seq(2)) {
+      case Seq(v, k) =>
+        BottomKDistinctAgg(
+          org.apache.spark.sql.catalyst.expressions.Cast(v, org.apache.spark.sql.types.LongType),
+          intLit(k, "k")).toAggregateExpression()
+    }
   }
 }

@@ -120,3 +120,72 @@ case class TopKByScoreAgg(
       newLeft: Expression, newRight: Expression): TopKByScoreAgg =
     copy(left = newLeft, right = newRight)
 }
+
+/** Aggregate `bottom_k_distinct(v, k)` → array<long>: the `k` SMALLEST
+  * DISTINCT long values, ascending — the KMV ("k minimum values")
+  * distinct-value sketch buffer (Bar-Yossef et al. 2002). Distinctness is
+  * the point: duplicates of a kept hash must not evict other hashes, so a
+  * plain bounded heap is wrong and the buffer is an ordered set capped at
+  * `k`. O(k) per partition, partial buffers merge map-side — the exchange
+  * carries at most partitions×groups×k longs no matter the corpus size,
+  * which is what lets per-group distinct-set comparisons (union/intersect/
+  * Jaccard between KMV sketches) run at 100 TB without the exact
+  * distinct-key shuffle. Null inputs are ignored.
+  */
+case class BottomKDistinctAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(k > 0, s"k=$k must be positive")
+
+  override def createAggregationBuffer(): mutable.TreeSet[Long] = mutable.TreeSet.empty[Long]
+
+  private def add(buf: mutable.TreeSet[Long], v: Long): Unit =
+    if (buf.size < k) { buf += v }
+    else if (v < buf.last && !buf.contains(v)) { buf -= buf.last; buf += v }
+
+  override def update(buf: mutable.TreeSet[Long], input: InternalRow): mutable.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: mutable.TreeSet[Long], b: mutable.TreeSet[Long]): mutable.TreeSet[Long] = {
+    b.foreach(add(a, _))
+    a
+  }
+
+  override def eval(buf: mutable.TreeSet[Long]): Any =
+    new GenericArrayData(buf.toArray[Any])
+
+  override def serialize(buf: mutable.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.TreeSet.empty[Long]
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "bottom_k_distinct"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinctAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinctAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKDistinctAgg =
+    copy(child = newChild)
+}

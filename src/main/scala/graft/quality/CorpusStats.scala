@@ -132,4 +132,137 @@ object CorpusStats {
       round((sy.cast("double") - slope * sx.cast("double"))
         / col("n").cast("double"), 6).as("intercept"))
   }
+
+  /** HyperLogLog register sketch (Flajolet et al. 2007) per group — the
+    * mergeable distinct-count summary this family was missing: SpaceSaving
+    * answers "which keys are hot", CMS answers "how hot is this key", HLL
+    * answers "how many DISTINCT keys" in `m` bytes per group instead of a
+    * corpus-wide exact-distinct shuffle.
+    *
+    * Layout over the 60-bit [[graft.functions.TextFunctions.portable_hash]]
+    * (md5-prefix — engine-portable, so a DuckDB oracle can replay every
+    * register): low `log2(m)` bits pick the register `j`, the remaining
+    * `w = 60 - log2(m)` bits feed `rho = (w+1) - bitlen` — the 1-based
+    * position of the leftmost 1-bit, `w+1` when the suffix is all zeros.
+    * Register value `M_j = max(rho)`; empty registers are ABSENT here (the
+    * sparse form — merge = unionByName + re-max) and densified to 0 by
+    * [[hllDistinct]].
+    *
+    * 100 TB shape: one shuffle of (group, j, rho) with partial max — the
+    * reduce side sees at most `groups × m` rows no matter the corpus size.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCol: Column,
+      keyCol: Column,
+      m: Int = 256): DataFrame = {
+    require(m >= 16 && (m & (m - 1)) == 0 && m <= 65536,
+      s"m=$m: register count must be a power of two in [16, 65536]")
+    val bits = java.lang.Integer.numberOfTrailingZeros(m)
+    val width = 60 - bits
+    val h = graft.functions.TextFunctions.portable_hash(keyCol)
+    df.select(
+        groupCol.as("group"),
+        h.bitwiseAND(lit((m - 1).toLong)).as("j"),
+        shiftrightunsigned(h, bits).as("w"))
+      .select(col("group"), col("j"),
+        when(col("w") === 0L, lit(width + 1))
+          .otherwise(lit(width + 1) - length(bin(col("w")))).as("rho"))
+      .groupBy(col("group"), col("j"))
+      .agg(max(col("rho")).cast("int").as("m_j"))
+  }
+
+  /** Distinct-count estimate per group from the [[hllRegisters]] sketch.
+    *
+    * Output per group: `zero_regs` (empty-register count V — feeds the
+    * standard small-range linear-counting correction `m·ln(m/V)` downstream;
+    * not applied here because `ln` is libm-dependent and this column must
+    * hash identically across engines), `harmonic` (the EXACT integer
+    * `2^(width+1) · Σ_j 2^-M_j` — every term is a dyadic power so the sum
+    * carries no float error and no summation-order dependence), and `est`
+    * (the raw HLL estimate `floor(α_m · m² / Σ 2^-M_j)` — α and the scale
+    * constant are literal doubles and the only division is double/int64,
+    * IEEE-identical across engines).
+    *
+    * 100 TB shape: the register shuffle above plus a groups×m densify
+    * against the distinct group list — both bounded by group cardinality,
+    * never by row count; this is the sketch path that replaces
+    * `count(DISTINCT key)`'s full-key shuffle.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCol: Column,
+      keyCol: Column,
+      m: Int = 256): DataFrame = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(m)
+    val width = 60 - bits
+    val regs = hllRegisters(df, groupCol, keyCol, m)
+    val spark = df.sparkSession
+    val dense = df.select(groupCol.as("group")).distinct()
+      .crossJoin(broadcast(spark.range(m).select(col("id").as("j"))))
+    val joined = dense.join(regs, Seq("group", "j"), "left")
+      .select(col("group"), coalesce(col("m_j"), lit(0)).as("m0"))
+    // alpha_m = 0.7213 / (1 + 1.079/m) (Flajolet et al. §4); the arithmetic
+    // below is associated EXACTLY like the oracle SQL so the double matches
+    // bit-for-bit.
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val scale = lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, (width + 1).toDouble))
+    joined.groupBy(col("group"))
+      .agg(
+        sum(when(col("m0") === 0, 1L).otherwise(0L)).cast("int").as("zero_regs"),
+        // shiftleft(Column, Int) only takes a literal shift — the SQL form
+        // accepts a column shift (base is BIGINT so the result stays long)
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${width + 1} - m0)")).as("harmonic"))
+      .select(
+        col("group"),
+        col("zero_regs"),
+        col("harmonic"),
+        floor(alpha * scale / col("harmonic")).cast("long").as("est"))
+  }
+
+  /** KMV ("k minimum values") sketch per group: the `k` smallest DISTINCT
+    * portable hashes of `keyCol`, ascending. Unlike HLL this sketch supports
+    * SET OPERATIONS — the k smallest of a union of sketches is the sketch of
+    * the union, so cross-group overlap/Jaccard runs on k values per group
+    * instead of the exact distinct-key join ([[kmvJaccard]]).
+    *
+    * 100 TB shape: [[graft.plans.BottomKDistinctAgg]] keeps O(k) per
+    * partition and merges map-side — the exchange carries at most
+    * partitions×groups×k longs, never the corpus.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      groupCol: Column,
+      keyCol: Column,
+      k: Int = 128): DataFrame =
+    df.select(groupCol.as("group"),
+        graft.functions.TextFunctions.portable_hash(keyCol).as("h"))
+      .groupBy(col("group"))
+      .agg(graft.functions.bottom_k_distinct(col("h"), k).as("kmv"))
+
+  /** Pairwise Jaccard estimate between group sketches (Beyer et al. 2007):
+    * for each group pair a < b, take the `k` smallest distinct hashes of the
+    * UNION of the two sketches (itself a valid KMV sketch of the union) and
+    * count how many live in BOTH — `inter_k / union_k` is an unbiased
+    * Jaccard estimate. All-integer output (`jacc_pm` = per-mille floor), so
+    * the whole path replays exactly in a SQL oracle.
+    *
+    * 100 TB shape: after the sketch aggregate the problem is
+    * groups² × k longs — group cardinality is bounded (sources, shards,
+    * snapshots), so the pair join is a broadcast of kilobytes regardless of
+    * corpus size; the corpus-sized work is ONLY the one sketch shuffle.
+    */
+  def kmvJaccard(sketches: DataFrame, k: Int = 128): DataFrame = {
+    val a = sketches.select(col("group").as("src_a"), col("kmv").as("ka"))
+    val b = sketches.select(col("group").as("src_b"), col("kmv").as("kb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      .select(
+        col("src_a"), col("src_b"),
+        size(col("u")).as("union_k"),
+        size(array_intersect(array_intersect(col("u"), col("ka")), col("kb")))
+          .as("inter_k"))
+      .withColumn("jacc_pm",
+        floor(lit(1000.0) * col("inter_k") / col("union_k")).cast("long"))
+  }
 }

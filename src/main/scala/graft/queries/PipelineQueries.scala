@@ -2895,6 +2895,100 @@ object PipelineQueries {
           r, r.filter(col("vec_id") % 25 === 0), "vec_id", "vr", cb,
           k = 10, nlist = 32, nprobe = 8)
       },
-      None)
+      None),
+
+    // ---- HLL distinct-count sketch per source — the mergeable summary that
+    // replaces count(DISTINCT text)'s full-key shuffle at corpus scale: the
+    // reduce side sees sources × 256 register rows, never the corpus. Fully
+    // hash-checked: registers derive from the portable md5-prefix hash
+    // (low 8 bits → register, bitlen of the remaining 52 → rho), `harmonic`
+    // is the EXACT integer 2^53·Σ2^-M_j (dyadic terms — no float error, no
+    // summation-order dependence), and `est` is the raw Flajolet estimate
+    // whose only float ops are literal-constant arithmetic and one
+    // double/int64 division, IEEE-identical across engines. `zero_regs`
+    // feeds the standard linear-counting correction downstream (not applied
+    // here: ln is libm-dependent). Error bound vs exact is HllSpec's job.
+    Q(
+      "pq81_hll_distinct",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.quality.CorpusStats.hllDistinct(d, col("source"), col("text"), m = 256)
+          .withColumnRenamed("group", "source")
+      },
+      Some(s"""
+        WITH rw AS (
+          SELECT source, ${dh("text")} & 255 AS j, ${dh("text")} >> 8 AS w
+          FROM documents),
+        rho AS (
+          SELECT source, j,
+                 CASE WHEN w = 0 THEN 53
+                      ELSE 53 - length(bin(w)) END AS rho
+          FROM rw),
+        regs AS (SELECT source, j, max(rho) AS m_j FROM rho GROUP BY 1, 2),
+        dense AS (
+          SELECT s.source, g.j, coalesce(r.m_j, 0) AS m0
+          FROM (SELECT DISTINCT source FROM documents) s
+          CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) g
+          LEFT JOIN regs r ON r.source = s.source AND r.j = g.j),
+        agg AS (
+          SELECT source,
+                 CAST(sum(CASE WHEN m0 = 0 THEN 1 ELSE 0 END) AS INT) AS zero_regs,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(53 - m0 AS INT)) AS BIGINT) AS harmonic
+          FROM dense GROUP BY 1)
+        SELECT source, zero_regs, harmonic,
+               CAST(floor(
+                 ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+                  * (CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)))
+                 / CAST(harmonic AS DOUBLE)) AS BIGINT) AS est
+        FROM agg
+      """)),
+
+    // ---- KMV sketch cross-source Jaccard — the SKETCH path of pq56's exact
+    // token-overlap matrix: per source keep the 128 smallest distinct token
+    // hashes (BottomKDistinctAgg — O(k) per partition, map-side mergeable,
+    // the exchange carries kilobytes at any corpus size), then estimate each
+    // pair's Jaccard from the k-smallest of the sketch union. Fully
+    // hash-checked: the oracle replays the identical bottom-k (same
+    // md5-prefix hashes, ascending rank), the identical union-sketch
+    // truncation, and the all-integer membership counts.
+    Q(
+      "pq82_kmv_source_jaccard",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val toks = d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val sk = graft.quality.CorpusStats.kmvSketch(toks, col("source"), col("tok"), k = 128)
+        graft.quality.CorpusStats.kmvJaccard(sk, k = 128)
+      },
+      Some(s"""
+        WITH th AS (
+          SELECT DISTINCT source, ${dh("t")} AS h
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)),
+        rk AS (
+          SELECT source, h,
+                 row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+          FROM th),
+        sk AS (SELECT source, h FROM rk WHERE rn <= 128),
+        srcs AS (SELECT DISTINCT source FROM documents),
+        pr AS (
+          SELECT a.source AS src_a, b.source AS src_b
+          FROM srcs a JOIN srcs b ON a.source < b.source),
+        uh AS (
+          SELECT pr.src_a, pr.src_b, s.h,
+                 max(CASE WHEN s.source = pr.src_a THEN 1 ELSE 0 END) AS in_a,
+                 max(CASE WHEN s.source = pr.src_b THEN 1 ELSE 0 END) AS in_b
+          FROM pr JOIN sk s ON s.source IN (pr.src_a, pr.src_b)
+          GROUP BY 1, 2, 3),
+        ur AS (
+          SELECT *, row_number() OVER (PARTITION BY src_a, src_b ORDER BY h ASC) AS rn
+          FROM uh),
+        ag AS (
+          SELECT src_a, src_b,
+                 CAST(count(*) AS INT) AS union_k,
+                 CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS INT) AS inter_k
+          FROM ur WHERE rn <= 128 GROUP BY 1, 2)
+        SELECT src_a, src_b, union_k, inter_k,
+               CAST(floor(CAST(1000.0 AS DOUBLE) * inter_k / union_k) AS BIGINT) AS jacc_pm
+        FROM ag
+      """))
   )
 }

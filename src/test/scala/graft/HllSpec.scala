@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.quality.CorpusStats
+
+/** HyperLogLog distinct-count sketch (pq81): error bound vs exact counts,
+  * the register-max merge law, partition invariance, and the dense-register
+  * accounting edge cases.
+  */
+class HllSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val m = 256
+  // standard HLL relative standard deviation 1.04/sqrt(m); assert 3 sigma
+  private val errBound = 3.0 * 1.04 / math.sqrt(m.toDouble)
+
+  test("estimate is within 3 sigma of the exact distinct count (n >> m)") {
+    // 3 groups with very different cardinalities, keys disjoint across groups
+    val rows = (0 until 20000).map(i => ("a", s"key-a-$i")) ++
+      (0 until 5000).map(i => ("b", s"key-b-$i")) ++
+      (0 until 1500).map(i => ("c", s"key-c-$i")) ++
+      (0 until 7000).map(i => ("a", s"key-a-${i % 400}")) // duplicates change nothing
+    val df = rows.toDF("g", "k")
+    val est = CorpusStats.hllDistinct(df, col("g"), col("k"), m)
+      .select("group", "est").as[(String, Long)].collect().toMap
+    val exact = Map("a" -> 20000.0, "b" -> 5000.0, "c" -> 1500.0)
+    exact.foreach { case (g, n) =>
+      val rel = math.abs(est(g) - n) / n
+      assert(rel <= errBound, s"group $g: est ${est(g)} vs exact $n (rel $rel > $errBound)")
+    }
+  }
+
+  test("registers merge by element-wise max (sketch of union = max of sketches)") {
+    val a = (0 until 3000).map(i => ("g", s"left-$i")).toDF("g", "k")
+    val b = (0 until 3000).map(i => ("g", s"right-$i")).toDF("g", "k")
+    val merged = CorpusStats.hllRegisters(a, col("g"), col("k"), m)
+      .unionByName(CorpusStats.hllRegisters(b, col("g"), col("k"), m))
+      .groupBy("group", "j").agg(max("m_j").as("m_j"))
+    val whole = CorpusStats.hllRegisters(a.unionByName(b), col("g"), col("k"), m)
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty,
+      "register-max merge must equal the sketch of the union")
+  }
+
+  test("output is invariant under repartitioning") {
+    val df = (0 until 4000).map(i => (s"g${i % 3}", s"k-$i")).toDF("g", "k")
+    val one = CorpusStats.hllDistinct(df, col("g"), col("k"), m).collect().toSet
+    val many = CorpusStats.hllDistinct(df.repartition(7), col("g"), col("k"), m)
+      .collect().toSet
+    assert(one == many)
+  }
+
+  test("empty registers are densified: zero_regs + populated = m, harmonic consistent") {
+    // 10 distinct keys cannot touch more than 10 of the 256 registers
+    val df = (0 until 10).map(i => ("g", s"only-$i")).toDF("g", "k")
+    val row = CorpusStats.hllDistinct(df, col("g"), col("k"), m).head()
+    val zeroRegs = row.getAs[Int]("zero_regs")
+    val populated = CorpusStats.hllRegisters(df, col("g"), col("k"), m).count()
+    assert(zeroRegs == m - populated)
+    // harmonic = sum over registers of 2^(53 - M_j); every empty register
+    // contributes 2^53, and every term of a populated register is smaller
+    val harmonic = row.getAs[Long]("harmonic")
+    val allEmpty = m.toLong * (1L << 53)
+    assert(harmonic < allEmpty && harmonic > zeroRegs.toLong * (1L << 53))
+  }
+
+  test("m must be a power of two in range") {
+    val df = Seq(("g", "k")).toDF("g", "k")
+    intercept[IllegalArgumentException] {
+      CorpusStats.hllRegisters(df, col("g"), col("k"), m = 100)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusStats.hllRegisters(df, col("g"), col("k"), m = 8)
+    }
+  }
+
+  test("registered query pq81 runs and estimates every source in the table") {
+    val out = SparkEntry.queries("pq81_hll_distinct")(spark, sfDir)
+    val rows = out.collect()
+    val nSources = Tables.documents(spark, sfDir).select("source").distinct().count()
+    assert(rows.length == nSources)
+    // sanity: every estimate positive and bounded by a generous multiple of
+    // the per-source row count (an HLL cannot overshoot a small exact count
+    // by orders of magnitude at m=256 unless register math is broken)
+    val exact = Tables.documents(spark, sfDir)
+      .groupBy("source").agg(countDistinct("text").as("n"))
+      .as[(String, Long)].collect().toMap
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val est = r.getAs[Long]("est")
+      assert(est > 0, s"$src: est must be positive")
+      val n = exact(src).toDouble
+      // sf0.001 sources have n << m, the regime where the raw estimator is
+      // biased high BY DESIGN and the standard correction is linear counting
+      // over the emitted zero-register count — exactly the downstream use
+      // the zero_regs column exists for
+      val v = r.getAs[Int]("zero_regs").toDouble
+      val lc = 256.0 * math.log(256.0 / v)
+      assert(math.abs(lc - n) <= math.max(5.0, 0.15 * n),
+        s"$src: linear-counting est $lc vs exact $n (raw est $est, V=$v)")
+    }
+  }
+}
