@@ -165,6 +165,7 @@ object CorpusStats {
         groupCol.as("group"),
         h.bitwiseAND(lit((m - 1).toLong)).as("j"),
         shiftrightunsigned(h, bits).as("w"))
+      .filter(col("j").isNotNull) // null keys carry no distinct-count signal
       .select(col("group"), col("j"),
         when(col("w") === 0L, lit(width + 1))
           .otherwise(lit(width + 1) - length(bin(col("w")))).as("rho"))
@@ -197,27 +198,42 @@ object CorpusStats {
     val bits = java.lang.Integer.numberOfTrailingZeros(m)
     val width = 60 - bits
     val regs = hllRegisters(df, groupCol, keyCol, m)
-    val spark = df.sparkSession
-    val dense = df.select(groupCol.as("group")).distinct()
-      .crossJoin(broadcast(spark.range(m).select(col("id").as("j"))))
-    val joined = dense.join(regs, Seq("group", "j"), "left")
-      .select(col("group"), coalesce(col("m_j"), lit(0)).as("m0"))
-    // alpha_m = 0.7213 / (1 + 1.079/m) (Flajolet et al. §4); the arithmetic
-    // below is associated EXACTLY like the oracle SQL so the double matches
-    // bit-for-bit.
+    // Empty registers contribute a CLOSED FORM 2^(width+1) each, so the dense
+    // groups×m densify (and its second scan of df for the group list) is
+    // unnecessary: one aggregation over the sparse registers suffices. The
+    // pq81 oracle SQL keeps its explicit densify CTE — the outputs are
+    // provably identical for every group with at least one non-null key
+    // (harmonic = Σ_pop 2^(w+1-M_j) + (m - populated)·2^(w+1)); a group with
+    // ONLY null keys has no sketch and no output row.
+    // alpha_m per Flajolet et al. §4: tabulated below m=128, asymptotic above.
+    val alphaM: Double = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    }
+    // constant arithmetic is associated EXACTLY like the oracle SQL so the
+    // double matches bit-for-bit
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val alphaCol = if (m >= 128) alpha else lit(alphaM)
     val scale = lit(m.toDouble * m.toDouble) * lit(math.pow(2.0, (width + 1).toDouble))
-    joined.groupBy(col("group"))
+    val emptyTerm = 1L << (width + 1)
+    regs.groupBy(col("group"))
       .agg(
-        sum(when(col("m0") === 0, 1L).otherwise(0L)).cast("int").as("zero_regs"),
+        count(lit(1)).as("populated"),
         // shiftleft(Column, Int) only takes a literal shift — the SQL form
         // accepts a column shift (base is BIGINT so the result stays long)
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${width + 1} - m0)")).as("harmonic"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${width + 1} - m_j)")).as("hpop"))
+      .select(
+        col("group"),
+        (lit(m.toLong) - col("populated")).cast("int").as("zero_regs"),
+        (col("hpop") + (lit(m.toLong) - col("populated")) * lit(emptyTerm))
+          .as("harmonic"))
       .select(
         col("group"),
         col("zero_regs"),
         col("harmonic"),
-        floor(alpha * scale / col("harmonic")).cast("long").as("est"))
+        floor(alphaCol * scale / col("harmonic")).cast("long").as("est"))
   }
 
   /** KMV ("k minimum values") sketch per group: the `k` smallest DISTINCT
@@ -239,6 +255,10 @@ object CorpusStats {
         graft.functions.TextFunctions.portable_hash(keyCol).as("h"))
       .groupBy(col("group"))
       .agg(graft.functions.bottom_k_distinct(col("h"), k).as("kmv"))
+      // the build k travels WITH the sketch: set operations over sketches
+      // built with a different k are invalid (a union truncated above a
+      // smaller sketch's threshold counts unknowable members as not-shared)
+      .withColumn("k", lit(k))
 
   /** Pairwise Jaccard estimate between group sketches (Beyer et al. 2007):
     * for each group pair a < b, take the `k` smallest distinct hashes of the
@@ -252,17 +272,28 @@ object CorpusStats {
     * snapshots), so the pair join is a broadcast of kilobytes regardless of
     * corpus size; the corpus-sized work is ONLY the one sketch shuffle.
     */
-  def kmvJaccard(sketches: DataFrame, k: Int = 128): DataFrame = {
-    val a = sketches.select(col("group").as("src_a"), col("kmv").as("ka"))
-    val b = sketches.select(col("group").as("src_b"), col("kmv").as("kb"))
+  def kmvJaccard(sketches: DataFrame): DataFrame = {
+    val a = sketches.select(col("group").as("src_a"), col("kmv").as("ka"),
+      col("k").as("k_a"))
+    val b = sketches.select(col("group").as("src_b"), col("kmv").as("kb"),
+      col("k").as("k_b"))
     a.join(broadcast(b), col("src_a") < col("src_b"))
-      .withColumn("u", slice(array_sort(array_union(col("ka"), col("kb"))), 1, k))
+      // truncating the union above a smaller sketch's threshold would count
+      // unknowable members as not-shared — refuse mixed-k sketches outright
+      .withColumn("k", when(col("k_a") === col("k_b"), col("k_a"))
+        .otherwise(raise_error(concat(lit("kmvJaccard: sketches built with "
+          + "different k cannot be combined: "), col("k_a").cast("string"),
+          lit(" vs "), col("k_b").cast("string")))))
+      .withColumn("u", expr("slice(array_sort(array_union(ka, kb)), 1, k)"))
       .select(
         col("src_a"), col("src_b"),
         size(col("u")).as("union_k"),
         size(array_intersect(array_intersect(col("u"), col("ka")), col("kb")))
           .as("inter_k"))
+      // greatest(..,1): a group whose keys are all null has an EMPTY sketch
+      // (union_k = 0 against any partner); report 0 shared, not NaN
       .withColumn("jacc_pm",
-        floor(lit(1000.0) * col("inter_k") / col("union_k")).cast("long"))
+        floor(lit(1000.0) * col("inter_k") / greatest(col("union_k"), lit(1)))
+          .cast("long"))
   }
 }

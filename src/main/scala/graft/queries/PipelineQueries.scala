@@ -2955,9 +2955,10 @@ object PipelineQueries {
       "pq82_kmv_source_jaccard",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val toks = d.select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        val toks = d.select(col("source"),
+          explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
         val sk = graft.quality.CorpusStats.kmvSketch(toks, col("source"), col("tok"), k = 128)
-        graft.quality.CorpusStats.kmvJaccard(sk, k = 128)
+        graft.quality.CorpusStats.kmvJaccard(sk)
       },
       Some(s"""
         WITH th AS (

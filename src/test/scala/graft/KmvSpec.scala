@@ -38,7 +38,7 @@ class KmvSpec extends SparkTestBase {
     val b = (2000 until 5000).map(i => ("b", s"tok-$i"))
     val df = (a ++ b).toDF("g", "k")
     val sk = CorpusStats.kmvSketch(df, col("g"), col("k"), k = 128)
-    val row = CorpusStats.kmvJaccard(sk, k = 128).head()
+    val row = CorpusStats.kmvJaccard(sk).head()
     assert(row.getAs[Int]("union_k") == 128)
     val est = row.getAs[Long]("jacc_pm") / 1000.0
     val truth = 1000.0 / 5000.0
@@ -51,7 +51,7 @@ class KmvSpec extends SparkTestBase {
     val b = (0 until 500).map(i => ("b", s"same-$i"))
     val c = (0 until 500).map(i => ("c", s"other-$i"))
     val sk = CorpusStats.kmvSketch((a ++ b ++ c).toDF("g", "k"), col("g"), col("k"), k = 128)
-    val out = CorpusStats.kmvJaccard(sk, k = 128)
+    val out = CorpusStats.kmvJaccard(sk)
       .select("src_a", "src_b", "jacc_pm").as[(String, String, Long)].collect()
       .map { case (x, y, j) => (x, y) -> j }.toMap
     assert(out(("a", "b")) == 1000L)
@@ -66,6 +66,24 @@ class KmvSpec extends SparkTestBase {
     val many = CorpusStats.kmvSketch(df.repartition(11), col("g"), col("k"), 128)
       .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     assert(one == many)
+  }
+
+  test("sketches built with different k refuse to combine") {
+    val df = (0 until 100).map(i => (s"g${i % 2}", s"k-$i")).toDF("g", "k")
+    val mixed = CorpusStats.kmvSketch(df.filter(col("g") === "g0"), col("g"), col("k"), k = 64)
+      .unionByName(
+        CorpusStats.kmvSketch(df.filter(col("g") === "g1"), col("g"), col("k"), k = 128))
+    val e = intercept[Exception] { CorpusStats.kmvJaccard(mixed).collect() }
+    assert(e.getMessage.contains("different k") ||
+      Option(e.getCause).exists(_.getMessage.contains("different k")))
+  }
+
+  test("a group whose keys are all null yields an empty sketch and jaccard 0, not NaN") {
+    val rows = (0 until 50).map(i => ("a", s"k-$i")) :+ (("b", null: String))
+    val sk = CorpusStats.kmvSketch(rows.toDF("g", "k"), col("g"), col("k"), k = 16)
+    val row = CorpusStats.kmvJaccard(sk).head()
+    assert(row.getAs[Int]("union_k") == 16 && row.getAs[Int]("inter_k") == 0)
+    assert(row.getAs[Long]("jacc_pm") == 0L)
   }
 
   test("graft_bottom_k_distinct is registered as a SQL function") {
