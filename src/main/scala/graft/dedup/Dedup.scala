@@ -29,9 +29,18 @@ object Dedup {
     * only in case/punctuation/spacing, the cheap tier between exact hashing
     * and minhash. Row-local; RE2-compatible patterns so the DuckDB oracle
     * applies the identical transform.
+    *
+    * Documents with no `[a-z0-9]` content at all (non-Latin scripts, the
+    * schema's own zh stratum; punctuation-only docs) reduce to the empty
+    * string — without a fallback they would ALL merge into one dedup group
+    * and the keeper election would silently delete the entire non-Latin
+    * corpus but one doc. Such docs key on their lowercased raw text instead
+    * (case-insensitive exact dedup — conservative, never cross-doc lossy).
     */
-  def canonicalize(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+  def canonicalize(text: Column): Column = {
+    val c = trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+    when(c === "", lower(text)).otherwise(c)
+  }
 
   /** Exact dedup on the canonical form — same single partial-agg shuffle as
     * [[exactByContent]], keyed by md5 of [[canonicalize]].
@@ -200,6 +209,11 @@ object Dedup {
       maxDist: Int,
       blockCol: Option[Column] = None): DataFrame = {
     require(maxDist < bands, "pigeonhole guarantee needs maxDist < bands")
+    // bands > bits would make every band mask 0 bits (all docs share band
+    // value 0 = the full cross product, silently); a non-dividing bands
+    // would leave the top bits % bands bits outside every band
+    require(bands >= 1 && bands <= bits && bits % bands == 0,
+      s"bands=$bands must divide bits=$bits")
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     // optional extra blocking key (e.g. language): pairs must also agree on
@@ -268,15 +282,24 @@ object Dedup {
           .agg(count(lit(1)).as("inter"))
         (sz, in)
       case Some(f0) =>
-        // posting-list form: ONE groupBy builds the inverted index, the DF
-        // cutoff bounds every posting list at f0 ids, and candidate pairs
-        // explode from each list in a narrow stage — no gram self-join at
-        // all. Grams are distinct per doc, so list length == document
-        // frequency. Sizes count each doc's surviving (informative) grams,
-        // so the Jaccard is over DF-pruned gram sets on both engines.
-        val postings = allGrams.groupBy(col("blk"), col("g"))
+        // posting-list form: the DF cutoff bounds every posting list at f0
+        // ids, and candidate pairs explode from each list in a narrow stage
+        // — no gram self-join at all. Grams are distinct per doc, so list
+        // length == document frequency. The count runs BEFORE collect_list:
+        // a collect-then-filter would materialize a stop-gram's full
+        // posting array (f ids for a gram in f docs — unbounded) in one
+        // aggregation buffer just to discard it; counting first keeps every
+        // buffer O(1) and the semi-join is co-partitioned with the collect's
+        // own shuffle, so the extra pass costs one gram-table exchange, not
+        // a new shape. Sizes count each doc's surviving (informative)
+        // grams, so the Jaccard is over DF-pruned gram sets on both engines.
+        val eligible = allGrams.groupBy(col("blk"), col("g"))
+          .agg(count(lit(1)).as("df0"))
+          .filter(col("df0") <= f0)
+          .select(col("blk"), col("g"))
+        val postings = allGrams.join(eligible, Seq("blk", "g"), "left_semi")
+          .groupBy(col("blk"), col("g"))
           .agg(collect_list(col("id")).as("ids"))
-          .filter(size(col("ids")) <= f0)
         val sz = postings.select(explode(col("ids")).as("id"))
           .groupBy(col("id")).agg(count(lit(1)).as("sz"))
         val in = postings.filter(size(col("ids")) >= 2)
@@ -300,9 +323,19 @@ object Dedup {
     * the exact same evaluation order any engine's sequential sum uses, so
     * results are bit-reproducible against the oracle's list_reduce.
     */
-  def cosine(a: Column, b: Column): Column =
-    graft.functions.vector_dot(a, b) /
-      (sqrt(graft.functions.vector_dot(a, a)) * sqrt(graft.functions.vector_dot(b, b)))
+  /** Null (not NaN, not an ANSI divide-by-zero crash) when either vector has
+    * zero norm: under Spark 4's default ANSI mode the raw division would
+    * KILL the whole job on one poisoned vector, and with ANSI off the NaN
+    * result ranks above every real cosine in >= filters. Null is the safe
+    * tri-state: comparison filters drop it, TopKAgg skips null scores.
+    * (Codegen CSEs the repeated norm subtrees — the guard costs no extra
+    * dot products.)
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val den = sqrt(graft.functions.vector_dot(a, a)) *
+      sqrt(graft.functions.vector_dot(b, b))
+    when(den =!= 0.0, graft.functions.vector_dot(a, b) / den)
+  }
 
   /** Embedding near-dup pairs over a float-vector column, blocked by
     * `blockCol` (at scale: an LSH/IVF bucket id; see graft.similarity).
@@ -316,10 +349,16 @@ object Dedup {
       blockCol: Column,
       minCosine: Double): DataFrame = {
     val dot = graft.functions.vector_dot _
+    // zero-norm vectors are excluded up front: their cosine is undefined —
+    // under ANSI the division would kill the job, with ANSI off the NaN
+    // would rank above every real cosine and report the zero vector as a
+    // near-dup of its entire block
     val a = df.select(blockCol.as("blk"), idCol.as("id_a"), vecCol.as("va"))
       .withColumn("sa", sqrt(dot(col("va"), col("va"))))
+      .filter(col("sa") =!= 0.0)
     val b = df.select(blockCol.as("blk2"), idCol.as("id_b"), vecCol.as("vb"))
       .withColumn("sb", sqrt(dot(col("vb"), col("vb"))))
+      .filter(col("sb") =!= 0.0)
     a.join(b, col("blk") === col("blk2") && col("id_a") < col("id_b"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("sa") * col("sb")))
       .filter(col("cos") >= minCosine)
@@ -342,13 +381,14 @@ object Dedup {
       minCosine: Double): DataFrame = {
     val ided = df.select(idCol.as("id"), vecCol.as("v"))
     val home = graft.similarity.Knn.lshBuckets(ided, "id", "v", planes)
-    val probed = graft.similarity.Knn.lshProbes(ided, "id", "v", planes, probes)
+    val probed = graft.similarity.Knn.lshProbesFromHome(home, planes, probes)
     val cands = home.select(col("bucket"), col("id").as("id_a"))
       .join(probed.select(col("bucket").as("bucket_b"), col("id").as("id_b")),
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val dot = graft.functions.vector_dot _
     val withNorm = ided.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") =!= 0.0) // zero-norm rule, as in embeddingNearPairs
     cands
       .join(withNorm.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("sa")), "id_a")
       .join(withNorm.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("sb")), "id_b")
@@ -381,9 +421,12 @@ object Dedup {
       minCosine: Double): DataFrame = {
     val dot = graft.functions.vector_dot _
     // norms hoisted OUT of the n×k cross join (value-identical: sqrt of the
-    // same dot, just evaluated once per vector instead of once per pair)
+    // same dot, just evaluated once per vector instead of once per pair);
+    // zero-norm vectors are cosine-unclassifiable and dropped up front —
+    // under ANSI their division would kill the assignment scan
     val ided = df.select(idCol.as("id"), vecCol.as("v"))
       .withColumn("nv", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nv") =!= 0.0)
     val cents = ided.filter(col("id") % seedModulus === 0)
       .select(col("id").as("cid"), col("v").as("cv"), col("nv").as("ncv"))
     // broadcast-sized by construction, so the emptiness probe is one
@@ -462,6 +505,10 @@ object Dedup {
       idCol: Column,
       m: Int,
       k: Int): DataFrame = {
+    // m = 0 would make every `% m` null (non-ANSI), null bit positions never
+    // join, and the anti-join would mark every probe missing — silent FALSE
+    // negatives against the scaladoc's core guarantee
+    require(m > 0 && k > 0, s"bloom parameters m=$m, k=$k must be positive")
     def positions(key: Column): Column =
       array((0 until k).map(j =>
         portable_hash(concat(lit(s"$j:"), key)) % m): _*)
@@ -528,13 +575,19 @@ object Dedup {
   /** Exact duplicated-SPAN removal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better" — the substring-level
     * form that exact/doc-level dedup misses): every `n`-token window that
-    * occurs more than once ACROSS the corpus keeps exactly one canonical
-    * occurrence (the minimum `(doc_id, pos)`, packed into one long so both
-    * engines elect identically) and every other occurrence's tokens are
-    * cut from their documents; overlapping duplicated windows union into
-    * maximal removed spans via position-distinct coverage. A later exact
-    * copy of a document loses all of it; a document quoting a duplicated
-    * paragraph loses the paragraph.
+    * occurs more than once (counting within-doc repeats) elects one
+    * canonical occurrence (the minimum `(doc_id, pos)`, packed into one
+    * long so both engines elect identically) and every OTHER occurrence's
+    * tokens are cut from their documents; overlapping duplicated windows
+    * union into maximal removed spans via position-distinct coverage. A
+    * later exact copy of a document loses all of it; a document quoting a
+    * duplicated paragraph loses the paragraph. NOTE the guarantee is on the
+    * canonical occurrence's ELECTION, not its byte survival: when a
+    * duplicated window overlaps its own canonical occurrence (self-repeating
+    * text — "x x x" with n=2, repeated boilerplate inside the first doc),
+    * the non-canonical occurrences' token spans can intersect the canonical
+    * window and cut into it, exactly as in Lee et al.'s span semantics where
+    * any position covered by some removable span is removed.
     *
     * Output: `(doc_id, n_tokens, n_removed, text_clean)` — every input doc
     * present, including fully-scrubbed ones (empty `text_clean`).
@@ -634,6 +687,19 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 25,
       collectThreshold: Long = 2000000L): DataFrame = {
+    // Both halves of the algorithm assume integral node ids: the local path
+    // decodes (Long, Long), and the distributed loop's convergence witness
+    // is sum(cast(lbl AS DECIMAL)) — for a non-numeric id type that cast is
+    // null per row, the null sum matches the empty-graph branch on round 1,
+    // and the loop would "converge" with wrong clusters SILENTLY. Refuse
+    // loudly instead; callers with string ids must map them to longs first.
+    Seq("id_a", "id_b").foreach { c =>
+      val dt = pairs.schema(pairs.schema.fieldIndex(c)).dataType
+      require(Seq("byte", "short", "int", "integer", "long", "bigint")
+        .contains(dt.simpleString),
+        s"connectedComponents: $c has non-integral type ${dt.simpleString} — " +
+          "map node ids to longs before clustering")
+    }
     val pinned = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
     if (pinned.count() <= collectThreshold) return unionFindLocal(pinned)
     val sym = pinned
@@ -827,7 +893,12 @@ object Dedup {
         col("__id"), col("__text"), chunkSize = segTokens, overlap = 0)
       .select(col("doc_id"), col("chunk_idx").as("idx"),
         col("chunk_text").as("seg"),
-        portable_hash(col("chunk_text")).as("h"))
+        // full 128-bit md5, not the 60-bit portable hash: the election
+        // DELETES text, and at ~1e10 segments the birthday bound over 2^60
+        // predicts real collisions (silently cutting non-duplicate
+        // segments) where 2^128 predicts none — same rule as
+        // exactByContent and bloomSeenFilter's membership column
+        md5(col("chunk_text")).as("h"))
     val first = segs.groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
     segs.join(first, "h")

@@ -395,6 +395,7 @@ object PipelineQueries {
           FROM p)
         SELECT id_a, id_b, round(dot / (sqrt(naa) * sqrt(nbb)), 4) AS cos_r
         FROM c WHERE dot / (sqrt(naa) * sqrt(nbb)) >= 0.4
+          AND NOT isnan(dot / (sqrt(naa) * sqrt(nbb)))
       """)),
 
     // ---- exact cosine top-k (k=5) for a broadcast query set.
@@ -455,7 +456,8 @@ object PipelineQueries {
           SELECT cand.id_a, cand.id_b,
                  ${oCos("x.embedding", "y.embedding")} AS cos
           FROM cand JOIN b x ON x.vec_id = cand.id_a JOIN b y ON y.vec_id = cand.id_b)
-        SELECT id_a, id_b, round(cos, 4) AS cos_r FROM sc WHERE cos >= 0.4
+        SELECT id_a, id_b, round(cos, 4) AS cos_r
+        FROM sc WHERE cos >= 0.4 AND NOT isnan(cos)
       """)),
 
     // ---- sign-LSH approximate top-k: 8 independent hyperplane tables with
@@ -1258,8 +1260,7 @@ object PipelineQueries {
         Dedup.exactByCanonicalContent(d, col("doc_id"), col("text"))
       },
       Some("""
-        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                       ' +', ' ', 'g'))) AS canonical_hash,
+        SELECT md5(CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN lower(text) ELSE trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) END) AS canonical_hash,
                min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1
       """)),
@@ -1451,7 +1452,7 @@ object PipelineQueries {
           FROM st
         ), m AS (
           SELECT doc_id, idx, s,
-                 row_number() OVER (PARTITION BY ${dh("s")}
+                 row_number() OVER (PARTITION BY md5(s)
                                     ORDER BY doc_id, idx) AS rn
           FROM seg
         )
@@ -2075,8 +2076,7 @@ object PipelineQueries {
       Some(s"""
         WITH canon AS (
           SELECT doc_id, source, lang AS stratum, text,
-                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                         ' +', ' ', 'g'))) AS ch
+                 md5(CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN lower(text) ELSE trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) END) AS ch
           FROM documents),
         keep AS (
           SELECT c.doc_id, c.source, c.stratum, c.text
@@ -2239,8 +2239,7 @@ object PipelineQueries {
       Some(s"""
         WITH canon AS (
           SELECT doc_id, source, lang AS stratum, text,
-                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                         ' +', ' ', 'g'))) AS ch
+                 md5(CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN lower(text) ELSE trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) END) AS ch
           FROM documents),
         keep AS (
           SELECT c.doc_id, c.source, c.stratum, c.text
@@ -2701,8 +2700,7 @@ object PipelineQueries {
           GROUP BY stk.doc_id),
         canon AS (
           SELECT d.doc_id, d.source, d.lang AS stratum, sc.text,
-                 md5(trim(regexp_replace(regexp_replace(lower(sc.text), '[^a-z0-9 ]', ' ', 'g'),
-                                         ' +', ' ', 'g'))) AS ch
+                 md5(CASE WHEN trim(regexp_replace(regexp_replace(lower(sc.text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN lower(sc.text) ELSE trim(regexp_replace(regexp_replace(lower(sc.text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) END) AS ch
           FROM documents d JOIN scrub sc ON sc.doc_id = d.doc_id
           WHERE sc.text <> ''),
         keep AS (
@@ -2785,8 +2783,7 @@ object PipelineQueries {
       Some("""
         WITH canon AS (
           SELECT doc_id,
-                 md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                         ' +', ' ', 'g'))) AS ch
+                 md5(CASE WHEN trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) = '' THEN lower(text) ELSE trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) END) AS ch
           FROM documents),
         grp AS (SELECT ch, min(doc_id) AS gk FROM canon GROUP BY 1),
         j AS (

@@ -258,9 +258,19 @@ object Knn {
     * Standard multi-probe LSH; costs a small constant fan-out, never a wider
     * shuffle key space.
     */
-  def lshProbes(df: DataFrame, idCol: String, vecCol: String, planes: Int, probes: Int): DataFrame = {
+  def lshProbes(df: DataFrame, idCol: String, vecCol: String, planes: Int, probes: Int): DataFrame =
+    lshProbesFromHome(lshBuckets(df, idCol, vecCol, planes), planes, probes)
+
+  /** Probe expansion over an already-computed `(id, bucket)` home frame —
+    * the row-local half of [[lshProbes]], factored out so callers that
+    * already hold home buckets don't re-derive them through the hyperplane
+    * dots. NOTE Spark still evaluates each JOIN BRANCH's lineage
+    * independently: when the same home frame feeds both sides of a
+    * candidate join and the vector column is expensive, pin it
+    * (`localCheckpoint`) to actually share the computation.
+    */
+  def lshProbesFromHome(home: DataFrame, planes: Int, probes: Int): DataFrame = {
     require(probes == 0 || probes == 1, "only probe distance 0 or 1 supported")
-    val home = lshBuckets(df, idCol, vecCol, planes)
     if (probes == 0) home
     else home
       .select(col("id"), col("bucket"), explode(sequence(lit(0), lit(planes))).as("j"))

@@ -586,4 +586,72 @@ class DedupSpec extends SparkTestBase {
     // unique docs are untouched
     assert(out(4L)._4 == d && out(4L)._3 == 0L)
   }
+
+  test("a zero-norm vector is never reported as a near-duplicate (NaN cosine)") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 0.0f)) // zero norm: cosine vs anything is 0/0 = NaN
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearPairs(
+      vecs, col("vec_id"), col("embedding"), lit(1), minCosine = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact == Set((1L, 2L)), s"zero vector leaked into pairs: $exact")
+    val lsh = Dedup.embeddingNearPairsLsh(
+      vecs, col("vec_id"), col("embedding"), planes = 2, probes = 1, minCosine = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!lsh.exists(p => p._1 == 3L || p._2 == 3L),
+      s"zero vector leaked into LSH pairs: $lsh")
+  }
+
+  test("connectedComponents refuses non-integral node ids loudly") {
+    val pairs = Seq(("u1", "u2"), ("u2", "u3")).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException] {
+      // force the distributed path — the local path already throws its own
+      // decode error; the silent-wrong-answer hazard is the loop's witness
+      Dedup.connectedComponents(pairs, collectThreshold = 0L)
+    }
+    assert(e.getMessage.contains("non-integral"))
+  }
+
+  test("simHashBandedPairs validates band geometry") {
+    val sims = Seq((1L, 5L)).toDF("id", "simhash")
+    intercept[IllegalArgumentException] {
+      Dedup.simHashBandedPairs(sims, bits = 16, bands = 20, maxDist = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.simHashBandedPairs(sims, bits = 16, bands = 3, maxDist = 1)
+    }
+  }
+
+  test("bloomSeenFilter validates m and k") {
+    val d = Seq((1L, "x")).toDF("id", "t")
+    intercept[IllegalArgumentException] {
+      Dedup.bloomSeenFilter(d, d, col("t"), col("id"), m = 0, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.bloomSeenFilter(d, d, col("t"), col("id"), m = 64, k = 0)
+    }
+  }
+
+  test("canonicalize keeps documents with no ascii-alphanumeric content distinct") {
+    val docs = Seq(
+      (1L, "Hello,  World!"), (2L, "hello world"), // same canonical group
+      (3L, "你好"), (4L, "こんにちは"), // distinct non-Latin docs
+      (5L, "!!!"), (6L, "???") // distinct punctuation-only docs
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactByCanonicalContent(docs, col("doc_id"), col("text"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L),
+      s"canonical groups wrong: $out")
+  }
+
+  test("ngramJaccardPairs DF-cutoff path equals the unpruned path when no gram is over-frequent") {
+    val d = Tables.documents(spark, sfDir)
+    val base = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), lit(1), 3, 2, 5)
+      .collect().map(_.toSeq).toSet
+    val pruned = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), lit(1), 3, 2, 5,
+      maxDocFreq = Some(Long.MaxValue)).collect().map(_.toSeq).toSet
+    assert(base == pruned)
+  }
 }
