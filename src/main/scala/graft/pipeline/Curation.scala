@@ -120,8 +120,11 @@ object Curation {
     val deduped = base.join(keepers, Seq("content_hash", "doc_id"))
     val gated = deduped
       .filter(col("n_tokens").between(minTokens, maxTokens))
-      // distinct-ratio gate in integer cross-multiplication (no float drift)
-      .filter(col("n_distinct_tokens") * 100 >= col("n_tokens") * minDistinctPct)
+      // distinct-ratio gate in integer cross-multiplication (no float
+      // drift); LONG arithmetic — the int form wraps for docs past ~21.4M
+      // tokens (filterFunnel's cast pattern)
+      .filter(col("n_distinct_tokens").cast("long") * 100 >=
+        col("n_tokens").cast("long") * minDistinctPct)
     Sampling.stratifiedByHash(
         gated, col("doc_id"), col("stratum"), ratesPerMille, defaultPerMille)
       .select(col("doc_id"), col("stratum"), col("n_tokens"),
@@ -153,12 +156,24 @@ object Curation {
     * usual crawl skew: one domain = 10% of the corpus) costs its reducer a
     * single bounded heap, not a sorted partition of every row.
     */
+  /** The heap casts ids to long and silently skips null casts — a UUID or
+    * URL id column would make EVERY row invisible and the cap output empty
+    * with no error. Refuse non-integral id types loudly instead.
+    */
+  private[pipeline] def requireIntegralId(df: DataFrame, idCol: Column, op: String): Unit = {
+    val dt = df.select(idCol).schema.head.dataType.simpleString
+    require(Seq("byte", "short", "int", "integer", "long", "bigint").contains(dt),
+      s"$op: id column has non-integral type $dt — top_k_by keys on longs; " +
+        "map string ids to longs first")
+  }
+
   def perSourceCap(
       df: DataFrame,
       idCol: Column,
       groupCol: Column,
       scoreCol: Column,
-      cap: Int): DataFrame =
+      cap: Int): DataFrame = {
+    requireIntegralId(df, idCol, "perSourceCap")
     df.select(groupCol.as("source"), idCol.as("id"),
         scoreCol.cast("double").as("s"))
       .groupBy(col("source"))
@@ -169,6 +184,7 @@ object Curation {
         posexplode(col("kept")).as(Seq("i", "x")))
       .select(col("source"), (col("i") + 1).cast("int").as("rank"),
         col("x.id").as("doc_id"), col("x.score").as("score"), col("n_total"))
+  }
 
   /** The flagship end-to-end composition, round 9: canonical-exact dedup →
     * corpus-calibrated quality gate → per-source cap → temperature mix, as
@@ -223,8 +239,16 @@ object Curation {
     // text-scoring chain — the dominant cost. The cached projection is
     // narrow (ids + integer score, no text), the standard stage boundary of
     // a production curation pipeline; MEMORY_AND_DISK spills, never OOMs.
+    requireIntegralId(scoredIn, col("doc_id"), "mixStages")
     val scored = persistStage(scoredIn)
-    val gated = graft.quality.Calibrate.calibratedFilter(scored, col("score"), keepFrac)
+    // NaN scores must not reach the cap: the heap excludes NaN (TopKAgg's
+    // rule) but Spark's NaN-is-greatest comparison would ADMIT NaN rows past
+    // the broadcast cut below — cap membership and cut admission would
+    // diverge, and an all-NaN source would leave an empty kept array for
+    // element_at. A NaN score carries no ranking signal; drop it here.
+    val gated = graft.quality.Calibrate
+      .calibratedFilter(scored, col("score"), keepFrac)
+      .filter(!isnan(col("score")))
     // cap WITHOUT re-joining the heavy gated subtree for its payload: the
     // heap's weakest admitted element per source is a CUT (score, id) —
     // broadcast the cuts and admit row-locally (identical membership: row r
@@ -410,9 +434,11 @@ object Curation {
         .withColumnRenamed("n", "n_a")), "src_a")
       .join(broadcast(sizes.withColumnRenamed("src", "src_b")
         .withColumnRenamed("n", "n_b")), "src_b")
+      // 64-bit integer division, not double floor: 1000·n_shared past 2^53
+      // would round in double and the floor could disagree with the integer
+      // definition by one (mixToTarget's div pattern; oracle mirrored)
       .withColumn("jaccard_pm",
-        floor(lit(1000.0) * col("n_shared") /
-          (col("n_a") + col("n_b") - col("n_shared"))).cast("long"))
+        expr("(1000 * n_shared) div (n_a + n_b - n_shared)"))
       .select(col("src_a"), col("src_b"), col("n_shared"),
         col("n_a"), col("n_b"), col("jaccard_pm"))
   }

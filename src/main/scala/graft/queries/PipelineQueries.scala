@@ -1953,7 +1953,7 @@ object PipelineQueries {
           FROM ts a JOIN ts b ON a.t = b.t AND a.src < b.src
           GROUP BY 1, 2)
         SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
-               CAST(floor(1000.0 * n_shared / (sa.n + sb.n - n_shared)) AS BIGINT) AS jaccard_pm
+               (1000 * n_shared) // (sa.n + sb.n - n_shared) AS jaccard_pm
         FROM sh JOIN sz sa ON sh.src_a = sa.src JOIN sz sb ON sh.src_b = sb.src
       """)),
 

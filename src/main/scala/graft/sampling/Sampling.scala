@@ -60,6 +60,18 @@ object Sampling {
     * producing a strata-cardinality table (~10–100 rows); rates broadcast
     * back; the keep decision is row-local. The corpus never shuffles.
     */
+  /** Join per-stratum rates back NULL-SAFELY: a null stratum is a real
+    * census group (unlabeled rows) and owns a rates row — a plain
+    * using-column equi-join would silently drop those rows from the mix,
+    * inconsistently with [[stratifiedByHash]] (which rates null strata at
+    * the default). Callers drop `__stratum` after their keep filter.
+    */
+  private def joinRates(df: DataFrame, strataCol: Column, rates: DataFrame): DataFrame =
+    df.withColumn("__stratum", strataCol)
+      .join(broadcast(rates.withColumnRenamed("__stratum", "__stratum_r")),
+        col("__stratum") <=> col("__stratum_r"))
+      .drop("__stratum_r")
+
   def budgetMixByHash(
       df: DataFrame,
       idCol: Column,
@@ -89,8 +101,7 @@ object Sampling {
       .select(col("__stratum"),
         least(lit(1000L),
           floor(lit(budget) * wpm / col("__n")).cast("long")).as("rate_pm"))
-    df.withColumn("__stratum", strataCol)
-      .join(broadcast(rates), "__stratum")
+    joinRates(df, strataCol, rates)
       .withColumn("sample_bucket",
         pmod(portable_hash(idCol.cast("string")), lit(1000L)))
       .filter(col("sample_bucket") < col("rate_pm"))
@@ -124,7 +135,11 @@ object Sampling {
       budget: Long): DataFrame = {
     require(Seq("equal", "sqrt", "prop").contains(alpha),
       s"alpha must be one of equal|sqrt|prop (α=0, 0.5, 1), got $alpha")
-    require(budget > 0, s"budget=$budget must be positive")
+    // the rate expression multiplies the per-stratum target by 1000 —
+    // without this bound (mixToTarget's guard) a huge "no cap" budget wraps
+    // the rate negative and the mix silently returns EMPTY
+    require(budget > 0 && budget <= Long.MaxValue / 1000L,
+      s"budget=$budget out of range")
     val census = df.groupBy(strataCol.as("__stratum"))
       .agg(count(lit(1)).as("__n"))
     val wCol = alpha match {
@@ -139,11 +154,25 @@ object Sampling {
     require(sumW > 0, "no stratum has positive weight")
     rows.foreach(r => require(r.getLong(2) == 0L || budget <= Long.MaxValue / r.getLong(2),
       s"budget * weight overflows for stratum ${r.get(0)}"))
-    val rates = weighted.selectExpr(
-      "__stratum",
-      s"least(1000L, (1000 * ((${budget}L * __w) div ${sumW}L)) div __n) AS rate_pm")
-    df.withColumn("__stratum", strataCol)
-      .join(broadcast(rates), "__stratum")
+    // rates are rebuilt from the rows ALREADY collected for the guard —
+    // re-selecting from `weighted` would execute the census subtree (and
+    // everything upstream of df, e.g. mixStages' gate + cap chain) a second
+    // full time at join, and a nondeterministic input could even make the
+    // recomputed weights inconsistent with the driver-computed sumW. Same
+    // 64-bit integer two-step floor, evaluated on the driver's copy.
+    val stratumField = weighted.schema(weighted.schema.fieldIndex("__stratum"))
+    val rateRows = rows.map { r =>
+      val n = r.getLong(1)
+      val kS = (budget * r.getLong(2)) / sumW
+      org.apache.spark.sql.Row(r.get(0), math.min(1000L, (1000L * kS) / n))
+    }
+    val rates = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rateRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        stratumField,
+        org.apache.spark.sql.types.StructField("rate_pm",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    joinRates(df, strataCol, rates)
       .withColumn("sample_bucket",
         pmod(portable_hash(idCol.cast("string")), lit(1000L)))
       .filter(col("sample_bucket") < col("rate_pm"))
@@ -192,7 +221,8 @@ object Sampling {
     val tgt = census.agg(max(col("__n")).as("__t"))
     val rates = census.crossJoin(broadcast(tgt))
       .withColumn("__k", expr("(2 * __t + __n) div (2 * __n)"))
-    df.join(broadcast(rates), labelCol === col("__lbl"))
+    // null-safe: a null label is a census group of its own (see joinRates)
+    df.join(broadcast(rates), labelCol <=> col("__lbl"))
       .select(idCol.as("id"), labelCol.as("label"),
         col("__n").as("n_orig"), col("__k").as("n_copies"),
         explode(sequence(lit(1L), col("__k"))).as("copy"))
@@ -261,8 +291,7 @@ object Sampling {
       .withColumn("__share", shareCol)
       .selectExpr("__stratum",
         s"least(1000L, (1000L * ((${budget}L * __share) div 1000L)) div __n) AS rate_pm")
-    df.withColumn("__stratum", strataCol)
-      .join(broadcast(rates), "__stratum")
+    joinRates(df, strataCol, rates)
       .withColumn("sample_bucket",
         pmod(portable_hash(idCol.cast("string")), lit(1000L)))
       .filter(col("sample_bucket") < col("rate_pm"))
@@ -294,8 +323,12 @@ object Sampling {
     require(weights.nonEmpty && weights.map(_._2).sum == 1000 &&
       weights.forall(_._2 > 0),
       s"weights must be positive per-mille shares summing to 1000: $weights")
+    // coalesce: a null text must still land in exactly one split — its
+    // canonical hash is null, and a null join key would silently drop the
+    // row from every split. Null texts share one group with empty texts
+    // (conservative: grouping MORE together can never leak).
     val canon = df.select(idCol.as("doc_id"),
-      md5(graft.dedup.Dedup.canonicalize(textCol)).as("__ch"))
+      md5(coalesce(graft.dedup.Dedup.canonicalize(textCol), lit(""))).as("__ch"))
     val groups = canon.groupBy(col("__ch")).agg(min(col("doc_id")).as("group_key"))
     splitByGroup(canon.join(groups, "__ch"), col("doc_id"), col("group_key"), weights)
   }

@@ -297,4 +297,67 @@ class SamplingAndSpansSpec extends SparkTestBase {
       Seq("train" -> 800, "val" -> 100, "test" -> 100))
     assert(viaGroups.exceptAll(out).isEmpty, "splitByGroup diverged from the composed form")
   }
+
+  test("leakageSafeSplit assigns null-text and empty-text docs to exactly one split") {
+    val docs = Seq((1L, "real content here"), (2L, null: String), (3L, ""),
+      (4L, "real content here")).toDF("doc_id", "text")
+    val out = Sampling.leakageSafeSplit(docs, col("doc_id"), col("text"),
+      Seq("train" -> 800, "val" -> 200))
+    assert(out.count() == 4, "every input doc must land in a split")
+    // null and empty text share a canonical group -> same split, same group
+    val m = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(m(2L) == m(3L))
+    assert(m(1L) == m(4L), "exact duplicates must never straddle the boundary")
+  }
+
+  test("census mixers keep null-stratum rows instead of silently dropping them") {
+    val df = ((0 until 400).map(i => (i.toLong, "a")) ++
+      (400 until 800).map(i => (i.toLong, null: String))).toDF("id", "lang")
+    val tm = Sampling.temperatureMixByHash(df, col("id"), col("lang"), "equal", 400L)
+    val nullKept = tm.filter(col("lang").isNull).count()
+    assert(nullKept > 100 && nullKept < 300,
+      s"null stratum should sample at ~its equal-share rate, kept $nullKept")
+    val bm = Sampling.budgetMixByHash(df, col("id"), col("lang"),
+      Map("a" -> 500), budget = 400L, defaultWeightPerMille = 500)
+    assert(bm.filter(col("lang").isNull).count() > 0)
+    val br = Sampling.balanceByReplication(
+      df.filter(col("id") < 410), col("id"), col("lang"))
+    assert(br.filter(col("label").isNull).count() > 0,
+      "null-label rows must replicate toward the majority class")
+  }
+
+  test("temperatureMixByHash refuses a budget whose rate arithmetic would wrap") {
+    val df = Seq((1L, "a")).toDF("id", "lang")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixByHash(df, col("id"), col("lang"), "equal", Long.MaxValue)
+    }
+  }
+
+  test("perSourceCap and the mix stages refuse non-integral doc ids loudly") {
+    val d = Seq(("u-1", "s", 0.5)).toDF("doc_id", "source", "score")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Curation.perSourceCap(d, col("doc_id"), col("source"), col("score"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Curation.curateTrainingMix(
+        Seq(("u-1", "t", "s", "l")).toDF("doc_id", "text", "source", "lang"),
+        col("doc_id"), col("text"), col("source"), col("lang"),
+        keepFrac = 0.5, cap = 10, alpha = "equal", budget = 100L)
+    }
+  }
+
+  test("NaN scores neither crash the cap nor bypass it") {
+    // an all-NaN source used to leave an empty kept array (element_at crash);
+    // a mixed source used to admit NaN rows past the broadcast cut
+    val scored = Seq(
+      (1L, "s1", "en", "h1", 0.9), (2L, "s1", "en", "h2", Double.NaN),
+      (3L, "s1", "en", "h3", 0.8), (4L, "s2", "en", "h4", Double.NaN)
+    ).toDF("doc_id", "source", "stratum", "ch", "score")
+    val out = graft.pipeline.Curation.mixFromScored(
+      scored, keepFrac = 1.0, cap = 10, alpha = "equal", budget = 1000L)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(2L) && !ids.contains(4L),
+      s"NaN-scored rows must not reach the mix: $ids")
+    assert(ids.contains(1L) && ids.contains(3L))
+  }
 }
