@@ -13,6 +13,18 @@ package object functions {
   private[graft] def toColumn(e: Expression): Column = GraftBridge.column(e)
   private[graft] def toExpr(c: Column): Expression = GraftBridge.expression(c)
 
+  /** Loud precondition for operators that key a bounded heap on long ids
+    * ([[top_k_by]] casts ids to long and SKIPS null casts): a string/UUID id
+    * column would make every row invisible and the output silently empty.
+    */
+  private[graft] def requireIntegralId(
+      df: org.apache.spark.sql.DataFrame, idCol: Column, op: String): Unit = {
+    val dt = df.select(idCol).schema.head.dataType.simpleString
+    require(Seq("byte", "short", "int", "integer", "long", "bigint").contains(dt),
+      s"$op: id column has non-integral type $dt — top_k_by keys on longs; " +
+        "map string ids to longs first")
+  }
+
   /** Decode `dt_meta` header bytes → metadata struct (null on malformed). */
   def dt_meta_decode(c: Column): Column = toColumn(DtMetaDecode(toExpr(c)))
 

@@ -156,16 +156,8 @@ object Curation {
     * usual crawl skew: one domain = 10% of the corpus) costs its reducer a
     * single bounded heap, not a sorted partition of every row.
     */
-  /** The heap casts ids to long and silently skips null casts — a UUID or
-    * URL id column would make EVERY row invisible and the cap output empty
-    * with no error. Refuse non-integral id types loudly instead.
-    */
-  private[pipeline] def requireIntegralId(df: DataFrame, idCol: Column, op: String): Unit = {
-    val dt = df.select(idCol).schema.head.dataType.simpleString
-    require(Seq("byte", "short", "int", "integer", "long", "bigint").contains(dt),
-      s"$op: id column has non-integral type $dt — top_k_by keys on longs; " +
-        "map string ids to longs first")
-  }
+  private def requireIntegralId(df: DataFrame, idCol: Column, op: String): Unit =
+    graft.functions.requireIntegralId(df, idCol, op)
 
   def perSourceCap(
       df: DataFrame,

@@ -32,10 +32,18 @@ object Calibrate {
       scored: DataFrame,
       scoreCol: Column,
       keepFrac: Double): DataFrame = {
-    require(keepFrac > 0.0 && keepFrac <= 1.0,
-      s"keepFrac=$keepFrac must be in (0,1]")
+    // lower bound: below ~1.1e-16, (1.0 - keepFrac) rounds to exactly 1.0 in
+    // IEEE double, the rank lands past every row and the gate would return
+    // EMPTY instead of the top row — no real keep fraction is that small,
+    // so reject rather than carry a clamp through the oracle replicas
+    require(keepFrac >= 1e-9 && keepFrac <= 1.0,
+      s"keepFrac=$keepFrac must be in [1e-9, 1]")
+    // NaN scores are excluded from BOTH the histogram and the gate: Spark
+    // orders NaN above every double, so enough NaN rows would make the
+    // threshold itself NaN (keeping ONLY the NaN rows), and any NaN row
+    // passes a >= gate — a score that is NaN carries no ranking signal
     val byScore = scored.select(scoreCol.as("__s"))
-      .filter(col("__s").isNotNull)
+      .filter(col("__s").isNotNull && !isnan(col("__s")))
       .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
     // cumulative count strictly below each distinct score (bounded rows)
     val cum = byScore.withColumn("__below",
@@ -46,6 +54,7 @@ object Calibrate {
       .filter(col("__below") <= col("__r") &&
         col("__r") < col("__below") + col("__c"))
       .select(col("__s").as("thr"))
-    scored.crossJoin(broadcast(thr)).filter(scoreCol >= col("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(scoreCol >= col("thr") && !isnan(scoreCol))
   }
 }

@@ -58,9 +58,17 @@ object Bm25 {
     require(k >= 1, s"k=$k must be >= 1")
     require(queries.nonEmpty, "need at least one query")
     require(queries.forall(_._2.nonEmpty), "every query needs >= 1 term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "duplicate query ids: their term sets would merge into one top-k group " +
+        "and the same doc could take multiple ranks")
+    graft.functions.requireIntegralId(docs, idCol, "bm25TopK")
     val terms: Seq[String] = queries.flatMap(_._2).distinct
 
+    // null-text docs carry no terms but size(null) = -1 would CORRUPT the
+    // corpus statistics below (n_docs counts them, sum_dl decrements) and
+    // through avgdl every document's score — exclude them from the model
     val base = docs
+      .filter(textCol.isNotNull)
       .select(idCol.as("doc_id"), split(textCol, " ").as("t"))
       .withColumn("dl", size(col("t")))
 

@@ -95,19 +95,31 @@ object Pq {
       idCol: Column,
       vecCol: Column,
       cb: Seq[Seq[Seq[Double]]],
-      bands: Int): DataFrame = {
+      bands: Int,
+      carry: Seq[Column] = Nil): DataFrame = {
+    // `carry` rides extra columns (e.g. a stream's event time) through the
+    // banding so STREAM-side signatures are built by THIS function, never a
+    // hand copy — a divergent copy (separator, cast, slice origin) would
+    // make (band, band_sig) keys silently stop matching the index side
     val m = cb.size
     require(m % bands == 0, s"bands=$bands must divide m=$m subspaces")
     val bandSize = m / bands
-    df.select(idCol.as("id"), codesFor(vecCol, cb).as("codes"))
-      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"),
-        col("codes"))
+    df.select(idCol.as("id") +: (carry :+ codesFor(vecCol, cb).as("codes")): _*)
+      .select(col("id") +: (carry.map(c => col(stableName(c))) ++
+        Seq(explode(sequence(lit(0), lit(bands - 1))).as("band"), col("codes"))): _*)
       .withColumn("band_sig",
         md5(concat_ws(",",
           transform(slice(col("codes"), col("band") * bandSize + 1, lit(bandSize)),
             _.cast("string")))))
-      .select(col("id"), col("band"), col("band_sig"))
+      .select(col("id") +: (carry.map(c => col(stableName(c))) ++
+        Seq(col("band"), col("band_sig"))): _*)
   }
+
+  /** The output name a carried column resolves to after the first select —
+    * its alias if given, else its plain-reference name.
+    */
+  private def stableName(c: Column): String =
+    graft.operators.Compaction.stableNames(Seq(c), "__carry").head
 
   /** ADC top-k: score every encoded corpus row against each query through
     * the query's frozen dot table and keep the top `k` by

@@ -51,10 +51,16 @@ object StreamOps {
       keyCol: Column,
       tsCol: Column,
       windowDur: String,
-      watermarkDelay: String): DataFrame =
-    df.withWatermark(tsCol.toString, watermarkDelay)
-      .groupBy(window(tsCol, windowDur).as("win"), keyCol.as("key"))
+      watermarkDelay: String): DataFrame = {
+    // withWatermark resolves only a real column name — project an expression
+    // tsCol (e.g. to_timestamp(...)) under a stable name first, exactly as
+    // compactLatest does; for a plain column reference this is a no-op
+    val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    df.withColumn(tsName, tsCol)
+      .withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), windowDur).as("win"), keyCol.as("key"))
       .agg(count(lit(1)).as("n"))
+  }
 
   /** A4 — keys at/over quota within their window. */
   def quotaViolators(rates: DataFrame, quota: Long): DataFrame =
@@ -295,7 +301,11 @@ object StreamOps {
     cur
       .join(prevArtifact.select(col("doc_id").as("id"),
         col("ch").as("__prev_ch")), Seq("id"), "left")
-      .filter(col("__prev_ch").isNull || col("__prev_ch") =!= col("__ch"))
+      // null-safe inequality: a known doc whose re-crawled text became
+      // null/unhashable IS a content change and must reach scoring — the
+      // null-propagating =!= silently dropped it while a NEW null-text doc
+      // was admitted, an inconsistent policy
+      .filter(col("__prev_ch").isNull || !(col("__prev_ch") <=> col("__ch")))
       .transform(dedupeBounded(_, "__ts", watermarkDelay, Seq("id")))
       .select(col("id"), col("__ts").as(tsCol))
   }
@@ -321,18 +331,11 @@ object StreamOps {
       index: DataFrame,
       cb: Seq[Seq[Seq[Double]]],
       bands: Int): DataFrame = {
-    val m = cb.size
-    require(m % bands == 0, s"bands=$bands must divide m=$m subspaces")
-    val bandSize = m / bands
-    val banded = stream
-      .select(idCol.as("id"), col(tsCol).as("__ts"),
-        graft.similarity.Pq.codesFor(vecCol, cb).as("__codes"))
-      .select(col("id"), col("__ts"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"), col("__codes"))
-      .withColumn("band_sig",
-        md5(concat_ws(",",
-          transform(slice(col("__codes"), col("band") * bandSize + 1, lit(bandSize)),
-            _.cast("string")))))
+    // the stream side's signatures come from the SAME function that built
+    // the index (a hand-copied banding block here could silently diverge —
+    // mismatched keys flag nothing, forever)
+    val banded = graft.similarity.Pq.codeBandSignatures(
+      stream, idCol, vecCol, cb, bands, carry = Seq(col(tsCol).as("__ts")))
     banded
       .join(index.select(col("band"), col("band_sig")), Seq("band", "band_sig"), "left_semi")
       .transform(dedupeBounded(_, "__ts", watermarkDelay, Seq("id")))
@@ -395,22 +398,30 @@ object StreamOps {
       keyCol: Column,
       tsCol: Column,
       gap: String,
-      watermarkDelay: String): DataFrame =
-    df.withWatermark(tsCol.toString, watermarkDelay)
-      .groupBy(session_window(tsCol, gap).as("session"), keyCol.as("key"))
+      watermarkDelay: String): DataFrame = {
+    // expression tsCol handling: see windowedRates
+    val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    df.withColumn(tsName, tsCol)
+      .withWatermark(tsName, watermarkDelay)
+      .groupBy(session_window(col(tsName), gap).as("session"), keyCol.as("key"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("key"), col("session.start").as("session_start"),
         col("session.end").as("session_end"), col("n_events"))
+  }
 
   /** A2 — size-capped delivery inside foreachBatch: invokes `flush` with
     * groups of at most `capacity` rows per partition per micro-batch; the
     * time dimension of BatchingProcessor's size-OR-time trigger is the
     * trigger interval itself (SURVEY.md §2.4 A2). Runs on executors.
     */
-  def flushInBatches(df: DataFrame, capacity: Int)(flush: Seq[Row] => Unit): Unit =
+  def flushInBatches(df: DataFrame, capacity: Int)(flush: Seq[Row] => Unit): Unit = {
+    // validate on the driver: grouped(0) would otherwise throw inside every
+    // task, retried 4x, surfacing as an executor stack trace far from here
+    require(capacity >= 1, s"capacity=$capacity must be >= 1")
     df.foreachPartition { (it: Iterator[Row]) =>
       it.grouped(capacity).foreach(g => flush(g))
     }
+  }
 
   /** S5/A4 — two-way route of a micro-batch by shaped-key membership:
     * (compliant, shaped). Call inside foreachBatch and write each side to its
@@ -427,10 +438,18 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= quota)
       .select(col("__k")).distinct()
+    // The two sides are written as SEPARATE actions inside foreachBatch, and
+    // exchange reuse never spans two plans — a live `bad` would re-scan and
+    // re-aggregate the whole micro-batch once per side. The violator set is
+    // broadcast anyway (same size class as a driver copy), so compute it
+    // ONCE here and rebuild it as a local relation.
+    val badRows = bad.collect()
+    val badLocal = batch.sparkSession.createDataFrame(
+      java.util.Arrays.asList(badRows: _*), bad.schema)
     // null-safe equality: a bursting NULL-key group must route to shaping
     // like any other hot key (plain === never matches null)
-    val shaped = batch.join(broadcast(bad), keyCol <=> col("__k"), "left_semi")
-    val ok = batch.join(broadcast(bad), keyCol <=> col("__k"), "left_anti")
+    val shaped = batch.join(broadcast(badLocal), keyCol <=> col("__k"), "left_semi")
+    val ok = batch.join(broadcast(badLocal), keyCol <=> col("__k"), "left_anti")
     (ok, shaped)
   }
 }

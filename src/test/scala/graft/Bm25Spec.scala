@@ -9,6 +9,7 @@ import graft.retrieval.Bm25
   * contract checks. The sf-corpus hash-exactness vs DuckDB is pq53's job.
   */
 class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
 
   private val corpus = Seq(
     (1L, "spark shuffles data across the cluster"),
@@ -118,5 +119,31 @@ class Bm25Spec extends SparkTestBase {
     val s = graft.similarity.Eval.recallSummary(restricted, fullAll)
       .select(col("macro_recall")).as[Double].head()
     assert(s == 1.0, s"candidates contained the true top-k, recall must be 1.0, got $s")
+  }
+
+  test("null-text docs do not corrupt the corpus statistics (n_docs, avgdl)") {
+    val clean = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta"))
+      .toDF("doc_id", "text")
+    val dirty = clean.unionByName(
+      Seq((3L, null: String), (4L, null: String)).toDF("doc_id", "text"))
+    val q = Seq(1L -> Seq("alpha"))
+    val a = graft.retrieval.Bm25.bm25TopK(clean, col("doc_id"), col("text"), q, k = 5)
+      .collect().map(_.toSeq).toSet
+    val b = graft.retrieval.Bm25.bm25TopK(dirty, col("doc_id"), col("text"), q, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(a == b, "null-text rows must not change any score (they carry no terms)")
+  }
+
+  test("duplicate query ids and non-integral doc ids are rejected loudly") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.retrieval.Bm25.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq(1L -> Seq("a"), 1L -> Seq("b")), k = 3)
+    }
+    val uuidDocs = Seq(("u-1", "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.retrieval.Bm25.bm25TopK(uuidDocs, col("doc_id"), col("text"),
+        Seq(1L -> Seq("a")), k = 3)
+    }
   }
 }

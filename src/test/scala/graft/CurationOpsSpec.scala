@@ -522,6 +522,23 @@ class CurationOpsSpec extends SparkTestBase {
       s"planted vocab shift should dominate slice noise: $drifted vs $base")
   }
 
+  test("calibratedFilter excludes NaN scores from the histogram and the gate") {
+    // without the guards: 4 NaNs out of 10 with keepFrac=0.5 put the rank
+    // inside the NaN block -> thr = NaN -> ONLY the NaN rows survive
+    val scored = ((1 to 6).map(i => (i.toLong, i / 10.0)) ++
+      (7 to 10).map(i => (i.toLong, Double.NaN))).toDF("doc_id", "score")
+    val kept = graft.quality.Calibrate.calibratedFilter(scored, col("score"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(4L, 5L, 6L), s"expected the real top half, got $kept")
+  }
+
+  test("calibratedFilter rejects a keepFrac below the representable floor") {
+    val scored = Seq((1L, 0.5)).toDF("doc_id", "score")
+    intercept[IllegalArgumentException] {
+      graft.quality.Calibrate.calibratedFilter(scored, col("score"), 1e-17)
+    }
+  }
+
   test("zipf fit recovers a known exponent and is partition-invariant") {
     // construct a corpus whose term counts ARE zipfian with alpha=1: term i
     // appears floor(1200/i) times, i = 1..40

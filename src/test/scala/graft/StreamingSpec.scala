@@ -312,4 +312,43 @@ class StreamingSpec extends SparkTestBase {
     assert(all.forall(_ <= 10))
     assert(all.sum == 103)
   }
+
+  test("flushInBatches rejects a non-positive capacity on the driver") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("v")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.flushInBatches(df, capacity = 0)(_ => ())
+    }
+  }
+
+  test("windowedRates and sessionized accept an EXPRESSION event-time column") {
+    import spark.implicits._
+    // ts arrives as a string — the production shape after a kafka decode
+    val df = Seq(("k1", "2026-01-01 00:00:01"), ("k1", "2026-01-01 00:00:02"),
+      ("k2", "2026-01-01 00:01:30")).toDF("key", "ts_str")
+    val rates = graft.streaming.StreamOps.windowedRates(
+      df, col("key"), to_timestamp(col("ts_str")), "1 minute", "10 seconds")
+      .select(col("key"), col("n")).as[(String, Long)].collect().toMap
+    assert(rates == Map("k1" -> 2L, "k2" -> 1L))
+    val sess = graft.streaming.StreamOps.sessionized(
+      df, col("key"), to_timestamp(col("ts_str")), "30 seconds", "10 seconds")
+      .select(col("key"), col("n_events")).as[(String, Long)].collect().toMap
+    assert(sess == Map("k1" -> 2L, "k2" -> 1L))
+  }
+
+  test("admitChangedAgainstArtifact admits a known doc whose text became null (null-safe change test)") {
+    import spark.implicits._
+    val prev = Seq((1L, "abc123"), (2L, "def456")).toDF("doc_id", "ch")
+    val cur = Seq(
+      (1L, null: String, java.sql.Timestamp.valueOf("2026-01-01 00:00:01")), // known -> null text: CHANGED
+      (2L, null: String, java.sql.Timestamp.valueOf("2026-01-01 00:00:02")), // same
+      (3L, "brand new", java.sql.Timestamp.valueOf("2026-01-01 00:00:03"))   // new doc
+    ).toDF("doc_id", "text", "ts")
+    // the ch values above are not the md5 of any text, so both known docs changed
+    val admitted = graft.streaming.StreamOps.admitChangedAgainstArtifact(
+      cur, col("doc_id"), col("text"), "ts", "10 seconds", prev)
+      .select("id").as[Long].collect().toSet
+    assert(admitted == Set(1L, 2L, 3L),
+      s"a known doc whose content became unhashable IS a change: $admitted")
+  }
 }
