@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   * integral-`h` shortcut returning `v_lo` exactly. Null values are
   * excluded like the builtin; group keys may be null (`<=>` joins).
   *
+  * Two DELIBERATE divergences from the builtin, both measure-zero and both
+  * priced against an extra corpus pass they would cost to close:
+  * a group whose values are ALL null is omitted (the builtin emits
+  * `(g, null)`; emitting it here would need a second scan for the group
+  * census), and `-0.0` merges with `0.0` (groupBy key normalization —
+  * the builtin's boxed-Double map keeps them distinct; numerically equal,
+  * bitwise different).
+  *
   * Returns one row per (group, p): `g, p, n, pct`.
   */
 object Percentiles {
@@ -70,8 +78,11 @@ object Percentiles {
       .withColumn("off", col("__base") + sum(col("c")).over(wLoc) - col("c"))
       .select(col("g"), col("v"), col("c"), col("off"))
 
-    // target ranks per (group, p) — continuous interpolation positions
-    val targets = offs.groupBy(col("g").as("__tg")).agg(sum(col("c")).as("n"))
+    // target ranks per (group, p) — continuous interpolation positions.
+    // Totals come from `cnts`, NOT `offs`: the sums are identical (offs is
+    // a 1:1 image of cnts) but deriving them from offs would execute the
+    // bases broadcast-join subtree a second time in the final plan.
+    val targets = cnts.groupBy(col("g").as("__tg")).agg(sum(col("c")).as("n"))
       .select(col("__tg"), col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p"))
       .withColumn("h", (col("n") - 1).cast("double") * col("p"))

@@ -56,6 +56,10 @@ object TemporalJoins {
     // directly and keep them OUT of the window. Left in, they all hash to
     // the single NULL partition of the window exchange and get sorted for
     // nothing: one straggler task at any meaningful null-key fraction.
+    // COST NOTE: the split reads the left lineage twice (two filter
+    // branches, no shared Exchange beneath them) — when `left` is an
+    // expensive derived frame, persist it before calling; the straggler
+    // this split prevents is the worse default at any null fraction.
     val lNull = left.filter(leftKey.isNull)
       .select(lStruct.as("__l"), lit(null).cast(rType).as("asof"))
       .select(col("__l.*"), col("asof"))

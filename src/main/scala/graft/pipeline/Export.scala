@@ -15,6 +15,21 @@ import graft.functions.TextFunctions
   */
 object Export {
 
+  /** THE salted order hash — the one expression whose byte-identity between
+    * [[epochOrder]], [[writeShards]] and [[shardManifest]] is what ties
+    * shard files to their manifest; a divergent copy would silently
+    * desynchronize them. A null doc id would hash to null and land in
+    * shard=null (`__HIVE_DEFAULT_PARTITION__` — a directory a trainer
+    * globbing shard=0..N-1 never reads, silently dropping the doc from
+    * training), so it raises instead.
+    */
+  private def saltedOrderHash(idCol: Column, epochSalt: Long): Column =
+    when(idCol.isNull, raise_error(lit(
+      "Export: null doc id cannot be dealt to a shard — it would land in a " +
+        "null partition directory trainers never read")))
+      .otherwise(TextFunctions.portable_hash(
+        concat(lit(s"$epochSalt:"), idCol.cast("string"))))
+
   /** Deterministic epoch shuffle: every document gets a `(shard, pos)` —
     * which shard file it lands in and its position inside that shard — from
     * one salted hash: `oh = hash(salt:doc_id)`, `shard = oh mod nShards`,
@@ -36,8 +51,7 @@ object Export {
       nShards: Int,
       epochSalt: Long): DataFrame = {
     require(nShards > 0, s"nShards=$nShards must be positive")
-    val oh = TextFunctions.portable_hash(
-      concat(lit(s"$epochSalt:"), idCol.cast("string")))
+    val oh = saltedOrderHash(idCol, epochSalt)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("order_hash"), col("doc_id"))
     df.select(idCol.as("doc_id"), oh.as("order_hash"))
@@ -60,8 +74,13 @@ object Export {
       epochSalt: Long,
       path: String): Unit = {
     require(nShards > 0, s"nShards=$nShards must be positive")
-    val oh = TextFunctions.portable_hash(
-      concat(lit(s"$epochSalt:"), idCol.cast("string")))
+    // withColumn would silently OVERWRITE (and then ship) caller columns of
+    // these names — e.g. a re-ingested prior epoch export already carrying
+    // `shard` — corrupting the written shards with no error
+    Seq("order_hash", "shard").foreach(c =>
+      require(!df.columns.contains(c),
+        s"writeShards: input already has a '$c' column — rename it first"))
+    val oh = saltedOrderHash(idCol, epochSalt)
     df.withColumn("order_hash", oh)
       .withColumn("shard", pmod(col("order_hash"), lit(nShards.toLong)).cast("int"))
       .repartition(nShards, col("shard"))
@@ -83,11 +102,13 @@ object Export {
       nShards: Int,
       epochSalt: Long): DataFrame = {
     require(nShards > 0, s"nShards=$nShards must be positive")
-    val oh = TextFunctions.portable_hash(
-      concat(lit(s"$epochSalt:"), idCol.cast("string")))
+    val oh = saltedOrderHash(idCol, epochSalt)
+    // min/max keep the id column's NATURAL type: a cast("long") silently
+    // nulls every bound for string/UUID ids that the shard deal itself
+    // fully supports (it hashes the string form)
     df.select(
         pmod(oh, lit(nShards.toLong)).cast("int").as("shard"),
-        idCol.cast("long").as("__id"),
+        idCol.as("__id"),
         TextFunctions.token_count(textCol).cast("long").as("__toks"),
         length(textCol).cast("long").as("__chars"))
       .groupBy(col("shard"))

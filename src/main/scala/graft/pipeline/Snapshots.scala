@@ -24,13 +24,20 @@ object Snapshots {
       newDf: DataFrame,
       idCol: Column,
       contentCol: Column): DataFrame = {
-    val a = oldDf.select(idCol.as("doc_id"), md5(contentCol).as("old_hash"))
-    val b = newDf.select(idCol.as("doc_id"), md5(contentCol).as("new_hash"))
+    // presence is carried EXPLICITLY, never inferred from hash nullability:
+    // md5(NULL content) is null, so a hash-null test would misread a
+    // null-content doc present only in the old snapshot as "added" (its
+    // tombstone never issues and downstream reprocesses a doc that no
+    // longer exists). The change test is null-safe for the same reason.
+    val a = oldDf.select(idCol.as("doc_id"), md5(contentCol).as("old_hash"),
+      lit(true).as("__in_old"))
+    val b = newDf.select(idCol.as("doc_id"), md5(contentCol).as("new_hash"),
+      lit(true).as("__in_new"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_hash").isNull, "added")
-          .when(col("new_hash").isNull, "removed")
-          .when(col("old_hash") =!= col("new_hash"), "changed")
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

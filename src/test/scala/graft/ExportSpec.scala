@@ -82,4 +82,50 @@ class ExportSpec extends SparkTestBase {
         s"shard $k manifest mismatch")
     }
   }
+
+  test("string doc ids: manifest bounds keep the natural type (no silent null min/max)") {
+    import spark.implicits._
+    val docs = Seq(("doc-b", "x y"), ("doc-a", "z"), ("doc-c", "w w w"))
+      .toDF("doc_id", "text")
+    val m = graft.pipeline.Export.shardManifest(
+      docs, col("doc_id"), col("text"), nShards = 1, epochSalt = 7L).head()
+    assert(m.getAs[String]("min_doc_id") == "doc-a")
+    assert(m.getAs[String]("max_doc_id") == "doc-c")
+  }
+
+  test("null doc ids are rejected at the shard deal, not dropped into a null partition") {
+    import spark.implicits._
+    val docs = Seq((java.lang.Long.valueOf(1L), "x"), (null.asInstanceOf[java.lang.Long], "y"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      graft.pipeline.Export.epochOrder(docs, col("doc_id"), nShards = 2, epochSalt = 1L)
+        .collect()
+    }
+    assert(e.getMessage.contains("null doc id") ||
+      Option(e.getCause).exists(_.getMessage.contains("null doc id")))
+  }
+
+  test("writeShards refuses inputs that already carry its derived column names") {
+    import spark.implicits._
+    val docs = Seq((1L, 0)).toDF("doc_id", "shard")
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Export.writeShards(
+        docs, col("doc_id"), nShards = 2, epochSalt = 1L, path = "/tmp/never-written")
+    }
+  }
+
+  test("snapshot diff classifies null-content docs by PRESENCE, not hash nullability") {
+    import spark.implicits._
+    val oldDf = Seq((7L, null: String), (8L, "same"), (9L, null: String))
+      .toDF("doc_id", "content")
+    val newDf = Seq((8L, "same"), (9L, "now real"), (10L, null: String))
+      .toDF("doc_id", "content")
+    val st = graft.pipeline.Snapshots.diff(oldDf, newDf, col("doc_id"), col("content"))
+      .as[(Long, String)].collect().toMap
+    assert(st == Map(
+      7L -> "removed", // null-content doc gone from new: tombstone, NOT "added"
+      8L -> "unchanged",
+      9L -> "changed", // null -> real content IS a change (null-safe test)
+      10L -> "added"))
+  }
 }
