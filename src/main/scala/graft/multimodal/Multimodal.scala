@@ -101,6 +101,12 @@ object Multimodal {
     * pixels). Decode is the stub boundary.
     */
   def decodeFeatures(assets: DataFrame, stride: Int, dim: Int): Dataset[DecodedFeature] = {
+    // validate on the driver: stride=0 throws "step cannot be 0" inside
+    // every task; a NEGATIVE stride yields an empty range per asset — the
+    // stage would SUCCEED with zero features and downstream retrieval would
+    // be silently empty (resizeAssets' require pattern)
+    require(stride > 0, s"stride=$stride must be positive")
+    require(dim > 0, s"dim=$dim must be positive")
     implicit val enc = Encoders.product[DecodedFeature]
     assets.select(col("asset_id"), col("data"), col("meta.n_frames").as("n_frames"))
       .mapPartitions { rows =>

@@ -12,8 +12,16 @@ object KeyBlocking {
   /** Small, driver-known ignore list: folds into the scan as an isin predicate
     * (Catalyst pushes it to parquet/Kafka-side row filtering).
     */
-  def blockKeys(df: DataFrame, keyCol: Column, ignore: Seq[Any]): DataFrame =
-    if (ignore.isEmpty) df else df.filter(!keyCol.isin(ignore: _*))
+  def blockKeys(df: DataFrame, keyCol: Column, ignore: Seq[Any]): DataFrame = {
+    // a null LIST ENTRY would make `isin` null for every non-listed key —
+    // !null is null and filter drops it: one null entry wipes the corpus
+    require(!ignore.contains(null), "blockKeys: ignore list must not contain null")
+    // null-KEYED rows are not blocklisted and must survive (isin is null for
+    // them, and a null predicate silently drops) — blockKeysDf's anti join
+    // keeps them, so this form must too
+    if (ignore.isEmpty) df
+    else df.filter(keyCol.isNull || !keyCol.isin(ignore: _*))
+  }
 
   /** Large / dynamically-supplied ignore list: broadcast anti-join — at 100 TB
     * a million-key blocklist must not become an isin literal in the plan.
@@ -48,9 +56,31 @@ object Compaction {
         .getOrElse(s"${prefix}_$i") // raw expression key: synthetic stable name
     }
 
+  /** Guard for the stable-name pre-projection: an EXPRESSION key whose
+    * stable name (alias or synthetic) collides with an existing input
+    * column would make `withColumn` silently OVERWRITE that column before
+    * the payload resolves against it — corrupted survivor payloads, no
+    * error. Plain references self-collide harmlessly (`withColumn(n,
+    * col(n))` is the identity). Duplicate stable names across keys would
+    * likewise collapse two grouping keys into one.
+    */
+  private[graft] def requireFreshNames(
+      df: DataFrame, cols: Seq[Column], names: Seq[String]): Unit = {
+    require(names.distinct.size == names.size,
+      s"key stable names collide with each other: $names")
+    cols.zip(names).foreach { case (c, n) =>
+      require(c.toString == n || !df.columns.contains(n),
+        s"derived key name '$n' collides with an existing input column — " +
+          "alias the key differently or rename the column")
+    }
+  }
+
   /** Keep, per (keys..., window of `lingerCol`), the row maximizing
     * `rankCols` lexicographically (ties impossible if the last rank col is
-    * unique). Returns only the surviving rows' `payload` columns.
+    * unique). Returns the key columns (under their stable names) followed
+    * by the surviving rows' `payload` columns — callers re-selecting a key
+    * should therefore NOT repeat it in `payload` (the duplicate name would
+    * be ambiguous downstream).
     */
   def compactBatch(
       df: DataFrame,
@@ -58,12 +88,12 @@ object Compaction {
       rankCols: Seq[Column],
       payload: Seq[Column]): DataFrame = {
     val names = stableNames(keyCols, "__gk")
+    requireFreshNames(df, keyCols, names)
     val projected = keyCols.zip(names).foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
     val winner = max_by(struct(payload: _*), struct(rankCols: _*)).as("__winner")
     projected.groupBy(names.map(col): _*)
       .agg(winner)
       .select((names.map(col) :+ col("__winner.*")): _*)
-      .drop("__winner")
   }
 }
 
@@ -82,6 +112,9 @@ object Batching {
       keyCol: Column,
       orderCols: Seq[Column],
       capacity: Int): DataFrame = {
+    // capacity=0 divides to Infinity and casts to Long.MaxValue (ANSI off)
+    // or fails a task with CAST_OVERFLOW (ANSI on) — fail at the call site
+    require(capacity > 0, s"capacity=$capacity must be positive")
     val w = Window.partitionBy(keyCol).orderBy(orderCols: _*)
     df.withColumn("batch_id", ((row_number().over(w) - 1) / capacity).cast("long"))
   }
@@ -100,8 +133,13 @@ object Scheduled {
   def due(df: DataFrame, scheduledMillisCol: Column, asOfMillis: Long): DataFrame =
     df.filter(isDue(scheduledMillisCol, lit(asOfMillis)))
 
+  /** The complement of [[due]] INCLUDING null-scheduled rows: the two calls
+    * partition the input ("due rows process this trigger; the rest carry"),
+    * and a task whose schedule is unknown must carry forward, not vanish
+    * from both halves (`!null` is null and a null predicate drops the row).
+    */
   def notYetDue(df: DataFrame, scheduledMillisCol: Column, asOfMillis: Long): DataFrame =
-    df.filter(!isDue(scheduledMillisCol, lit(asOfMillis)))
+    df.filter(!coalesce(isDue(scheduledMillisCol, lit(asOfMillis)), lit(false)))
 }
 
 /** E1/S4/C3 — retry queueing column transforms: the sink side re-produces a
@@ -136,7 +174,12 @@ object CommitControl {
   def highWatermark(df: DataFrame, partCol: Column, offsetCol: Column, completedCol: Column): DataFrame =
     df.groupBy(partCol.as("partition"))
       .agg(coalesce(
-        min(when(!completedCol, offsetCol)) - 1,
+        // a NULL completion flag is UNKNOWN and must hold the watermark like
+        // an incomplete offset — `!completedCol` alone is null for it, min()
+        // would skip it, and the watermark would advance past an offset
+        // whose completion was never observed (the loss OutOfOrderCommit
+        // exists to prevent); n_complete already counts null as incomplete
+        min(when(!coalesce(completedCol, lit(false)), offsetCol)) - 1,
         max(offsetCol)).as("high_watermark"),
         count(lit(1)).as("n_offsets"),
         count(when(completedCol, lit(1))).as("n_complete"))
@@ -156,8 +199,20 @@ object CommitControl {
 object RateLimit {
   val MaxRatePerPartition = 1000000L // RateLimiter.java:25
 
-  /** maxOffsetsPerTrigger for a target per-partition rate. None = unlimited. */
+  /** maxOffsetsPerTrigger for a target per-partition rate. None = unlimited.
+    * The per-partition rate is clamped to [[MaxRatePerPartition]] (the
+    * reference's bound) BEFORE the multiply, and the product saturates at
+    * Long.MaxValue instead of wrapping — the old `max(0, a*b*c)` masked an
+    * overflow as Some(0), a FULL PAUSE where the caller asked for a huge
+    * rate.
+    */
   def maxOffsetsPerTrigger(ratePerPartition: Long, partitions: Int, triggerSeconds: Long): Option[Long] =
     if (ratePerPartition < 0) None
-    else Some(math.max(0L, ratePerPartition * partitions * triggerSeconds))
+    else {
+      require(partitions > 0 && triggerSeconds > 0,
+        s"partitions=$partitions, triggerSeconds=$triggerSeconds must be positive")
+      val rate = math.min(ratePerPartition, MaxRatePerPartition)
+      val product = BigInt(rate) * partitions * triggerSeconds
+      Some(product.min(BigInt(Long.MaxValue)).toLong)
+    }
 }

@@ -18,6 +18,16 @@ import graft.functions.TextFunctions
   * — per-doc scores are integer sums, so partition order cannot change a
   * result — and doubles are only recovered at the end by IEEE divisions in a
   * fixed order.
+  *
+  * Null-text contract: the corpus scorers here ([[dsirWeights]],
+  * [[linearQualityScore]], [[unigramNll]]) OMIT null-text documents from
+  * their output — a null text explodes to zero feature rows, so there is
+  * nothing to score; callers gating by join must left-join and decide the
+  * null policy themselves. The row-local twin
+  * [[linearQualityScoreRowLocal]] necessarily differs on exactly this edge:
+  * it keeps the row and emits null score columns (a projection cannot drop
+  * rows); its row-for-row equality with the join form holds for every
+  * non-null text.
   */
 object Importance {
 
@@ -106,8 +116,19 @@ object Importance {
           graft.functions.word_ngram_hashes(textCol, 2)).as("hs"))
       .select(col("doc_id"), explode(col("hs")).as("h"))
       .withColumn("b", pmod(col("h"), lit(buckets.toLong)).cast("int"))
+    // Dedup the weight table: duplicate (b, w_fp) rows in a caller-built
+    // table (e.g. a union of training runs) would multiply every matching
+    // feature row, inflating n_feats and sum_fp together — silently wrong
+    // scores. Deduped ON THE DRIVER (this file's tiny-model residency
+    // pattern; the table is classifier-sized and broadcast anyway) so the
+    // scoring plan gains no Exchange — PlanAuditSpec pins pq51's budget.
+    // Two rows with the SAME bucket but DIFFERENT weights remain the
+    // caller's contract violation (bucket is a primary key).
+    val wDedup = weights.select(col("b"), col("w_fp")).distinct()
+    val wLocal = weights.sparkSession.createDataFrame(
+      java.util.Arrays.asList(wDedup.collect(): _*), wDedup.schema)
     feats
-      .join(broadcast(weights.select(col("b"), col("w_fp"))), Seq("b"), "left")
+      .join(broadcast(wLocal), Seq("b"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feats"),
         sum(coalesce(col("w_fp"), lit(0L))).as("sum_fp"))

@@ -34,6 +34,8 @@ object StreamOps {
     // the agg needs resolvable names
     val keyNames = graft.operators.Compaction.stableNames(keyCols, "__sk")
     val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    graft.operators.Compaction.requireFreshNames(
+      df, keyCols :+ tsCol, keyNames :+ tsName)
     val projected = (keyCols.zip(keyNames) :+ (tsCol -> tsName))
       .foldLeft(df) { case (d, (c, n)) => d.withColumn(n, c) }
     projected.withWatermark(tsName, watermarkDelay)
@@ -56,6 +58,7 @@ object StreamOps {
     // tsCol (e.g. to_timestamp(...)) under a stable name first, exactly as
     // compactLatest does; for a plain column reference this is a no-op
     val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    graft.operators.Compaction.requireFreshNames(df, Seq(tsCol), Seq(tsName))
     df.withColumn(tsName, tsCol)
       .withWatermark(tsName, watermarkDelay)
       .groupBy(window(col(tsName), windowDur).as("win"), keyCol.as("key"))
@@ -401,6 +404,7 @@ object StreamOps {
       watermarkDelay: String): DataFrame = {
     // expression tsCol handling: see windowedRates
     val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    graft.operators.Compaction.requireFreshNames(df, Seq(tsCol), Seq(tsName))
     df.withColumn(tsName, tsCol)
       .withWatermark(tsName, watermarkDelay)
       .groupBy(session_window(col(tsName), gap).as("session"), keyCol.as("key"))

@@ -66,4 +66,85 @@ class OperatorEdgeSpec extends SparkTestBase {
     assert(RateLimit.maxOffsetsPerTrigger(100L, 8, 2).contains(1600L))
     assert(RateLimit.MaxRatePerPartition == 1000000L)
   }
+
+  test("maxOffsetsPerTrigger clamps to MaxRatePerPartition and saturates instead of wrapping") {
+    // rate above the reference bound is clamped, not honored
+    assert(RateLimit.maxOffsetsPerTrigger(2000000L, 2, 1).contains(2000000L))
+    // a huge 'effectively unlimited' rate used to overflow to Some(0) = full pause
+    val huge = RateLimit.maxOffsetsPerTrigger(Long.MaxValue, 1000000, 1000000L)
+    assert(huge.exists(_ > 0L), s"huge rate must not collapse to a pause: $huge")
+    intercept[IllegalArgumentException] { RateLimit.maxOffsetsPerTrigger(5L, 0, 1) }
+  }
+
+  test("blockKeys keeps null-keyed rows and rejects null blocklist entries (F1)") {
+    import spark.implicits._
+    val df = Seq(Option(1L), Option(2L), None).toDF("k")
+    val kept = graft.operators.KeyBlocking.blockKeys(df, col("k"), Seq(1L))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSet
+    assert(kept == Set(Some(2L), None),
+      s"null key is not blocklisted and must survive: $kept")
+    intercept[IllegalArgumentException] {
+      graft.operators.KeyBlocking.blockKeys(df, col("k"), Seq(1L, null))
+    }
+  }
+
+  test("highWatermark holds at an offset whose completion flag is NULL (O1)") {
+    import spark.implicits._
+    val df = Seq((0, 1L, Option(true)), (0, 2L, None: Option[Boolean]), (0, 3L, Option(true)))
+      .toDF("p", "off", "done")
+    val row = graft.operators.CommitControl
+      .highWatermark(df, col("p"), col("off"), col("done")).head()
+    assert(row.getAs[Long]("high_watermark") == 1L,
+      "unknown completion must hold the watermark like an incomplete offset")
+    assert(row.getAs[Long]("n_complete") == 2L)
+  }
+
+  test("due/notYetDue PARTITION the input: a null-scheduled task carries forward (C1)") {
+    import spark.implicits._
+    val df = Seq(Option(5L), Option(50L), None).toDF("sched")
+    val due = graft.operators.Scheduled.due(df, col("sched"), asOfMillis = 10L).count()
+    val later = graft.operators.Scheduled.notYetDue(df, col("sched"), asOfMillis = 10L).count()
+    assert(due == 1 && later == 2 && due + later == df.count(),
+      s"due=$due notYetDue=$later must cover all 3 rows")
+  }
+
+  test("assignBatches and compactBatch validate their inputs loudly (A1/A2)") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "value")
+    intercept[IllegalArgumentException] {
+      graft.operators.Batching.assignBatches(df, col("k"), Seq(col("value")), capacity = 0)
+    }
+    // an expression key aliased to an EXISTING column would silently clobber
+    // the payload source before it resolves
+    intercept[IllegalArgumentException] {
+      graft.operators.Compaction.compactBatch(
+        df, keyCols = Seq((col("k") + 1).as("value")),
+        rankCols = Seq(col("k")), payload = Seq(col("value")))
+    }
+  }
+
+  test("linearQualityScore is immune to duplicated weight rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val w = Seq((0, 1000000L), (1, 2000000L)).toDF("b", "w_fp")
+    val once = graft.quality.Importance.linearQualityScore(
+      docs, col("doc_id"), col("text"), w, buckets = 2).collect().map(_.toSeq).toSet
+    val dup = graft.quality.Importance.linearQualityScore(
+      docs, col("doc_id"), col("text"), w.unionAll(w), buckets = 2)
+      .collect().map(_.toSeq).toSet
+    assert(once == dup, "duplicate (b, w_fp) rows must not inflate n_feats/sum_fp")
+  }
+
+  test("decodeFeatures validates stride and dim on the driver") {
+    import spark.implicits._
+    val assets = Seq((1L, Array[Byte](1, 2, 3), 4L)).toDF("asset_id", "data", "nf")
+      .select(col("asset_id"), col("data"),
+        struct(col("nf").as("n_frames")).as("meta"))
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.decodeFeatures(assets, stride = 0, dim = 4)
+    }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.Multimodal.decodeFeatures(assets, stride = 2, dim = -1)
+    }
+  }
 }
