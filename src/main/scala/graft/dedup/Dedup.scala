@@ -37,7 +37,17 @@ object Dedup {
     * corpus but one doc. Such docs key on their lowercased raw text instead
     * (case-insensitive exact dedup — conservative, never cross-doc lossy).
     */
-  def canonicalize(text: Column): Column = {
+  def canonicalize(text: Column): Column =
+    graft.functions.toColumn(
+      graft.plans.CanonicalizeText(graft.functions.toExpr(text)))
+
+  /** The declarative twin of [[canonicalize]] — value-identical by
+    * DedupSpec's equivalence test; kept as the executable specification of
+    * the native expression's contract (it is what the DuckDB oracle
+    * replays). Not used on hot paths: the CaseWhen evaluates the regex
+    * chain twice (no CSE across condition/branches — measured +40%).
+    */
+  private[graft] def canonicalizeDeclarative(text: Column): Column = {
     val c = trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
     when(c === "", lower(text)).otherwise(c)
   }
@@ -282,24 +292,25 @@ object Dedup {
           .agg(count(lit(1)).as("inter"))
         (sz, in)
       case Some(f0) =>
-        // posting-list form: the DF cutoff bounds every posting list at f0
-        // ids, and candidate pairs explode from each list in a narrow stage
-        // — no gram self-join at all. Grams are distinct per doc, so list
-        // length == document frequency. The count runs BEFORE collect_list:
+        // posting-list form: ONE groupBy builds the inverted index, the DF
+        // cutoff bounds every posting list at f0 ids, and candidate pairs
+        // explode from each list in a narrow stage — no gram self-join at
+        // all. Grams are distinct per doc, so list length == document
+        // frequency. The collect is the CAPPED aggregate, not collect_list:
         // a collect-then-filter would materialize a stop-gram's full
         // posting array (f ids for a gram in f docs — unbounded) in one
-        // aggregation buffer just to discard it; counting first keeps every
-        // buffer O(1) and the semi-join is co-partitioned with the collect's
-        // own shuffle, so the extra pass costs one gram-table exchange, not
-        // a new shape. Sizes count each doc's surviving (informative)
-        // grams, so the Jaccard is over DF-pruned gram sets on both engines.
-        val eligible = allGrams.groupBy(col("blk"), col("g"))
-          .agg(count(lit(1)).as("df0"))
-          .filter(col("df0") <= f0)
-          .select(col("blk"), col("g"))
-        val postings = allGrams.join(eligible, Seq("blk", "g"), "left_semi")
-          .groupBy(col("blk"), col("g"))
-          .agg(collect_list(col("id")).as("ids"))
+        // aggregation buffer just to discard it; the capped buffer is
+        // O(f0) per gram and collapses to an overflow bit past the cutoff,
+        // with no second gram-table shuffle (a count-first pre-pass costs
+        // one). Sizes count each doc's surviving (informative) grams, so
+        // the Jaccard is over DF-pruned gram sets on both engines.
+        require(f0 <= Int.MaxValue - 1, s"maxDocFreq=$f0 exceeds the capped-buffer range")
+        // the capped buffer stores longs — a string id would null-cast and
+        // silently vanish from every posting list
+        graft.functions.requireIntegralId(df, idCol, "ngramJaccardPairs(maxDocFreq)")
+        val postings = allGrams.groupBy(col("blk"), col("g"))
+          .agg(graft.functions.capped_collect_longs(col("id"), f0.toInt).as("ids"))
+          .filter(col("ids").isNotNull)
         val sz = postings.select(explode(col("ids")).as("id"))
           .groupBy(col("id")).agg(count(lit(1)).as("sz"))
         val in = postings.filter(size(col("ids")) >= 2)

@@ -125,6 +125,14 @@ package object functions {
     toColumn(graft.plans.BottomKDistinctAgg(
       toExpr(v.cast("long")), k).toAggregateExpression())
 
+  /** Bounded collect: up to `cap` longs, null once a group exceeds it —
+    * the O(cap)-buffer form of collect-then-filter for DF-cutoff posting
+    * lists (element order is partition-dependent).
+    */
+  def capped_collect_longs(v: Column, cap: Int): Column =
+    toColumn(graft.plans.CappedCollectLongsAgg(
+      toExpr(v.cast("long")), cap).toAggregateExpression())
+
   /** Portable 60-bit hash of every n-token window (one native pass, no
     * window-string materialization); values = `dh(window)` of the oracle.
     */

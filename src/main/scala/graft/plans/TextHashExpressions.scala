@@ -645,3 +645,55 @@ case class TokenStopCountsExpr(child: Expression, words: Seq[String])
   override protected def withNewChildInternal(c: Expression): TokenStopCountsExpr =
     copy(child = c)
 }
+
+/** Single-pass [[graft.dedup.Dedup.canonicalize]]: lowercase, non-[a-z0-9]
+  * runs to one space, trimmed — and the empty-canonical fallback to the
+  * lowercased raw text, all in ONE scan. The declarative form
+  * (`when(c === "", lower(text)).otherwise(c)` over a two-regexp `c`)
+  * evaluates the regex chain TWICE because Catalyst's subexpression
+  * elimination does not span a CaseWhen's condition and branches — measured
+  * +40% on pq28/dq20. Value contract (spec-pinned, oracle-replayed): equal
+  * to `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "),
+  * " +", " "))`, falling back to `lower(s)` when that is empty. Char-level
+  * iteration is safe: every non-kept code UNIT (including each surrogate
+  * half) becomes part of a space run that collapses to the same single
+  * separator the code-POINT regex produces.
+  */
+case class CanonicalizeText(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"canonicalize_text needs a string, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val lowered = input.asInstanceOf[UTF8String].toLowerCase // Lower()'s own path
+    val s = lowered.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(ch)
+      } else pendingSpace = true // spaces and every other char: separator run
+      i += 1
+    }
+    if (sb.length == 0) lowered else UTF8String.fromString(sb.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("canonText", this, classOf[CanonicalizeText].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "canonicalize_text"
+  override protected def withNewChildInternal(c: Expression): CanonicalizeText =
+    copy(child = c)
+}

@@ -121,6 +121,90 @@ case class TopKByScoreAgg(
     copy(left = newLeft, right = newRight)
 }
 
+/** Aggregate `capped_collect_longs(v, cap)` → array<long> | null: collect up
+  * to `cap` longs; the moment a group exceeds the cap the buffer COLLAPSES
+  * to an overflow marker and the result is null. This is the bounded form
+  * of `collect_list` for DF-cutoff posting lists: a collect-then-filter
+  * materializes a stop-gram's FULL posting array (f ids for a gram in f
+  * docs — unbounded) in one aggregation buffer just to discard it, and a
+  * count-first pre-pass costs an extra gram-table shuffle; this buffer is
+  * O(cap) per group per partition, merges map-side, and overflowed groups
+  * carry 1 bit. Element order is partition-dependent (callers must be
+  * order-insensitive — pair explosion and size counts are); null inputs are
+  * ignored.
+  */
+case class CappedCollectLongsAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CappedCollectLongsAgg.Buf]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(cap > 0, s"cap=$cap must be positive")
+
+  import CappedCollectLongsAgg.Buf
+
+  override def createAggregationBuffer(): Buf = new Buf
+
+  private def add(buf: Buf, v: Long): Unit =
+    if (!buf.over) {
+      buf.ids += v
+      if (buf.ids.size > cap) { buf.over = true; buf.ids.clear() }
+    }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    val v = child.eval(input)
+    if (v != null) add(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(a: Buf, b: Buf): Buf = {
+    if (b.over) { a.over = true; a.ids.clear() }
+    else b.ids.foreach(add(a, _))
+    a
+  }
+
+  override def eval(buf: Buf): Any =
+    if (buf.over) null else new GenericArrayData(buf.ids.toArray[Any])
+
+  override def serialize(buf: Buf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(5 + buf.ids.size * 8)
+    bb.put(if (buf.over) 1.toByte else 0.toByte)
+    bb.putInt(buf.ids.size)
+    buf.ids.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val buf = new Buf
+    buf.over = bb.get() == 1
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { buf.ids += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "capped_collect_longs"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectLongsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectLongsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CappedCollectLongsAgg =
+    copy(child = newChild)
+}
+
+object CappedCollectLongsAgg {
+  final class Buf {
+    var over: Boolean = false
+    val ids: mutable.ArrayBuffer[Long] = mutable.ArrayBuffer.empty[Long]
+  }
+}
+
 /** Aggregate `bottom_k_distinct(v, k)` → array<long>: the `k` SMALLEST
   * DISTINCT long values, ascending — the KMV ("k minimum values")
   * distinct-value sketch buffer (Bar-Yossef et al. 2002). Distinctness is

