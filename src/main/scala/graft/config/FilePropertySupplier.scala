@@ -2,8 +2,6 @@ package graft.config
 
 import java.nio.file.{Files, Path}
 
-import scala.jdk.CollectionConverters._
-
 /** Shared machinery of the polling property suppliers (file-backed and
   * remote): a daemon poller fetches (content, version); on a version change
   * the content is parsed (`key=value` lines, `#` comments) and every bound
@@ -22,6 +20,7 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
   protected def poll(): Option[(String, String)]
 
   @volatile private var values: Map[String, String] = Map.empty
+  @volatile private var malformedLines: Seq[String] = Nil
   @volatile private var closed = false
   // registrations live in an AtomicReference: binds racing the poller must
   // not lose a registration
@@ -40,7 +39,9 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
           // parse FIRST: if it throws (source mid-write), lastVersion stays
           // put and the next poll retries this version instead of silently
           // losing the edit forever
-          values = PollingPropertySupplier.parse(content)
+          val (parsed, bad) = PollingPropertySupplier.parseReporting(content)
+          values = parsed
+          malformedLines = bad
           lastVersion = version
           // each refresh individually guarded: one property whose new value
           // fails its validator must not abort the refresh of every other
@@ -61,7 +62,13 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
   poller.start()
 
   override def get[T](d: PropertyDefinition[T]): Option[T] =
-    values.get(d.name).map(raw => parseAs(raw, d.default).asInstanceOf[T])
+    values.get(d.name).flatMap { raw =>
+      // a malformed raw value ("1oo") behaves as UNSET — resolve falls back
+      // to lower-precedence suppliers / the default instead of crashing the
+      // query at the next trigger; validateAll reports the bad value
+      try Some(parseAs(raw, d.default).asInstanceOf[T])
+      catch { case _: Exception => None }
+    }
 
   private def parseAs(raw: String, like: Any): Any = like match {
     case _: Long => raw.toLong
@@ -73,12 +80,25 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
 
   /** Keep `dyn` in sync with the source: every observed change re-resolves
     * and sets the property (listeners fire on actual value changes only).
+    * A key REMOVED after being supplied reverts the property to its
+    * definition default — deleting a `rate=0` pause line must resume the
+    * pipeline, not freeze it at the removed value; a key this supplier
+    * never supplied leaves the property (and any caller-chosen initial)
+    * untouched. Returns a deregistration handle (the [[DynamicProperty
+    * .onChange]] symmetry): a long-lived supplier must not retain every
+    * property a restarted query ever bound.
     */
-  def bind[T](dyn: DynamicProperty[T]): Unit = {
+  def bind[T](dyn: DynamicProperty[T]): () => Unit = {
+    val wasPresent = new java.util.concurrent.atomic.AtomicBoolean(false)
     val refreshOne: () => Unit = () =>
-      get(dyn.definition).foreach(v => dyn.set(v))
+      get(dyn.definition) match {
+        case Some(v) => wasPresent.set(true); dyn.set(v)
+        case None =>
+          if (wasPresent.getAndSet(false)) dyn.set(dyn.definition.default)
+      }
     bound.updateAndGet(refreshOne :: _)
     refreshOne()
+    () => { bound.updateAndGet(_.filterNot(_ eq refreshOne)); () }
   }
 
   /** Validate every property the source currently sets against `defs`:
@@ -89,6 +109,10 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
     */
   def validateAll(defs: Seq[PropertyDefinition[_]]): Seq[String] = {
     val byName = defs.map(d => d.name -> d).toMap
+    // lines parse() had to drop (no '=') are violations too: a space typo'd
+    // assignment must not silently fall back to the default — exactly the
+    // class of edit this method exists to catch
+    malformedLines.map(l => s"malformed line (no '='): '$l'") ++
     values.toSeq.sortBy(_._1).flatMap { case (k, raw) =>
       byName.get(k) match {
         case None => Seq(s"unknown property '$k' (not in the published schema)")
@@ -110,14 +134,22 @@ object PollingPropertySupplier {
   /** `key=value` lines, `#` comments — the config wire format both suppliers
     * share.
     */
-  def parse(content: String): Map[String, String] =
-    content.linesIterator
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains("="))
-      .map { l =>
-        val i = l.indexOf('=')
-        l.substring(0, i).trim -> l.substring(i + 1).trim
-      }.toMap
+  def parse(content: String): Map[String, String] = parseReporting(content)._1
+
+  /** [[parse]] plus the dropped lines (non-empty, non-comment, no '=') so
+    * validateAll can surface a typo'd assignment instead of silently
+    * ignoring it.
+    */
+  def parseReporting(content: String): (Map[String, String], Seq[String]) = {
+    val lines = content.linesIterator.map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+    val (ok, bad) = lines.partition(_.contains("="))
+    val kvs = ok.map { l =>
+      val i = l.indexOf('=')
+      l.substring(0, i).trim -> l.substring(i + 1).trim
+    }.toMap
+    (kvs, bad)
+  }
 }
 
 /** P3 — dynamic property supplier backed by a watched file, the engine's
@@ -133,8 +165,16 @@ final class FilePropertySupplier(path: Path, pollMillis: Long = 1000L)
   protected def poll(): Option[(String, String)] =
     if (!Files.exists(path)) Some(("", "absent"))
     else {
-      val version = Files.getLastModifiedTime(path).toMillis.toString
-      Some((Files.readAllLines(path).asScala.mkString("\n"), version))
+      // version = CONTENT hash, not mtime: an edit landing in the same
+      // millisecond as the last read (or a partial mid-write read, whose
+      // completed form arrives without a further mtime tick on coarse
+      // filesystems) would freeze an mtime token forever; a content hash
+      // always converges on the final bytes (RemotePropertySupplier's rule)
+      val content = Files.readString(path)
+      val version = java.security.MessageDigest.getInstance("MD5")
+        .digest(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      Some((content, version))
     }
 }
 

@@ -51,7 +51,12 @@ final class DynamicProperty[T](val definition: PropertyDefinition[T], initial: T
   def set(v: T): Unit = {
     val validated = definition.validate(v)
     val old = ref.getAndSet(validated)
-    if (old != validated) listeners.get().foreach(_(old, validated))
+    // each listener individually guarded (the reference's swallow-listener
+    // contract): one throwing listener must not skip later-registered ones
+    // — the skipped notification would be unrecoverable, since a retried
+    // set() sees old == validated and never re-fires
+    if (old != validated)
+      listeners.get().foreach(l => try l(old, validated) catch { case _: Exception => () })
   }
 
   /** Register a change listener; returns a deregistration handle (removal by

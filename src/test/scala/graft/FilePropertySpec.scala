@@ -150,4 +150,75 @@ class FilePropertySpec extends AnyFunSuite {
       assert(supplier.get(EngineProperties.MaxPendingRecords).contains(4321))
     } finally supplier.close()
   }
+
+  test("a malformed raw value behaves as unset (default), never crashes resolve") {
+    val f = Files.createTempFile("graft-props", ".conf")
+    Files.writeString(f,
+      "decaton.processing.rate.per.partition=1oo\ndecaton.partition.concurrency 4\n")
+    val supplier = new FilePropertySupplier(f, pollMillis = 50L)
+    try {
+      val props = new Properties(Seq(supplier))
+      // "1oo" does not parse as Long -> unset -> definition default
+      assert(props.resolve(EngineProperties.ProcessingRate) ==
+        EngineProperties.ProcessingRate.default)
+      // but validateAll SEES both the bad value and the '='-less line
+      val msgs = supplier.validateAll(Seq(
+        EngineProperties.ProcessingRate, EngineProperties.PartitionConcurrency))
+      assert(msgs.exists(_.contains("1oo")), s"bad value unreported: $msgs")
+      assert(msgs.exists(_.contains("no '='")), s"malformed line unreported: $msgs")
+    } finally supplier.close()
+  }
+
+  test("removing a supplied key reverts the bound property to its default; unbind stops re-driving") {
+    val f = Files.createTempFile("graft-props", ".conf")
+    Files.writeString(f, "decaton.processing.rate.per.partition=0\n")
+    val supplier = new FilePropertySupplier(f, pollMillis = 30L)
+    try {
+      val dyn = new DynamicProperty(EngineProperties.ProcessingRate,
+        EngineProperties.ProcessingRate.default)
+      val unbind = supplier.bind(dyn)
+      assert(dyn.value == 0L, "pause line must apply on bind")
+      // operator deletes the pause line expecting the default to resume
+      Files.writeString(f, "# rate line removed\n")
+      val deadline = System.currentTimeMillis() + 5000
+      while (dyn.value == 0L && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(dyn.value == EngineProperties.ProcessingRate.default,
+        "removed key must revert to the definition default, not freeze at 0")
+      // after unbind, further file changes stop driving the property
+      unbind()
+      Files.writeString(f, "decaton.processing.rate.per.partition=7\n")
+      Thread.sleep(200)
+      assert(dyn.value == EngineProperties.ProcessingRate.default,
+        "unbound property must not be re-driven")
+    } finally supplier.close()
+  }
+
+  test("same-millisecond rewrites are detected (content-hash version, not mtime)") {
+    val f = Files.createTempFile("graft-props", ".conf")
+    Files.writeString(f, "decaton.processing.rate.per.partition=1\n")
+    val supplier = new FilePropertySupplier(f, pollMillis = 25L)
+    try {
+      // rewrite and FORCE the old mtime — only a content-derived version
+      // token can see this edit
+      val oldTime = Files.getLastModifiedTime(f)
+      Files.writeString(f, "decaton.processing.rate.per.partition=2\n")
+      Files.setLastModifiedTime(f, oldTime)
+      val deadline = System.currentTimeMillis() + 5000
+      while (!supplier.get(EngineProperties.ProcessingRate).contains(2L) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(supplier.get(EngineProperties.ProcessingRate).contains(2L),
+        "an edit preserving mtime must still be observed")
+    } finally supplier.close()
+  }
+
+  test("a throwing listener does not skip later-registered listeners") {
+    val dyn = new DynamicProperty(EngineProperties.ProcessingRate, 1L)
+    @volatile var secondFired = false
+    dyn.onChange((_, _) => throw new RuntimeException("boom"))
+    dyn.onChange((_, _) => secondFired = true)
+    dyn.set(2L) // must not throw
+    // listeners run newest-first; also verify the throwing one (registered
+    // FIRST, so it runs LAST) cannot have suppressed the notification
+    assert(secondFired && dyn.value == 2L)
+  }
 }
