@@ -47,7 +47,10 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
           // fails its validator must not abort the refresh of every other
           // bound property for this version (it keeps its last-good value;
           // the others still update)
-          bound.get().foreach(f => try f() catch { case _: Exception => () })
+          bound.get().foreach(f => try f() catch {
+            case e: Exception =>
+              System.err.println(s"[graft-config] property refresh threw: $e")
+          })
         case _ => ()
       }
     } catch { case _: Exception => /* keep last-good config */ }
@@ -62,12 +65,27 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
   poller.start()
 
   override def get[T](d: PropertyDefinition[T]): Option[T] =
-    values.get(d.name).flatMap { raw =>
+    lookup(d) match {
+      case PollingPropertySupplier.Value(v) => Some(v)
       // a malformed raw value ("1oo") behaves as UNSET — resolve falls back
       // to lower-precedence suppliers / the default instead of crashing the
       // query at the next trigger; validateAll reports the bad value
-      try Some(parseAs(raw, d.default).asInstanceOf[T])
-      catch { case _: Exception => None }
+      case _ => None
+    }
+
+  /** Tri-state view of a key: bound properties must distinguish "the key was
+    * REMOVED" (revert to the definition default — deleting a `rate=0` pause
+    * line resumes the pipeline) from "the key is present but UNPARSEABLE"
+    * (keep the last-good value, the reference's `DynamicProperty.checkingSet`
+    * posture — a typo'd edit to a live file must not silently flip a running
+    * pipeline to its default).
+    */
+  private[config] def lookup[T](d: PropertyDefinition[T]): PollingPropertySupplier.Lookup[T] =
+    values.get(d.name) match {
+      case None => PollingPropertySupplier.Absent
+      case Some(raw) =>
+        try PollingPropertySupplier.Value(parseAs(raw, d.default).asInstanceOf[T])
+        catch { case _: Exception => PollingPropertySupplier.Malformed(raw) }
     }
 
   private def parseAs(raw: String, like: Any): Any = like match {
@@ -84,16 +102,22 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
     * definition default — deleting a `rate=0` pause line must resume the
     * pipeline, not freeze it at the removed value; a key this supplier
     * never supplied leaves the property (and any caller-chosen initial)
-    * untouched. Returns a deregistration handle (the [[DynamicProperty
+    * untouched. A key present but UNPARSEABLE keeps the property at its
+    * last-good value (it is NOT a removal — the reference's checkingSet keeps
+    * last-good on an invalid update; validateAll reports the bad raw).
+    * Returns a deregistration handle (the [[DynamicProperty
     * .onChange]] symmetry): a long-lived supplier must not retain every
     * property a restarted query ever bound.
     */
   def bind[T](dyn: DynamicProperty[T]): () => Unit = {
     val wasPresent = new java.util.concurrent.atomic.AtomicBoolean(false)
     val refreshOne: () => Unit = () =>
-      get(dyn.definition) match {
-        case Some(v) => wasPresent.set(true); dyn.set(v)
-        case None =>
+      lookup(dyn.definition) match {
+        case PollingPropertySupplier.Value(v) => wasPresent.set(true); dyn.set(v)
+        // keep last-good; wasPresent stays as-is so a LATER removal of the
+        // (still-present) key correctly reverts to the default
+        case PollingPropertySupplier.Malformed(_) => ()
+        case PollingPropertySupplier.Absent =>
           if (wasPresent.getAndSet(false)) dyn.set(dyn.definition.default)
       }
     bound.updateAndGet(refreshOne :: _)
@@ -131,6 +155,12 @@ abstract class PollingPropertySupplier(pollMillis: Long, threadName: String)
 }
 
 object PollingPropertySupplier {
+  /** Tri-state key lookup (see [[PollingPropertySupplier.lookup]]). */
+  private[config] sealed trait Lookup[+T]
+  private[config] case object Absent extends Lookup[Nothing]
+  private[config] final case class Malformed(raw: String) extends Lookup[Nothing]
+  private[config] final case class Value[T](v: T) extends Lookup[T]
+
   /** `key=value` lines, `#` comments — the config wire format both suppliers
     * share.
     */

@@ -28,9 +28,59 @@ trait PropertySupplier {
   def get[T](definition: PropertyDefinition[T]): Option[T]
 }
 
+/** In-memory supplier. Values are coerced to the definition's type the same
+  * way the file supplier parses raw strings: an `Int` supplied for a `Long`
+  * property widens, numeric/boolean strings parse, and a value that cannot
+  * be coerced behaves as UNSET (resolve falls back to lower-precedence
+  * suppliers / the default) rather than throwing a `ClassCastException` at
+  * validate time — [[validateAll]] reports the un-coercible entry.
+  */
 final class MapPropertySupplier(values: Map[String, Any]) extends PropertySupplier {
   def get[T](d: PropertyDefinition[T]): Option[T] =
-    values.get(d.name).map(_.asInstanceOf[T])
+    values.get(d.name).flatMap { raw =>
+      try Some(MapPropertySupplier.coerce(raw, d.default).asInstanceOf[T])
+      catch { case _: Exception => None }
+    }
+
+  /** One message per entry that is unknown, un-coercible, or fails its
+    * definition's validator (the polling suppliers' validateAll contract).
+    */
+  def validateAll(defs: Seq[PropertyDefinition[_]]): Seq[String] = {
+    val byName = defs.map(d => d.name -> d).toMap
+    values.toSeq.sortBy(_._1).flatMap { case (k, raw) =>
+      byName.get(k) match {
+        case None => Seq(s"unknown property '$k' (not in the published schema)")
+        case Some(d) =>
+          try {
+            d.asInstanceOf[PropertyDefinition[Any]]
+              .validate(MapPropertySupplier.coerce(raw, d.default))
+            Nil
+          } catch {
+            case e: Exception => Seq(s"property '$k'='$raw' invalid: ${e.getMessage}")
+          }
+      }
+    }
+  }
+}
+
+object MapPropertySupplier {
+  /** Coerce `raw` to the runtime shape of `like` (a definition default) or
+    * throw with a loud message. Widening (Int→Long) and narrowing-in-range
+    * (Long→Int) are accepted; strings parse by the target type; anything
+    * else must already be an instance of the target's class.
+    */
+  private[config] def coerce(raw: Any, like: Any): Any = (raw, like) match {
+    case (v: Int, _: Long)                   => v.toLong
+    case (v: Long, _: Int) if v.isValidInt   => v.toInt
+    case (s: String, _: Long)                => s.trim.toLong
+    case (s: String, _: Int)                 => s.trim.toInt
+    case (s: String, _: Boolean)             => s.trim.toBoolean
+    case (v: Seq[_], _: Seq[_])              => v
+    case (v, l) if l.getClass.isInstance(v)  => v
+    case (v, l) =>
+      throw new IllegalArgumentException(
+        s"cannot coerce ${v.getClass.getName} value '$v' to ${l.getClass.getName}")
+  }
 }
 
 /** Hot-reloadable property (`DynamicProperty.java:31-70`): set() validates,
@@ -54,9 +104,17 @@ final class DynamicProperty[T](val definition: PropertyDefinition[T], initial: T
     // each listener individually guarded (the reference's swallow-listener
     // contract): one throwing listener must not skip later-registered ones
     // — the skipped notification would be unrecoverable, since a retried
-    // set() sees old == validated and never re-fires
+    // set() sees old == validated and never re-fires. Logged, not silent:
+    // the reference's AbstractProperty.notifyListener warns on a throwing
+    // listener, and the stack trace is the only diagnostic a buggy listener
+    // ever emits.
     if (old != validated)
-      listeners.get().foreach(l => try l(old, validated) catch { case _: Exception => () })
+      listeners.get().foreach(l => try l(old, validated) catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft-config] listener for ${definition.name} threw on " +
+              s"$old -> $validated: $e")
+      })
   }
 
   /** Register a change listener; returns a deregistration handle (removal by

@@ -2914,8 +2914,10 @@ object PipelineQueries {
       },
       Some(s"""
         WITH rw AS (
+          -- text IS NOT NULL mirrors the Spark side's j-isNotNull filter:
+          -- null keys carry no distinct-count signal
           SELECT source, ${dh("text")} & 255 AS j, ${dh("text")} >> 8 AS w
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         rho AS (
           SELECT source, j,
                  CASE WHEN w = 0 THEN 53
@@ -2924,7 +2926,9 @@ object PipelineQueries {
         regs AS (SELECT source, j, max(rho) AS m_j FROM rho GROUP BY 1, 2),
         dense AS (
           SELECT s.source, g.j, coalesce(r.m_j, 0) AS m0
-          FROM (SELECT DISTINCT source FROM documents) s
+          -- a source with ONLY null texts has no sketch and no Spark-side
+          -- output row — exclude it from the densify's source list too
+          FROM (SELECT DISTINCT source FROM documents WHERE text IS NOT NULL) s
           CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) g
           LEFT JOIN regs r ON r.source = s.source AND r.j = g.j),
         agg AS (
@@ -2960,7 +2964,8 @@ object PipelineQueries {
       Some(s"""
         WITH th AS (
           SELECT DISTINCT source, ${dh("t")} AS h
-          FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)),
+          FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+          WHERE t IS NOT NULL),
         rk AS (
           SELECT source, h,
                  row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
@@ -2985,7 +2990,9 @@ object PipelineQueries {
                  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS INT) AS inter_k
           FROM ur WHERE rn <= 128 GROUP BY 1, 2)
         SELECT src_a, src_b, union_k, inter_k,
-               CAST(floor(CAST(1000.0 AS DOUBLE) * inter_k / union_k) AS BIGINT) AS jacc_pm
+               -- greatest(union_k,1) mirrors CorpusStats.kmvJaccard's guard:
+               -- two empty sketches report 0 shared, not a division by zero
+               CAST(floor(CAST(1000.0 AS DOUBLE) * inter_k / greatest(union_k, 1)) AS BIGINT) AS jacc_pm
         FROM ag
       """))
   )

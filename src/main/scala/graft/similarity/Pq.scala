@@ -104,22 +104,31 @@ object Pq {
     val m = cb.size
     require(m % bands == 0, s"bands=$bands must divide m=$m subspaces")
     val bandSize = m / bands
-    df.select(idCol.as("id") +: (carry :+ codesFor(vecCol, cb).as("codes")): _*)
-      .select(col("id") +: (carry.map(c => col(stableName(c))) ++
+    // resolve each carry to ONE stable name (its alias, its plain-reference
+    // name, or a synthetic `__carry_i` for an unaliased expression), alias
+    // the first select to exactly those names, and reject collisions with
+    // the reserved output columns — a carry aliased to `codes` would
+    // silently clobber the code vector before banding, and an unaliased
+    // expression carry would otherwise be unresolvable downstream
+    val carryNames = graft.operators.Compaction.stableNames(carry, "__carry")
+    val reserved = Seq("id", "codes", "band", "band_sig")
+    require(carryNames.distinct.size == carryNames.size,
+      s"carry stable names collide with each other: $carryNames")
+    carryNames.find(reserved.contains).foreach(n =>
+      throw new IllegalArgumentException(
+        s"carry column name '$n' collides with a reserved output name " +
+          s"(${reserved.mkString(", ")}) — alias the carry differently"))
+    val aliased = carry.zip(carryNames).map { case (c, n) => c.as(n) }
+    df.select(idCol.as("id") +: (aliased :+ codesFor(vecCol, cb).as("codes")): _*)
+      .select(col("id") +: (carryNames.map(col) ++
         Seq(explode(sequence(lit(0), lit(bands - 1))).as("band"), col("codes"))): _*)
       .withColumn("band_sig",
         md5(concat_ws(",",
           transform(slice(col("codes"), col("band") * bandSize + 1, lit(bandSize)),
             _.cast("string")))))
-      .select(col("id") +: (carry.map(c => col(stableName(c))) ++
+      .select(col("id") +: (carryNames.map(col) ++
         Seq(col("band"), col("band_sig"))): _*)
   }
-
-  /** The output name a carried column resolves to after the first select —
-    * its alias if given, else its plain-reference name.
-    */
-  private def stableName(c: Column): String =
-    graft.operators.Compaction.stableNames(Seq(c), "__carry").head
 
   /** ADC top-k: score every encoded corpus row against each query through
     * the query's frozen dot table and keep the top `k` by

@@ -212,6 +212,18 @@ object GraftJsonl {
     * driver). Runs ONLY after every task committed, so an abort can never
     * race a rename: no final name appears for a job that did not commit.
     */
+  /** Streaming segments were named `seg-<epoch>-<part>.jsonl` before the
+    * query tag landed in the name. A checkpoint created under the old naming
+    * that replays its last epoch after an upgrade writes a NEW tagged name
+    * instead of renaming over the old one — the legacy twin would duplicate
+    * that epoch's records once. Landing a tagged streaming segment therefore
+    * deletes its legacy-named twin (content-identical by the deterministic
+    * replay contract; a fully-consumed twin retires on the reader side, a
+    * partially-consumed one re-reads the same records under the new name —
+    * the documented at-least-once upgrade/retention story).
+    */
+  private val LegacyStreamTwin = """seg-q[0-9a-f]{12}-(\d{6}-\d{4}\.jsonl)""".r
+
   private[jsonl] def commitSegments(
       dir: String,
       tag: String,
@@ -222,6 +234,12 @@ object GraftJsonl {
           new File(dir, tmpName).toPath, new File(dir, segment).toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        segment match {
+          case LegacyStreamTwin(suffix) =>
+            val legacy = new File(dir, s"seg-$suffix")
+            if (legacy.exists()) legacy.delete()
+          case _ => ()
+        }
       case _ => ()
     }
     sweepTemps(dir, tag)
@@ -357,6 +375,11 @@ class GraftJsonlWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
   // writing one directory can no longer clobber each other's same-numbered
   // epochs or sweep each other's live temps — the multi-writer hole the
   // batch path already closed with its per-job uuid tag.
+  // CHECKPOINT COMPATIBILITY: before the tag, streaming segments were named
+  // `seg-<epoch>-<part>.jsonl`; a pre-tag checkpoint replaying its last
+  // epoch after upgrade lands a tagged name instead of renaming over the
+  // legacy one — commitSegments deletes the legacy twin at landing so the
+  // replayed epoch cannot read back twice (see LegacyStreamTwin).
   private val queryTag = "q" + info.queryId().replace("-", "").take(12)
   private val dir = GraftJsonl.dir(new CaseInsensitiveStringMap(info.options()))
   private val valueIdx = {

@@ -211,6 +211,78 @@ class FilePropertySpec extends AnyFunSuite {
     } finally supplier.close()
   }
 
+  test("a key present but UNPARSEABLE keeps the bound property at last-good (reference checkingSet)") {
+    val f = Files.createTempFile("graft-props", ".conf")
+    Files.writeString(f, "decaton.processing.rate.per.partition=100\n")
+    val supplier = new FilePropertySupplier(f, pollMillis = 25L)
+    try {
+      val dyn = new DynamicProperty(EngineProperties.ProcessingRate,
+        EngineProperties.ProcessingRate.default)
+      supplier.bind(dyn)
+      assert(dyn.value == 100L)
+      // a typo'd edit to a live file must NOT flip the running pipeline to
+      // the default (here: -1 = unlimited — the worst possible un-pause)
+      Files.writeString(f, "decaton.processing.rate.per.partition=1oo\n")
+      val d1 = System.currentTimeMillis() + 5000
+      while (supplier.get(EngineProperties.ProcessingRate).nonEmpty &&
+        System.currentTimeMillis() < d1) Thread.sleep(20)
+      assert(supplier.get(EngineProperties.ProcessingRate).isEmpty,
+        "malformed raw must read as unset through get()")
+      assert(dyn.value == 100L,
+        "unparseable update must keep last-good, not revert to the default")
+      assert(supplier.validateAll(Seq(EngineProperties.ProcessingRate))
+        .exists(_.contains("1oo")), "bad raw must be reported")
+      // a LATER removal of the (previously supplied) key still reverts
+      Files.writeString(f, "# removed\n")
+      val d2 = System.currentTimeMillis() + 5000
+      while (dyn.value == 100L && System.currentTimeMillis() < d2) Thread.sleep(20)
+      assert(dyn.value == EngineProperties.ProcessingRate.default,
+        "removal after a malformed interlude must still revert to default")
+    } finally supplier.close()
+  }
+
+  test("map supplier coerces numerics; un-coercible values are unset and reported") {
+    val s = new MapPropertySupplier(Map(
+      "decaton.commit.interval.ms" -> 2000, // Int for a Long property
+      "decaton.max.pending.records" -> 500L, // in-range Long for an Int property
+      "decaton.retry.backoff.ms" -> "250", // numeric string for a Long
+      "decaton.partition.concurrency" -> "four", // un-parseable
+      "decaton.unknown.knob" -> 1))
+    assert(s.get(EngineProperties.CommitIntervalMs).contains(2000L),
+      "Int must widen to Long instead of CCE-ing at validate")
+    assert(s.get(EngineProperties.MaxPendingRecords).contains(500))
+    assert(s.get(EngineProperties.RetryBackoffMs).contains(250L))
+    assert(s.get(EngineProperties.PartitionConcurrency).isEmpty,
+      "un-coercible value must behave as unset")
+    val props = new Properties(Seq(s))
+    assert(props.resolve(EngineProperties.PartitionConcurrency) ==
+      EngineProperties.PartitionConcurrency.default,
+      "resolve must fall back to the default, never throw ClassCastException")
+    val msgs = s.validateAll(Seq(EngineProperties.CommitIntervalMs,
+      EngineProperties.MaxPendingRecords, EngineProperties.RetryBackoffMs,
+      EngineProperties.PartitionConcurrency))
+    assert(msgs.exists(_.contains("four")), s"un-coercible unreported: $msgs")
+    assert(msgs.exists(_.contains("decaton.unknown.knob")), s"unknown key unreported: $msgs")
+    // out-of-Int-range Long: unset, reported — never a silent wrap
+    val big = new MapPropertySupplier(
+      Map("decaton.max.pending.records" -> (Int.MaxValue.toLong + 1L)))
+    assert(big.get(EngineProperties.MaxPendingRecords).isEmpty)
+    assert(big.validateAll(Seq(EngineProperties.MaxPendingRecords)).nonEmpty)
+  }
+
+  test("a throwing listener is logged to stderr, not silently discarded") {
+    val dyn = new DynamicProperty(EngineProperties.ProcessingRate, 1L)
+    dyn.onChange((_, _) => throw new RuntimeException("boom-listener"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val old = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try dyn.set(2L)
+    finally System.setErr(old)
+    assert(dyn.value == 2L)
+    assert(buf.toString.contains("boom-listener"),
+      "the only diagnostic a buggy listener emits must reach the log")
+  }
+
   test("a throwing listener does not skip later-registered listeners") {
     val dyn = new DynamicProperty(EngineProperties.ProcessingRate, 1L)
     @volatile var secondFired = false

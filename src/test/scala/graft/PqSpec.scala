@@ -366,6 +366,33 @@ class PqSpec extends SparkTestBase {
     assert(mrr > 0.0 && mrr <= 1.0, s"PQ mrr out of range: $mrr")
   }
 
+  test("band-signature carries: expression carries resolve, reserved-name collisions are rejected") {
+    val cb = Pq.syntheticCodebooks(m, kCodes, 8)
+    val df = emb.limit(20)
+    // an UNALIASED expression carry must still resolve downstream (the
+    // synthetic __carry_0 stable name is aliased into the first select)
+    val unaliased = Pq.codeBandSignatures(df, col("vec_id"), col("embedding"),
+      cb, bands = 2, carry = Seq(col("vec_id") + 1000L))
+    assert(unaliased.columns.toSeq == Seq("id", "__carry_0", "band", "band_sig"))
+    assert(unaliased.filter(col("__carry_0") =!= col("id") + 1000L).count() == 0)
+    // an aliased carry keeps its alias and its values
+    val aliased = Pq.codeBandSignatures(df, col("vec_id"), col("embedding"),
+      cb, bands = 2, carry = Seq((col("vec_id") * 2).as("evt")))
+    assert(aliased.columns.toSeq == Seq("id", "evt", "band", "band_sig"))
+    // a carry colliding with a reserved output name must fail LOUDLY — it
+    // would otherwise clobber the code vector before banding
+    for (bad <- Seq("id", "codes", "band", "band_sig")) {
+      val e = intercept[IllegalArgumentException](
+        Pq.codeBandSignatures(df, col("vec_id"), col("embedding"),
+          cb, bands = 2, carry = Seq(lit(1).as(bad))))
+      assert(e.getMessage.contains(bad), s"collision '$bad' not named: ${e.getMessage}")
+    }
+    // duplicate stable names across carries are rejected too
+    intercept[IllegalArgumentException](
+      Pq.codeBandSignatures(df, col("vec_id"), col("embedding"),
+        cb, bands = 2, carry = Seq(lit(1).as("x"), lit(2).as("x"))))
+  }
+
   test("train keeps an emptied centroid in place instead of dropping it") {
     // 2 clusters of data but k=4 codebook: at least two centroids lose all
     // members in round one; the codebook must keep its k entries
