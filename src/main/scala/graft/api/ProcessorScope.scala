@@ -13,6 +13,16 @@ import java.util.concurrent.atomic.AtomicInteger
   * and the row-closure. [[ScopedSupplier]] reproduces the contract so
   * stateful user processors (connection pools, caches) land at the right
   * granularity.
+  *
+  * TEARDOWN mirrors the reference's `Processors.destroyBySupplier` →
+  * `DecatonProcessor.close()` on partition revoke / subscription shutdown
+  * (`Processors.java:100-130`, parallel teardown
+  * `PartitionContexts.destroyProcessors:315-326`): a Partition-scoped
+  * instance implementing `AutoCloseable` closes when its task ends
+  * (success or failure — the partition-revoke analog), a Singleton closes
+  * at executor stop (JVM shutdown hook, or [[ScopedSupplier
+  * .closeSingletons]] explicitly), and a Provided instance is caller-owned
+  * and never closed by the engine (`ProcessorScope.java:24-45`).
   */
 sealed trait ProcessorScope
 object ProcessorScope {
@@ -57,13 +67,27 @@ final class ScopedSupplier[P <: AnyRef] private (
   // per-JVM)
   private val supplierId: String = java.util.UUID.randomUUID().toString
 
-  /** Get the instance for the current partition invocation. */
-  def get(partitionId: Int): P = scope match {
+  /** Get the instance for the current partition-task invocation.
+    *
+    * A Partition-scoped `AutoCloseable` instance is closed EXACTLY ONCE at
+    * the end of the running task — including task failure — via the task
+    * completion listener (Spark's partition-revoke boundary); a pooled
+    * processor cannot leak its pool at task end. Outside a running task
+    * (driver-side use) the caller owns closing the returned instance.
+    * Singleton instances close at JVM shutdown / [[ScopedSupplier
+    * .closeSingletons]]; Provided instances are never closed by the engine.
+    */
+  def get(): P = scope match {
     case ProcessorScope.Provided => providedInstance.get
     case ProcessorScope.Singleton =>
       ScopedSupplier.jvmSingletons
         .computeIfAbsent(supplierId, _ => factory()).asInstanceOf[P]
-    case ProcessorScope.Partition => factory()
+    case ProcessorScope.Partition =>
+      val p = factory()
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null)
+        tc.addTaskCompletionListener[Unit](_ => ScopedSupplier.closeQuietly(p))
+      p
   }
 }
 
@@ -77,6 +101,38 @@ object ScopedSupplier {
 
   /** Executor-JVM-wide singleton instances, keyed by supplier identity. */
   private val jvmSingletons = new ConcurrentHashMap[String, AnyRef]()
+
+  // executor stop = subscription shutdown: close surviving singletons at
+  // JVM exit (the reference closes scoped processors when the subscription
+  // shuts down — Processors.java:100-130)
+  Runtime.getRuntime.addShutdownHook(
+    new Thread(() => closeSingletons(), "graft-scope-teardown"))
+
+  /** Close and forget every JVM-singleton instance — the executor-stop /
+    * subscription-shutdown teardown, also callable explicitly (tests,
+    * embedded runtimes). Exactly-once per instance even under concurrent
+    * calls: the map entry is atomically removed before its close() runs.
+    */
+  def closeSingletons(): Unit =
+    jvmSingletons.keySet().forEach { k =>
+      val v = jvmSingletons.remove(k)
+      if (v != null) closeQuietly(v)
+    }
+
+  /** `close()` an `AutoCloseable` instance, logging (never propagating) a
+    * close-time failure — teardown of one processor must not fail the task
+    * or skip the teardown of others, the reference's destroyProcessors
+    * error posture. Non-closeable instances are a no-op.
+    */
+  private[api] def closeQuietly(p: AnyRef): Unit = p match {
+    case c: AutoCloseable =>
+      try c.close()
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft-scope] processor close() threw: $e")
+      }
+    case _ => ()
+  }
 
   /** Executor-JVM-wide instance counter keyed by name — lets tests (and
     * metrics) observe how many instances each scope actually created,

@@ -8,6 +8,30 @@ import graft.api.{ProcessorScope, ScopedSupplier}
 import graft.core.MetaCodec
 import graft.sources.TaskWriter
 
+/** Executor-JVM-static teardown observability: local[*] tests share the JVM,
+  * so the spec reads what the task-side listeners did. Top-level (not inner)
+  * classes — an inner pool would drag the non-serializable spec into the
+  * closure.
+  */
+private object ScopeTeardownCounters {
+  val created = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closed = new java.util.concurrent.atomic.AtomicInteger(0)
+  val doubleClosed = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(): Unit = { created.set(0); closed.set(0); doubleClosed.set(0) }
+}
+
+private class CountingPool extends AutoCloseable with Serializable {
+  ScopeTeardownCounters.created.incrementAndGet()
+  private val closedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  override def close(): Unit =
+    if (closedOnce.compareAndSet(false, true)) ScopeTeardownCounters.closed.incrementAndGet()
+    else ScopeTeardownCounters.doubleClosed.incrementAndGet()
+}
+
+private class ThrowingPool extends AutoCloseable with Serializable {
+  override def close(): Unit = throw new IllegalStateException("close-boom")
+}
+
 class ScopeAndWriterSpec extends SparkTestBase {
 
   test("partition scope creates one instance per partition task; singleton one per JVM (T3)") {
@@ -19,8 +43,7 @@ class ScopeAndWriterSpec extends SparkTestBase {
       () => { ScopedSupplier.countInstance("single"); new Object })
     val df = spark.range(100).repartition(5)
     df.mapPartitions { it =>
-      val p = org.apache.spark.TaskContext.getPartitionId()
-      val a = perPart.get(p); val b = single.get(p)
+      val a = perPart.get(); val b = single.get()
       Iterator.single(it.size)
     }.collect()
     assert(ScopedSupplier.instanceCounts.get("part").get() == 5)
@@ -33,16 +56,96 @@ class ScopeAndWriterSpec extends SparkTestBase {
     ScopedSupplier.instanceCounts.clear()
     val mine = new java.util.concurrent.atomic.AtomicLong(42L) // caller-built state
     val sup = ScopedSupplier.provided(mine)
-    assert(sup.get(0) eq mine, "driver-side get must return the caller's exact instance")
+    assert(sup.get() eq mine, "driver-side get must return the caller's exact instance")
     import spark.implicits._
     val seen = spark.range(20).repartition(4).mapPartitions { it =>
-      Iterator.single(sup.get(org.apache.spark.TaskContext.getPartitionId()).get())
+      Iterator.single(sup.get().get())
     }.collect()
     assert(seen.forall(_ == 42L), "executors must see the caller's (deserialized) instance")
     // factory form must refuse the Provided scope
     intercept[IllegalArgumentException] {
       new ScopedSupplier(ProcessorScope.Provided, () => new Object)
     }
+  }
+
+  test("Partition-scoped AutoCloseable processors close exactly once at task end (T3 teardown)") {
+    import spark.implicits._
+    ScopeTeardownCounters.reset()
+    val sup = new ScopedSupplier(ProcessorScope.Partition, () => new CountingPool)
+    spark.range(60).repartition(6).mapPartitions { it =>
+      val p = sup.get() // pool lives for the whole partition invocation
+      Iterator.single(it.size)
+    }.collect()
+    assert(ScopeTeardownCounters.created.get() == 6)
+    assert(ScopeTeardownCounters.closed.get() == 6,
+      "every partition-scoped pool must close at its task's end")
+    assert(ScopeTeardownCounters.doubleClosed.get() == 0)
+  }
+
+  test("Partition-scope teardown runs on task FAILURE too (partition-revoke analog)") {
+    import spark.implicits._
+    ScopeTeardownCounters.reset()
+    val sup = new ScopedSupplier(ProcessorScope.Partition, () => new CountingPool)
+    intercept[org.apache.spark.SparkException] {
+      spark.range(20).repartition(4).mapPartitions { it =>
+        val p = sup.get()
+        if (org.apache.spark.TaskContext.getPartitionId() == 0)
+          throw new RuntimeException("processor blew up")
+        it.map(_.longValue())
+      }.collect()
+    }
+    // concurrent sibling tasks may be killed as the job fails; their
+    // completion listeners still run — poll until every created pool closed
+    val deadline = System.currentTimeMillis() + 5000
+    while (ScopeTeardownCounters.closed.get() != ScopeTeardownCounters.created.get() &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    assert(ScopeTeardownCounters.created.get() > 0)
+    assert(ScopeTeardownCounters.closed.get() == ScopeTeardownCounters.created.get(),
+      "a failing task must still close its pool — that's the leak the hook exists for")
+    assert(ScopeTeardownCounters.doubleClosed.get() == 0)
+  }
+
+  test("Singleton closes at executor stop (closeSingletons), exactly once, idempotent") {
+    import spark.implicits._
+    ScopeTeardownCounters.reset()
+    val sup = new ScopedSupplier(ProcessorScope.Singleton, () => new CountingPool)
+    spark.range(40).repartition(8).mapPartitions { it =>
+      sup.get(); Iterator.single(it.size)
+    }.collect()
+    assert(ScopeTeardownCounters.created.get() == 1)
+    assert(ScopeTeardownCounters.closed.get() == 0,
+      "the subscription singleton must SURVIVE task end")
+    ScopedSupplier.closeSingletons()
+    assert(ScopeTeardownCounters.closed.get() == 1)
+    ScopedSupplier.closeSingletons() // idempotent — no double close
+    assert(ScopeTeardownCounters.closed.get() == 1 &&
+      ScopeTeardownCounters.doubleClosed.get() == 0)
+    // a fresh get() after teardown rebuilds (new subscription analog)
+    assert(sup.get() ne null)
+    assert(ScopeTeardownCounters.created.get() == 2)
+    ScopedSupplier.closeSingletons()
+  }
+
+  test("Provided instances are caller-owned: the engine NEVER closes them") {
+    import spark.implicits._
+    ScopeTeardownCounters.reset()
+    val mine = new CountingPool
+    val sup = ScopedSupplier.provided(mine)
+    spark.range(20).repartition(4).mapPartitions { it =>
+      sup.get(); Iterator.single(it.size)
+    }.collect()
+    ScopedSupplier.closeSingletons()
+    assert(ScopeTeardownCounters.closed.get() == 0,
+      "Provided scope: close is the caller's job (ProcessorScope.java:24-45)")
+  }
+
+  test("a throwing close() is logged, never fails the task or skips siblings") {
+    import spark.implicits._
+    val sup = new ScopedSupplier(ProcessorScope.Partition, () => new ThrowingPool)
+    val out = spark.range(10).repartition(2).mapPartitions { it =>
+      sup.get(); Iterator.single(it.size)
+    }.collect()
+    assert(out.sum == 10, "teardown failure must not fail the data path")
   }
 
   test("TaskWriter produces the Kafka sink shape with a decodable dt_meta header (S3)") {
