@@ -124,7 +124,8 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
     * null-key stream can't pin one worker; here they scatter by a synthetic
     * spread key instead of all hashing to the null partition.
     */
-  def orderedPerKey(numPartitions: Int): TaskPipeline[T] =
+  def orderedPerKey(numPartitions: Int): TaskPipeline[T] = {
+    require(numPartitions > 0, s"numPartitions must be positive, got $numPartitions")
     thenTransform { ds =>
       val spread = when(col("key").isNull || length(col("key")) === 0,
         pmod(monotonically_increasing_id(), lit(numPartitions)).cast("string").cast("binary"))
@@ -135,6 +136,7 @@ final class TaskPipeline[T](val tasks: Dataset[Task[T]])(implicit val enc: Encod
         .as[Task[T]](enc)
         .sortWithinPartitions(col("key"), col("metadata.timestampMillis"))
     }
+  }
 }
 
 object TaskPipeline {
@@ -153,10 +155,26 @@ object TaskPipeline {
   /** Entry point mirroring `ProcessorsBuilder.consuming(topic, extractor)`.
     * `records` must have the ConsumedRecord column shape (Kafka source schema
     * or the batch surrogate from [[graft.sources.TaskSource]]).
+    *
+    * A record the extractor CANNOT parse is poison, not fatal: it is logged
+    * with its (topic, partition, offset) coordinates and dropped, and its
+    * offset completes with the batch — the reference catches extraction
+    * errors, completes the offset and counts the record instead of crashing
+    * the subscription (E2; `ProcessPipeline.extract` error handling). One
+    * corrupt record among 100 TB must not kill the job. Fatal JVM errors
+    * still propagate.
     */
   def consuming[T](records: Dataset[ConsumedRecord], extractor: TaskExtractor[T])(
       implicit enc: Encoder[Task[T]]): TaskPipeline[T] =
-    new TaskPipeline(records.mapPartitions(_.map(extractor.extract)))
+    new TaskPipeline(records.mapPartitions(_.flatMap { r =>
+      try Iterator.single(extractor.extract(r))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[graft-pipeline] poison record dropped at ${r.topic}/${r.partition}@${r.offset}: $e")
+          Iterator.empty
+      }
+    }))
 }
 
 /** Result of a tri-state processing stage: split views over one tagged pass.
@@ -179,7 +197,11 @@ final class ProcessedStreams[T, U](tagged: Dataset[(Int, Task[U], Task[T])]) {
     * `tasks.discarded` / `tasks.error` metrics family (`ProcessPipeline
     * .java:79-91,145-184` increments; metrics doc `docs/monitoring.adoc`).
     * One aggregation pass; call per micro-batch inside foreachBatch for
-    * streaming metrics.
+    * streaming metrics. Keys are exactly the [[TaskPipeline.stateName]]
+    * values ("processed" | "retry" | "discard" | "error") — the same strings
+    * [[dispositions]], tracing spans and [[graft.metrics.TaskMetrics]]
+    * consume, so accounting built on one surface joins against the other
+    * without a silent key mismatch.
     */
   def counts: Map[String, Long] = {
     implicit val ie: org.apache.spark.sql.Encoder[Int] = Encoders.scalaInt
@@ -187,7 +209,7 @@ final class ProcessedStreams[T, U](tagged: Dataset[(Int, Task[U], Task[T])]) {
     Map(
       "processed" -> byTag.getOrElse(TagProcessed, 0L),
       "retry" -> byTag.getOrElse(TagRetry, 0L),
-      "discarded" -> byTag.getOrElse(TagDiscard, 0L),
+      "discard" -> byTag.getOrElse(TagDiscard, 0L),
       "error" -> byTag.getOrElse(TagError, 0L))
   }
 

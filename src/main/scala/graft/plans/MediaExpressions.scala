@@ -33,9 +33,15 @@ case class MediaFrameFingerprint(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"media_frame_fp needs a string frame, got ${child.dataType.catalogString}")
 
+  // one digest per (deserialized) expression copy = per task, not per ROW:
+  // getInstance's provider lookup was 60×-amortized but still per-row (the
+  // Md5HashedText caching rule; same per-task mutable-state safety argument)
+  @transient private var mdCache: MessageDigest = _
+
   override def nullSafeEval(input: Any): Any = {
     val fs = input.asInstanceOf[UTF8String]
-    val md = MessageDigest.getInstance("MD5")
+    if (mdCache == null) mdCache = MessageDigest.getInstance("MD5")
+    val md = mdCache
     var acc = 0L
     var j = 0
     while (j < Regions) {
@@ -85,17 +91,24 @@ case class CompressionRatioPm(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"compression_ratio_pm needs a string, got ${child.dataType.catalogString}")
 
+  // per-task Deflater, reset() between rows: constructing (and end()-ing)
+  // a native zlib stream per ROW dominated the scoring cost; the instance
+  // is per deserialized expression copy = per task, so no cross-thread
+  // sharing. Native memory is reclaimed by the finalizer at task GC — the
+  // standard per-task-native-resource posture.
+  @transient private var deflater: java.util.zip.Deflater = _
+
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    val d = new java.util.zip.Deflater(6)
-    try {
-      d.setInput(bytes)
-      d.finish()
-      val out = new Array[Byte](256)
-      var total = 0L
-      while (!d.finished()) total += d.deflate(out)
-      total * 1000L / math.max(bytes.length, 1)
-    } finally d.end()
+    if (deflater == null) deflater = new java.util.zip.Deflater(6)
+    val d = deflater
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val out = new Array[Byte](256)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(out)
+    total * 1000L / math.max(bytes.length, 1)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

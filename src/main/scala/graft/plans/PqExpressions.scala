@@ -52,6 +52,12 @@ case class PqEncodeExpr(child: Expression, cb: Seq[Seq[Seq[Double]]])
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // fail fast on a dimension mismatch (MatVecExpr's rule): silently
+    // encoding a truncated or over-long vector against the codebook would
+    // emit plausible-looking but wrong codes and poison every downstream
+    // ADC score — one corrupt row must fail loudly, not pass quietly
+    require(n == m * w,
+      s"pq_encode: vector has $n dims but the codebook expects ${m * w} ($m subspaces × $w)")
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
@@ -64,7 +70,7 @@ case class PqEncodeExpr(child: Expression, cb: Seq[Seq[Seq[Double]]])
       val base = s * w
       var svv = 0.0
       var j = 0
-      while (j < w && base + j < n) { val x = v(base + j); svv += x * x; j += 1 }
+      while (j < w) { val x = v(base + j); svv += x * x; j += 1 }
       var best = -1
       var bestD = 0.0
       var c = 0
@@ -72,7 +78,7 @@ case class PqEncodeExpr(child: Expression, cb: Seq[Seq[Seq[Double]]])
         val cv = cents(s)(c)
         var dot = 0.0
         j = 0
-        while (j < w && base + j < n) { dot += v(base + j) * cv(j); j += 1 }
+        while (j < w) { dot += v(base + j) * cv(j); j += 1 }
         val d2 = svv - 2.0 * dot + cnorm(s)(c)
         if (best < 0 || d2 < bestD) { best = c; bestD = d2 }
         c += 1

@@ -57,7 +57,7 @@ class OperatorEdgeSpec extends SparkTestBase {
         case _ => ProcessResult.Processed(t.value)
       }
     })
-    assert(p.counts == Map("processed" -> 25L, "retry" -> 25L, "discarded" -> 25L, "error" -> 25L))
+    assert(p.counts == Map("processed" -> 25L, "retry" -> 25L, "discard" -> 25L, "error" -> 25L))
   }
 
   test("rate limiter trigger math (C2): -1 unlimited, 0 pause, positive bounded") {

@@ -393,6 +393,19 @@ class PqSpec extends SparkTestBase {
         cb, bands = 2, carry = Seq(lit(1).as("x"), lit(2).as("x"))))
   }
 
+  test("pq_encode fails loudly on a dimension-mismatched vector (no silent truncation)") {
+    import spark.implicits._
+    val cb = Pq.syntheticCodebooks(m, kCodes, 8) // expects m*8 = 64 dims
+    val bad = Seq((1L, Array.fill(63)(0.1f))).toDF("vec_id", "embedding")
+    val e = intercept[Throwable] {
+      Pq.encode(bad, col("vec_id"), col("embedding"), cb).collect()
+    }
+    def chain(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ chain(t.getCause)
+    assert(chain(e).exists(_.contains("63 dims")),
+      s"mismatch must name the dimensions, got: ${chain(e)}")
+  }
+
   test("train keeps an emptied centroid in place instead of dropping it") {
     // 2 clusters of data but k=4 codebook: at least two centroids lose all
     // members in round one; the codebook must keep its k entries

@@ -24,6 +24,26 @@ class TaskPipelineSpec extends SparkTestBase {
     assert(pipeline().tasks.count() == Tables.events(spark, sfDir).count())
   }
 
+  test("a throwing extractor is poison-discard, not job-fatal (E2 on the SPI path)") {
+    import spark.implicits._
+    val records = TaskSource.fromEvents(spark, sfDir)
+    val total = records.count()
+    val poisoned = TaskPipeline.consuming(records, new TaskExtractor[String] {
+      def extract(r: ConsumedRecord): Task[String] = {
+        // every key ending in 7 is "corrupt wire format"
+        if (new String(r.key, "UTF-8").endsWith("7"))
+          throw new IllegalArgumentException("unparseable payload")
+        Task(TaskMetadata(timestampMillis = r.timestampMillis), r.key,
+          new String(r.value, "UTF-8"))
+      }
+    })
+    val corrupt = records.filter(r => new String(r.key, "UTF-8").endsWith("7")).count()
+    assert(corrupt > 0, "fixture should contain keys ending in 7")
+    // one corrupt record must not kill the job; the rest extract normally
+    assert(poisoned.tasks.count() == total - corrupt)
+    assert(poisoned.tasks.filter(t => new String(t.key, "UTF-8").endsWith("7")).count() == 0)
+  }
+
   test("blockKeys drops exactly the ignored keys and nothing else") {
     import spark.implicits._
     val all = pipeline()
