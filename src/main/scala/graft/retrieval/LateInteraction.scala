@@ -43,12 +43,21 @@ object LateInteraction {
     val c = frames.select(col(idCol).as("nbr_id"), col(vecCol).as("cv"))
     val q = broadcast(queryFrames.select(col(idCol).as("query_id"),
       col(frameCol).as("qf"), col(vecCol).as("qv")))
-    val pairs = c.join(q, col("query_id") =!= col("nbr_id"))
     val restricted = candidates match {
-      case Some(cand) => pairs.join(
-        cand.select(col("query_id"), col("nbr_id")).distinct(),
-        Seq("query_id", "nbr_id"), "left_semi")
-      case None => pairs
+      case Some(cand) =>
+        // candidate sets are ANN survivors (queries × k — kilobytes), so the
+        // corpus-side SCAN shrinks first: only frames of candidate documents
+        // reach the cross join at all (a semi join spanning both join sides
+        // cannot be pushed below the join by Catalyst, so without this the
+        // full |corpus frames| × |query frames| pair space materializes just
+        // to be filtered). The pair-level semi join then enforces the exact
+        // (query, doc) pairs — the PLAID refinement shape.
+        val candPairs = cand.select(col("query_id"), col("nbr_id")).distinct()
+        c.join(broadcast(candPairs.select(col("nbr_id")).distinct()),
+            Seq("nbr_id"), "left_semi")
+          .join(q, col("query_id") =!= col("nbr_id"))
+          .join(broadcast(candPairs), Seq("query_id", "nbr_id"), "left_semi")
+      case None => c.join(q, col("query_id") =!= col("nbr_id"))
     }
     val perQf = restricted
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))

@@ -88,14 +88,20 @@ final class ProcessOrdering extends ProcessingGuarantee {
     var prev = Int.MinValue
     val seenSoFar = scala.collection.mutable.Set[Int]()
     list.asScala.foreach { id =>
-      val ord = prodIdx.getOrElse(id, Int.MaxValue)
-      if (ord < prev && !seenSoFar.contains(ord))
-        throw new AssertionError(
-          s"ordering violated for $key: task $id (production index $ord) observed " +
-            s"after index $prev without $id having been processed before — a replay " +
-            "may only restart from already-seen work")
-      seenSoFar += ord
-      prev = ord
+      prodIdx.get(id) match {
+        // processed-but-never-produced: at-least-once's business, and
+        // TRANSPARENT here — assigning it a sentinel index would poison the
+        // next real comparison into a false violation
+        case None => ()
+        case Some(ord) =>
+          if (ord < prev && !seenSoFar.contains(ord))
+            throw new AssertionError(
+              s"ordering violated for $key: task $id (production index $ord) observed " +
+                s"after index $prev without $id having been processed before — a replay " +
+                "may only restart from already-seen work")
+          seenSoFar += ord
+          prev = ord
+      }
     }
   }
 }
@@ -309,9 +315,13 @@ object GuaranteeSuite {
     new GuaranteeSuite(id)
   }
 
-  /** Spin-sleep ~50 µs: widens the same-key race window so a concurrency bug
-    * that exists is actually observed (the reference's processors do real
-    * work per task; a no-op processor would close the window).
+  /** Park ~50 µs: widens the same-key race window so a concurrency bug that
+    * exists is actually observed (the reference's processors do real work
+    * per task; a no-op processor would close the window). parkNanos, not
+    * `Thread.sleep(0, nanos)` — the JDK rounds any sub-millisecond sleep UP
+    * to a full millisecond, which made every chaos run serialize a hidden
+    * 1 ms per task.
     */
-  def raceWindow(): Unit = Thread.sleep(0, 50000)
+  def raceWindow(): Unit =
+    java.util.concurrent.locks.LockSupport.parkNanos(50000L)
 }

@@ -46,6 +46,16 @@ class GuaranteeSpec extends SparkTestBase {
       val e = intercept[AssertionError](bad.doAssert())
       assert(e.getMessage.contains("ordering violated"))
     }
+    // a processed-but-never-produced id is TRANSPARENT to ordering (it is
+    // at-least-once's business) — it must not poison the next comparison
+    // into a false violation
+    locally {
+      val g = new ProcessOrdering
+      Seq(1L, 2L).foreach(g.onProduce("k", _))
+      // ghost 99 between 1 and 2: legal sequence, the ghost carries no index
+      Seq(1L, 99L, 2L).foreach(g.onProcessStart("k", _))
+      g.doAssert()
+    }
     // same-key overlap → serial trips; distinct keys do not
     locally {
       val g = new SerialProcessing
