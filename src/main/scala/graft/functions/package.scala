@@ -125,6 +125,16 @@ package object functions {
     toColumn(graft.plans.BottomKDistinctAgg(
       toExpr(v.cast("long")), k).toAggregateExpression())
 
+  /** HLL distinct-count sketch over 60-bit portable hashes in ONE
+    * aggregation → struct(zero_regs, harmonic, est) — output-identical to
+    * [[graft.quality.CorpusStats.hllDistinct]]'s two-stage relational form,
+    * but state-store-friendly (one m-byte buffer per group, element-max
+    * merge) so it runs under a streaming windowed aggregation.
+    */
+  def hll_sketch(hash: Column, m: Int): Column =
+    toColumn(graft.plans.HllSketchAgg(
+      toExpr(hash.cast("long")), m).toAggregateExpression())
+
   /** Bounded collect: up to `cap` longs, null once a group exceeds it —
     * the O(cap)-buffer form of collect-then-filter for DF-cutoff posting
     * lists (element order is partition-dependent).

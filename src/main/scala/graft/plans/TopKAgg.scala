@@ -205,6 +205,107 @@ object CappedCollectLongsAgg {
   }
 }
 
+/** Aggregate `hll_sketch(h, m)` over 60-bit portable hashes →
+  * `struct(zero_regs int, harmonic bigint, est bigint)` — the single-pass
+  * aggregate form of [[graft.quality.CorpusStats.hllDistinct]]'s relational
+  * register pipeline, OUTPUT-IDENTICAL by construction: the buffer is the
+  * dense m-register array (`M_j = max rho`), `harmonic` is the same exact
+  * integer `Σ_pop 2^(width+1-M_j) + zero_regs·2^(width+1)` (dyadic terms —
+  * no float error, no order dependence), and `est` replays the identical
+  * literal-double arithmetic `(α_m · m²·2^(width+1)) / harmonic` in the
+  * same association order. What the single-agg form buys: ONE stateful
+  * aggregation instead of two chained group-bys, which is what Structured
+  * Streaming's windowed aggregation needs — the m-byte buffer rides the
+  * state store per (window, group) and merges by element max.
+  *
+  * Null inputs are ignored (null keys carry no distinct-count signal, the
+  * hllRegisters rule). Inputs MUST be 60-bit non-negative hashes
+  * ([[graft.functions.TextFunctions.portable_hash]]); rho is computed from
+  * the high `60 - log2(m)` bits exactly as the relational form.
+  */
+case class HllSketchAgg(
+    child: Expression,
+    m: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Byte]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(m >= 16 && (m & (m - 1)) == 0 && m <= 65536,
+    s"m=$m: register count must be a power of two in [16, 65536]")
+
+  private val bits = java.lang.Integer.numberOfTrailingZeros(m)
+  private val width = 60 - bits
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      val j = (h & (m - 1)).toInt
+      val w = h >>> bits
+      // rho = 1-based position of the leftmost 1-bit in the width-bit
+      // suffix; width+1 when all zeros — bitlen(w) = 64 - nlz(w), so this
+      // equals the relational `width+1 - length(bin(w))` exactly
+      val rho =
+        if (w == 0L) width + 1
+        else width + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (rho > buf(j)) buf(j) = rho.toByte // rho <= width+1 <= 57: fits a byte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    var populated = 0
+    var hpop = 0L
+    var i = 0
+    while (i < m) {
+      val mj = buf(i)
+      if (mj > 0) { populated += 1; hpop += 1L << (width + 1 - mj) }
+      i += 1
+    }
+    val zeroRegs = m - populated
+    val harmonic = hpop + zeroRegs.toLong * (1L << (width + 1))
+    // EXACTLY hllDistinct's literal arithmetic and association order —
+    // alpha tabulated below m=128 (Flajolet et al. §4), asymptotic above;
+    // the only float ops are literal-constant arithmetic and one
+    // double/int64 division, IEEE-identical across engines
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m.toDouble)
+    }
+    val scale = (m.toDouble * m.toDouble) * math.pow(2.0, (width + 1).toDouble)
+    val est = math.floor(alpha * scale / harmonic.toDouble).toLong
+    InternalRow(zeroRegs, harmonic, est)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("zero_regs", IntegerType, nullable = false),
+    StructField("harmonic", LongType, nullable = false),
+    StructField("est", LongType, nullable = false)))
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_sketch"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+    copy(child = newChild)
+}
+
 /** Aggregate `bottom_k_distinct(v, k)` → array<long>: the `k` SMALLEST
   * DISTINCT long values, ascending — the KMV ("k minimum values")
   * distinct-value sketch buffer (Bar-Yossef et al. 2002). Distinctness is

@@ -800,6 +800,65 @@ object DecatonQueries {
                CAST(sum(user_id) AS BIGINT) AS sum_uid,
                CAST(sum(strlen(props)) AS BIGINT) AS sum_props_len
         FROM events GROUP BY event_type
+      """)),
+
+    // ---- windowed distinct-count SKETCHES (StreamOps.windowedDistinctSketch;
+    // withWatermark is a no-op in batch): per (hour, event_type) the HLL
+    // register summary (zero_regs / integer-dyadic harmonic / raw Flajolet
+    // estimate — pq81's math, now as ONE mergeable aggregation that rides
+    // the streaming state store) and the KMV bottom-64 summary (sketch
+    // cardinality + largest kept hash). Every column is an exact integer or
+    // a replayed literal-double division, so the oracle recomputes the
+    // whole path: register max-rho per (window, group, j), closed-form
+    // empty-register harmonic, and the rank-64 distinct-hash cutoff.
+    // StreamingPipelineSpec proves live ≡ batch across restarts (the
+    // sketch buffers serialize through the state store).
+    Q(
+      "dq24_windowed_distinct_sketch",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        graft.streaming.StreamOps.windowedDistinctSketch(
+            e, col("event_type"), col("user_id").cast("string"), col("ts"),
+            windowDur = "1 hour", watermarkDelay = "10 minutes", m = 256, k = 64)
+          .withColumnRenamed("group", "event_type")
+      },
+      Some("""
+        WITH rw AS (
+          SELECT date_trunc('hour', ts) AS win_start, event_type,
+                 CAST(('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h
+          FROM events WHERE user_id IS NOT NULL),
+        regs AS (
+          SELECT win_start, event_type, h & 255 AS j,
+                 CASE WHEN (h >> 8) = 0 THEN 53
+                      ELSE 53 - length(bin(h >> 8)) END AS rho
+          FROM rw),
+        mj AS (SELECT win_start, event_type, j, max(rho) AS m_j
+               FROM regs GROUP BY 1, 2, 3),
+        agg AS (
+          SELECT win_start, event_type,
+                 CAST(256 - count(*) AS INT) AS zero_regs,
+                 CAST(sum(CAST(1 AS BIGINT) << CAST(53 - m_j AS INT)) AS BIGINT)
+                   + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS harmonic
+          FROM mj GROUP BY 1, 2),
+        hll AS (
+          SELECT win_start, event_type, zero_regs, harmonic,
+                 CAST(floor(
+                   ((CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)))
+                    * (CAST(65536.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)))
+                   / CAST(harmonic AS DOUBLE)) AS BIGINT) AS hll_est
+          FROM agg),
+        km AS (
+          SELECT win_start, event_type, h,
+                 row_number() OVER (PARTITION BY win_start, event_type ORDER BY h ASC) AS rn
+          FROM (SELECT DISTINCT win_start, event_type, h FROM rw)),
+        ks AS (
+          SELECT win_start, event_type,
+                 CAST(count(*) AS INT) AS kmv_size, max(h) AS kmv_kth
+          FROM km WHERE rn <= 64 GROUP BY 1, 2)
+        SELECT l.win_start, l.event_type, l.zero_regs, l.harmonic, l.hll_est,
+               k.kmv_size, k.kmv_kth
+        FROM hll l JOIN ks k
+          ON l.win_start = k.win_start AND l.event_type = k.event_type
       """))
   )
 }

@@ -69,6 +69,51 @@ object StreamOps {
   def quotaViolators(rates: DataFrame, quota: Long): DataFrame =
     rates.filter(col("n") >= quota).select(col("win"), col("key"), col("n"))
 
+  /** Windowed DISTINCT-COUNT sketches per (tumbling window, group): the
+    * streaming form of pq81/pq82's corpus sketches. Output per group:
+    * `win_start`, `group`, the HLL register summary (`zero_regs`,
+    * `harmonic`, `hll_est` — integer-exact, see
+    * [[graft.plans.HllSketchAgg]]) and the KMV bottom-k summary
+    * (`kmv_size`, `kmv_kth` — the sketch's cardinality and its largest
+    * kept hash, from which the standard (k−1)/U(k) estimate derives).
+    *
+    * Both sketches ride the state store as ONE aggregation: the HLL buffer
+    * is m bytes and merges by element max, the KMV buffer is O(k) longs and
+    * merges as an ordered set — per (window, group) state is fixed-width
+    * regardless of how many events the window sees, the property that
+    * replaces `approx_count_distinct`-style full-key state at 100 TB/day.
+    * Null keys are dropped up front (no distinct-count signal, the
+    * hllRegisters rule). In batch (`withWatermark` no-op) the same plan is
+    * the exact oracle-checkable form — dq24.
+    */
+  def windowedDistinctSketch(
+      df: DataFrame,
+      groupCol: Column,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      watermarkDelay: String,
+      m: Int = 256,
+      k: Int = 128): DataFrame = {
+    val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    graft.operators.Compaction.requireFreshNames(df, Seq(tsCol), Seq(tsName))
+    val h = graft.functions.TextFunctions.portable_hash(keyCol)
+    df.withColumn(tsName, tsCol)
+      .withWatermark(tsName, watermarkDelay)
+      .select(col(tsName), groupCol.as("group"), h.as("h"))
+      .filter(col("h").isNotNull)
+      .groupBy(window(col(tsName), windowDur).as("win"), col("group"))
+      .agg(
+        graft.functions.hll_sketch(col("h"), m).as("hll"),
+        graft.functions.bottom_k_distinct(col("h"), k).as("kmv"))
+      .select(col("win.start").as("win_start"), col("group"),
+        col("hll.zero_regs").as("zero_regs"),
+        col("hll.harmonic").as("harmonic"),
+        col("hll.est").as("hll_est"),
+        size(col("kmv")).as("kmv_size"),
+        element_at(col("kmv"), size(col("kmv"))).as("kmv_kth"))
+  }
+
   /** Streaming exact deduplication: first occurrence of each key set wins,
     * duplicates within the watermark horizon are dropped, and state for
     * expired event times is evicted — `dropDuplicatesWithinWatermark` is the

@@ -64,6 +64,26 @@ class HllSpec extends SparkTestBase {
     assert(harmonic < allEmpty && harmonic > zeroRegs.toLong * (1L << 53))
   }
 
+  test("the single-pass hll_sketch aggregate equals the relational hllDistinct, column for column") {
+    val d = Tables.documents(spark, sfDir)
+    for (mm <- Seq(64, 256)) {
+      val relational = CorpusStats.hllDistinct(d, col("source"), col("text"), m = mm)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      val agg = d
+        .select(col("source"),
+          graft.functions.TextFunctions.portable_hash(col("text")).as("h"))
+        .filter(col("h").isNotNull)
+        .groupBy(col("source"))
+        .agg(graft.functions.hll_sketch(col("h"), mm).as("s"))
+        .select(col("source"), col("s.zero_regs"), col("s.harmonic"), col("s.est"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+      assert(agg === relational,
+        s"m=$mm: the one-aggregation streaming form must be output-identical " +
+          "to the two-stage relational form (same registers, same integer " +
+          "harmonic, same literal-double estimate)")
+    }
+  }
+
   test("m must be a power of two in range") {
     val df = Seq(("g", "k")).toDF("g", "k")
     intercept[IllegalArgumentException] {

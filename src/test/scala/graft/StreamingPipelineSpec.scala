@@ -23,7 +23,10 @@ object StreamingPipelineSpec {
   // (doc_id, sample_bucket) for sampled docs; (doc_id, n_chunks) for chunking
   val sampled = new ConcurrentLinkedQueue[(Long, Long)]()
   val chunked = new ConcurrentLinkedQueue[(Long, Long)]()
-  def reset(): Unit = { sampled.clear(); chunked.clear() }
+  // closed windows emitted by the distinct-sketch query (append mode):
+  // (win_start_millis, group, zero_regs, harmonic, hll_est, kmv_size, kmv_kth)
+  val wds = new ConcurrentLinkedQueue[(Long, String, Int, Long, Long, Int, Long)]()
+  def reset(): Unit = { sampled.clear(); chunked.clear(); wds.clear() }
 }
 
 class StreamingPipelineSpec extends SparkTestBase {
@@ -82,6 +85,99 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(gotChunks === expectChunks, "per-doc chunk counts diverged from batch")
     // and the stream really was split into multiple micro-batches
     assert(docs.count() > 128, "corpus must span several triggers for this test to bite")
+  }
+
+  test("windowed distinct sketches over graft-kafka: live == batch across triggers AND a restart") {
+    import graft.streaming.StreamOps
+    import spark.implicits._
+
+    val root = Files.createTempDirectory("graft-kafka-wds").toString
+    BrokerLog.createTopic(root, "wds", 3)
+    val base = 1704067200000L // 2024-01-01T00:00:00Z, hour-aligned
+
+    def produce(rows: Seq[(Long, String, Long)]): Unit =
+      rows.foreach { case (u, t, ts) =>
+        BrokerLog.produce(root, "wds", math.floorMod(u, 3L).toInt,
+          BrokerLog.Record(u.toString.getBytes("UTF-8"), t.getBytes("UTF-8"), ts, Seq.empty))
+      }
+
+    // 3 hourly windows × 2 types; round B re-sends users 20-39 (duplicates
+    // must not inflate the DISTINCT sketches) and adds 40-59, plus one small
+    // 5-user window exercising the size<k KMV path. Every real window gets
+    // contributions from BOTH runs — its sketch state must survive the
+    // restart via the state store.
+    val roundA = for { h <- 0 until 3; u <- 0 until 40 } yield
+      (u.toLong, if (u % 2 == 0) "view" else "click", base + h * 3600000L + u * 1000L)
+    val roundB = (for { h <- 0 until 3; u <- 20 until 60 } yield
+      (u.toLong, if (u % 2 == 0) "view" else "click", base + h * 3600000L + u * 1000L + 500L)) ++
+      (0 until 5).map(u => (u.toLong, "view", base + 3 * 3600000L + u * 1000L))
+    // flush far in the future: advances the watermark past every real window
+    val flush = Seq((999L, "view", base + 20 * 3600000L))
+
+    val ckpt = Files.createTempDirectory("graft-kafka-wds-ckpt").toString
+    def mkQuery() = {
+      val src = spark.readStream.format("graft-kafka")
+        .option("root", root).option("subscribe", "wds")
+        .option("maxOffsetsPerTrigger", "48") // >= 3 triggers per run
+        .load()
+        .select(col("timestamp").as("ts"),
+          col("value").cast("string").as("etype"),
+          col("key").cast("string").as("uid"))
+      StreamOps.windowedDistinctSketch(src, col("etype"), col("uid"), col("ts"),
+          windowDur = "1 hour", watermarkDelay = "10 hours", m = 64, k = 16)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        // foreachBatch, not the memory sink: memory cannot recover from a
+        // checkpoint, and the restart is the point of this test. A replayed
+        // emission after restart lands twice in the queue; the set compare
+        // below absorbs it (append rows are deterministic).
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.collect().foreach(r => StreamingPipelineSpec.wds.add(
+            (r.getTimestamp(0).getTime, r.getString(1), r.getInt(2),
+              r.getLong(3), r.getLong(4), r.getInt(5), r.getLong(6))))
+          ()
+        }
+        .start()
+    }
+
+    StreamingPipelineSpec.wds.clear()
+    var q = mkQuery()
+    produce(roundA)
+    q.processAllAvailable()
+    val run1Batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop() // restart: partial sketches must reload from the state store
+    produce(roundB)
+    q = mkQuery()
+    produce(flush)
+    q.processAllAvailable()
+    val run2Batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(run1Batches >= 3 && run2Batches >= 2,
+      s"scenario must span several triggers, got $run1Batches + $run2Batches")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getLong(6))
+    val got = StreamingPipelineSpec.wds.asScala.toSet
+
+    // batch truth over the SAME rows; the flush event's own window never
+    // closes, so it is excluded from the expectation
+    val all = (roundA ++ roundB ++ flush).toDF("u", "etype", "tsm")
+      .select(col("etype"), col("u").cast("string").as("uid"),
+        timestamp_millis(col("tsm")).as("ts"))
+    val expect = StreamOps.windowedDistinctSketch(all, col("etype"), col("uid"),
+        col("ts"), "1 hour", "10 hours", m = 64, k = 16)
+      .filter(col("win_start") < timestamp_millis(lit(base + 10 * 3600000L)))
+      .collect().map(key).toSet
+
+    assert(got.nonEmpty && got === expect,
+      s"live sketches diverged from batch (live ${got.size}, batch ${expect.size})")
+    // sanity on the planted shapes: a full window saw 60 distinct users
+    // (> k=16, kth-cutoff path), the small window exactly 5 (size<k path)
+    val small = got.filter(_._1 == base + 3 * 3600000L)
+    assert(small.size == 1 && small.head._6 == 5,
+      "the 5-user window must take the exact size<k KMV path")
+    assert(got.exists(_._6 == 16), "a full window must hit the k-cutoff path")
   }
 
   test("streaming signature dedup and static-index flagging match their batch analogs") {
