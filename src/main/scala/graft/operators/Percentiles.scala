@@ -34,13 +34,16 @@ import org.apache.spark.sql.functions._
   * integral-`h` shortcut returning `v_lo` exactly. Null values are
   * excluded like the builtin; group keys may be null (`<=>` joins).
   *
-  * Two DELIBERATE divergences from the builtin, both measure-zero and both
-  * priced against an extra corpus pass they would cost to close:
-  * a group whose values are ALL null is omitted (the builtin emits
-  * `(g, null)`; emitting it here would need a second scan for the group
-  * census), and `-0.0` merges with `0.0` (groupBy key normalization —
-  * the builtin's boxed-Double map keeps them distinct; numerically equal,
-  * bitwise different).
+  * A group whose values are ALL null yields `(g, p, 0, null)` — the
+  * builtin's answer — WITHOUT a second corpus scan: the first shuffle
+  * keeps its `(g, null)` count row (one row per group, no data-sized
+  * growth) and the group census derives from the already-grouped table.
+  *
+  * One DELIBERATE divergence from the builtin, measure-zero and pinned
+  * executable in PercentilesSpec: `-0.0` merges with `0.0` (groupBy key
+  * normalization — the builtin's boxed-Double map keeps them distinct;
+  * the two answers are numerically equal and differ only in the sign bit
+  * of a zero).
   *
   * Returns one row per (group, p): `g, p, n, pct`.
   */
@@ -56,9 +59,13 @@ object Percentiles {
       s"percentiles must be in [0,1], got $ps")
     require(rangeWidth > 0.0, s"rangeWidth=$rangeWidth must be positive")
 
-    val cnts = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
-      .filter(col("v").isNotNull)
+    // nulls SURVIVE the first shuffle as one (g, null) count row per group:
+    // that single extra row per group is what lets the all-null-group census
+    // ride this aggregation instead of costing a second corpus scan
+    val cntsAll = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val cnts = cntsAll
+      .filter(col("v").isNotNull)
       .withColumn("__rng", floor(col("v") / lit(rangeWidth)).cast("long"))
 
     // phase 1: per-range totals (partial-agg shuffle, metadata-sized) and
@@ -79,10 +86,14 @@ object Percentiles {
       .select(col("g"), col("v"), col("c"), col("off"))
 
     // target ranks per (group, p) — continuous interpolation positions.
-    // Totals come from `cnts`, NOT `offs`: the sums are identical (offs is
-    // a 1:1 image of cnts) but deriving them from offs would execute the
-    // bases broadcast-join subtree a second time in the final plan.
-    val targets = cnts.groupBy(col("g").as("__tg")).agg(sum(col("c")).as("n"))
+    // Totals come from `cntsAll`, NOT `offs`: the sums are identical (offs
+    // is a 1:1 image of the non-null rows) but deriving them from offs
+    // would execute the bases broadcast-join subtree a second time in the
+    // final plan; counting only non-null rows here also makes `n = 0`
+    // exactly the all-null-group census, for free.
+    val groupTotals = cntsAll.groupBy(col("g").as("__tg"))
+      .agg(coalesce(sum(when(col("v").isNotNull, col("c"))), lit(0L)).as("n"))
+    val targets = groupTotals.filter(col("n") > 0)
       .select(col("__tg"), col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p"))
       .withColumn("h", (col("n") - 1).cast("double") * col("p"))
@@ -92,7 +103,7 @@ object Percentiles {
     def covers(r: Column): Column = col("off") <= r && r < col("off") + col("c")
 
     // one filtered pass: only the <= 2 spanning values per (group, p) survive
-    offs
+    val withValues = offs
       .join(broadcast(targets),
         col("g") <=> col("__tg") && (covers(col("r_lo")) || covers(col("r_hi"))))
       .groupBy(col("g"), col("p"), col("n"), col("h"),
@@ -106,6 +117,15 @@ object Percentiles {
             (col("r_hi").cast("double") - col("h")) * col("v_lo") +
             (col("h") - col("r_lo").cast("double")) * col("v_hi"))
           .as("pct"))
+
+    // all-null groups: the builtin's `(g, null)` answer with n = 0, one row
+    // per requested p — metadata-sized, derived from the same first shuffle
+    val nullGroups = groupTotals.filter(col("n") === 0)
+      .select(col("__tg").as("g"),
+        explode(array(ps.map(lit(_)): _*)).as("p"),
+        col("n"), lit(null).cast("double").as("pct"))
+
+    withValues.unionByName(nullGroups)
   }
 
   /** The cheap path: Spark's built-in `approx_percentile` (a GK summary —

@@ -49,6 +49,49 @@ class PercentilesSpec extends SparkTestBase {
     assert(diff.isEmpty, s"diverged: ${diff.collect().mkString(", ")}")
   }
 
+  test("an ALL-null group yields the builtin's (g, p, 0, null) — no omission, no extra scan") {
+    val df = Seq(
+      ("live", Some(1.0)), ("live", Some(3.0)),
+      ("dead", Option.empty[Double]), ("dead", Option.empty[Double]))
+      .toDF("g0", "v0")
+    val ps = Seq(0.0, 0.5, 1.0)
+    val got = Percentiles.exactGroupPercentiles(df, col("g0"), col("v0"), ps)
+    val dead = got.filter(col("g") === "dead").collect()
+    assert(dead.length == ps.size, s"one row per p expected, got ${dead.length}")
+    dead.foreach { r =>
+      assert(r.getLong(2) == 0L && r.isNullAt(3),
+        s"all-null group must report n=0, pct=null (builtin contract): $r")
+    }
+    // and the builtin agrees
+    val b = df.groupBy(col("g0")).agg(expr("percentile(v0, 0.5)").as("exp"))
+      .filter(col("g0") === "dead").collect()
+    assert(b.head.isNullAt(1))
+    // live groups unaffected
+    assert(got.filter(col("g") === "live" && col("p") === 0.5)
+      .select("pct").as[Double].head() == 2.0)
+  }
+
+  test("pinned divergence: -0.0 merges with 0.0 (numerically equal to the builtin, sign bit may differ)") {
+    val df = Seq(("z", -0.0), ("z", 0.0), ("z", 1.0)).toDF("g0", "v0")
+    // p=0 selects the minimum: the builtin's boxed map keeps -0.0 distinct
+    // and returns it; the groupBy key normalization here merges the two
+    // zeros, so the answer is +0.0 — same number, different sign bit. This
+    // is THE deliberate divergence of the operator; everything else above
+    // is bit-for-bit.
+    val ours0 = Percentiles.exactGroupPercentiles(df, col("g0"), col("v0"), Seq(0.0))
+      .select("pct").as[Double].head()
+    val builtin0 = df.groupBy(col("g0"))
+      .agg(expr("percentile(v0, 0.0)").as("exp")).select("exp").as[Double].head()
+    assert(ours0 == builtin0, "the two answers must be numerically equal")
+    assert(java.lang.Double.doubleToRawLongBits(ours0) == 0L,
+      "merged zeros normalize to +0.0")
+    // the distinct-count collapse is visible in n: 3 raw values, 2 distinct
+    // after the merge still count n=3 rows
+    val n = Percentiles.exactGroupPercentiles(df, col("g0"), col("v0"), Seq(0.5))
+      .select("n").as[Long].head()
+    assert(n == 3L, "the merge collapses VALUES, never row counts")
+  }
+
   test("approx twin stays inside its rank-error band vs the exact form, at a fraction of the plan") {
     val e = Tables.events(spark, sfDir)
     val ps = Seq(0.1, 0.5, 0.9)
