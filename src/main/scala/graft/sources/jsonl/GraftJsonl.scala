@@ -68,6 +68,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     as new data (at-least-once re-delivery) — the same interplay as
   *     Kafka retention.ms vs a producer retrying past the retention
   *     horizon;
+  *   - `retentionProperty`: id of a [[GraftJsonl.bindRetentionProperty]]
+  *     registration — the DYNAMIC form of `retentionMs` (P4's
+  *     trigger-boundary reconfiguration applied to the source): each
+  *     trigger's planning reads the bound property's CURRENT value, so a
+  *     live tail can tighten or loosen its retention horizon through the
+  *     config control plane (file/remote supplier) without a restart.
+  *     Property value -1 = no override (the static `retentionMs` option,
+  *     if any, applies); >= 0 = the live horizon in milliseconds;
   *   - `maxSplitBytes`: BATCH reads split files larger than this into
   *     line-snapped byte-range partitions (default 128 MiB — one huge file
   *     is never one task). STREAMING reads split a catch-up slice the same
@@ -112,6 +120,32 @@ object GraftJsonl {
     StructField("file", StringType, nullable = false),
     StructField("pos", LongType, nullable = false),
     StructField("value", StringType, nullable = false)))
+
+  /** Typed definition of the dynamic retention horizon (bind it to a
+    * [[graft.config.FilePropertySupplier]]/remote supplier like any other
+    * engine property). -1 disables the override; >= 0 is the live horizon.
+    */
+  val RetentionMsProperty: graft.config.PropertyDefinition[Long] =
+    graft.config.PropertyDefinition("graft.jsonl.retention.ms", -1L, (v: Long) => v >= -1L)
+
+  // DSv2 options are strings, so a live property reaches the source by ID:
+  // bind the DynamicProperty here, pass `retentionProperty=<id>` as an
+  // option, and each trigger's driver-side planning reads the current
+  // value. JVM-static like the rest of the driver-side control plane.
+  private val retentionOverrides =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.config.DynamicProperty[Long]]()
+
+  /** Register `dyn` as the live retention horizon for sources opened with
+    * `retentionProperty=id`. Returns a deregistration handle.
+    */
+  def bindRetentionProperty(id: String, dyn: graft.config.DynamicProperty[Long]): () => Unit = {
+    retentionOverrides.put(id, dyn)
+    () => { retentionOverrides.remove(id, dyn); () }
+  }
+
+  /** The override's current value, if bound and enabled (>= 0). */
+  private[jsonl] def retentionOverride(id: String): Option[Long] =
+    Option(retentionOverrides.get(id)).map(_.value).filter(_ >= 0L)
 
   def dir(options: CaseInsensitiveStringMap): String = {
     val p = options.get("path")
@@ -561,6 +595,7 @@ class GraftJsonlScan(options: CaseInsensitiveStringMap) extends Scan {
         require(v.toLong >= 0, s"retentionMs must be >= 0, got $v")
         v.toLong
       },
+      retentionPropertyId = Option(options.get("retentionproperty")).filter(_.nonEmpty),
       // streaming splits are OPT-IN: the default one-partition-per-file-slice
       // is the "one partition per topic-partition" ordering contract — a
       // split catch-up slice interleaves a key's records across tasks, so
@@ -576,7 +611,16 @@ class GraftJsonlMicroBatchStream(
     maxBytesPerTrigger: Option[Long],
     retireConsumed: Boolean = true,
     retentionMs: Option[Long] = None,
+    retentionPropertyId: Option[String] = None,
     maxSplitBytes: Option[Long] = None) extends MicroBatchStream with SupportsAdmissionControl {
+
+  /** The trigger-boundary retention horizon: a bound live property (>= 0)
+    * overrides the static option — read at each planning call, so a config
+    * edit takes effect on the NEXT trigger, no restart (P4 applied to the
+    * source).
+    */
+  private def effectiveRetentionMs: Option[Long] =
+    retentionPropertyId.flatMap(GraftJsonl.retentionOverride).orElse(retentionMs)
 
   private def files: Seq[File] = GraftJsonl.listFiles(dir, suffix)
 
@@ -692,7 +736,7 @@ class GraftJsonlMicroBatchStream(
     // external log-rotation delete (retention is for directories whose
     // landed files are immutable — the sink's segments are by
     // construction).
-    val retired: Set[String] = retentionMs match {
+    val retired: Set[String] = effectiveRetentionMs match {
       case Some(ret) =>
         val now = System.currentTimeMillis()
         val candidates = fs.filter { f =>

@@ -434,6 +434,47 @@ class GraftJsonlSourceSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("retentionProperty: a live config edit tightens the horizon at the next trigger, no restart") {
+    import graft.config._
+    val dir = freshDir()
+    val ckpt = Files.createTempDirectory("graft-jsonl-ret-prop").toString
+    (0 until 3).foreach(i => GraftJsonl.append(dir, s"p$i.jsonl", Seq(s"""{"i":$i}""")))
+    val conf = Files.createTempFile("graft-ret-prop", ".conf")
+    java.nio.file.Files.writeString(conf, "# no retention override yet\n")
+    val supplier = new FilePropertySupplier(conf, pollMillis = 25L)
+    val dyn = new DynamicProperty(GraftJsonl.RetentionMsProperty,
+      GraftJsonl.RetentionMsProperty.default)
+    val unbindSup = supplier.bind(dyn)
+    val unbind = GraftJsonl.bindRetentionProperty("spec-ret", dyn)
+    GraftJsonlSourceSpec.reset()
+    val q = startTail(dir, ckpt, Map("retentionProperty" -> "spec-ret"))
+    try {
+      q.processAllAvailable()
+      assert(GraftJsonlSourceSpec.delivered.size == 3)
+      // property at its -1 default: retention stays OFF
+      GraftJsonl.append(dir, "fresh.jsonl", Seq("""{"i":9}"""))
+      q.processAllAvailable()
+      assert((0 until 3).forall(i => new File(dir, s"p$i.jsonl").isFile),
+        "no override bound: consumed segments must survive")
+      // the operator edits the live config file — horizon 0 must take
+      // effect at the NEXT trigger boundary, without restarting the query
+      java.nio.file.Files.writeString(conf, "graft.jsonl.retention.ms=0\n")
+      val d0 = System.currentTimeMillis() + 5000
+      while (dyn.value != 0L && System.currentTimeMillis() < d0) Thread.sleep(20)
+      assert(dyn.value == 0L, "config edit did not reach the bound property")
+      val deadline = System.currentTimeMillis() + 20000
+      def gone() = (0 until 3).forall(i => !new File(dir, s"p$i.jsonl").isFile)
+      var n = 100
+      while (!gone() && System.currentTimeMillis() < deadline) {
+        GraftJsonl.append(dir, "fresh.jsonl", Seq(s"""{"i":$n}""")); n += 1
+        q.processAllAvailable()
+      }
+      assert(gone(), s"live-tightened retention must delete consumed segments, dir has " +
+        s"${new File(dir).listFiles().map(_.getName).toSeq}")
+      assert(q.exception.isEmpty, s"live retirement must not trip strict mode: ${q.exception}")
+    } finally { q.stop(); unbind(); unbindSup(); supplier.close() }
+  }
+
   test("writer rejects a value ending in '\\r' (would not round-trip the CRLF-tolerant reader)") {
     import spark.implicits._
     val dir = freshDir()
