@@ -22,10 +22,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Supported: varint scalars (int64/int32/bool), fixed64 double, fixed32
   * float, length-delimited string/bytes, nested messages, and repeated
-  * fields (decode accepts both packed and unpacked varints — proto3 writers
-  * pack by default). Unknown fields are skipped, matching protobuf's
-  * forward-compat guarantee. Missing fields decode as null (so a field
-  * explicitly written as 0 is distinguishable from an absent one).
+  * fields (decode accepts both packed and unpacked forms for varints AND
+  * fixed scalars — proto3 writers pack all repeated scalars by default).
+  * Unknown fields are skipped, matching protobuf's forward-compat
+  * guarantee. Missing fields decode as null (so a field explicitly written
+  * as 0 is distinguishable from an absent one).
   */
 sealed trait ProtoType
 object ProtoType {
@@ -164,6 +165,25 @@ object ProtoCodec {
             while (q < stop) {
               val (raw, q2) = readVarint(bytes, q, stop)
               put(varintValue(raw)); q = q2
+            }
+          case ProtoType.PDouble if f.repeated =>
+            // packed repeated fixed64 — proto3 packs ALL repeated scalars
+            // by default, not just varints; a region not a multiple of 8 is
+            // torn input, never a silent partial decode
+            if ((stop - p2) % 8 != 0)
+              throw new IllegalArgumentException(
+                s"field ${f.name}: packed fixed64 run of ${stop - p2} bytes")
+            var q = p2
+            while (q < stop) {
+              put(java.lang.Double.longBitsToDouble(readFixed64(bytes, q))); q += 8
+            }
+          case ProtoType.PFloat if f.repeated =>
+            if ((stop - p2) % 4 != 0)
+              throw new IllegalArgumentException(
+                s"field ${f.name}: packed fixed32 run of ${stop - p2} bytes")
+            var q = p2
+            while (q < stop) {
+              put(java.lang.Float.intBitsToFloat(readFixed32(bytes, q))); q += 4
             }
           case t => throw new IllegalArgumentException(s"field ${f.name}: length-delimited wire for $t")
         }

@@ -37,6 +37,33 @@ class ProtoCodecSpec extends SparkTestBase {
     assert(b.toLongArray().toSeq == Seq(3L, 270L))
   }
 
+  test("packed repeated FIXED scalars decode (proto3 packs doubles/floats by default)") {
+    val dSchema = ProtoSchema(Seq(ProtoField(1, "ds", ProtoType.PDouble, repeated = true)))
+    val fSchema = ProtoSchema(Seq(ProtoField(1, "fs", ProtoType.PFloat, repeated = true)))
+    def le64(v: Double): Seq[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).map(i => ((bits >>> (8 * i)) & 0xff).toByte)
+    }
+    def le32(v: Float): Seq[Byte] = {
+      val bits = java.lang.Float.floatToIntBits(v)
+      (0 until 4).map(i => ((bits >>> (8 * i)) & 0xff).toByte)
+    }
+    // field 1, wire 2 (packed): tag 0x0A, length, little-endian payloads
+    val packedD = (Seq(0x0A.toByte, 16.toByte) ++ le64(1.5) ++ le64(-2.25)).toArray
+    val ds = ProtoCodec.decode(dSchema, packedD).getArray(0).toDoubleArray().toSeq
+    assert(ds == Seq(1.5, -2.25))
+    val packedF = (Seq(0x0A.toByte, 8.toByte) ++ le32(3.5f) ++ le32(-0.5f)).toArray
+    val fs = ProtoCodec.decode(fSchema, packedF).getArray(0).toFloatArray().toSeq
+    assert(fs == Seq(3.5f, -0.5f))
+    // unpacked form still accepted (wire 1 / wire 5 per element)
+    val unpackedD = (Seq(0x09.toByte) ++ le64(1.5) ++ Seq(0x09.toByte) ++ le64(-2.25)).toArray
+    assert(ProtoCodec.decode(dSchema, unpackedD).getArray(0).toDoubleArray().toSeq ==
+      Seq(1.5, -2.25))
+    // a torn packed run (length not a multiple of the element width) throws
+    val torn = (Seq(0x0A.toByte, 12.toByte) ++ le64(1.5) ++ le32(1.0f)).toArray
+    intercept[IllegalArgumentException](ProtoCodec.decode(dSchema, torn))
+  }
+
   test("roundtrip identity for all field types incl. nested message") {
     val nested = ProtoSchema(Seq(
       ProtoField(1, "x", ProtoType.Int32),
