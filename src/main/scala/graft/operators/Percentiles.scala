@@ -59,17 +59,27 @@ object Percentiles {
       s"percentiles must be in [0,1], got $ps")
     require(rangeWidth > 0.0, s"rangeWidth=$rangeWidth must be positive")
 
-    // nulls SURVIVE the first shuffle as one (g, null) count row per group:
-    // that single extra row per group is what lets the all-null-group census
-    // ride this aggregation instead of costing a second corpus scan
-    val cntsAll = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
-      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val cnts = cntsAll
-      .filter(col("v").isNotNull)
+    // nulls SURVIVE the whole pipeline as one (g, null) count row per group
+    // with an EFFECTIVE count of 0 — a transform, not a filter. This is the
+    // one shape that yields the all-null census without a second corpus
+    // scan: a `filter(v.isNotNull)` here pushes THROUGH the aggregate into
+    // the parquet scan (PushDownPredicates splits and moves predicates on
+    // grouping columns), forking the plan into differently-filtered scan
+    // subtrees that exchange reuse cannot bridge — measured as +1/+2
+    // exchanges and a duplicated corpus scan before this rewrite. With
+    // `__c = 0` instead, every consumer below reads the SAME unfiltered
+    // subtree, the null row contributes nothing to any offset, total or
+    // covers() interval (an empty [off, off) span matches no rank), and
+    // n = 0 IS the all-null-group census.
+    val cnts = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c0"))
+      .withColumn("c", when(col("v").isNull, lit(0L)).otherwise(col("c0")))
       .withColumn("__rng", floor(col("v") / lit(rangeWidth)).cast("long"))
 
     // phase 1: per-range totals (partial-agg shuffle, metadata-sized) and
-    // each range's cumulative base offset within its group
+    // each range's cumulative base offset within its group. The null range
+    // (one row per group-with-nulls, total 0) sorts first and shifts
+    // nothing.
     val wRng = Window.partitionBy(col("__bg")).orderBy(col("__brng"))
     val bases = cnts.groupBy(col("g").as("__bg"), col("__rng").as("__brng"))
       .agg(sum(col("c")).as("__rt"))
@@ -77,23 +87,24 @@ object Percentiles {
       .select(col("__bg"), col("__brng"), col("__base"))
 
     // phase 2: offset of each distinct value = rows strictly below it —
-    // broadcast base + running sum inside the (group, range) window key
+    // broadcast base + running sum inside the (group, range) window key.
+    // `<=>` on the range too: the null-v row (range null) must keep flowing
+    // (its zero-width span is inert downstream), not silently drop here.
     val wLoc = Window.partitionBy(col("g"), col("__rng")).orderBy(col("v"))
     val offs = cnts
       .join(broadcast(bases),
-        col("g") <=> col("__bg") && col("__rng") === col("__brng"))
+        col("g") <=> col("__bg") && col("__rng") <=> col("__brng"))
       .withColumn("off", col("__base") + sum(col("c")).over(wLoc) - col("c"))
       .select(col("g"), col("v"), col("c"), col("off"))
 
     // target ranks per (group, p) — continuous interpolation positions.
-    // Totals come from `cntsAll`, NOT `offs`: the sums are identical (offs
-    // is a 1:1 image of the non-null rows) but deriving them from offs
-    // would execute the bases broadcast-join subtree a second time in the
-    // final plan; counting only non-null rows here also makes `n = 0`
-    // exactly the all-null-group census, for free.
-    val groupTotals = cntsAll.groupBy(col("g").as("__tg"))
-      .agg(coalesce(sum(when(col("v").isNotNull, col("c"))), lit(0L)).as("n"))
-    val targets = groupTotals.filter(col("n") > 0)
+    // Totals come from `cnts`, NOT `offs`: the sums are identical (offs is
+    // a 1:1 image of cnts) but deriving them from offs would execute the
+    // bases broadcast-join subtree a second time in the final plan.
+    // n counts effective rows, so an all-null group has n = 0 — its rank
+    // columns are inert (no covers() match) and only the null-census
+    // branch below emits it.
+    val targets = cnts.groupBy(col("g").as("__tg")).agg(sum(col("c")).as("n"))
       .select(col("__tg"), col("n"),
         explode(array(ps.map(lit(_)): _*)).as("p"))
       .withColumn("h", (col("n") - 1).cast("double") * col("p"))
@@ -119,10 +130,12 @@ object Percentiles {
           .as("pct"))
 
     // all-null groups: the builtin's `(g, null)` answer with n = 0, one row
-    // per requested p — metadata-sized, derived from the same first shuffle
-    val nullGroups = groupTotals.filter(col("n") === 0)
-      .select(col("__tg").as("g"),
-        explode(array(ps.map(lit(_)): _*)).as("p"),
+    // per requested p — a metadata-level filter of the SAME targets table
+    // the covers join broadcasts, so the census costs zero extra scans and
+    // zero extra exchanges (verified in PLANS.md: q21/pq75 keep their r12
+    // exchange count).
+    val nullGroups = targets.filter(col("n") === 0)
+      .select(col("__tg").as("g"), col("p"),
         col("n"), lit(null).cast("double").as("pct"))
 
     withValues.unionByName(nullGroups)
