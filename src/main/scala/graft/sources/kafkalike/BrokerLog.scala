@@ -62,9 +62,26 @@ object BrokerLog {
       require(existing == partitions,
         s"topic $topic already exists with $existing partitions (asked $partitions)")
     } else {
-      Files.write(meta, partitions.toString.getBytes("UTF-8"))
+      // directories FIRST, then the count (expandTopic's rule): the meta
+      // file is the topic's commit point — a concurrent producer that sees
+      // it must find every advertised partition directory already there,
+      // or its produce() fails on a not-yet-created directory
       (0 until partitions).foreach(p => Files.createDirectories(partDir(root, topic, p)))
+      writeMeta(dir, partitions)
     }
+  }
+
+  /** Write `.partitions` via temp + atomic rename: a plain truncating write
+    * has a window where a concurrent reader (a planning cycle calling
+    * [[partitionCount]]) sees an EMPTY file and dies on `"".toInt` — the
+    * same torn-metadata hazard every other file in this medium avoids.
+    */
+  private def writeMeta(dir: Path, partitions: Int): Unit = {
+    val tmp = Files.createTempFile(dir, ".partitions-", ".tmp")
+    Files.write(tmp, partitions.toString.getBytes("UTF-8"))
+    Files.move(tmp, dir.resolve(".partitions"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** Raise a topic's partition count (Kafka's `--alter --partitions N`:
@@ -78,9 +95,10 @@ object BrokerLog {
     require(partitions >= existing,
       s"topic $topic has $existing partitions; Kafka partition counts only grow (asked $partitions)")
     if (partitions > existing) {
+      // directories FIRST, then the count: a subscriber reading the new
+      // count must find every advertised partition directory already there
       (existing until partitions).foreach(p => Files.createDirectories(partDir(root, topic, p)))
-      Files.write(topicDir(root, topic).resolve(".partitions"),
-        partitions.toString.getBytes("UTF-8"))
+      writeMeta(topicDir(root, topic), partitions)
     }
   }
 
@@ -260,7 +278,9 @@ object BrokerLog {
   def truncateBefore(root: String, topic: String, partition: Int, offset: Long): Unit =
     recordFiles(partDir(root, topic, partition))
       .filter(offsetOf(_) < offset)
-      .foreach(Files.delete)
+      // deleteIfExists: two concurrent retention sweeps may race on a file;
+      // the loser finding it gone is success, not an error
+      .foreach(p => { Files.deleteIfExists(p); () })
 
   private[graft] def encode(r: Record): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
