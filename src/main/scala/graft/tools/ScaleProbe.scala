@@ -59,7 +59,12 @@ object ScaleProbe {
   val ProbeQueries: Seq[String] = Seq(
     "pq74_scrub_mix", "pq64_incremental_mix", "pq60_training_mix",
     "pq03_lsh_pairs", "pq35_knn_quantized_stack",
-    "pq01_exact_dedup", "pq18_dup_spans", "pq53_bm25_topk", "dq09_cms_rates")
+    "pq01_exact_dedup", "pq18_dup_spans", "pq53_bm25_topk", "dq09_cms_rates",
+    // round-13 additions: the windowed distinct sketches (state-bounded by
+    // construction — the batch form's shuffle curve pins the register/kmv
+    // exchange) and the reworked percentile census (one corpus scan, the
+    // effective-count-0 shape)
+    "dq24_windowed_distinct_sketch", "q21_percentile")
 
   final case class Sample(
       sec: Double, inputMb: Double, shuffleWriteMb: Double,

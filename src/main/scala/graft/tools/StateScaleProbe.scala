@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
   *   - `dedupe` — `StreamOps.dedupeStream` (dropDuplicatesWithinWatermark):
   *     state rows ≈ distinct keys within the horizon;
   *   - `windowed_rates` — `StreamOps.windowedRates` (windowed count agg):
-  *     state rows ≈ open windows × keys.
+  *     state rows ≈ open windows × keys;
+  *   - `distinct_sketch` — `StreamOps.windowedDistinctSketch` (dq24's
+  *     HLL + KMV buffers): state rows ≈ open windows × groups, and each row
+  *     is a FIXED-width sketch buffer — the bounded replacement for
+  *     full-key distinct state, which would track the key count.
   *
   * Exit code 1 if a probe's state grows more than [[StateRatioMax]]× on the
   * 10× step. Writes STATE_PROBE.json (committed per round beside
@@ -58,6 +62,13 @@ object StateScaleProbe {
         case "windowed_rates" =>
           graft.streaming.StreamOps.windowedRates(
             src, col("key"), col("ts"), "5 minutes", "10 minutes")
+        case "distinct_sketch" =>
+          // 20 groups × open windows of state, DISTINCT keys counted by the
+          // sketch buffers — state rows must track windows×groups, never the
+          // record or key count
+          graft.streaming.StreamOps.windowedDistinctSketch(
+            src, pmod(col("seq"), lit(20)).cast("string"), col("key"), col("ts"),
+            "5 minutes", "10 minutes", m = 64, k = 16)
       }
       val outCount = new java.util.concurrent.atomic.AtomicLong()
       val q = shaped.writeStream
@@ -90,7 +101,7 @@ object StateScaleProbe {
       } finally q.stop()
     }
 
-    val rows = Seq("dedupe", "windowed_rates").map { probe =>
+    val rows = Seq("dedupe", "windowed_rates", "distinct_sketch").map { probe =>
       val r1 = run(probe, 20000L)
       val r10 = run(probe, 200000L)
       val ratio = r10.stateRows.toDouble / math.max(1L, r1.stateRows)
