@@ -107,8 +107,13 @@ object MediaDedup {
     val pairs = graft.dedup.Dedup.simHashBandedPairs(
       fps, bits = 60, bands = bands, maxDist = maxDist)
     pairs
-      .select((col("id_a") / 1048576L).cast("long").as("fa"),
-        (col("id_b") / 1048576L).cast("long").as("fb"), col("dist"))
+      // `div`, not `/`: Spark's `/` is DOUBLE division, and above 2^53 the
+      // mantissa rounds the packed id before the truncating cast — an
+      // asset_id past ~2^33 (well inside packed_id's 2^43 bound) could
+      // unpack to the NEIGHBORING asset. Integer division is exact at any
+      // packable id (the mixToTarget div pattern).
+      .select(expr("id_a div 1048576").as("fa"),
+        expr("id_b div 1048576").as("fb"), col("dist"))
       .filter(col("fa") =!= col("fb"))
       .select(least(col("fa"), col("fb")).as("asset_a"),
         greatest(col("fa"), col("fb")).as("asset_b"), col("dist"))

@@ -57,6 +57,21 @@ class MediaDedupSpec extends SparkTestBase {
     assert(pairs == planted, s"spurious pairs: ${pairs -- planted}")
   }
 
+  test("asset ids past double precision (2^53 packed) unpack exactly in pairing") {
+    // packed id = asset_id * 2^20 + frame; at asset_id ~ 2^42 the packed id
+    // sits near 2^62, where DOUBLE division rounds the mantissa by up to
+    // 2^9 — a `/`-based unpack could emit the NEIGHBORING asset id. The
+    // planted near-identical pair must come back with its exact huge ids.
+    val big = 1L << 42
+    val t = payload(7)
+    val rows = Seq((big, t), (big + 1, t.substring(0, 300) + "XX" + t.substring(302)),
+      (big + 7, payload(3)))
+    val pairs = MediaDedup.nearDupAssets(assetsOf(rows), bands = 6, maxDist = 5)
+      .select("asset_a", "asset_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((big, big + 1)),
+      s"huge packed ids must unpack exactly, got $pairs")
+  }
+
   test("frame-size-divisible payloads do not all pair on the shared empty trailing frame") {
     val rows = (0 until 6).map(i => (i.toLong, payload(i))) // 512 = 2·256 ⇒ empty frame 2
     val pairs = MediaDedup.nearDupAssets(assetsOf(rows), bands = 6, maxDist = 5)
