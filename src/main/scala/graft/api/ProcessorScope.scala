@@ -42,9 +42,9 @@ object ProcessorScope {
   * ships the factory (or, for Provided, the caller's instance itself);
   * factory-built instances materialize executor-side.
   *
-  * Call [[get]] ONCE per partition invocation (at the top of the
-  * mapPartitions closure), not per record: Partition scope constructs a
-  * fresh instance per call by design.
+  * Calling [[get]] per record inside a task is safe (Partition scope
+  * memoizes per task attempt), but the idiomatic call site is once at the
+  * top of the mapPartitions closure.
   */
 final class ScopedSupplier[P <: AnyRef] private (
     scope: ProcessorScope,
@@ -69,11 +69,19 @@ final class ScopedSupplier[P <: AnyRef] private (
 
   /** Get the instance for the current partition-task invocation.
     *
+    * Partition scope is memoized per (supplier, task attempt): repeated
+    * calls within one task — including accidental per-RECORD calls — return
+    * the SAME instance with ONE completion listener, matching the
+    * reference's one-instance-per-partition contract (`Processors
+    * .java:100-130`) instead of accumulating O(records) listeners and live
+    * instances whose closes all defer to task end.
+    *
     * A Partition-scoped `AutoCloseable` instance is closed EXACTLY ONCE at
     * the end of the running task — including task failure — via the task
     * completion listener (Spark's partition-revoke boundary); a pooled
     * processor cannot leak its pool at task end. Outside a running task
-    * (driver-side use) the caller owns closing the returned instance.
+    * (driver-side use) every call constructs fresh and the caller owns
+    * closing the returned instance.
     * Singleton instances close at JVM shutdown / [[ScopedSupplier
     * .closeSingletons]]; Provided instances are never closed by the engine.
     */
@@ -83,11 +91,26 @@ final class ScopedSupplier[P <: AnyRef] private (
       ScopedSupplier.jvmSingletons
         .computeIfAbsent(supplierId, _ => factory()).asInstanceOf[P]
     case ProcessorScope.Partition =>
-      val p = factory()
       val tc = org.apache.spark.TaskContext.get()
-      if (tc != null)
-        tc.addTaskCompletionListener[Unit](_ => ScopedSupplier.closeQuietly(p))
-      p
+      if (tc == null) factory()
+      else {
+        // one task attempt = one thread, so plain get/put on the shared map
+        // cannot race on this key (speculative copies get distinct attempt
+        // ids); the listener removes the entry, so the map never outgrows
+        // the set of RUNNING tasks
+        val key = supplierId + "#" + tc.taskAttemptId()
+        val existing = ScopedSupplier.taskInstances.get(key)
+        if (existing != null) existing.asInstanceOf[P]
+        else {
+          val p = factory()
+          ScopedSupplier.taskInstances.put(key, p)
+          tc.addTaskCompletionListener[Unit] { _ =>
+            val v = ScopedSupplier.taskInstances.remove(key)
+            if (v != null) ScopedSupplier.closeQuietly(v)
+          }
+          p
+        }
+      }
   }
 }
 
@@ -101,6 +124,11 @@ object ScopedSupplier {
 
   /** Executor-JVM-wide singleton instances, keyed by supplier identity. */
   private val jvmSingletons = new ConcurrentHashMap[String, AnyRef]()
+
+  /** Live Partition-scoped instances keyed by (supplierId, taskAttemptId);
+    * entries are removed by each task's completion listener.
+    */
+  private[graft] val taskInstances = new ConcurrentHashMap[String, AnyRef]()
 
   // executor stop = subscription shutdown: close surviving singletons at
   // JVM exit (the reference closes scoped processors when the subscription

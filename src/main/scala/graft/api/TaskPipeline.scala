@@ -145,6 +145,24 @@ object TaskPipeline {
   val TagDiscard = 2
   val TagError = 3
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.api.TaskPipeline")
+
+  /** One poison-drop counter per SparkContext, named so it surfaces in the
+    * Spark UI's accumulator table — extraction failures are counted, not just
+    * logged, matching the reference's task-metrics posture (E2;
+    * `ProcessPipeline.java` counts extraction errors in its metrics family).
+    * Entries for stopped contexts are swept on the next lookup.
+    */
+  private val poisonAccs =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.util.LongAccumulator]()
+
+  def poisonCounter(spark: SparkSession): org.apache.spark.util.LongAccumulator = {
+    val it = poisonAccs.keySet.iterator()
+    while (it.hasNext) if (it.next().isStopped) it.remove()
+    poisonAccs.computeIfAbsent(spark.sparkContext, sc => sc.longAccumulator("graft.tasks.poison"))
+  }
+
   def stateName(tag: Int): String = tag match {
     case TagProcessed => "processed"
     case TagRetry => "retry"
@@ -165,16 +183,19 @@ object TaskPipeline {
     * still propagate.
     */
   def consuming[T](records: Dataset[ConsumedRecord], extractor: TaskExtractor[T])(
-      implicit enc: Encoder[Task[T]]): TaskPipeline[T] =
+      implicit enc: Encoder[Task[T]]): TaskPipeline[T] = {
+    val poison = poisonCounter(records.sparkSession)
     new TaskPipeline(records.mapPartitions(_.flatMap { r =>
       try Iterator.single(extractor.extract(r))
       catch {
         case scala.util.control.NonFatal(e) =>
-          System.err.println(
-            s"[graft-pipeline] poison record dropped at ${r.topic}/${r.partition}@${r.offset}: $e")
+          poison.add(1L)
+          log.warn("poison record dropped at {}/{}@{}: {}", r.topic,
+            r.partition.asInstanceOf[AnyRef], r.offset.asInstanceOf[AnyRef], e)
           Iterator.empty
       }
     }))
+  }
 }
 
 /** Result of a tri-state processing stage: split views over one tagged pass.

@@ -33,15 +33,18 @@ case class MediaFrameFingerprint(child: Expression)
     else TypeCheckResult.TypeCheckFailure(
       s"media_frame_fp needs a string frame, got ${child.dataType.catalogString}")
 
-  // one digest per (deserialized) expression copy = per task, not per ROW:
-  // getInstance's provider lookup was 60×-amortized but still per-row (the
-  // Md5HashedText caching rule; same per-task mutable-state safety argument)
-  @transient private var mdCache: MessageDigest = _
+  // one digest per (thread × deserialized expression copy), not per ROW:
+  // getInstance's provider lookup was 60×-amortized but still per-row. The
+  // ThreadLocal (vs the earlier plain field) closes the hazard of one
+  // interpreted instance shared across threads interleaving update/digest —
+  // the Md5HashedText caching rule.
+  @transient private lazy val mdCache = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val fs = input.asInstanceOf[UTF8String]
-    if (mdCache == null) mdCache = MessageDigest.getInstance("MD5")
-    val md = mdCache
+    val md = mdCache.get()
     var acc = 0L
     var j = 0
     while (j < Regions) {
@@ -91,17 +94,38 @@ case class CompressionRatioPm(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(
       s"compression_ratio_pm needs a string, got ${child.dataType.catalogString}")
 
-  // per-task Deflater, reset() between rows: constructing (and end()-ing)
-  // a native zlib stream per ROW dominated the scoring cost; the instance
-  // is per deserialized expression copy = per task, so no cross-thread
-  // sharing. Native memory is reclaimed by the finalizer at task GC — the
-  // standard per-task-native-resource posture.
-  @transient private var deflater: java.util.zip.Deflater = _
+  // per-(thread × task) Deflater, reset() between rows: constructing (and
+  // end()-ing) a native zlib stream per ROW dominated the scoring cost. The
+  // ThreadLocal closes the hazard of one interpreted instance evaluated
+  // from two threads corrupting a shared native stream, and the
+  // task-completion listener end()s the native buffers deterministically at
+  // task end instead of leaving reclamation to the GC Cleaner (a finalizer
+  // in spirit only — many completed tasks' native buffers could otherwise
+  // pile up between collections). Driver-side eval (constant folding of a
+  // foldable child) has no TaskContext — that single driver instance stays
+  // Cleaner-reclaimed, which is fine at cardinality one.
+  @transient private lazy val deflaterCache = new ThreadLocal[java.util.zip.Deflater]()
+
+  private def threadDeflater(): java.util.zip.Deflater = {
+    var d = deflaterCache.get()
+    if (d == null) {
+      d = new java.util.zip.Deflater(6)
+      deflaterCache.set(d)
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) {
+        val captured = d
+        tc.addTaskCompletionListener[Unit] { _ =>
+          captured.end()
+          deflaterCache.remove()
+        }
+      }
+    }
+    d
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
-    if (deflater == null) deflater = new java.util.zip.Deflater(6)
-    val d = deflater
+    val d = threadDeflater()
     d.reset()
     d.setInput(bytes)
     d.finish()

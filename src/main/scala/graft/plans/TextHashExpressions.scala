@@ -23,18 +23,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * bridge must grow a defensive `ev.isNull` check at the same time.
   */
 private[plans] trait Md5HashedText {
-  // one digest instance per (deserialized) expression copy = per task; the
-  // same per-task mutable-state pattern SignLsh uses
-  @transient private var md: MessageDigest = _
-
-  protected final def digest(s: UTF8String): Array[Byte] = {
-    if (md == null) md = MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes)
+  // one digest per (thread × deserialized expression copy). Task-local
+  // copies make this effectively per-task in the normal path; the
+  // ThreadLocal closes the residual hazard of ONE interpreted instance
+  // evaluated from two threads (shared interpreted projection /
+  // subexpression elimination) interleaving update/digest on a shared
+  // MessageDigest. Cost is one ThreadLocal lookup per call, dwarfed by the
+  // MD5 itself.
+  @transient private lazy val mdCache = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
+
+  protected final def digest(s: UTF8String): Array[Byte] =
+    mdCache.get().digest(s.getBytes)
 
   /** md5 of a byte range, no intermediate copy. */
   protected final def digestRange(b: Array[Byte], off: Int, len: Int): Array[Byte] = {
-    if (md == null) md = MessageDigest.getInstance("MD5")
+    val md = mdCache.get()
     md.update(b, off, len)
     md.digest()
   }

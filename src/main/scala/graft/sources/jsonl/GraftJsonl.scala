@@ -251,12 +251,30 @@ object GraftJsonl {
     * that replays its last epoch after an upgrade writes a NEW tagged name
     * instead of renaming over the old one — the legacy twin would duplicate
     * that epoch's records once. Landing a tagged streaming segment therefore
-    * deletes its legacy-named twin (content-identical by the deterministic
-    * replay contract; a fully-consumed twin retires on the reader side, a
-    * partially-consumed one re-reads the same records under the new name —
-    * the documented at-least-once upgrade/retention story).
+    * retires its legacy-named twin, but ONLY when the twin is byte-identical
+    * to the landed segment: a true replay twin is content-identical by the
+    * deterministic replay contract, whereas a same-numbered segment from an
+    * UNRELATED untagged run (fresh-checkpoint tagged query whose epochs
+    * restart at 0, sharing a directory with an older run) is that run's
+    * committed data and must survive. A twin that is not byte-identical is
+    * left in place — worst case the upgrade replay duplicates one epoch's
+    * records (the documented at-least-once upgrade story), never loses data.
     */
   private val LegacyStreamTwin = """seg-q[0-9a-f]{12}-(\d{6}-\d{4}\.jsonl)""".r
+
+  /** Byte-equality of two files without loading either fully into memory. */
+  private def sameContent(a: File, b: File): Boolean = {
+    if (a.length() != b.length()) return false
+    val ia = new java.io.BufferedInputStream(new java.io.FileInputStream(a))
+    try {
+      val ib = new java.io.BufferedInputStream(new java.io.FileInputStream(b))
+      try {
+        var x = 0
+        while ({ x = ia.read(); x != -1 }) if (ib.read() != x) return false
+        ib.read() == -1
+      } finally ib.close()
+    } finally ia.close()
+  }
 
   private[jsonl] def commitSegments(
       dir: String,
@@ -271,7 +289,8 @@ object GraftJsonl {
         segment match {
           case LegacyStreamTwin(suffix) =>
             val legacy = new File(dir, s"seg-$suffix")
-            if (legacy.exists()) legacy.delete()
+            if (legacy.exists() && sameContent(legacy, new File(dir, segment)))
+              legacy.delete()
           case _ => ()
         }
       case _ => ()

@@ -43,6 +43,29 @@ class GraftJsonlLegacyTwinSpec extends AnyFunSuite {
     assert(other.exists(), "only the exact (epoch, partition) twin may go")
   }
 
+  test("a same-numbered segment from an UNRELATED run survives (content differs)") {
+    val dir = tempDir()
+    // an older untagged run's committed epoch-0 output shares the directory;
+    // a fresh-checkpoint tagged query restarts its own epochs at 0 — its
+    // landings must NOT reap the other run's data (ADVICE r13: the
+    // unconditional delete progressively destroyed the untagged run)
+    val foreign = new File(dir, "seg-000000-0000.jsonl")
+    Files.writeString(foreign.toPath, "their-record-1\ntheir-record-2\n")
+    land(dir, "qfedcba654321-000000", 0, "my-record\n")
+    assert(foreign.exists(),
+      "non-identical twin is another run's committed data — deleting it is silent data loss")
+    // same length, different bytes: still not a twin
+    val foreign2 = new File(dir, "seg-000001-0000.jsonl")
+    Files.writeString(foreign2.toPath, "AAAA\n")
+    land(dir, "qfedcba654321-000001", 0, "BBBB\n")
+    assert(foreign2.exists(), "byte-equality, not length-equality, gates the reap")
+    // a TRUE replay twin (byte-identical) still retires
+    val twin = new File(dir, "seg-000002-0000.jsonl")
+    Files.writeString(twin.toPath, "same\nbytes\n")
+    land(dir, "qfedcba654321-000002", 0, "same\nbytes\n")
+    assert(!twin.exists(), "identical twin must still be reaped (upgrade dedup)")
+  }
+
   test("batch-tagged landings never delete legacy-looking files") {
     val dir = tempDir()
     val legacy = new File(dir, "seg-000001-0000.jsonl")

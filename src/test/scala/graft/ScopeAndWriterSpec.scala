@@ -82,6 +82,24 @@ class ScopeAndWriterSpec extends SparkTestBase {
     assert(ScopeTeardownCounters.doubleClosed.get() == 0)
   }
 
+  test("per-RECORD get() is memoized per task: same instance, one close (ADVICE r13)") {
+    import spark.implicits._
+    ScopeTeardownCounters.reset()
+    val sup = new ScopedSupplier(ProcessorScope.Partition, () => new CountingPool)
+    val distinctRefs = spark.range(300).repartition(3).mapPartitions { it =>
+      // a stale call site invoking get() per record must NOT build a pool
+      // per record (O(records) listeners + live instances until task end)
+      val ids = it.map(_ => System.identityHashCode(sup.get())).toSet
+      Iterator.single(ids.size)
+    }.collect()
+    assert(distinctRefs.forall(_ == 1), "all get() calls in one task must return the SAME instance")
+    assert(ScopeTeardownCounters.created.get() == 3, "one pool per task, not per record")
+    assert(ScopeTeardownCounters.closed.get() == 3)
+    assert(ScopeTeardownCounters.doubleClosed.get() == 0)
+    assert(graft.api.ScopedSupplier.taskInstances.isEmpty,
+      "completion listeners must drain the task-instance map")
+  }
+
   test("Partition-scope teardown runs on task FAILURE too (partition-revoke analog)") {
     import spark.implicits._
     ScopeTeardownCounters.reset()

@@ -44,6 +44,28 @@ class TaskPipelineSpec extends SparkTestBase {
     assert(poisoned.tasks.filter(t => new String(t.key, "UTF-8").endsWith("7")).count() == 0)
   }
 
+  test("poison drops are COUNTED in the graft.tasks.poison accumulator, not just logged") {
+    import spark.implicits._
+    val records = TaskSource.fromEvents(spark, sfDir)
+    val acc = TaskPipeline.poisonCounter(spark)
+    val before = acc.value
+    val poisoned = TaskPipeline.consuming(records, new TaskExtractor[String] {
+      def extract(r: ConsumedRecord): Task[String] = {
+        if (new String(r.key, "UTF-8").endsWith("7"))
+          throw new IllegalArgumentException("unparseable payload")
+        Task(TaskMetadata(timestampMillis = r.timestampMillis), r.key,
+          new String(r.value, "UTF-8"))
+      }
+    })
+    poisoned.tasks.count()
+    val corrupt = records.filter(r => new String(r.key, "UTF-8").endsWith("7")).count()
+    assert(corrupt > 0)
+    // the reference counts extraction failures in its metrics family —
+    // monitoring must see dropped records (ADVICE r13)
+    assert(acc.value - before == corrupt,
+      s"accumulator must count every poison drop: ${acc.value - before} vs $corrupt")
+  }
+
   test("blockKeys drops exactly the ignored keys and nothing else") {
     import spark.implicits._
     val all = pipeline()
