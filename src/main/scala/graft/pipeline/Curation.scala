@@ -117,6 +117,9 @@ object Curation {
     val keepers = base
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
+    // null-text rows have a null hash: they drop HERE (null join keys never
+    // match) rather than at the token gates — identical to the SQL oracle's
+    // null-key join semantics, so the two sides agree by construction
     val deduped = base.join(keepers, Seq("content_hash", "doc_id"))
     val gated = deduped
       .filter(col("n_tokens").between(minTokens, maxTokens))
@@ -155,6 +158,13 @@ object Curation {
     * `cap`-sized buffer per source, never the documents. A hot source (the
     * usual crawl skew: one domain = 10% of the corpus) costs its reducer a
     * single bounded heap, not a sorted partition of every row.
+    *
+    * NaN posture (pinned in CurationOpsSpec): a NaN score carries no ranking
+    * signal — the heap ignores NaN rows, so they are never admitted, but
+    * they DO count in `n_total` (they are documents the source contributed).
+    * A source whose every score is NaN has an empty heap and yields no
+    * output rows (posexplode of an empty array) — same as a source with no
+    * documents at all.
     */
   private def requireIntegralId(df: DataFrame, idCol: Column, op: String): Unit =
     graft.functions.requireIntegralId(df, idCol, op)

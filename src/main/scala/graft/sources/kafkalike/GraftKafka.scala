@@ -111,6 +111,9 @@ object GraftKafka {
     * EVERY topic block must parse: a partially malformed spec (e.g. quoted
     * partition numbers in one block) must fail loudly like Kafka's own
     * assign, not silently read only the well-formed topics forever.
+    * An EMPTY partition list (`{"t":[]}`) is a well-formed block assigning
+    * zero partitions of that topic — Kafka's assign semantics; a spec whose
+    * every block is empty still fails (nothing to read is a config error).
     */
   def parseAssign(s: String): Seq[(String, Int)] = {
     val topicBlock = """"([^"]+)"\s*:\s*\[([0-9,\s]*)\]""".r
@@ -504,6 +507,10 @@ case class GraftKafkaWriterFactory(
           val arr = row.getArray(headersIdx)
           (0 until arr.numElements()).map { i =>
             val h = arr.getStruct(i, 2)
+            // a null header STRUCT (containsNull=true input schema) would
+            // otherwise NPE bare on h.getUTF8String — same clear-error rule
+            // as the null header key below
+            require(h != null, s"null header struct at headers[$i]")
             val k = h.getUTF8String(0)
             // a clear error beats the bare executor NPE the reference
             // producer also rejects null header keys

@@ -70,22 +70,34 @@ object RetryLoop {
     // saturating bound: maxRetries = Long.MaxValue means "retry forever"
     val maxHops = if (maxRetries >= Long.MaxValue - 1) Long.MaxValue else maxRetries + 1
 
-    while (hops <= maxHops && !pending.isEmpty) {
-      // persist the tagged pass and materialize it FULLY (counts is one
-      // aggregate over every partition) so (a) a side-effecting processor
-      // runs exactly once per task per hop, and (b) the lazy disposition
-      // views below — and the next hop's input — only ever read the cache
-      val streams = new TaskPipeline(pending).thenProcess(processor)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      streams.counts
-      caches :+= streams
-      processed = acc(processed, streams.processed)
-      discarded = acc(discarded, streams.discarded)
-      errored = acc(errored, streams.errored)
-      val retries = streams.retries(backoffMillis, nowMillis + hops * backoffMillis)
-      gaveUp = acc(gaveUp, retries.filter((t: Task[T]) => t.metadata.retryCount > maxRetries))
-      pending = retries.filter((t: Task[T]) => t.metadata.retryCount <= maxRetries)
-      hops += 1
+    try {
+      while (hops <= maxHops && !pending.isEmpty) {
+        // persist the tagged pass and materialize it FULLY (counts is one
+        // aggregate over every partition) so (a) a side-effecting processor
+        // runs exactly once per task per hop, and (b) the lazy disposition
+        // views below — and the next hop's input — only ever read the cache
+        val streams = new TaskPipeline(pending).thenProcess(processor)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // track BEFORE materializing: a hop that throws inside `counts`
+        // (fatal processor error, lost executor) must leave every persisted
+        // pass reachable for the cleanup below — an untracked cache entry
+        // would be pinned until session end
+        caches :+= streams
+        streams.counts
+        processed = acc(processed, streams.processed)
+        discarded = acc(discarded, streams.discarded)
+        errored = acc(errored, streams.errored)
+        val retries = streams.retries(backoffMillis, nowMillis + hops * backoffMillis)
+        gaveUp = acc(gaveUp, retries.filter((t: Task[T]) => t.metadata.retryCount > maxRetries))
+        pending = retries.filter((t: Task[T]) => t.metadata.retryCount <= maxRetries)
+        hops += 1
+      }
+    } catch {
+      case t: Throwable =>
+        // no Outcome will be returned, so nothing else can ever release the
+        // per-hop caches — release them here and rethrow
+        caches.foreach(s => try s.unpersist() catch { case _: Throwable => () })
+        throw t
     }
     Outcome(processed, discarded, errored, gaveUp, pending, hops.toInt, caches)
   }

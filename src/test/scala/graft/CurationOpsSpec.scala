@@ -196,6 +196,22 @@ class CurationOpsSpec extends SparkTestBase {
     }
   }
 
+  test("perSourceCap NaN posture: unranked but counted; an all-NaN source vanishes") {
+    // r14 review-pass pin: NaN scores never rank (heap excludes them) yet
+    // still count in n_total; a source with ONLY NaN scores produces no
+    // output rows at all (empty heap -> posexplode drops it)
+    val d = Seq(
+      ("a", 1L, 1.0), ("a", 2L, Double.NaN), ("a", 3L, 2.0),
+      ("b", 4L, Double.NaN), ("b", 5L, Double.NaN)
+    ).toDF("source", "doc_id", "s")
+    val out = graft.pipeline.Curation
+      .perSourceCap(d, col("doc_id"), col("source"), col("s"), 5)
+      .as[(String, Int, Long, Double, Long)].collect().sorted
+    assert(out.map(_._1).distinct.toSeq == Seq("a"), "all-NaN source must vanish")
+    assert(out.map(_._3).toSeq == Seq(3L, 1L), "NaN row must never be admitted")
+    assert(out.forall(_._5 == 3L), "n_total counts the NaN row it never ranks")
+  }
+
   test("overlap matrix is exact against a brute-force set intersection") {
     val d = Tables.documents(spark, sfDir)
     val toks = d.select(col("source"),

@@ -50,6 +50,32 @@ class RetryLoopSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("a hop that fails FATALLY releases every per-hop cache (r14 review pass)") {
+    import spark.implicits._
+    // NonFatal errors become the error disposition; a FATAL one (here
+    // InterruptedException, outside NonFatal) fails the Spark job mid-loop —
+    // no Outcome is returned, so RetryLoop itself must release the caches it
+    // persisted or they stay pinned until session end
+    val p = new RecordProcessor[Int, Int] {
+      def process(t: Task[Int]): ProcessResult[Int] = {
+        if (t.metadata.retryCount >= 1) throw new InterruptedException("fatal mid-loop")
+        if (t.value % 2 == 0) ProcessResult.Retry else ProcessResult.Processed(t.value)
+      }
+    }
+    // compare against pre-existing storage: another suite's cache must not
+    // pollute the assertion either way
+    val before = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    intercept[org.apache.spark.SparkException] {
+      RetryLoop.processWithRetries(mkTasks(10), p,
+        backoffMillis = 10L, maxRetries = 3L, nowMillis = 0L)
+    }
+    // unpersist is async — poll storage until the loop's blocks are gone
+    def leaked() = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet -- before
+    val deadline = System.currentTimeMillis() + 10000
+    while (leaked().nonEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(leaked().isEmpty, "failed loop must not strand persisted per-hop passes")
+  }
+
   test("retry metadata carries monotone backoff schedule") {
     import spark.implicits._
     val p = new RecordProcessor[Int, Int] {
