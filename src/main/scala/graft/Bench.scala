@@ -379,6 +379,13 @@ object Bench {
       Explain.writePlansMd(auditSession, sfDir, "PLANS.md",
         s"graft.Bench ${java.time.Instant.now()} @ $sfDir")
     } catch { case e: Throwable => System.err.println(s"[bench] PLANS.md regen failed: $e") }
+    // Print the JSON line AGAIN as the very last output: the first print
+    // (kept for live log readers) lands BEFORE the PLANS.md regen above,
+    // whose 134 query explains emit enough WindowExec warnings to push it
+    // past the driver's bounded output tail — the likely cause of 13 rounds
+    // of parsed:null. Last-line placement puts the metric inside any
+    // tail window; BENCH_SELF.json remains the committed prefix-free record.
+    println(benchJson)
     spark.stop()
   }
 }
