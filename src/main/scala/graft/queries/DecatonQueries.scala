@@ -859,6 +859,119 @@ object DecatonQueries {
                k.kmv_size, k.kmv_kth
         FROM hll l JOIN ks k
           ON l.win_start = k.win_start AND l.event_type = k.event_type
+      """)),
+
+    // ---- the REFRESHING drift alarm's code path (StreamOps
+    // .termDriftAlarmRefreshed — the production monitor posture dq19 lacks:
+    // the trusted reference census catches up mid-stream, so later windows
+    // score against a NEWER histogram than earlier ones). Deterministic
+    // replay harness: the corpus streams in as THREE window-aligned epochs
+    // of event time (epoch length Q = 100·max(2, n/300) seconds; __ts =
+    // doc_id seconds as dq19) plus two far-future flush batches, with
+    // no-data micro-batches disabled on a CLONED session so batchIds are
+    // exactly the five addData calls (0..4) and the flow never mutates the
+    // caller's session conf. With refreshEveryBatches = 2 the provider
+    // re-resolves at batchIds 0/2/4 to a GROWING trusted prefix census
+    // ([0,Q), [0,min(2Q,n)), [0,n)), and append-mode emission timing —
+    // window [100w,100w+100) is evicted in the first batch whose START
+    // watermark ≥ its end; watermarks after the data batches are Q-1,
+    // 2Q-1, n-1, none ≡ 0 (mod 100), so the ≤-vs-< eviction boundary can
+    // never be hit — makes the scoring reference a PURE function of the
+    // window index: ref 0 for windows ending before Q (evicted in batch 1),
+    // ref 1 before n (batches 2 and 3 share the batch-2 refresh), ref 2
+    // for the final window (batch 4). The oracle replays census, refresh
+    // schedule and the 1e-6-frozen integer KL in SQL, so a defect anywhere
+    // in watermark bookkeeping, state-store carry-over of a window that
+    // spans epochs, or the literal re-broadcast breaks the hash match.
+    Q(
+      "dq25_stream_drift_refresh",
+      (s, dir) => {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val q100 = 100L * math.max(2L, n / 300L)
+        require(n > 2 * q100,
+          s"dq25 needs three non-empty window-aligned epochs (n=$n, Q=$q100)")
+        // the refresh targets, precomputed eagerly (each is 512 longs)
+        val refs = Seq(q100, math.min(2 * q100, n), n).map(b =>
+          graft.streaming.StreamOps.termBucketHist(
+            docs.filter(col("doc_id") < b), col("text"), nBuckets = 512))
+        val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+        val provider = () => refs(math.min(calls.getAndIncrement(), refs.size - 1))
+
+        val sess = s.newSession()
+        sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // explicit encoders: the implicit TypeTag derivation for tuples
+        // inside this registry lambda materializes a refined type that
+        // ScalaReflection rejects at runtime
+        val in = MemoryStream[(Long, String)](
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.STRING),
+          sess.sqlContext)
+        val stream = in.toDF().toDF("doc_id", "text")
+          .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-dq25").toString
+        val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+        val rows = docs.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        val epochs = Array.fill(3)(Vector.newBuilder[(Long, String)])
+        rows.foreach(t => epochs(math.min(2L, t._1 / q100).toInt) += t)
+        val alarm = graft.streaming.StreamOps.termDriftAlarmRefreshed(
+            stream, col("text"), "__ts", "0 seconds", "100 seconds",
+            provider, refreshEveryBatches = 2, nBuckets = 512,
+            checkpointDir = ckpt, queryName = "dq25_drift_refresh") { batch =>
+          batch.select(unix_seconds(col("w_start")), col("n_tokens"), col("kl_fp"))
+            .collect().foreach(r => out.add((r.getLong(0), r.getLong(1), r.getLong(2))))
+        }
+        try {
+          epochs.foreach { e => in.addData(e.result()); alarm.processAllAvailable() }
+          // two flush batches: the first's watermark (n-1) evicts everything
+          // but the final window; the second's evicts the final window
+          Seq(10000000L, 20000000L).foreach { t =>
+            in.addData((t, "flush")); alarm.processAllAvailable()
+          }
+        } finally alarm.stop()
+        val emitted = out.toArray(Array.empty[(Long, Long, Long)]).toSeq
+          .filter(_._1 < 10000000L)
+        s.createDataset(emitted)(org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+          .toDF("w_sec", "n_tokens", "kl_fp")
+      },
+      Some("""
+        WITH p AS (
+          SELECT count(*) AS n, 100 * greatest(count(*) // 300, 2) AS qq
+          FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        tb AS (SELECT doc_id // 100 AS w, doc_id,
+                      CAST(('0x'||substr(md5(t),1,15)) AS BIGINT) % 512 AS cell
+               FROM tok),
+        c AS (SELECT w, cell, count(*) AS a FROM tb GROUP BY 1, 2),
+        widx AS (
+          SELECT w, CASE WHEN 100 * (w + 1) < (SELECT qq FROM p) THEN 0
+                         WHEN 100 * (w + 1) < (SELECT n FROM p) THEN 1
+                         ELSE 2 END AS ri
+          FROM (SELECT DISTINCT w FROM tb)),
+        refs AS (
+          SELECT ri.ri, tb.cell, count(*) AS rb
+          FROM (SELECT 0 AS ri UNION ALL SELECT 1 UNION ALL SELECT 2) ri
+          JOIN tb ON tb.doc_id < CASE ri.ri
+              WHEN 0 THEN (SELECT qq FROM p)
+              WHEN 1 THEN least(2 * (SELECT qq FROM p), (SELECT n FROM p))
+              ELSE (SELECT n FROM p) END
+          GROUP BY 1, 2),
+        cells AS (SELECT unnest(generate_series(0, 511)) AS cell),
+        f AS (
+          SELECT wx.w, cl.cell, coalesce(c.a, 0) AS a, coalesce(r.rb, 0) AS rb
+          FROM widx wx CROSS JOIN cells cl
+          LEFT JOIN c ON c.w = wx.w AND c.cell = cl.cell
+          LEFT JOIN refs r ON r.ri = wx.ri AND r.cell = cl.cell)
+        SELECT CAST(w * 100 AS BIGINT) AS w_sec,
+               CAST(sum(a) AS BIGINT) AS n_tokens,
+               CAST(sum((a + 1) * CAST(round(1000000.0 * ln(CAST(a + 1 AS DOUBLE) / CAST(rb + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS kl_fp
+        FROM f GROUP BY w
       """))
   )
 }

@@ -9,6 +9,17 @@ class PlanAuditSpec extends SparkTestBase {
 
   /** Queries whose scans MUST carry pushed filters (they filter base-table
     * columns before any shuffle).
+    *
+    * DELIBERATELY ABSENT — q21_percentile / pq75_source_quality (the
+    * effective-count-0 contract, round 13): their scans carried a pushed
+    * not-null filter through r12, and LOSING it was the point of the
+    * percentile rework. Null-value rows must REACH the exact-rank aggregate
+    * carrying c=0 so every consumer (census, both rank passes, the final
+    * agg) shares ONE scan subtree; filtering nulls at the scan forks the
+    * plan through aggregate pushdown — measured +1/+2 exchanges and a
+    * second corpus scan (Percentiles.scala:70-107, PLANS.md r12→r13 diff).
+    * Do NOT "fix" these back into mustPush: the no-pushdown shape is the
+    * recorded decision, pinned by the dedicated test below.
     */
   private val mustPush = Set(
     "dq01_key_blocking", "dq04_scheduled", "dq06_retry_backoff",
@@ -144,7 +155,14 @@ class PlanAuditSpec extends SparkTestBase {
     * by design (k-means-style residency); its corpus-scale inputs are
     * audited by the dedicated test below.
     */
-  private val localResidue = Set("pq23_dedup_clusters", "pq50_knn_mmr")
+  /** dq25's registered frame is the driver-collected emission log of a
+    * finished streaming query (bounded: one row per closed window); the
+    * distributed plans are the per-batch stateful aggregations inside the
+    * stream, exercised live by the query itself and by
+    * StreamingPipelineSpec.
+    */
+  private val localResidue =
+    Set("pq23_dedup_clusters", "pq50_knn_mmr", "dq25_stream_drift_refresh")
 
   /** UNPARTITIONED-window allowlist: the only sanctioned global windows are
     * cumulative/rank windows over bounded METADATA frames, never over the
@@ -197,6 +215,25 @@ class PlanAuditSpec extends SparkTestBase {
         ).collect { case (false, msg) => msg }
       }
       assert(failures.isEmpty, failures.mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("q21/pq75 keep the effective-count-0 shared-scan shape (no pushdown BY DESIGN)") {
+    // the inverse pin of mustPush (see its doc comment): if a pushed filter
+    // REAPPEARS on these scans, someone filtered nulls before the exact-rank
+    // aggregate — the plan forks into the measured-worse double-scan and the
+    // c=0 census contract is broken. Fail loudly toward the rationale.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("q21_percentile", "pq75_source_quality").foreach { name =>
+        val f = Explain.audit(SparkEntry.queries(name)(spark, sfDir))
+        assert(!f.pushedFilters,
+          s"$name scan has pushed filters again — the effective-count-0 rework " +
+            "deliberately removed the scan-level not-null filter so null rows flow " +
+            "to the aggregate with c=0 on ONE shared subtree (PlanAuditSpec mustPush " +
+            "doc); re-adding it forks the corpus scan (+1/+2 exchanges, measured r13)")
+      }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
