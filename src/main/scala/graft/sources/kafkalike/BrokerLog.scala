@@ -274,13 +274,26 @@ object BrokerLog {
 
   /** Delete all records below `offset` (retention / simulated data loss).
     * Offsets of surviving records — and the log-end mark — are unaffected.
+    *
+    * The high-water cover lands BEFORE any file dies: produce() claims the
+    * offset (hard link) and only then bumps the mark, so a record inside
+    * that claim→bump window has its record file as the ONLY evidence of the
+    * log end. A sweep that deleted it without covering first would let a
+    * reader racing the sweep observe `offsetRange` regress (listing-derived
+    * end vanishes, marker still behind) until the producer's own deferred
+    * bump lands — found by ConcurrencyChaosSpec seed 20260817; the log-end
+    * monotonicity contract admits no transient dips.
     */
-  def truncateBefore(root: String, topic: String, partition: Int, offset: Long): Unit =
-    recordFiles(partDir(root, topic, partition))
-      .filter(offsetOf(_) < offset)
+  def truncateBefore(root: String, topic: String, partition: Int, offset: Long): Unit = {
+    val dir = partDir(root, topic, partition)
+    val victims = recordFiles(dir).filter(offsetOf(_) < offset)
+    if (victims.nonEmpty) {
+      bumpHighWater(dir, victims.map(offsetOf).max + 1)
       // deleteIfExists: two concurrent retention sweeps may race on a file;
       // the loser finding it gone is success, not an error
-      .foreach(p => { Files.deleteIfExists(p); () })
+      victims.foreach(p => { Files.deleteIfExists(p); () })
+    }
+  }
 
   private[graft] def encode(r: Record): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
