@@ -66,6 +66,60 @@ object ScaleProbe {
     // effective-count-0 shape)
     "dq24_windowed_distinct_sketch", "q21_percentile")
 
+  /** Round-14: a THIRD scale point — two points (sf0.01→sf0.1) fit any
+    * line; the flagships get a further 10× step on SYNTHESIZED volume
+    * (10 shifted copies of sf0.1 — see [[synthesize]]) so curvature is
+    * measurable across two decades.
+    */
+  val Probe100x: Seq[String] = Seq(
+    "pq74_scrub_mix", "pq64_incremental_mix", "pq60_training_mix",
+    "pq18_dup_spans", "q21_percentile")
+
+  /** Materialize a 10×-of-`bigDir` volume for the [[Probe100x]] inputs
+    * (documents + orders) by unioning 10 id-shifted copies. Volume-faithful,
+    * not generator-faithful: copy k > 0 shifts every id by k·N, and every
+    * TOKEN gets the digit k appended — the canonicalizer keeps digits, so
+    * texts/grams/canonical hashes are all distinct ACROSS copies while each
+    * copy keeps sf0.1's internal duplicate/span structure exactly. Without
+    * the perturbation every dedup-shaped stage would see 10-way duplicate
+    * groups of the SAME document — a data-construction artifact that
+    * inflates group sizes superlinearly and would fail the probe for
+    * reasons that say nothing about the plans. (Vocabulary grows 10× where
+    * a real corpus grows sublinearly — a pessimistic distortion: it only
+    * makes broadcast/agg stages heavier than reality.) Cached under
+    * /tmp and keyed by a marker file; delete the directory to regenerate.
+    */
+  def synthesize(spark: SparkSession, bigDir: String, outDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val done = java.nio.file.Paths.get(outDir, "_SYNTH_OK")
+    if (java.nio.file.Files.exists(done)) return
+    System.err.println(s"[scale] synthesizing 10x of $bigDir under $outDir")
+    val d = spark.read.parquet(s"$bigDir/documents.parquet")
+    val n = d.agg(max(col("doc_id"))).head().getLong(0) + 1
+    (0 until 10).map { k =>
+      if (k == 0) d
+      else d.select(
+        (col("doc_id") + lit(k * n)).as("doc_id"),
+        array_join(transform(split(col("text"), " "), t => concat(t, lit(k.toString))), " ")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val o = spark.read.parquet(s"$bigDir/orders.parquet")
+    val m = o.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+    (0 until 10).map { k =>
+      o.select(
+        (col("o_orderkey") + lit(k * m)).as("o_orderkey"),
+        (col("o_custkey") + lit(k * m)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    java.nio.file.Files.createFile(done); ()
+  }
+
   final case class Sample(
       sec: Double, inputMb: Double, shuffleWriteMb: Double,
       shuffleReadMb: Double, spillMb: Double) {
@@ -139,6 +193,10 @@ object ScaleProbe {
       SparkEntry.queries(n)(spark, small).write.format("noop").mode("overwrite").save()
     }
 
+    // third scale point: synthesized 10×-of-big volume for the flagships
+    val synthDir = args.lift(2).getOrElse("/tmp/graft-sf-synth100")
+    synthesize(spark, big, synthDir)
+
     val rows = ProbeQueries.map { n =>
       val s1 = runOne(spark, n, small)
       val s10 = runOne(spark, n, big)
@@ -150,19 +208,37 @@ object ScaleProbe {
       System.err.println(f"[scale] $n%-28s 1x=${s1.sec}%6.2fs 10x=${s10.sec}%6.2fs " +
         f"shufWr ${s1.shuffleWriteMb}%8.1f -> ${s10.shuffleWriteMb}%8.1f MB " +
         f"amp ${s1.amplification}%5.2f -> ${s10.amplification}%5.2f ok=$ok")
-      (n, s1, s10, bytesRatio, ampRatio, ok)
+      // the second decade, flagships only: ratios against the 10x sample
+      val s100 = if (Probe100x.contains(n)) Some(runOne(spark, n, synthDir)) else None
+      val r100 = s100.map { s =>
+        val br = if (s10.shuffleWriteMb == 0) 1.0 else s.shuffleWriteMb / s10.shuffleWriteMb
+        val meaningful = s10.inputMb >= InputFloorMb && s.inputMb >= InputFloorMb
+        val ar = if (!meaningful || s10.amplification == 0) 1.0
+                 else s.amplification / s10.amplification
+        val ok100 = ar <= AmplificationSlack && br <= BytesRatioMax
+        System.err.println(f"[scale] $n%-28s 100x=${s.sec}%6.2fs " +
+          f"shufWr ${s10.shuffleWriteMb}%8.1f -> ${s.shuffleWriteMb}%8.1f MB " +
+          f"amp ${s10.amplification}%5.2f -> ${s.amplification}%5.2f ok=$ok100")
+        (s, br, ar, ok100)
+      }
+      (n, s1, s10, bytesRatio, ampRatio, ok, r100)
     }
 
     def sampleJson(s: Sample) =
       f"""{"sec":${s.sec}%.3f,"input_mb":${s.inputMb}%.2f,"shuffle_write_mb":${s.shuffleWriteMb}%.2f,""" +
         f""""shuffle_read_mb":${s.shuffleReadMb}%.2f,"spill_mb":${s.spillMb}%.2f,""" +
         f""""amplification":${s.amplification}%.4f}"""
-    val qJson = rows.map { case (n, s1, s10, br, ar, ok) =>
+    val qJson = rows.map { case (n, s1, s10, br, ar, ok, r100) =>
+      val extra = r100.map { case (s, br1, ar1, ok1) =>
+        f""","sf_100x":${sampleJson(s)},"time_ratio_100x":${s.sec / math.max(1e-9, s10.sec)}%.2f,""" +
+          f""""shuffle_bytes_ratio_100x":$br1%.2f,"amplification_ratio_100x":$ar1%.3f,""" +
+          f""""linear_100x_ok":$ok1"""
+      }.getOrElse("")
       f""""$n":{"sf_1x":${sampleJson(s1)},"sf_10x":${sampleJson(s10)},""" +
         f""""time_ratio":${s10.sec / math.max(1e-9, s1.sec)}%.2f,"shuffle_bytes_ratio":$br%.2f,""" +
-        f""""amplification_ratio":$ar%.3f,"linear_ok":$ok}"""
+        f""""amplification_ratio":$ar%.3f,"linear_ok":$ok$extra}"""
     }.mkString("{", ",", "}")
-    val allOk = rows.forall(_._6)
+    val allOk = rows.forall(r => r._6 && r._7.forall(_._4))
     val json =
       s"""{"probe":"scale-shape","step":"10x rows ($small -> $big)","amplification_slack":$AmplificationSlack,""" +
         s""""bytes_ratio_max":$BytesRatioMax,"queries":$qJson,"all_linear":$allOk}"""
