@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   *      values whose `[offset, offset+count)` span covers `⌊h⌋` or
   *      `⌊h⌋+1` and interpolates.
   *
-  * Matches `percentile(value, p)` bit-for-bit on finite doubles: identical
+  * Matches `percentile(value, p)` bit-for-bit on finite doubles — and
+  * keeps the builtin's TOTAL order (NaN greatest, ±Inf at the extremes,
+  * saturating range buckets) on non-finite ones (PercentilesSpec's
+  * non-finite case): identical
   * order statistics and Spark's own weighted interpolation
   * `(⌈h⌉−h)·v_lo + (h−⌊h⌋)·v_hi` (NOT the algebraically-equal
   * `v_lo + frac·Δ`, which differs by ULPs), with the builtin's
@@ -71,10 +74,21 @@ object Percentiles {
     // subtree, the null row contributes nothing to any offset, total or
     // covers() interval (an empty [off, off) span matches no rank), and
     // n = 0 IS the all-null-group census.
+    // Range cut must be MONOTONE in Spark's double sort order or the
+    // phase-1/phase-2 offsets diverge from the true order statistics. The
+    // long cast saturates, which handles ±Inf and huge finite values for
+    // free (they share the extreme buckets, where the within-bucket window
+    // still orders them correctly) — but floor(NaN/w) casts to 0, planting
+    // NaN in the MIDDLE of the range order while every sort in this plan
+    // (and the builtin) treats NaN as the LARGEST double. Route NaN to the
+    // top bucket explicitly; inside it the window's orderBy(v) sorts
+    // Inf < NaN, matching the global order.
     val cnts = df.select(groupCol.as("g"), valueCol.cast("double").as("v"))
       .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c0"))
       .withColumn("c", when(col("v").isNull, lit(0L)).otherwise(col("c0")))
-      .withColumn("__rng", floor(col("v") / lit(rangeWidth)).cast("long"))
+      .withColumn("__rng",
+        when(isnan(col("v")), lit(Long.MaxValue))
+          .otherwise(floor(col("v") / lit(rangeWidth)).cast("long")))
 
     // phase 1: per-range totals (partial-agg shuffle, metadata-sized) and
     // each range's cumulative base offset within its group. The null range
@@ -123,7 +137,12 @@ object Percentiles {
         max(when(covers(col("r_lo")), col("v"))).as("v_lo"),
         max(when(covers(col("r_hi")), col("v"))).as("v_hi"))
       .select(col("g"), col("p"), col("n"),
-        when(col("r_hi") === col("r_lo"), col("v_lo"))
+        // integral h returns v_lo WITHOUT touching v_hi — the builtin's
+        // shortcut. The previous `r_hi === r_lo` guard only caught h = n-1;
+        // at interior integral h the weighted form still evaluated
+        // 1·v_lo + 0·v_hi, which is exact for finite doubles but turns a
+        // NaN/±Inf v_hi into NaN (0·NaN, 0·∞) — round-14 review finding.
+        when(col("h") === col("r_lo").cast("double"), col("v_lo"))
           .otherwise(
             (col("r_hi").cast("double") - col("h")) * col("v_lo") +
             (col("h") - col("r_lo").cast("double")) * col("v_hi"))

@@ -337,7 +337,12 @@ object Sampling {
     * labels — feed it `(doc_id, cluster)` from
     * [[graft.dedup.Dedup.connectedComponents]] for near-dup-safe splits.
     * Row-local: bucket = portable_hash(group) mod 1000, assigned by
-    * cumulative weight range.
+    * cumulative weight range. A NULL group label (not produced by any of
+    * this library's group sources, but possible with caller-supplied
+    * labels) hashes to a null bucket, which falls through every range test
+    * into the LAST declared split — deterministic and leak-safe (all
+    * null-group rows land together), but callers wanting a different
+    * policy should coalesce their label first.
     */
   def splitByGroup(
       df: DataFrame,

@@ -71,6 +71,24 @@ class PercentilesSpec extends SparkTestBase {
       .select("pct").as[Double].head() == 2.0)
   }
 
+  test("non-finite values keep the builtin's sort order (NaN greatest, not bucket 0)") {
+    // floor(NaN/w) casts to range 0, planting NaN mid-order while every sort
+    // treats it as the LARGEST double — caught in the round-14 review; the
+    // explicit top-bucket route must agree with the builtin on mixed
+    // finite/Inf/NaN groups (equality on NaN result cells via <=>)
+    val rows = Seq(
+      ("nan", Double.NaN), ("nan", 2.0), ("nan", 3.0),
+      ("inf", Double.PositiveInfinity), ("inf", 1.0), ("inf", Double.NegativeInfinity),
+      ("both", Double.NaN), ("both", Double.PositiveInfinity),
+      ("both", -5.0), ("both", 5.0), ("both", 1e308), ("both", -1e308))
+      .toDF("g", "v")
+    val ps = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val diff = ours(rows, "g", "v", ps)
+      .join(builtin(rows, "g", "v", ps), "g")
+      .filter(not(col("got") <=> col("exp")))
+    assert(diff.isEmpty, s"non-finite order diverged: ${diff.collect().mkString(", ")}")
+  }
+
   test("pinned divergence: -0.0 merges with 0.0 (numerically equal to the builtin, sign bit may differ)") {
     val df = Seq(("z", -0.0), ("z", 0.0), ("z", 1.0)).toDF("g0", "v0")
     // p=0 selects the minimum: the builtin's boxed map keeps -0.0 distinct
