@@ -169,9 +169,14 @@ object TextFunctions {
     */
   private[graft] def declarative_winnow_fingerprints(text: Column, n: Int, w: Int): Column = {
     val hs = graft.functions.word_ngram_hashes(text, n)
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(hs) - w, lit(0))),
-      i => array_min(slice(hs, i + 1, lit(w)))))
+    // null-transparent like the native path: size(null) is -1, so without
+    // the guard greatest(-1-w, 0) fabricates ONE window over a null array
+    // and a null text came out as [null] instead of null — found by
+    // NativeTwinFuzzSpec's null case
+    when(hs.isNull, lit(null).cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), greatest(size(hs) - w, lit(0))),
+        i => array_min(slice(hs, i + 1, lit(w))))))
   }
 
   /** PII patterns shared by [[redact_pii]] / [[pii_count]] and their oracle
