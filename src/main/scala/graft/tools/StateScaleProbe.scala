@@ -69,6 +69,15 @@ object StateScaleProbe {
           graft.streaming.StreamOps.windowedDistinctSketch(
             src, pmod(col("seq"), lit(20)).cast("string"), col("key"), col("ts"),
             "5 minutes", "10 minutes", m = 64, k = 16)
+        case "drift_hist" =>
+          // the drift alarm's stateful half (dq19/dq25): one bucket_hist
+          // row per open window, each a FIXED 64-cell array — state must
+          // track open windows only, never records or vocabulary
+          graft.streaming.StreamOps.termDriftAlarm(
+            src.withColumn("text",
+              concat_ws(" ", col("key"), lit("alpha"), lit("beta"))),
+            col("text"), "ts", "10 minutes", "5 minutes",
+            Seq.fill(64)(1L), nBuckets = 64)
       }
       val outCount = new java.util.concurrent.atomic.AtomicLong()
       val q = shaped.writeStream
@@ -101,7 +110,7 @@ object StateScaleProbe {
       } finally q.stop()
     }
 
-    val rows = Seq("dedupe", "windowed_rates", "distinct_sketch").map { probe =>
+    val rows = Seq("dedupe", "windowed_rates", "distinct_sketch", "drift_hist").map { probe =>
       val r1 = run(probe, 20000L)
       val r10 = run(probe, 200000L)
       val ratio = r10.stateRows.toDouble / math.max(1L, r1.stateRows)
