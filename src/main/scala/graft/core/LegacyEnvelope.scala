@@ -62,6 +62,14 @@ object LegacyEnvelope {
   /** Migration-tolerant extraction (`ProtocolMigrationTest.java` analog):
     * header metadata wins when present; otherwise try the legacy envelope;
     * a bare payload without either is passed through with empty metadata.
+    *
+    * Inherent ambiguity (same as the reference's fallback, and why it is a
+    * MIGRATION setting to disable once the fleet is upgraded): a bare
+    * payload that happens to parse as a valid envelope — e.g. one starting
+    * `0x12 <len>` with exactly `len` bytes after, a case MetaCodecFuzzSpec
+    * actually hits on random bytes — is indistinguishable from a real
+    * envelope on the wire and is taken as one. No stronger heuristic is
+    * possible without diverging from the reference's accept set.
     */
   def decodeEither(headerMeta: Option[Array[Byte]], value: Array[Byte]): (TaskMetadata, Array[Byte]) =
     headerMeta match {

@@ -901,6 +901,12 @@ object DecatonQueries {
 
         val sess = s.newSession()
         sess.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // the stream is tiny (≤ thousands of rows/batch) but each stateful
+        // micro-batch pays per-STATE-PARTITION store overhead: at the
+        // session default (32) × 6 batches that fixed cost dominated the
+        // query's bench time; 4 partitions carry the same aggregation with
+        // identical results (hash partitioning never affects an exact agg)
+        sess.conf.set("spark.sql.shuffle.partitions", "4")
         // explicit encoders: the implicit TypeTag derivation for tuples
         // inside this registry lambda materializes a refined type that
         // ScalaReflection rejects at runtime
