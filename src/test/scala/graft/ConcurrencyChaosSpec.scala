@@ -177,6 +177,67 @@ class ConcurrencyChaosSpec extends AnyFunSuite {
     deleteRec(new File(root))
   }
 
+  test(s"BrokerLog: racing topic expansion/creation vs producers/readers, 100 seeds (base $seed)") {
+    info(s"fuzz seed base: $seed")
+    (0 until 100).foreach(i => expandIteration(seed + i))
+  }
+
+  /** Races the metadata invariants comments assert but no spec raced:
+    * `.partitions` lands via atomic rename (a reader must never see a torn/
+    * empty count), partition counts only grow, and directories are created
+    * BEFORE the count advertises them — so a producer that reads count N
+    * can produce to partition N-1 immediately, with no window where the
+    * advertised partition's directory is missing.
+    */
+  private def expandIteration(s: Long): Unit = {
+    val root = Files.createTempDirectory("chaos-expand").toString
+    val topic = "grow"
+    val target = 9
+    // concurrent idempotent creation: both racers must succeed and agree
+    race(Seq.fill(3)(() => BrokerLog.createTopic(root, topic, 1)))
+    assert(BrokerLog.partitionCount(root, topic) == 1, s"seed $s: created count off")
+
+    val done = new AtomicInteger(0)
+    val expander = () => {
+      try (2 to target).foreach { n =>
+        BrokerLog.expandTopic(root, topic, n)
+        Thread.`yield`()
+      } finally { done.incrementAndGet(); () }
+    }
+    // produce to the HIGHEST advertised partition the instant it appears:
+    // if meta ever advertised a partition before its directory existed,
+    // produce()'s directory require would throw
+    val prod = (pid: Int) => () => {
+      try {
+        var seq = 0
+        while (done.get() == 0 || seq < 8) {
+          val n = BrokerLog.partitionCount(root, topic)
+          val rec = BrokerLog.Record(
+            s"$pid:$seq".getBytes(StandardCharsets.UTF_8),
+            s"v$seq".getBytes(StandardCharsets.UTF_8), 1L, Nil)
+          BrokerLog.produce(root, topic, n - 1, rec)
+          seq += 1
+          Thread.`yield`()
+        }
+      } finally { done.incrementAndGet(); () }
+    }
+    val reader = () => {
+      var last = 1
+      while (done.get() < 3) {
+        // a torn `.partitions` read would throw from "".toInt here
+        val n = BrokerLog.partitionCount(root, topic)
+        assert(n >= last && n <= target, s"seed $s: partition count went $last -> $n")
+        last = n
+        // every advertised partition answers offsetRange (directory exists)
+        (0 until n).foreach(p => BrokerLog.offsetRange(root, topic, p))
+        Thread.`yield`()
+      }
+    }
+    race(Seq(expander, prod(0), prod(1), reader))
+    assert(BrokerLog.partitionCount(root, topic) == target, s"seed $s: final count off")
+    deleteRec(new File(root))
+  }
+
   // ----------------------------------------------------------------- jsonl
 
   test(s"GraftJsonl: racing appenders/torn-writer/deleter/reader, 100 seeds (base $seed)") {
