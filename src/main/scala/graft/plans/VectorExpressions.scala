@@ -115,9 +115,16 @@ case class SignLsh(child: Expression, planes: Int, planeOffset: Int = 0)
           s"sign_lsh expects array<float|double>, got $other")
     }
 
-  // per-(plane, dim) hyperplane components, grown lazily to the widest
-  // vector seen; one md5 each, computed once per task instead of per row
-  @transient private var comp: Array[Array[Double]] = _
+  // Per-(plane, dim) hyperplane components, grown lazily to the widest
+  // vector seen; one md5 each, computed once per task instead of per row.
+  // ThreadLocal like the Md5HashedText family (r13): codegen tasks each
+  // deserialize their own instance, but an INTERPRETED projection can share
+  // one instance across threads, and a plain var would publish the grown
+  // arrays without a happens-before edge — a racing reader could observe
+  // zero-valued components and bucket silently wrong. The values are pure,
+  // so per-thread recomputation is the cheap, correct posture.
+  @transient private lazy val compCache =
+    new ThreadLocal[Array[Array[Double]]]()
 
   private def component(p: Int, i: Int): Double = {
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -127,8 +134,12 @@ case class SignLsh(child: Expression, planes: Int, planeOffset: Int = 0)
     (h % 1000000L).toDouble / 2000000.0
   }
 
-  private def ensure(dim: Int): Unit = {
-    if (comp == null) comp = Array.fill(planes)(Array.emptyDoubleArray)
+  private def ensure(dim: Int): Array[Array[Double]] = {
+    var comp = compCache.get()
+    if (comp == null) {
+      comp = Array.fill(planes)(Array.emptyDoubleArray)
+      compCache.set(comp)
+    }
     if (comp(0).length < dim) {
       var p = 0
       while (p < planes) {
@@ -142,12 +153,13 @@ case class SignLsh(child: Expression, planes: Int, planeOffset: Int = 0)
         p += 1
       }
     }
+    comp
   }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    ensure(n)
+    val comp = ensure(n)
     var i = 0
     while (i < n) { // null element => every plane's dot is null => bucket 0
       if (arr.isNullAt(i)) return 0L
