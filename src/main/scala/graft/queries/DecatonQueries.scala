@@ -892,6 +892,13 @@ object DecatonQueries {
         val q100 = 100L * math.max(2L, n / 300L)
         require(n > 2 * q100,
           s"dq25 needs three non-empty window-aligned epochs (n=$n, Q=$q100)")
+        // The window-to-reference mapping below relies on NO post-batch
+        // watermark (Q-1, 2Q-1, n-1) landing exactly on a 100 s window
+        // boundary, where the ≤-vs-< eviction ambiguity would desynchronize
+        // the oracle. Q is a multiple of 100 so Q-1 and 2Q-1 are always ≡ 99
+        // (mod 100); only n-1 can hit a boundary — fail loudly if it would.
+        require((n - 1) % 100 != 0,
+          s"dq25 watermark n-1=${n - 1} would land on a window boundary")
         // the refresh targets, precomputed eagerly (each is 512 longs)
         val refs = Seq(q100, math.min(2 * q100, n), n).map(b =>
           graft.streaming.StreamOps.termBucketHist(
@@ -917,7 +924,15 @@ object DecatonQueries {
           sess.sqlContext)
         val stream = in.toDF().toDF("doc_id", "text")
           .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
-        val ckpt = java.nio.file.Files.createTempDirectory("graft-dq25").toString
+        // checkpoint on tmpfs when available: the state store fsyncs per
+        // micro-batch (6 of them), and on ext4 those dominated the query's
+        // bench time (2.5 s warm — the worst of the 135-query set)
+        val ckptBase = java.nio.file.Paths.get("/dev/shm")
+        val ckptDir =
+          if (java.nio.file.Files.isDirectory(ckptBase) && java.nio.file.Files.isWritable(ckptBase))
+            java.nio.file.Files.createTempDirectory(ckptBase, "graft-dq25")
+          else java.nio.file.Files.createTempDirectory("graft-dq25")
+        val ckpt = ckptDir.toString
         val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
         val rows = docs.collect().map(r =>
           (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
@@ -937,7 +952,16 @@ object DecatonQueries {
           Seq(10000000L, 20000000L).foreach { t =>
             in.addData((t, "flush")); alarm.processAllAvailable()
           }
-        } finally alarm.stop()
+        } finally {
+          alarm.stop()
+          // one checkpoint per execution (bench runs 4+ reps): delete it or
+          // state-store files accumulate for the life of the filesystem
+          try {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
+              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+          } catch { case _: java.io.IOException => () }
+        }
         val emitted = out.toArray(Array.empty[(Long, Long, Long)]).toSeq
           .filter(_._1 < 10000000L)
         s.createDataset(emitted)(org.apache.spark.sql.Encoders.tuple(

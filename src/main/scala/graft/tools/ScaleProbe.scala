@@ -80,7 +80,16 @@ object ScaleProbe {
     * not generator-faithful: copy k > 0 shifts every id by k·N, and every
     * TOKEN gets the digit k appended — the canonicalizer keeps digits, so
     * texts/grams/canonical hashes are all distinct ACROSS copies while each
-    * copy keeps sf0.1's internal duplicate/span structure exactly. Without
+    * copy keeps sf0.1's internal duplicate/span structure exactly. The
+    * salting is distinct-across-copies at TEXT granularity, not per token:
+    * copy 1 maps 'foo' to 'foo1', which can collide with copy 0's natural
+    * token 'foo1' (and an empty token from a doubled space becomes the bare
+    * digit). A collision-free salt would need a separator character outside
+    * the canonicalizer's kept alphabet, which it would strip — so this
+    * residual per-token collision class is accepted; it can only merge the
+    * occasional shingle (or, vanishingly, a whole text whose every token
+    * happens to carry the matching trailing digit) across copies — a
+    * negligible nudge to near-dup group sizes, not a structural change. Without
     * the perturbation every dedup-shaped stage would see 10-way duplicate
     * groups of the SAME document — a data-construction artifact that
     * inflates group sizes superlinearly and would fail the probe for
