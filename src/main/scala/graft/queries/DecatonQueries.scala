@@ -1002,6 +1002,66 @@ object DecatonQueries {
                CAST(sum(a) AS BIGINT) AS n_tokens,
                CAST(sum((a + 1) * CAST(round(1000000.0 * ln(CAST(a + 1 AS DOUBLE) / CAST(rb + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS kl_fp
         FROM f GROUP BY w
+      """)),
+
+    // ---- A4 shaping decided by the SKETCH estimate (StreamOps
+    // .routeByQuotaSketch): the reference's real decision rule — shape when
+    // the CMS-estimated windowed rate reaches quota (PerKeyQuotaManager
+    // .java:112-135), never an exact per-key count. dq07 proved the exact
+    // route; dq09 proved the sketch's estimates; this closes the loop:
+    // sketch → cell-join estimate → violator set → null-safe semi/anti
+    // route, aggregated per routed side. Portable slots + sum updates make
+    // every cell (so every estimate, so the ROUTING ITSELF) replayable by
+    // the oracle: quota 8 over 1-day windows shapes 9 (win,key) pairs at
+    // sf0.01 and 93 at sf0.1, plus whichever keys CMS collisions push over
+    // — and the oracle replays those collisions exactly, so a hash match
+    // certifies the estimate-driven split, not just the happy path.
+    // StreamSplitFuzzSpec's windowedSketchStream family proves the same
+    // sketch is bit-identical when built across random micro-batch splits
+    // through the state store.
+    Q(
+      "dq26_quota_sketch_route",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val (ok, shaped) = graft.streaming.StreamOps.routeByQuotaSketch(
+          e, col("user_id"), col("ts"), "1 day", quota = 8L,
+          width = 2048, depth = 4)
+        ok.withColumn("state", lit("ok"))
+          .unionByName(shaped.withColumn("state", lit("shaped")))
+          .groupBy(col("state"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("user_id")).as("sum_uid"),
+            count_distinct(col("user_id")).as("nkeys"))
+      },
+      Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 1000000 // 86400) * 86400 AS w
+          FROM events),
+        counts AS (SELECT w, user_id, count(*) AS n FROM ev GROUP BY 1, 2),
+        rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+        sl AS (
+          SELECT w, user_id, n, r,
+                 CAST(('0x'||substr(md5(CAST(r // 5 AS VARCHAR)||':'||hex(CAST(user_id AS VARCHAR))), 1 + (r % 5) * 4, 15)) AS BIGINT) % 2048 AS slot
+          FROM counts CROSS JOIN rows_),
+        cells AS (
+          SELECT w, r, slot, CAST(sum(n) AS BIGINT) AS v
+          FROM sl GROUP BY 1, 2, 3),
+        est AS (
+          SELECT s.w, s.user_id, min(c.v) AS est_n
+          FROM sl s JOIN cells c
+            ON c.w = s.w AND c.r = s.r AND c.slot = s.slot
+          GROUP BY 1, 2),
+        badk AS (SELECT DISTINCT user_id FROM est WHERE est_n >= 8),
+        tagged AS (
+          SELECT e.user_id,
+                 CASE WHEN b.user_id IS NOT NULL THEN 'shaped' ELSE 'ok' END AS state
+          FROM events e LEFT JOIN badk b ON e.user_id = b.user_id)
+        SELECT state, count(*) AS n,
+               CAST(sum(user_id) AS BIGINT) AS sum_uid,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS nkeys
+        FROM tagged GROUP BY state
       """))
   )
 }

@@ -69,6 +69,41 @@ object StreamOps {
   def quotaViolators(rates: DataFrame, quota: Long): DataFrame =
     rates.filter(col("n") >= quota).select(col("win"), col("key"), col("n"))
 
+  /** A3 at unbounded key cardinality — ONE CMS sketch per tumbling window as
+    * a stateful streaming aggregation (the reference's live quota posture:
+    * `PerKeyQuotaManager.java:35-136` keeps a 2-window ring of CMS sketches
+    * on the consumer, never a per-key map). The `CmsSketchAgg` buffer rides
+    * the state store between micro-batches exactly like dq24's HLL/KMV
+    * buffers: per-window state is the fixed `width·depth·8` bytes no matter
+    * how many events (or distinct keys) the window sees — the bounded-state
+    * replacement for [[windowedRates]] when an exact per-(key, window) count
+    * is itself a giant aggregation.
+    *
+    * Live ≡ batch bit-exactness (StreamSplitFuzzSpec) holds for
+    * `conservative = false` (sum updates commute across any micro-batch
+    * split); the production default `conservative = true` keeps the CMS
+    * upper-bound guarantee but its cells depend on arrival order — same
+    * caveat as dq09's registered form, proven in CmsSpec instead.
+    */
+  def windowedSketchStream(
+      df: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      watermarkDelay: String,
+      width: Int = graft.plans.CmsSketch.DefaultWidth,
+      depth: Int = graft.plans.CmsSketch.DefaultDepth,
+      conservative: Boolean = true,
+      portable: Boolean = false): DataFrame = {
+    val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    graft.operators.Compaction.requireFreshNames(df, Seq(tsCol), Seq(tsName))
+    df.withColumn(tsName, tsCol)
+      .withWatermark(tsName, watermarkDelay)
+      .groupBy(window(col(tsName), windowDur).as("win"))
+      .agg(graft.functions.cms_sketch(
+        graft.functions.key_bytes(keyCol), width, depth, conservative, portable).as("sketch"))
+  }
+
   /** Windowed DISTINCT-COUNT sketches per (tumbling window, group): the
     * streaming form of pq81/pq82's corpus sketches. Output per group:
     * `win_start`, `group`, the HLL register summary (`zero_regs`,
@@ -487,11 +522,58 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= quota)
       .select(col("__k")).distinct()
-    // The two sides are written as SEPARATE actions inside foreachBatch, and
-    // exchange reuse never spans two plans — a live `bad` would re-scan and
-    // re-aggregate the whole micro-batch once per side. The violator set is
-    // broadcast anyway (same size class as a driver copy), so compute it
-    // ONCE here and rebuild it as a local relation.
+    routeByKeySet(batch, keyCol, bad)
+  }
+
+  /** [[routeByQuota]] with the shaping decision taken from the CMS sketch
+    * ESTIMATE instead of an exact per-key count — the reference's actual
+    * decision rule (`PerKeyQuotaManager.java:112-135` shapes on estimated
+    * rate >= quota; `QuotaApplierImpl.java:56-114` diverts). The batch
+    * sketches once per window ([[graft.operators.PerKeyQuota.windowedSketch]],
+    * portable sum form so the decision is order-independent and
+    * oracle-replayable — dq26), estimates every active (window, key) pair by
+    * the zero-copy cell join, and shapes every key whose estimate reaches
+    * `quota` in ANY window of the batch. CMS estimates only over-count, so
+    * the shaped set is a superset of the exact rule's: a violator is never
+    * let through, an occasional colliding key is shaped early — the
+    * documented trade for per-window state that is `width·depth·8` bytes
+    * instead of a per-key map, which is what survives an unbounded key
+    * space at 100 TB/day.
+    */
+  def routeByQuotaSketch(
+      batch: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      quota: Long,
+      width: Int = graft.plans.CmsSketch.DefaultWidth,
+      depth: Int = graft.plans.CmsSketch.DefaultDepth): (DataFrame, DataFrame) = {
+    val sketches = graft.operators.PerKeyQuota.windowedSketch(
+      batch, keyCol, tsCol, windowDur, width, depth,
+      conservative = false, portable = true)
+    // the active pairs are the estimate PROBES, not a rate table: distinct
+    // (win, key) — one row per pair regardless of how hot the key is
+    val pairs = batch
+      .select(window(tsCol, windowDur).as("win"), keyCol.as("__k"))
+      .filter(col("__k").isNotNull) // a null key has no sketch signal: never shaped
+      .distinct()
+    val bad = graft.operators.PerKeyQuota.estimatesPortableByCellJoin(
+        sketches, pairs, col("__k"), width, depth)
+      .filter(col("est_n") >= quota)
+      .select(col("__k")).distinct()
+    routeByKeySet(batch, keyCol, bad)
+  }
+
+  /** Shared routing tail: split `batch` by membership of `keyCol` in `bad`
+    * (single `__k` column). The two sides are written as SEPARATE actions
+    * inside foreachBatch, and exchange reuse never spans two plans — a live
+    * `bad` would re-scan and re-aggregate the whole micro-batch once per
+    * side. The violator set is broadcast anyway (same size class as a
+    * driver copy), so compute it ONCE here and rebuild it as a local
+    * relation.
+    */
+  private def routeByKeySet(
+      batch: DataFrame, keyCol: Column, bad: DataFrame): (DataFrame, DataFrame) = {
     val badRows = bad.collect()
     val badLocal = batch.sparkSession.createDataFrame(
       java.util.Arrays.asList(badRows: _*), bad.schema)

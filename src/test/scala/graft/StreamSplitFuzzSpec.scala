@@ -124,6 +124,34 @@ class StreamSplitFuzzSpec extends SparkTestBase {
     }
   }
 
+  test(s"windowedSketchStream: live over random splits == batch (base $seed)") {
+    // sum updates ONLY: they commute across any micro-batch split, so the
+    // CMS cells must be bit-identical however the state store carries a
+    // window's partial sketch between batches. (Conservative update is
+    // order-dependent by design — its guarantee is the CmsSpec bound, not
+    // split-invariance.) Both slot families take turns; the sketch binary
+    // itself is opaque in Row.toString, so compare the decoded cell arrays.
+    val rnd = new Random(seed ^ 0xc3a5)
+    (0 until 25).foreach { iter =>
+      val rows = randomStream(rnd, 40 + rnd.nextInt(160))
+      val cuts = Seq.fill(rnd.nextInt(6))(rnd.nextInt(rows.size + 1))
+      val windowSec = 20 + rnd.nextInt(120)
+      val portable = rnd.nextBoolean()
+      def op(df: DataFrame): DataFrame = StreamOps.windowedSketchStream(
+          df, col("key"), col("ts"), s"$windowSec seconds",
+          s"${rnd.nextInt(40)} seconds", width = 16, depth = 3,
+          conservative = false, portable = portable)
+        .select(col("win"), graft.functions.cms_cells(col("sketch")).as("cells"))
+      val live = runLive(rows, cuts, flushTs = 100000000L)(op)
+      val batch = op(rows.toDF("key", "sec")
+          .withColumn("ts", timestamp_seconds(col("sec"))))
+        .collect().toSeq
+      assert(sortedRows(live) == sortedRows(batch),
+        s"iter $iter (win=$windowSec portable=$portable cuts=$cuts): " +
+          s"cms live != batch")
+    }
+  }
+
   test(s"compactLatest: live over random splits == batch (base $seed)") {
     val rnd = new Random(seed ^ 0xc09a)
     (0 until 25).foreach { iter =>
