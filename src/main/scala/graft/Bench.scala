@@ -21,15 +21,48 @@ import org.apache.spark.sql.SparkSession
   * (`benchmark/.../BenchmarkResult.java:32-100`).
   */
 object BenchMetrics {
-  import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+  import java.util.concurrent.atomic.{AtomicLong, AtomicLongArray, LongAdder}
   val latSum = new LongAdder
   val latN = new LongAdder
   val latMax = new AtomicLong(0L)
+  // Fixed-width linear histogram for percentiles: 0.1 ms buckets over
+  // [0, 500 ms), one overflow bucket. 5001 longs = 40 KB, lock-free
+  // increments — the bounded-memory analog of the reference's per-task
+  // latency list (`benchmark/.../BenchmarkResult.java:32-100`), sized so the
+  // probe's ~20 ms typical / ~500 ms worst-case latencies land in-range.
+  private val BucketNanos = 100000L // 0.1 ms
+  private val Buckets = 5001
+  private val hist = new AtomicLongArray(Buckets)
   def record(nanos: Long): Unit = {
     latSum.add(nanos); latN.increment()
     latMax.accumulateAndGet(nanos, math.max(_, _))
+    val b = (nanos / BucketNanos).toInt
+    hist.incrementAndGet(math.min(b, Buckets - 1))
   }
-  def reset(): Unit = { latSum.reset(); latN.reset(); latMax.set(0L) }
+  def reset(): Unit = {
+    latSum.reset(); latN.reset(); latMax.set(0L)
+    var i = 0; while (i < Buckets) { hist.set(i, 0L); i += 1 }
+  }
+
+  /** Latency at quantile q (0..1), in ms, from the histogram. Overflow
+    * bucket (≥500 ms) reports the observed max. Bucket midpoint keeps the
+    * error ≤0.05 ms — below scheduling jitter.
+    */
+  def percentileMs(q: Double): Double = {
+    val n = latN.sum()
+    if (n == 0) return 0.0
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    var cum = 0L; var i = 0
+    while (i < Buckets) {
+      cum += hist.get(i)
+      if (cum >= target) {
+        return if (i == Buckets - 1) latMax.get() / 1e6
+        else (i + 0.5) * BucketNanos / 1e6
+      }
+      i += 1
+    }
+    latMax.get() / 1e6
+  }
 
   def gcSnapshot(): (Long, Long) = {
     import scala.jdk.CollectionConverters._
@@ -234,6 +267,7 @@ object Bench {
     val streamTasks = 50000L
     final case class StreamRep(
         tps: Double, latAvgMs: Double, latMaxMs: Double,
+        latP50Ms: Double, latP90Ms: Double, latP99Ms: Double, latP999Ms: Double,
         gcCount: Long, gcTimeMs: Long, allocMb: Long, cpuMs: Long, threads: Int)
     def streamRep(): StreamRep = {
       BenchMetrics.reset()
@@ -269,6 +303,10 @@ object Bench {
         latAvgMs = if (BenchMetrics.latN.sum() == 0) 0.0
           else BenchMetrics.latSum.sum() / 1e6 / BenchMetrics.latN.sum(),
         latMaxMs = BenchMetrics.latMax.get() / 1e6,
+        latP50Ms = BenchMetrics.percentileMs(0.50),
+        latP90Ms = BenchMetrics.percentileMs(0.90),
+        latP99Ms = BenchMetrics.percentileMs(0.99),
+        latP999Ms = BenchMetrics.percentileMs(0.999),
         gcCount = gcCount1 - gcCount0, gcTimeMs = gcTime1 - gcTime0,
         allocMb = (BenchMetrics.allocatedBytes() - alloc0) / (1024 * 1024),
         cpuMs = BenchMetrics.cpuDeltaNanos(cpu0, BenchMetrics.cpuSnapshot()) / 1000000,
@@ -331,13 +369,17 @@ object Bench {
     val cmsFullSec = cmsReps(1)
 
     def jsonNum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    // Locale-independent fixed-decimal formatting: f"" uses the JVM default
+    // locale, which under a comma-decimal locale (de_DE) emits invalid JSON.
+    def num(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, "%." + dp + "f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jsonNum(v) }
       .mkString("{", ",", "}")
     val qReps = queryNames.map { n =>
       "\"" + n + "\":" + repLog(n).map(r => jsonNum(r._2)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val qStarts = queryNames.map { n =>
-      "\"" + n + "\":" + repLog(n).map(r => f"${r._1}%.3f").mkString("[", ",", "]")
+      "\"" + n + "\":" + repLog(n).map(r => num(r._1, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -355,6 +397,12 @@ object Bench {
       s""""stream_reps_tps":${streamReps.map(_.tps).mkString("[", ",", "]")},""" +
       s""""stream_reps_lat_avg_ms":${streamReps.map(_.latAvgMs).mkString("[", ",", "]")},""" +
       s""""stream_reps_lat_max_ms":${streamReps.map(_.latMaxMs).mkString("[", ",", "]")},""" +
+      s""""stream_reps_lat_p50_ms":${streamReps.map(_.latP50Ms).mkString("[", ",", "]")},""" +
+      s""""stream_reps_lat_p99_ms":${streamReps.map(_.latP99Ms).mkString("[", ",", "]")},""" +
+      s""""stream_latency_p50_ms":${medianRep.latP50Ms},""" +
+      s""""stream_latency_p90_ms":${medianRep.latP90Ms},""" +
+      s""""stream_latency_p99_ms":${medianRep.latP99Ms},""" +
+      s""""stream_latency_p999_ms":${medianRep.latP999Ms},""" +
       s""""stream_no_io_reps":${noIoReps.mkString("[", ",", "]")},""" +
       s""""cms_full_sketch_sec":$cmsFullSec,""" +
       s""""cms_reps":${cmsReps.mkString("[", ",", "]")},""" +
@@ -379,23 +427,26 @@ object Bench {
       Explain.writePlansMd(auditSession, sfDir, "PLANS.md",
         s"graft.Bench ${java.time.Instant.now()} @ $sfDir")
     } catch { case e: Throwable => System.err.println(s"[bench] PLANS.md regen failed: $e") }
-    // Final line = a COMPACT summary. r13 re-printed the full record here and
-    // the driver still logged parsed:null, because its tail window is ~2,000
-    // chars and the full line (135 queries x raw reps x epoch stamps) is ~10x
-    // that — the captured tail began mid-JSON. So the last stdout line carries
-    // only the driver-contract fields plus the q01..q28 relational headline
-    // map (the full per-query record lives in BENCH_SELF.json above), and a
-    // hard guard drops the map rather than ever exceeding 1,500 chars.
-    val headlineQs = results.collect {
-      case (k, Some(v)) if k.matches("q\\d+.*") => "\"" + k + "\":" + f"$v%.3f"
-    }.mkString("{", ",", "}")
-    def compact(withQueries: Boolean): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},""" +
-        (if (withQueries) s""""queries":$headlineQs,""" else "") +
-        s""""failed":$failedJson,"stream_tasks_per_sec":${f"$tps%.1f"},""" +
-        s""""stream_tasks_per_sec_no_io":${f"$tpsNoIo%.1f"},"sf":"$sfDir"}"""
-    val compactLine = { val c = compact(withQueries = true); if (c.length <= 1500) c else compact(withQueries = false) }
-    println(compactLine)
+    // Final line = a FLAT compact summary. r13 re-printed the full record
+    // here and the driver logged parsed:null (its tail window is ~2,000 chars
+    // and the full line is ~10x that); r15's ≤1,500-char compact line STILL
+    // parsed null — it carried a NESTED "queries":{...} object plus sbt's
+    // "[info] " prefix, either of which defeats a lazy \{[^{}]*\} extractor.
+    // So the last stdout line is flat (no nested objects, no arrays), every
+    // number formatted under Locale.ROOT (an f"" interpolator uses the JVM
+    // default locale — under de_DE the decimal comma makes the line invalid
+    // JSON), and the same line is mirrored to stderr, which sbt does not
+    // prefix. The full per-query record lives in BENCH_SELF.json above.
+    val flatLine =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec",""" +
+        s""""n_queries":${results.size},"n_failed":${failed.size},""" +
+        s""""stream_tasks_per_sec":${num(tps, 1)},""" +
+        s""""stream_tasks_per_sec_no_io":${num(tpsNoIo, 1)},""" +
+        s""""stream_latency_p50_ms":${num(medianRep.latP50Ms, 2)},""" +
+        s""""stream_latency_p99_ms":${num(medianRep.latP99Ms, 2)},""" +
+        s""""sf":"$sfDir"}"""
+    println(flatLine)
+    System.err.println(flatLine)
     spark.stop()
   }
 }

@@ -928,10 +928,15 @@ object DecatonQueries {
         // micro-batch (6 of them), and on ext4 those dominated the query's
         // bench time (2.5 s warm — the worst of the 135-query set)
         val ckptBase = java.nio.file.Paths.get("/dev/shm")
+        val tmpfsOk = java.nio.file.Files.isDirectory(ckptBase) &&
+          java.nio.file.Files.isWritable(ckptBase)
         val ckptDir =
-          if (java.nio.file.Files.isDirectory(ckptBase) && java.nio.file.Files.isWritable(ckptBase))
-            java.nio.file.Files.createTempDirectory(ckptBase, "graft-dq25")
+          if (tmpfsOk) java.nio.file.Files.createTempDirectory(ckptBase, "graft-dq25")
           else java.nio.file.Files.createTempDirectory("graft-dq25")
+        // bench-log which path was taken: r15 could not tell whether the
+        // 3.16 s warm median meant /dev/shm was absent in the driver sandbox
+        // (silent fallback) or the cost is the 6 state-store commits themselves
+        System.err.println(s"[dq25] checkpoint=${if (tmpfsOk) "tmpfs" else "default-tmp"} dir=$ckptDir")
         val ckpt = ckptDir.toString
         val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
         val rows = docs.collect().map(r =>
@@ -956,11 +961,17 @@ object DecatonQueries {
           alarm.stop()
           // one checkpoint per execution (bench runs 4+ reps): delete it or
           // state-store files accumulate for the life of the filesystem
+          // Close the walk stream (it holds directory handles) and swallow
+          // ANY non-fatal error — Files.walk iteration throws
+          // UncheckedIOException on a file vanishing mid-walk, and an
+          // exception escaping this finally would mask the primary failure.
           try {
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(ckptDir).iterator().asScala.toSeq
-              .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
-          } catch { case _: java.io.IOException => () }
+            scala.util.Using.resource(java.nio.file.Files.walk(ckptDir)) { st =>
+              st.iterator().asScala.toSeq
+                .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
         }
         val emitted = out.toArray(Array.empty[(Long, Long, Long)]).toSeq
           .filter(_._1 < 10000000L)

@@ -534,11 +534,15 @@ object StreamOps {
     * oracle-replayable — dq26), estimates every active (window, key) pair by
     * the zero-copy cell join, and shapes every key whose estimate reaches
     * `quota` in ANY window of the batch. CMS estimates only over-count, so
-    * the shaped set is a superset of the exact rule's: a violator is never
-    * let through, an occasional colliding key is shaped early — the
-    * documented trade for per-window state that is `width·depth·8` bytes
-    * instead of a per-key map, which is what survives an unbounded key
-    * space at 100 TB/day.
+    * over NON-NULL keys the shaped set is a superset of the exact
+    * [[routeByQuota]] rule's: a violator is never let through, an occasional
+    * colliding key is shaped early — the documented trade for per-window
+    * state that is `width·depth·8` bytes instead of a per-key map, which is
+    * what survives an unbounded key space at 100 TB/day. NULL keys are the
+    * one divergence from [[routeByQuota]]: they carry no sketch signal and
+    * are never shaped here, which matches the reference —
+    * `PerKeyQuotaManager.record(null)` returns COMPLY — while the exact path
+    * shapes a bursting null-key group via its null-safe join.
     */
   def routeByQuotaSketch(
       batch: DataFrame,

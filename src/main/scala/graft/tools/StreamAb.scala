@@ -65,7 +65,11 @@ object StreamAb {
     }
     val reps = Seq.fill(nReps)(rep())
     val med = reps.sorted.apply((reps.size - 1) / 2)
-    println(f"""{"probe":"stream-ab","label":"$label","median_tps":$med%.1f,"reps_tps":${reps.map(r => f"$r%.1f").mkString("[", ",", "]")}}""")
+    // Locale-independent (f"" uses the default locale; comma decimals would
+    // make the line invalid JSON under e.g. de_DE).
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    println(s"""{"probe":"stream-ab","label":"$label","median_tps":${num(med)},"reps_tps":${reps.map(num).mkString("[", ",", "]")}}""")
     spark.stop()
   }
 }
