@@ -5,7 +5,7 @@ import java.util.concurrent.ConcurrentLinkedQueue
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.sources.{TaskSource, TaskWriter}
@@ -18,10 +18,8 @@ import graft.streaming.StreamOps
   * 124-151`) executed end-to-end across real graft-kafka topics:
   *
   *   1. a consumer of the origin topic detects hot keys per micro-batch
-  *      (exact windowed counts — the CMS estimate path shares the decision
-  *      surface, CmsSpec/dq09) and diverts their records to a REAL
-  *      `<topic>-shaping` topic through the producer surface, completing
-  *      compliant traffic immediately;
+  *      and diverts their records to a REAL `<topic>-shaping` topic through
+  *      the producer surface, completing compliant traffic immediately;
   *   2. a second, independent query consumes `<topic>-shaping` with its own
   *      overridden consumption rate (C4: `PerKeyQuotaConfig.java:124-151`
   *      gives the shaping consumer its own processing rate) enforced by the
@@ -29,6 +27,13 @@ import graft.streaming.StreamOps
   *   3. nothing is lost crossing the broker, compliant traffic never waits
   *      behind the shaped backlog, and the shaped stream drains strictly
   *      rate-limited over multiple triggers.
+  *
+  * The loop runs twice: once with the exact windowed count
+  * ([[StreamOps.routeByQuota]]) and once with the CMS-sketch estimate
+  * ([[StreamOps.routeByQuotaSketch]]) — the latter is the reference's actual
+  * live decision rule (`PerKeyQuotaManager.java:112-135` shapes on the
+  * ESTIMATED rate) and the posture that survives an unbounded key space:
+  * per-window state is `width·depth·8` bytes, not a per-key map.
   */
 object ShapingLoopSpec {
   // compliant completions: (key, wallClockMillis)
@@ -40,10 +45,17 @@ object ShapingLoopSpec {
 
 class ShapingLoopSpec extends SparkTestBase {
 
-  test("hot keys divert to a real -shaping topic and drain at the overridden rate (A4+S5+C4)") {
+  /** Drive the end-to-end loop with `route` as the per-micro-batch shaping
+    * decision; every assertion is identical across decision rules — the
+    * delivered sets must not depend on whether the detector was exact or a
+    * sketch (CMS only over-counts, and at 41 sub-quota keys against the
+    * 65536-wide default the collision mass is zero in practice).
+    */
+  private def runLoop(tag: String)(
+      route: (DataFrame, Column, Column) => (DataFrame, DataFrame)): Unit = {
     ShapingLoopSpec.reset()
 
-    val root = Files.createTempDirectory("graft-shaping-loop").toString
+    val root = Files.createTempDirectory(s"graft-shaping-loop-$tag").toString
     val origin = "tasks"
     val shapingTopic = s"$origin-shaping"
     BrokerLog.createTopic(root, origin, 2)
@@ -69,11 +81,11 @@ class ShapingLoopSpec extends SparkTestBase {
     // 1. origin consumer: detect + divert per micro-batch, complete compliant
     val q1 = TaskSource.brokerStream(spark, root, origin)
       .writeStream
-      .option("checkpointLocation", Files.createTempDirectory("graft-shaping-ckpt1").toString)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-shaping-ckpt1-$tag").toString)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val keyed = batch.withColumn("k", col("key").cast("string"))
-        val (ok, shaped) = StreamOps.routeByQuota(
-          keyed, col("k"), col("timestamp"), "1 day", quota = 50L)
+        val (ok, shaped) = route(keyed, col("k"), col("timestamp"))
         // shaped records leave through the real producer, headers intact
         shaped.select(col("key"), col("value"), col("headers"),
             lit(shapingTopic).as("topic"))
@@ -93,7 +105,8 @@ class ShapingLoopSpec extends SparkTestBase {
       .option("failOnDataLoss", "false")
       .load()
       .writeStream
-      .option("checkpointLocation", Files.createTempDirectory("graft-shaping-ckpt2").toString)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft-shaping-ckpt2-$tag").toString)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val now = System.currentTimeMillis()
         batch.select(col("key").cast("string")).collect()
@@ -137,5 +150,17 @@ class ShapingLoopSpec extends SparkTestBase {
       assert(compliantDone <= shapedDone,
         s"compliant traffic finished at $compliantDone, after the shaped drain $shapedDone")
     } finally { q1.stop(); q2.stop() }
+  }
+
+  test("hot keys divert to a real -shaping topic and drain at the overridden rate (A4+S5+C4, exact counts)") {
+    runLoop("exact") { (batch, key, ts) =>
+      StreamOps.routeByQuota(batch, key, ts, "1 day", quota = 50L)
+    }
+  }
+
+  test("the live loop shapes from the CMS sketch estimate — the reference's actual decision rule (A3+A4+S5+C4)") {
+    runLoop("sketch") { (batch, key, ts) =>
+      StreamOps.routeByQuotaSketch(batch, key, ts, "1 day", quota = 50L)
+    }
   }
 }
