@@ -1073,6 +1073,57 @@ object DecatonQueries {
                CAST(sum(user_id) AS BIGINT) AS sum_uid,
                CAST(count(DISTINCT user_id) AS BIGINT) AS nkeys
         FROM tagged GROUP BY state
+      """)),
+
+    // ---- incremental ANN maintenance: the persisted IVF index is built
+    // over the first 300 vectors (centroids FROZEN from that prefix), the
+    // remaining 200 arrive as two delta segments appended idempotently by
+    // batch id (the foreachBatch path — graft.streaming.StreamOps
+    // .ivfAppendSink), and the probe reads base ∪ deltas. Fully
+    // hash-checked: assignment is row-local and deterministic against the
+    // frozen centroids, so the oracle replays the whole thing as ONE coarse
+    // tier whose centroids come from the prefix — where a vector lives
+    // cannot depend on when it arrived (the equivalence
+    // IvfIncrementalSpec proves against a frozen-centroid rebuild).
+    Q(
+      "dq27_ivf_incremental",
+      (s, dir) => {
+        import graft.similarity.Knn
+        val e = Tables.embeddings(s, dir)
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-dq27-index").toString
+        Knn.buildIvfIndex(e.filter(col("vec_id") < 300), "vec_id", "embedding",
+          nlist = 16, tableName = "dq27_ivf_idx", path = s"$root/idx", buckets = 8)
+        // two appends with stable batch ids: a re-run (or a checkpoint
+        // replay) overwrites the same segments — bounded on disk, no dupes
+        Knn.appendIvfDelta(s, "dq27_ivf_idx", s"$root/delta",
+          e.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+          "vec_id", "embedding", batchId = 0L)
+        Knn.appendIvfDelta(s, "dq27_ivf_idx", s"$root/delta",
+          e.filter(col("vec_id") >= 400),
+          "vec_id", "embedding", batchId = 1L)
+        Knn.ivfProbeTopKIncremental(s, "dq27_ivf_idx", s"$root/delta",
+          e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nprobe = 4)
+      },
+      Some(s"""
+        WITH p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        ${PipelineQueries.oIvfCoarse(nlist = 16, nprobe = 4,
+            queryPred = "p.vec_id % 50 = 0", centPred = "p.vec_id < 300")},
+        cand AS (
+          SELECT DISTINCT q.query_id, a.nbr_id
+          FROM asg a JOIN qp q ON a.cid = q.cid AND q.query_id <> a.nbr_id),
+        sc AS (
+          SELECT cand.query_id, cand.nbr_id,
+                 round(${PipelineQueries.oCos("x.v", "y.v")}, 4) AS cos_r
+          FROM cand JOIN p x ON x.vec_id = cand.query_id
+                    JOIN p y ON y.vec_id = cand.nbr_id)
+        SELECT query_id, CAST(rank AS INT) AS rank, nbr_id, cos_r FROM (
+          SELECT query_id, nbr_id, cos_r,
+                 row_number() OVER (PARTITION BY query_id
+                   ORDER BY cos_r DESC, nbr_id ASC) AS rank
+          FROM sc) WHERE rank <= 5
       """))
   )
 }

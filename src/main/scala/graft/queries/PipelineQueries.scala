@@ -36,7 +36,7 @@ object PipelineQueries {
   private[queries] def oDot(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(generate_series(1, len($a)), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
 
-  private def oCos(a: String, b: String): String =
+  private[queries] def oCos(a: String, b: String): String =
     s"${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
   /** Shared oracle fragment: the 4-bit sign-LSH home bucket of `vecExpr`
@@ -62,9 +62,11 @@ object PipelineQueries {
     * `nprobe` nearest lists, query set = rows matching `queryPred`).
     * Splice after the `p` definition.
     */
-  private def oIvfCoarse(nlist: Int, nprobe: Int, queryPred: String): String = s"""
+  private[queries] def oIvfCoarse(
+      nlist: Int, nprobe: Int, queryPred: String,
+      centPred: String = "TRUE"): String = s"""
         cents AS (
-          SELECT vec_id AS cid, v AS cv FROM p
+          SELECT vec_id AS cid, v AS cv FROM p WHERE $centPred
           ORDER BY ${dh("'ivf:'||CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC
           LIMIT $nlist),
         asg AS (

@@ -399,9 +399,13 @@ object Knn {
       tableName: String,
       path: String,
       buckets: Int,
-      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None,
+      centroids: Option[DataFrame] = None): Unit = {
     val spark0 = corpus.sparkSession
-    val cents = ivfCentroids(corpus, idCol, vecCol, nlist)
+    // `centroids` lets a rebuild FREEZE an earlier coarse quantizer (the
+    // incremental-maintenance contract: deltas were assigned against those
+    // centroids, so an equivalence rebuild must use the same ones)
+    val cents = centroids.getOrElse(ivfCentroids(corpus, idCol, vecCol, nlist))
     // sibling path, not nested: the bucketed overwrite below clears `path`
     cents.write.mode("overwrite").format("parquet")
       .option("path", s"${path}_centroids").saveAsTable(s"${tableName}_centroids")
@@ -419,6 +423,89 @@ object Knn {
       assigned, tableName, path, buckets, keys = Seq("cid"), sortCols = Seq("cid"))
   }
 
+  /** Incremental index maintenance — append a batch of newly-arrived vectors
+    * to a [[buildIvfIndex]]-persisted index WITHOUT rebuilding it. The
+    * production posture for a streaming corpus (the reference's quota/state
+    * machinery has no ANN analog; this is the LSM discipline every serving
+    * ANN system uses):
+    *
+    *   - centroids are FROZEN: new vectors are assigned against the
+    *     persisted `<table>_centroids` (row-local broadcast argmax, no
+    *     shuffle of history, no index rewrite);
+    *   - each batch lands as its own delta segment
+    *     `deltaPath/batch=<batchId>` written in OVERWRITE mode, so a
+    *     checkpoint replay of the same batch id rewrites its own segment
+    *     instead of duplicating it (the [[graft.streaming.StreamOps
+    *     .effectivelyOnceParquet]] idempotency discipline);
+    *   - segments are sorted by `cid` so a probe's `cid IN (...)` filter
+    *     prunes delta row-groups via parquet min/max stats — the delta
+    *     analog of the base table's bucket pruning;
+    *   - compaction = a frozen-centroid [[buildIvfIndex]] over
+    *     base ∪ deltas (the `centroids` parameter), after which the delta
+    *     directory can be dropped.
+    *
+    * Probe-visibility of the deltas is [[ivfProbeTopKIncremental]].
+    */
+  def appendIvfDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      deltaPath: String,
+      newRows: DataFrame,
+      idCol: String,
+      vecCol: String,
+      batchId: Long,
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None): Unit = {
+    val payload = newRows.select(
+      Seq(col(idCol).as("nbr_id"), col(vecCol).as("nv"),
+        quantizeInt8(col(vecCol)).as("nq")) ++
+      pqCodebooks.map(cb => Pq.codesFor(col(vecCol), cb).as("codes")).toSeq: _*)
+    val assigned = ivfAssign(newRows, idCol, vecCol,
+        spark.table(s"${tableName}_centroids"))
+      .withColumnRenamed("id", "nbr_id")
+      .join(payload, "nbr_id")
+      .sortWithinPartitions("cid")
+    assigned.write.mode("overwrite").parquet(s"$deltaPath/batch=$batchId")
+  }
+
+  /** The index as probes see it: bucketed base ∪ delta segments (if any).
+    * A `cid` filter over the union bucket-prunes the base side and
+    * row-group-prunes the delta side — neither arm scans unprobed lists.
+    */
+  private[graft] def ivfIndexWithDelta(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      deltaPath: String): DataFrame = {
+    val base = graft.sources.Bucketing.readBucketed(spark, tableName)
+    val hasDelta = {
+      val p = java.nio.file.Paths.get(deltaPath)
+      java.nio.file.Files.isDirectory(p) && scala.util.Using.resource(
+        java.nio.file.Files.list(p))(_.findFirst().isPresent)
+    }
+    if (!hasDelta) base
+    // select(base columns) drops the partition-discovery `batch` column so
+    // the two arms union by identical schema
+    else base.unionByName(
+      spark.read.parquet(deltaPath).select(base.columns.map(col): _*))
+  }
+
+  /** [[ivfProbeTopK]] over base + deltas: identical to a probe against a
+    * frozen-centroid rebuild of the full corpus at the same watermark
+    * (asserted in IvfIncrementalSpec — assignment is row-local and
+    * deterministic, so WHERE a vector lives cannot depend on when it
+    * arrived).
+    */
+  def ivfProbeTopKIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      deltaPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame =
+    ivfProbeTopKOver(spark, ivfIndexWithDelta(spark, tableName, deltaPath),
+      tableName, queries, idCol, vecCol, k, nprobe)
+
   /** [[ivfTopK]] against a [[buildIvfIndex]]-persisted index: same results
     * as the inline form over the same corpus (both derive the same
     * deterministic centroids), but the corpus is never re-assigned and the
@@ -427,6 +514,18 @@ object Knn {
     */
   def ivfProbeTopK(
       spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int): DataFrame =
+    ivfProbeTopKOver(spark, graft.sources.Bucketing.readBucketed(spark, tableName),
+      tableName, queries, idCol, vecCol, k, nprobe)
+
+  private def ivfProbeTopKOver(
+      spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame,
       tableName: String,
       queries: DataFrame,
       idCol: String,
@@ -445,8 +544,7 @@ object Knn {
     // scan filter. Bounded by contract (queries small, like bruteForceTopK).
     val probeCids = qprobes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val idx = graft.sources.Bucketing.readBucketed(spark, tableName)
-      .filter(col("cid").isin(probeCids: _*))
+    val idx = index.filter(col("cid").isin(probeCids: _*))
     val scored = idx.join(broadcast(qprobes), Seq("cid"))
       .filter(col("query_id") =!= col("nbr_id"))
       .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))), "query_id")

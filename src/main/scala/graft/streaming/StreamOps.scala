@@ -445,6 +445,34 @@ object StreamOps {
         ()
       }.start()
 
+  /** Incremental ANN maintenance as a stream sink: every micro-batch of
+    * arriving vectors is appended to a persisted
+    * [[graft.similarity.Knn.buildIvfIndex]] index as a delta segment —
+    * centroids frozen, assignment row-local, one segment per DURABLE batch
+    * id in overwrite mode, so a checkpoint replay rewrites its own segment
+    * instead of duplicating vectors (the [[effectivelyOnceParquet]]
+    * discipline applied to index maintenance). Probes pick the deltas up
+    * through [[graft.similarity.Knn.ivfProbeTopKIncremental]] with no
+    * coordination: a segment becomes visible atomically when its batch
+    * directory lands.
+    */
+  def ivfAppendSink(
+      stream: DataFrame,
+      tableName: String,
+      deltaPath: String,
+      idCol: String,
+      vecCol: String,
+      checkpoint: String,
+      pqCodebooks: Option[Seq[Seq[Seq[Double]]]] = None): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.similarity.Knn.appendIvfDelta(
+          batch.sparkSession, tableName, deltaPath, batch,
+          idCol, vecCol, batchId, pqCodebooks)
+        ()
+      }.start()
+
   /** Stream-stream inner join bounded in event time: rows join when keys
     * match AND the right event lies within ±`tolerance` of the left event.
     * Watermarks go on BOTH sides and the join carries the range condition
