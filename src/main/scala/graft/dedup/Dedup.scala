@@ -697,7 +697,17 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame,
       maxIter: Int = 25,
-      collectThreshold: Long = 2000000L): DataFrame = {
+      collectThreshold: Long = 2000000L): DataFrame =
+    connectedComponentsRounds(pairs, maxIter, collectThreshold)._1
+
+  /** [[connectedComponents]] plus the number of distributed jump rounds it
+    * took to converge (0 when the sub-threshold local path ran) — the
+    * observable CcScaleProbe charts against graph size and diameter.
+    */
+  private[graft] def connectedComponentsRounds(
+      pairs: DataFrame,
+      maxIter: Int = 25,
+      collectThreshold: Long = 2000000L): (DataFrame, Int) = {
     // Both halves of the algorithm assume integral node ids: the local path
     // decodes (Long, Long), and the distributed loop's convergence witness
     // is sum(cast(lbl AS DECIMAL)) — for a non-numeric id type that cast is
@@ -712,7 +722,7 @@ object Dedup {
           "map node ids to longs before clustering")
     }
     val pinned = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    if (pinned.count() <= collectThreshold) return unionFindLocal(pinned)
+    if (pinned.count() <= collectThreshold) return (unionFindLocal(pinned), 0)
     val sym = pinned
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pinned.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -754,7 +764,7 @@ object Dedup {
     }
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — component diameter exceeds maxIter")
-    labels.select(col("id"), col("lbl").as("cluster_id"))
+    (labels.select(col("id"), col("lbl").as("cluster_id")), iter)
   }
 
   /** HashMin propagate half of one [[connectedComponents]] round, exposed
