@@ -506,6 +506,31 @@ object Knn {
     ivfProbeTopKOver(spark, ivfIndexWithDelta(spark, tableName, deltaPath),
       tableName, queries, idCol, vecCol, k, nprobe)
 
+  /** Compaction: fold the delta segments back into bucketed form as a NEW
+    * index (blue/green — the old table keeps serving while this writes, the
+    * caller swaps names when it lands, then deletes `deltaPath`). No
+    * re-assignment happens: delta rows were already assigned against the
+    * frozen centroids, so compaction is a pure re-bucketing of
+    * already-final rows; the centroid table is copied verbatim. Probes
+    * against (newTable, empty delta) equal probes against (old table,
+    * deltas) by construction — asserted in IvfIncrementalSpec.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      deltaPath: String,
+      newTableName: String,
+      newPath: String,
+      buckets: Int): Unit = {
+    val combined = ivfIndexWithDelta(spark, tableName, deltaPath)
+    spark.table(s"${tableName}_centroids")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"${newPath}_centroids")
+      .saveAsTable(s"${newTableName}_centroids")
+    graft.sources.Bucketing.writeBucketed(
+      combined, newTableName, newPath, buckets, keys = Seq("cid"), sortCols = Seq("cid"))
+  }
+
   /** [[ivfTopK]] against a [[buildIvfIndex]]-persisted index: same results
     * as the inline form over the same corpus (both derive the same
     * deterministic centroids), but the corpus is never re-assigned and the
@@ -570,6 +595,37 @@ object Knn {
       vecCol: String,
       cb: Seq[Seq[Seq[Double]]],
       k: Int,
+      nprobe: Int): DataFrame =
+    ivfPqProbeTopKOver(spark, graft.sources.Bucketing.readBucketed(spark, tableName),
+      tableName, queries, idCol, vecCol, cb, k, nprobe)
+
+  /** [[ivfPqProbeTopK]] over base + delta segments — the codes-only probe
+    * against an incrementally-maintained index (deltas written by
+    * [[appendIvfDelta]] WITH the same `pqCodebooks`, so their `codes`
+    * column exists and was encoded by the same codebooks).
+    */
+  def ivfPqProbeTopKIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String,
+      deltaPath: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Seq[Seq[Seq[Double]]],
+      k: Int,
+      nprobe: Int): DataFrame =
+    ivfPqProbeTopKOver(spark, ivfIndexWithDelta(spark, tableName, deltaPath),
+      tableName, queries, idCol, vecCol, cb, k, nprobe)
+
+  private def ivfPqProbeTopKOver(
+      spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame,
+      tableName: String,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cb: Seq[Seq[Seq[Double]]],
+      k: Int,
       nprobe: Int): DataFrame = {
     val cents = spark.table(s"${tableName}_centroids")
     val w = Window.partitionBy(col("query_id")).orderBy(col("ccos").desc, col("cid").asc)
@@ -581,7 +637,7 @@ object Knn {
       .select(col("query_id"), col("cid"))
     val probeCids = qprobes.select(col("cid")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val idx = graft.sources.Bucketing.readBucketed(spark, tableName)
+    val idx = index
       .filter(col("cid").isin(probeCids: _*))
       .select(col("cid"), col("nbr_id"), col("codes"))
     val scored = idx.join(broadcast(qprobes), Seq("cid"))

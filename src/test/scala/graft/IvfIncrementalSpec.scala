@@ -91,11 +91,65 @@ class IvfIncrementalSpec extends SparkTestBase {
       assert(sel.isDefined, s"base index scan must stay bucketed under the union, plan:\n$plan")
       assert(sel.get.group(1).toInt < sel.get.group(2).toInt,
         s"union probe must still prune base buckets (read ${sel.get.group(1)} of ${sel.get.group(2)})")
+      // compaction (blue/green): fold deltas into a new bucketed index —
+      // pure re-bucketing, no re-assignment — and probe with NO delta
+      Knn.compactIvfIndex(spark, "ivf_inc_spec", deltaPath,
+        newTableName = "ivf_inc_compact", newPath = s"$tmp/idx_compact", buckets = 8)
+      val compacted = Knn.ivfProbeTopKIncremental(
+          spark, "ivf_inc_compact", s"$tmp/no-such-delta", queries,
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+      assert(compacted == incremental, "compacted index probes differently")
     } finally {
       spark.sql("DROP TABLE IF EXISTS ivf_inc_spec")
       spark.sql("DROP TABLE IF EXISTS ivf_inc_spec_centroids")
       spark.sql("DROP TABLE IF EXISTS ivf_inc_rebuild")
       spark.sql("DROP TABLE IF EXISTS ivf_inc_rebuild_centroids")
+      spark.sql("DROP TABLE IF EXISTS ivf_inc_compact")
+      spark.sql("DROP TABLE IF EXISTS ivf_inc_compact_centroids")
+    }
+  }
+
+  test("codes-only IVF-PQ probe over deltas equals a frozen-centroid rebuild") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sfDir)
+    val cb = graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+    val tmp = Files.createTempDirectory("graft-ivfpq-inc").toString
+    val deltaPath = s"$tmp/delta"
+    Knn.buildIvfIndex(e.filter(col("vec_id") < 300), "vec_id", "embedding",
+      nlist = 16, tableName = "ivfpq_inc_spec", path = s"$tmp/idx", buckets = 8,
+      pqCodebooks = Some(cb))
+    try {
+      // same codebooks on the append path: delta codes must come from the
+      // index's own quantizer or the ADC tables would score garbage
+      Knn.appendIvfDelta(spark, "ivfpq_inc_spec", deltaPath,
+        e.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+        "vec_id", "embedding", batchId = 0L, pqCodebooks = Some(cb))
+      Knn.appendIvfDelta(spark, "ivfpq_inc_spec", deltaPath,
+        e.filter(col("vec_id") >= 400),
+        "vec_id", "embedding", batchId = 1L, pqCodebooks = Some(cb))
+      val queries = e.filter(col("vec_id") % 50 === 0)
+      val incremental = Knn.ivfPqProbeTopKIncremental(
+          spark, "ivfpq_inc_spec", deltaPath, queries, "vec_id", "embedding",
+          cb, k = 5, nprobe = 4)
+        .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+      assert(incremental.exists(_._3 >= 300), "no delta vector surfaced as a neighbor")
+      Knn.buildIvfIndex(e, "vec_id", "embedding", nlist = 16,
+        tableName = "ivfpq_inc_rebuild", path = s"$tmp/idx_rebuild", buckets = 8,
+        pqCodebooks = Some(cb),
+        centroids = Some(spark.table("ivfpq_inc_spec_centroids")))
+      val rebuilt = Knn.ivfPqProbeTopK(
+          spark, "ivfpq_inc_rebuild", queries, "vec_id", "embedding",
+          cb, k = 5, nprobe = 4)
+        .select("query_id", "rank", "nbr_id").as[(Long, Int, Long)].collect().toSet
+      assert(incremental == rebuilt,
+        s"IVF-PQ incremental and rebuilt probes disagree: " +
+          s"only-inc=${(incremental -- rebuilt).take(5)} only-rebuild=${(rebuilt -- incremental).take(5)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS ivfpq_inc_spec")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_inc_spec_centroids")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_inc_rebuild")
+      spark.sql("DROP TABLE IF EXISTS ivfpq_inc_rebuild_centroids")
     }
   }
 }
