@@ -21,6 +21,36 @@ object DecatonQueries {
   /** sfDir the dq27 index was last built for (see the dq27 registration). */
   private val dq27Built = scala.collection.mutable.Set.empty[String]
 
+  /** Shared oracle fragment (dq18, dq28): the PQ band signatures of every
+    * embedding under the synthetic m=8/k=16/w=8 codebooks — ends in CTE
+    * `bs(vec_id, band, band_sig)`. Replays [[graft.similarity.Pq
+    * .syntheticCodebooks]] + `codesFor` + the band md5 exactly.
+    */
+  private def oPqBandSigs: String = s"""
+        dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+        subs AS (SELECT unnest(generate_series(0, 7)) AS s),
+        cods AS (SELECT unnest(generate_series(0, 15)) AS c),
+        cb AS (
+          SELECT s, c,
+                 list(CAST((c*31 + dim*17 + s*7) % 13 - 6 AS DOUBLE) / 6.0 ORDER BY dim) AS cv
+          FROM subs CROSS JOIN cods CROSS JOIN dims
+          GROUP BY 1, 2),
+        p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+        sv AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
+               FROM p CROSS JOIN subs),
+        enc AS (
+          SELECT vec_id, s, c AS code FROM (
+            SELECT sv.vec_id, sv.s, cb.c,
+                   row_number() OVER (PARTITION BY sv.vec_id, sv.s
+                     ORDER BY (${PipelineQueries.oDot("sv", "sv")} - 2.0 * ${PipelineQueries.oDot("sv", "cv2")} + ${PipelineQueries.oDot("cv2", "cv2")}) ASC,
+                              cb.c ASC) AS rn
+            FROM sv JOIN (SELECT s, c, cv AS cv2 FROM cb) cb USING (s)) WHERE rn = 1),
+        bs AS (
+          SELECT vec_id, s // 4 AS band,
+                 md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY s)) AS band_sig
+          FROM enc GROUP BY vec_id, s // 4)"""
+
   val all: Seq[Q] = Seq(
     // ---- F1 key blocking: ignore-list filter; dropped rows still "commit"
     // (they simply don't reach the sink but the batch completes past them).
@@ -602,29 +632,7 @@ object DecatonQueries {
           .select(col("id"))
       },
       Some(s"""
-        WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
-        subs AS (SELECT unnest(generate_series(0, 7)) AS s),
-        cods AS (SELECT unnest(generate_series(0, 15)) AS c),
-        cb AS (
-          SELECT s, c,
-                 list(CAST((c*31 + dim*17 + s*7) % 13 - 6 AS DOUBLE) / 6.0 ORDER BY dim) AS cv
-          FROM subs CROSS JOIN cods CROSS JOIN dims
-          GROUP BY 1, 2),
-        p AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings),
-        sv AS (SELECT vec_id, s, list_slice(v, s*8 + 1, s*8 + 8) AS sv
-               FROM p CROSS JOIN subs),
-        enc AS (
-          SELECT vec_id, s, c AS code FROM (
-            SELECT sv.vec_id, sv.s, cb.c,
-                   row_number() OVER (PARTITION BY sv.vec_id, sv.s
-                     ORDER BY (${PipelineQueries.oDot("sv", "sv")} - 2.0 * ${PipelineQueries.oDot("sv", "cv2")} + ${PipelineQueries.oDot("cv2", "cv2")}) ASC,
-                              cb.c ASC) AS rn
-            FROM sv JOIN (SELECT s, c, cv AS cv2 FROM cb) cb USING (s)) WHERE rn = 1),
-        bs AS (
-          SELECT vec_id, s // 4 AS band,
-                 md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY s)) AS band_sig
-          FROM enc GROUP BY vec_id, s // 4)
+        WITH ${oPqBandSigs}
         SELECT DISTINCT o.vec_id AS id
         FROM bs o JOIN bs h ON o.band = h.band AND o.band_sig = h.band_sig
         WHERE o.vec_id % 2 = 1 AND h.vec_id % 2 = 0
@@ -1141,6 +1149,40 @@ object DecatonQueries {
                  row_number() OVER (PARTITION BY query_id
                    ORDER BY cos_r DESC, nbr_id ASC) AS rank
           FROM sc) WHERE rank <= 5
+      """)),
+
+    // ---- self-indexing streaming near-dup: unbounded history on DISK
+    // segments instead of in the state store (StreamOps
+    // .selfIndexingPqFlagger). Each batch flags against strictly-earlier
+    // segments plus smaller ids within itself, then appends its own PQ band
+    // signatures idempotently by batch id — so the flagged set is
+    // batch-split-INVARIANT and equals the plain self-join with
+    // h.vec_id < o.vec_id, which is exactly what the oracle replays
+    // (SelfIndexingFlaggerSpec fuzzes the invariance over random splits).
+    Q(
+      "dq28_selfindex_neardup",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val cb = graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-dq28-index").toString
+        // two "micro-batches" through the real per-batch core; stable batch
+        // ids make reruns overwrite their own segments (idempotent), and
+        // the strict batch < batchId history filter keeps rep N's batch-0
+        // call blind to rep N-1's batch-1 segment
+        val f0 = graft.streaming.StreamOps.flagAndIndexPqBatch(
+          e.filter(col("vec_id") < 250), 0L, col("vec_id"), col("embedding"),
+          root, cb, bands = 2)
+        val f1 = graft.streaming.StreamOps.flagAndIndexPqBatch(
+          e.filter(col("vec_id") >= 250), 1L, col("vec_id"), col("embedding"),
+          root, cb, bands = 2)
+        f0.unionByName(f1).distinct()
+      },
+      Some(s"""
+        WITH ${oPqBandSigs}
+        SELECT DISTINCT o.vec_id AS id
+        FROM bs o JOIN bs h ON o.band = h.band AND o.band_sig = h.band_sig
+          AND h.vec_id < o.vec_id
       """))
   )
 }

@@ -425,6 +425,86 @@ object StreamOps {
       .select(col("id"), col("__ts").as(tsCol))
   }
 
+  /** Streaming near-dup flagging against UNBOUNDED history with BOUNDED
+    * state: the watermark flaggers ([[flagAgainstPqIndex]], dq16–18) bound
+    * their dedupe window by event time because the state store must stay
+    * finite — a duplicate arriving after the watermark passes undetected.
+    * This operator instead keeps the history as DISK-resident signature
+    * segments (the [[ivfAppendSink]] delta discipline): each micro-batch
+    *
+    *   1. PQ-band-encodes itself ([[graft.similarity.Pq.codeBandSignatures]]
+    *      — the same function that encodes the history, so keys can't
+    *      drift),
+    *   2. flags ids colliding with any EARLIER row — strictly-earlier
+    *      segment (`batch < batchId`, so a checkpoint replay never reads
+    *      its own half-written segment), or same batch with a smaller id —
+    *   3. appends its own signatures as segment `batch=<batchId>` in
+    *      overwrite mode (idempotent under replay).
+    *
+    * The "earlier" order is (batch, id) — and because within-batch ties
+    * break by id and cross-batch by arrival, the flagged set equals the
+    * BATCH self-join with `h.id < o.id` under any id-ordered split: the
+    * contract is batch-split-INVARIANT, which is what the dq28 oracle and
+    * the fuzz spec check. State store holds nothing; history cost is one
+    * (id, band, band_sig) parquet row per (row, band) — fixed-width,
+    * column-pruned, shared storage, no executor memory — the posture that
+    * survives an unbounded stream where even a generous watermark cannot.
+    */
+  def selfIndexingPqFlagger(
+      stream: DataFrame,
+      idCol: Column,
+      vecCol: Column,
+      indexDir: String,
+      cb: Seq[Seq[Seq[Double]]],
+      bands: Int,
+      checkpoint: String)(
+      onFlagged: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onFlagged(flagAndIndexPqBatch(batch, batchId, idCol, vecCol, indexDir, cb, bands))
+        ()
+      }.start()
+
+  /** One [[selfIndexingPqFlagger]] micro-batch, exposed so replay
+    * idempotency is directly testable and so a BATCH backfill can feed the
+    * same index before the stream attaches. Returns the flagged ids.
+    */
+  def flagAndIndexPqBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: Column,
+      vecCol: Column,
+      indexDir: String,
+      cb: Seq[Seq[Seq[Double]]],
+      bands: Int): DataFrame = {
+    val banded = graft.similarity.Pq.codeBandSignatures(batch, idCol, vecCol, cb, bands)
+    val p = java.nio.file.Paths.get(indexDir)
+    val hasHistory = java.nio.file.Files.isDirectory(p) && scala.util.Using.resource(
+      java.nio.file.Files.list(p))(_.findFirst().isPresent)
+    // history = strictly earlier segments only: a replay of batch N must
+    // not collide with its own (possibly half-written) segment
+    val vsHistory =
+      if (!hasHistory) None
+      else Some(banded.join(
+        batch.sparkSession.read.parquet(indexDir)
+          .filter(col("batch") < batchId).select(col("band"), col("band_sig")),
+        Seq("band", "band_sig"), "left_semi").select(col("id")))
+    // within the batch, earlier = smaller id (the split-invariance tiebreak)
+    val vsSelf = banded.as("o")
+      .join(banded.select(col("band"), col("band_sig"), col("id").as("h_id")).as("h"),
+        Seq("band", "band_sig"))
+      .filter(col("h_id") < col("id"))
+      .select(col("id"))
+    val flagged = vsHistory.fold(vsSelf)(_ unionByName vsSelf).distinct()
+    // flags are computed (and must be fully consumed by the caller) before
+    // the segment write makes this batch part of history; the write is
+    // keyed by the DURABLE batch id — replays overwrite their own segment
+    val out = flagged.localCheckpoint()
+    banded.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    out
+  }
+
   /** Effectively-once parquet sink over the engine's at-least-once core:
     * every micro-batch writes to a directory keyed by its STABLE batch id,
     * in overwrite mode — so when the checkpoint replays a batch after a
