@@ -21,6 +21,32 @@ object DecatonQueries {
   /** sfDir the dq27 index was last built for (see the dq27 registration). */
   private val dq27Built = scala.collection.mutable.Set.empty[String]
 
+  /** Shared oracle fragment (dq17, dq29): minhash/LSH band signatures of
+    * every document (k=16, bands=4, 5-char shingles) — ends in CTE
+    * `bsig(doc_id, band, band_sig)`. Replays [[graft.functions
+    * .minhash_sigs]] + [[graft.dedup.Dedup.lshBandSignaturesWide]] exactly.
+    */
+  private def oMinhashBandSigs: String = s"""
+        pos AS (
+          SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
+        ), sh AS (
+          SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
+        ), hs AS (
+          SELECT doc_id,
+                 CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS h1,
+                 CAST(('0x'||substr(md5(sh),16,15)) AS BIGINT) % 2147483647 AS h2 FROM sh
+        ), hx AS (
+          SELECT doc_id, h1, h2, unnest(generate_series(0, 15)) AS hi FROM hs
+        ), sigs AS (
+          SELECT doc_id, CAST(hi AS INT) AS hi,
+                 min((h1 + hi * h2) % 2147483647) AS mh
+          FROM hx GROUP BY 1, 2
+        ), bsig AS (
+          SELECT doc_id, hi // 4 AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS band_sig
+          FROM sigs GROUP BY doc_id, hi // 4
+        )"""
+
   /** Shared oracle fragment (dq18, dq28): the PQ band signatures of every
     * embedding under the synthetic m=8/k=16/w=8 codebooks — ends in CTE
     * `bs(vec_id, band, band_sig)`. Replays [[graft.similarity.Pq
@@ -584,26 +610,8 @@ object DecatonQueries {
             k = 16, bands = 4, shingleSize = 5)
           .select(col("id"))
       },
-      Some("""
-        WITH pos AS (
-          SELECT doc_id, text, unnest(generate_series(1, greatest(length(text)-4, 1))) AS pos FROM documents
-        ), sh AS (
-          SELECT doc_id, substr(text, CAST(pos AS INT), 5) AS sh FROM pos
-        ), hs AS (
-          SELECT doc_id,
-                 CAST(('0x'||substr(md5(sh),1,15)) AS BIGINT) % 2147483647 AS h1,
-                 CAST(('0x'||substr(md5(sh),16,15)) AS BIGINT) % 2147483647 AS h2 FROM sh
-        ), hx AS (
-          SELECT doc_id, h1, h2, unnest(generate_series(0, 15)) AS hi FROM hs
-        ), sigs AS (
-          SELECT doc_id, CAST(hi AS INT) AS hi,
-                 min((h1 + hi * h2) % 2147483647) AS mh
-          FROM hx GROUP BY 1, 2
-        ), bsig AS (
-          SELECT doc_id, hi // 4 AS band,
-                 md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hi)) AS band_sig
-          FROM sigs GROUP BY doc_id, hi // 4
-        )
+      Some(s"""
+        WITH ${oMinhashBandSigs}
         SELECT DISTINCT o.doc_id AS id
         FROM bsig o JOIN bsig h
           ON o.band = h.band AND o.band_sig = h.band_sig
@@ -1183,6 +1191,34 @@ object DecatonQueries {
         SELECT DISTINCT o.vec_id AS id
         FROM bs o JOIN bs h ON o.band = h.band AND o.band_sig = h.band_sig
           AND h.vec_id < o.vec_id
+      """)),
+
+    // ---- the TEXT family of dq28: self-indexing streaming corpus dedup
+    // over minhash/LSH band signatures (StreamOps.selfIndexingLshFlagger /
+    // flagAndIndexTextBatch) — dq17's banding with dq28's disk-segment
+    // history. Same split-invariant contract, so the oracle is the plain
+    // self-join with h.doc_id < o.doc_id over dq17's replayed signatures.
+    Q(
+      "dq29_selfindex_text",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-dq29-index").toString
+        val n = 250L // stable cut: documents carry dense doc_ids from 0 (500 at sf≤0.01, 5000 at sf0.1)
+        val f0 = graft.streaming.StreamOps.flagAndIndexTextBatch(
+          d.filter(col("doc_id") < n), 0L, col("doc_id"), col("text"),
+          root, k = 16, bands = 4, shingleSize = 5)
+        val f1 = graft.streaming.StreamOps.flagAndIndexTextBatch(
+          d.filter(col("doc_id") >= n), 1L, col("doc_id"), col("text"),
+          root, k = 16, bands = 4, shingleSize = 5)
+        f0.unionByName(f1).distinct()
+      },
+      Some(s"""
+        WITH ${oMinhashBandSigs}
+        SELECT DISTINCT o.doc_id AS id
+        FROM bsig o JOIN bsig h
+          ON o.band = h.band AND o.band_sig = h.band_sig
+          AND h.doc_id < o.doc_id
       """))
   )
 }

@@ -466,9 +466,55 @@ object StreamOps {
         ()
       }.start()
 
+  /** [[selfIndexingPqFlagger]] for TEXT near-dup: the same disk-segment
+    * discipline over minhash/LSH band signatures (the dq17 banding — k
+    * minhashes, k/bands rows per band) instead of PQ code bands. The
+    * training-pipeline flagship: streaming corpus dedup against ALL
+    * history, not just the watermark window.
+    */
+  def selfIndexingLshFlagger(
+      stream: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      indexDir: String,
+      k: Int,
+      bands: Int,
+      shingleSize: Int,
+      checkpoint: String)(
+      onFlagged: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onFlagged(flagAndIndexTextBatch(
+          batch, batchId, idCol, textCol, indexDir, k, bands, shingleSize))
+        ()
+      }.start()
+
+  /** One [[selfIndexingLshFlagger]] micro-batch (see
+    * [[flagAndIndexPqBatch]] for the replay/backfill contract).
+    */
+  def flagAndIndexTextBatch(
+      batch: DataFrame,
+      batchId: Long,
+      idCol: Column,
+      textCol: Column,
+      indexDir: String,
+      k: Int,
+      bands: Int,
+      shingleSize: Int): DataFrame = {
+    val wide = batch
+      .select(idCol.as("id"),
+        graft.functions.minhash_sigs(textCol, shingleSize, k).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col("id") +: (0 until k).map(i => col("__mh")(i).as(s"mh$i")): _*)
+    flagAndIndexBandedBatch(
+      graft.dedup.Dedup.lshBandSignaturesWide(wide, k, bands), batchId, indexDir)
+  }
+
   /** One [[selfIndexingPqFlagger]] micro-batch, exposed so replay
     * idempotency is directly testable and so a BATCH backfill can feed the
-    * same index before the stream attaches. Returns the flagged ids.
+    * same index before the stream attaches (use negative batch ids for the
+    * backfill — streaming batch ids start at 0). Returns the flagged ids.
     */
   def flagAndIndexPqBatch(
       batch: DataFrame,
@@ -477,8 +523,20 @@ object StreamOps {
       vecCol: Column,
       indexDir: String,
       cb: Seq[Seq[Seq[Double]]],
-      bands: Int): DataFrame = {
-    val banded = graft.similarity.Pq.codeBandSignatures(batch, idCol, vecCol, cb, bands)
+      bands: Int): DataFrame =
+    flagAndIndexBandedBatch(
+      graft.similarity.Pq.codeBandSignatures(batch, idCol, vecCol, cb, bands),
+      batchId, indexDir)
+
+  /** The banding-agnostic core: `banded` is this batch's (id, band,
+    * band_sig) rows from ANY signature family — the caller guarantees the
+    * same family encoded the history segments (the two front-ends above
+    * guarantee it by construction).
+    */
+  private[graft] def flagAndIndexBandedBatch(
+      banded: DataFrame,
+      batchId: Long,
+      indexDir: String): DataFrame = {
     val p = java.nio.file.Paths.get(indexDir)
     val hasHistory = java.nio.file.Files.isDirectory(p) && scala.util.Using.resource(
       java.nio.file.Files.list(p))(_.findFirst().isPresent)
@@ -487,7 +545,7 @@ object StreamOps {
     val vsHistory =
       if (!hasHistory) None
       else Some(banded.join(
-        batch.sparkSession.read.parquet(indexDir)
+        banded.sparkSession.read.parquet(indexDir)
           .filter(col("batch") < batchId).select(col("band"), col("band_sig")),
         Seq("band", "band_sig"), "left_semi").select(col("id")))
     // within the batch, earlier = smaller id (the split-invariance tiebreak)
@@ -503,6 +561,49 @@ object StreamOps {
     val out = flagged.localCheckpoint()
     banded.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     out
+  }
+
+  /** Fold self-index segments `batch ≤ upToBatch` into the single segment
+    * `batch=$upToBatch` and drop the older directories — the small-files
+    * bound for a long-lived [[selfIndexingPqFlagger]]/[[selfIndexingLshFlagger]]
+    * (one segment per micro-batch, unbounded stream → unbounded file
+    * count without this). Semantics are preserved because every reader
+    * filters `batch < currentBatchId` and currentBatch > upToBatch by the
+    * caller's contract: pass upToBatch STRICTLY below the last committed
+    * batch — only the latest batch can replay, and a replaying batch must
+    * never find its own rows folded into history. Crash-safe without
+    * coordination: the fold is materialized (localCheckpoint) before the
+    * overwrite, and a crash between the consolidated write and the old-dir
+    * deletes leaves duplicate signatures — harmless, flags are semi-joins —
+    * which the idempotent re-run then removes.
+    */
+  def compactIndexSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      upToBatch: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(indexDir)
+    if (!java.nio.file.Files.isDirectory(p)) return
+    val oldDirs = scala.util.Using.resource(java.nio.file.Files.list(p)) { st =>
+      st.iterator().asScala.toSeq.filter { d =>
+        val n = d.getFileName.toString
+        n.startsWith("batch=") &&
+          scala.util.Try(n.stripPrefix("batch=").toLong).toOption.exists(_ < upToBatch)
+      }
+    }
+    if (oldDirs.isEmpty) return
+    val combined = spark.read.parquet(indexDir)
+      .filter(col("batch") <= upToBatch)
+      .select(col("id"), col("band"), col("band_sig"))
+      .distinct()
+      .localCheckpoint() // materialize BEFORE overwriting a source segment
+    combined.write.mode("overwrite").parquet(s"$indexDir/batch=$upToBatch")
+    oldDirs.foreach { d =>
+      scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
+        st.iterator().asScala.toSeq.sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
   }
 
   /** Effectively-once parquet sink over the engine's at-least-once core:

@@ -99,4 +99,72 @@ class SelfIndexingFlaggerSpec extends SparkTestBase {
     // union across batches still equals the global contract
     assert((f0 ++ f1) == expectedFlagged(), "two-batch run diverged from the batch self-join")
   }
+
+  test("text (minhash/LSH) self-indexing flagger matches the batch self-join") {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+    val indexDir = Files.createTempDirectory("graft-selfidx-text").toString + "/idx"
+
+    // batch expectation: dq17's banding, flagged iff an EARLIER doc shares a band
+    val wide = d.select(col("doc_id").as("id"),
+        graft.functions.minhash_sigs(col("text"), 5, 16).as("__mh"))
+      .filter(col("__mh").isNotNull)
+      .select(col("id") +: (0 until 16).map(i => col("__mh")(i).as(s"mh$i")): _*)
+    val bs = graft.dedup.Dedup.lshBandSignaturesWide(wide, 16, 4)
+    val expect = bs.as("o")
+      .join(bs.select(col("band"), col("band_sig"), col("id").as("h_id")).as("h"),
+        Seq("band", "band_sig"))
+      .filter(col("h_id") < col("id"))
+      .select(col("id")).distinct().as[Long].collect().toSet
+    assert(expect.nonEmpty, "fixture must flag a non-trivial text subset")
+
+    val n = d.agg(max(col("doc_id"))).head.getLong(0)
+    val got = Seq(
+      d.filter(col("doc_id") < n / 3) -> 0L,
+      d.filter(col("doc_id") >= n / 3 && col("doc_id") < 2 * n / 3) -> 1L,
+      d.filter(col("doc_id") >= 2 * n / 3) -> 2L
+    ).flatMap { case (batch, id) =>
+      StreamOps.flagAndIndexTextBatch(batch, id, col("doc_id"), col("text"),
+        indexDir, k = 16, bands = 4, shingleSize = 5).as[Long].collect()
+    }.toSet
+    assert(got == expect,
+      s"only-stream=${(got -- expect).take(5)} only-batch=${(expect -- got).take(5)}")
+  }
+
+  test("segment compaction preserves flags and bounds the file count") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sfDir)
+    val indexDir = Files.createTempDirectory("graft-selfidx-compact").toString + "/idx"
+    def run(pred: org.apache.spark.sql.Column, id: Long): Set[Long] =
+      StreamOps.flagAndIndexPqBatch(rows.filter(pred), id,
+          col("vec_id"), col("embedding"), indexDir, cb, bands = 2)
+        .as[Long].collect().toSet
+
+    run(col("vec_id") < 150, 0L)
+    run(col("vec_id") >= 150 && col("vec_id") < 300, 1L)
+    run(col("vec_id") >= 300 && col("vec_id") < 400, 2L)
+    // compact everything strictly below the last committed batch (2): only
+    // the latest batch may replay, so folding 0..1 into batch=1 is safe
+    StreamOps.compactIndexSegments(spark, indexDir, upToBatch = 1L)
+    val segs = spark.read.parquet(indexDir).select("batch").distinct()
+      .as[Long].collect().sorted
+    assert(segs.toSeq == Seq(1L, 2L), s"expected segments [1,2], got ${segs.toSeq}")
+    // idempotent re-run (the crash-between-write-and-delete recovery path)
+    StreamOps.compactIndexSegments(spark, indexDir, upToBatch = 1L)
+    assert(spark.read.parquet(indexDir).count() == 400 * 2,
+      "compaction must keep exactly rows×bands signatures")
+    // the next batch's flags are unchanged by compaction: same semantics
+    // as an uncompacted twin index fed the same four batches
+    val twinDir = Files.createTempDirectory("graft-selfidx-twin").toString + "/idx"
+    def runTwin(pred: org.apache.spark.sql.Column, id: Long): Set[Long] =
+      StreamOps.flagAndIndexPqBatch(rows.filter(pred), id,
+          col("vec_id"), col("embedding"), twinDir, cb, bands = 2)
+        .as[Long].collect().toSet
+    runTwin(col("vec_id") < 150, 0L)
+    runTwin(col("vec_id") >= 150 && col("vec_id") < 300, 1L)
+    runTwin(col("vec_id") >= 300 && col("vec_id") < 400, 2L)
+    val afterCompact = run(col("vec_id") >= 400, 3L)
+    val afterPlain = runTwin(col("vec_id") >= 400, 3L)
+    assert(afterCompact == afterPlain, "compaction changed a later batch's flags")
+  }
 }
