@@ -540,14 +540,17 @@ object StreamOps {
     val p = java.nio.file.Paths.get(indexDir)
     val hasHistory = java.nio.file.Files.isDirectory(p) && scala.util.Using.resource(
       java.nio.file.Files.list(p))(_.findFirst().isPresent)
-    // history = strictly earlier segments only: a replay of batch N must
-    // not collide with its own (possibly half-written) segment
+    // History check, scale shape: the BATCH side broadcasts (bounded by the
+    // source's admission control — maxOffsetsPerTrigger × bands fixed-width
+    // rows) and the history side is ONE column-pruned scan of (band,
+    // band_sig) per micro-batch with a broadcast hash join — a naive
+    // `banded LEFT SEMI history` would instead sort-merge, i.e. SHUFFLE THE
+    // WHOLE HISTORY every batch, the thing that dies first at 100 TB.
+    // Strictly earlier segments only: a replay of batch N must not collide
+    // with its own (possibly half-written) segment.
     val vsHistory =
       if (!hasHistory) None
-      else Some(banded.join(
-        banded.sparkSession.read.parquet(indexDir)
-          .filter(col("batch") < batchId).select(col("band"), col("band_sig")),
-        Seq("band", "band_sig"), "left_semi").select(col("id")))
+      else Some(historyCheck(banded, indexDir, batchId))
     // within the batch, earlier = smaller id (the split-invariance tiebreak)
     val vsSelf = banded.as("o")
       .join(banded.select(col("band"), col("band_sig"), col("id").as("h_id")).as("h"),
@@ -559,9 +562,25 @@ object StreamOps {
     // the segment write makes this batch part of history; the write is
     // keyed by the DURABLE batch id — replays overwrite their own segment
     val out = flagged.localCheckpoint()
-    banded.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    // segments sort by band_sig: parquet row-group min/max then prune the
+    // history scan under the broadcast join's runtime filtering
+    banded.sortWithinPartitions("band_sig")
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
     out
   }
+
+  /** The batch-vs-history probe of [[flagAndIndexBandedBatch]], exposed so
+    * its plan shape is pinned by SelfIndexingFlaggerSpec: broadcast hash
+    * join building the batch side, never a history shuffle.
+    */
+  private[graft] def historyCheck(
+      banded: DataFrame, indexDir: String, batchId: Long): DataFrame =
+    banded.sparkSession.read.parquet(indexDir)
+      .filter(col("batch") < batchId)
+      .select(col("band"), col("band_sig"))
+      .join(broadcast(banded.select(
+        col("band"), col("band_sig"), col("id"))), Seq("band", "band_sig"))
+      .select(col("id"))
 
   /** Fold self-index segments `batch ≤ upToBatch` into the single segment
     * `batch=$upToBatch` and drop the older directories — the small-files
@@ -597,7 +616,8 @@ object StreamOps {
       .select(col("id"), col("band"), col("band_sig"))
       .distinct()
       .localCheckpoint() // materialize BEFORE overwriting a source segment
-    combined.write.mode("overwrite").parquet(s"$indexDir/batch=$upToBatch")
+    combined.sortWithinPartitions("band_sig") // keep the row-group pruning sort
+      .write.mode("overwrite").parquet(s"$indexDir/batch=$upToBatch")
     oldDirs.foreach { d =>
       scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
         st.iterator().asScala.toSeq.sortBy(-_.getNameCount)

@@ -131,6 +131,21 @@ class SelfIndexingFlaggerSpec extends SparkTestBase {
       s"only-stream=${(got -- expect).take(5)} only-batch=${(expect -- got).take(5)}")
   }
 
+  test("the history probe broadcasts the batch side — history is scanned, never shuffled") {
+    val rows = Tables.embeddings(spark, sfDir)
+    val indexDir = Files.createTempDirectory("graft-selfidx-plan").toString + "/idx"
+    StreamOps.flagAndIndexPqBatch(rows.filter(col("vec_id") < 250), 0L,
+      col("vec_id"), col("embedding"), indexDir, cb, bands = 2).collect()
+    val banded = Pq.codeBandSignatures(
+      rows.filter(col("vec_id") >= 250), col("vec_id"), col("embedding"), cb, bands = 2)
+    val plan = StreamOps.historyCheck(banded, indexDir, 1L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"history probe must broadcast the batch side, plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"history probe must never shuffle the history side, plan:\n$plan")
+  }
+
   test("segment compaction preserves flags and bounds the file count") {
     import spark.implicits._
     val rows = Tables.embeddings(spark, sfDir)
