@@ -534,9 +534,15 @@ object StreamOps {
     * guarantee it by construction).
     */
   private[graft] def flagAndIndexBandedBatch(
-      banded: DataFrame,
+      bandedPlan: DataFrame,
       batchId: Long,
       indexDir: String): DataFrame = {
+    // pin the signatures ONCE: the self-join references the frame twice,
+    // the history probe broadcasts it and the segment write persists it —
+    // unpinned, the encode subtree (minhash/PQ over the batch's full text/
+    // vectors) would re-execute for every consumer, ~4 encoding passes per
+    // micro-batch
+    val banded = bandedPlan.localCheckpoint()
     val p = java.nio.file.Paths.get(indexDir)
     val hasHistory = java.nio.file.Files.isDirectory(p) && scala.util.Using.resource(
       java.nio.file.Files.list(p))(_.findFirst().isPresent)
