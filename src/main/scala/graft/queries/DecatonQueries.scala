@@ -1219,6 +1219,34 @@ object DecatonQueries {
         FROM bsig o JOIN bsig h
           ON o.band = h.band AND o.band_sig = h.band_sig
           AND h.doc_id < o.doc_id
-      """))
+      """)),
+
+    // ---- BM25 over INCREMENTALLY-maintained corpus stats: the retrieval
+    // member of the segment family (ANN: dq27; near-dup: dq28/dq29). The
+    // corpus model (docCount, total tokens, per-term df) is additive, so
+    // two per-batch stats segments merge to EXACTLY the inline pass-1 scan
+    // — same integers, same ranks — which is why the oracle is
+    // byte-identical to pq53's: a hash match certifies the merge is exact,
+    // not approximately right.
+    Q(
+      "dq30_bm25_incremental",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val root = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), "graft-dq30-stats").toString
+        val n = 250L // stable cut (dense doc_ids from 0; 500 at sf≤0.01, 5000 at sf0.1)
+        graft.retrieval.Bm25.appendBm25StatsSegment(
+          d.filter(col("doc_id") < n), 0L, root, col("doc_id"), col("text"))
+        graft.retrieval.Bm25.appendBm25StatsSegment(
+          d.filter(col("doc_id") >= n), 1L, root, col("doc_id"), col("text"))
+        graft.retrieval.Bm25.bm25TopKIncremental(
+          s, root, d, col("doc_id"), col("text"),
+          Seq(
+            1L -> Seq("hash", "join"),
+            2L -> Seq("window", "agg", "scan"),
+            3L -> Seq("customer", "order")),
+          k = 10)
+      },
+      Some(PipelineQueries.oBm25TopKSql))
   )
 }

@@ -62,6 +62,57 @@ object PipelineQueries {
     * `nprobe` nearest lists, query set = rows matching `queryPred`).
     * Splice after the `p` definition.
     */
+  /** Shared oracle (pq53, dq30 — byte-identical so both hash-check the
+    * same BM25 semantics): the fixture queries' BM25 top-10 over
+    * `documents`, replaying the fixed-point component freeze exactly.
+    */
+  private[queries] val oBm25TopKSql: String = """
+        WITH q AS (
+          SELECT CAST(qid AS BIGINT) AS qid, term FROM (VALUES
+            (1, 'hash'), (1, 'join'),
+            (2, 'window'), (2, 'agg'), (2, 'scan'),
+            (3, 'customer'), (3, 'order')) AS v(qid, term)
+        ), base AS (
+          SELECT doc_id, string_split(text, ' ') AS t,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+          FROM documents
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+          FROM base
+        ), terms AS (
+          SELECT DISTINCT term FROM q
+        ), dfs AS (
+          SELECT tm.term,
+                 CAST(sum(CASE WHEN list_contains(b.t, tm.term) THEN 1 ELSE 0 END) AS BIGINT) AS df
+          FROM base b CROSS JOIN terms tm
+          GROUP BY 1
+        ), comp AS (
+          SELECT b.doc_id, q.qid,
+                 CASE WHEN len(list_filter(b.t, x -> x = q.term)) > 0
+                      THEN CAST(floor(1000000.0
+                             * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                             * (CAST(len(list_filter(b.t, x -> x = q.term)) AS DOUBLE) * (1.2 + 1.0)
+                                / (CAST(len(list_filter(b.t, x -> x = q.term)) AS DOUBLE)
+                                   + 1.2 * (1.0 - 0.75 + 0.75 * CAST(b.dl AS DOUBLE) / s.avgdl))))
+                           AS BIGINT)
+                      ELSE 0 END AS c,
+                 CASE WHEN len(list_filter(b.t, x -> x = q.term)) > 0 THEN 1 ELSE 0 END AS m
+          FROM base b CROSS JOIN q
+          JOIN dfs d USING (term) CROSS JOIN stats s
+        ), scores AS (
+          SELECT doc_id, qid, CAST(sum(c) AS BIGINT) AS score_fp
+          FROM comp GROUP BY 1, 2 HAVING sum(m) > 0
+        ), ranked AS (
+          SELECT qid, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id ASC) AS rk
+          FROM scores
+        )
+        SELECT qid, CAST(rk AS INT) AS rank, doc_id, score_fp,
+               CAST(score_fp AS DOUBLE) / 1000000.0 AS score
+        FROM ranked WHERE rk <= 10
+      """
+
   private[queries] def oIvfCoarse(
       nlist: Int, nprobe: Int, queryPred: String,
       centPred: String = "TRUE"): String = s"""
@@ -1829,52 +1880,7 @@ object PipelineQueries {
             3L -> Seq("customer", "order")),
           k = 10)
       },
-      Some("""
-        WITH q AS (
-          SELECT CAST(qid AS BIGINT) AS qid, term FROM (VALUES
-            (1, 'hash'), (1, 'join'),
-            (2, 'window'), (2, 'agg'), (2, 'scan'),
-            (3, 'customer'), (3, 'order')) AS v(qid, term)
-        ), base AS (
-          SELECT doc_id, string_split(text, ' ') AS t,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-          FROM documents
-        ), stats AS (
-          SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-          FROM base
-        ), terms AS (
-          SELECT DISTINCT term FROM q
-        ), dfs AS (
-          SELECT tm.term,
-                 CAST(sum(CASE WHEN list_contains(b.t, tm.term) THEN 1 ELSE 0 END) AS BIGINT) AS df
-          FROM base b CROSS JOIN terms tm
-          GROUP BY 1
-        ), comp AS (
-          SELECT b.doc_id, q.qid,
-                 CASE WHEN len(list_filter(b.t, x -> x = q.term)) > 0
-                      THEN CAST(floor(1000000.0
-                             * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                             * (CAST(len(list_filter(b.t, x -> x = q.term)) AS DOUBLE) * (1.2 + 1.0)
-                                / (CAST(len(list_filter(b.t, x -> x = q.term)) AS DOUBLE)
-                                   + 1.2 * (1.0 - 0.75 + 0.75 * CAST(b.dl AS DOUBLE) / s.avgdl))))
-                           AS BIGINT)
-                      ELSE 0 END AS c,
-                 CASE WHEN len(list_filter(b.t, x -> x = q.term)) > 0 THEN 1 ELSE 0 END AS m
-          FROM base b CROSS JOIN q
-          JOIN dfs d USING (term) CROSS JOIN stats s
-        ), scores AS (
-          SELECT doc_id, qid, CAST(sum(c) AS BIGINT) AS score_fp
-          FROM comp GROUP BY 1, 2 HAVING sum(m) > 0
-        ), ranked AS (
-          SELECT qid, doc_id, score_fp,
-                 row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, doc_id ASC) AS rk
-          FROM scores
-        )
-        SELECT qid, CAST(rk AS INT) AS rank, doc_id, score_fp,
-               CAST(score_fp AS DOUBLE) / 1000000.0 AS score
-        FROM ranked WHERE rk <= 10
-      """)),
+      Some(oBm25TopKSql)),
 
     // ---- hard-negative mining (contrastive training data): per anchor, the
     // top-k most similar DIFFERENT-label vectors. pq08's plan with the label

@@ -82,9 +82,111 @@ object Bm25 {
     val stats = base.agg(statAggs.head, statAggs.tail: _*).collect()(0)
     val nDocs = stats.getLong(0)
     require(nDocs > 0, "empty corpus")
-    val avgdl = stats.getLong(1).toDouble / nDocs
-    val idf: Map[String, Double] = terms.zipWithIndex.map { case (t, i) =>
-      val df = stats.getLong(2 + i)
+    val dfByTerm = terms.zipWithIndex.map { case (t, i) => t -> stats.getLong(2 + i) }.toMap
+    scoreWithModel(base, queries, k, k1, b, nDocs, stats.getLong(1), dfByTerm)
+  }
+
+  /** Incremental corpus-stats maintenance for BM25 — the retrieval member
+    * of the round-16 segment family (ANN: `Knn.appendIvfDelta`; near-dup:
+    * `StreamOps.flagAndIndexBandedBatch`). BM25's corpus model is three
+    * ADDITIVE counters — docCount, total token count, per-term df — so a
+    * streaming corpus maintains it as one tiny stats segment per
+    * micro-batch (overwritten by durable batch id: idempotent under
+    * replay), and scoring merges segments instead of re-scanning the whole
+    * corpus per query batch. Unlike [[bm25TopK]]'s inline pass (df only
+    * for the CURRENT query's terms), segments carry df for EVERY distinct
+    * term in the batch, so future queries with unseen terms need no
+    * re-scan; the merge collects only the query terms' rows (bounded).
+    * Segment size = the batch's vocabulary — fixed-width rows, vocabulary
+    * grows sublinearly in corpus size.
+    */
+  def appendBm25StatsSegment(
+      batch: DataFrame,
+      batchId: Long,
+      statsDir: String,
+      idCol: Column,
+      textCol: Column): Unit = {
+    val base = batch
+      .filter(textCol.isNotNull)
+      .select(split(textCol, " ").as("t"))
+      .withColumn("dl", size(col("t")))
+    val termRows = base
+      .select(explode(array_distinct(col("t"))).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .select(col("term"), col("df"), lit(0L).as("n_docs"), lit(0L).as("sum_dl"))
+    val totalsRow = base
+      .agg(count(lit(1)).as("n_docs"), coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+      .select(lit(null).cast("string").as("term"), lit(0L).as("df"),
+        col("n_docs"), col("sum_dl"))
+    termRows.unionByName(totalsRow)
+      .sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$statsDir/batch=$batchId")
+  }
+
+  /** Merge the stats segments into the (nDocs, sumDl, df) model for the
+    * given terms: distributed sums, driver collects |terms|+1 scalars.
+    */
+  def bm25ModelFromSegments(
+      spark: org.apache.spark.sql.SparkSession,
+      statsDir: String,
+      terms: Seq[String]): (Long, Long, Map[String, Long]) = {
+    val seg = spark.read.parquet(statsDir)
+    val totals = seg.filter(col("term").isNull)
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("s")).collect()(0)
+    val dfs = seg.filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (totals.getLong(0), totals.getLong(1), dfs)
+  }
+
+  /** [[bm25TopK]] with the corpus model taken from the stats segments
+    * instead of an inline pass-1 scan. Identical integers to the inline
+    * form over the same corpus (asserted in Bm25Spec; dq30 hash-checks it
+    * against the same oracle as pq53): df/doc/length counters are additive,
+    * so WHEN a document's batch arrived cannot change a score.
+    */
+  def bm25TopKIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      statsDir: String,
+      docs: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      queries: Seq[(Long, Seq[String])],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "need at least one query")
+    val (nDocs, sumDl, dfByTerm) =
+      bm25ModelFromSegments(spark, statsDir, queries.flatMap(_._2).distinct)
+    val base = docs
+      .filter(textCol.isNotNull)
+      .select(idCol.as("doc_id"), split(textCol, " ").as("t"))
+      .withColumn("dl", size(col("t")))
+    scoreWithModel(base, queries, k, k1, b, nDocs, sumDl, dfByTerm)
+  }
+
+  /** The scoring pass of [[bm25TopK]] against an EXPLICIT corpus model —
+    * what lets the model come from somewhere other than an inline pass-1
+    * scan (the incremental stats segments above, a cached model reused
+    * across query batches, a model computed at a different watermark). The
+    * integers are identical to the inline path's by construction: idf is
+    * derived here from the raw (nDocs, sumDl, df) longs, so where the
+    * counts came from cannot change a score.
+    */
+  private def scoreWithModel(
+      base: DataFrame,
+      queries: Seq[(Long, Seq[String])],
+      k: Int,
+      k1: Double,
+      b: Double,
+      nDocs: Long,
+      sumDl: Long,
+      dfByTerm: Map[String, Long]): DataFrame = {
+    require(nDocs > 0, "empty corpus model")
+    val avgdl = sumDl.toDouble / nDocs
+    val idf: Map[String, Double] = queries.flatMap(_._2).distinct.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L)
       t -> math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
     }.toMap
 

@@ -134,6 +134,41 @@ class Bm25Spec extends SparkTestBase {
     assert(a == b, "null-text rows must not change any score (they carry no terms)")
   }
 
+  test("incremental stats segments merge to the inline model exactly — same integers, same ranks") {
+    val docs = corpus.toDF("doc_id", "text")
+    val statsDir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-inc").toString + "/stats"
+    val queries = Seq(1L -> Seq("spark", "data"), 2L -> Seq("cluster"))
+    // three per-batch segments (batch ids durable → replays idempotent)
+    Bm25.appendBm25StatsSegment(docs.filter(col("doc_id") <= 2), 0L, statsDir,
+      col("doc_id"), col("text"))
+    Bm25.appendBm25StatsSegment(docs.filter(col("doc_id") > 2 && col("doc_id") <= 4),
+      1L, statsDir, col("doc_id"), col("text"))
+    Bm25.appendBm25StatsSegment(docs.filter(col("doc_id") > 4), 2L, statsDir,
+      col("doc_id"), col("text"))
+    val inc = Bm25.bm25TopKIncremental(spark, statsDir, docs,
+        col("doc_id"), col("text"), queries, k = 4)
+      .select("qid", "rank", "doc_id", "score_fp")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val inline = Bm25.bm25TopK(docs, col("doc_id"), col("text"), queries, k = 4)
+      .select("qid", "rank", "doc_id", "score_fp")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(inc == inline,
+      s"merged stats diverged from the inline pass: only-inc=${inc -- inline} only-inline=${inline -- inc}")
+    // replay idempotency: re-append batch 1 — the model must not change
+    Bm25.appendBm25StatsSegment(docs.filter(col("doc_id") > 2 && col("doc_id") <= 4),
+      1L, statsDir, col("doc_id"), col("text"))
+    val (n2, s2, df2) = Bm25.bm25ModelFromSegments(spark, statsDir, Seq("spark", "data", "cluster"))
+    assert(n2 == 6L, s"replay must not double-count docs: $n2")
+    assert(df2("spark") == 3L && df2("cluster") == 3L, s"replayed dfs drifted: $df2")
+    assert(s2 == corpus.map(_._2.split(" ").length).sum, "total token count drifted")
+    // a term unseen by ANY segment scores with df=0, matching the inline
+    // contract (idf falls back through dfByTerm.getOrElse)
+    val unseen = Bm25.bm25TopKIncremental(spark, statsDir, docs,
+      col("doc_id"), col("text"), Seq(9L -> Seq("zzz-not-a-term")), k = 3)
+    assert(unseen.count() == 0, "an absent term matches no documents")
+  }
+
   test("duplicate query ids and non-integral doc ids are rejected loudly") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
