@@ -15,7 +15,7 @@ object SparkEntry {
   /** All verifiable queries, one per implemented operator (SURVEY.md §2). */
   private def registry: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ DecatonQueries.all ++
-      PipelineQueries.all
+      PipelineQueries.all ++ CrawlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

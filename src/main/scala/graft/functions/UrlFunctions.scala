@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL normalization for crawl curation — the stage every web-scale training
+  * pipeline runs FIRST, before any content is fetched or scored: canonicalize
+  * the URL, extract the registrable domain, and decide at URL granularity
+  * (dedup, blocklists, per-domain caps). C4, RefinedWeb and FineWeb all
+  * document URL filtering/dedup ahead of text processing because it is the
+  * only filter that costs zero bytes of document I/O.
+  *
+  * Everything here is a row-local Column expression over the Java∩RE2 regex
+  * subset (the pq37/pq73 discipline), so the DuckDB oracle replays each step
+  * from the same pattern constants — one pattern source, two engines.
+  * Zero shuffle, codegen'd, stream-safe.
+  */
+object UrlFunctions {
+
+  /** `scheme://[userinfo@]host[:port]` — the authority prefix of a URL. */
+  val AuthorityPrefixRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*"
+
+  /** Host capture inside the authority (group 1), skipping userinfo/port. */
+  val HostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+
+  /** Tracking query parameters stripped by [[url_canonicalize]]: the
+    * published analytics/click-id families (utm_*, Facebook, Google,
+    * Microsoft, Mailchimp, Instagram, Twitter). Keeps the `[?&]` separator
+    * as group 1 so adjacent survivors re-attach; a collapse pass then fixes
+    * `?&`/`&&` runs.
+    */
+  val TrackingParamRe =
+    "([?&])(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=[^&#]*"
+
+  /** Multi-label public suffixes recognized by [[url_registrable_domain]].
+    * A pinned subset of the Mozilla Public Suffix List covering the common
+    * ccTLD second-level registries; a production deployment should swap in
+    * the full PSL (it is a ~10k-entry broadcast lookup — pass it via the
+    * `suffixes` parameter). Heuristic elsewhere: last two labels.
+    */
+  val MultiLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "org.nz", "net.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.tw", "org.tw",
+    "co.in", "net.in", "org.in",
+    "com.mx", "com.ar", "com.sg", "com.hk", "com.my",
+    "co.kr", "or.kr", "co.za", "com.tr", "com.pl")
+
+  /** Canonical URL form for dedup/blocklist keys. The chain (order is part
+    * of the contract, replayed step-for-step by the oracle):
+    *   1. trim, strip the `#fragment`;
+    *   2. lowercase scheme+authority (path/query case is significant, the
+    *      authority is not — RFC 3986 §6.2.2.1);
+    *   3. strip a leading `www.`;
+    *   4. strip default ports (`http://…:80`, `https://…:443`);
+    *   5. strip tracking parameters ([[TrackingParamRe]]), collapse the
+    *      separator runs that leaves, drop a dangling `?`/`&`;
+    *   6. strip trailing slashes (`…/path/` ≡ `…/path`, `host/` ≡ `host`).
+    * A string with no authority (no `scheme://`) passes through steps 2-4
+    * unchanged and still gets fragment/tracking/slash cleanup.
+    */
+  def url_canonicalize(u: Column): Column = {
+    val noFrag  = regexp_replace(trim(u), "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, AuthorityPrefixRe, 0)),
+      regexp_replace(noFrag, AuthorityPrefixRe, ""))
+    val noWww   = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+    val noPort  = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+    val noTrack   = regexp_replace(noPort, TrackingParamRe, "$1")
+    val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
+    val noTail    = regexp_replace(collapsed, "[?&]+$", "")
+    regexp_replace(regexp_replace(noTail, "/+\\?", "?"), "/+$", "")
+  }
+
+  /** Lowercased host of a URL ("" when no `scheme://host` prefix parses). */
+  def url_host(u: Column): Column = lower(regexp_extract(u, HostRe, 1))
+
+  /** Path component (between authority and `?`/`#`). */
+  def url_path(u: Column): Column =
+    regexp_replace(regexp_replace(u, AuthorityPrefixRe, ""), "[?#].*$", "")
+
+  /** Number of non-empty path segments — crawl pipelines cap crawl depth. */
+  def url_depth(u: Column): Column =
+    size(filter(split(url_path(u), "/"), s => s =!= lit(""))).cast("int")
+
+  /** Registrable domain ("example.co.uk" for "a.b.example.co.uk") of a HOST
+    * column: last two labels, or last three when the last two form a known
+    * multi-label public suffix. Hosts with ≤2 labels (incl. bare TLDs and
+    * IPv4 octet-pair-free strings) pass through whole. Pure row-local label
+    * algebra — the blocklist/cap key at any corpus size.
+    */
+  def url_registrable_domain(
+      host: Column,
+      suffixes: Seq[String] = MultiLabelSuffixes): Column = {
+    val labels = split(host, "\\.")
+    val n      = size(labels)
+    val last2  = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val last3  = concat_ws(
+      ".", element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n <= 2, host)
+      .otherwise(when(last2.isin(suffixes: _*), last3).otherwise(last2))
+  }
+
+  /** [[url_registrable_domain]] of a URL column (host extracted first). */
+  def url_domain(u: Column, suffixes: Seq[String] = MultiLabelSuffixes): Column =
+    url_registrable_domain(url_host(u), suffixes)
+}

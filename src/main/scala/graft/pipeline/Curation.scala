@@ -60,7 +60,7 @@ object Curation {
   private val currentScope =
     new scala.util.DynamicVariable[StageCacheHandle](globalStageCaches)
 
-  private def persistStage(df: DataFrame): DataFrame = {
+  private[pipeline] def persistStage(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     currentScope.value.add(p)
     p

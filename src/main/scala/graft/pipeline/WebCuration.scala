@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions._
+
+/** URL-level crawl curation — the zero-document-I/O front of the pipeline:
+  * canonical-URL dedup, domain blocklisting, and a per-domain document cap,
+  * composable into one plan ([[curateCrawl]]). Decides what to KEEP before
+  * any text is read, on columns a crawl frontier already has.
+  *
+  * 100 TB shape, stage by stage:
+  *   1. canonical-URL dedup: canonicalization is row-local; the election is
+  *      ONE partial-agg shuffle keyed by the 128-bit md5 of the canonical
+  *      URL (fixed-width keys — raw URLs never shuffle), then a co-keyed
+  *      join back on (hash, id), the [[Curation.curateTrainingMix]] dedup
+  *      shape.
+  *   2. blocklist: registrable-domain extraction is row-local label
+  *      algebra; the block set (thousands of domains at most) rides a
+  *      BROADCAST anti-join — the corpus never shuffles.
+  *   3. per-domain cap: [[Curation.perSourceCap]]'s bounded `top_k_by`
+  *      heap per domain — partial heaps merge map-side, so a hot domain
+  *      (one site = 10% of the crawl, the usual skew) costs one cap-sized
+  *      buffer on the wire, never a sorted partition.
+  */
+object WebCuration {
+
+  /** Canonical-URL dedup election: one row per distinct canonical URL with
+    * the keeper (min id) and the copy count. Same contract as
+    * [[graft.dedup.Dedup.exactByCanonicalContent]], keyed on
+    * [[UrlFunctions.url_canonicalize]].
+    */
+  def canonicalUrlDedup(df: DataFrame, idCol: Column, urlCol: Column): DataFrame =
+    df.groupBy(md5(url_canonicalize(urlCol)).as("url_hash"))
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop every row whose registrable domain appears in `blockedDomains`
+    * (a 1-column DataFrame of domains). The block set is broadcast — this
+    * is a filter, not a shuffle, at any corpus size.
+    */
+  def domainBlocklist(
+      df: DataFrame,
+      urlCol: Column,
+      blockedDomains: DataFrame): DataFrame = {
+    val blocked = broadcast(
+      blockedDomains.toDF("__blocked_domain").dropDuplicates("__blocked_domain"))
+    df.withColumn("__rd", url_domain(urlCol))
+      .join(blocked, col("__rd") === col("__blocked_domain"), "left_anti")
+      .drop("__rd")
+  }
+
+  /** URL-level crawl curation in one plan: canonical-URL dedup (keep the
+    * smallest id per canonical form) → domain blocklist → per-domain cap of
+    * `cap` docs ranked by `scoreCol` descending (ties to the smaller id).
+    * Output: one row per admitted doc — (domain, rank, doc_id, score,
+    * n_total, canon_url); `n_total` counts the domain's post-blocklist
+    * dedup survivors, so cap cuts are auditable.
+    */
+  def curateCrawl(
+      df: DataFrame,
+      idCol: Column,
+      urlCol: Column,
+      scoreCol: Column,
+      blockedDomains: DataFrame,
+      cap: Int): DataFrame = {
+    graft.functions.requireIntegralId(df, idCol, "curateCrawl")
+    val withCanon = df.select(
+      idCol.as("__id"), scoreCol.as("__score"),
+      url_canonicalize(urlCol).as("canon_url"))
+    val withHash = withCanon.withColumn("__uh", md5(col("canon_url")))
+    val keepers = withHash
+      .groupBy(col("__uh")).agg(min(col("__id")).as("__keep_id"))
+    val deduped = withHash.join(
+      keepers,
+      withHash("__uh") === keepers("__uh") && col("__id") === col("__keep_id"),
+      "inner")
+      .select(col("__id"), col("__score"), col("canon_url"))
+    // Stage boundary: the narrow admitted table (id, score, canon_url,
+    // domain — no document text) feeds TWO consumers (the cap heap and the
+    // canon_url join-back); persist it once so the dedup chain executes
+    // once. Lifecycle per Curation.releaseStageCaches / scopedStageCaches.
+    val admitted = Curation.persistStage(
+      domainBlocklist(deduped, col("canon_url"), blockedDomains)
+        .withColumn("domain", url_domain(col("canon_url"))))
+    Curation.perSourceCap(
+      admitted, col("__id"), col("domain"), col("__score"), cap)
+      .withColumnRenamed("source", "domain")
+      .join(
+        admitted.select(col("__id").as("doc_id"), col("canon_url")),
+        Seq("doc_id"))
+  }
+}

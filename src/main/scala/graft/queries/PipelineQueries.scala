@@ -24,7 +24,7 @@ object PipelineQueries {
     * `toks`/`text` pair (pq11/pq55/pq57 — ONE source so the replicas cannot
     * drift from each other).
     */
-  private def oQualityScore: String =
+  private[queries] def oQualityScore: String =
     """round(0.4 * (CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS DOUBLE) / len(toks)) +
                   0.3 * least(len(toks) / 100.0, 1.0) +
                   0.3 * (1.0 - (length(text) - length(translate(text, '.,!?;:', ''))) / greatest(length(text), 1)), 6)"""

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.functions.UrlFunctions._
+import graft.pipeline.WebCuration
+
+/** URL canonicalization + crawl-front curation (pq83 family). Pins the
+  * canonicalize chain case by case, the PSL-subset registrable-domain
+  * logic, and the dedup → blocklist → cap composition.
+  */
+class UrlCurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(url_canonicalize(col("u"))).as[String].head()
+
+  test("url_canonicalize: each chain step, pinned") {
+    // fragment + lowercase authority + default https port + www
+    assert(canon("HTTPS://WWW.Example.COM:443/Path/Sub#frag") ===
+      "https://example.com/Path/Sub")
+    // path case preserved, http default port
+    assert(canon("http://Host.Example.com:80/CaseKept") ===
+      "http://host.example.com/CaseKept")
+    // non-default port survives
+    assert(canon("https://example.com:8443/a") === "https://example.com:8443/a")
+    // tracking params: leading, middle, trailing, adjacent
+    assert(canon("https://e.com/p?utm_source=x") === "https://e.com/p")
+    assert(canon("https://e.com/p?utm_source=x&id=1") === "https://e.com/p?id=1")
+    assert(canon("https://e.com/p?id=1&fbclid=z") === "https://e.com/p?id=1")
+    assert(canon("https://e.com/p?utm_a=1&utm_b=2&id=3") === "https://e.com/p?id=3")
+    assert(canon("https://e.com/p?a=1&gclid=g&b=2") === "https://e.com/p?a=1&b=2")
+    // trailing slash, incl. root and slash-before-query
+    assert(canon("https://e.com/a/b/") === "https://e.com/a/b")
+    assert(canon("https://e.com/") === "https://e.com")
+    assert(canon("https://e.com/a/?id=1") === "https://e.com/a?id=1")
+    // no scheme: authority steps are no-ops, cleanup still applies
+    assert(canon("example.com/a/#f") === "example.com/a")
+    // www only stripped as a host prefix, not mid-host
+    assert(canon("https://notwww.example.com/x") === "https://notwww.example.com/x")
+  }
+
+  test("url_host / url_registrable_domain / url_depth") {
+    val rows = Seq(
+      "https://a.b.Example.CO.UK/x/y/z?q=1",
+      "http://user:pw@deep.sub.example.com:8080/one",
+      "https://example.com/",
+      "https://spam.tracker.biz/offer/3/")
+      .toDF("u")
+      .select(
+        url_host(col("u")).as("h"),
+        url_domain(col("u")).as("d"),
+        url_depth(col("u")).as("n"))
+      .collect()
+    assert(rows(0) === Row("a.b.example.co.uk", "example.co.uk", 3))
+    assert(rows(1) === Row("deep.sub.example.com", "example.com", 1))
+    assert(rows(2) === Row("example.com", "example.com", 0))
+    assert(rows(3) === Row("spam.tracker.biz", "tracker.biz", 2))
+  }
+
+  test("url_registrable_domain: <=2 labels pass through; custom suffixes") {
+    val d = Seq("example.com", "localhost", "co.uk").toDF("h")
+      .select(url_registrable_domain(col("h")).as("d")).as[String].collect()
+    assert(d === Seq("example.com", "localhost", "co.uk"))
+    val custom = Seq("a.b.example.dev.local").toDF("h")
+      .select(url_registrable_domain(col("h"), Seq("dev.local")).as("d"))
+      .as[String].head()
+    assert(custom === "example.dev.local")
+  }
+
+  test("canonicalUrlDedup elects min id per canonical form") {
+    val df = Seq(
+      (1L, "https://E.com/a?utm_source=x"),
+      (2L, "https://e.com/a/"),          // same canonical as 1
+      (3L, "https://e.com/b"))
+      .toDF("id", "url")
+    val out = WebCuration.canonicalUrlDedup(df, col("id"), col("url"))
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("curateCrawl: dedup -> blocklist -> cap, end to end") {
+    val docs = Seq(
+      (1L, "https://keep.example.com/a", 0.9),
+      (2L, "https://keep.example.com/a/", 0.8),  // dup of 1, dropped
+      (3L, "https://keep.example.com/b", 0.7),
+      (4L, "https://keep.example.com/c", 0.6),   // over cap=2, dropped
+      (5L, "https://bad.tracker.biz/x", 0.99))   // blocklisted
+      .toDF("id", "url", "score")
+    val blocked = Seq("tracker.biz").toDF("domain")
+    val out = WebCuration.curateCrawl(
+      docs, col("id"), col("url"), col("score"), blocked, cap = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 3L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq === Seq(1, 2))
+    assert(out.forall(_.getAs[Long]("n_total") === 3L)) // 1,3,4 post-dedup
+    assert(out.head.getAs[String]("canon_url") === "https://keep.example.com/a")
+    graft.pipeline.Curation.releaseStageCaches()
+  }
+}
