@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{TextFunctions, UrlFunctions}
 import graft.pipeline.WebCuration
+import graft.quality.GopherRules
 
-/** URL-level crawl curation queries (round 16, second half): the
-  * zero-document-I/O front of the training pipeline — canonical-URL dedup,
-  * domain blocklists, per-domain caps. The documents table has no URL
-  * column, so each query synthesizes a deterministic messy URL per doc (the
-  * pq73 wrap-then-recover pattern): mixed-case scheme/host, default ports,
-  * `www.`, tracking parameters, fragments, trailing slashes — and the
-  * operator must normalize them identically in both engines.
+/** Crawl-front curation queries (round 16, second half): the stages a
+  * web-scale pipeline runs between the frontier and dedup — URL-level
+  * curation (canonical-URL dedup, domain blocklists, per-domain caps) and
+  * the published heuristic document filters (Gopher rules, C4 line
+  * cleaning). The documents table has no URL/line structure, so each query
+  * synthesizes it deterministically (the pq73 wrap-then-recover pattern):
+  * messy URLs with tracking params and default ports, multi-line documents
+  * with bullets/ellipses/boilerplate — and the operator must recover or
+  * judge them identically in both engines.
   */
 object CrawlQueries {
 
@@ -124,6 +127,178 @@ object CrawlQueries {
                t.n_total, r.canon_url
         FROM rk r JOIN tot t USING (domain)
         WHERE r.rnk <= 10
+      """)),
+
+    // ---- Gopher quality-rule bundle: each doc is laid out as 8-token
+    // lines, then six deterministic document families exercise the rules
+    // (all-bulleted lines; every-other-line ellipses; a trailing
+    // hash-symbol boilerplate line; a 4x-repeated first line; two plain
+    // families). Every raw metric and every per-rule flag is in the
+    // output, hash-exact — the oracle recomputes the full ruleset from
+    // the same line synthesis. Row-local array algebra, zero shuffle.
+    Q(
+      "pq84_gopher_rules",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val toks = split(col("text"), " ")
+        val nLines = ((size(toks) + 7) / 8).cast("int")
+        val lines0 = transform(
+          sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 8 + 1, lit(8)), " "))
+        val dec = when(id % 6 === 1,
+            transform(lines0, l => concat(lit("- "), l)))
+          .when(id % 6 === 2,
+            transform(lines0, (l, i) =>
+              when(i % 2 === 0, concat(l, lit("..."))).otherwise(l)))
+          .when(id % 6 === 4,
+            concat(array_repeat(element_at(lines0, 1), 4), lines0))
+          .otherwise(lines0)
+        val doc = when(id % 6 === 3,
+            concat(array_join(dec, "\n"),
+              lit("\n# # # # # # # # # # # # # # #")))
+          .otherwise(array_join(dec, "\n"))
+        val m = GopherRules.metrics(doc)
+        val f = GopherRules.flags(m, GopherRules.Params(minWords = 30L))
+        d.select(id, m.as("m"), f.as("f"))
+          .select(col("doc_id"), col("m.*"), col("f.*"))
+      },
+      Some("""
+        WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        l0 AS (SELECT doc_id,
+                 list_transform(generate_series(0, CAST((len(toks) + 7) // 8 - 1 AS BIGINT)),
+                   i -> array_to_string(list_slice(toks, i*8 + 1, i*8 + 8), ' ')) AS lines0
+               FROM t0),
+        dec AS (SELECT doc_id,
+                  CASE
+                    WHEN doc_id % 6 = 1 THEN list_transform(lines0, l -> '- ' || l)
+                    WHEN doc_id % 6 = 2 THEN list_transform(lines0,
+                      (l, i) -> CASE WHEN (i-1) % 2 = 0 THEN l || '...' ELSE l END)
+                    WHEN doc_id % 6 = 4 THEN
+                      list_concat([lines0[1], lines0[1], lines0[1], lines0[1]], lines0)
+                    ELSE lines0
+                  END AS lns
+                FROM l0),
+        d2 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 6 = 3
+                      THEN array_to_string(lns, chr(10)) || chr(10) ||
+                           '# # # # # # # # # # # # # # #'
+                      ELSE array_to_string(lns, chr(10)) END AS doc
+               FROM dec),
+        w AS (SELECT doc_id, doc,
+                list_filter(string_split(replace(doc, chr(10), ' '), ' '), x -> len(x) > 0) AS words,
+                list_filter(string_split(doc, chr(10)), x -> len(x) > 0) AS lines
+              FROM d2),
+        m AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          round(CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS mean_word_len,
+          round(CAST(length(doc) - length(translate(doc, '#', '')) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS hash_ratio,
+          round(CAST((length(doc) - length(replace(doc, '...', ''))) // 3
+                     + length(doc) - length(translate(doc, '…', '')) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS ellipsis_ratio,
+          round(CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+                     OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+                / greatest(len(lines), 1), 6) AS bullet_frac,
+          round(CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE)
+                / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+          round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS alpha_word_frac,
+          CAST(len(list_intersect(list_distinct(words),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords,
+          round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                / greatest(len(lines), 1), 6) AS dup_line_frac,
+          round(CAST(list_sum(list_transform(lines, x -> len(x)))
+                     - list_sum(list_transform(list_distinct(lines), x -> len(x))) AS DOUBLE)
+                / greatest(list_sum(list_transform(lines, x -> len(x))), 1), 6) AS dup_line_char_frac
+        FROM w)
+        SELECT doc_id, n_words, n_lines, mean_word_len, hash_ratio, ellipsis_ratio,
+               bullet_frac, ellipsis_line_frac, alpha_word_frac, n_stopwords,
+               dup_line_frac, dup_line_char_frac,
+               (n_words BETWEEN 30 AND 100000) AS ok_word_count,
+               (mean_word_len BETWEEN 3.0 AND 10.0) AS ok_mean_word_len,
+               (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS ok_symbol_ratio,
+               (bullet_frac <= 0.9) AS ok_bullet_lines,
+               (ellipsis_line_frac <= 0.3) AS ok_ellipsis_lines,
+               (alpha_word_frac >= 0.8) AS ok_alpha_words,
+               (n_stopwords >= 2) AS ok_stopwords,
+               (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2) AS ok_dup_lines,
+               ((n_words BETWEEN 30 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+                 AND (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
+                 AND (bullet_frac <= 0.9) AND (ellipsis_line_frac <= 0.3)
+                 AND (alpha_word_frac >= 0.8) AND (n_stopwords >= 2)
+                 AND (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)) AS gopher_keep
+        FROM m
+      """)),
+
+    // ---- C4 line-level cleaner: docs laid out as 6-token lines; every
+    // third line is left without terminal punctuation (dropped), docs ≡ 0
+    // mod 7 get an enable-JavaScript boilerplate line (dropped by the js
+    // rule), ≡ 0 mod 11 a brace line and ≡ 0 mod 13 a lorem-ipsum line
+    // (page verdicts). Output: cleaned-text hash + kept-line count + page
+    // verdict per doc, hash-exact. Row-local, zero shuffle, stream-safe.
+    Q(
+      "pq85_c4_clean",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val toks = split(col("text"), " ")
+        val nLines = ((size(toks) + 5) / 6).cast("int")
+        val lines0 = transform(
+          sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+        val punct = transform(lines0, (l, i) =>
+          when(i % 3 === 2, l).otherwise(concat(l, lit("."))))
+        val withJs = when(id % 7 === 0, concat(
+            array(lit("You must enable JavaScript to view this page.")),
+            punct)).otherwise(punct)
+        val withBrace = when(id % 11 === 0,
+            concat(withJs, array(lit("if (x) { return; }")))).otherwise(withJs)
+        val withLorem = when(id % 13 === 0, concat(withBrace,
+            array(lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))))
+          .otherwise(withBrace)
+        val c = graft.quality.C4Rules.c4Clean(array_join(withLorem, "\n"))
+        d.select(id,
+          md5(c.getField("clean_text")).as("clean_hash"),
+          c.getField("n_lines_kept").as("n_lines_kept"),
+          c.getField("page_keep").as("page_keep"))
+      },
+      Some("""
+        WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        l0 AS (SELECT doc_id,
+                 list_transform(generate_series(0, CAST((len(toks) + 5) // 6 - 1 AS BIGINT)),
+                   i -> array_to_string(list_slice(toks, i*6 + 1, i*6 + 6), ' ')) AS lines0
+               FROM t0),
+        p0 AS (SELECT doc_id,
+                 list_transform(lines0, (l, i) ->
+                   CASE WHEN (i-1) % 3 = 2 THEN l ELSE l || '.' END) AS lns
+               FROM l0),
+        j0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN list_concat(['You must enable JavaScript to view this page.'], lns)
+                      ELSE lns END AS lns FROM p0),
+        b0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN list_concat(lns, ['if (x) { return; }'])
+                      ELSE lns END AS lns FROM j0),
+        m0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN list_concat(lns, ['Lorem ipsum dolor sit amet consectetur adipiscing elit.'])
+                      ELSE lns END AS lns FROM b0),
+        d2 AS (SELECT doc_id, array_to_string(lns, chr(10)) AS doc FROM m0),
+        k AS (SELECT doc_id, doc,
+                list_filter(string_split(doc, chr(10)), l ->
+                  regexp_matches(l, '[.!?"]$')
+                  AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM d2)
+        SELECT doc_id, md5(array_to_string(kept, chr(10))) AS clean_hash,
+               CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               (NOT contains(lower(doc), 'lorem ipsum') AND NOT contains(doc, '{')
+                AND len(kept) >= 3) AS page_keep
+        FROM k
       """)))
 
   private def oQualityScore: String = PipelineQueries.oQualityScore
