@@ -1247,6 +1247,61 @@ object DecatonQueries {
             3L -> Seq("customer", "order")),
           k = 10)
       },
-      Some(PipelineQueries.oBm25TopKSql))
+      Some(PipelineQueries.oBm25TopKSql)),
+
+    // ---- the LIVE calibrated quality gate (StreamOps
+    // .windowedCalibratedThreshold — pq57's corpus-calibrated gate per
+    // event-time window): per 100-second window × lang, ONE stateful
+    // bucket_hist aggregation (512×8 bytes of state per group, any
+    // volume) yields the keep-top-70% score cutoff cell and the admitted
+    // count, all derived row-locally from the histogram array. The oracle
+    // replays histogram, rank and discrete-quantile cutoff in SQL; the
+    // batch form here is the plan the stream runs (StreamingPipelineSpec
+    // proves live ≡ batch).
+    Q(
+      "dq31_calibrated_gate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .withColumn("__ts", timestamp_micros(col("doc_id") * 1000000L))
+        graft.streaming.StreamOps.windowedCalibratedThreshold(
+            d, col("lang"),
+            graft.functions.TextFunctions.quality_score(col("text")),
+            col("__ts"), "100 seconds", "10 minutes",
+            keepFrac = 0.7, cells = 512)
+          .select(unix_seconds(col("win_start")).as("w_sec"),
+            col("group").as("lang"), col("total"),
+            col("cutoff_cell"), col("n_admitted"))
+      },
+      Some(s"""
+        WITH base AS (
+          SELECT doc_id, lang, text, string_split(text, ' ') AS toks
+          FROM documents),
+        sc AS (
+          SELECT doc_id // 100 AS w, lang,
+                 greatest(least(CAST(floor((${PipelineQueries.oQualityScore}) * 512) AS BIGINT),
+                                511), 0) AS cell
+          FROM base),
+        hist AS (SELECT w, lang, cell, CAST(count(*) AS BIGINT) AS c
+                 FROM sc GROUP BY 1, 2, 3),
+        tot AS (SELECT w, lang, CAST(sum(c) AS BIGINT) AS total
+                FROM hist GROUP BY 1, 2),
+        cum AS (SELECT w, lang, cell, c,
+                       CAST(sum(c) OVER (PARTITION BY w, lang ORDER BY cell) AS BIGINT) AS through
+                FROM hist),
+        j AS (SELECT cum.w, cum.lang, cum.cell, cum.through, t.total,
+                     CAST(floor((1.0 - 0.7) * t.total) AS BIGINT) AS rnk
+              FROM cum JOIN tot t ON cum.w = t.w AND cum.lang = t.lang),
+        cut AS (SELECT w, lang, min(total) AS total,
+                       CAST(min(cell) AS BIGINT) AS cutoff_cell
+                FROM j WHERE through > rnk GROUP BY 1, 2),
+        adm AS (SELECT h.w, h.lang, CAST(sum(h.c) AS BIGINT) AS n_admitted
+                FROM hist h JOIN cut
+                  ON h.w = cut.w AND h.lang = cut.lang
+                  AND h.cell >= cut.cutoff_cell
+                GROUP BY 1, 2)
+        SELECT CAST(cut.w * 100 AS BIGINT) AS w_sec, cut.lang, cut.total,
+               cut.cutoff_cell, adm.n_admitted
+        FROM cut JOIN adm ON cut.w = adm.w AND cut.lang = adm.lang
+      """))
   )
 }

@@ -104,6 +104,77 @@ object StreamOps {
         graft.functions.key_bytes(keyCol), width, depth, conservative, portable).as("sketch"))
   }
 
+  /** Windowed CALIBRATED quality threshold per (tumbling window, group) —
+    * the live form of [[graft.quality.Calibrate.calibratedFilter]] (pq57):
+    * per window the gate that keeps exactly the top `keepFrac` of scores,
+    * derived from the window's own score distribution instead of a frozen
+    * constant, so the gate tracks corpus drift window by window.
+    *
+    * One stateful windowed aggregation builds a fixed-`cells`-bucket score
+    * histogram ([[graft.plans.BucketHistAgg]] — `cells`×8 bytes of state
+    * per (window, group) at ANY event volume; pq57's distinct-score table
+    * would be unbounded state here). Everything after the aggregation is
+    * row-local fold arithmetic over that array: `total`, the keep rank
+    * `floor((1−keepFrac)·total)`, the smallest cell whose cumulative count
+    * exceeds the rank (`cutoff_cell` — the discrete-quantile posture: the
+    * cell granularity over-admits inside the boundary cell, never
+    * under-admits), and `n_admitted` (rows with cell ≥ cutoff).
+    *
+    * Scores are expected in [0,1] (the quality-score contract); values are
+    * clamped into the cell range, NaN/null carry no ranking signal and are
+    * excluded (the pq57 NaN rule). A downstream gate broadcasts the latest
+    * per-group `cutoff_cell` and admits rows where
+    * `floor(score·cells) ≥ cutoff_cell` — the same shape as
+    * [[termDriftAlarm]]'s reference broadcast. In batch (`withWatermark`
+    * no-op) the same plan is the exact oracle-checkable form — dq31.
+    */
+  def windowedCalibratedThreshold(
+      df: DataFrame,
+      groupCol: Column,
+      scoreCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      watermarkDelay: String,
+      keepFrac: Double,
+      cells: Int = 512): DataFrame = {
+    require(keepFrac >= 1e-9 && keepFrac <= 1.0,
+      s"keepFrac=$keepFrac must be in [1e-9, 1]")
+    val tsName = graft.operators.Compaction.stableNames(Seq(tsCol), "__sts").head
+    graft.operators.Compaction.requireFreshNames(df, Seq(tsCol), Seq(tsName))
+    val cell = greatest(
+      least(floor(scoreCol.cast("double") * cells), lit(cells - 1L)),
+      lit(0L)).cast("long")
+    df.withColumn(tsName, tsCol)
+      .withWatermark(tsName, watermarkDelay)
+      .select(col(tsName), groupCol.as("group"), cell.as("__cell"))
+      .groupBy(window(col(tsName), windowDur).as("win"), col("group"))
+      .agg(graft.functions.bucket_hist(col("__cell"), cells).as("hist"))
+      .withColumn("total",
+        aggregate(col("hist"), lit(0L), (a, x) => a + x))
+      .withColumn("__rank",
+        floor((lit(1.0) - lit(keepFrac)) * col("total")).cast("long"))
+      // one fold finds the cutoff cell and the count strictly below it:
+      // cum = running total, cut/below freeze at the first cell whose
+      // cumulative count exceeds the rank
+      .withColumn("__f", aggregate(
+        col("hist"),
+        struct(lit(0L).as("cum"), lit(-1L).as("cut"),
+          lit(0L).as("i"), lit(0L).as("below")),
+        (acc, x) => struct(
+          (acc.getField("cum") + x).as("cum"),
+          when(acc.getField("cut") >= 0, acc.getField("cut"))
+            .when(acc.getField("cum") + x > col("__rank"), acc.getField("i"))
+            .otherwise(lit(-1L)).as("cut"),
+          (acc.getField("i") + 1).as("i"),
+          when(acc.getField("cut") >= 0, acc.getField("below"))
+            .when(acc.getField("cum") + x > col("__rank"), acc.getField("cum"))
+            .otherwise(lit(0L)).as("below"))))
+      .select(col("win.start").as("win_start"), col("group"),
+        col("total"),
+        col("__f.cut").as("cutoff_cell"),
+        (col("total") - col("__f.below")).as("n_admitted"))
+  }
+
   /** Windowed DISTINCT-COUNT sketches per (tumbling window, group): the
     * streaming form of pq81/pq82's corpus sketches. Output per group:
     * `win_start`, `group`, the HLL register summary (`zero_regs`,

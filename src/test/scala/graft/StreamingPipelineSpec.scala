@@ -26,7 +26,10 @@ object StreamingPipelineSpec {
   // closed windows emitted by the distinct-sketch query (append mode):
   // (win_start_millis, group, zero_regs, harmonic, hll_est, kmv_size, kmv_kth)
   val wds = new ConcurrentLinkedQueue[(Long, String, Int, Long, Long, Int, Long)]()
-  def reset(): Unit = { sampled.clear(); chunked.clear(); wds.clear() }
+  // closed windows from the calibrated-gate query (append mode):
+  // (win_start_millis, group, total, cutoff_cell, n_admitted)
+  val cal = new ConcurrentLinkedQueue[(Long, String, Long, Long, Long)]()
+  def reset(): Unit = { sampled.clear(); chunked.clear(); wds.clear(); cal.clear() }
 }
 
 class StreamingPipelineSpec extends SparkTestBase {
@@ -178,6 +181,77 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(small.size == 1 && small.head._6 == 5,
       "the 5-user window must take the exact size<k KMV path")
     assert(got.exists(_._6 == 16), "a full window must hit the k-cutoff path")
+  }
+
+  test("windowed calibrated threshold: live == batch across triggers; gate admits exactly n_admitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamOps
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+
+    val base = 1704067200000L // 2024-01-01T00:00:00Z, window-aligned
+    // 2 groups × 3 100-second windows; scores i/100 planted so every
+    // window/group has a known distribution. Window 1 SPANS the two data
+    // batches — its histogram state must merge across triggers.
+    def ev(w: Int, g: String, i: Int): (Long, String, Double) =
+      (base + w * 100000L + i * 100L, g, i / 100.0)
+    val batch1 = (for (g <- Seq("a", "b"); i <- 0 until 40) yield ev(0, g, i)) ++
+      (for (g <- Seq("a", "b"); i <- 0 until 20) yield ev(1, g, i))
+    val batch2 = (for (g <- Seq("a", "b"); i <- 20 until 50) yield ev(1, g, i)) ++
+      (for (g <- Seq("a", "b"); i <- 0 until 25) yield ev(2, g, 2 * i))
+    val flush = Seq((base + 50 * 100000L, "a", 0.5))
+
+    val in = MemoryStream[(Long, String, Double)]
+    val src = in.toDF().toDF("tsm", "grp", "score")
+      .select(timestamp_millis(col("tsm")).as("ts"), col("grp"), col("score"))
+    StreamingPipelineSpec.cal.clear()
+    val q = StreamOps.windowedCalibratedThreshold(
+        src, col("grp"), col("score"), col("ts"),
+        "100 seconds", "10 seconds", keepFrac = 0.6, cells = 512)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cal-ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => StreamingPipelineSpec.cal.add(
+          (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+            r.getLong(3), r.getLong(4))))
+        ()
+      }
+      .start()
+    in.addData(batch1); q.processAllAvailable()
+    in.addData(batch2); q.processAllAvailable()
+    in.addData(flush); q.processAllAvailable()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(nBatches >= 3, s"scenario must span several triggers, got $nBatches")
+
+    val got = StreamingPipelineSpec.cal.asScala.toSet
+    val allRows = (batch1 ++ batch2 ++ flush).toDF("tsm", "grp", "score")
+      .select(timestamp_millis(col("tsm")).as("ts"), col("grp"), col("score"))
+    val expect = StreamOps.windowedCalibratedThreshold(
+        allRows, col("grp"), col("score"), col("ts"),
+        "100 seconds", "10 seconds", keepFrac = 0.6, cells = 512)
+      .filter(col("win_start") < timestamp_millis(lit(base + 10 * 100000L)))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got.nonEmpty && got === expect,
+      s"live thresholds diverged from batch (live ${got.size}, batch ${expect.size})")
+
+    // the spanning window merged state from both triggers: total = 50
+    val spanning = got.filter(t => t._1 == base + 100000L && t._2 == "a")
+    assert(spanning.size == 1 && spanning.head._3 == 50L)
+
+    // admission contract: gating the raw rows by cell >= cutoff admits
+    // exactly n_admitted, and never less than keepFrac of the window
+    for ((ws, g, total, cut, adm) <- got) {
+      val rows = (batch1 ++ batch2).filter { case (tsm, grp, _) =>
+        grp == g && tsm >= ws && tsm < ws + 100000L }
+      val admitted = rows.count { case (_, _, s) =>
+        math.max(math.min(math.floor(s * 512).toLong, 511L), 0L) >= cut }
+      assert(admitted === adm, s"window $ws/$g: gate admitted $admitted, emitted $adm")
+      assert(adm >= math.floor(0.6 * total).toLong, s"window $ws/$g under-admits")
+    }
   }
 
   test("streaming signature dedup and static-index flagging match their batch analogs") {
