@@ -90,4 +90,70 @@ object WebCuration {
         admitted.select(col("__id").as("doc_id"), col("canon_url")),
         Seq("doc_id"))
   }
+
+  /** FLAGSHIP: raw crawl → clean corpus in ONE plan — the full crawl front
+    * composed from the already-audited stages:
+    *   1. canonical-URL dedup ([[canonicalUrlDedup]] shape — pq83);
+    *   2. registrable-domain blocklist ([[domainBlocklist]] — broadcast
+    *      anti-join);
+    *   3. C4 line cleaning + page gate ([[graft.quality.C4Rules]] — pq85;
+    *      REWRITES the text, drops code/lorem pages);
+    *   4. Gopher rule gate on the CLEANED text
+    *      ([[graft.quality.GopherRules]] — pq84);
+    *   5. per-domain cap by quality score of the cleaned text
+    *      ([[Curation.perSourceCap]]'s bounded heap — pq55).
+    * Stages 3-4 are row-local, so the whole pipeline costs the dedup
+    * election shuffle, the co-keyed keeper join, one cap-heap exchange and
+    * the final id-keyed join back — document text shuffles ZERO times.
+    * Output per admitted doc: (doc_id, domain, rank, score, n_total,
+    * canon_url, clean_hash); `n_total` counts the domain's fully-gated
+    * survivors, so cap cuts are auditable. Oracle-checked end to end by
+    * pq86 (all five stage oracles chained as CTEs).
+    */
+  def crawlToCorpus(
+      df: DataFrame,
+      idCol: Column,
+      urlCol: Column,
+      textCol: Column,
+      blockedDomains: DataFrame,
+      cap: Int,
+      c4: graft.quality.C4Rules.Params = graft.quality.C4Rules.Params(),
+      gopher: graft.quality.GopherRules.Params =
+        graft.quality.GopherRules.Params()): DataFrame = {
+    graft.functions.requireIntegralId(df, idCol, "crawlToCorpus")
+    val withHash = df.select(
+      idCol.as("__id"), textCol.as("__text"),
+      url_canonicalize(urlCol).as("canon_url"))
+      .withColumn("__uh", md5(col("canon_url")))
+    val keepers = withHash
+      .groupBy(col("__uh")).agg(min(col("__id")).as("__keep_id"))
+    val deduped = withHash.join(
+      keepers,
+      withHash("__uh") === keepers("__uh") && col("__id") === col("__keep_id"),
+      "inner")
+      .select(col("__id"), col("__text"), col("canon_url"))
+    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains)
+    val cleaned = unblocked
+      .withColumn("__c4", graft.quality.C4Rules.c4Clean(col("__text"), c4))
+      .filter(col("__c4.page_keep"))
+      .withColumn("__clean", col("__c4.clean_text"))
+    val gated = cleaned.filter(
+      graft.quality.GopherRules.flags(
+        graft.quality.GopherRules.metrics(col("__clean")), gopher)
+        .getField("gopher_keep"))
+    // stage boundary (narrow: id, urls, score, text hash — see curateCrawl)
+    val admitted = Curation.persistStage(
+      gated.select(col("__id"), col("canon_url"),
+        url_domain(col("canon_url")).as("domain"),
+        graft.functions.TextFunctions.quality_score(
+          regexp_replace(col("__clean"), "\n", " ")).as("__score"),
+        md5(col("__clean")).as("clean_hash")))
+    Curation.perSourceCap(
+      admitted, col("__id"), col("domain"), col("__score"), cap)
+      .withColumnRenamed("source", "domain")
+      .join(
+        admitted.select(col("__id").as("doc_id"), col("canon_url"),
+          col("clean_hash")),
+        Seq("doc_id"))
+  }
 }

@@ -45,7 +45,7 @@ object CrawlQueries {
             '$trackRe', '\\1', 'g'),
             '([?&])&+', '\\1', 'g'),
             '[?&]+$$', ''),
-          '/+\\?', '?'), '/+$$', '')"""
+          '/+\\?', '?', 'g'), '/+$$', '')"""
 
   /** DuckDB replay of [[UrlFunctions.url_registrable_domain]] over a
     * labels-list column `p` and host column `h`.
@@ -299,6 +299,167 @@ object CrawlQueries {
                (NOT contains(lower(doc), 'lorem ipsum') AND NOT contains(doc, '{')
                 AND len(kept) >= 3) AS page_keep
         FROM k
+      """)),
+
+    // ---- FLAGSHIP: raw crawl → clean corpus in one plan
+    // (WebCuration.crawlToCorpus): pq83's messy URLs + pq85's messy
+    // multi-line bodies in, then URL dedup → domain blocklist → C4 line
+    // cleaning + page gate → Gopher rule gate on the cleaned text →
+    // per-domain cap by cleaned-text quality. The oracle chains all five
+    // stage oracles as CTEs — a defect in any stage, or in how they
+    // compose, breaks the end-to-end hash.
+    Q(
+      "pq86_crawl_to_corpus",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val url = when(id % 4 === 0, concat(
+            lit("https://WWW.News.Example.CO.UK:443/Story/"), id,
+            lit("/?utm_source=rss&utm_medium=feed")))
+          .when(id % 4 === 1, concat(
+            lit("HTTP://Blog.Example.COM:80/posts/"), id % 50,
+            lit("?id="), id % 50, lit("&fbclid=abc"), id, lit("#section2")))
+          .when(id % 4 === 2, concat(
+            lit("https://spam.tracker.biz/offer/"), id % 10, lit("/")))
+          .otherwise(concat(
+            lit("https://docs.example.com/guide?page="), id % 20,
+            lit("&utm_campaign=x&ref_src=tw")))
+        val toks = split(col("text"), " ")
+        val nLines = ((size(toks) + 5) / 6).cast("int")
+        val lines0 = transform(
+          sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+        val punct = transform(lines0, (l, i) =>
+          when(i % 3 === 2, l).otherwise(concat(l, lit("."))))
+        val withJs = when(id % 7 === 0, concat(
+            array(lit("You must enable JavaScript to view this page.")),
+            punct)).otherwise(punct)
+        val withBrace = when(id % 11 === 0,
+            concat(withJs, array(lit("if (x) { return; }")))).otherwise(withJs)
+        val withLorem = when(id % 13 === 0, concat(withBrace,
+            array(lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))))
+          .otherwise(withBrace)
+        val blocked = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("tracker.biz")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "domain", org.apache.spark.sql.types.StringType))))
+        WebCuration.crawlToCorpus(
+          d.withColumn("url", url)
+            .withColumn("body", array_join(withLorem, "\n")),
+          id, col("url"), col("body"), blocked, cap = 10,
+          // the synthetic corpus draws on a DB-word vocabulary that carries
+          // only "the" from Gopher's 8-word stop set — 1 keeps the rule live
+          gopher = GopherRules.Params(minWords = 10L, minStopWords = 1L))
+      },
+      Some(s"""
+        WITH u0 AS (
+          SELECT doc_id, text,
+            CASE
+              WHEN doc_id % 4 = 0 THEN 'https://WWW.News.Example.CO.UK:443/Story/' || doc_id || '/?utm_source=rss&utm_medium=feed'
+              WHEN doc_id % 4 = 1 THEN 'HTTP://Blog.Example.COM:80/posts/' || (doc_id % 50) || '?id=' || (doc_id % 50) || '&fbclid=abc' || doc_id || '#section2'
+              WHEN doc_id % 4 = 2 THEN 'https://spam.tracker.biz/offer/' || (doc_id % 10) || '/'
+              ELSE 'https://docs.example.com/guide?page=' || (doc_id % 20) || '&utm_campaign=x&ref_src=tw'
+            END AS url
+          FROM documents),
+        c8 AS (SELECT doc_id, text, ${oCanon("url")} AS canon_url FROM u0),
+        hn AS (SELECT *, lower(regexp_extract(canon_url, '$hostRe', 1)) AS h FROM c8),
+        rd AS (SELECT doc_id, text, canon_url,
+                      ${oDomain("h", "p")} AS domain
+               FROM (SELECT *, string_split(h, '.') AS p FROM hn)),
+        ded AS (
+          SELECT r.* FROM rd r
+          JOIN (SELECT md5(canon_url) AS uh, min(doc_id) AS kid
+                FROM rd GROUP BY 1) k
+            ON md5(r.canon_url) = k.uh AND r.doc_id = k.kid),
+        blk AS (SELECT * FROM ded WHERE domain NOT IN ('tracker.biz')),
+        t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM blk),
+        l0 AS (SELECT doc_id,
+                 list_transform(generate_series(0, CAST((len(toks) + 5) // 6 - 1 AS BIGINT)),
+                   i -> array_to_string(list_slice(toks, i*6 + 1, i*6 + 6), ' ')) AS lines0
+               FROM t0),
+        p0 AS (SELECT doc_id,
+                 list_transform(lines0, (l, i) ->
+                   CASE WHEN (i-1) % 3 = 2 THEN l ELSE l || '.' END) AS lns
+               FROM l0),
+        j0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN list_concat(['You must enable JavaScript to view this page.'], lns)
+                      ELSE lns END AS lns FROM p0),
+        b0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 11 = 0
+                      THEN list_concat(lns, ['if (x) { return; }'])
+                      ELSE lns END AS lns FROM j0),
+        m0 AS (SELECT doc_id,
+                 CASE WHEN doc_id % 13 = 0
+                      THEN list_concat(lns, ['Lorem ipsum dolor sit amet consectetur adipiscing elit.'])
+                      ELSE lns END AS lns FROM b0),
+        d2 AS (SELECT doc_id, array_to_string(lns, chr(10)) AS doc FROM m0),
+        k2 AS (SELECT doc_id, doc,
+                list_filter(string_split(doc, chr(10)), l ->
+                  regexp_matches(l, '[.!?"]$$')
+                  AND len(list_filter(string_split(l, ' '), w -> len(w) > 0)) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM d2),
+        pg AS (SELECT doc_id, array_to_string(kept, chr(10)) AS clean
+               FROM k2
+               WHERE NOT contains(lower(doc), 'lorem ipsum')
+                 AND NOT contains(doc, '{') AND len(kept) >= 3),
+        gw AS (SELECT doc_id, clean,
+                 list_filter(string_split(replace(clean, chr(10), ' '), ' '), x -> len(x) > 0) AS words,
+                 list_filter(string_split(clean, chr(10)), x -> len(x) > 0) AS lines
+               FROM pg),
+        gm AS (SELECT doc_id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          round(CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS mean_word_len,
+          round(CAST(length(clean) - length(translate(clean, '#', '')) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS hash_ratio,
+          round(CAST((length(clean) - length(replace(clean, '...', ''))) // 3
+                     + length(clean) - length(translate(clean, '…', '')) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS ellipsis_ratio,
+          round(CAST(len(list_filter(lines, l -> starts_with(l, '- ')
+                     OR starts_with(l, '* ') OR starts_with(l, '• '))) AS DOUBLE)
+                / greatest(len(lines), 1), 6) AS bullet_frac,
+          round(CAST(len(list_filter(lines, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE)
+                / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+          round(CAST(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                / greatest(len(words), 1), 6) AS alpha_word_frac,
+          CAST(len(list_intersect(list_distinct(words),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords,
+          round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                / greatest(len(lines), 1), 6) AS dup_line_frac,
+          round(CAST(list_sum(list_transform(lines, x -> len(x)))
+                     - list_sum(list_transform(list_distinct(lines), x -> len(x))) AS DOUBLE)
+                / greatest(list_sum(list_transform(lines, x -> len(x))), 1), 6) AS dup_line_char_frac
+        FROM gw),
+        gpass AS (SELECT doc_id FROM gm
+          WHERE (n_words BETWEEN 10 AND 100000)
+            AND (mean_word_len BETWEEN 3.0 AND 10.0)
+            AND (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
+            AND (bullet_frac <= 0.9) AND (ellipsis_line_frac <= 0.3)
+            AND (alpha_word_frac >= 0.8) AND (n_stopwords >= 1)
+            AND (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)),
+        sc AS (
+          SELECT q.doc_id, b.domain, b.canon_url, md5(q.clean) AS clean_hash,
+                 $oQualityScore AS score
+          FROM (SELECT pg.doc_id, pg.clean,
+                       string_split(replace(pg.clean, chr(10), ' '), ' ') AS toks,
+                       replace(pg.clean, chr(10), ' ') AS text
+                FROM pg JOIN gpass USING (doc_id)) q
+          JOIN (SELECT doc_id, domain, canon_url FROM blk) b
+            ON b.doc_id = q.doc_id),
+        tot AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_total
+                FROM sc GROUP BY 1),
+        rk AS (
+          SELECT doc_id, domain, canon_url, clean_hash, score,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM sc)
+        SELECT r.domain, CAST(r.rnk AS INT) AS rank, r.doc_id, r.score,
+               t.n_total, r.canon_url, r.clean_hash
+        FROM rk r JOIN tot t USING (domain)
+        WHERE r.rnk <= 10
       """)))
 
   private def oQualityScore: String = PipelineQueries.oQualityScore

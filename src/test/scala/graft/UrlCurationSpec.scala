@@ -99,4 +99,34 @@ class UrlCurationSpec extends SparkTestBase {
     assert(out.head.getAs[String]("canon_url") === "https://keep.example.com/a")
     graft.pipeline.Curation.releaseStageCaches()
   }
+
+  test("crawlToCorpus: every stage bites — dedup, blocklist, C4 page gate, Gopher gate, cap") {
+    val prose = (1 to 4).map(i =>
+      s"the quick brown fox number $i jumps over that lazy dog today.")
+      .mkString("\n")
+    val bullets = prose.split("\n").map("- " + _).mkString("\n")
+    val docs = Seq(
+      (1L, "https://Keep.example.com/a?utm_source=x", prose),  // kept
+      (2L, "https://keep.example.com/a/", prose),              // URL dup of 1
+      (3L, "https://keep.example.com/b", prose + "\nif (x) { return; }"), // C4 page gate
+      (4L, "https://keep.example.com/c", bullets),             // Gopher bullet gate
+      (5L, "https://keep.example.com/d", prose),               // kept
+      (6L, "https://bad.tracker.biz/x", prose))                // blocklisted
+      .toDF("id", "url", "body")
+    val blocked = Seq("tracker.biz").toDF("domain")
+    val out = WebCuration.crawlToCorpus(
+      docs, col("id"), col("url"), col("body"), blocked, cap = 1,
+      gopher = graft.quality.GopherRules.Params(
+        minWords = 10L, minStopWords = 2L))
+      .collect()
+    // cap=1 on the 2 fully-gated survivors (1 and 5): exactly one row
+    assert(out.length === 1)
+    val r = out.head
+    assert(Seq(1L, 5L).contains(r.getAs[Long]("doc_id")))
+    assert(r.getAs[String]("domain") === "example.com")
+    assert(r.getAs[Long]("n_total") === 2L)
+    // C4 kept every prose line (all end in '.'), so the clean text is the body
+    assert(r.getAs[String]("canon_url").startsWith("https://keep.example.com/"))
+    graft.pipeline.Curation.releaseStageCaches()
+  }
 }
