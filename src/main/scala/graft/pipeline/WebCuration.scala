@@ -69,11 +69,14 @@ object WebCuration {
       idCol.as("__id"), scoreCol.as("__score"),
       url_canonicalize(urlCol).as("canon_url"))
     val withHash = withCanon.withColumn("__uh", md5(col("canon_url")))
+    // keeper key renamed: a same-lineage join key would trip Spark's
+    // ambiguous-self-join detection into a trivially-true predicate
     val keepers = withHash
       .groupBy(col("__uh")).agg(min(col("__id")).as("__keep_id"))
+      .select(col("__uh").as("__kuh"), col("__keep_id"))
     val deduped = withHash.join(
       keepers,
-      withHash("__uh") === keepers("__uh") && col("__id") === col("__keep_id"),
+      col("__uh") === col("__kuh") && col("__id") === col("__keep_id"),
       "inner")
       .select(col("__id"), col("__score"), col("canon_url"))
     // Stage boundary: the narrow admitted table (id, score, canon_url,
@@ -90,6 +93,25 @@ object WebCuration {
         admitted.select(col("__id").as("doc_id"), col("canon_url")),
         Seq("doc_id"))
   }
+
+  /** Streaming canonical-URL dedup: the live form of [[canonicalUrlDedup]]
+    * for a crawl frontier arriving as a stream — first canonical form wins,
+    * later re-crawls of the same URL (tracking-param variants, `www.`
+    * mirrors, trailing-slash duplicates) drop inside the watermark horizon.
+    * Canonicalization is row-local; the dedup key is the 128-bit md5 of the
+    * canonical form, so state is fixed-width per URL and evicted by event
+    * time (`dropDuplicatesWithinWatermark` underneath, with the batch
+    * fallback for backfills — the [[graft.streaming.StreamOps]] posture).
+    */
+  def dedupeUrlStream(
+      df: DataFrame,
+      urlCol: Column,
+      tsCol: String,
+      watermarkDelay: String): DataFrame =
+    df.withColumn("__canon_key", md5(url_canonicalize(urlCol)))
+      .transform(d => graft.streaming.StreamOps.dedupeStream(
+        d, Seq("__canon_key"), tsCol, watermarkDelay))
+      .drop("__canon_key")
 
   /** FLAGSHIP: raw crawl → clean corpus in ONE plan — the full crawl front
     * composed from the already-audited stages:
@@ -125,11 +147,13 @@ object WebCuration {
       idCol.as("__id"), textCol.as("__text"),
       url_canonicalize(urlCol).as("canon_url"))
       .withColumn("__uh", md5(col("canon_url")))
+    // keeper key renamed — see curateCrawl
     val keepers = withHash
       .groupBy(col("__uh")).agg(min(col("__id")).as("__keep_id"))
+      .select(col("__uh").as("__kuh"), col("__keep_id"))
     val deduped = withHash.join(
       keepers,
-      withHash("__uh") === keepers("__uh") && col("__id") === col("__keep_id"),
+      col("__uh") === col("__kuh") && col("__id") === col("__keep_id"),
       "inner")
       .select(col("__id"), col("__text"), col("canon_url"))
     val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains)
@@ -137,10 +161,10 @@ object WebCuration {
       .withColumn("__c4", graft.quality.C4Rules.c4Clean(col("__text"), c4))
       .filter(col("__c4.page_keep"))
       .withColumn("__clean", col("__c4.clean_text"))
-    val gated = cleaned.filter(
-      graft.quality.GopherRules.flags(
-        graft.quality.GopherRules.metrics(col("__clean")), gopher)
-        .getField("gopher_keep"))
+    val gated = graft.quality.GopherRules
+      .withMetricsAndFlags(cleaned, col("__clean"), gopher, "__gm", "__gf")
+      .filter(col("__gf.gopher_keep"))
+      .drop("__gm", "__gf")
     // stage boundary (narrow: id, urls, score, text hash — see curateCrawl)
     val admitted = Curation.persistStage(
       gated.select(col("__id"), col("canon_url"),

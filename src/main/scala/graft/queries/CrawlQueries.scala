@@ -158,9 +158,9 @@ object CrawlQueries {
             concat(array_join(dec, "\n"),
               lit("\n# # # # # # # # # # # # # # #")))
           .otherwise(array_join(dec, "\n"))
-        val m = GopherRules.metrics(doc)
-        val f = GopherRules.flags(m, GopherRules.Params(minWords = 30L))
-        d.select(id, m.as("m"), f.as("f"))
+        GopherRules.withMetricsAndFlags(
+            d.select(id, doc.as("__doc")), col("__doc"),
+            GopherRules.Params(minWords = 30L))
           .select(col("doc_id"), col("m.*"), col("f.*"))
       },
       Some("""

@@ -64,7 +64,11 @@ object ScaleProbe {
     // construction — the batch form's shuffle curve pins the register/kmv
     // exchange) and the reworked percentile census (one corpus scan, the
     // effective-count-0 shape)
-    "dq24_windowed_distinct_sketch", "q21_percentile")
+    "dq24_windowed_distinct_sketch", "q21_percentile",
+    // round-16 second half: the crawl-front flagship (URL-hash election
+    // shuffle + cap heap; text must never shuffle) and the live calibrated
+    // gate's batch form (fixed 512-cell histogram exchange per window)
+    "pq86_crawl_to_corpus", "dq31_calibrated_gate")
 
   /** Round-14: a THIRD scale point — two points (sf0.01→sf0.1) fit any
     * line; the flagships get a further 10× step on SYNTHESIZED volume

@@ -129,4 +129,31 @@ class UrlCurationSpec extends SparkTestBase {
     assert(r.getAs[String]("canon_url").startsWith("https://keep.example.com/"))
     graft.pipeline.Curation.releaseStageCaches()
   }
+
+  test("dedupeUrlStream: first canonical form wins across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String)]
+    val src = in.toDF().toDF("id", "tsm", "url")
+      .select(col("id"), timestamp_millis(col("tsm")).as("ts"), col("url"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = WebCuration.dedupeUrlStream(src, col("url"), "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add(r.getAs[Long]("id"))); ()
+      }.start()
+    val base = 1704067200000L
+    in.addData((1L, base, "https://E.com/a?utm_source=x"),
+      (2L, base + 1, "https://e.com/b"))
+    q.processAllAvailable()
+    // batch 2: re-crawl variants of both URLs + one new URL
+    in.addData((3L, base + 2, "https://www.e.com/a/"),
+      (4L, base + 3, "HTTP://e.com/b"),   // different scheme -> different canon
+      (5L, base + 4, "https://e.com/b#frag"))
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet === Set(1L, 2L, 4L),
+      s"expected first-arrival winners, got ${got.asScala.toSet}")
+  }
 }
