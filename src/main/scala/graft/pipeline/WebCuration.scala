@@ -113,6 +113,33 @@ object WebCuration {
         d, Seq("__canon_key"), tsCol, watermarkDelay))
       .drop("__canon_key")
 
+  /** Crawl politeness: per tumbling event-time window, divert the URLs of
+    * any registrable domain whose fetch volume reaches `maxPerWindow` onto
+    * the shaped side — exactly the decaton per-key quota machinery
+    * (A3/A4: [[graft.streaming.StreamOps.routeByQuotaSketch]], the
+    * reference's live CMS-estimate decision rule) keyed by
+    * [[UrlFunctions.url_domain]]. A crawl frontier is the textbook
+    * shaping workload: one hot site must not starve the fetch pool, and
+    * domain cardinality is unbounded — the sketch's fixed-width state is
+    * the 100 TB posture (`sketch = false` switches to the exact per-domain
+    * count for bounded frontiers). Returns (polite, diverted); run per
+    * micro-batch inside foreachBatch, like the shaping loop
+    * (ShapingLoopSpec) drives routeByQuotaSketch.
+    */
+  def politenessRoute(
+      batch: DataFrame,
+      urlCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      maxPerWindow: Long,
+      sketch: Boolean = true): (DataFrame, DataFrame) =
+    if (sketch)
+      graft.streaming.StreamOps.routeByQuotaSketch(
+        batch, url_domain(urlCol), tsCol, windowDur, maxPerWindow)
+    else
+      graft.streaming.StreamOps.routeByQuota(
+        batch, url_domain(urlCol), tsCol, windowDur, maxPerWindow)
+
   /** FLAGSHIP: raw crawl → clean corpus in ONE plan — the full crawl front
     * composed from the already-audited stages:
     *   1. canonical-URL dedup ([[canonicalUrlDedup]] shape — pq83);
@@ -157,8 +184,8 @@ object WebCuration {
       "inner")
       .select(col("__id"), col("__text"), col("canon_url"))
     val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains)
-    val cleaned = unblocked
-      .withColumn("__c4", graft.quality.C4Rules.c4Clean(col("__text"), c4))
+    val cleaned = graft.quality.C4Rules
+      .withClean(unblocked, col("__text"), c4, "__c4")
       .filter(col("__c4.page_keep"))
       .withColumn("__clean", col("__c4.clean_text"))
     val gated = graft.quality.GopherRules

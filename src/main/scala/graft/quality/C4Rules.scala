@@ -48,17 +48,37 @@ object C4Rules {
         nKept >= p.minLines).as("page_keep"))
   }
 
+  /** [[c4Clean]] with the kept-lines array staged ONCE per row (the
+    * [[GopherRules.withMetricsAndFlags]] discipline: the Column-only struct
+    * repeats the line-filter subtree in every field and again in any
+    * pushed-down predicate — HOFs are interpreted, no codegen CSE). Adds
+    * `outCol` = struct(clean_text, n_lines_kept, page_keep), same values
+    * as [[c4Clean]] (pq85 hash-checks the family).
+    */
+  def withClean(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: Column,
+      p: Params = Params(),
+      outCol: String = "c4"): org.apache.spark.sql.DataFrame =
+    df.withColumn("__c4_text", textCol)
+      .withColumn("__c4_kept", keptLines(col("__c4_text"), p))
+      .withColumn(outCol, struct(
+        array_join(col("__c4_kept"), "\n").as("clean_text"),
+        size(col("__c4_kept")).cast("long").as("n_lines_kept"),
+        (!lower(col("__c4_text")).contains("lorem ipsum") &&
+          !col("__c4_text").contains("{") &&
+          size(col("__c4_kept")).cast("long") >= p.minLines).as("page_keep")))
+      .drop("__c4_text", "__c4_kept")
+
   /** Gate-and-rewrite a corpus: pages passing the page rules, with
     * `textCol` replaced by the cleaned text.
     */
   def c4Filter(
       df: org.apache.spark.sql.DataFrame,
       textColName: String,
-      p: Params = Params()): org.apache.spark.sql.DataFrame = {
-    val c = c4Clean(col(textColName), p)
-    df.withColumn("__c4", c)
+      p: Params = Params()): org.apache.spark.sql.DataFrame =
+    withClean(df, col(textColName), p, "__c4")
       .filter(col("__c4.page_keep"))
       .withColumn(textColName, col("__c4.clean_text"))
       .drop("__c4")
-  }
 }

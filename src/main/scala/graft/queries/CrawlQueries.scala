@@ -259,11 +259,13 @@ object CrawlQueries {
         val withLorem = when(id % 13 === 0, concat(withBrace,
             array(lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))))
           .otherwise(withBrace)
-        val c = graft.quality.C4Rules.c4Clean(array_join(withLorem, "\n"))
-        d.select(id,
-          md5(c.getField("clean_text")).as("clean_hash"),
-          c.getField("n_lines_kept").as("n_lines_kept"),
-          c.getField("page_keep").as("page_keep"))
+        graft.quality.C4Rules.withClean(
+            d.select(id, array_join(withLorem, "\n").as("__doc")),
+            col("__doc"), outCol = "c")
+          .select(col("doc_id"),
+            md5(col("c.clean_text")).as("clean_hash"),
+            col("c.n_lines_kept").as("n_lines_kept"),
+            col("c.page_keep").as("page_keep"))
       },
       Some("""
         WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -156,4 +156,24 @@ class UrlCurationSpec extends SparkTestBase {
     assert(got.asScala.toSet === Set(1L, 2L, 4L),
       s"expected first-arrival winners, got ${got.asScala.toSet}")
   }
+
+  test("politenessRoute: a hot domain is diverted, cold domains pass — both decision rules") {
+    val base = 1704067200000L
+    val rows =
+      (0 until 40).map(i => (100L + i, base + i * 100L,
+        s"https://hot.example.com/p$i")) ++
+      (0 until 5).map(i => (200L + i, base + i * 100L,
+        s"https://cold$i.example.org/x"))
+    val df = rows.toDF("id", "tsm", "url")
+      .select(col("id"), timestamp_millis(col("tsm")).as("ts"), col("url"))
+    for (sketch <- Seq(true, false)) {
+      val (polite, diverted) = WebCuration.politenessRoute(
+        df, col("url"), col("ts"), "1 minute", maxPerWindow = 10L,
+        sketch = sketch)
+      val d = diverted.select("id").as[Long].collect().toSet
+      val p = polite.select("id").as[Long].collect().toSet
+      assert(d === (100L until 140L).toSet, s"sketch=$sketch diverted=$d")
+      assert(p === (200L until 205L).toSet, s"sketch=$sketch polite=$p")
+    }
+  }
 }
