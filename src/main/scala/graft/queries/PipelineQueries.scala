@@ -3002,6 +3002,35 @@ object PipelineQueries {
                -- two empty sketches report 0 shared, not a division by zero
                CAST(floor(CAST(1000.0 AS DOUBLE) * inter_k / greatest(union_k, 1)) AS BIGINT) AS jacc_pm
         FROM ag
-      """))
+      """)),
+
+    // ---- Z-order (Morton) clustering key (round 16b — the data-LAYOUT
+    // lever: parquet prunes files by per-column min/max, and interleaving
+    // the bits of k normalized columns into one sort key makes every file
+    // a small k-dimensional box, so a selective filter on ANY dimension
+    // skips most files). Pure integer shift/mask/or algebra over
+    // [0,1024)-ranked dims — the oracle replays every bit. The pruning
+    // payoff itself is asserted physically in ZOrderSpec (files read
+    // under a 2-D box filter: z-ordered ≪ single-column-sorted).
+    Q(
+      "pq87_zorder_key",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val z = graft.operators.ZOrder.zValue(
+          Seq((col("o_orderkey") % 1024, 0L, 1023L),
+            (col("o_custkey") % 1024, 0L, 1023L)),
+          bits = 10)
+        o.select(col("o_orderkey"), z.as("zval"))
+      },
+      Some {
+        val terms = (0 until 10).flatMap(j => Seq(
+          s"(((x >> $j) & 1) << ${2 * j})",
+          s"(((y >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+        s"""
+        SELECT o_orderkey, CAST($terms AS BIGINT) AS zval
+        FROM (SELECT o_orderkey, o_orderkey % 1024 AS x, o_custkey % 1024 AS y
+              FROM orders)
+      """
+      })
   )
 }
