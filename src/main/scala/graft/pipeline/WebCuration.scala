@@ -113,6 +113,82 @@ object WebCuration {
         d, Seq("__canon_key"), tsCol, watermarkDelay))
       .drop("__canon_key")
 
+  /** URL-level crawl CDC: diff two crawl snapshots by CANONICAL URL —
+    * added / removed / changed / unchanged per URL, robust to URL-form
+    * churn (a page re-crawled under new tracking parameters or a `www.`
+    * mirror is the SAME url, `unchanged` unless its content moved). Each
+    * side is first collapsed to one row per canonical URL (content hash =
+    * min of the group's md5s, deterministic under intra-snapshot URL
+    * duplicates), then the [[Snapshots.diff]] shape: one co-partitioned
+    * full-outer join on the canonical URL — content never shuffles, the
+    * 128-bit hash stands in for it. Presence is explicit, never inferred
+    * from hash nullability (null-content rows diff correctly).
+    */
+  def frontierDiff(
+      oldCrawl: DataFrame,
+      newCrawl: DataFrame,
+      urlCol: Column,
+      contentCol: Column): DataFrame = {
+    def side(df: DataFrame, hashName: String, flagName: String) =
+      df.select(url_canonicalize(urlCol).as("canon_url"),
+          md5(contentCol).as("__h"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("__h")).as(hashName))
+        .withColumn(flagName, lit(true))
+    side(oldCrawl, "old_hash", "__in_old")
+      .join(side(newCrawl, "new_hash", "__in_new"), Seq("canon_url"), "full_outer")
+      .select(col("canon_url"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("old_hash") <=> col("new_hash")), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
+  /** Crawl-front funnel diagnostics (the pq44 shape for [[crawlToCorpus]]):
+    * per-stage survivor counts — raw, URL-unique, post-blocklist, C4 page
+    * survivors, Gopher survivors — in ONE pass: every stage verdict is a
+    * row flag (the dedup election joined back as a boolean instead of a
+    * filter), folded by one conditional aggregation. Costs exactly the
+    * dedup election shuffle + the broadcast blocklist probe; nothing is
+    * recomputed per stage, so the funnel is as cheap as the pipeline's
+    * own first stage.
+    */
+  def crawlFunnel(
+      df: DataFrame,
+      idCol: Column,
+      urlCol: Column,
+      textCol: Column,
+      blockedDomains: DataFrame,
+      c4: graft.quality.C4Rules.Params = graft.quality.C4Rules.Params(),
+      gopher: graft.quality.GopherRules.Params =
+        graft.quality.GopherRules.Params()): DataFrame = {
+    val withHash = df.select(
+      idCol.as("__id"), textCol.as("__text"),
+      url_canonicalize(urlCol).as("canon_url"))
+      .withColumn("__uh", md5(col("canon_url")))
+    val keepers = withHash
+      .groupBy(col("__uh")).agg(min(col("__id")).as("__keep_id"))
+      .select(col("__uh").as("__kuh"), col("__keep_id"))
+    val blocked = broadcast(
+      blockedDomains.toDF("__bd").dropDuplicates("__bd"))
+    val flagged = withHash
+      .join(keepers, col("__uh") === col("__kuh"), "left")
+      .withColumn("__keeper", col("__id") === col("__keep_id"))
+      .withColumn("__domain", url_domain(col("canon_url")))
+      .join(blocked, col("__domain") === col("__bd"), "left")
+      .withColumn("__pass2", col("__keeper") && col("__bd").isNull)
+    val g = graft.quality.GopherRules.withMetricsAndFlags(
+      graft.quality.C4Rules.withClean(flagged, col("__text"), c4, "__c4"),
+      col("__c4.clean_text"), gopher, "__gm", "__gf")
+    g.agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("__keeper"), 1)).as("n_url_unique"),
+      count(when(col("__pass2"), 1)).as("n_unblocked"),
+      count(when(col("__pass2") && col("__c4.page_keep"), 1)).as("n_c4_kept"),
+      count(when(col("__pass2") && col("__c4.page_keep") &&
+        col("__gf.gopher_keep"), 1)).as("n_gopher_kept"))
+  }
+
   /** Crawl politeness: per tumbling event-time window, divert the URLs of
     * any registrable domain whose fetch volume reaches `maxPerWindow` onto
     * the shaped side — exactly the decaton per-key quota machinery

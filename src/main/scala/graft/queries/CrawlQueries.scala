@@ -355,7 +355,142 @@ object CrawlQueries {
           gopher = GopherRules.Params(minWords = 10L, minStopWords = 1L))
       },
       Some(s"""
-        WITH u0 AS (
+        WITH $oCrawlStages,
+        sc AS (
+          SELECT q.doc_id, b.domain, b.canon_url, md5(q.clean) AS clean_hash,
+                 $oQualityScore AS score
+          FROM (SELECT pg.doc_id, pg.clean,
+                       string_split(replace(pg.clean, chr(10), ' '), ' ') AS toks,
+                       replace(pg.clean, chr(10), ' ') AS text
+                FROM pg JOIN gpass USING (doc_id)) q
+          JOIN (SELECT doc_id, domain, canon_url FROM blk) b
+            ON b.doc_id = q.doc_id),
+        tot AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_total
+                FROM sc GROUP BY 1),
+        rk AS (
+          SELECT doc_id, domain, canon_url, clean_hash, score,
+                 row_number() OVER (PARTITION BY domain
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM sc)
+        SELECT r.domain, CAST(r.rnk AS INT) AS rank, r.doc_id, r.score,
+               t.n_total, r.canon_url, r.clean_hash
+        FROM rk r JOIN tot t USING (domain)
+        WHERE r.rnk <= 10
+      """)),
+
+    // ---- crawl-front funnel (the pq44 diagnostics shape for pq86): per
+    // stage of crawlToCorpus, the survivor count — raw, URL-unique,
+    // post-blocklist, C4 page survivors, Gopher survivors — computed as
+    // row flags folded by ONE conditional aggregation (nothing recomputed
+    // per stage). The oracle counts the same shared stage CTEs.
+    Q(
+      "pq88_crawl_funnel",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val url = when(id % 4 === 0, concat(
+            lit("https://WWW.News.Example.CO.UK:443/Story/"), id,
+            lit("/?utm_source=rss&utm_medium=feed")))
+          .when(id % 4 === 1, concat(
+            lit("HTTP://Blog.Example.COM:80/posts/"), id % 50,
+            lit("?id="), id % 50, lit("&fbclid=abc"), id, lit("#section2")))
+          .when(id % 4 === 2, concat(
+            lit("https://spam.tracker.biz/offer/"), id % 10, lit("/")))
+          .otherwise(concat(
+            lit("https://docs.example.com/guide?page="), id % 20,
+            lit("&utm_campaign=x&ref_src=tw")))
+        val toks = split(col("text"), " ")
+        val nLines = ((size(toks) + 5) / 6).cast("int")
+        val lines0 = transform(
+          sequence(lit(0), nLines - 1),
+          i => array_join(slice(toks, i * 6 + 1, lit(6)), " "))
+        val punct = transform(lines0, (l, i) =>
+          when(i % 3 === 2, l).otherwise(concat(l, lit("."))))
+        val withJs = when(id % 7 === 0, concat(
+            array(lit("You must enable JavaScript to view this page.")),
+            punct)).otherwise(punct)
+        val withBrace = when(id % 11 === 0,
+            concat(withJs, array(lit("if (x) { return; }")))).otherwise(withJs)
+        val withLorem = when(id % 13 === 0, concat(withBrace,
+            array(lit("Lorem ipsum dolor sit amet consectetur adipiscing elit."))))
+          .otherwise(withBrace)
+        val blocked = s.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row("tracker.biz")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "domain", org.apache.spark.sql.types.StringType))))
+        WebCuration.crawlFunnel(
+          d.withColumn("url", url)
+            .withColumn("body", array_join(withLorem, "\n")),
+          id, col("url"), col("body"), blocked,
+          gopher = GopherRules.Params(minWords = 10L, minStopWords = 1L))
+      },
+      Some(s"""
+        WITH $oCrawlStages
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM u0) AS n_raw,
+               (SELECT CAST(count(*) AS BIGINT) FROM ded) AS n_url_unique,
+               (SELECT CAST(count(*) AS BIGINT) FROM blk) AS n_unblocked,
+               (SELECT CAST(count(*) AS BIGINT) FROM pg) AS n_c4_kept,
+               (SELECT CAST(count(*) AS BIGINT) FROM gpass) AS n_gopher_kept
+      """)),
+
+    // ---- URL-level crawl CDC (WebCuration.frontierDiff): two snapshots
+    // of the crawl diffed by CANONICAL url — v2 re-crawls every non-%5
+    // page (some under a different URL FORM: added www. + a tracking
+    // param — same canonical, so form churn alone reads `unchanged`),
+    // changes content for %7 pages, and adds a new path per %9 doc.
+    // Hash-exact: added/removed/changed/unchanged per canonical URL.
+    Q(
+      "pq89_frontier_diff",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val baseUrl = concat(lit("https://site.example.com/page/"), id)
+        val v1 = d.select(id, baseUrl.as("url"), col("text"))
+        val v2base = d.filter(id % 5 =!= 0).select(
+          id,
+          when(id % 3 === 0,
+            concat(lit("https://www.site.example.com/page/"), id,
+              lit("?utm_source=recrawl")))
+            .otherwise(baseUrl).as("url"),
+          when(id % 7 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+        val v2new = d.filter(id % 9 === 0).select(
+          id,
+          concat(lit("https://site.example.com/new/"), id).as("url"),
+          col("text"))
+        WebCuration.frontierDiff(
+          v1, v2base.unionByName(v2new), col("url"), col("text"))
+      },
+      Some("""
+        WITH v1 AS (
+          SELECT 'https://site.example.com/page/' || doc_id AS canon_url,
+                 md5(text) AS h
+          FROM documents),
+        v2 AS (
+          SELECT 'https://site.example.com/page/' || doc_id AS canon_url,
+                 md5(CASE WHEN doc_id % 7 = 0 THEN text || ' updated'
+                          ELSE text END) AS h
+          FROM documents WHERE doc_id % 5 <> 0
+          UNION ALL
+          SELECT 'https://site.example.com/new/' || doc_id, md5(text)
+          FROM documents WHERE doc_id % 9 = 0),
+        a AS (SELECT canon_url, min(h) AS old_hash FROM v1 GROUP BY 1),
+        b AS (SELECT canon_url, min(h) AS new_hash FROM v2 GROUP BY 1)
+        SELECT coalesce(a.canon_url, b.canon_url) AS canon_url,
+               CASE WHEN a.canon_url IS NULL THEN 'added'
+                    WHEN b.canon_url IS NULL THEN 'removed'
+                    WHEN a.old_hash IS DISTINCT FROM b.new_hash THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.canon_url = b.canon_url
+      """)))
+
+  /** Shared oracle fragment (pq86/pq88): the full crawl-front stage
+    * chain — URL synthesis, canonicalize, domain, dedup election,
+    * blocklist, line synthesis, C4 clean + page gate (`pg`), Gopher
+    * metrics + gate (`gpass`). Splice after `WITH `.
+    */
+  private def oCrawlStages: String = s"""u0 AS (
           SELECT doc_id, text,
             CASE
               WHEN doc_id % 4 = 0 THEN 'https://WWW.News.Example.CO.UK:443/Story/' || doc_id || '/?utm_source=rss&utm_medium=feed'
@@ -441,28 +576,7 @@ object CrawlQueries {
             AND (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
             AND (bullet_frac <= 0.9) AND (ellipsis_line_frac <= 0.3)
             AND (alpha_word_frac >= 0.8) AND (n_stopwords >= 1)
-            AND (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2)),
-        sc AS (
-          SELECT q.doc_id, b.domain, b.canon_url, md5(q.clean) AS clean_hash,
-                 $oQualityScore AS score
-          FROM (SELECT pg.doc_id, pg.clean,
-                       string_split(replace(pg.clean, chr(10), ' '), ' ') AS toks,
-                       replace(pg.clean, chr(10), ' ') AS text
-                FROM pg JOIN gpass USING (doc_id)) q
-          JOIN (SELECT doc_id, domain, canon_url FROM blk) b
-            ON b.doc_id = q.doc_id),
-        tot AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_total
-                FROM sc GROUP BY 1),
-        rk AS (
-          SELECT doc_id, domain, canon_url, clean_hash, score,
-                 row_number() OVER (PARTITION BY domain
-                                    ORDER BY score DESC, doc_id) AS rnk
-          FROM sc)
-        SELECT r.domain, CAST(r.rnk AS INT) AS rank, r.doc_id, r.score,
-               t.n_total, r.canon_url, r.clean_hash
-        FROM rk r JOIN tot t USING (domain)
-        WHERE r.rnk <= 10
-      """)))
+            AND (dup_line_frac <= 0.3 AND dup_line_char_frac <= 0.2))"""
 
   private def oQualityScore: String = PipelineQueries.oQualityScore
 }

@@ -157,6 +157,27 @@ class UrlCurationSpec extends SparkTestBase {
       s"expected first-arrival winners, got ${got.asScala.toSet}")
   }
 
+  test("frontierDiff: URL-form churn reads unchanged; duplicates collapse deterministically") {
+    val v1 = Seq(
+      ("https://e.com/a?utm_source=x", "alpha"),
+      ("https://e.com/a/", "alpha"),          // intra-snapshot dup of the same canon
+      ("https://e.com/b", "beta"),
+      ("https://e.com/gone", "bye"))
+      .toDF("url", "text")
+    val v2 = Seq(
+      ("https://www.e.com/a", "alpha"),       // form churn only -> unchanged
+      ("https://e.com/b#frag", "beta2"),      // content moved -> changed
+      ("https://e.com/new", "hello"))         // -> added
+      .toDF("url", "text")
+    val got = WebCuration.frontierDiff(v1, v2, col("url"), col("text"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      "https://e.com/a" -> "unchanged",
+      "https://e.com/b" -> "changed",
+      "https://e.com/gone" -> "removed",
+      "https://e.com/new" -> "added"))
+  }
+
   test("politenessRoute: a hot domain is diverted, cold domains pass — both decision rules") {
     val base = 1704067200000L
     val rows =
