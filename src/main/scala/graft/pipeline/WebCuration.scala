@@ -177,8 +177,12 @@ object WebCuration {
       .withColumn("__domain", url_domain(col("canon_url")))
       .join(blocked, col("__domain") === col("__bd"), "left")
       .withColumn("__pass2", col("__keeper") && col("__bd").isNull)
+      // short-circuit the heavy row-local stages for rows already dead at
+      // the URL tier: a null text folds every downstream flag to null,
+      // which the pass2-guarded counts below never see
+      .withColumn("__ftext", when(col("__pass2"), col("__text")))
     val g = graft.quality.GopherRules.withMetricsAndFlags(
-      graft.quality.C4Rules.withClean(flagged, col("__text"), c4, "__c4"),
+      graft.quality.C4Rules.withClean(flagged, col("__ftext"), c4, "__c4"),
       col("__c4.clean_text"), gopher, "__gm", "__gf")
     g.agg(
       count(lit(1)).as("n_raw"),
