@@ -78,6 +78,15 @@ object StateScaleProbe {
               concat_ws(" ", col("key"), lit("alpha"), lit("beta"))),
             col("text"), "ts", "10 minutes", "5 minutes",
             Seq.fill(64)(1L), nBuckets = 64)
+        case "calibrated_gate" =>
+          // dq31's stateful half: one 64-cell score histogram per open
+          // (window, group) — 20 groups, fixed-width buffers; state must
+          // track windows×groups, never records or distinct scores
+          graft.streaming.StreamOps.windowedCalibratedThreshold(
+            src.withColumn("score",
+              pmod(col("seq") * 7919L, lit(1000L)).cast("double") / 1000.0),
+            pmod(col("seq"), lit(20)).cast("string"), col("score"), col("ts"),
+            "5 minutes", "10 minutes", keepFrac = 0.7, cells = 64)
       }
       val outCount = new java.util.concurrent.atomic.AtomicLong()
       val q = shaped.writeStream
@@ -110,7 +119,8 @@ object StateScaleProbe {
       } finally q.stop()
     }
 
-    val rows = Seq("dedupe", "windowed_rates", "distinct_sketch", "drift_hist").map { probe =>
+    val rows = Seq("dedupe", "windowed_rates", "distinct_sketch", "drift_hist",
+      "calibrated_gate").map { probe =>
       val r1 = run(probe, 20000L)
       val r10 = run(probe, 200000L)
       val ratio = r10.stateRows.toDouble / math.max(1L, r1.stateRows)
