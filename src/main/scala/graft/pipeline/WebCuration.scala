@@ -193,6 +193,53 @@ object WebCuration {
         col("__gf.gopher_keep"), 1)).as("n_gopher_kept"))
   }
 
+  /** The STREAMING crawl front — [[crawlToCorpus]] stages 1-4 on a live
+    * frontier: canonical-URL dedup (watermark-bounded, first canonical
+    * form wins), registrable-domain blocklist (stream-static broadcast
+    * anti-join), C4 line cleaning + page gate and the Gopher rule gate
+    * (both row-local, hence trivially stream-safe). ONE stateful operator
+    * (the dedup) — Spark cannot chain `mapGroupsWithState` behind another
+    * stateful operator, so the per-domain cap is the documented second
+    * hop: pipe this stream (directly or via a sink/foreachBatch handoff)
+    * into [[graft.streaming.StreamingCaps.perSourceCapStream]] keyed by
+    * `domain`, whose last emission per domain equals the batch cap
+    * (StreamingSpec). Output per admitted doc: (doc_id, canon_url,
+    * domain, score, clean_hash) — [[crawlToCorpus]]'s pre-cap admitted
+    * table; UrlCurationSpec proves stream ≡ batch end to end including
+    * the cap hop.
+    */
+  def crawlGateStream(
+      df: DataFrame,
+      idCol: Column,
+      urlCol: Column,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      blockedDomains: DataFrame,
+      c4: graft.quality.C4Rules.Params = graft.quality.C4Rules.Params(),
+      gopher: graft.quality.GopherRules.Params =
+        graft.quality.GopherRules.Params()): DataFrame = {
+    val canon = df.select(
+      col(tsCol), idCol.as("doc_id"), textCol.as("__text"),
+      url_canonicalize(urlCol).as("canon_url"))
+      .withColumn("__canon_key", md5(col("canon_url")))
+    val deduped = graft.streaming.StreamOps.dedupeStream(
+      canon, Seq("__canon_key"), tsCol, watermarkDelay)
+    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains)
+    val cleaned = graft.quality.C4Rules
+      .withClean(unblocked, col("__text"), c4, "__c4")
+      .filter(col("__c4.page_keep"))
+      .withColumn("__clean", col("__c4.clean_text"))
+    graft.quality.GopherRules
+      .withMetricsAndFlags(cleaned, col("__clean"), gopher, "__gm", "__gf")
+      .filter(col("__gf.gopher_keep"))
+      .select(col("doc_id"), col("canon_url"),
+        url_domain(col("canon_url")).as("domain"),
+        graft.functions.TextFunctions.quality_score(
+          regexp_replace(col("__clean"), "\n", " ")).as("score"),
+        md5(col("__clean")).as("clean_hash"))
+  }
+
   /** Crawl politeness: per tumbling event-time window, divert the URLs of
     * any registrable domain whose fetch volume reaches `maxPerWindow` onto
     * the shaped side — exactly the decaton per-key quota machinery

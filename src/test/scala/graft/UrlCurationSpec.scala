@@ -157,6 +157,85 @@ class UrlCurationSpec extends SparkTestBase {
       s"expected first-arrival winners, got ${got.asScala.toSet}")
   }
 
+  test("crawlGateStream + perSourceCapStream == batch crawlToCorpus, across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def prose(tag: String) = (1 to 4).map(i =>
+      s"the $tag fox number $i jumps over that lazy dog today.").mkString("\n")
+    val base = 1704067200000L
+    // ids ordered by batch so the streaming first-arrival dedup picks the
+    // same survivor as the batch min-id election; canonical duplicates
+    // never share a micro-batch (within-batch survivor order is undefined)
+    val batch1 = Seq(
+      (1L, "https://a.example.com/x?utm_source=f", prose("alpha")),
+      (2L, "https://a.example.com/y", prose("beta")),
+      (3L, "https://b.example.org/p", prose("gamma")),
+      (4L, "https://bad.tracker.biz/z", prose("delta")),      // blocklisted
+      (5L, "https://a.example.com/code", prose("eps") + "\nif (x) { return; }"))
+    val batch2 = Seq(
+      (6L, "https://www.a.example.com/x/", prose("other")),   // canon dup of 1
+      (7L, "https://b.example.org/q", prose("zeta")),
+      (8L, "https://a.example.com/bullets",
+        prose("eta").split("\n").map("- " + _).mkString("\n")), // gopher bullet fail
+      (9L, "https://a.example.com/w", prose("theta")))
+    val blocked = Seq("tracker.biz").toDF("domain")
+    val gp = graft.quality.GopherRules.Params(minWords = 10L, minStopWords = 2L)
+
+    val in = MemoryStream[(Long, String, String)]
+    val src = in.toDF().toDF("id", "url", "body")
+      .select(timestamp_millis(lit(base) + col("id")).as("ts"),
+        col("id"), col("url"), col("body"))
+    val gated = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, String, Double, String)]()
+    val q = WebCuration.crawlGateStream(
+        src, col("id"), col("url"), col("body"), "ts", "1 hour",
+        blocked, gopher = gp)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => gated.add((r.getLong(0), r.getString(1),
+          r.getString(2), r.getDouble(3), r.getString(4))))
+        ()
+      }.start()
+    in.addData(batch1.map { case (i, u, t) => (i, u, t) }); q.processAllAvailable()
+    in.addData(batch2.map { case (i, u, t) => (i, u, t) }); q.processAllAvailable()
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = gated.asScala.toSet
+    val all = (batch1 ++ batch2).toDF("id", "url", "body")
+    val batchPreCap = WebCuration.crawlToCorpus(
+        all, col("id"), col("url"), col("body"), blocked, cap = 100, gopher = gp)
+      .select(col("doc_id"), col("canon_url"), col("domain"),
+        col("score"), col("clean_hash"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getDouble(3), r.getString(4))).toSet
+    assert(got.nonEmpty && got === batchPreCap,
+      s"stream gate diverged from batch (stream ${got.size}, batch ${batchPreCap.size})")
+
+    // cap hop: the gated stream through perSourceCapStream; last emission
+    // per domain = the batch cap
+    val in2 = MemoryStream[(Long, String, Double)]
+    val capped = new java.util.concurrent.ConcurrentHashMap[String, Seq[Long]]()
+    val q2 = graft.streaming.StreamingCaps.perSourceCapStream(
+        in2.toDF().toDF("id", "domain", "s"),
+        col("id"), col("domain"), col("s"), cap = 2)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r =>
+          capped.put(r.getString(0), r.getSeq[Long](1)))
+        ()
+      }.start()
+    in2.addData(got.toSeq.sortBy(_._1).map(t => (t._1, t._3, t._4)))
+    q2.processAllAvailable(); q2.stop()
+    val streamAdmitted = capped.values().asScala.flatten.toSet
+    val batchAdmitted = WebCuration.crawlToCorpus(
+        all, col("id"), col("url"), col("body"), blocked, cap = 2, gopher = gp)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamAdmitted === batchAdmitted,
+      s"cap hop diverged: stream $streamAdmitted vs batch $batchAdmitted")
+    graft.pipeline.Curation.releaseStageCaches()
+  }
+
   test("frontierDiff: URL-form churn reads unchanged; duplicates collapse deterministically") {
     val v1 = Seq(
       ("https://e.com/a?utm_source=x", "alpha"),
