@@ -26,6 +26,40 @@ import graft.functions.UrlFunctions._
   */
 object WebCuration {
 
+  /** Registrable domain against a FULL public-suffix table (the production
+    * form of [[UrlFunctions.url_registrable_domain]]: the real PSL is
+    * ~10k multi-label rules — far past what an `isin` literal should
+    * carry, but exactly what a broadcast join is for). `pslDf` is a
+    * 1-column DataFrame of multi-label suffixes ("co.uk", "com.au", …);
+    * a host's last two labels are probed against it (broadcast left
+    * join — the corpus never shuffles), matching hosts take three labels,
+    * everything else two, ≤2-label hosts pass through whole — the same
+    * contract as the pinned-subset form, proven equal on the built-in
+    * subset in UrlCurationSpec. Adds `outCol` to `df`.
+    */
+  def withRegistrableDomain(
+      df: DataFrame,
+      hostCol: Column,
+      pslDf: DataFrame,
+      outCol: String = "domain"): DataFrame = {
+    val psl = broadcast(
+      pslDf.toDF("__psl_suffix").dropDuplicates("__psl_suffix"))
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    val last3 = concat_ws(".", element_at(labels, -3),
+      element_at(labels, -2), element_at(labels, -1))
+    df.withColumn("__h", hostCol)
+      .withColumn("__l2", when(n >= 2, last2))
+      .join(psl, col("__l2") === col("__psl_suffix"), "left")
+      .withColumn(outCol,
+        when(n <= 2, col("__h"))
+          .otherwise(when(col("__psl_suffix").isNotNull, last3)
+            .otherwise(col("__l2"))))
+      .drop("__h", "__l2", "__psl_suffix")
+  }
+
   /** Canonical-URL dedup election: one row per distinct canonical URL with
     * the keeper (min id) and the copy count. Same contract as
     * [[graft.dedup.Dedup.exactByCanonicalContent]], keyed on

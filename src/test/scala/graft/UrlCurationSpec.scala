@@ -69,6 +69,25 @@ class UrlCurationSpec extends SparkTestBase {
     assert(custom === "example.dev.local")
   }
 
+  test("withRegistrableDomain (broadcast PSL) == the pinned-subset column form") {
+    val rnd = new scala.util.Random(20260816L)
+    val tails = graft.functions.UrlFunctions.MultiLabelSuffixes ++ Seq("com", "org", "io", "dev")
+    val hosts = (0 until 400).map { _ =>
+      val depth = 1 + rnd.nextInt(3)
+      (0 until depth).map(_ => s"l${rnd.nextInt(20)}").mkString(".") +
+        "." + tails(rnd.nextInt(tails.size))
+    } ++ Seq("localhost", "co.uk", "example.com")
+    val psl = graft.functions.UrlFunctions.MultiLabelSuffixes.toDF("suffix")
+      // a big PSL must stay a broadcast join, not an isin literal: pad it
+      .unionByName((0 until 5000).map(i => s"fake$i.zz").toDF("suffix"))
+    val out = WebCuration.withRegistrableDomain(
+        hosts.toDF("h"), col("h"), psl, "d")
+      .withColumn("expect", url_registrable_domain(col("h")))
+      .filter(!(col("d") <=> col("expect")))
+      .collect()
+    assert(out.isEmpty, s"PSL form diverges on ${out.take(3).mkString(", ")}")
+  }
+
   test("canonicalUrlDedup elects min id per canonical form") {
     val df = Seq(
       (1L, "https://E.com/a?utm_source=x"),
