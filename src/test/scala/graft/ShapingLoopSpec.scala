@@ -51,7 +51,12 @@ class ShapingLoopSpec extends SparkTestBase {
     * sketch (CMS only over-counts, and at 41 sub-quota keys against the
     * 65536-wide default the collision mass is zero in practice).
     */
-  private def runLoop(tag: String)(
+  private def runLoop(
+      tag: String,
+      mkKey: Column => Column =
+        id => when(id < 60, lit("hot")).otherwise(concat(lit("k"), id)),
+      expectedCompliant: Set[String] = (60 until 100).map(i => s"k$i").toSet,
+      isHot: String => Boolean = _ == "hot")(
       route: (DataFrame, Column, Column) => (DataFrame, DataFrame)): Unit = {
     ShapingLoopSpec.reset()
 
@@ -73,8 +78,7 @@ class ShapingLoopSpec extends SparkTestBase {
       lit(0L).as("retry_count"),
       lit(0L).as("scheduled_time_millis"))
     val originRows = spark.range(100).select(
-      when(col("id") < 60, lit("hot")).otherwise(concat(lit("k"), col("id"))).as("k"),
-      col("id"), meta.as("meta"))
+      mkKey(col("id")).as("k"), col("id"), meta.as("meta"))
     TaskWriter.toKafkaShape(originRows, col("k"), col("id").cast("string"), col("meta"), origin)
       .write.format("graft-kafka").mode("append").option("root", root).save()
 
@@ -125,15 +129,15 @@ class ShapingLoopSpec extends SparkTestBase {
 
       // routing: the compliant side is exactly the 40 one-record keys
       val okKeys = ShapingLoopSpec.compliant.asScala.map(_._1).toVector
-      assert(okKeys.size == 40 && okKeys.toSet == (60 until 100).map(i => s"k$i").toSet,
+      assert(okKeys.size == 40 && okKeys.toSet == expectedCompliant,
         s"compliant side must be exactly the 40 sub-quota keys, got ${okKeys.sorted}")
-      assert(!okKeys.contains("hot"), "a bursting key leaked into the compliant side")
+      assert(!okKeys.exists(isHot), "a bursting key leaked into the compliant side")
 
       // every burst record crossed the broker into the shaping topic
       assert(BrokerLog.offsetRange(root, shapingTopic, 0)._2 == 60L,
         "all 60 hot records must land on the shaping topic")
       val shaped = ShapingLoopSpec.shapedSeen.asScala.toVector
-      assert(shaped.size == 60 && shaped.forall(_._2 == "hot"),
+      assert(shaped.size == 60 && shaped.forall(s => isHot(s._2)),
         s"shaped consumer must deliver exactly the 60 hot records, got ${shaped.size}")
 
       // C4 rate override: no shaped trigger admitted more than the topic's
@@ -161,6 +165,23 @@ class ShapingLoopSpec extends SparkTestBase {
   test("the live loop shapes from the CMS sketch estimate — the reference's actual decision rule (A3+A4+S5+C4)") {
     runLoop("sketch") { (batch, key, ts) =>
       StreamOps.routeByQuotaSketch(batch, key, ts, "1 day", quota = 50L)
+    }
+  }
+
+  test("crawl politeness drives the live loop: one hot DOMAIN's distinct URLs divert, cold domains pass") {
+    // 60 DISTINCT urls under one domain — per-key (per-URL) quota would see
+    // 60 singleton keys and shape nothing; the domain-keyed politeness rule
+    // is what catches the hot site. Same broker loop, same assertions.
+    runLoop(
+      "politeness",
+      mkKey = id => when(id < 60,
+          concat(lit("https://hot.example.com/page/"), id))
+        .otherwise(concat(lit("https://site"), id, lit(".example.org/x"))),
+      expectedCompliant =
+        (60 until 100).map(i => s"https://site$i.example.org/x").toSet,
+      isHot = _.contains("hot.example.com")) { (batch, url, ts) =>
+      graft.pipeline.WebCuration.politenessRoute(
+        batch, url, ts, "1 day", maxPerWindow = 50L)
     }
   }
 }
