@@ -59,7 +59,11 @@ object C4Rules {
       df: org.apache.spark.sql.DataFrame,
       textCol: Column,
       p: Params = Params(),
-      outCol: String = "c4"): org.apache.spark.sql.DataFrame =
+      outCol: String = "c4"): org.apache.spark.sql.DataFrame = {
+    // a caller column already named like a staging column would be silently
+    // overwritten and then dropped — same guard as compactBatch's key names
+    graft.operators.Compaction.requireFreshNames(
+      df, Seq(textCol, textCol), Seq("__c4_text", "__c4_kept"))
     df.withColumn("__c4_text", textCol)
       .withColumn("__c4_kept", keptLines(col("__c4_text"), p))
       .withColumn(outCol, struct(
@@ -69,6 +73,7 @@ object C4Rules {
           !col("__c4_text").contains("{") &&
           size(col("__c4_kept")).cast("long") >= p.minLines).as("page_keep")))
       .drop("__c4_text", "__c4_kept")
+  }
 
   /** Gate-and-rewrite a corpus: pages passing the page rules, with
     * `textCol` replaced by the cleaned text.

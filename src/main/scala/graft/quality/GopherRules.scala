@@ -139,6 +139,11 @@ object GopherRules {
       p: Params = Params(),
       metricsCol: String = "m",
       flagsCol: String = "f"): org.apache.spark.sql.DataFrame = {
+    // staging-name freshness: an input column named __gr_* would be
+    // silently overwritten and dropped (the compactBatch key-name guard)
+    val stagingNames = Seq("__gr_text", "__gr_words", "__gr_lines", "__gr_dlines")
+    graft.operators.Compaction.requireFreshNames(
+      df, stagingNames.map(_ => textCol), stagingNames)
     val staged = df
       .withColumn("__gr_text", textCol)
       .withColumn("__gr_words", filter(

@@ -192,7 +192,7 @@ object CrawlQueries {
         m AS (SELECT doc_id,
           CAST(len(words) AS BIGINT) AS n_words,
           CAST(len(lines) AS BIGINT) AS n_lines,
-          round(CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+          round(CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE)
                 / greatest(len(words), 1), 6) AS mean_word_len,
           round(CAST(length(doc) - length(translate(doc, '#', '')) AS DOUBLE)
                 / greatest(len(words), 1), 6) AS hash_ratio,
@@ -210,9 +210,9 @@ object CrawlQueries {
                ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords,
           round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
                 / greatest(len(lines), 1), 6) AS dup_line_frac,
-          round(CAST(list_sum(list_transform(lines, x -> len(x)))
-                     - list_sum(list_transform(list_distinct(lines), x -> len(x))) AS DOUBLE)
-                / greatest(list_sum(list_transform(lines, x -> len(x))), 1), 6) AS dup_line_char_frac
+          round(CAST(coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+                     - coalesce(list_sum(list_transform(list_distinct(lines), x -> len(x))), 0) AS DOUBLE)
+                / greatest(coalesce(list_sum(list_transform(lines, x -> len(x))), 0), 1), 6) AS dup_line_char_frac
         FROM w)
         SELECT doc_id, n_words, n_lines, mean_word_len, hash_ratio, ellipsis_ratio,
                bullet_frac, ellipsis_line_frac, alpha_word_frac, n_stopwords,
@@ -548,7 +548,7 @@ object CrawlQueries {
                FROM pg),
         gm AS (SELECT doc_id,
           CAST(len(words) AS BIGINT) AS n_words,
-          round(CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+          round(CAST(coalesce(list_sum(list_transform(words, x -> len(x))), 0) AS DOUBLE)
                 / greatest(len(words), 1), 6) AS mean_word_len,
           round(CAST(length(clean) - length(translate(clean, '#', '')) AS DOUBLE)
                 / greatest(len(words), 1), 6) AS hash_ratio,
@@ -566,9 +566,9 @@ object CrawlQueries {
                ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stopwords,
           round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
                 / greatest(len(lines), 1), 6) AS dup_line_frac,
-          round(CAST(list_sum(list_transform(lines, x -> len(x)))
-                     - list_sum(list_transform(list_distinct(lines), x -> len(x))) AS DOUBLE)
-                / greatest(list_sum(list_transform(lines, x -> len(x))), 1), 6) AS dup_line_char_frac
+          round(CAST(coalesce(list_sum(list_transform(lines, x -> len(x))), 0)
+                     - coalesce(list_sum(list_transform(list_distinct(lines), x -> len(x))), 0) AS DOUBLE)
+                / greatest(coalesce(list_sum(list_transform(lines, x -> len(x))), 0), 1), 6) AS dup_line_char_frac
         FROM gw),
         gpass AS (SELECT doc_id FROM gm
           WHERE (n_words BETWEEN 10 AND 100000)

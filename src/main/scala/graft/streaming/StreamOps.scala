@@ -144,7 +144,12 @@ object StreamOps {
     val cell = greatest(
       least(floor(scoreCol.cast("double") * cells), lit(cells - 1L)),
       lit(0L)).cast("long")
-    df.withColumn(tsName, tsCol)
+    // NaN carries no ranking signal and must not land in cell 0 (floor(NaN)
+    // evaluates to 0L in Spark, which would inflate total/rank and skew the
+    // cutoff); nulls fail the !isnan predicate too, matching BucketHistAgg's
+    // null-skip — the same drop rule as top_k_by/perSourceCapStream.
+    df.filter(!isnan(scoreCol.cast("double")) && scoreCol.isNotNull)
+      .withColumn(tsName, tsCol)
       .withWatermark(tsName, watermarkDelay)
       .select(col(tsName), groupCol.as("group"), cell.as("__cell"))
       .groupBy(window(col(tsName), windowDur).as("win"), col("group"))

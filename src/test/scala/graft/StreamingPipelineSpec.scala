@@ -781,4 +781,25 @@ class StreamingPipelineSpec extends SparkTestBase {
     assert(expect.nonEmpty && expect.size < emb.length / 2,
       "PQ flagging test needs a non-trivial flagged subset to bite")
   }
+
+  test("windowedCalibratedThreshold: NaN and null scores are excluded, not binned at cell 0") {
+    import spark.implicits._
+    val base = 1700000000000L
+    val clean = (0 until 40).map(i =>
+      (base + i * 1000L, "g", Option(0.3 + 0.01 * i)))
+    val polluted = clean ++
+      (0 until 25).map(i => (base + i * 1000L, "g", Option(Double.NaN))) ++
+      (0 until 5).map(i => (base + i * 1000L, "g", Option.empty[Double]))
+    def run(rows: Seq[(Long, String, Option[Double])]) = graft.streaming.StreamOps
+      .windowedCalibratedThreshold(
+        rows.toDF("tsm", "grp", "score")
+          .select(timestamp_millis(col("tsm")).as("ts"), col("grp"),
+            col("score")),
+        col("grp"), col("score"), col("ts"),
+        "100 seconds", "10 seconds", keepFrac = 0.5, cells = 512)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val got = run(polluted)
+    assert(got === run(clean), "NaN/null rows shifted the calibrated cutoff")
+    assert(got.head._2 === 40L, s"total must count only real scores: $got")
+  }
 }

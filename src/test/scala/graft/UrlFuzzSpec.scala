@@ -32,7 +32,7 @@ class UrlFuzzSpec extends SparkTestBase {
     val www     = if (rnd.nextBoolean()) "www." else ""
     val host    = (0 until rnd.nextInt(3))
       .map(_ => labels(rnd.nextInt(labels.length)))
-      .mkString("", ".", if (rnd.nextInt(4) == 0) "." else ".") +
+      .mkString("", ".", if (rnd.nextInt(4) == 0) ".." else ".") +
       labels(rnd.nextInt(labels.length)) + "." + tails(rnd.nextInt(tails.length))
     val port = rnd.nextInt(5) match {
       case 0 => ":80"

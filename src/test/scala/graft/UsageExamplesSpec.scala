@@ -39,6 +39,32 @@ class UsageExamplesSpec extends SparkTestBase {
     assert(out.count() > 0 && out.count() <= 110) // budget + per-stratum rounding
   }
 
+  test("USAGE 3b: crawl front — canonicalize, crawlToCorpus, rule bundles, politeness") {
+    import graft.functions.UrlFunctions._
+    val crawl = docs.withColumn("url",
+      concat(lit("https://WWW.Site"), col("doc_id") % 7,
+        lit(".example.com/p/"), col("doc_id"), lit("?utm_source=x")))
+    val keyed = crawl.select(url_canonicalize(col("url")).as("cu"),
+      url_domain(col("url")).as("dom"))
+    assert(keyed.filter(col("cu").contains("utm_") || col("cu").contains("WWW"))
+      .isEmpty)
+    val blocked = Seq("blocked.example").toDF("domain")
+    val corpus = graft.pipeline.WebCuration.crawlToCorpus(
+      crawl, col("doc_id"), col("url"), col("text"), blocked, cap = 1000,
+      c4 = graft.quality.C4Rules.Params(minLines = 1),
+      gopher = graft.quality.GopherRules.Params(minWords = 5L, minStopWords = 0L))
+    assert(corpus.columns.toSeq ==
+      Seq("doc_id", "domain", "rank", "score", "n_total", "canon_url", "clean_hash"))
+    assert(graft.quality.GopherRules.withMetricsAndFlags(docs, col("text"))
+      .select(col("m.n_words"), col("f.gopher_keep")).count() > 0)
+    assert(graft.quality.C4Rules.c4Filter(docs, "text",
+      graft.quality.C4Rules.Params(minLines = 0)).columns.sameElements(docs.columns))
+    val batch = crawl.withColumn("ts", timestamp_micros(col("doc_id") * 1000L))
+    val (polite, diverted) = graft.pipeline.WebCuration.politenessRoute(
+      batch, col("url"), col("ts"), "1 minute", maxPerWindow = 10)
+    assert(polite.count() + diverted.count() == batch.count())
+  }
+
   test("USAGE 4: IVF ANN over embeddings") {
     val queries = emb.limit(4)
     val out = graft.similarity.Knn.ivfTopK(emb, queries, "vec_id", "embedding",
@@ -60,6 +86,18 @@ class UsageExamplesSpec extends SparkTestBase {
       windowDur = "1 hour", watermarkDelay = "10 minutes", m = 256, k = 64)
     assert(out.columns.contains("hll_est") && out.columns.contains("kmv_kth"))
     assert(out.count() > 0)
+  }
+
+  test("USAGE 6b: live calibrated quality gate (batch form)") {
+    val scored = docs.select(col("source"),
+      graft.functions.TextFunctions.quality_score(col("text")).as("score"),
+      timestamp_micros(col("doc_id") * 1000000L).as("ts"))
+    val out = graft.streaming.StreamOps.windowedCalibratedThreshold(
+      scored, col("source"), col("score"), col("ts"),
+      "1 hour", "10 minutes", keepFrac = 0.7)
+    assert(out.columns.toSeq ==
+      Seq("win_start", "group", "total", "cutoff_cell", "n_admitted"))
+    assert(out.filter(col("n_admitted") > col("total")).isEmpty && out.count() > 0)
   }
 
   test("USAGE 7: drift alarm (static reference form)") {
@@ -99,5 +137,20 @@ class UsageExamplesSpec extends SparkTestBase {
       })
     val counts = streams.counts
     assert(streams.processed.count() == 28 && counts("processed") == 28L)
+  }
+
+  test("USAGE 9b: z-order layout write") {
+    import graft.operators.ZOrder
+    val orders = Tables.orders(spark, tiny)
+    val z = ZOrder.zValue(Seq(
+      (col("o_orderkey"), 1L, 6000000L),
+      (col("o_custkey"), 1L, 150000L)), bits = 16)
+    val dir = java.nio.file.Files.createTempDirectory("usage_zorder").toString
+    try {
+      ZOrder.writeZOrdered(orders, z, dir, numFiles = 4)
+      assert(spark.read.parquet(dir).count() == orders.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 }
