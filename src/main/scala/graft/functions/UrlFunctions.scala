@@ -34,9 +34,12 @@ object UrlFunctions {
 
   /** Multi-label public suffixes recognized by [[url_registrable_domain]].
     * A pinned subset of the Mozilla Public Suffix List covering the common
-    * ccTLD second-level registries; a production deployment should swap in
-    * the full PSL (it is a ~10k-entry broadcast lookup — pass it via the
-    * `suffixes` parameter). Heuristic elsewhere: last two labels.
+    * ccTLD second-level registries. This column form is BY DESIGN a
+    * heuristic bounded to 2-label suffixes (last two labels elsewhere); the
+    * production form with the full published algorithm — longest match,
+    * wildcard (`*.ck`) and exception (`!www.ck`) rules, 3-to-5-label
+    * suffixes, parsed from the real publicsuffix.org file — is
+    * [[graft.pipeline.Psl]] (broadcast-join plan, oracle-checked by pq90).
     */
   val MultiLabelSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",

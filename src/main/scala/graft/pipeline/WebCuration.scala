@@ -26,39 +26,26 @@ import graft.functions.UrlFunctions._
   */
 object WebCuration {
 
-  /** Registrable domain against a FULL public-suffix table (the production
-    * form of [[UrlFunctions.url_registrable_domain]]: the real PSL is
-    * ~10k multi-label rules — far past what an `isin` literal should
-    * carry, but exactly what a broadcast join is for). `pslDf` is a
-    * 1-column DataFrame of multi-label suffixes ("co.uk", "com.au", …);
-    * a host's last two labels are probed against it (broadcast left
-    * join — the corpus never shuffles), matching hosts take three labels,
-    * everything else two, ≤2-label hosts pass through whole — the same
-    * contract as the pinned-subset form, proven equal on the built-in
-    * subset in UrlCurationSpec. Adds `outCol` to `df`.
+  /** Registrable domain against a FULL Public Suffix List (the production
+    * form of [[UrlFunctions.url_registrable_domain]]): `pslDf` is a
+    * 1-column DataFrame of rule LINES in the publicsuffix.org file format
+    * — plain suffixes ("co.uk", "s3.dualstack.ap-northeast-1.amazonaws
+    * .com"), wildcard rules ("*.ck"), exception rules ("!www.ck"),
+    * comments — and the match is the published longest-match algorithm
+    * ([[Psl]]). A table of plain 2-label suffixes reproduces the
+    * pinned-subset heuristic exactly (UrlCurationSpec), so existing
+    * suffix tables keep their meaning; wildcard registries
+    * (`*.kawasaki.jp`) now SPLIT into one registrable domain per
+    * sub-registry instead of pooling a whole TLD's crawl budget under
+    * one key. All probes are broadcast joins — the corpus never
+    * shuffles. Adds `outCol` to `df`.
     */
   def withRegistrableDomain(
       df: DataFrame,
       hostCol: Column,
       pslDf: DataFrame,
-      outCol: String = "domain"): DataFrame = {
-    val psl = broadcast(
-      pslDf.toDF("__psl_suffix").dropDuplicates("__psl_suffix"))
-    val labels = split(hostCol, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".",
-      element_at(labels, -2), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3),
-      element_at(labels, -2), element_at(labels, -1))
-    df.withColumn("__h", hostCol)
-      .withColumn("__l2", when(n >= 2, last2))
-      .join(psl, col("__l2") === col("__psl_suffix"), "left")
-      .withColumn(outCol,
-        when(n <= 2, col("__h"))
-          .otherwise(when(col("__psl_suffix").isNotNull, last3)
-            .otherwise(col("__l2"))))
-      .drop("__h", "__l2", "__psl_suffix")
-  }
+      outCol: String = "domain"): DataFrame =
+    Psl.fromRuleLines(pslDf).withRegistrableDomain(df, hostCol, outCol)
 
   /** Canonical-URL dedup election: one row per distinct canonical URL with
     * the keeper (min id) and the copy count. Same contract as
@@ -300,6 +287,35 @@ object WebCuration {
     else
       graft.streaming.StreamOps.routeByQuota(
         batch, url_domain(urlCol), tsCol, windowDur, maxPerWindow)
+
+  /** [[politenessRoute]] keyed by the FULL-PSL registrable domain instead
+    * of the pinned-subset column heuristic: under a wildcard registry
+    * (`*.kawasaki.jp`) the heuristic pools every sub-registry under one
+    * key — one hot municipal site absorbs the whole TLD's politeness
+    * budget — while the PSL form splits them into their real registrable
+    * domains. The domain enrichment is the broadcast-join chain of
+    * [[Psl.withRegistrableDomain]] (zero corpus shuffle), the routing the
+    * same quota machinery as [[politenessRoute]].
+    */
+  def politenessRoutePsl(
+      batch: DataFrame,
+      urlCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      maxPerWindow: Long,
+      psl: Psl,
+      sketch: Boolean = true): (DataFrame, DataFrame) = {
+    val keyed = psl.withRegistrableDomain(
+      batch, url_host(urlCol), outCol = "__pr_dom")
+    val (ok, shaped) =
+      if (sketch)
+        graft.streaming.StreamOps.routeByQuotaSketch(
+          keyed, col("__pr_dom"), tsCol, windowDur, maxPerWindow)
+      else
+        graft.streaming.StreamOps.routeByQuota(
+          keyed, col("__pr_dom"), tsCol, windowDur, maxPerWindow)
+    (ok.drop("__pr_dom"), shaped.drop("__pr_dom"))
+  }
 
   /** FLAGSHIP: raw crawl → clean corpus in ONE plan — the full crawl front
     * composed from the already-audited stages:

@@ -483,7 +483,75 @@ object CrawlQueries {
                     WHEN a.old_hash IS DISTINCT FROM b.new_hash THEN 'changed'
                     ELSE 'unchanged' END AS status
         FROM a FULL OUTER JOIN b ON a.canon_url = b.canon_url
+      """)),
+
+    // ---- FULL Public Suffix List registrable domain (graft.pipeline.Psl):
+    // hosts synthesized over every rule class — 2-label registry, exception
+    // (!city.kawasaki.jp), wildcard (*.kawasaki.jp, *.ck), 5-label exact
+    // private suffix, unlisted TLD (implicit default rule). The Spark side
+    // is the broadcast-join longest-match plan; the oracle replays the
+    // published algorithm declaratively (max matching rule depth per kind
+    // via correlated lookups into a rules CTE generated FROM THE SAME
+    // Psl.sample constants). Hash-exact — a drift in either the parser,
+    // the join plan, or precedence breaks it.
+    Q(
+      "pq90_psl_domain",
+      (s, dir) => {
+        val d  = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val host = when(id % 30 === 5, lit("www.ck"))
+          .when(id % 6 === 0, concat(lit("a"), id, lit(".b.example.co.uk")))
+          .when(id % 6 === 1, concat(lit("sub"), id, lit(".city.kawasaki.jp")))
+          .when(id % 6 === 2, concat(lit("deep.s"), id % 5, lit(".kawasaki.jp")))
+          .when(id % 6 === 3, concat(
+            lit("x"), id, lit(".y.s3.dualstack.ap-northeast-1.amazonaws.com")))
+          .when(id % 6 === 4, concat(lit("w"), id, lit(".example.zz")))
+          .otherwise(concat(lit("m"), id, lit(".z.ck")))
+        graft.pipeline.Psl.sample.withRegistrableDomain(
+          d.select(id, host.as("host")), col("host"), "domain")
+      },
+      Some(s"""
+        WITH rules(key, kind, nl) AS (VALUES $oPslRules),
+        h0 AS (
+          SELECT doc_id,
+            CASE
+              WHEN doc_id % 30 = 5 THEN 'www.ck'
+              WHEN doc_id % 6 = 0 THEN 'a' || doc_id || '.b.example.co.uk'
+              WHEN doc_id % 6 = 1 THEN 'sub' || doc_id || '.city.kawasaki.jp'
+              WHEN doc_id % 6 = 2 THEN 'deep.s' || (doc_id % 5) || '.kawasaki.jp'
+              WHEN doc_id % 6 = 3 THEN 'x' || doc_id || '.y.s3.dualstack.ap-northeast-1.amazonaws.com'
+              WHEN doc_id % 6 = 4 THEN 'w' || doc_id || '.example.zz'
+              ELSE 'm' || doc_id || '.z.ck'
+            END AS host
+          FROM documents),
+        hn AS (SELECT doc_id, host, p, len(p) AS n
+               FROM (SELECT *, string_split(host, '.') AS p FROM h0)),
+        m AS (SELECT doc_id, host, p, n,
+          (SELECT max(nl) FROM rules r WHERE r.kind = 2 AND r.nl <= n
+             AND r.key = array_to_string(list_slice(p, n - r.nl + 1, n), '.')) AS exc,
+          (SELECT max(nl) FROM rules r WHERE r.kind = 0 AND r.nl <= n
+             AND r.key = array_to_string(list_slice(p, n - r.nl + 1, n), '.')) AS nrm,
+          (SELECT max(nl) FROM rules r WHERE r.kind = 1 AND r.nl <= n
+             AND r.key = '*.' || array_to_string(list_slice(p, n - r.nl + 2, n), '.')) AS wld
+          FROM hn),
+        ps AS (SELECT doc_id, host, p, n,
+          CASE WHEN exc IS NOT NULL THEN exc - 1
+               WHEN nrm IS NULL AND wld IS NULL THEN 1
+               ELSE greatest(coalesce(nrm, 0), coalesce(wld, 0)) END AS k
+          FROM m)
+        SELECT doc_id, host,
+          CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
+               ELSE host END AS domain
+        FROM ps
       """)))
+
+  /** The [[graft.pipeline.Psl.sample]] rule table as SQL VALUES rows — the
+    * pq90 oracle matches against the SAME parsed constants the Spark plan
+    * broadcasts.
+    */
+  private def oPslRules: String =
+    graft.pipeline.Psl.sample.rules
+      .map(r => s"('${r.key}', ${r.kind}, ${r.nlabels})").mkString(", ")
 
   /** Shared oracle fragment (pq86/pq88): the full crawl-front stage
     * chain — URL synthesis, canonicalize, domain, dedup election,
