@@ -53,6 +53,56 @@ object UrlFunctions {
     "com.mx", "com.ar", "com.sg", "com.hk", "com.my",
     "co.kr", "or.kr", "co.za", "com.tr", "com.pl")
 
+  /** The 66 RFC 3986 §2.3 unreserved characters — percent-encoding them
+    * never changes meaning, so canonicalization DECODES them (§6.2.2.2).
+    */
+  val UnreservedChars: Seq[Char] =
+    (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z')) ++ Seq('-', '.', '_', '~')
+
+  /** `"41" -> "A"`-style decode table for [[percent_normalize]]; the pq91
+    * oracle's strpos tables are emitted from the same constant.
+    */
+  val UnreservedByHex: Map[String, String] =
+    UnreservedChars.map(c => f"${c.toInt}%02X" -> c.toString).toMap
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization, row-local:
+    * uppercase the hex digits of every valid `%XX` triplet (§6.2.2.1) and
+    * decode triplets whose octet is an unreserved character (§6.2.2.2) —
+    * `%7E` ≡ `%7e` ≡ `~`, `%41` ≡ `A`. Reserved octets (`%2F`, `%3A`, …)
+    * are NOT decoded (that would change URL structure), `%` runs that are
+    * not valid triplets pass through untouched. Idempotent: decoding can
+    * never mint a new `%` (0x25 is reserved). The split/transform pass is
+    * skipped entirely for the overwhelmingly common percent-free URL.
+    */
+  def percent_normalize(u: Column): Column = {
+    val piece = (s: Column) => {
+      val h = upper(substring(s, 1, 2))
+      val rest = s.substr(lit(3), length(s))
+      val dec = element_at(typedlit(UnreservedByHex), h)
+      when(dec.isNotNull, concat(dec, rest))
+        .when(h.rlike("^[0-9A-F]{2}$"), concat(lit("%"), h, rest))
+        .otherwise(concat(lit("%"), s))
+    }
+    when(!u.contains("%"), u).otherwise(
+      array_join(
+        transform(split(u, "%", -1),
+          (s, i) => when(i === 0, s).otherwise(piece(s))), ""))
+  }
+
+  /** Fold the host of a URL to its lowercased ASCII/punycode form when it
+    * carries non-ASCII ([[graft.functions.idn_ascii]]): `münchen.example`
+    * and `xn--mnchen-3ya.example` are the same host and must share one
+    * dedup/cap key. The ASCII fast path (virtually every row) is one rlike
+    * — the native IDN expression only runs on non-ASCII hosts.
+    */
+  def idn_host_fold(u: Column): Column = {
+    val pre = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?)", 1)
+    val host = regexp_extract(u, HostRe, 1)
+    when(host.rlike("^[\\x00-\\x7F]*$"), u).otherwise(
+      concat(pre, graft.functions.idn_ascii(host),
+        u.substr(length(pre) + length(host) + 1, length(u))))
+  }
+
   /** Canonical URL form for dedup/blocklist keys. The chain (order is part
     * of the contract, replayed step-for-step by the oracle):
     *   1. trim, strip the `#fragment`;
@@ -62,9 +112,16 @@ object UrlFunctions {
     *   4. strip default ports (`http://…:80`, `https://…:443`);
     *   5. strip tracking parameters ([[TrackingParamRe]]), collapse the
     *      separator runs that leaves, drop a dangling `?`/`&`;
-    *   6. strip trailing slashes (`…/path/` ≡ `…/path`, `host/` ≡ `host`).
+    *   6. strip trailing slashes (`…/path/` ≡ `…/path`, `host/` ≡ `host`);
+    *   7. normalize percent-encoding ([[percent_normalize]]: hex case +
+    *      unreserved decode — RFC 3986 §6.2.2);
+    *   8. fold a non-ASCII host to punycode ([[idn_host_fold]]; identity
+    *      on ASCII hosts, which is why the DuckDB oracle — no punycode —
+    *      replays steps 1-7 verbatim and step 8 only via pinned literal
+    *      twins, pq91).
     * A string with no authority (no `scheme://`) passes through steps 2-4
-    * unchanged and still gets fragment/tracking/slash cleanup.
+    * and 8 unchanged and still gets fragment/tracking/percent/slash
+    * cleanup.
     */
   def url_canonicalize(u: Column): Column = {
     val noFrag  = regexp_replace(trim(u), "#.*$", "")
@@ -78,7 +135,9 @@ object UrlFunctions {
     val noTrack   = regexp_replace(noPort, TrackingParamRe, "$1")
     val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
     val noTail    = regexp_replace(collapsed, "[?&]+$", "")
-    regexp_replace(regexp_replace(noTail, "/+\\?", "?"), "/+$", "")
+    val noSlash =
+      regexp_replace(regexp_replace(noTail, "/+\\?", "?"), "/+$", "")
+    idn_host_fold(percent_normalize(noSlash))
   }
 
   /** Lowercased host of a URL ("" when no `scheme://host` prefix parses). */

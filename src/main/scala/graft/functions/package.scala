@@ -109,6 +109,13 @@ package object functions {
   def bpe_subwords(text: Column, merges: Seq[(String, String)]): Column =
     toColumn(graft.plans.BpeSubwords(toExpr(text), merges))
 
+  /** IDN fold: hostname → lowercased ASCII/punycode form (`münchen.example`
+    * → `xn--mnchen-3ya.example`); unfoldable input passes through unchanged
+    * (see [[graft.plans.IdnAscii]]).
+    */
+  def idn_ascii(host: Column): Column =
+    toColumn(graft.plans.IdnAscii(toExpr(host)))
+
   /** Aggregate: exact top-`k` (score desc, id asc) → array<struct<id,
     * score>>. O(k) partial heaps combine map-side — the scale form of a
     * per-group `row_number() <= k` Window, which would shuffle and sort

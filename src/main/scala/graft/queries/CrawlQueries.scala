@@ -28,7 +28,38 @@ object CrawlQueries {
   private val suffixIn =
     UrlFunctions.MultiLabelSuffixes.map(s => s"'$s'").mkString(", ")
 
-  /** DuckDB replay of [[UrlFunctions.url_canonicalize]] over column `u`. */
+  /** strpos tables for the percent-normalization replay, emitted from the
+    * SAME [[UrlFunctions.UnreservedChars]] constant the Spark decode map
+    * is built from: `|30|31|…|7E|` aligned with `0123…~`.
+    */
+  private val pctHexTable =
+    UrlFunctions.UnreservedChars.map(c => f"${c.toInt}%02X")
+      .mkString("|", "|", "|")
+  private val pctCharTable = UrlFunctions.UnreservedChars.mkString
+
+  /** DuckDB replay of [[UrlFunctions.percent_normalize]] over column `e`:
+    * split on `%`, uppercase each triplet's hex, decode unreserved octets
+    * via the shared strpos tables, reassemble. (The IDN fold — chain step
+    * 8 — is identity on ASCII hosts and has no DuckDB analog; pq91 pins it
+    * with literal punycode twins instead.)
+    */
+  private def oPct(e: String): String =
+    s"""CASE WHEN strpos($e, '%') = 0 THEN $e ELSE
+          array_to_string(list_transform(string_split($e, '%'), (s, i) ->
+            CASE WHEN i = 1 THEN s
+                 WHEN strpos('$pctHexTable', '|' || upper(substring(s, 1, 2)) || '|') > 0
+                 THEN substring('$pctCharTable',
+                        CAST((strpos('$pctHexTable', '|' || upper(substring(s, 1, 2)) || '|') - 1) // 3 AS INT) + 1, 1)
+                      || substring(s, 3)
+                 WHEN regexp_matches(upper(substring(s, 1, 2)), '^[0-9A-F]{2}$$')
+                 THEN '%' || upper(substring(s, 1, 2)) || substring(s, 3)
+                 ELSE '%' || s END), '')
+        END"""
+
+  /** DuckDB replay of [[UrlFunctions.url_canonicalize]] steps 1-6 over
+    * column `u` (step 7 = [[oPct]] applied on top by the caller's CTE;
+    * step 8 is ASCII-identity, see [[oPct]]).
+    */
   private def oCanon(u: String): String =
     s"""regexp_replace(regexp_replace(
           regexp_replace(
@@ -101,7 +132,8 @@ object CrawlQueries {
               ELSE 'https://docs.example.com/guide?page=' || (doc_id % 20) || '&utm_campaign=x&ref_src=tw'
             END AS url
           FROM documents),
-        c8 AS (SELECT doc_id, text, ${oCanon("url")} AS canon_url FROM u0),
+        c7 AS (SELECT doc_id, text, ${oCanon("url")} AS cu6 FROM u0),
+        c8 AS (SELECT doc_id, text, ${oPct("cu6")} AS canon_url FROM c7),
         hn AS (SELECT *, lower(regexp_extract(canon_url, '$hostRe', 1)) AS h FROM c8),
         rd AS (SELECT doc_id, text, canon_url,
                       ${oDomain("h", "p")} AS domain
@@ -543,7 +575,7 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """)))
+      """))) :+ pq91
 
   /** The [[graft.pipeline.Psl.sample]] rule table as SQL VALUES rows — the
     * pq90 oracle matches against the SAME parsed constants the Spark plan
@@ -552,6 +584,63 @@ object CrawlQueries {
   private def oPslRules: String =
     graft.pipeline.Psl.sample.rules
       .map(r => s"('${r.key}', ${r.kind}, ${r.nlabels})").mkString(", ")
+
+  /** URL equivalence classes real crawls hit (RFC 3986 §6.2.2): per doc,
+    * 3 ASCII twins of one logical URL — percent-encoded unreserved
+    * (`%7E`), decoded (`~`), lowercase-hex + www + default port +
+    * tracking + fragment — plus, for docs ≡ 0 mod 5, a Unicode-host /
+    * punycode-host twin pair. All twins of a class MUST collapse to ONE
+    * canonical key (n_keys counts classes per doc: 1, or 2 with the IDN
+    * pair). The oracle replays the percent chain from the shared tables
+    * and pins the IDN fold with the literal punycode constant
+    * (RFC 3492: münchen → xn--mnchen-3ya).
+    */
+  private def pq91: Q = Q(
+    "pq91_url_equivalence",
+    (s, dir) => {
+      val d  = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val t1 = concat(lit("https://Site"), id % 7,
+        lit(".Example.COM/p%7Ev/a%2Fb%3a/"), id, lit("?id="), id)
+      val t2 = concat(lit("https://site"), id % 7,
+        lit(".example.com/p~v/a%2Fb%3A/"), id, lit("?id="), id)
+      val t3 = concat(lit("https://www.site"), id % 7,
+        lit(".example.com:443/p%7ev/a%2fb%3A/"), id,
+        lit("/?id="), id, lit("&utm_source=x#f"))
+      val t4 = concat(lit("https://münchen.example/doc/"), id)
+      val t5 = concat(lit("https://xn--mnchen-3ya.example/doc/"), id)
+      val urls = when(id % 5 === 0, array(t1, t2, t3, t4, t5))
+        .otherwise(array(t1, t2, t3))
+      d.select(id, explode(urls).as("u"))
+        .select(id, UrlFunctions.url_canonicalize(col("u")).as("k"))
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("k")).as("n_keys"), min(col("k")).as("min_key"))
+    },
+    Some(s"""
+      WITH u0 AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN [
+            'https://Site' || (doc_id % 7) || '.Example.COM/p%7Ev/a%2Fb%3a/' || doc_id || '?id=' || doc_id,
+            'https://site' || (doc_id % 7) || '.example.com/p~v/a%2Fb%3A/' || doc_id || '?id=' || doc_id,
+            'https://www.site' || (doc_id % 7) || '.example.com:443/p%7ev/a%2fb%3A/' || doc_id || '/?id=' || doc_id || '&utm_source=x#f',
+            'https://münchen.example/doc/' || doc_id,
+            'https://xn--mnchen-3ya.example/doc/' || doc_id]
+          ELSE [
+            'https://Site' || (doc_id % 7) || '.Example.COM/p%7Ev/a%2Fb%3a/' || doc_id || '?id=' || doc_id,
+            'https://site' || (doc_id % 7) || '.example.com/p~v/a%2Fb%3A/' || doc_id || '?id=' || doc_id,
+            'https://www.site' || (doc_id % 7) || '.example.com:443/p%7ev/a%2fb%3A/' || doc_id || '/?id=' || doc_id || '&utm_source=x#f']
+          END AS us
+        FROM documents),
+      ex AS (SELECT doc_id, unnest(us) AS u FROM u0),
+      c7 AS (SELECT doc_id, ${oCanon("u")} AS cu6 FROM ex),
+      c8 AS (SELECT doc_id, ${oPct("cu6")} AS cu7 FROM c7),
+      ck AS (SELECT doc_id, replace(cu7,
+               '://münchen.example/', '://xn--mnchen-3ya.example/') AS k
+             FROM c8)
+      SELECT doc_id, CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
+             min(k) AS min_key
+      FROM ck GROUP BY doc_id
+    """))
 
   /** Shared oracle fragment (pq86/pq88): the full crawl-front stage
     * chain — URL synthesis, canonicalize, domain, dedup election,
@@ -567,7 +656,8 @@ object CrawlQueries {
               ELSE 'https://docs.example.com/guide?page=' || (doc_id % 20) || '&utm_campaign=x&ref_src=tw'
             END AS url
           FROM documents),
-        c8 AS (SELECT doc_id, text, ${oCanon("url")} AS canon_url FROM u0),
+        c7 AS (SELECT doc_id, text, ${oCanon("url")} AS cu6 FROM u0),
+        c8 AS (SELECT doc_id, text, ${oPct("cu6")} AS canon_url FROM c7),
         hn AS (SELECT *, lower(regexp_extract(canon_url, '$hostRe', 1)) AS h FROM c8),
         rd AS (SELECT doc_id, text, canon_url,
                       ${oDomain("h", "p")} AS domain

@@ -39,6 +39,17 @@ class UrlCurationSpec extends SparkTestBase {
     assert(canon("example.com/a/#f") === "example.com/a")
     // www only stripped as a host prefix, not mid-host
     assert(canon("https://notwww.example.com/x") === "https://notwww.example.com/x")
+    // percent normalization: unreserved decode, hex-case fold, reserved and
+    // invalid triplets untouched (RFC 3986 §6.2.2)
+    assert(canon("https://e.com/a%7eb%3ac") === "https://e.com/a~b%3Ac")
+    assert(canon("https://e.com/%41%2f%") === "https://e.com/A%2F%")
+    assert(canon("https://e.com/100%25?q=%7E") === "https://e.com/100%25?q=~")
+    // IDN host fold: Unicode host -> punycode; ACE form is already canonical
+    assert(canon("https://MÜNCHEN.example/x") === "https://xn--mnchen-3ya.example/x")
+    assert(canon("https://xn--mnchen-3ya.example/x") ===
+      "https://xn--mnchen-3ya.example/x")
+    // non-ASCII ONLY outside the host: host untouched, percent steps apply
+    assert(canon("https://e.com/ü%7e") === "https://e.com/ü~")
   }
 
   test("url_host / url_registrable_domain / url_depth") {

@@ -24,10 +24,12 @@ class UrlFuzzSpec extends SparkTestBase {
     val schemes = Array("http", "HTTP", "https", "HTTPS", "Https")
     val labels  = Array("example", "News", "blog", "CDN", "a", "x9")
     val tails   = Array("com", "org", "CO.UK", "com.au", "net", "io", "co.jp")
-    val segs    = Array("Story", "p", "x", "2024", "a-b_c", "")
+    val segs    = Array("Story", "p", "x", "2024", "a-b_c", "",
+      "a%7Eb", "x%7ey", "p%41q", "r%2Fs", "t%3au", "bad%G1", "end%", "d%%7e")
     val track   = Array("utm_source=rss", "utm_medium=a", "fbclid=z9", "gclid=G",
       "msclkid=m", "mc_cid=1", "mc_eid=2", "igshid=ig", "ref_src=tw")
-    val real    = Array("id=7", "page=2", "q=Spark", "v=a_B-c")
+    val real    = Array("id=7", "page=2", "q=Spark", "v=a_B-c",
+      "w=%7e", "z=%2f%3A", "pct=100%25")
     val scheme  = schemes(rnd.nextInt(schemes.length))
     val www     = if (rnd.nextBoolean()) "www." else ""
     val host    = (0 until rnd.nextInt(3))
@@ -68,7 +70,45 @@ class UrlFuzzSpec extends SparkTestBase {
     u = u.replaceAll("([?&])&+", "$1")
     u = u.replaceAll("[?&]+$", "")
     u = u.replaceAll("/+\\?", "?")
-    u.replaceAll("/+$", "")
+    u = u.replaceAll("/+$", "")
+    refIdnFold(refPct(u))
+  }
+
+  /** Imperative replica of [[UrlFunctions.percent_normalize]] (RFC 3986
+    * §6.2.2) over the same [[UrlFunctions.UnreservedByHex]] table.
+    */
+  private def refPct(u: String): String =
+    if (!u.contains("%")) u
+    else {
+      val parts = u.split("%", -1)
+      parts.head + parts.tail.map { s =>
+        val h = s.take(2).toUpperCase(java.util.Locale.ROOT)
+        UrlFunctions.UnreservedByHex.get(h) match {
+          case Some(c) => c + s.drop(2)
+          case None if h.length == 2 && h.forall(ch =>
+            ch.isDigit || (ch >= 'A' && ch <= 'F')) => "%" + h + s.drop(2)
+          case _ => "%" + s
+        }
+      }.mkString
+    }
+
+  /** Imperative replica of [[UrlFunctions.idn_host_fold]]: punycode the
+    * host via the same JDK IDN entry point iff it carries non-ASCII.
+    */
+  private def refIdnFold(u: String): String = {
+    val m = java.util.regex.Pattern.compile(UrlFunctions.HostRe).matcher(u)
+    if (!m.find()) u
+    else {
+      val host = m.group(1)
+      if (host.forall(_ < 128)) u
+      else {
+        val folded =
+          try java.net.IDN.toASCII(host, java.net.IDN.ALLOW_UNASSIGNED)
+            .toLowerCase(java.util.Locale.ROOT)
+          catch { case _: IllegalArgumentException | _: IndexOutOfBoundsException => host }
+        u.substring(0, m.start(1)) + folded + u.substring(m.end(1))
+      }
+    }
   }
 
   private def refDomain(host: String): String = {
@@ -105,5 +145,31 @@ class UrlFuzzSpec extends SparkTestBase {
       assert(dom === refDomain(host), s"[$i] domain mismatch for $host")
       assert(byI(i) === u, "row mixup")
     }
+  }
+
+  test("equivalence twins collapse: percent forms, hex case, punycode/Unicode hosts") {
+    import spark.implicits._
+    val families = Seq(
+      Seq("https://e.com/a%7Eb", "https://e.com/a%7eb", "https://e.com/a~b"),
+      Seq("https://e.com/p?q=%3a", "https://e.com/p?q=%3A"),
+      Seq("https://e.com/%41%42c", "https://e.com/ABc"),
+      Seq("https://MÜNCHEN.example/x", "https://münchen.example/x",
+        "https://xn--mnchen-3ya.example/x"),
+      Seq("https://BÜCHER.example/y?utm_source=a",
+        "https://xn--bcher-kva.example/y"))
+    families.zipWithIndex.foreach { case (fam, fi) =>
+      val keys = fam.toDF("u")
+        .select(UrlFunctions.url_canonicalize(col("u")))
+        .as[String].collect().toSet
+      assert(keys.size === 1, s"family $fi did not collapse: $keys")
+      assert(keys.head === refCanon(fam.head), s"family $fi != reference")
+    }
+    // reserved octets and invalid triplets must NOT collapse (decoding %2F
+    // would change URL structure — RFC 3986 §2.2)
+    val keys = Seq("https://e.com/a%2Fb", "https://e.com/a/b",
+        "https://e.com/a%25b", "https://e.com/a%b")
+      .toDF("u").select(UrlFunctions.url_canonicalize(col("u")))
+      .as[String].collect().toSet
+    assert(keys.size === 4, s"reserved/invalid forms over-collapsed: $keys")
   }
 }
