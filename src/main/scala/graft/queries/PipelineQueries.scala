@@ -3031,6 +3031,63 @@ object PipelineQueries {
         FROM (SELECT o_orderkey, o_orderkey % 1024 AS x, o_custkey % 1024 AS y
               FROM orders)
       """
+      }),
+
+    // ---- Hilbert-curve layout key (the pq87 Morton twin with strictly
+    // better locality — operators/ZOrder.hilbertBits, Skilling 2004). The
+    // oracle UNROLLS the same algorithm into staged CTEs — one stage per
+    // (bit, dim) exchange step with the loop constants (Q, Q-1) baked as
+    // literals, then the Gray/parity/interleave tail as closed-form XOR
+    // expressions. Hash-exact: any drift in loop order, Gray direction or
+    // interleave bit placement breaks it.
+    Q(
+      "pq92_hilbert_key",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val h = graft.operators.ZOrder.hilbertValue(
+          Seq((col("o_orderkey") % 256, 0L, 255L),
+            (col("o_custkey") % 256, 0L, 255L)),
+          bits = 8)
+        o.select(col("o_orderkey"), h.as("hval"))
+      },
+      Some {
+        val n = 2
+        val bits = 8
+        val sb = new StringBuilder(
+          "WITH s0 AS (SELECT o_orderkey, o_orderkey % 256 AS x0, " +
+            "o_custkey % 256 AS x1 FROM orders)")
+        var stage = 0
+        var q = 1L << (bits - 1)
+        while (q > 1) {
+          val p = q - 1
+          for (i <- 0 until n) {
+            stage += 1
+            val cond = s"(x$i & $q) <> 0"
+            val t = s"(xor(x0, x$i) & $p)"
+            val cols = (0 until n).map {
+              case 0 =>
+                s"CASE WHEN $cond THEN xor(x0, $p) ELSE xor(x0, $t) END AS x0"
+              case k if k == i =>
+                s"CASE WHEN $cond THEN x$i ELSE xor(x$i, $t) END AS x$i"
+              case k => s"x$k AS x$k"
+            }.mkString(", ")
+            sb.append(s", s$stage AS (SELECT o_orderkey, $cols FROM s${stage - 1})")
+          }
+          q >>= 1
+        }
+        def cum(i: Int): String = if (i == 0) "x0" else s"xor(x$i, ${cum(i - 1)})"
+        val grayCols = (0 until n).map(i => s"${cum(i)} AS x$i").mkString(", ")
+        sb.append(s", g AS (SELECT o_orderkey, $grayCols FROM s$stage)")
+        val tExpr = (1 until bits).map { sh =>
+          val qq = 1L << sh
+          s"CASE WHEN (x${n - 1} & $qq) <> 0 THEN ${qq - 1} ELSE 0 END"
+        }.reduce((a, b) => s"xor($a, $b)")
+        val finCols = (0 until n).map(i => s"xor(x$i, $tExpr) AS f$i").mkString(", ")
+        sb.append(s", fin AS (SELECT o_orderkey, $finCols FROM g)")
+        val interleave = (for (j <- 0 until bits; i <- 0 until n)
+          yield s"(((f$i >> $j) & 1) << ${j * n + (n - 1 - i)})").mkString(" + ")
+        sb.append(s" SELECT o_orderkey, CAST($interleave AS BIGINT) AS hval FROM fin")
+        sb.toString
       })
   )
 }

@@ -145,10 +145,15 @@ class UsageExamplesSpec extends SparkTestBase {
     val z = ZOrder.zValue(Seq(
       (col("o_orderkey"), 1L, 6000000L),
       (col("o_custkey"), 1L, 150000L)), bits = 16)
+    val h = ZOrder.hilbertValue(Seq(
+      (col("o_orderkey"), 1L, 6000000L),
+      (col("o_custkey"), 1L, 150000L)), bits = 16)
     val dir = java.nio.file.Files.createTempDirectory("usage_zorder").toString
     try {
-      ZOrder.writeZOrdered(orders, z, dir, numFiles = 4)
-      assert(spark.read.parquet(dir).count() == orders.count())
+      ZOrder.writeZOrdered(orders, z, s"$dir/z", numFiles = 4)
+      ZOrder.writeHilbertOrdered(orders, h, s"$dir/h", numFiles = 4)
+      assert(spark.read.parquet(s"$dir/z").count() == orders.count())
+      assert(spark.read.parquet(s"$dir/h").count() == orders.count())
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }

@@ -43,6 +43,82 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  /** Independent imperative Skilling reference (AxestoTranspose + Gray +
+    * parity + interleave) — plain Scala longs.
+    */
+  private def refHilbert(coords0: Seq[Long], bits: Int): Long = {
+    val n = coords0.size
+    val x = coords0.toArray
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      for (i <- 0 until n) {
+        if ((x(i) & q) != 0L) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+      }
+      q >>= 1
+    }
+    for (i <- 1 until n) x(i) ^= x(i - 1)
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) { if ((x(n - 1) & q) != 0L) t ^= q - 1; q >>= 1 }
+    for (i <- 0 until n) x(i) ^= t
+    var h = 0L
+    for (j <- 0 until bits; i <- 0 until n)
+      h |= ((x(i) >> j) & 1L) << (j * n + (n - 1 - i))
+    h
+  }
+
+  test(s"hilbertBits == reference over fuzz ranks, 2/3/4 dims [seed=$seed]") {
+    val rnd = new Random(seed ^ 0x417CL)
+    for (n <- Seq(2, 3, 4)) {
+      val bits = n match { case 2 => 16; case 3 => 10; case _ => 8 }
+      val rows = (0 until 400).map { i =>
+        (i.toLong, Seq.fill(n)(rnd.nextLong(1L << bits)))
+      }
+      val df = rows.map { case (i, vs) =>
+        (i, vs(0), vs(1), if (n > 2) vs(2) else 0L, if (n > 3) vs(3) else 0L)
+      }.toDF("i", "a", "b", "c", "d")
+      val cols = Seq(col("a"), col("b"), col("c"), col("d")).take(n)
+      val got = df.select(col("i"),
+        graft.operators.ZOrder.hilbertBits(cols, bits).as("h")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (i, vs) =>
+        assert(got(i) === refHilbert(vs, bits), s"n=$n i=$i vs=$vs")
+      }
+    }
+  }
+
+  test("hilbert: bijective on the full grid and CONTIGUOUS — consecutive indices are unit steps") {
+    // 2-D, bits=4: the 16x16 grid. The Hilbert property that Morton lacks:
+    // walking h = 0..255 moves exactly one cell each step.
+    val cells = for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)
+    val hs = cells.map { case (a, b) => refHilbert(Seq(a, b), 4) -> (a, b) }
+    assert(hs.map(_._1).sorted === (0L until 256L), "not a bijection")
+    val walk = hs.sortBy(_._1).map(_._2)
+    walk.sliding(2).foreach { case Seq((a1, b1), (a2, b2)) =>
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) === 1L,
+        s"jump between h-consecutive cells ($a1,$b1)->($a2,$b2)")
+    }
+    // Morton on the same grid does NOT have the property (sanity that the
+    // probe is discriminating)
+    val mWalk = cells.map { case (a, b) =>
+      refInterleave(Seq(a, b), 4) -> (a, b)
+    }.sortBy(_._1).map(_._2)
+    val mJumps = mWalk.sliding(2).count { case Seq((a1, b1), (a2, b2)) =>
+      math.abs(a1 - a2) + math.abs(b1 - b2) > 1L }
+    assert(mJumps > 0, "Morton walk unexpectedly contiguous")
+    // 3-D, bits=3: 512 cells, same properties
+    val cells3 = for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L)
+      yield Seq(a, b, c)
+    val hs3 = cells3.map(v => refHilbert(v, 3) -> v)
+    assert(hs3.map(_._1).sorted === (0L until 512L), "3-D not a bijection")
+    hs3.sortBy(_._1).map(_._2).sliding(2).foreach { case Seq(v1, v2) =>
+      assert(v1.zip(v2).map { case (p, q) => math.abs(p - q) }.sum === 1L,
+        s"3-D jump $v1 -> $v2")
+    }
+  }
+
   test("rankBits: exact on a power-of-two domain, saturates outside it") {
     val r = Seq(0L, 511L, 1023L, -5L, 2000L).toDF("v")
       .select(ZOrder.rankBits(col("v"), 0L, 1023L, 10).as("r"))
