@@ -533,12 +533,17 @@ object StreamOps {
       indexDir: String,
       cb: Seq[Seq[Seq[Double]]],
       bands: Int,
-      checkpoint: String)(
+      checkpoint: String,
+      compaction: Option[SelfIndexCompaction] = None)(
       onFlagged: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onFlagged(flagAndIndexPqBatch(batch, batchId, idCol, vecCol, indexDir, cb, bands))
+        // fold AFTER the flags are consumed: the scheduler's upToBatch
+        // contract (strictly below the committed batch) holds because this
+        // batch's segment is already written and its flags delivered
+        compaction.foreach(_.afterBatch(batch.sparkSession, indexDir, batchId))
         ()
       }.start()
 
@@ -556,13 +561,15 @@ object StreamOps {
       k: Int,
       bands: Int,
       shingleSize: Int,
-      checkpoint: String)(
+      checkpoint: String,
+      compaction: Option[SelfIndexCompaction] = None)(
       onFlagged: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         onFlagged(flagAndIndexTextBatch(
           batch, batchId, idCol, textCol, indexDir, k, bands, shingleSize))
+        compaction.foreach(_.afterBatch(batch.sparkSession, indexDir, batchId))
         ()
       }.start()
 

@@ -182,4 +182,68 @@ class SelfIndexingFlaggerSpec extends SparkTestBase {
     val afterPlain = runTwin(col("vec_id") >= 400, 3L)
     assert(afterCompact == afterPlain, "compaction changed a later batch's flags")
   }
+
+  test("rent-or-buy compaction scheduler fires exactly at the modeled crossover") {
+    // pure decision math on a synthetic growth curve: one 2 MB segment per
+    // batch, rent c=1 s/extra-segment/batch, fold f=1 s/MB. Rent-to-date at
+    // batch k is k(k-1)/2, buy price is 2k -> first crossover at k=5; after
+    // the fold (segments collapse to 2) the debt restarts and the same
+    // arithmetic lands the second fire at batch 10. Hand-computed walk:
+    //   k:     1  2  3  4  5*  3  4  5  6  7*
+    //   debt:  0  1  3  6  10  2  5  9 14  20
+    //   buy:   2  4  6  8  10 12 14 16 18  20
+    val sched = new graft.streaming.SelfIndexCompaction(
+      perSegmentProbeSec = 1.0, foldSecPerMb = 1.0, minSegments = 2)
+    var debt = 0.0
+    var segs = 0
+    var totalMb = 0.0
+    val fired = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (batch <- 1 to 10) {
+      segs += 1; totalMb += 2.0
+      debt += (segs - 1) * 1.0
+      if (sched.shouldCompact(segs, totalMb, debt)) {
+        fired += batch
+        segs = 2 // fold <= batch-1 into one segment + the current one
+        debt = 0.0
+      }
+    }
+    assert(fired.toSeq === Seq(5, 10),
+      s"crossover drifted from the closed form: $fired")
+  }
+
+  test("scheduled compaction: flags identical to the unscheduled twin, segments bounded, no-fold twin unbounded") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sfDir)
+    val dirA = Files.createTempDirectory("graft-selfidx-schedA").toString + "/idx"
+    val dirB = Files.createTempDirectory("graft-selfidx-schedB").toString + "/idx"
+    // rent >> buy: fires on every batch once minSegments is reached -> the
+    // segment count stays pinned at <= 3 no matter how long the stream runs
+    val eager = new graft.streaming.SelfIndexCompaction(
+      perSegmentProbeSec = 1000.0, foldSecPerMb = 1.0, minSegments = 3)
+    // buy >> rent: never fires -> one directory per batch, the unbounded
+    // shape the scheduler exists to prevent
+    val never = new graft.streaming.SelfIndexCompaction(
+      perSegmentProbeSec = 1e-9, foldSecPerMb = 1e9, minSegments = 3)
+    val preds = (0 until 6).map(i =>
+      col("vec_id") >= i * 80 && col("vec_id") < (i + 1) * 80)
+    val (flagsA, flagsB) = preds.zipWithIndex.map { case (pred, i) =>
+      val a = StreamOps.flagAndIndexPqBatch(rows.filter(pred), i.toLong,
+        col("vec_id"), col("embedding"), dirA, cb, bands = 2).as[Long].collect().toSet
+      eager.afterBatch(spark, dirA, i.toLong)
+      val b = StreamOps.flagAndIndexPqBatch(rows.filter(pred), i.toLong,
+        col("vec_id"), col("embedding"), dirB, cb, bands = 2).as[Long].collect().toSet
+      never.afterBatch(spark, dirB, i.toLong)
+      (a, b)
+    }.unzip
+    assert(flagsA === flagsB, "scheduled folding changed a batch's flags")
+    assert(flagsA.flatten.nonEmpty, "fixture must flag a non-trivial subset")
+    def segDirs(d: String): Seq[String] =
+      new java.io.File(d).listFiles().map(_.getName).filter(_.startsWith("batch=")).toSeq.sorted
+    // eager: fires at batches 2..5 (k reaches minSegments=3 at batch 2 and
+    // stays there because every fire folds <= batchId-1)
+    assert(eager.firedAt === Seq(2L, 3L, 4L, 5L), s"fired at ${eager.firedAt}")
+    assert(never.firedAt.isEmpty, s"never-policy fired: ${never.firedAt}")
+    assert(segDirs(dirA).size <= 3, s"scheduled index unbounded: ${segDirs(dirA)}")
+    assert(segDirs(dirB).size === 6, s"unscheduled twin should hold 6 segments: ${segDirs(dirB)}")
+  }
 }
