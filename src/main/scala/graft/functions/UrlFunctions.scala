@@ -98,9 +98,14 @@ object UrlFunctions {
   def idn_host_fold(u: Column): Column = {
     val pre = regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?)", 1)
     val host = regexp_extract(u, HostRe, 1)
-    when(host.rlike("^[\\x00-\\x7F]*$"), u).otherwise(
-      concat(pre, graft.functions.idn_ascii(host),
-        u.substr(length(pre) + length(host) + 1, length(u))))
+    // fast path first: one whole-string ASCII probe per row (the
+    // overwhelmingly common case) instead of extracting the host at all;
+    // a non-ASCII row still folds only when the HOST carries non-ASCII
+    when(u.rlike("^[\\x00-\\x7F]*$"), u)
+      .when(host.rlike("^[\\x00-\\x7F]*$"), u)
+      .otherwise(
+        concat(pre, graft.functions.idn_ascii(host),
+          u.substr(length(pre) + length(host) + 1, length(u))))
   }
 
   /** Canonical URL form for dedup/blocklist keys. The chain (order is part

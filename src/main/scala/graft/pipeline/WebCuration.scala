@@ -47,6 +47,20 @@ object WebCuration {
       outCol: String = "domain"): DataFrame =
     Psl.fromRuleLines(pslDf).withRegistrableDomain(df, hostCol, outCol)
 
+  /** Registrable-domain enrichment shared by the crawl stages: the
+    * pinned-subset column heuristic by default, or the FULL PSL broadcast
+    * plan when a parsed rule table is supplied — both zero-corpus-shuffle,
+    * so every stage below upgrades by passing `psl` through.
+    */
+  private def withDomain(
+      df: DataFrame,
+      urlCol: Column,
+      psl: Option[Psl],
+      outName: String): DataFrame = psl match {
+    case Some(p) => p.withRegistrableDomain(df, url_host(urlCol), outName)
+    case None => df.withColumn(outName, url_domain(urlCol))
+  }
+
   /** Canonical-URL dedup election: one row per distinct canonical URL with
     * the keeper (min id) and the copy count. Same contract as
     * [[graft.dedup.Dedup.exactByCanonicalContent]], keyed on
@@ -58,15 +72,19 @@ object WebCuration {
 
   /** Drop every row whose registrable domain appears in `blockedDomains`
     * (a 1-column DataFrame of domains). The block set is broadcast — this
-    * is a filter, not a shuffle, at any corpus size.
+    * is a filter, not a shuffle, at any corpus size. Pass `psl` to key the
+    * block decision on the full-PSL registrable domain (wildcard and
+    * exception registries split correctly) instead of the column
+    * heuristic.
     */
   def domainBlocklist(
       df: DataFrame,
       urlCol: Column,
-      blockedDomains: DataFrame): DataFrame = {
+      blockedDomains: DataFrame,
+      psl: Option[Psl] = None): DataFrame = {
     val blocked = broadcast(
       blockedDomains.toDF("__blocked_domain").dropDuplicates("__blocked_domain"))
-    df.withColumn("__rd", url_domain(urlCol))
+    withDomain(df, urlCol, psl, "__rd")
       .join(blocked, col("__rd") === col("__blocked_domain"), "left_anti")
       .drop("__rd")
   }
@@ -84,7 +102,8 @@ object WebCuration {
       urlCol: Column,
       scoreCol: Column,
       blockedDomains: DataFrame,
-      cap: Int): DataFrame = {
+      cap: Int,
+      psl: Option[Psl] = None): DataFrame = {
     graft.functions.requireIntegralId(df, idCol, "curateCrawl")
     val withCanon = df.select(
       idCol.as("__id"), scoreCol.as("__score"),
@@ -105,8 +124,8 @@ object WebCuration {
     // canon_url join-back); persist it once so the dedup chain executes
     // once. Lifecycle per Curation.releaseStageCaches / scopedStageCaches.
     val admitted = Curation.persistStage(
-      domainBlocklist(deduped, col("canon_url"), blockedDomains)
-        .withColumn("domain", url_domain(col("canon_url"))))
+      withDomain(domainBlocklist(deduped, col("canon_url"), blockedDomains, psl),
+        col("canon_url"), psl, "domain"))
     Curation.perSourceCap(
       admitted, col("__id"), col("domain"), col("__score"), cap)
       .withColumnRenamed("source", "domain")
@@ -239,23 +258,27 @@ object WebCuration {
       blockedDomains: DataFrame,
       c4: graft.quality.C4Rules.Params = graft.quality.C4Rules.Params(),
       gopher: graft.quality.GopherRules.Params =
-        graft.quality.GopherRules.Params()): DataFrame = {
+        graft.quality.GopherRules.Params(),
+      psl: Option[Psl] = None): DataFrame = {
     val canon = df.select(
       col(tsCol), idCol.as("doc_id"), textCol.as("__text"),
       url_canonicalize(urlCol).as("canon_url"))
       .withColumn("__canon_key", md5(col("canon_url")))
     val deduped = graft.streaming.StreamOps.dedupeStream(
       canon, Seq("__canon_key"), tsCol, watermarkDelay)
-    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains)
+    // the PSL form stays stream-safe: every probe is a stream-static
+    // broadcast join, like the blocklist itself
+    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains, psl)
     val cleaned = graft.quality.C4Rules
       .withClean(unblocked, col("__text"), c4, "__c4")
       .filter(col("__c4.page_keep"))
       .withColumn("__clean", col("__c4.clean_text"))
-    graft.quality.GopherRules
-      .withMetricsAndFlags(cleaned, col("__clean"), gopher, "__gm", "__gf")
-      .filter(col("__gf.gopher_keep"))
-      .select(col("doc_id"), col("canon_url"),
-        url_domain(col("canon_url")).as("domain"),
+    withDomain(
+      graft.quality.GopherRules
+        .withMetricsAndFlags(cleaned, col("__clean"), gopher, "__gm", "__gf")
+        .filter(col("__gf.gopher_keep")),
+      col("canon_url"), psl, "domain")
+      .select(col("doc_id"), col("canon_url"), col("domain"),
         graft.functions.TextFunctions.quality_score(
           regexp_replace(col("__clean"), "\n", " ")).as("score"),
         md5(col("__clean")).as("clean_hash"))
@@ -345,7 +368,8 @@ object WebCuration {
       cap: Int,
       c4: graft.quality.C4Rules.Params = graft.quality.C4Rules.Params(),
       gopher: graft.quality.GopherRules.Params =
-        graft.quality.GopherRules.Params()): DataFrame = {
+        graft.quality.GopherRules.Params(),
+      psl: Option[Psl] = None): DataFrame = {
     graft.functions.requireIntegralId(df, idCol, "crawlToCorpus")
     val withHash = df.select(
       idCol.as("__id"), textCol.as("__text"),
@@ -360,7 +384,7 @@ object WebCuration {
       col("__uh") === col("__kuh") && col("__id") === col("__keep_id"),
       "inner")
       .select(col("__id"), col("__text"), col("canon_url"))
-    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains)
+    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains, psl)
     val cleaned = graft.quality.C4Rules
       .withClean(unblocked, col("__text"), c4, "__c4")
       .filter(col("__c4.page_keep"))
@@ -371,11 +395,11 @@ object WebCuration {
       .drop("__gm", "__gf")
     // stage boundary (narrow: id, urls, score, text hash — see curateCrawl)
     val admitted = Curation.persistStage(
-      gated.select(col("__id"), col("canon_url"),
-        url_domain(col("canon_url")).as("domain"),
-        graft.functions.TextFunctions.quality_score(
-          regexp_replace(col("__clean"), "\n", " ")).as("__score"),
-        md5(col("__clean")).as("clean_hash")))
+      withDomain(gated, col("canon_url"), psl, "domain")
+        .select(col("__id"), col("canon_url"), col("domain"),
+          graft.functions.TextFunctions.quality_score(
+            regexp_replace(col("__clean"), "\n", " ")).as("__score"),
+          md5(col("__clean")).as("clean_hash")))
     Curation.perSourceCap(
       admitted, col("__id"), col("domain"), col("__score"), cap)
       .withColumnRenamed("source", "domain")

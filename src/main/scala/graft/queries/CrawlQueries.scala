@@ -575,7 +575,7 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91
+      """))) :+ pq91 :+ pq93
 
   /** The [[graft.pipeline.Psl.sample]] rule table as SQL VALUES rows — the
     * pq90 oracle matches against the SAME parsed constants the Spark plan
@@ -640,6 +640,93 @@ object CrawlQueries {
       SELECT doc_id, CAST(count(DISTINCT k) AS BIGINT) AS n_keys,
              min(k) AS min_key
       FROM ck GROUP BY doc_id
+    """))
+
+  /** The crawl-front flagship keyed on the FULL PSL (curateCrawl with
+    * `psl = Some(Psl.sample)`): messy URL forms over hosts that exercise
+    * the exception rule (`!city.kawasaki.jp` — the BLOCKED registrable
+    * domain), the wildcard rule (`*.kawasaki.jp` — each sub-registry caps
+    * separately, the under-split the heuristic form gets wrong), a
+    * 2-label ccTLD registry and an unlisted TLD. The oracle chains the
+    * full canonicalize replay, the PSL longest-match logic (same rules
+    * CTE as pq90), the dedup election, the blocklist and the capped
+    * ranking.
+    */
+  private def pq93: Q = Q(
+    "pq93_psl_crawl_curation",
+    (s, dir) => {
+      import s.implicits._
+      val d  = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val url = when(id % 4 === 0, concat(
+          lit("https://WWW.a"), id, lit(".CITY.Kawasaki.JP:443/p/"), id,
+          lit("?utm_source=x")))
+        .when(id % 4 === 1, concat(
+          lit("http://sub.h"), id % 3, lit(".kawasaki.jp:80/q?id="), id,
+          lit("&fbclid=z"), id))
+        .when(id % 4 === 2, concat(lit("https://b"), id, lit(".example.co.uk/")))
+        .otherwise(concat(
+          lit("https://www.docs.example.zz/g?page="), id % 20,
+          lit("&utm_campaign=x")))
+      WebCuration.curateCrawl(
+        d.withColumn("url", url), id, col("url"),
+        TextFunctions.quality_score(col("text")),
+        Seq("city.kawasaki.jp").toDF("domain"), cap = 10,
+        psl = Some(graft.pipeline.Psl.sample))
+    },
+    Some(s"""
+      WITH rules(key, kind, nl) AS (VALUES $oPslRules),
+      u0 AS (
+        SELECT doc_id, text,
+          CASE
+            WHEN doc_id % 4 = 0 THEN 'https://WWW.a' || doc_id || '.CITY.Kawasaki.JP:443/p/' || doc_id || '?utm_source=x'
+            WHEN doc_id % 4 = 1 THEN 'http://sub.h' || (doc_id % 3) || '.kawasaki.jp:80/q?id=' || doc_id || '&fbclid=z' || doc_id
+            WHEN doc_id % 4 = 2 THEN 'https://b' || doc_id || '.example.co.uk/'
+            ELSE 'https://www.docs.example.zz/g?page=' || (doc_id % 20) || '&utm_campaign=x'
+          END AS url
+        FROM documents),
+      c7 AS (SELECT doc_id, text, ${oCanon("url")} AS cu6 FROM u0),
+      c8 AS (SELECT doc_id, text, ${oPct("cu6")} AS canon_url FROM c7),
+      hn AS (SELECT *, lower(regexp_extract(canon_url, '$hostRe', 1)) AS h FROM c8),
+      hp AS (SELECT doc_id, text, canon_url, h, p, len(p) AS n
+             FROM (SELECT *, string_split(h, '.') AS p FROM hn)),
+      mm AS (SELECT *,
+        (SELECT max(nl) FROM rules r WHERE r.kind = 2 AND r.nl <= n
+           AND r.key = array_to_string(list_slice(p, n - r.nl + 1, n), '.')) AS exc,
+        (SELECT max(nl) FROM rules r WHERE r.kind = 0 AND r.nl <= n
+           AND r.key = array_to_string(list_slice(p, n - r.nl + 1, n), '.')) AS nrm,
+        (SELECT max(nl) FROM rules r WHERE r.kind = 1 AND r.nl <= n
+           AND r.key = '*.' || array_to_string(list_slice(p, n - r.nl + 2, n), '.')) AS wld
+        FROM hp),
+      rd AS (SELECT doc_id, text, canon_url,
+               CASE WHEN n > kk THEN array_to_string(list_slice(p, n - kk, n), '.')
+                    ELSE h END AS domain
+             FROM (SELECT *,
+                     CASE WHEN exc IS NOT NULL THEN exc - 1
+                          WHEN nrm IS NULL AND wld IS NULL THEN 1
+                          ELSE greatest(coalesce(nrm, 0), coalesce(wld, 0)) END AS kk
+                   FROM mm)),
+      ded AS (
+        SELECT r.* FROM rd r
+        JOIN (SELECT md5(canon_url) AS uh, min(doc_id) AS kid
+              FROM rd GROUP BY 1) k
+          ON md5(r.canon_url) = k.uh AND r.doc_id = k.kid),
+      blk AS (SELECT * FROM ded WHERE domain NOT IN ('city.kawasaki.jp')),
+      sc AS (
+        SELECT doc_id, domain, canon_url, $oQualityScore AS score
+        FROM (SELECT doc_id, domain, canon_url, text,
+                     string_split(text, ' ') AS toks FROM blk)),
+      tot AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_total
+              FROM sc GROUP BY 1),
+      rk AS (
+        SELECT doc_id, domain, canon_url, score,
+               row_number() OVER (PARTITION BY domain
+                                  ORDER BY score DESC, doc_id) AS rnk
+        FROM sc)
+      SELECT r.domain, CAST(r.rnk AS INT) AS rank, r.doc_id, r.score,
+             t.n_total, r.canon_url
+      FROM rk r JOIN tot t USING (domain)
+      WHERE r.rnk <= 10
     """))
 
   /** Shared oracle fragment (pq86/pq88): the full crawl-front stage

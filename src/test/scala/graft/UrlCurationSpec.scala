@@ -160,6 +160,41 @@ class UrlCurationSpec extends SparkTestBase {
     graft.pipeline.Curation.releaseStageCaches()
   }
 
+  test("crawlToCorpus with the full PSL splits a wildcard registry's cap the heuristic pools") {
+    val prose = (1 to 4).map(i =>
+      s"the quick brown fox number $i jumps over that lazy dog today.")
+      .mkString("\n")
+    // 12 docs across 3 *.kawasaki.jp sub-registries (4 each) + 2 under the
+    // exception domain city.kawasaki.jp (blocked)
+    val docs = ((0 until 12).map { i =>
+      (i.toLong, s"https://reg${i % 3}.kawasaki.jp/d/$i", prose)
+    } ++ Seq(
+      (20L, "https://a.city.kawasaki.jp/x", prose),
+      (21L, "https://b.city.kawasaki.jp/y", prose)))
+      .toDF("id", "url", "body")
+    val blocked = Seq("city.kawasaki.jp").toDF("domain")
+    val gp = graft.quality.GopherRules.Params(minWords = 10L, minStopWords = 2L)
+    // PSL form: each regK.kawasaki.jp is its own registrable domain -> cap 2
+    // keeps 2 per sub-registry = 6 rows; the exception domain is blocked
+    val pslOut = WebCuration.crawlToCorpus(
+      docs, col("id"), col("url"), col("body"), blocked, cap = 2, gopher = gp,
+      psl = Some(graft.pipeline.Psl.sample)).collect()
+    assert(pslOut.length === 6, s"got ${pslOut.length}")
+    assert(pslOut.map(_.getAs[String]("domain")).distinct.sorted.toSeq ===
+      (0 until 3).map(k => s"reg$k.kawasaki.jp"))
+    assert(pslOut.forall(_.getAs[Long]("n_total") === 4L))
+    // heuristic form: ALL of them key as kawasaki.jp — one pooled cap of 2,
+    // and the exception-rule block misses (city docs key as kawasaki.jp too)
+    val heurOut = WebCuration.crawlToCorpus(
+      docs, col("id"), col("url"), col("body"), blocked, cap = 2, gopher = gp)
+      .collect()
+    assert(heurOut.length === 2 &&
+      heurOut.forall(_.getAs[String]("domain") === "kawasaki.jp"),
+      "expected the heuristic to pool the registry (the documented gap)")
+    assert(heurOut.forall(_.getAs[Long]("n_total") === 14L))
+    graft.pipeline.Curation.releaseStageCaches()
+  }
+
   test("dedupeUrlStream: first canonical form wins across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext

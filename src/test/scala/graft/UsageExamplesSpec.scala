@@ -77,6 +77,12 @@ class UsageExamplesSpec extends SparkTestBase {
       gopher = graft.quality.GopherRules.Params(minWords = 5L, minStopWords = 0L))
     assert(corpus.columns.toSeq ==
       Seq("doc_id", "domain", "rank", "score", "n_total", "canon_url", "clean_hash"))
+    val corpusPsl = graft.pipeline.WebCuration.crawlToCorpus(
+      crawl, col("doc_id"), col("url"), col("text"), blocked, cap = 1000,
+      c4 = graft.quality.C4Rules.Params(minLines = 1),
+      gopher = graft.quality.GopherRules.Params(minWords = 5L, minStopWords = 0L),
+      psl = Some(graft.pipeline.Psl.sample))
+    assert(corpusPsl.columns.sameElements(corpus.columns))
     assert(graft.quality.GopherRules.withMetricsAndFlags(docs, col("text"))
       .select(col("m.n_words"), col("f.gopher_keep")).count() > 0)
     assert(graft.quality.C4Rules.c4Filter(docs, "text",
