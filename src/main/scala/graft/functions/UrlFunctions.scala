@@ -142,7 +142,11 @@ object UrlFunctions {
     val noTail    = regexp_replace(collapsed, "[?&]+$", "")
     val noSlash =
       regexp_replace(regexp_replace(noTail, "/+\\?", "?"), "/+$", "")
-    idn_host_fold(percent_normalize(noSlash))
+    // steps 7-8 fast path: ONE probe — ASCII minus '%' (0x25) — skips both
+    // the percent pass and the IDN fold for the overwhelmingly common URL;
+    // each step keeps its own narrower guard for the rare slow-path row
+    when(noSlash.rlike("^[\\x00-\\x24\\x26-\\x7F]*$"), noSlash)
+      .otherwise(idn_host_fold(percent_normalize(noSlash)))
   }
 
   /** Lowercased host of a URL ("" when no `scheme://host` prefix parses). */

@@ -3044,11 +3044,12 @@ object PipelineQueries {
       "pq92_hilbert_key",
       (s, dir) => {
         val o = Tables.orders(s, dir)
-        val h = graft.operators.ZOrder.hilbertValue(
+        graft.operators.ZOrder.withHilbertValue(
+          o.select(col("o_orderkey"), col("o_custkey")),
           Seq((col("o_orderkey") % 256, 0L, 255L),
             (col("o_custkey") % 256, 0L, 255L)),
-          bits = 8)
-        o.select(col("o_orderkey"), h.as("hval"))
+          bits = 8, outCol = "hval")
+          .select(col("o_orderkey"), col("hval"))
       },
       Some {
         val n = 2

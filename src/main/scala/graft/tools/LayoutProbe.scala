@@ -68,7 +68,7 @@ object LayoutProbe {
     val (_, tMorton) = timed(ZOrder.writeZOrdered(
       o, ZOrder.zValue(dims, bits), s"$tmp/morton", numFiles))
     val (_, tHilbert) = timed(ZOrder.writeHilbertOrdered(
-      o, ZOrder.hilbertValue(dims, bits), s"$tmp/hilbert", numFiles))
+      o, dims, bits, s"$tmp/hilbert", numFiles))
 
     // the box battery, as (lo1, hi1, lo2, hi2) with Long.Min/Max = open
     val d1 = okMax - okMin

@@ -89,6 +89,31 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test(s"withHilbertValue (staged codegen form) == fold form == reference [seed=$seed]") {
+    val rnd = new Random(seed ^ 0x57A6EDL)
+    for (n <- Seq(2, 3)) {
+      val bits = if (n == 2) 16 else 10
+      val dom = (1L << bits) - 1
+      val rows = (0 until 300).map { i =>
+        (i.toLong, rnd.nextLong(1L << bits), rnd.nextLong(1L << bits),
+          rnd.nextLong(1L << bits))
+      }
+      val df = rows.toDF("i", "a", "b", "c")
+      val dims = (Seq((col("a"), 0L, dom), (col("b"), 0L, dom)) ++
+        (if (n == 3) Seq((col("c"), 0L, dom)) else Nil))
+      val staged = ZOrder.withHilbertValue(df, dims, bits, "h")
+        .select("i", "h").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fold = df.select(col("i"),
+          ZOrder.hilbertValue(dims, bits).as("h")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.foreach { case (i, a, b, c) =>
+        val vs = Seq(a, b) ++ (if (n == 3) Seq(c) else Nil)
+        assert(staged(i) === refHilbert(vs, bits), s"staged n=$n i=$i")
+        assert(staged(i) === fold(i), s"staged != fold n=$n i=$i")
+      }
+    }
+  }
+
   test("hilbert: bijective on the full grid and CONTIGUOUS — consecutive indices are unit steps") {
     // 2-D, bits=4: the 16x16 grid. The Hilbert property that Morton lacks:
     // walking h = 0..255 moves exactly one cell each step.
