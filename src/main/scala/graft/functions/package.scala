@@ -116,6 +116,19 @@ package object functions {
   def idn_ascii(host: Column): Column =
     toColumn(graft.plans.IdnAscii(toExpr(host)))
 
+  /** robots.txt text → the RFC 9309 rule group governing `agent`
+    * (`array<struct<allow, pattern>>` — see [[graft.plans.RobotsRules]]).
+    */
+  def robots_rules(text: Column, agent: String): Column =
+    toColumn(graft.plans.RobotsRules(toExpr(text), agent))
+
+  /** RFC 9309 longest-match verdict for a path against a parsed rule
+    * group ([[robots_rules]]): `*` wildcards, `$` end anchor, longest
+    * pattern prevails, ties to allow, no match ⇒ allowed.
+    */
+  def robots_allowed(path: Column, rules: Column): Column =
+    toColumn(graft.plans.RobotsDecision(toExpr(path), toExpr(rules)))
+
   /** Aggregate: exact top-`k` (score desc, id asc) → array<struct<id,
     * score>>. O(k) partial heaps combine map-side — the scale form of a
     * per-group `row_number() <= k` Window, which would shuffle and sort

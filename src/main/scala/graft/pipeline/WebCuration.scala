@@ -284,6 +284,42 @@ object WebCuration {
         md5(col("__clean")).as("clean_hash"))
   }
 
+  /** Robots-exclusion gate (RFC 9309): split a URL frontier into
+    * (allowed, excluded) under each host's robots.txt rules for `agent`.
+    * `robotsDf` is (host, robots_txt) — one row per authority, the file a
+    * polite crawler fetched once per host. 100 TB shape: the robots side
+    * is SMALL (thousands of authorities); its texts are parsed to rule
+    * arrays THERE ([[graft.functions.robots_rules]] — once per authority,
+    * not per URL), the narrow (host, rules) table rides a BROADCAST left
+    * join keyed by the frontier's host, and the longest-match verdict
+    * ([[graft.functions.robots_allowed]]) is row-local — the frontier
+    * never shuffles. A URL whose host has no robots row is allowed (the
+    * RFC's unavailable-file rule: 404 ⇒ crawl permitted). Stream-safe:
+    * the join is stream-static, the verdict row-local.
+    */
+  def robotsGate(
+      df: DataFrame,
+      urlCol: Column,
+      robotsDf: DataFrame,
+      agent: String): (DataFrame, DataFrame) = {
+    val rules = broadcast(
+      robotsDf.toDF("__rb_host", "__rb_txt")
+        .dropDuplicates("__rb_host")
+        .select(lower(col("__rb_host")).as("__rb_host"),
+          graft.functions.robots_rules(col("__rb_txt"), agent).as("__rb_rules")))
+    val gated = df
+      .withColumn("__rb_h", url_host(urlCol))
+      .withColumn("__rb_p",
+        when(url_path(urlCol) === "", "/").otherwise(url_path(urlCol)))
+      .join(rules, col("__rb_h") === col("__rb_host"), "left")
+      .withColumn("__rb_ok",
+        col("__rb_rules").isNull ||
+          graft.functions.robots_allowed(col("__rb_p"), col("__rb_rules")))
+    val drop = Seq("__rb_h", "__rb_p", "__rb_host", "__rb_rules", "__rb_ok")
+    (gated.filter(col("__rb_ok")).drop(drop: _*),
+      gated.filter(!col("__rb_ok")).drop(drop: _*))
+  }
+
   /** Crawl politeness: per tumbling event-time window, divert the URLs of
     * any registrable domain whose fetch volume reaches `maxPerWindow` onto
     * the shaped side — exactly the decaton per-key quota machinery

@@ -575,7 +575,39 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93
+      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq95
+
+  /** Sequence packing (pipeline.Packing — the concat-and-chunk batch prep
+    * every pretraining run does): 4 deterministic streams, 256-token
+    * packs, whitespace token counts. Hash-exact per doc: stream, exact
+    * first-token offset inside the stream's concatenation, pack id —
+    * the oracle replays the running-sum window verbatim.
+    */
+  private def pq95: Q = Q(
+    "pq95_sequence_packing",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val toks = size(filter(split(col("text"), " "),
+        w => length(w) > 0)).cast("long")
+      graft.pipeline.Packing.assignPacks(
+          d.select(col("doc_id"), toks.as("toks")),
+          col("doc_id"), col("toks"), streams = 4, budgetTokens = 256L)
+        .select(col("doc_id"), col("toks"), col("stream"),
+          col("offset"), col("pack"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+          CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS toks,
+          doc_id % 4 AS stream
+        FROM documents)
+      SELECT doc_id, toks, CAST(stream AS BIGINT) AS stream,
+        CAST(coalesce(sum(toks) OVER (PARTITION BY stream ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
+        CAST(coalesce(sum(toks) OVER (PARTITION BY stream ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS pack
+      FROM t
+    """))
 
   /** The [[graft.pipeline.Psl.sample]] rule table as SQL VALUES rows — the
     * pq90 oracle matches against the SAME parsed constants the Spark plan
@@ -728,6 +760,96 @@ object CrawlQueries {
       FROM rk r JOIN tot t USING (domain)
       WHERE r.rnk <= 10
     """))
+
+  /** ONE source of truth for pq94: per synthetic host family, the
+    * robots.txt TEXT the Spark side parses and the rule group the oracle
+    * materializes literally — the parser↔rules linkage itself is pinned by
+    * RobotsSpec's fuzz against an independent reference.
+    */
+  // def, not val: `all` initializes first and would read a null forward ref
+  private def RobotsFamilies: Seq[(Int, String, Seq[(Boolean, String)])] = Seq(
+    (0, "User-agent: graftbot\nDisallow: /private/\nAllow: /private/ok$\nUser-agent: *\nDisallow: /",
+      Seq((false, "/private/"), (true, "/private/ok$"))),
+    (1, "User-agent: *\nDisallow: /tmp/*\nDisallow: /*.gif$\n# comment\nCrawl-delay: 5",
+      Seq((false, "/tmp/*"), (false, "/*.gif$"))),
+    (2, "User-agent: otherbot\nDisallow: /", Seq.empty),
+    (3, "# comments only\nSitemap: https://example.com/s.xml", Seq.empty),
+    (4, "User-agent: graftbot\nAllow: /a\nDisallow: /a*b$",
+      Seq((true, "/a"), (false, "/a*b$"))))
+
+  /** RFC 9309 robots gate (graft.plans.RobotsRules/RobotsDecision +
+    * WebCuration.robotsGate): 5 robots.txt families — matching group,
+    * `*` fallback, non-matching group, comments-only, wildcard/anchor
+    * precedence — against 8 path families. The Spark side PARSES the
+    * text natively and decides per longest-match; the oracle carries the
+    * rule groups as literals from the SAME constant and replays the
+    * longest-match with `*`→`%` LIKE translation and `$`-anchor
+    * semantics. Hash-exact per (doc, path): rule count + verdict.
+    */
+  private def pq94: Q = Q(
+    "pq94_robots_gate",
+    (s, dir) => {
+      val d  = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val robots = RobotsFamilies.tail.foldLeft(
+        when(id % 5 === RobotsFamilies.head._1, lit(RobotsFamilies.head._2))) {
+        case (acc, (k, txt, _)) => acc.when(id % 5 === k, lit(txt))
+      }
+      val path = when(id % 8 === 0, concat(lit("/private/x"), id))
+        .when(id % 8 === 1, lit("/private/ok"))
+        .when(id % 8 === 2, concat(lit("/tmp/q"), id))
+        .when(id % 8 === 3, concat(lit("/img/"), id, lit(".gif")))
+        .when(id % 8 === 4, concat(lit("/a"), id, lit("b")))
+        .when(id % 8 === 5, lit("/a/plain"))
+        .when(id % 8 === 6, concat(lit("/open/"), id))
+        .otherwise(lit("/axxb"))
+      d.select(id, path.as("path"),
+          graft.functions.robots_rules(robots, "graftbot").as("__rules"))
+        .select(id, col("path"),
+          size(col("__rules")).cast("long").as("n_rules"),
+          graft.functions.robots_allowed(col("path"), col("__rules")).as("allowed"))
+    },
+    Some {
+      def sqlRules(rs: Seq[(Boolean, String)]): String =
+        if (rs.isEmpty) "CAST([] AS STRUCT(allow BOOLEAN, lp VARCHAR, anch BOOLEAN, plen BIGINT)[])"
+        else rs.map { case (allow, pat) =>
+          val anch = pat.endsWith("$")
+          val body = (if (anch) pat.dropRight(1) else pat).replace("*", "%")
+          s"{'allow': $allow, 'lp': '$body', 'anch': $anch, 'plen': ${pat.length}}"
+        }.mkString("[", ", ", "]")
+      val rulesCase = RobotsFamilies.map { case (k, _, rs) =>
+        s"WHEN doc_id % 5 = $k THEN ${sqlRules(rs)}"
+      }.mkString("CASE ", " ", " END")
+      s"""
+      WITH f AS (
+        SELECT doc_id,
+          CASE
+            WHEN doc_id % 8 = 0 THEN '/private/x' || doc_id
+            WHEN doc_id % 8 = 1 THEN '/private/ok'
+            WHEN doc_id % 8 = 2 THEN '/tmp/q' || doc_id
+            WHEN doc_id % 8 = 3 THEN '/img/' || doc_id || '.gif'
+            WHEN doc_id % 8 = 4 THEN '/a' || doc_id || 'b'
+            WHEN doc_id % 8 = 5 THEN '/a/plain'
+            WHEN doc_id % 8 = 6 THEN '/open/' || doc_id
+            ELSE '/axxb'
+          END AS path,
+          $rulesCase AS rules
+        FROM documents),
+      m AS (
+        SELECT doc_id, path, rules,
+          list_filter(rules, r -> CASE WHEN r.anch
+            THEN path LIKE r.lp
+            ELSE path LIKE (r.lp || '%') END) AS hits
+        FROM f)
+      SELECT doc_id, path,
+        CAST(len(rules) AS BIGINT) AS n_rules,
+        CASE WHEN len(hits) = 0 THEN true
+             ELSE len(list_filter(hits, r -> r.allow AND
+               r.plen = list_max(list_transform(hits, x -> x.plen)))) > 0
+        END AS allowed
+      FROM m
+    """
+    })
 
   /** Shared oracle fragment (pq86/pq88): the full crawl-front stage
     * chain — URL synthesis, canonicalize, domain, dedup election,

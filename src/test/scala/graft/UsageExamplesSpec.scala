@@ -59,6 +59,12 @@ class UsageExamplesSpec extends SparkTestBase {
       docs, col("doc_id"), col("text"), col("source"), col("lang"),
       keepFrac = 0.7, cap = 50, alpha = "prop", budget = 100L)
     assert(out.count() > 0 && out.count() <= 110) // budget + per-stratum rounding
+    val packed = graft.pipeline.Packing.assignPacks(
+      docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      col("doc_id"), col("n_tokens"), streams = 4, budgetTokens = 4096L)
+    assert(graft.pipeline.Packing.packSummary(packed, col("n_tokens"), 4096L)
+      .columns.toSeq === Seq("stream", "pack", "n_docs", "tokens", "fill_ratio"))
   }
 
   test("USAGE 3b: crawl front — canonicalize, crawlToCorpus, rule bundles, politeness") {
@@ -91,6 +97,12 @@ class UsageExamplesSpec extends SparkTestBase {
     val (polite, diverted) = graft.pipeline.WebCuration.politenessRoute(
       batch, col("url"), col("ts"), "1 minute", maxPerWindow = 10)
     assert(polite.count() + diverted.count() == batch.count())
+    val robots = Seq(("www.site0.example.com", "User-agent: *\nDisallow: /p/"))
+      .toDF("host", "robots_txt")
+    val (fetchable, excluded) = graft.pipeline.WebCuration.robotsGate(
+      crawl, col("url"), robots, agent = "graftbot")
+    assert(fetchable.count() + excluded.count() == crawl.count() &&
+      excluded.count() > 0)
   }
 
   test("USAGE 4: IVF ANN over embeddings") {
