@@ -575,39 +575,7 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq95
-
-  /** Sequence packing (pipeline.Packing — the concat-and-chunk batch prep
-    * every pretraining run does): 4 deterministic streams, 256-token
-    * packs, whitespace token counts. Hash-exact per doc: stream, exact
-    * first-token offset inside the stream's concatenation, pack id —
-    * the oracle replays the running-sum window verbatim.
-    */
-  private def pq95: Q = Q(
-    "pq95_sequence_packing",
-    (s, dir) => {
-      val d = Tables.documents(s, dir)
-      val toks = size(filter(split(col("text"), " "),
-        w => length(w) > 0)).cast("long")
-      graft.pipeline.Packing.assignPacks(
-          d.select(col("doc_id"), toks.as("toks")),
-          col("doc_id"), col("toks"), streams = 4, budgetTokens = 256L)
-        .select(col("doc_id"), col("toks"), col("stream"),
-          col("offset"), col("pack"))
-    },
-    Some("""
-      WITH t AS (
-        SELECT doc_id,
-          CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS toks,
-          doc_id % 4 AS stream
-        FROM documents)
-      SELECT doc_id, toks, CAST(stream AS BIGINT) AS stream,
-        CAST(coalesce(sum(toks) OVER (PARTITION BY stream ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS offset,
-        CAST(coalesce(sum(toks) OVER (PARTITION BY stream ORDER BY doc_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS BIGINT) AS pack
-      FROM t
-    """))
+      """))) :+ pq91 :+ pq93 :+ pq94
 
   /** The [[graft.pipeline.Psl.sample]] rule table as SQL VALUES rows — the
     * pq90 oracle matches against the SAME parsed constants the Spark plan

@@ -59,12 +59,6 @@ class UsageExamplesSpec extends SparkTestBase {
       docs, col("doc_id"), col("text"), col("source"), col("lang"),
       keepFrac = 0.7, cap = 50, alpha = "prop", budget = 100L)
     assert(out.count() > 0 && out.count() <= 110) // budget + per-stratum rounding
-    val packed = graft.pipeline.Packing.assignPacks(
-      docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens")),
-      col("doc_id"), col("n_tokens"), streams = 4, budgetTokens = 4096L)
-    assert(graft.pipeline.Packing.packSummary(packed, col("n_tokens"), 4096L)
-      .columns.toSeq === Seq("stream", "pack", "n_docs", "tokens", "fill_ratio"))
   }
 
   test("USAGE 3b: crawl front — canonicalize, crawlToCorpus, rule bundles, politeness") {
