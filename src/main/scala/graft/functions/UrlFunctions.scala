@@ -143,9 +143,14 @@ object UrlFunctions {
     val noSlash =
       regexp_replace(regexp_replace(noTail, "/+\\?", "?"), "/+$", "")
     // steps 7-8 fast path: ONE probe — ASCII minus '%' (0x25) — skips both
-    // the percent pass and the IDN fold for the overwhelmingly common URL;
-    // each step keeps its own narrower guard for the rare slow-path row
-    when(noSlash.rlike("^[\\x00-\\x24\\x26-\\x7F]*$"), noSlash)
+    // the percent pass and the IDN fold for the overwhelmingly common URL.
+    // The probe runs on the RAW input (steps 1-6 neither mint a '%' nor
+    // non-ASCII), so CaseWhen evaluates the 10-regex chain exactly ONCE
+    // per row whichever branch fires — probing the chain's own output
+    // would re-evaluate it for the branch value (conditional branches are
+    // outside codegen subexpression elimination; measured ~2x on the
+    // pq83/pq86/pq88 family).
+    when(trim(u).rlike("^[\\x00-\\x24\\x26-\\x7F]*$"), noSlash)
       .otherwise(idn_host_fold(percent_normalize(noSlash)))
   }
 
