@@ -111,47 +111,48 @@ object UrlFunctions {
   /** Canonical URL form for dedup/blocklist keys. The chain (order is part
     * of the contract, replayed step-for-step by the oracle):
     *   1. trim, strip the `#fragment`;
-    *   2. lowercase scheme+authority (path/query case is significant, the
+    *   2. normalize percent-encoding ([[percent_normalize]]: hex case +
+    *      unreserved decode — RFC 3986 §6.2.2). BEFORE the case fold, so a
+    *      decoded letter in the authority (`e%41.com`) gets lowercased
+    *      like any other authority character, and a decoded tracking-param
+    *      name (`%75tm_source`) is stripped like its plain twin;
+    *   3. lowercase scheme+authority (path/query case is significant, the
     *      authority is not — RFC 3986 §6.2.2.1);
-    *   3. strip a leading `www.`;
-    *   4. strip default ports (`http://…:80`, `https://…:443`);
-    *   5. strip tracking parameters ([[TrackingParamRe]]), collapse the
+    *   4. strip a leading `www.`;
+    *   5. strip default ports (`http://…:80`, `https://…:443`);
+    *   6. strip tracking parameters ([[TrackingParamRe]]), collapse the
     *      separator runs that leaves, drop a dangling `?`/`&`;
-    *   6. strip trailing slashes (`…/path/` ≡ `…/path`, `host/` ≡ `host`);
-    *   7. normalize percent-encoding ([[percent_normalize]]: hex case +
-    *      unreserved decode — RFC 3986 §6.2.2);
+    *   7. strip trailing slashes (`…/path/` ≡ `…/path`, `host/` ≡ `host`);
     *   8. fold a non-ASCII host to punycode ([[idn_host_fold]]; identity
     *      on ASCII hosts, which is why the DuckDB oracle — no punycode —
     *      replays steps 1-7 verbatim and step 8 only via pinned literal
     *      twins, pq91).
-    * A string with no authority (no `scheme://`) passes through steps 2-4
-    * and 8 unchanged and still gets fragment/tracking/percent/slash
-    * cleanup.
+    * A string with no authority (no `scheme://`) passes through steps 3-5
+    * and 8 unchanged and still gets fragment/percent/tracking/slash
+    * cleanup. Steps 2 and 8 sit behind ONE fast-path probe — ASCII minus
+    * `%` (0x25) — on the RAW input (the later steps neither mint a `%`
+    * nor non-ASCII), so CaseWhen evaluates the 10-regex chain exactly
+    * ONCE per row whichever branch fires (conditional branches are
+    * outside codegen subexpression elimination; probing the chain's own
+    * output measured ~2x on the pq83/pq86/pq88 family).
     */
   def url_canonicalize(u: Column): Column = {
-    val noFrag  = regexp_replace(trim(u), "#.*$", "")
-    val lowered = concat(
-      lower(regexp_extract(noFrag, AuthorityPrefixRe, 0)),
-      regexp_replace(noFrag, AuthorityPrefixRe, ""))
-    val noWww   = regexp_replace(lowered, "^(https?://)www\\.", "$1")
-    val noPort  = regexp_replace(
-      regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
-      "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
-    val noTrack   = regexp_replace(noPort, TrackingParamRe, "$1")
-    val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
-    val noTail    = regexp_replace(collapsed, "[?&]+$", "")
-    val noSlash =
+    def steps3to7(in: Column): Column = {
+      val lowered = concat(
+        lower(regexp_extract(in, AuthorityPrefixRe, 0)),
+        regexp_replace(in, AuthorityPrefixRe, ""))
+      val noWww   = regexp_replace(lowered, "^(https?://)www\\.", "$1")
+      val noPort  = regexp_replace(
+        regexp_replace(noWww, "^(http://[^/:?#]+):80([/?#]|$)", "$1$2"),
+        "^(https://[^/:?#]+):443([/?#]|$)", "$1$2")
+      val noTrack   = regexp_replace(noPort, TrackingParamRe, "$1")
+      val collapsed = regexp_replace(noTrack, "([?&])&+", "$1")
+      val noTail    = regexp_replace(collapsed, "[?&]+$", "")
       regexp_replace(regexp_replace(noTail, "/+\\?", "?"), "/+$", "")
-    // steps 7-8 fast path: ONE probe — ASCII minus '%' (0x25) — skips both
-    // the percent pass and the IDN fold for the overwhelmingly common URL.
-    // The probe runs on the RAW input (steps 1-6 neither mint a '%' nor
-    // non-ASCII), so CaseWhen evaluates the 10-regex chain exactly ONCE
-    // per row whichever branch fires — probing the chain's own output
-    // would re-evaluate it for the branch value (conditional branches are
-    // outside codegen subexpression elimination; measured ~2x on the
-    // pq83/pq86/pq88 family).
-    when(trim(u).rlike("^[\\x00-\\x24\\x26-\\x7F]*$"), noSlash)
-      .otherwise(idn_host_fold(percent_normalize(noSlash)))
+    }
+    val noFrag = regexp_replace(trim(u), "#.*$", "")
+    when(trim(u).rlike("^[\\x00-\\x24\\x26-\\x7F]*$"), steps3to7(noFrag))
+      .otherwise(idn_host_fold(steps3to7(percent_normalize(noFrag))))
   }
 
   /** Lowercased host of a URL ("" when no `scheme://host` prefix parses). */

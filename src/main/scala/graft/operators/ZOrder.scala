@@ -183,7 +183,7 @@ object ZOrder {
     require(n >= 2 && n <= 4, s"hilbert takes 2-4 columns, got $n")
     require(bits >= 2 && bits * n <= 62, s"$n cols x $bits bits out of range")
     def f(i: Int) = s"__hx$i"
-    val temps = (0 until n).map(f)
+    val temps = (0 until n).map(f) :+ "__ht"
     graft.operators.Compaction.requireFreshNames(
       df, temps.map(_ => dims.head._1), temps)
     var d = df.withColumns(
@@ -221,7 +221,7 @@ object ZOrder {
         shiftright(col(f(i)).bitwiseXOR(col("__ht")), j).bitwiseAND(lit(1L)),
         j * n + (n - 1 - i)))
       .reduce(_ bitwiseOR _)
-    d.withColumn(outCol, h).drop(temps :+ "__ht": _*)
+    d.withColumn(outCol, h).drop(temps: _*)
   }
 
   /** [[writeZOrdered]] on the Hilbert key: range-partitioned by the

@@ -58,7 +58,7 @@ final class Psl private[pipeline] (val rules: Seq[PslRule]) extends Serializable
       hostCol: Column,
       outCol: String = "domain"): DataFrame = {
     val spark = df.sparkSession
-    val tempNames = Seq("__psl_h", "__psl_n") ++
+    val tempNames = Seq("__psl_h", "__psl_l", "__psl_n") ++
       (1 to maxDepth).map(d => s"__psl_x$d") ++
       (2 to maxDepth).map(d => s"__psl_w$d")
     graft.operators.Compaction.requireFreshNames(
@@ -78,7 +78,9 @@ final class Psl private[pipeline] (val rules: Seq[PslRule]) extends Serializable
       .groupBy(_.nlabels).view.mapValues(_.map(_.key).distinct).toMap
 
     import spark.implicits._
-    val labels = split(col("__psl_h"), "\\.")
+    // the label array is STAGED once per row (an attribute, not a
+    // re-derived split inside each of the up-to-2·maxDepth join keys)
+    val labels = col("__psl_l")
     val n = col("__psl_n")
     // last k labels of the host as a dotted string (CaseWhen evaluates
     // lazily, so the negative-index slice never runs on a short host)
@@ -89,7 +91,8 @@ final class Psl private[pipeline] (val rules: Seq[PslRule]) extends Serializable
     // lowercased by parse()
     val base = df
       .withColumn("__psl_h", lower(hostCol))
-      .withColumn("__psl_n", size(split(col("__psl_h"), "\\.")))
+      .withColumn("__psl_l", split(col("__psl_h"), "\\."))
+      .withColumn("__psl_n", size(col("__psl_l")))
     val joined0 = (1 to maxDepth).foldLeft(base) { (d0, dpt) =>
       exactByKey.get(dpt) match {
         case Some(ks) =>

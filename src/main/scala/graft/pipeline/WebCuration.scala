@@ -123,9 +123,13 @@ object WebCuration {
     // domain — no document text) feeds TWO consumers (the cap heap and the
     // canon_url join-back); persist it once so the dedup chain executes
     // once. Lifecycle per Curation.releaseStageCaches / scopedStageCaches.
+    // The registrable domain is computed ONCE (under the full PSL that is
+    // a multi-join chain) and the blocklist anti-joins against the column.
+    val blocked = broadcast(
+      blockedDomains.toDF("__bd").dropDuplicates("__bd"))
     val admitted = Curation.persistStage(
-      withDomain(domainBlocklist(deduped, col("canon_url"), blockedDomains, psl),
-        col("canon_url"), psl, "domain"))
+      withDomain(deduped, col("canon_url"), psl, "domain")
+        .join(blocked, col("domain") === col("__bd"), "left_anti"))
     Curation.perSourceCap(
       admitted, col("__id"), col("domain"), col("__score"), cap)
       .withColumnRenamed("source", "domain")
@@ -267,17 +271,19 @@ object WebCuration {
     val deduped = graft.streaming.StreamOps.dedupeStream(
       canon, Seq("__canon_key"), tsCol, watermarkDelay)
     // the PSL form stays stream-safe: every probe is a stream-static
-    // broadcast join, like the blocklist itself
-    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains, psl)
+    // broadcast join, like the blocklist itself. Domain computed ONCE and
+    // carried through the row-local stages.
+    val blocked = broadcast(
+      blockedDomains.toDF("__bd").dropDuplicates("__bd"))
+    val unblocked = withDomain(deduped, col("canon_url"), psl, "domain")
+      .join(blocked, col("domain") === col("__bd"), "left_anti")
     val cleaned = graft.quality.C4Rules
       .withClean(unblocked, col("__text"), c4, "__c4")
       .filter(col("__c4.page_keep"))
       .withColumn("__clean", col("__c4.clean_text"))
-    withDomain(
-      graft.quality.GopherRules
-        .withMetricsAndFlags(cleaned, col("__clean"), gopher, "__gm", "__gf")
-        .filter(col("__gf.gopher_keep")),
-      col("canon_url"), psl, "domain")
+    graft.quality.GopherRules
+      .withMetricsAndFlags(cleaned, col("__clean"), gopher, "__gm", "__gf")
+      .filter(col("__gf.gopher_keep"))
       .select(col("doc_id"), col("canon_url"), col("domain"),
         graft.functions.TextFunctions.quality_score(
           regexp_replace(col("__clean"), "\n", " ")).as("score"),
@@ -302,22 +308,33 @@ object WebCuration {
       urlCol: Column,
       robotsDf: DataFrame,
       agent: String): (DataFrame, DataFrame) = {
+    val tempNames = Seq("__rb_h", "__rb_p", "__rb_host", "__rb_rules", "__rb_ok")
+    graft.operators.Compaction.requireFreshNames(
+      df, tempNames.map(_ => urlCol), tempNames)
+    // lowercase BEFORE dedup: case-variant rows for one authority must
+    // collapse to ONE broadcast key, or a frontier row would join (and be
+    // emitted) once per variant
     val rules = broadcast(
-      robotsDf.toDF("__rb_host", "__rb_txt")
+      robotsDf.toDF("__rb_host0", "__rb_txt")
+        .select(lower(col("__rb_host0")).as("__rb_host"), col("__rb_txt"))
         .dropDuplicates("__rb_host")
-        .select(lower(col("__rb_host")).as("__rb_host"),
+        .select(col("__rb_host"),
           graft.functions.robots_rules(col("__rb_txt"), agent).as("__rb_rules")))
+    // the match target is path + query (RFC 9309 matches against the
+    // URI's path WITH its query — real robots files carry '?session='
+    // style Disallow rules); only the fragment is outside the match
+    val pathQuery = regexp_replace(
+      regexp_replace(urlCol,
+        graft.functions.UrlFunctions.AuthorityPrefixRe, ""), "#.*$", "")
     val gated = df
       .withColumn("__rb_h", url_host(urlCol))
-      .withColumn("__rb_p",
-        when(url_path(urlCol) === "", "/").otherwise(url_path(urlCol)))
+      .withColumn("__rb_p", when(pathQuery === "", "/").otherwise(pathQuery))
       .join(rules, col("__rb_h") === col("__rb_host"), "left")
       .withColumn("__rb_ok",
         col("__rb_rules").isNull ||
           graft.functions.robots_allowed(col("__rb_p"), col("__rb_rules")))
-    val drop = Seq("__rb_h", "__rb_p", "__rb_host", "__rb_rules", "__rb_ok")
-    (gated.filter(col("__rb_ok")).drop(drop: _*),
-      gated.filter(!col("__rb_ok")).drop(drop: _*))
+    (gated.filter(col("__rb_ok")).drop(tempNames: _*),
+      gated.filter(!col("__rb_ok")).drop(tempNames: _*))
   }
 
   /** Crawl politeness: per tumbling event-time window, divert the URLs of
@@ -420,7 +437,13 @@ object WebCuration {
       col("__uh") === col("__kuh") && col("__id") === col("__keep_id"),
       "inner")
       .select(col("__id"), col("__text"), col("canon_url"))
-    val unblocked = domainBlocklist(deduped, col("canon_url"), blockedDomains, psl)
+    // registrable domain computed ONCE, right after the URL tier; the
+    // blocklist anti-joins against it and the cap key rides along through
+    // the row-local C4/Gopher stages
+    val blocked = broadcast(
+      blockedDomains.toDF("__bd").dropDuplicates("__bd"))
+    val unblocked = withDomain(deduped, col("canon_url"), psl, "domain")
+      .join(blocked, col("domain") === col("__bd"), "left_anti")
     val cleaned = graft.quality.C4Rules
       .withClean(unblocked, col("__text"), c4, "__c4")
       .filter(col("__c4.page_keep"))
@@ -431,11 +454,10 @@ object WebCuration {
       .drop("__gm", "__gf")
     // stage boundary (narrow: id, urls, score, text hash — see curateCrawl)
     val admitted = Curation.persistStage(
-      withDomain(gated, col("canon_url"), psl, "domain")
-        .select(col("__id"), col("canon_url"), col("domain"),
-          graft.functions.TextFunctions.quality_score(
-            regexp_replace(col("__clean"), "\n", " ")).as("__score"),
-          md5(col("__clean")).as("clean_hash")))
+      gated.select(col("__id"), col("canon_url"), col("domain"),
+        graft.functions.TextFunctions.quality_score(
+          regexp_replace(col("__clean"), "\n", " ")).as("__score"),
+        md5(col("__clean")).as("clean_hash")))
     Curation.perSourceCap(
       admitted, col("__id"), col("domain"), col("__score"), cap)
       .withColumnRenamed("source", "domain")

@@ -44,6 +44,21 @@ private[plans] object RobotsParsing {
     StructField("allow", BooleanType, nullable = false),
     StructField("pattern", StringType, nullable = false)))
 
+  /** The PRODUCT TOKEN of a User-agent line value (RFC 9309 §2.2.1:
+    * `1*(%x30-39 / %x41-5A / %x5F / %x61-7A / "-")`): a robots line may
+    * carry a version or comment tail (`graftbot/1.0 (+http://…)`) that the
+    * crawler's bare token must still match — comparison happens on the
+    * token alone, lowercased. `*` stays `*`.
+    */
+  def productToken(value: String): String = {
+    val v = value.trim
+    if (v.startsWith("*")) "*"
+    else v.takeWhile(c =>
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+        (c >= 'a' && c <= 'z') || c == '_' || c == '-')
+      .toLowerCase(java.util.Locale.ROOT)
+  }
+
   /** Parse and select the rule group for `agent` (lowercase product
     * token). Returns (allow, pattern) pairs in file order.
     */
@@ -68,7 +83,7 @@ private[plans] object RobotsParsing {
                   mutable.ArrayBuffer.empty[(Boolean, String)]))
                 collectingUas = true
               }
-              groups.last._1 += value.toLowerCase(java.util.Locale.ROOT)
+              groups.last._1 += productToken(value)
             case "allow" | "disallow" =>
               collectingUas = false
               // rules before any user-agent line have no governing group
@@ -134,7 +149,7 @@ private[plans] object RobotsParsing {
 case class RobotsRules(child: Expression, agent: String)
     extends UnaryExpression {
 
-  private val agentLower = agent.toLowerCase(java.util.Locale.ROOT)
+  private val agentLower = RobotsParsing.productToken(agent)
 
   override def dataType: DataType = ArrayType(RobotsParsing.RuleType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

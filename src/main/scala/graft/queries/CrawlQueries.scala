@@ -37,11 +37,14 @@ object CrawlQueries {
       .mkString("|", "|", "|")
   private val pctCharTable = UrlFunctions.UnreservedChars.mkString
 
-  /** DuckDB replay of [[UrlFunctions.percent_normalize]] over column `e`:
-    * split on `%`, uppercase each triplet's hex, decode unreserved octets
-    * via the shared strpos tables, reassemble. (The IDN fold — chain step
-    * 8 — is identity on ASCII hosts and has no DuckDB analog; pq91 pins it
-    * with literal punycode twins instead.)
+  /** DuckDB replay of [[UrlFunctions.percent_normalize]] (chain step 2 —
+    * applied BEFORE [[oCanon]], matching the Spark order so decoded
+    * authority letters case-fold) over column `e`: split on `%`,
+    * uppercase each triplet's hex, decode unreserved octets via the
+    * shared strpos tables, reassemble. Applying it ahead of oCanon's
+    * fragment strip is equivalent: the decode can never mint a `#`. (The
+    * IDN fold — chain step 8 — is identity on ASCII hosts and has no
+    * DuckDB analog; pq91 pins it with literal punycode twins instead.)
     */
   private def oPct(e: String): String =
     s"""CASE WHEN strpos($e, '%') = 0 THEN $e ELSE
@@ -56,9 +59,9 @@ object CrawlQueries {
                  ELSE '%' || s END), '')
         END"""
 
-  /** DuckDB replay of [[UrlFunctions.url_canonicalize]] steps 1-6 over
-    * column `u` (step 7 = [[oPct]] applied on top by the caller's CTE;
-    * step 8 is ASCII-identity, see [[oPct]]).
+  /** DuckDB replay of [[UrlFunctions.url_canonicalize]] steps 1 + 3-7
+    * over column `u` (step 2 = [[oPct]], applied FIRST by the caller's
+    * CTE; step 8 is ASCII-identity, see [[oPct]]).
     */
   private def oCanon(u: String): String =
     s"""regexp_replace(regexp_replace(
@@ -132,8 +135,8 @@ object CrawlQueries {
               ELSE 'https://docs.example.com/guide?page=' || (doc_id % 20) || '&utm_campaign=x&ref_src=tw'
             END AS url
           FROM documents),
-        c7 AS (SELECT doc_id, text, ${oCanon("url")} AS cu6 FROM u0),
-        c8 AS (SELECT doc_id, text, ${oPct("cu6")} AS canon_url FROM c7),
+        c7 AS (SELECT doc_id, text, ${oPct("url")} AS cu2 FROM u0),
+        c8 AS (SELECT doc_id, text, ${oCanon("cu2")} AS canon_url FROM c7),
         hn AS (SELECT *, lower(regexp_extract(canon_url, '$hostRe', 1)) AS h FROM c8),
         rd AS (SELECT doc_id, text, canon_url,
                       ${oDomain("h", "p")} AS domain
@@ -632,8 +635,8 @@ object CrawlQueries {
           END AS us
         FROM documents),
       ex AS (SELECT doc_id, unnest(us) AS u FROM u0),
-      c7 AS (SELECT doc_id, ${oCanon("u")} AS cu6 FROM ex),
-      c8 AS (SELECT doc_id, ${oPct("cu6")} AS cu7 FROM c7),
+      c7 AS (SELECT doc_id, ${oPct("u")} AS cu2 FROM ex),
+      c8 AS (SELECT doc_id, ${oCanon("cu2")} AS cu7 FROM c7),
       ck AS (SELECT doc_id, replace(cu7,
                '://münchen.example/', '://xn--mnchen-3ya.example/') AS k
              FROM c8)
@@ -685,8 +688,8 @@ object CrawlQueries {
             ELSE 'https://www.docs.example.zz/g?page=' || (doc_id % 20) || '&utm_campaign=x'
           END AS url
         FROM documents),
-      c7 AS (SELECT doc_id, text, ${oCanon("url")} AS cu6 FROM u0),
-      c8 AS (SELECT doc_id, text, ${oPct("cu6")} AS canon_url FROM c7),
+      c7 AS (SELECT doc_id, text, ${oPct("url")} AS cu2 FROM u0),
+      c8 AS (SELECT doc_id, text, ${oCanon("cu2")} AS canon_url FROM c7),
       hn AS (SELECT *, lower(regexp_extract(canon_url, '$hostRe', 1)) AS h FROM c8),
       hp AS (SELECT doc_id, text, canon_url, h, p, len(p) AS n
              FROM (SELECT *, string_split(h, '.') AS p FROM hn)),
@@ -833,8 +836,8 @@ object CrawlQueries {
               ELSE 'https://docs.example.com/guide?page=' || (doc_id % 20) || '&utm_campaign=x&ref_src=tw'
             END AS url
           FROM documents),
-        c7 AS (SELECT doc_id, text, ${oCanon("url")} AS cu6 FROM u0),
-        c8 AS (SELECT doc_id, text, ${oPct("cu6")} AS canon_url FROM c7),
+        c7 AS (SELECT doc_id, text, ${oPct("url")} AS cu2 FROM u0),
+        c8 AS (SELECT doc_id, text, ${oCanon("cu2")} AS canon_url FROM c7),
         hn AS (SELECT *, lower(regexp_extract(canon_url, '$hostRe', 1)) AS h FROM c8),
         rd AS (SELECT doc_id, text, canon_url,
                       ${oDomain("h", "p")} AS domain

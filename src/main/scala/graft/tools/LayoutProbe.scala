@@ -33,10 +33,13 @@ object LayoutProbe {
       spark: SparkSession, dir: String, c1: String, c2: String): Seq[(Long, Long, Long, Long)] = {
     new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSeq
-      .map { f =>
+      .flatMap { f =>
         val r = spark.read.parquet(f).agg(
           min(c1), max(c1), min(c2), max(c2)).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        // an empty part file (possible under skewed range partitioning)
+        // has null min/max and can never be scanned by any box
+        if (r.isNullAt(0)) None
+        else Some((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       }
   }
 
@@ -92,8 +95,8 @@ object LayoutProbe {
       }
     val mr = fileRanges(spark, s"$tmp/morton", "o_orderkey", "o_custkey")
     val hr = fileRanges(spark, s"$tmp/hilbert", "o_orderkey", "o_custkey")
-    require(mr.size == numFiles && hr.size == numFiles,
-      s"expected $numFiles files per layout, got ${mr.size}/${hr.size}")
+    require(mr.nonEmpty && hr.nonEmpty && mr.size <= numFiles && hr.size <= numFiles,
+      s"expected <=$numFiles non-empty files per layout, got ${mr.size}/${hr.size}")
     val ms = scanned(mr)
     val hs = scanned(hr)
 

@@ -20,6 +20,13 @@ class RobotsSpec extends SparkTestBase {
     sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(20260816L)
 
   // ---- independent reference: explicit state-machine parser ----
+  private def refToken(v: String): String = {
+    val t = v.trim
+    if (t.startsWith("*")) "*"
+    else t.takeWhile(c => c < 128 && (c.isLetterOrDigit || c == '-' || c == '_'))
+      .toLowerCase
+  }
+
   private def refRules(text: String, agent: String): Seq[(Boolean, String)] = {
     final case class Group(uas: List[String], rules: List[(Boolean, String)])
     var done = List.empty[Group]
@@ -34,7 +41,7 @@ class RobotsSpec extends SparkTestBase {
         k match {
           case "user-agent" =>
             if (!inUaRun) { cur.foreach(g => done :+= g); cur = Some(Group(Nil, Nil)) }
-            cur = cur.map(g => g.copy(uas = g.uas :+ v.toLowerCase))
+            cur = cur.map(g => g.copy(uas = g.uas :+ refToken(v)))
             inUaRun = true
           case "allow" | "disallow" =>
             inUaRun = false
@@ -45,7 +52,7 @@ class RobotsSpec extends SparkTestBase {
       }
     }
     cur.foreach(g => done :+= g)
-    val exact = done.filter(_.uas.contains(agent.toLowerCase))
+    val exact = done.filter(_.uas.contains(refToken(agent)))
     (if (exact.nonEmpty) exact else done.filter(_.uas.contains("*")))
       .flatMap(_.rules)
   }
@@ -112,6 +119,14 @@ class RobotsSpec extends SparkTestBase {
     // set is /y only when reached via b? no — group(a) = /x, group(b) = /y)
     assert(sparkRules(messy, "b") === Seq((false, "/y")))
     assert(sparkRules(messy, "zzz").isEmpty, "no group, no * group -> no rules")
+    // product-token extraction (RFC §2.2.1): a version/comment tail on the
+    // UA line must not defeat the bare-token match
+    val versioned =
+      "User-agent: GraftBot/1.0 (+https://example.com/bot)\nDisallow: /v\n" +
+        "User-agent: *\nAllow: /"
+    assert(sparkRules(versioned, "graftbot") === Seq((false, "/v")))
+    assert(sparkRules(versioned, "graftbot/9.9") === Seq((false, "/v")),
+      "the crawler-side agent string is tokenized too")
   }
 
   test("decision: longest match, allow tie-break, $ anchor, * wildcard, no-match allowed") {
@@ -133,7 +148,8 @@ class RobotsSpec extends SparkTestBase {
   test(s"fuzz: parse + decide == independent reference over 600 robots files [seed=$seed]") {
     info(s"graft.fuzz.seed=$seed")
     val rnd = new Random(seed ^ 0x0b07L)
-    val uaPool = Seq("graftbot", "GraftBot", "otherbot", "*", "MirrorBot")
+    val uaPool = Seq("graftbot", "GraftBot", "otherbot", "*", "MirrorBot",
+      "graftbot/1.0", "MirrorBot/2.1 (+http://e.com/bot)", "Other-Bot_2")
     val patPool = Seq("/", "/a", "/a/", "/a/b", "/*.gif$", "/tmp/*", "/a*b",
       "/a/b$", "/*/c", "/a**b", "/$", "/x.gif$", "/priv")
     val junk = Seq("Crawl-delay: 5", "Sitemap: https://e.com/s.xml",
@@ -164,7 +180,10 @@ class RobotsSpec extends SparkTestBase {
 
   test("robotsGate: broadcast per-host gate over a frontier; missing robots allows") {
     val robots = Seq(
-      ("a.example.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok$"),
+      ("a.example.com",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok$\nDisallow: /*?sid="),
+      ("A.Example.COM", // case-variant duplicate authority: must collapse
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok$\nDisallow: /*?sid="),
       ("b.example.com", "User-agent: graftbot\nDisallow: /"))
       .toDF("host", "robots_txt")
     val frontier = Seq(
@@ -173,15 +192,56 @@ class RobotsSpec extends SparkTestBase {
       (3L, "https://A.EXAMPLE.com/pub/y"),       // allowed (host case-folds)
       (4L, "https://b.example.com/anything"),    // excluded (Disallow: /)
       (5L, "https://c.example.com/no/robots"),   // allowed (no robots row)
-      (6L, "https://a.example.com"))             // empty path -> "/" allowed
+      (6L, "https://a.example.com"),             // empty path -> "/" allowed
+      (7L, "https://a.example.com/x?sid=1"),     // excluded (query-string rule)
+      (8L, "https://a.example.com/x?q=1#frag"))  // allowed (fragment outside match)
       .toDF("id", "url")
     val (ok, excluded) = graft.pipeline.WebCuration.robotsGate(
       frontier, col("url"), robots, agent = "graftbot")
-    assert(ok.select("id").as[Long].collect().sorted.toSeq === Seq(2L, 3L, 5L, 6L))
-    assert(excluded.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 4L))
+    assert(ok.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(2L, 3L, 5L, 6L, 8L))
+    assert(excluded.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(1L, 4L, 7L))
+    assert(ok.count() + excluded.count() === frontier.count(),
+      "case-variant robots rows must not multiply frontier rows")
     assert(ok.columns.toSeq === frontier.columns.toSeq, "gate leaked temp columns")
     val plan = ok.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"robots side must broadcast, plan:\n$plan")
+  }
+
+  test("robotsGate is stream-safe: stream-static broadcast join, stream == batch across triggers") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val robots = Seq(
+      ("a.example.com", "User-agent: *\nDisallow: /private/\nAllow: /private/ok$"),
+      ("b.example.com", "User-agent: graftbot\nDisallow: /"))
+      .toDF("host", "robots_txt")
+    val urls = (0 until 90).map { i =>
+      val u = (i % 5) match {
+        case 0 => s"https://a.example.com/private/$i"
+        case 1 => "https://a.example.com/private/ok"
+        case 2 => s"https://a.example.com/pub/$i"
+        case 3 => s"https://b.example.com/x/$i"
+        case _ => s"https://c.example.com/free/$i"
+      }
+      (i.toLong, u)
+    }
+    val expect = graft.pipeline.WebCuration.robotsGate(
+        urls.toDF("id", "url"), col("url"), robots, "graftbot")
+      ._1.select("id").as[Long].collect().toSet
+    val in = MemoryStream[(Long, String)]
+    val (okStream, _) = graft.pipeline.WebCuration.robotsGate(
+      in.toDF().toDF("id", "url"), col("url"), robots, "graftbot")
+    val q = okStream.writeStream.format("memory").queryName("robots_ok")
+      .outputMode("append").start()
+    var triggers = 0
+    try {
+      urls.grouped(30).foreach { c => in.addData(c); q.processAllAvailable(); triggers += 1 }
+    } finally q.stop()
+    assert(triggers >= 3)
+    val got = spark.table("robots_ok").select("id").as[Long].collect().toSet
+    assert(got === expect, s"stream gate diverged: ${(got diff expect) ++ (expect diff got)}")
+    assert(expect.nonEmpty && expect.size < urls.size, "fixture must split")
   }
 }

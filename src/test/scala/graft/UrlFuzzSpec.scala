@@ -58,7 +58,7 @@ class UrlFuzzSpec extends SparkTestBase {
     * from the same pattern constants via plain java.util.regex.
     */
   private def refCanon(u0: String): String = {
-    var u = u0.trim.replaceAll("#.*$", "")
+    var u = refPct(u0.trim.replaceAll("#.*$", "")) // step 2 BEFORE case fold
     val m = java.util.regex.Pattern
       .compile(UrlFunctions.AuthorityPrefixRe).matcher(u)
     u = if (m.find()) u.substring(0, m.end()).toLowerCase + u.substring(m.end())
@@ -71,7 +71,7 @@ class UrlFuzzSpec extends SparkTestBase {
     u = u.replaceAll("[?&]+$", "")
     u = u.replaceAll("/+\\?", "?")
     u = u.replaceAll("/+$", "")
-    refIdnFold(refPct(u))
+    refIdnFold(u)
   }
 
   /** Imperative replica of [[UrlFunctions.percent_normalize]] (RFC 3986
