@@ -116,6 +116,14 @@ package object functions {
   def idn_ascii(host: Column): Column =
     toColumn(graft.plans.IdnAscii(toExpr(host)))
 
+  /** Mojibake repair: UTF-8-decoded-as-Windows-1252 text ("cafÃ©",
+    * "donâ€™t") restored via the strict encode/decode round-trip;
+    * conservative — anything that does not round-trip cleanly passes
+    * through unchanged (see [[graft.plans.FixMojibake]]).
+    */
+  def fix_mojibake(text: Column): Column =
+    toColumn(graft.plans.FixMojibake(toExpr(text)))
+
   /** robots.txt text → the RFC 9309 rule group governing `agent`
     * (`array<struct<allow, pattern>>` — see [[graft.plans.RobotsRules]]).
     */

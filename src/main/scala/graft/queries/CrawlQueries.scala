@@ -578,7 +578,63 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93 :+ pq94
+      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96
+
+  /** Mojibake repair (plans.FixMojibake — the ftfy round-trip over
+    * Windows-1252, with the strictness/shrink/plausibility acceptance):
+    * per doc, a deterministically chosen suffix family — single mojibake,
+    * DOUBLE mojibake, clean accented text, the SÃO abort case, the CJK
+    * plausibility-reject case, plain ASCII — appended to the text; the
+    * operator must repair exactly the repairable families and pass the
+    * rest through byte-identically. The oracle pins every family's
+    * expected repaired form as a chr()-literal (the pq91 punycode-pinning
+    * posture — DuckDB has no charset transcoding), so the transcode
+    * behavior is pinned to the published 1252/UTF-8 tables. Hash-exact on
+    * (doc_id, changed, fixed-suffix md5).
+    */
+  private def pq96: Q = Q(
+    "pq96_fix_mojibake",
+    (s, dir) => {
+      val d  = Tables.documents(s, dir)
+      val id = col("doc_id")
+      // scala string literals hold the mojibake forms via unicode escapes
+      val suffix = when(id % 6 === 0, lit(" cafÃ©"))           // cafÃ©
+        .when(id % 6 === 1, lit(" donâ€™t"))              // donâ€™t
+        .when(id % 6 === 2, lit(" cafÃƒÂ©"))         // double: cafÃƒÂ©
+        .when(id % 6 === 3, lit(" SÃO PAULO"))                      // abort case
+        .when(id % 6 === 4, lit(" dä—“"))                 // plausibility reject
+        .otherwise(lit(" plain."))
+      d.select(id,
+          graft.functions.fix_mojibake(concat(col("text"), suffix)).as("fixed"),
+          concat(col("text"), suffix).as("orig"))
+        .select(id,
+          (col("fixed") =!= col("orig")).as("changed"),
+          md5(col("fixed")).as("fixed_hash"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+          CASE
+            WHEN doc_id % 6 = 0 THEN ' caf' || chr(195) || chr(169)
+            WHEN doc_id % 6 = 1 THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't'
+            WHEN doc_id % 6 = 2 THEN ' caf' || chr(195) || chr(402) || chr(194) || chr(169)
+            WHEN doc_id % 6 = 3 THEN ' S' || chr(195) || 'O PAULO'
+            WHEN doc_id % 6 = 4 THEN ' d' || chr(228) || chr(8212) || chr(8220)
+            ELSE ' plain.'
+          END AS suf,
+          CASE
+            WHEN doc_id % 6 = 0 THEN ' caf' || chr(233)
+            WHEN doc_id % 6 = 1 THEN ' don' || chr(8217) || 't'
+            WHEN doc_id % 6 = 2 THEN ' caf' || chr(233)
+            WHEN doc_id % 6 = 3 THEN ' S' || chr(195) || 'O PAULO'
+            WHEN doc_id % 6 = 4 THEN ' d' || chr(228) || chr(8212) || chr(8220)
+            ELSE ' plain.'
+          END AS fixed_suf
+        FROM documents)
+      SELECT doc_id, (suf <> fixed_suf) AS changed,
+             md5(text || fixed_suf) AS fixed_hash
+      FROM t
+    """))
 
   /** The [[graft.pipeline.Psl.sample]] rule table as SQL VALUES rows — the
     * pq90 oracle matches against the SAME parsed constants the Spark plan

@@ -87,6 +87,8 @@ class UsageExamplesSpec extends SparkTestBase {
       .select(col("m.n_words"), col("f.gopher_keep")).count() > 0)
     assert(graft.quality.C4Rules.c4Filter(docs, "text",
       graft.quality.C4Rules.Params(minLines = 0)).columns.sameElements(docs.columns))
+    assert(docs.withColumn("text", graft.functions.fix_mojibake(col("text")))
+      .count() === docs.count())
     val batch = crawl.withColumn("ts", timestamp_micros(col("doc_id") * 1000L))
     val (polite, diverted) = graft.pipeline.WebCuration.politenessRoute(
       batch, col("url"), col("ts"), "1 minute", maxPerWindow = 10)
