@@ -20,18 +20,38 @@ object Calibrate {
     * (survivor count may exceed `keepFrac·n` by the tie width; it is never
     * below).
     *
+    * PRECISION CONTRACT: scores are compared at 6-dp fixed point — the
+    * operator rounds `scoreCol` (half-up, Spark `round`) before BOTH the
+    * histogram and the gate. For the engine's own scorers (e.g.
+    * [[graft.functions.TextFunctions.quality_score]], already
+    * `round(_, 6)`) the rounding is an exact identity, so thresholds and
+    * survivor sets are unchanged; a caller passing a RAW continuous double
+    * is quantized to the contract instead of silently driving the
+    * cumulative window to corpus cardinality. The keep-fraction guarantee
+    * holds at 6-dp granularity: rows whose ROUNDED score ties the
+    * threshold are all kept. Callers who need finer-than-6-dp cutoffs on
+    * live streams should use the fixed-width histogram form
+    * ([[graft.streaming.StreamOps]]'s calibrated gate — the dq31 512-cell
+    * shape) instead.
+    *
     * 100 TB shape: the corpus is scanned once into a (score → count)
     * partial-agg shuffle; everything after operates on DISTINCT scores.
-    * `scoreCol` contracts to bounded cardinality (e.g. a 6-dp rounded score
-    * in [0,1] has ≤ 10⁶+1 distinct values), so the unpartitioned cumulative
-    * window runs over at most that many metadata rows — never over the
-    * corpus. The threshold row is broadcast back; the corpus itself is
-    * filtered row-locally on re-scan, no second shuffle.
+    * The 6-dp contract bounds the cardinality structurally (a score range
+    * of width w has ≤ w·10⁶+1 distinct rounded values — 10⁶+1 for the
+    * usual [0,1] scorers), so the unpartitioned cumulative window runs
+    * over at most that many metadata rows — never over the corpus,
+    * REGARDLESS of what the caller feeds in. The threshold row is
+    * broadcast back; the corpus itself is filtered row-locally on
+    * re-scan, no second shuffle.
     */
   def calibratedFilter(
       scored: DataFrame,
-      scoreCol: Column,
+      scoreCol0: Column,
       keepFrac: Double): DataFrame = {
+    // the precision contract (see scaladoc): all comparisons at 6-dp
+    // fixed point — identity for the engine's own 6-dp scorers, a
+    // cardinality guard for raw continuous inputs
+    val scoreCol = round(scoreCol0, 6)
     // lower bound: below ~1.1e-16, (1.0 - keepFrac) rounds to exactly 1.0 in
     // IEEE double, the rank lands past every row and the gate would return
     // EMPTY instead of the top row — no real keep fraction is that small,

@@ -548,6 +548,38 @@ class CurationOpsSpec extends SparkTestBase {
     assert(kept == Set(4L, 5L, 6L), s"expected the real top half, got $kept")
   }
 
+  test("calibratedFilter quantizes a raw continuous score to the 6-dp contract") {
+    // a raw double score (NOT pre-rounded) must be quantized before both the
+    // histogram and the gate: (a) the keep-fraction guarantee holds at 6-dp
+    // granularity, (b) the threshold the gate publishes IS a 6-dp value —
+    // the cumulative window can only ever see quantized (bounded) scores,
+    // and (c) two rows whose raw scores differ only BELOW 6 dp are
+    // indistinguishable to the gate (kept or dropped together), proving the
+    // comparison really happens on the rounded value.
+    val n = 20000
+    // deterministic continuous scores: effectively all distinct below 6 dp
+    val raw = (1 to n).map(i => (i.toLong, (math.sin(i.toDouble) + 1.0) / 2.0))
+    val scored = raw.toDF("doc_id", "score")
+    val kept = graft.quality.Calibrate.calibratedFilter(scored, col("score"), 0.25)
+    val thr = kept.select(col("thr")).distinct().as[Double].collect()
+    assert(thr.length == 1)
+    // (b) the published threshold is exactly representable at 6 dp
+    val q = BigDecimal(thr(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q == thr(0), s"threshold ${thr(0)} is not a 6-dp value")
+    // (a) keep fraction at 6-dp granularity
+    val k = kept.count()
+    assert(k >= math.ceil(0.25 * n).toLong - 1, s"kept $k of $n — under target")
+    // (c) sub-6-dp twins straddling the threshold are treated identically:
+    // plant two rows whose raw scores differ by 1e-9 around a 6-dp value
+    val twins = Seq((100001L, 0.1234565000 - 5e-10), (100002L, 0.1234565000 + 5e-10))
+      .toDF("doc_id", "score")
+    val twinKept = graft.quality.Calibrate
+      .calibratedFilter(scored.unionByName(twins), col("score"), 0.25)
+      .filter(col("doc_id") > 100000L).count()
+    assert(twinKept == 0L || twinKept == 2L,
+      s"sub-6-dp twins split across the gate: kept $twinKept of 2")
+  }
+
   test("calibratedFilter rejects a keepFrac below the representable floor") {
     val scored = Seq((1L, 0.5)).toDF("doc_id", "score")
     intercept[IllegalArgumentException] {
