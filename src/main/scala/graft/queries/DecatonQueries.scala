@@ -1302,6 +1302,54 @@ object DecatonQueries {
         SELECT CAST(cut.w * 100 AS BIGINT) AS w_sec, cut.lang, cut.total,
                cut.cutoff_cell, adm.n_admitted
         FROM cut JOIN adm ON cut.w = adm.w AND cut.lang = adm.lang
+      """)),
+
+    // ---- the graft-warc container at data scale: every document serialized
+    // as a WARC/1.1 record (headers + arbitrary multi-line block bytes) into
+    // per-record-gzip-member segments — the Common Crawl shape — by a
+    // DISTRIBUTED write (one segment per shard, landed by atomic rename),
+    // read back through the DSv2 source and aggregated from the PARSED
+    // columns only. Framing, member boundaries, header projection and block
+    // byte fidelity are all on the oracle path: one flipped byte anywhere
+    // moves sum_text_len or drops a row.
+    Q(
+      "dq32_warc_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dq32").toString
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("source"), col("text"))
+          .repartition(8, col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val recs = it.map { r =>
+              (Seq(
+                "WARC-Type" -> "resource",
+                "WARC-Target-URI" -> s"graft://corpus/doc/${r.getAs[Long]("doc_id")}",
+                "X-Graft-Doc-Id" -> r.getAs[Long]("doc_id").toString,
+                "X-Graft-Lang" -> r.getAs[String]("lang"),
+                "X-Graft-Source" -> r.getAs[String]("source")),
+                r.getAs[String]("text").getBytes("UTF-8"))
+            }.toSeq
+            if (recs.nonEmpty)
+              graft.sources.warc.GraftWarc.writeGz(tmp, f"part-$pid%03d.warc.gz", recs)
+          }
+        s.read.format("graft-warc").option("path", tmp).load()
+          .select(
+            element_at(col("headers"), "x-graft-lang").as("lang"),
+            element_at(col("headers"), "x-graft-doc-id").cast("long").as("did"),
+            col("content_length"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("did")).as("sum_doc_id"),
+            // content_length counts the BLOCK OCTETS the reader framed the
+            // record by (octet_length ↔ DuckDB strlen, both byte counts)
+            sum(col("content_length")).as("sum_text_len"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(strlen(text)) AS BIGINT) AS sum_text_len
+        FROM documents GROUP BY lang
       """))
   )
 }

@@ -277,6 +277,31 @@ object ChaosMedium {
     * `nFiles` append-only segments (a key always lands in the same file, so
     * per-key line order is production order), payload as a JSON object.
     */
+  /** Tasks through a `graft-warc` directory: key-hash routing to one of
+    * `nFiles` append-only plain-WARC files (a key always lands in the same
+    * file, so per-key record order is production order); the key rides
+    * WARC-Target-URI, the id rides the record block.
+    */
+  def warc(dir: String, nFiles: Int): ChaosMedium = new ChaosMedium {
+    java.nio.file.Files.createDirectories(new java.io.File(dir).toPath)
+    val checkpoint: String =
+      java.nio.file.Files.createTempDirectory("graft-chaos-warc-ckpt").toString
+    def write(spark: SparkSession, tasks: Seq[(String, Long)]): Unit =
+      tasks.groupBy { case (k, _) =>
+        math.floorMod(scala.util.hashing.MurmurHash3.stringHash(k), nFiles)
+      }.toSeq.sortBy(_._1).foreach { case (f, ts) =>
+        graft.sources.warc.GraftWarc.append(dir, f"part-$f%03d.warc",
+          ts.map { case (k, id) =>
+            (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> k),
+              id.toString.getBytes("UTF-8"))
+          })
+      }
+    def read(spark: SparkSession): DataFrame =
+      spark.readStream.format("graft-warc").option("path", dir).load()
+        .select(col("target_uri").as("key"),
+          col("content").cast("string").cast("long").as("id"))
+  }
+
   def jsonl(dir: String, nFiles: Int): ChaosMedium = new ChaosMedium {
     val checkpoint: String =
       java.nio.file.Files.createTempDirectory("graft-chaos-jsonl-ckpt").toString

@@ -1,0 +1,248 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.warc.GraftWarc
+
+/** The `graft-warc` DSv2 medium: WARC/1.x (ISO 28500 — the Common Crawl
+  * container) batch + streaming reads, record/member framing, admission
+  * control, data-loss semantics, drop-not-fail malformed handling, and
+  * byte-range splitting with validated-record-start ownership.
+  */
+class GraftWarcSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rec(uri: String, body: String, typ: String = "resource",
+      extra: Seq[(String, String)] = Nil): (Seq[(String, String)], Array[Byte]) =
+    (Seq("WARC-Type" -> typ, "WARC-Record-ID" -> s"<urn:uuid:${uri.hashCode}>",
+      "WARC-Date" -> "2026-01-02T03:04:05Z", "WARC-Target-URI" -> uri,
+      "Content-Type" -> "text/plain") ++ extra,
+      body.getBytes("UTF-8"))
+
+  private def readBatch(dir: String, opts: (String, String)*): DataFrame = {
+    var r = spark.read.format("graft-warc").option("path", dir)
+    opts.foreach { case (k, v) => r = r.option(k, v) }
+    r.load()
+  }
+
+  test("batch read: plain records with standard headers as columns, all headers in the map") {
+    val dir = Files.createTempDirectory("warc-batch").toString
+    GraftWarc.append(dir, "a.warc", Seq(
+      rec("http://ex.com/1", "hello world"),
+      rec("http://ex.com/2", "second récord ütf-8", extra = Seq("X-Custom" -> "v1"))))
+    val rows = readBatch(dir).orderBy("pos").collect()
+    assert(rows.length == 2)
+    val r0 = rows(0)
+    assert(r0.getAs[String]("file") == "a.warc")
+    assert(r0.getAs[Long]("pos") == 0L)
+    assert(r0.getAs[Int]("sub") == 0)
+    assert(r0.getAs[String]("warc_type") == "resource")
+    assert(r0.getAs[String]("target_uri") == "http://ex.com/1")
+    assert(r0.getAs[String]("warc_date") == "2026-01-02T03:04:05Z")
+    assert(r0.getAs[String]("content_type") == "text/plain")
+    assert(new String(r0.getAs[Array[Byte]]("content"), "UTF-8") == "hello world")
+    assert(r0.getAs[Long]("content_length") == 11L)
+    val h1 = rows(1).getAs[Map[String, String]]("headers")
+    assert(h1("x-custom") == "v1" && h1("warc-type") == "resource")
+    assert(new String(rows(1).getAs[Array[Byte]]("content"), "UTF-8")
+      == "second récord ütf-8")
+    // pos of record 2 = full serialized length of record 1
+    assert(rows(1).getAs[Long]("pos") ==
+      GraftWarc.recordBytes(rec("http://ex.com/1", "hello world")._1,
+        "hello world".getBytes("UTF-8")).length.toLong)
+  }
+
+  test("batch read: per-record gzip members with exact member offsets; multi-record member subs") {
+    val dir = Files.createTempDirectory("warc-gz").toString
+    GraftWarc.writeGz(dir, "seg.warc.gz", Seq(
+      rec("http://ex.com/a", "alpha"),
+      rec("http://ex.com/b", "bravo bravo")))
+    // a member holding TWO records (legal gzip; sub disambiguates the id)
+    val two = GraftWarc.recordBytes(rec("u://c", "cc")._1, "cc".getBytes) ++
+      GraftWarc.recordBytes(rec("u://d", "dd")._1, "dd".getBytes)
+    val tmp = new File(dir, "multi.warc.gz")
+    val out = new java.io.FileOutputStream(tmp)
+    val gz = new java.util.zip.GZIPOutputStream(out)
+    gz.write(two); gz.finish(); out.close()
+    val rows = readBatch(dir).orderBy("file", "pos", "sub").collect()
+    assert(rows.length == 4)
+    val (multi, seg) = rows.partition(_.getAs[String]("file") == "multi.warc.gz")
+    assert(seg.map(r => new String(r.getAs[Array[Byte]]("content"), "UTF-8")).toSeq
+      == Seq("alpha", "bravo bravo"))
+    // second member's pos = compressed size of the first member
+    assert(seg(0).getAs[Long]("pos") == 0L && seg(1).getAs[Long]("pos") > 0L)
+    assert(seg(1).getAs[Long]("pos") < new File(dir, "seg.warc.gz").length())
+    assert(multi.map(_.getAs[Int]("sub")).toSeq == Seq(0, 1))
+    assert(multi.map(_.getAs[String]("target_uri")).toSeq == Seq("u://c", "u://d"))
+  }
+
+  test("streaming tail: a partial record stays invisible until its framing lands") {
+    val dir = Files.createTempDirectory("warc-tail").toString
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, String)]()
+    GraftWarc.append(dir, "t.warc", Seq(rec("u://1", "one")))
+    val q = spark.readStream.format("graft-warc").option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("warc-tail-ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach(r => got.add((r.getAs[String]("file"), r.getAs[Long]("pos"),
+          new String(r.getAs[Array[Byte]]("content"), "UTF-8"))))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.size == 1)
+      // append a record WITHOUT its trailing CRLFCRLF: invisible
+      val full = GraftWarc.recordBytes(rec("u://2", "two")._1, "two".getBytes)
+      val fos = new java.io.FileOutputStream(new File(dir, "t.warc"), true)
+      fos.write(full, 0, full.length - 4); fos.close()
+      q.processAllAvailable()
+      assert(got.size == 1, "a torn record must stay invisible")
+      val fos2 = new java.io.FileOutputStream(new File(dir, "t.warc"), true)
+      fos2.write(full, full.length - 4, 4); fos2.close()
+      q.processAllAvailable()
+      assert(got.size == 2)
+      // a NEW gz segment landed atomically is discovered as a complete file
+      GraftWarc.writeGz(dir, "late.warc.gz", Seq(rec("u://3", "three")))
+      q.processAllAvailable()
+      assert(got.asScala.map(_._3).toSet == Set("one", "two", "three"))
+    } finally q.stop()
+  }
+  private implicit class QueueOps[A](q: java.util.concurrent.ConcurrentLinkedQueue[A]) {
+    def asScala: Iterator[A] = { import scala.jdk.CollectionConverters._; q.iterator().asScala }
+  }
+
+  test("maxBytesPerTrigger cuts at record boundaries and never starves") {
+    val dir = Files.createTempDirectory("warc-cap").toString
+    GraftWarc.append(dir, "c.warc",
+      (1 to 20).map(i => rec(s"u://$i", "x" * 100)))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-warc").option("path", dir)
+      .option("maxBytesPerTrigger", "150") // << one ~300-byte record
+      .load()
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("warc-cap-ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val n = b.count(); if (n > 0) batches += n
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    assert(batches.sum == 20L, s"all records delivered: $batches")
+    // the cap is below one record, so the progress rule admits exactly one
+    // record per trigger
+    assert(batches.forall(_ == 1L), s"progress rule: one record per capped trigger, got $batches")
+  }
+
+  test("failOnDataLoss: truncation below the checkpoint fails strict, permissive holds") {
+    val dir = Files.createTempDirectory("warc-loss").toString
+    val f = new File(dir, "l.warc")
+    GraftWarc.append(dir, "l.warc", Seq(rec("u://1", "aaaa"), rec("u://2", "bbbb")))
+    val ckpt = Files.createTempDirectory("warc-loss-ckpt").toString
+    def start(strict: Boolean) = spark.readStream.format("graft-warc")
+      .option("path", dir).option("failOnDataLoss", strict.toString).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }.start()
+    val q = start(strict = true)
+    try q.processAllAvailable() finally q.stop()
+    // truncate below the checkpoint
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.setLength(f.length() - 10); raf.close()
+    val q2 = start(strict = true)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    assert(e.getCause.getMessage.contains("data loss detected"),
+      s"expected a data-loss error, got: ${e.getCause}")
+    // permissive: holds at the checkpoint, resumes once the file regrows
+    val q3 = start(strict = false)
+    try {
+      q3.processAllAvailable() // no error, nothing delivered
+      GraftWarc.append(dir, "l.warc", Seq(rec("u://3", "cccc")))
+      q3.processAllAvailable()
+    } finally q3.stop()
+  }
+
+  test("permissive mode resyncs past a malformed record (drop-not-fail); failfast raises") {
+    val dir = Files.createTempDirectory("warc-mal").toString
+    val good1 = GraftWarc.recordBytes(rec("u://1", "first")._1, "first".getBytes)
+    val junk = "GARBAGE not a warc record\r\nstill garbage\r\n\r\n".getBytes("UTF-8")
+    val good2 = GraftWarc.recordBytes(rec("u://2", "second")._1, "second".getBytes)
+    val fos = new java.io.FileOutputStream(new File(dir, "m.warc"))
+    fos.write(good1); fos.write(junk); fos.write(good2); fos.close()
+    val vals = readBatch(dir)
+      .select(col("content").cast("string")).as[String].collect().toSet
+    assert(vals == Set("first", "second"),
+      s"permissive must deliver the records around the junk, got $vals")
+    val e = intercept[org.apache.spark.SparkException] {
+      readBatch(dir, "mode" -> "failfast").count()
+    }
+    assert(e.getMessage.contains("malformed") ||
+      Option(e.getCause).exists(_.getMessage.contains("malformed")))
+  }
+
+  test("batch byte-range split: every record delivered exactly once under first-byte ownership") {
+    val dir = Files.createTempDirectory("warc-split").toString
+    // bodies that CONTAIN the WARC magic mid-content must not fool resync
+    val n = 400
+    GraftWarc.append(dir, "big.warc", (1 to n).map(i =>
+      rec(s"u://$i", s"body $i with a fake\r\n\r\nWARC/1.1\r\nmagic inside " + "pad" * 50)))
+    val whole = readBatch(dir).select("pos").as[Long].collect().sorted.toSeq
+    assert(whole.size == n)
+    val split = readBatch(dir, "maxSplitBytes" -> "4096")
+      .select("pos").as[Long].collect().sorted.toSeq
+    assert(split == whole,
+      s"split read must deliver the same records exactly once (got ${split.size} vs $n)")
+    // and it actually split: more than one partition planned
+    val parts = readBatch(dir, "maxSplitBytes" -> "4096").rdd.getNumPartitions
+    assert(parts > 1, s"expected a real split, got $parts partition(s)")
+  }
+
+  test("chaos scenario over graft-warc: all three guarantees hold") {
+    val suite = graft.testing.GuaranteeSuite()
+    suite.chaosTestOver(spark,
+      graft.testing.ChaosMedium.warc(
+        Files.createTempDirectory("graft-chaos-warc").toString, nFiles = 4),
+      nKeys = 20, total = 1000)(identity)
+  }
+
+  test("crawl front runs end-to-end from a WARC directory") {
+    // synthesize a small crawl as gz segments (the Common Crawl shape),
+    // read through the source, and drive crawlToCorpus off the parsed rows
+    val dir = Files.createTempDirectory("warc-crawl").toString
+    val docs = (1 to 60).map { i =>
+      val host = if (i % 3 == 0) "spam.tracker.biz" else s"site${i % 5}.example.com"
+      // all-alphabetic tokens: Gopher's minAlphaWordFrac (0.8) must pass
+      val body = (1 to 8).map { j =>
+        val jw = ('a' + (j % 26)).toChar.toString * 3
+        val iw = ('a' + (i % 26)).toChar.toString * 4
+        s"Sentence $jw of document $iw reads quite fine today."
+      }.mkString("\n")
+      rec(s"https://$host/page/$i?utm_source=x", body, typ = "response")
+    }
+    docs.grouped(20).zipWithIndex.foreach { case (g, i) =>
+      GraftWarc.writeGz(dir, f"crawl-$i%02d.warc.gz", g)
+    }
+    val parsed = readBatch(dir)
+      .filter(col("warc_type") === "response")
+      .select(
+        // (file, pos, sub) → a stable integral doc id
+        (hash(col("file"), col("pos"), col("sub")).cast("long") +
+          lit(1L << 32)).as("doc_id"),
+        col("target_uri").as("url"),
+        col("content").cast("string").as("body"))
+    val blocked = Seq("tracker.biz").toDF("domain")
+    val out = graft.pipeline.WebCuration.crawlToCorpus(
+      parsed, col("doc_id"), col("url"), col("body"), blocked, cap = 10,
+      gopher = graft.quality.GopherRules.Params(minWords = 10L, minStopWords = 1L))
+    val kept = out.select("canon_url").as[String].collect()
+    assert(kept.nonEmpty, "the WARC-fed crawl front must admit documents")
+    assert(!kept.exists(_.contains("tracker.biz")), "blocklisted domain leaked through")
+    assert(kept.forall(!_.contains("utm_source")), "canonicalization must strip tracking params")
+    val perDomain = out.groupBy("domain").count().as[(String, Long)].collect()
+    assert(perDomain.forall(_._2 <= 10), s"per-domain cap violated: ${perDomain.toSeq}")
+  }
+}
