@@ -137,6 +137,20 @@ package object functions {
   def robots_allowed(path: Column, rules: Column): Column =
     toColumn(graft.plans.RobotsDecision(toExpr(path), toExpr(rules)))
 
+  /** robots.txt text → the `Crawl-delay` (seconds) governing `agent`, null
+    * when none — the de-facto per-domain fetch-rate extension
+    * ([[graft.plans.RobotsCrawlDelay]]); feeds
+    * [[graft.pipeline.WebCuration.politenessRouteRobots]]'s quota table.
+    */
+  def robots_crawl_delay(text: Column, agent: String): Column =
+    toColumn(graft.plans.RobotsCrawlDelay(toExpr(text), agent))
+
+  /** robots.txt text → all `Sitemap:` URLs (standalone records, file
+    * order — [[graft.plans.RobotsSitemaps]]).
+    */
+  def robots_sitemaps(text: Column): Column =
+    toColumn(graft.plans.RobotsSitemaps(toExpr(text)))
+
   /** Aggregate: exact top-`k` (score desc, id asc) → array<struct<id,
     * score>>. O(k) partial heaps combine map-side — the scale form of a
     * per-group `row_number() <= k` Window, which would shuffle and sort

@@ -393,6 +393,88 @@ object WebCuration {
     (ok.drop("__pr_dom"), shaped.drop("__pr_dom"))
   }
 
+  /** Robots-driven per-domain politeness quotas: parse each authority's
+    * robots.txt `Crawl-delay` for `agent`
+    * ([[graft.functions.robots_crawl_delay]]) and turn it into a
+    * per-REGISTRABLE-DOMAIN fetch quota for one `windowDur` window:
+    * `quota = max(1, floor(windowSeconds / delay))` — a delay of d seconds
+    * admits one fetch per d seconds, floored at 1 so a delay longer than
+    * the window still makes progress (shaped, not starved). Multiple
+    * hosts mapping to one registrable domain collapse to the MINIMUM
+    * quota (most restrictive host governs — the polite reading). Hosts
+    * without a delay are absent from the table (the router's
+    * `defaultQuota` applies). Output: (domain, quota). 100 TB shape: the
+    * robots side is authority-scale; parse + PSL enrichment happen THERE,
+    * and the table broadcasts into the router — the frontier never
+    * shuffles for it.
+    */
+  def robotsQuotaTable(
+      robotsDf: DataFrame,
+      agent: String,
+      windowDur: String,
+      psl: Option[Psl] = None): DataFrame = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils.stringToInterval(
+      org.apache.spark.unsafe.types.UTF8String.fromString(windowDur))
+    require(iv.months == 0,
+      s"robotsQuotaTable needs a fixed-length window, got '$windowDur' (months vary)")
+    val windowSec = iv.days * 86400.0 + iv.microseconds / 1e6
+    require(windowSec > 0, s"windowDur must be positive, got '$windowDur'")
+    val hosts = robotsDf.toDF("__rq_host0", "__rq_txt")
+      .select(lower(col("__rq_host0")).as("__rq_host"), col("__rq_txt"))
+      .dropDuplicates("__rq_host")
+      .select(col("__rq_host"),
+        graft.functions.robots_crawl_delay(col("__rq_txt"), agent).as("__rq_delay"))
+      .filter(col("__rq_delay").isNotNull)
+    val keyed = psl match {
+      case Some(p) => p.withRegistrableDomain(hosts, col("__rq_host"), "domain")
+      case None => hosts.withColumn("domain",
+        graft.functions.UrlFunctions.url_registrable_domain(col("__rq_host")))
+    }
+    keyed
+      .select(col("domain"),
+        greatest(lit(1L),
+          floor(lit(windowSec) / col("__rq_delay")).cast("long")).as("quota"))
+      .groupBy(col("domain")).agg(min(col("quota")).as("quota"))
+  }
+
+  /** [[politenessRoute]] with the per-domain rate driven by each
+    * authority's robots.txt `Crawl-delay` instead of one global
+    * `maxPerWindow` — the loop a production crawler actually runs: fetch
+    * robots once per authority, derive the domain's window quota
+    * ([[robotsQuotaTable]]), and divert any domain exceeding ITS OWN rate
+    * onto the shaped side while domains without a declared delay take
+    * `defaultQuota`. Keyed by the full-PSL registrable domain when `psl`
+    * is given, the column heuristic otherwise; decision via the exact
+    * per-(window, domain) count or the CMS estimate (`sketch = true`, the
+    * reference's live rule — fixed-width state at unbounded domain
+    * cardinality). Returns (polite, diverted); run per micro-batch inside
+    * foreachBatch like the shaping loop (ShapingLoopSpec's robots case).
+    */
+  def politenessRouteRobots(
+      batch: DataFrame,
+      urlCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      robotsDf: DataFrame,
+      agent: String,
+      defaultQuota: Long,
+      psl: Option[Psl] = None,
+      sketch: Boolean = true): (DataFrame, DataFrame) = {
+    val quotas = robotsQuotaTable(robotsDf, agent, windowDur, psl)
+    val keyed = psl match {
+      case Some(p) => p.withRegistrableDomain(batch, url_host(urlCol), "__pr_dom")
+      case None => batch.withColumn("__pr_dom", url_domain(urlCol))
+    }
+    val (ok, shaped) =
+      if (sketch)
+        graft.streaming.StreamOps.routeByQuotaSketchTable(
+          keyed, col("__pr_dom"), tsCol, windowDur, quotas, defaultQuota)
+      else
+        graft.streaming.StreamOps.routeByQuotaTable(
+          keyed, col("__pr_dom"), tsCol, windowDur, quotas, defaultQuota)
+    (ok.drop("__pr_dom"), shaped.drop("__pr_dom"))
+  }
+
   /** FLAGSHIP: raw crawl → clean corpus in ONE plan — the full crawl front
     * composed from the already-audited stages:
     *   1. canonical-URL dedup ([[canonicalUrlDedup]] shape — pq83);

@@ -59,12 +59,27 @@ private[plans] object RobotsParsing {
       .toLowerCase(java.util.Locale.ROOT)
   }
 
-  /** Parse and select the rule group for `agent` (lowercase product
-    * token). Returns (allow, pattern) pairs in file order.
+  /** One parsed group: its product tokens, its (allow, pattern) rules in
+    * file order, and its `Crawl-delay` values (the de-facto extension RFC
+    * 9309 §2.2.4 leaves to "other records" — Bing/Yandex honor it; it is
+    * group-scoped like Allow/Disallow).
     */
-  def rulesFor(text: String, agent: String): Seq[(Boolean, String)] = {
-    // groups under construction: (uaTokens, rules)
-    val groups = mutable.ArrayBuffer.empty[(mutable.ArrayBuffer[String], mutable.ArrayBuffer[(Boolean, String)])]
+  final case class Group(
+      uas: mutable.ArrayBuffer[String],
+      rules: mutable.ArrayBuffer[(Boolean, String)],
+      delays: mutable.ArrayBuffer[Double])
+
+  /** Sequential line scan per the RFC: groups are runs of `User-agent:`
+    * lines followed by records; comments stripped; an ignored directive
+    * still ends a user-agent run. Returns (groups, sitemaps) — `Sitemap`
+    * is a STANDALONE record per the sitemaps.org extension (not scoped to
+    * any group), collected file-wide. Grouping behavior is byte-identical
+    * to the pre-refactor rulesFor: crawl-delay and sitemap lines fell
+    * into the ignored-directive arm before, and both still end a UA run.
+    */
+  def parseGroups(text: String): (Seq[Group], Seq[String]) = {
+    val groups = mutable.ArrayBuffer.empty[Group]
+    val sitemaps = mutable.ArrayBuffer.empty[String]
     var collectingUas = false
     text.split("\r\n|\n|\r", -1).foreach { raw =>
       val line = raw.indexOf('#') match {
@@ -79,28 +94,68 @@ private[plans] object RobotsParsing {
           key match {
             case "user-agent" =>
               if (!collectingUas || groups.isEmpty) {
-                groups += ((mutable.ArrayBuffer.empty[String],
-                  mutable.ArrayBuffer.empty[(Boolean, String)]))
+                groups += Group(mutable.ArrayBuffer.empty,
+                  mutable.ArrayBuffer.empty, mutable.ArrayBuffer.empty)
                 collectingUas = true
               }
-              groups.last._1 += productToken(value)
+              groups.last.uas += productToken(value)
             case "allow" | "disallow" =>
               collectingUas = false
               // rules before any user-agent line have no governing group
               // (RFC: rules outside a group are ignored); empty values
               // carry no constraint
               if (groups.nonEmpty && value.nonEmpty)
-                groups.last._2 += ((key == "allow", value))
+                groups.last.rules += ((key == "allow", value))
+            case "crawl-delay" =>
+              collectingUas = false
+              // group-scoped; unparseable / non-positive / non-finite
+              // values carry no constraint (the lenient-reader posture —
+              // a bad delay must not stall a crawler to its default)
+              if (groups.nonEmpty && value.nonEmpty)
+                try {
+                  val d = value.toDouble
+                  if (d > 0 && java.lang.Double.isFinite(d)) groups.last.delays += d
+                } catch { case _: NumberFormatException => () }
+            case "sitemap" =>
+              collectingUas = false
+              if (value.nonEmpty) sitemaps += value
             case _ =>
               collectingUas = false // an ignored directive still ends a UA run
           }
         }
       }
     }
-    val exact = groups.filter(_._1.contains(agent))
-    val chosen = if (exact.nonEmpty) exact else groups.filter(_._1.contains("*"))
-    chosen.flatMap(_._2.toSeq).toSeq
+    (groups.toSeq, sitemaps.toSeq)
   }
+
+  /** The groups governing `agent` (lowercase product token): ALL groups
+    * naming the exact token merge (RFC §2.2.1); exact beats `*`.
+    */
+  private def groupsFor(text: String, agent: String): Seq[Group] = {
+    val (groups, _) = parseGroups(text)
+    val exact = groups.filter(_.uas.contains(agent))
+    if (exact.nonEmpty) exact else groups.filter(_.uas.contains("*"))
+  }
+
+  /** Parse and select the rule group for `agent` (lowercase product
+    * token). Returns (allow, pattern) pairs in file order.
+    */
+  def rulesFor(text: String, agent: String): Seq[(Boolean, String)] =
+    groupsFor(text, agent).flatMap(_.rules.toSeq)
+
+  /** The crawl delay governing `agent`, in seconds: the MAXIMUM (most
+    * restrictive — the polite reading) across the chosen groups' valid
+    * `Crawl-delay` values. None when no governing group carries one.
+    */
+  def crawlDelayFor(text: String, agent: String): Option[Double] = {
+    val ds = groupsFor(text, agent).flatMap(_.delays.toSeq)
+    if (ds.isEmpty) None else Some(ds.max)
+  }
+
+  /** All `Sitemap:` URLs in the file, file order (standalone records —
+    * sitemaps.org extension; not scoped to any user-agent group).
+    */
+  def sitemapsOf(text: String): Seq[String] = parseGroups(text)._2
 
   /** RFC §2.2.2 path match: `*` = any octet run, trailing `$` = end
     * anchor, otherwise prefix semantics. `cache` memoizes compiled
@@ -216,4 +271,71 @@ case class RobotsDecision(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): RobotsDecision =
     copy(left = newLeft, right = newRight)
+}
+
+/** robots.txt text → the `Crawl-delay` (seconds, double) governing `agent`,
+  * null when no governing group carries one. The de-facto extension that
+  * actually sets per-domain fetch rates in production crawlers (RFC 9309
+  * leaves it to §2.2.4 "other records"; Bing/Yandex honor it) — the value
+  * [[graft.pipeline.WebCuration.politenessRouteRobots]] turns into a
+  * per-domain shaping quota. Group selection and merge follow
+  * [[RobotsRules]] exactly; the most RESTRICTIVE (maximum) delay of the
+  * merged groups wins.
+  */
+case class RobotsCrawlDelay(child: Expression, agent: String)
+    extends UnaryExpression {
+
+  private val agentLower = RobotsParsing.productToken(agent)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"robots_crawl_delay expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RobotsParsing.crawlDelayFor(input.asInstanceOf[UTF8String].toString, agentLower)
+      .map(Double.box).orNull
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("robotsDelay", this, classOf[RobotsCrawlDelay].getName)
+    val obj = ctx.freshName("delayObj")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""Object $obj = $ref.nullSafeEval($c);
+         |if ($obj == null) { ${ev.isNull} = true; } else { ${ev.value} = (Double) $obj; }
+       """.stripMargin)
+  }
+
+  override def prettyName: String = "robots_crawl_delay"
+  override protected def withNewChildInternal(c: Expression): RobotsCrawlDelay = copy(child = c)
+}
+
+/** robots.txt text → all `Sitemap:` URLs (standalone records, file order —
+  * the sitemaps.org extension). The discovery feed a crawl frontier seeds
+  * from beside the politeness rate.
+  */
+case class RobotsSitemaps(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"robots_sitemaps expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      RobotsParsing.sitemapsOf(input.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString).toArray[Any])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("robotsSitemaps", this, classOf[RobotsSitemaps].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "robots_sitemaps"
+  override protected def withNewChildInternal(c: Expression): RobotsSitemaps = copy(child = c)
 }

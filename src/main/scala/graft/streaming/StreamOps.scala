@@ -843,6 +843,69 @@ object StreamOps {
     routeByKeySet(batch, keyCol, bad)
   }
 
+  /** [[routeByQuota]] with a PER-KEY quota table instead of one global
+    * threshold — the robots-driven politeness shape: each key (domain) can
+    * carry its own rate (e.g. derived from its robots.txt `Crawl-delay`),
+    * keys absent from the table take `defaultQuota`. `quotas` is a
+    * 2-column (key, quota) frame; duplicate keys collapse to the MINIMUM
+    * quota (most restrictive wins — the polite reading). 100 TB shape:
+    * the quota table is authority-scale (thousands of rows) and rides a
+    * BROADCAST left join against the per-(window, key) counts — the batch
+    * itself still shuffles exactly once for the count, same as the
+    * global-threshold form.
+    */
+  def routeByQuotaTable(
+      batch: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      quotas: DataFrame,
+      defaultQuota: Long): (DataFrame, DataFrame) = {
+    val qt = broadcast(
+      quotas.toDF("__qk", "__q")
+        .groupBy(col("__qk")).agg(min(col("__q")).as("__q")))
+    val bad = batch.groupBy(window(tsCol, windowDur), keyCol.as("__k"))
+      .agg(count(lit(1)).as("n"))
+      .join(qt, col("__k") === col("__qk"), "left")
+      .filter(col("n") >= coalesce(col("__q"), lit(defaultQuota)))
+      .select(col("__k")).distinct()
+    routeByKeySet(batch, keyCol, bad)
+  }
+
+  /** [[routeByQuotaSketch]] with a per-key quota table — the sketch
+    * decision rule against robots-driven rates: per-window state stays
+    * `width·depth·8` bytes, the quota lookup is the same broadcast probe
+    * as [[routeByQuotaTable]], applied to the ESTIMATES. Null keys carry
+    * no sketch signal and are never shaped (the reference's
+    * `PerKeyQuotaManager.record(null)` COMPLY rule).
+    */
+  def routeByQuotaSketchTable(
+      batch: DataFrame,
+      keyCol: Column,
+      tsCol: Column,
+      windowDur: String,
+      quotas: DataFrame,
+      defaultQuota: Long,
+      width: Int = graft.plans.CmsSketch.DefaultWidth,
+      depth: Int = graft.plans.CmsSketch.DefaultDepth): (DataFrame, DataFrame) = {
+    val sketches = graft.operators.PerKeyQuota.windowedSketch(
+      batch, keyCol, tsCol, windowDur, width, depth,
+      conservative = false, portable = true)
+    val pairs = batch
+      .select(window(tsCol, windowDur).as("win"), keyCol.as("__k"))
+      .filter(col("__k").isNotNull)
+      .distinct()
+    val qt = broadcast(
+      quotas.toDF("__qk", "__q")
+        .groupBy(col("__qk")).agg(min(col("__q")).as("__q")))
+    val bad = graft.operators.PerKeyQuota.estimatesPortableByCellJoin(
+        sketches, pairs, col("__k"), width, depth)
+      .join(qt, col("__k") === col("__qk"), "left")
+      .filter(col("est_n") >= coalesce(col("__q"), lit(defaultQuota)))
+      .select(col("__k")).distinct()
+    routeByKeySet(batch, keyCol, bad)
+  }
+
   /** [[routeByQuota]] with the shaping decision taken from the CMS sketch
     * ESTIMATE instead of an exact per-key count — the reference's actual
     * decision rule (`PerKeyQuotaManager.java:112-135` shapes on estimated

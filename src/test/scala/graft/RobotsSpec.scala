@@ -178,6 +178,57 @@ class RobotsSpec extends SparkTestBase {
     }
   }
 
+  test("crawl-delay: group-scoped, exact beats *, merged groups take the max, junk ignored") {
+    import graft.functions.{robots_crawl_delay, robots_sitemaps}
+    def delay(text: String, agent: String): Option[Double] =
+      Seq(text).toDF("t").select(robots_crawl_delay(col("t"), agent).as("d"))
+        .as[Option[Double]].head()
+    // RfcFile: graftbot's group carries Crawl-delay: 5; the * group none
+    assert(delay(RfcFile, "graftbot") === Some(5.0))
+    assert(delay(RfcFile, "unknownbot") === None,
+      "the * group carries no delay; graftbot's must not leak")
+    // exact group WITHOUT a delay beats a * group WITH one: the chosen
+    // groups are the exact ones, so no delay governs
+    val exactNoDelay =
+      "User-agent: graftbot\nDisallow: /a\n\nUser-agent: *\nCrawl-delay: 9\nDisallow: /b"
+    assert(delay(exactNoDelay, "graftbot") === None)
+    assert(delay(exactNoDelay, "other") === Some(9.0))
+    // merged duplicate-token groups: most restrictive (max) wins
+    val merged =
+      "User-agent: a\nCrawl-delay: 2\nDisallow: /x\n\nUser-agent: a\nCrawl-delay: 7.5"
+    assert(delay(merged, "a") === Some(7.5))
+    // junk values ignored; a crawl-delay line still ends a UA run (the
+    // second User-agent starts a NEW group, same grouping as before)
+    val junk =
+      "User-agent: a\nCrawl-delay: soon\nCrawl-delay: -3\nCrawl-delay: 4 # sec\nUser-agent: b\nDisallow: /y"
+    assert(delay(junk, "a") === Some(4.0))
+    assert(sparkRules(junk, "b") === Seq((false, "/y")),
+      "a crawl-delay line must end the UA run exactly like an ignored directive")
+    assert(delay(junk, "b") === None)
+    // sitemaps: standalone records, file order, independent of groups
+    val sm = "Sitemap: https://e.com/a.xml\nUser-agent: a\nDisallow: /x\n" +
+      "Sitemap: https://e.com/b.xml # main\nuser-agent: b\nSITEMAP: https://e.com/c.xml"
+    val sms = Seq(sm).toDF("t").select(robots_sitemaps(col("t")).as("s"))
+      .as[Seq[String]].head()
+    assert(sms === Seq("https://e.com/a.xml", "https://e.com/b.xml", "https://e.com/c.xml"))
+    // and the sitemap lines changed no rule/grouping semantics
+    assert(sparkRules(sm, "a") === Seq((false, "/x")))
+  }
+
+  test("robotsQuotaTable: delays become per-domain window quotas, most restrictive host governs") {
+    val robots = Seq(
+      ("www.slow-site.com", "User-agent: *\nCrawl-delay: 2880\nDisallow: /tmp"),
+      ("cdn.slow-site.com", "User-agent: *\nCrawl-delay: 8640"), // stricter host, same domain
+      ("fast-site.org", "User-agent: *\nCrawl-delay: 864"),
+      ("glacial.net", "User-agent: *\nCrawl-delay: 200000"),     // delay > window -> floor at 1
+      ("silent.io", "User-agent: *\nDisallow: /private"))        // no delay -> absent
+      .toDF("host", "robots_txt")
+    val q = graft.pipeline.WebCuration.robotsQuotaTable(robots, "graftbot", "1 day")
+      .as[(String, Long)].collect().toMap
+    // 86400/2880 = 30 vs 86400/8640 = 10 -> min 10 for the shared domain
+    assert(q === Map("slow-site.com" -> 10L, "fast-site.org" -> 100L, "glacial.net" -> 1L))
+  }
+
   test("robotsGate: broadcast per-host gate over a frontier; missing robots allows") {
     val robots = Seq(
       ("a.example.com",

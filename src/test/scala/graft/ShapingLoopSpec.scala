@@ -168,6 +168,36 @@ class ShapingLoopSpec extends SparkTestBase {
     }
   }
 
+  test("robots Crawl-delay drives the live loop: each domain shapes at ITS OWN robots-derived rate") {
+    // two domains at window volumes 60 and 40, BOTH under the router's
+    // defaultQuota (1000) — a global threshold would shape NOTHING. The
+    // rates that decide are parsed from each authority's robots.txt:
+    // slow-site.com declares Crawl-delay 2880s (quota 86400/2880 = 30/day
+    // -> its 60 distinct URLs divert), fast-site.org declares 864s (quota
+    // 100/day -> its 40 URLs pass untouched). The slow domain's traffic
+    // then drains through the shaping topic at the overridden consumer
+    // rate while the fast domain completed immediately — two domains,
+    // two robots-driven rates, measurably different drains (the loop's
+    // standard compliant-before-shaped-drain assertion).
+    import spark.implicits._
+    val robots = Seq(
+      ("slow-site.com", "User-agent: *\nCrawl-delay: 2880\nDisallow: /tmp"),
+      ("fast-site.org", "User-agent: *\nCrawl-delay: 864"))
+      .toDF("host", "robots_txt")
+    runLoop(
+      "robots",
+      mkKey = id => when(id < 60,
+          concat(lit("https://slow-site.com/page/"), id))
+        .otherwise(concat(lit("https://fast-site.org/item/"), id)),
+      expectedCompliant =
+        (60 until 100).map(i => s"https://fast-site.org/item/$i").toSet,
+      isHot = _.contains("slow-site.com")) { (batch, url, ts) =>
+      graft.pipeline.WebCuration.politenessRouteRobots(
+        batch, url, ts, "1 day", robots, agent = "graftbot",
+        defaultQuota = 1000L)
+    }
+  }
+
   test("crawl politeness drives the live loop: one hot DOMAIN's distinct URLs divert, cold domains pass") {
     // 60 DISTINCT urls under one domain — per-key (per-URL) quota would see
     // 60 singleton keys and shape nothing; the domain-keyed politeness rule
