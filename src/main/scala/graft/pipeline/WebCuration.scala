@@ -190,12 +190,30 @@ object WebCuration {
 
   /** Crawl-front funnel diagnostics (the pq44 shape for [[crawlToCorpus]]):
     * per-stage survivor counts — raw, URL-unique, post-blocklist, C4 page
-    * survivors, Gopher survivors — in ONE pass: every stage verdict is a
-    * row flag (the dedup election joined back as a boolean instead of a
-    * filter), folded by one conditional aggregation. Costs exactly the
-    * dedup election shuffle + the broadcast blocklist probe; nothing is
-    * recomputed per stage, so the funnel is as cheap as the pipeline's
-    * own first stage.
+    * survivors, Gopher survivors. Two tiers, each read ONCE:
+    *
+    *   1. URL tier: one narrow `(id, md5(canon), domain)` projection —
+    *      the canonicalize chain (the family's dominant row-local cost)
+    *      evaluates EXACTLY ONCE per row, where the previous self-join
+    *      shape paid it once per join side (measured: the url tier alone
+    *      cost more than the whole text tier). One partial-agg shuffle
+    *      groups it by the 128-bit hash; the registrable domain is
+    *      constant within a canonical group (it derives from the
+    *      canonical URL), so the group row carries the ELECTION
+    *      (min id), the copy count and the blocklist verdict together,
+    *      and all three URL-tier counts fold from the group frame with
+    *      no join back.
+    *   2. text tier: the group frame (one row per canonical URL — keeper
+    *      id, copy count, blocklist verdict) joins the raw `(id, text)`
+    *      scan by id, losslessly for the group counters (every group's
+    *      min id IS a row), and C4/Gopher score only pass2 keepers (null
+    *      shortcut) — exactly the rows the pipeline itself would clean.
+    *
+    * ALL FIVE counters then fold in one aggregation over the joined
+    * frame. Costs: the election shuffle (narrow, fixed-width), the id
+    * join (group side broadcasts at bench scale; the same co-keyed join
+    * as [[crawlToCorpus]]'s join-back otherwise — document text never
+    * enters the URL tier either way), one global agg.
     */
   def crawlFunnel(
       df: DataFrame,
@@ -206,34 +224,43 @@ object WebCuration {
       c4: graft.quality.C4Rules.Params = graft.quality.C4Rules.Params(),
       gopher: graft.quality.GopherRules.Params =
         graft.quality.GopherRules.Params()): DataFrame = {
-    val withHash = df.select(
-      idCol.as("__id"), textCol.as("__text"),
-      url_canonicalize(urlCol).as("canon_url"))
-      .withColumn("__uh", md5(col("canon_url")))
-    val keepers = withHash
-      .groupBy(col("__uh")).agg(min(col("__id")).as("__keep_id"))
-      .select(col("__uh").as("__kuh"), col("__keep_id"))
+    val narrow = df
+      .select(idCol.as("__id"), url_canonicalize(urlCol).as("canon_url"))
+      .select(col("__id"), md5(col("canon_url")).as("__uh"),
+        url_domain(col("canon_url")).as("__domain"))
     val blocked = broadcast(
       blockedDomains.toDF("__bd").dropDuplicates("__bd"))
-    val flagged = withHash
-      .join(keepers, col("__uh") === col("__kuh"), "left")
-      .withColumn("__keeper", col("__id") === col("__keep_id"))
-      .withColumn("__domain", url_domain(col("canon_url")))
-      .join(blocked, col("__domain") === col("__bd"), "left")
-      .withColumn("__pass2", col("__keeper") && col("__bd").isNull)
-      // short-circuit the heavy row-local stages for rows already dead at
-      // the URL tier: a null text folds every downstream flag to null,
-      // which the pass2-guarded counts below never see
-      .withColumn("__ftext", when(col("__pass2"), col("__text")))
+    // domain is a function of the canonical URL, hence constant per group:
+    // min() is its deterministic representative (vs first()'s
+    // order-dependence), and under the 128-bit hash a group holds one
+    // canonical URL — the same identity assumption the election itself
+    // makes
+    val groups = narrow.groupBy(col("__uh"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__keep_id"),
+        min(col("__domain")).as("__dom"))
+      .join(blocked, col("__dom") === col("__bd"), "left")
+      .withColumn("__ok", col("__bd").isNull)
+      .select(col("__keep_id"), col("__n"), col("__ok"))
+    // every group has exactly one keeper ROW in df (its min id), so joining
+    // the group frame back by id is lossless for the group-level counters —
+    // one joined row per canonical URL carries the copy count, the
+    // blocklist verdict AND the keeper's text, and ALL FIVE funnel counters
+    // fold in ONE aggregation. `groups` is consumed exactly once (two
+    // consumers would re-plan the election subtree with divergent column
+    // pruning — measured as a second full canonicalize pass).
+    val keeperRows = df.select(idCol.as("__id"), textCol.as("__text"))
+      .join(groups, col("__id") === col("__keep_id"), "inner")
+      // null shortcut: text stages run only for pass2 keepers
+      .withColumn("__ftext", when(col("__ok"), col("__text")))
     val g = graft.quality.GopherRules.withMetricsAndFlags(
-      graft.quality.C4Rules.withClean(flagged, col("__ftext"), c4, "__c4"),
+      graft.quality.C4Rules.withClean(keeperRows, col("__ftext"), c4, "__c4"),
       col("__c4.clean_text"), gopher, "__gm", "__gf")
     g.agg(
-      count(lit(1)).as("n_raw"),
-      count(when(col("__keeper"), 1)).as("n_url_unique"),
-      count(when(col("__pass2"), 1)).as("n_unblocked"),
-      count(when(col("__pass2") && col("__c4.page_keep"), 1)).as("n_c4_kept"),
-      count(when(col("__pass2") && col("__c4.page_keep") &&
+      coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_raw"),
+      count(lit(1)).as("n_url_unique"),
+      count(when(col("__ok"), 1)).as("n_unblocked"),
+      count(when(col("__ok") && col("__c4.page_keep"), 1)).as("n_c4_kept"),
+      count(when(col("__ok") && col("__c4.page_keep") &&
         col("__gf.gopher_keep"), 1)).as("n_gopher_kept"))
   }
 
