@@ -317,6 +317,90 @@ object WebCuration {
         md5(col("__clean")).as("clean_hash"))
   }
 
+  /** [[crawlGateStream]] with SLOW-CADENCE REFRESH of every broadcast
+    * table — the posture a weeks-long frontier stream needs: the PSL
+    * grows, robots files get re-fetched, the blocklist is operated live,
+    * and none of them may require a query restart (the stateful URL-dedup
+    * upstream would lose nothing — but a restart is an operational event;
+    * the reference reloads this class of config through its property
+    * registry at runtime, P1-P4). The ONE stateful operator (watermark-
+    * bounded canonical-URL dedup) stays in the streaming plan and keeps
+    * its checkpoint; everything downstream of it is stateless and moves
+    * into `foreachBatch`, where the tables re-resolve from their
+    * providers every `refreshEveryBatches` micro-batches
+    * ([[graft.streaming.RefreshedRef]] — the dq25 trigger-boundary
+    * re-broadcast pattern) and enter that batch's plan as fresh broadcast
+    * relations. Optionally gates on robots rules first
+    * ([[robotsGate]] — excluded rows drop) when `robotsProvider` is
+    * given. `sink` receives each micro-batch's admitted docs in
+    * [[crawlGateStream]]'s output schema
+    * (doc_id, canon_url, domain, score, clean_hash).
+    */
+  def crawlGateStreamRefreshed(
+      df: DataFrame,
+      idCol: Column,
+      urlCol: Column,
+      textCol: Column,
+      tsCol: String,
+      watermarkDelay: String,
+      blockedProvider: () => Seq[String],
+      refreshEveryBatches: Int,
+      checkpointDir: String,
+      queryName: String,
+      pslProvider: Option[() => Psl] = None,
+      robotsProvider: Option[(String, () => Seq[(String, String)])] = None,
+      c4: graft.quality.C4Rules.Params = graft.quality.C4Rules.Params(),
+      gopher: graft.quality.GopherRules.Params =
+        graft.quality.GopherRules.Params())(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.streaming.RefreshedRef
+    val canon = df.select(
+      col(tsCol), idCol.as("doc_id"), textCol.as("__text"), urlCol.as("__url"),
+      url_canonicalize(urlCol).as("canon_url"))
+      .withColumn("__canon_key", md5(col("canon_url")))
+    val deduped = graft.streaming.StreamOps.dedupeStream(
+      canon, Seq("__canon_key"), tsCol, watermarkDelay)
+    val blockedRef = new RefreshedRef(blockedProvider, refreshEveryBatches)
+    val pslRef = pslProvider.map(p => new RefreshedRef(p, refreshEveryBatches))
+    val robotsRef = robotsProvider.map { case (agent, p) =>
+      (agent, new RefreshedRef(p, refreshEveryBatches))
+    }
+    deduped.writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val robotsGated = robotsRef match {
+          case Some((agent, ref)) =>
+            val robots = ref.at(batchId).toDF("host", "robots_txt")
+            // gate on the RAW url: robots paths are matched pre-
+            // canonicalization (tracking params are still fetch-relevant
+            // to a Disallow: /*?utm rule)
+            robotsGate(batch, col("__url"), robots, agent)._1
+          case None => batch
+        }
+        val blocked = broadcast(
+          blockedRef.at(batchId).toDF("__bd").dropDuplicates("__bd"))
+        val unblocked = withDomain(
+          robotsGated, col("canon_url"), pslRef.map(_.at(batchId)), "domain")
+          .join(blocked, col("domain") === col("__bd"), "left_anti")
+        val cleaned = graft.quality.C4Rules
+          .withClean(unblocked, col("__text"), c4, "__c4")
+          .filter(col("__c4.page_keep"))
+          .withColumn("__clean", col("__c4.clean_text"))
+        val out = graft.quality.GopherRules
+          .withMetricsAndFlags(cleaned, col("__clean"), gopher, "__gm", "__gf")
+          .filter(col("__gf.gopher_keep"))
+          .select(col("doc_id"), col("canon_url"), col("domain"),
+            graft.functions.TextFunctions.quality_score(
+              regexp_replace(col("__clean"), "\n", " ")).as("score"),
+            md5(col("__clean")).as("clean_hash"))
+        sink(out)
+      }
+      .start()
+  }
+
   /** Robots-exclusion gate (RFC 9309): split a URL frontier into
     * (allowed, excluded) under each host's robots.txt rules for `agent`.
     * `robotsDf` is (host, robots_txt) — one row per authority, the file a
@@ -398,7 +482,11 @@ object WebCuration {
     * budget — while the PSL form splits them into their real registrable
     * domains. The domain enrichment is the broadcast-join chain of
     * [[Psl.withRegistrableDomain]] (zero corpus shuffle), the routing the
-    * same quota machinery as [[politenessRoute]].
+    * same quota machinery as [[politenessRoute]]. Long-running loops:
+    * this runs per micro-batch inside foreachBatch, so a LIVE rule table
+    * is one [[graft.streaming.RefreshedRef]] away — re-resolve `psl`
+    * every N batches and the next trigger routes under the grown list,
+    * no restart (CrawlRefreshSpec proves the pattern end to end).
     */
   def politenessRoutePsl(
       batch: DataFrame,
