@@ -767,6 +767,76 @@ object Dedup {
     (labels.select(col("id"), col("lbl").as("cluster_id")), iter)
   }
 
+  /** DELETION PROPAGATION through dedup clusters — the takedown path every
+    * production corpus eventually needs: when documents are removed (legal
+    * takedown, source retraction), any cluster whose KEPT canonical was
+    * among them must re-elect a survivor, and a removed BRIDGE document
+    * can split one cluster into several, each needing its own keeper. The
+    * operator returns the REPROCESS DELTA: one row per post-deletion
+    * sub-cluster whose keeper is NEW — `(new_keep_id, old_cluster_id,
+    * n_members)` — i.e. exactly the documents that were previously dropped
+    * as duplicates and must now (re)enter the corpus as canonicals.
+    * Clusters whose old keeper survived (even if members were removed)
+    * produce no delta row; fully-removed sub-clusters have no survivor and
+    * likewise vanish.
+    *
+    * Semantics are RECOMPUTE-FROM-SCRATCH equivalent: edges never cross
+    * cluster boundaries, so re-running [[connectedComponents]] on the
+    * survivor-restricted edge list decomposes per original cluster — the
+    * operator therefore re-clusters ONLY the affected clusters (those with
+    * ≥1 removed member), a cluster-sized sub-graph, never the corpus
+    * (pq97 pins the equivalence against a full from-scratch SQL oracle).
+    *
+    * 100 TB shape: the removed-id set (takedown lists — thousands) rides
+    * BROADCAST everywhere; the affected-cluster set is at most that size
+    * and broadcasts too; the only non-broadcast work is one co-keyed join
+    * restricting `pairs` to affected clusters and the sub-graph CC, whose
+    * input is affected-cluster edges only. The corpus itself is never
+    * touched — the delta is computed entirely on the (pairs, clusters)
+    * metadata, and the caller applies it with one broadcast join.
+    *
+    * Inputs: `pairs` (id_a, id_b — the candidate-pair edge list the
+    * clusters came from), `clusters` (id, cluster_id — [[
+    * connectedComponents]] output; labels are cluster minima), `removedIds`
+    * (1-column). Documents outside any cluster need no re-election (their
+    * removal is just a row delete) and singletons-by-deletion inside
+    * affected clusters are handled (a survivor whose every neighbor was
+    * removed becomes its own keeper).
+    */
+  def reElectAfterDeletion(
+      pairs: DataFrame,
+      clusters: DataFrame,
+      removedIds: DataFrame): DataFrame = {
+    val removed = broadcast(removedIds.toDF("__rm").dropDuplicates("__rm"))
+    // clusters with >= 1 removed member: the only ones whose election can move
+    val affected = broadcast(
+      clusters.join(removed, col("id") === col("__rm"), "left_semi")
+        .select(col("cluster_id").as("__ac")).distinct())
+    val members = clusters
+      .join(affected, col("cluster_id") === col("__ac"), "left_semi")
+    val survivors = members
+      .join(removed, col("id") === col("__rm"), "left_anti")
+      .select(col("id"), col("cluster_id").as("old_cluster_id"))
+    // survivor-restricted edges of affected clusters (id_a's cluster is the
+    // pair's cluster — edges never cross clusters)
+    val subPairs = pairs
+      .join(clusters.select(col("id").as("id_a"), col("cluster_id")), Seq("id_a"))
+      .join(affected, col("cluster_id") === col("__ac"), "left_semi")
+      .join(removed, col("id_a") === col("__rm"), "left_anti")
+      .join(removed, col("id_b") === col("__rm"), "left_anti")
+      .select(col("id_a"), col("id_b"))
+    val subCc = connectedComponents(subPairs)
+      .select(col("id"), col("cluster_id").as("__nc"))
+    survivors
+      .join(subCc, Seq("id"), "left")
+      // isolated survivor (every neighbor removed): its own singleton keeper
+      .withColumn("__new_cluster", coalesce(col("__nc"), col("id")))
+      .groupBy(col("__new_cluster").as("new_keep_id"), col("old_cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      // keeper unchanged (old minimum survived) -> nothing to reprocess
+      .filter(col("new_keep_id") =!= col("old_cluster_id"))
+  }
+
   /** HashMin propagate half of one [[connectedComponents]] round, exposed
     * un-checkpointed so the per-round plan is auditable: the loop's
     * `localCheckpoint` truncates lineage, which makes the registered pq23

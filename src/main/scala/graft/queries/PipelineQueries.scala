@@ -1057,6 +1057,52 @@ object PipelineQueries {
                           WHERE c.id = d.doc_id AND c.id <> c.cluster_id)
       """)),
 
+    // ---- deletion propagation (takedown path): remove every doc_id % 5
+    // from the corpus, re-elect keepers in the near-dup clusters the
+    // removals touched, and emit the reprocess delta — the previously-
+    // dropped duplicates that must now (re)enter the corpus as canonicals.
+    // The engine re-clusters ONLY the affected clusters (broadcast takedown
+    // set, cluster-sized sub-graph CC); the oracle recomputes the ENTIRE
+    // post-deletion clustering from scratch (a second recursive CC over the
+    // survivor-restricted pair list) — hash equality proves the incremental
+    // path is recompute-equivalent, including bridge-removal cluster splits
+    // and survivors isolated into singletons.
+    Q(
+      "pq97_deletion_reelect",
+      (s, dir) => {
+        val (d, _, pairs) = lshSigsAndPairs(s, dir)
+        val clusters = Dedup.connectedComponents(pairs)
+        val removed = d.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
+        Dedup.reElectAfterDeletion(pairs, clusters, removed)
+      },
+      Some(s"""
+        WITH RECURSIVE $ccCtes,
+        removed AS (SELECT doc_id AS rid FROM documents WHERE doc_id % 5 = 0),
+        spairs AS (
+          SELECT id_a, id_b FROM pairs
+          WHERE id_a NOT IN (SELECT rid FROM removed)
+            AND id_b NOT IN (SELECT rid FROM removed)),
+        sedges AS (
+          SELECT id_a AS u, id_b AS v FROM spairs
+          UNION SELECT id_b, id_a FROM spairs),
+        sreach AS (
+          SELECT u, v FROM sedges
+          UNION
+          SELECT r.u, e.v FROM sreach r JOIN sedges e ON r.v = e.u),
+        sclusters AS (
+          SELECT u AS id, least(u, min(v)) AS nc FROM sreach GROUP BY u),
+        snodes AS (
+          SELECT c.id, c.cluster_id AS old_cluster_id,
+                 coalesce(s.nc, c.id) AS new_cluster
+          FROM clusters c LEFT JOIN sclusters s ON s.id = c.id
+          WHERE c.id NOT IN (SELECT rid FROM removed))
+        SELECT new_cluster AS new_keep_id, old_cluster_id,
+               CAST(count(*) AS BIGINT) AS n_members
+        FROM snodes
+        GROUP BY 1, 2
+        HAVING new_cluster <> old_cluster_id
+      """)),
+
     // ---- candidate-pair VERIFICATION by minhash agreement: the estimated
     // Jaccard of a pair is (matching signature components)/k — integer
     // arithmetic end to end (cross-multiplied threshold n_match*2 >= k),
