@@ -68,7 +68,13 @@ object ScaleProbe {
     // round-16 second half: the crawl-front flagship (URL-hash election
     // shuffle + cap heap; text must never shuffle) and the live calibrated
     // gate's batch form (fixed 512-cell histogram exchange per window)
-    "pq86_crawl_to_corpus", "dq31_calibrated_gate")
+    "pq86_crawl_to_corpus", "dq31_calibrated_gate",
+    // round-18: the full-PSL-keyed curation (broadcast probe chain — the
+    // corpus must not start shuffling when the rule table is the real
+    // PSL), the robots-exclusion gate (parse-on-the-small-side broadcast;
+    // the frontier must stay row-local), and the rewritten single-pass
+    // funnel (one canonicalize + one narrow election exchange)
+    "pq93_psl_crawl_curation", "pq94_robots_gate", "pq88_crawl_funnel")
 
   /** Round-14: a THIRD scale point — two points (sf0.01→sf0.1) fit any
     * line; the flagships get a further 10× step on SYNTHESIZED volume
