@@ -2948,6 +2948,42 @@ object PipelineQueries {
       },
       None),
 
+    // ---- the OPQ recall FLOOR as a registered row (r16 stretch #8, r17
+    // carry): per query vector, the INTEGER hit counts of pq80's OPQ
+    // IVF-PQ and pq66's plain synthetic-codebook IVF-PQ against the exact
+    // brute-force top-10, at the SAME fixed nprobe — the comparison that
+    // previously lived only in PqSpec. Deterministic end to end (trainOpq
+    // is sequential fixed-sweep, ivfAdcTopK is integer-ranked), but the
+    // learned rotation has no SQL form (an SVD is not oracle-replayable),
+    // so the row is rows-only like pq68/pq77/pq80; the FLOOR ITSELF —
+    // sum(n_hit_opq) >= sum(n_hit_pq) — is asserted on this registered row
+    // by PqSpec, so a regression in either path trips a named test, not
+    // just a silent recall drift.
+    Q(
+      "pq98_opq_recall_floor",
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val queries = e.filter(col("vec_id") % 25 === 0)
+        val exact = graft.similarity.Knn.bruteForceTopK(
+          e, queries, "vec_id", "embedding", k = 10)
+        val plain = graft.similarity.Pq.ivfAdcTopK(
+          e, queries, "vec_id", "embedding",
+          graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8),
+          k = 10, nlist = 32, nprobe = 8)
+        val (rot, ocb) = graft.similarity.Pq.trainOpq(
+          e, col("vec_id"), col("embedding"),
+          m = 8, k = 16, sampleCap = 4096, kmIters = 4, opqIters = 4)
+        val r = e.withColumn("vr", graft.similarity.Pq.rotateVec(col("embedding"), rot))
+        val opq = graft.similarity.Pq.ivfAdcTopK(
+          r, r.filter(col("vec_id") % 25 === 0), "vec_id", "vr", ocb,
+          k = 10, nlist = 32, nprobe = 8)
+        graft.similarity.Eval.recallPerQuery(opq, exact)
+          .select(col("query_id"), col("n_truth"), col("n_hit").as("n_hit_opq"))
+          .join(graft.similarity.Eval.recallPerQuery(plain, exact)
+            .select(col("query_id"), col("n_hit").as("n_hit_pq")), Seq("query_id"))
+      },
+      None),
+
     // ---- HLL distinct-count sketch per source — the mergeable summary that
     // replaces count(DISTINCT text)'s full-key shuffle at corpus scale: the
     // reduce side sees sources × 256 register rows, never the corpus. Fully

@@ -406,6 +406,25 @@ class PqSpec extends SparkTestBase {
       s"mismatch must name the dimensions, got: ${chain(e)}")
   }
 
+  test("registered pq98 row: OPQ clears the plain-IVF-PQ recall floor at fixed nprobe") {
+    // the floor the registered rows pin: pq80's OPQ (trained codebooks +
+    // learned rotation) must recover at least as many true top-10
+    // neighbors as pq66's synthetic-codebook IVF-PQ at the SAME nprobe —
+    // asserted on the REGISTERED row itself, so a regression in either
+    // path trips here by name instead of drifting silently
+    import spark.implicits._
+    val row = graft.SparkEntry.queries("pq98_opq_recall_floor")(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum($"n_hit_opq").as("opq"),
+        org.apache.spark.sql.functions.sum($"n_hit_pq").as("pq"),
+        org.apache.spark.sql.functions.sum($"n_truth").as("truth"),
+        org.apache.spark.sql.functions.count($"query_id").as("nq"))
+      .as[(Long, Long, Long, Long)].head()
+    val (opqHits, pqHits, truth, nq) = row
+    assert(nq > 0 && truth >= nq * 10, s"fixture degenerate: nq=$nq truth=$truth")
+    assert(opqHits >= pqHits,
+      s"OPQ recall floor broken: opq=$opqHits < plain=$pqHits (truth=$truth)")
+  }
+
   test("train keeps an emptied centroid in place instead of dropping it") {
     // 2 clusters of data but k=4 codebook: at least two centroids lose all
     // members in round one; the codebook must keep its k entries
