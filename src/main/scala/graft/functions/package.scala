@@ -151,6 +151,13 @@ package object functions {
   def robots_sitemaps(text: Column): Column =
     toColumn(graft.plans.RobotsSitemaps(toExpr(text)))
 
+  /** HTTP message body octets of a WARC `response` record block (bytes
+    * after the first CRLF CRLF / LF LF header separator; null when the
+    * block is not an HTTP message — [[graft.plans.HttpBody]]).
+    */
+  def http_body(block: Column): Column =
+    toColumn(graft.plans.HttpBody(toExpr(block)))
+
   /** Aggregate: exact top-`k` (score desc, id asc) → array<struct<id,
     * score>>. O(k) partial heaps combine map-side — the scale form of a
     * per-group `row_number() <= k` Window, which would shuffle and sort

@@ -357,15 +357,17 @@ object GraftWarc {
       if (one == from) from
       else {
         // completeEnd walked to the LAST complete record ≤ limit; re-walk to
-        // take only the FIRST record (bounded: one head read)
+        // take only the FIRST one. Start at the first VALIDATED record head
+        // (the walker's own resync predicate) — junk bytes at the checkpoint
+        // must not stall a capped file whose next good record overruns the
+        // share (the uncapped path resyncs; the progress fallback must too)
         val raf = new RandomAccessFile(f, "r")
         try {
-          val buf = new Array[Byte](64 * 1024)
-          raf.seek(from)
-          val got = readFullyUpTo(raf, buf, math.min(buf.length.toLong, limit - from).toInt)
-          parseHead(buf, 0, got) match {
+          val start = findValidStart(raf, from, limit, limit)
+          if (start < 0) from
+          else headAt(raf, start, limit) match {
             case HeadOk(h) =>
-              val end = from + h.headBytes + h.contentLength + 4
+              val end = start + h.headBytes + h.contentLength + 4
               if (end <= limit) end else from
             case _ => from
           }
@@ -554,14 +556,29 @@ class GraftWarcTable(options: CaseInsensitiveStringMap) extends Table with Suppo
   override def schema(): StructType = GraftWarc.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+  /** Column pruning is REAL I/O here, not cosmetics: a header-only query
+    * (count responses per host, content-length census) never reads block
+    * bytes at all — the plain reader SEEKS past each block, so a 1 GB file
+    * scans as a few KB of record heads. (gz members must still inflate —
+    * the framing lives inside the compressed stream — but pruned rows skip
+    * the block copy.)
+    */
   override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftWarcScan(scanOptions)
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+      private var required: StructType = GraftWarc.schema
+      override def pruneColumns(r: StructType): Unit = { required = r }
+      override def build(): Scan = new GraftWarcScan(scanOptions, required)
     }
 }
 
-class GraftWarcScan(options: CaseInsensitiveStringMap) extends Scan {
+class GraftWarcScan(
+    options: CaseInsensitiveStringMap,
+    required: StructType = GraftWarc.schema) extends Scan {
   private val dir = GraftWarc.dir(options)
+  // required columns as indexes into the FULL schema, in required order
+  private val fields: Seq[Int] =
+    required.fieldNames.toSeq.map(GraftWarc.schema.fieldIndex)
   private val suffix = Option(options.get("suffix")).filter(_.nonEmpty)
   private val failOnDataLoss = options.getBoolean("failondataloss", true)
   private val permissive =
@@ -577,7 +594,7 @@ class GraftWarcScan(options: CaseInsensitiveStringMap) extends Scan {
     v
   }
 
-  override def readSchema(): StructType = GraftWarc.schema
+  override def readSchema(): StructType = required
 
   /** Batch: the complete-record snapshot of every file at planning time.
     * Plain files larger than `maxSplitBytes` plan as raw byte ranges; each
@@ -597,14 +614,14 @@ class GraftWarcScan(options: CaseInsensitiveStringMap) extends Scan {
           if (complete == 0L) Seq.empty[InputPartition]
           else if (gz || complete <= maxSplitBytes)
             Seq(GraftWarcInputPartition(f.getPath, f.getName, 0L, complete, gz,
-              failOnDataLoss, permissive, maxRecordBytes))
+              failOnDataLoss, permissive, maxRecordBytes, fields))
           else {
             val n = (complete + maxSplitBytes - 1) / maxSplitBytes
             require(n <= Int.MaxValue, s"${f.getName}: too many splits — raise maxSplitBytes")
             (0L until n).map { i =>
               GraftWarcInputPartition(f.getPath, f.getName, i * maxSplitBytes,
                 math.min((i + 1) * maxSplitBytes, complete), gz,
-                failOnDataLoss, permissive, maxRecordBytes, aligned = false)
+                failOnDataLoss, permissive, maxRecordBytes, fields, aligned = false)
             }
           }
         } catch {
@@ -629,7 +646,8 @@ class GraftWarcScan(options: CaseInsensitiveStringMap) extends Scan {
         v.toLong
       },
       retireConsumed = options.getBoolean("retireconsumed", true),
-      maxRecordBytes = maxRecordBytes)
+      maxRecordBytes = maxRecordBytes,
+      fields = fields)
 }
 
 class GraftWarcMicroBatchStream(
@@ -640,7 +658,8 @@ class GraftWarcMicroBatchStream(
     permissive: Boolean,
     maxBytesPerTrigger: Option[Long],
     retireConsumed: Boolean,
-    maxRecordBytes: Long) extends MicroBatchStream with SupportsAdmissionControl {
+    maxRecordBytes: Long,
+    fields: Seq[Int]) extends MicroBatchStream with SupportsAdmissionControl {
 
   private def files: Seq[File] = GraftWarc.listFiles(dir, suffix)
 
@@ -771,7 +790,7 @@ class GraftWarcMicroBatchStream(
                 s"only $len (truncated mid-trigger). Set failOnDataLoss=false to read what " +
                 "remains and drop the truncated tail.")
           out += GraftWarcInputPartition(f.getPath, name, from, math.min(until, len),
-            GraftWarc.isGz(name), failOnDataLoss, permissive, maxRecordBytes)
+            GraftWarc.isGz(name), failOnDataLoss, permissive, maxRecordBytes, fields)
         }
       }
     }
@@ -798,7 +817,7 @@ class GraftWarcMicroBatchStream(
 case class GraftWarcInputPartition(
     path: String, name: String, from: Long, until: Long, gz: Boolean,
     failOnDataLoss: Boolean, permissive: Boolean, maxRecordBytes: Long,
-    aligned: Boolean = true)
+    fields: Seq[Int], aligned: Boolean = true)
   extends InputPartition
 
 class GraftWarcReaderFactory extends PartitionReaderFactory {
@@ -828,22 +847,47 @@ class GraftWarcReaderFactory extends PartitionReaderFactory {
 
 /** Shared record→row materialization. */
 private[warc] object WarcRows {
+  /** Full-schema index of the `content` column — readers check it against
+    * the pruned field list to skip block I/O entirely.
+    */
+  val ContentIdx: Int = GraftWarc.schema.fieldIndex("content")
+
+  /** Materialize ONLY the pruned columns (`fields` — full-schema indexes in
+    * output order): a header-only projection never builds the headers map
+    * or touches the block, and the readers skip reading it at all.
+    */
   def row(
       name: String, pos: Long, sub: Int,
-      head: GraftWarc.RecordHead, content: Array[Byte]): InternalRow = {
+      head: GraftWarc.RecordHead, content: Array[Byte],
+      fields: Seq[Int]): InternalRow = {
     def h(k: String): Any = head.header(k).map(UTF8String.fromString).orNull
-    val keys = new Array[Any](head.headers.length)
-    val vals = new Array[Any](head.headers.length)
-    var i = 0
-    head.headers.foreach { case (k, v) =>
-      keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+    val out = new Array[Any](fields.length)
+    var o = 0
+    fields.foreach { f =>
+      out(o) = f match {
+        case 0 => UTF8String.fromString(name)
+        case 1 => pos
+        case 2 => sub
+        case 3 => h("warc-type")
+        case 4 => h("warc-record-id")
+        case 5 => h("warc-target-uri")
+        case 6 => h("warc-date")
+        case 7 => h("content-type")
+        case 8 => head.contentLength
+        case 9 =>
+          val keys = new Array[Any](head.headers.length)
+          val vals = new Array[Any](head.headers.length)
+          var i = 0
+          head.headers.foreach { case (k, v) =>
+            keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
+          }
+          ArrayBasedMapData(keys, vals)
+        case 10 => content
+        case bad => throw new IllegalStateException(s"unknown warc field index $bad")
+      }
+      o += 1
     }
-    InternalRow(
-      UTF8String.fromString(name), pos, sub,
-      h("warc-type"), h("warc-record-id"), h("warc-target-uri"), h("warc-date"),
-      h("content-type"), head.contentLength,
-      ArrayBasedMapData(keys, vals),
-      content)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
   }
 }
 
@@ -865,10 +909,15 @@ class GraftWarcPlainReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
       GraftWarc.headAt(raf, pos, fileLen) match {
         case GraftWarc.HeadOk(h)
           if h.contentLength <= p.maxRecordBytes && GraftWarc.recordEndOk(raf, pos, h, fileLen) =>
-          val content = new Array[Byte](h.contentLength.toInt)
-          raf.seek(pos + h.headBytes)
-          raf.readFully(content)
-          current = WarcRows.row(p.name, pos, 0, h, content)
+          // content pruned away -> SEEK past the block, zero block I/O
+          val content =
+            if (p.fields.contains(WarcRows.ContentIdx)) {
+              val c = new Array[Byte](h.contentLength.toInt)
+              raf.seek(pos + h.headBytes)
+              raf.readFully(c)
+              c
+            } else null
+          current = WarcRows.row(p.name, pos, 0, h, content, p.fields)
           pos = pos + h.headBytes + h.contentLength + 4
         case GraftWarc.HeadIncomplete =>
           // scheduled bytes ran dry: truncation after planning (the offset
@@ -945,9 +994,15 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
             GraftWarc.parseHead(plain, off, plain.length) match {
               case GraftWarc.HeadOk(h)
                 if off + h.headBytes + h.contentLength + 4 <= plain.length =>
-                val content = new Array[Byte](h.contentLength.toInt)
-                System.arraycopy(plain, off + h.headBytes, content, 0, content.length)
-                recs += WarcRows.row(p.name, start, sub, h, content)
+                // gz members must inflate for framing regardless; pruning
+                // still skips the per-record block copy
+                val content =
+                  if (p.fields.contains(WarcRows.ContentIdx)) {
+                    val c = new Array[Byte](h.contentLength.toInt)
+                    System.arraycopy(plain, off + h.headBytes, c, 0, c.length)
+                    c
+                  } else null
+                recs += WarcRows.row(p.name, start, sub, h, content, p.fields)
                 sub += 1
                 off += h.headBytes + h.contentLength.toInt + 4
               case _ =>
