@@ -235,12 +235,18 @@ object WebCuration {
     // order-dependence), and under the 128-bit hash a group holds one
     // canonical URL — the same identity assumption the election itself
     // makes
+    // __real: a NULL canonical form (unparseable URL — e.g. a hostile IDN
+    // host the drop-not-fail fold nulled) is not a URL group: it counts in
+    // n_raw but in none of the post-raw counters — the same exclusion the
+    // previous join shape applied (null keys never matched the keeper
+    // join) and the one the pq88 oracle's md5-keyed join replays
     val groups = narrow.groupBy(col("__uh"))
       .agg(count(lit(1)).as("__n"), min(col("__id")).as("__keep_id"),
         min(col("__domain")).as("__dom"))
       .join(blocked, col("__dom") === col("__bd"), "left")
-      .withColumn("__ok", col("__bd").isNull)
-      .select(col("__keep_id"), col("__n"), col("__ok"))
+      .withColumn("__real", col("__uh").isNotNull)
+      .withColumn("__ok", col("__real") && col("__bd").isNull)
+      .select(col("__keep_id"), col("__n"), col("__real"), col("__ok"))
     // every group has exactly one keeper ROW in df (its min id), so joining
     // the group frame back by id is lossless for the group-level counters —
     // one joined row per canonical URL carries the copy count, the
@@ -257,7 +263,7 @@ object WebCuration {
       col("__c4.clean_text"), gopher, "__gm", "__gf")
     g.agg(
       coalesce(sum(col("__n")), lit(0L)).cast("long").as("n_raw"),
-      count(lit(1)).as("n_url_unique"),
+      count(when(col("__real"), 1)).as("n_url_unique"),
       count(when(col("__ok"), 1)).as("n_unblocked"),
       count(when(col("__ok") && col("__c4.page_keep"), 1)).as("n_c4_kept"),
       count(when(col("__ok") && col("__c4.page_keep") &&

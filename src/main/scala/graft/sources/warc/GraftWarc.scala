@@ -220,22 +220,26 @@ object GraftWarc {
     HeadOk(RecordHead(headers.toVector, n, headBytes))
   }
 
-  /** Parse the record head at byte `q`, reading at most the head bound. */
+  /** Parse the record head at byte `q`. Reads start SMALL (4 KiB — real
+    * WARC heads are hundreds of bytes, and the driver's offset walk calls
+    * this once per record, so a 64 KiB first read would be 100× read
+    * amplification on small-record files) and grow ×16 up to the head
+    * bound only when the head genuinely continues past the window.
+    */
   def headAt(raf: RandomAccessFile, q: Long, fileLen: Long): HeadResult = {
-    val want = math.min((64 * 1024).toLong, fileLen - q).toInt
+    var want = math.min(4096L, fileLen - q).toInt
     if (want <= 0) return HeadIncomplete
-    val buf = new Array[Byte](want)
-    raf.seek(q)
-    raf.readFully(buf)
-    parseHead(buf, 0, want) match {
-      case HeadIncomplete if want < MaxHeadBytes && q + want < fileLen =>
-        val want2 = math.min(MaxHeadBytes.toLong, fileLen - q).toInt
-        val buf2 = new Array[Byte](want2)
-        raf.seek(q)
-        raf.readFully(buf2)
-        parseHead(buf2, 0, want2)
-      case r => r
+    while (true) {
+      val buf = new Array[Byte](want)
+      raf.seek(q)
+      raf.readFully(buf)
+      parseHead(buf, 0, want) match {
+        case HeadIncomplete if want < MaxHeadBytes && q + want < fileLen =>
+          want = math.min(math.min(want.toLong * 16, MaxHeadBytes.toLong), fileLen - q).toInt
+        case r => return r
+      }
     }
+    HeadIncomplete // unreachable
   }
 
   /** The spec's trailing CRLFCRLF at `[q, q+4)`. */
@@ -352,27 +356,23 @@ object GraftWarc {
     val capped = completeEnd(f, from, math.min(target, limit))
     if (capped > from) capped
     else {
-      val one = completeEnd(f, from, limit)
-      // first record end beyond the target, or `from` when nothing complete
-      if (one == from) from
-      else {
-        // completeEnd walked to the LAST complete record ≤ limit; re-walk to
-        // take only the FIRST one. Start at the first VALIDATED record head
-        // (the walker's own resync predicate) — junk bytes at the checkpoint
-        // must not stall a capped file whose next good record overruns the
-        // share (the uncapped path resyncs; the progress fallback must too)
-        val raf = new RandomAccessFile(f, "r")
-        try {
-          val start = findValidStart(raf, from, limit, limit)
-          if (start < 0) from
-          else headAt(raf, start, limit) match {
-            case HeadOk(h) =>
-              val end = start + h.headBytes + h.contentLength + 4
-              if (end <= limit) end else from
-            case _ => from
-          }
-        } finally raf.close()
-      }
+      // progress rule: take the FIRST complete record past the share.
+      // Start at the first VALIDATED record head (the walker's own resync
+      // predicate) — junk bytes at the checkpoint must not stall a capped
+      // file whose next good record overruns the share. One validated-start
+      // scan + one head read — NOT a completeEnd walk of the whole backlog
+      // (that would re-walk every remaining record head per capped trigger).
+      val raf = new RandomAccessFile(f, "r")
+      try {
+        val start = findValidStart(raf, from, limit, limit)
+        if (start < 0) from
+        else headAt(raf, start, limit) match {
+          case HeadOk(h) =>
+            val end = start + h.headBytes + h.contentLength + 4
+            if (end <= limit) end else from
+          case _ => from
+        }
+      } finally raf.close()
     }
   }
 
@@ -461,8 +461,11 @@ object GraftWarc {
       // the member size when needed (members are record-sized).
       var pos = from
       var done = false
+      // buffered members must fit a JVM array — a member that stays
+      // incomplete past this bound is reported torn, never wrapped negative
+      val windowCap = (Int.MaxValue - 8).toLong
       while (!done && pos < limit) {
-        var window = math.min(1L << 20, limit - pos).toInt
+        var window = math.min(math.min(1L << 20, limit - pos), windowCap).toInt
         var size = -3L
         var grown = false
         while (!grown) {
@@ -470,8 +473,11 @@ object GraftWarc {
           raf.seek(pos)
           val got = readFullyUpTo(raf, buf, window)
           size = gzipMemberSize(buf, 0, got)
-          if (size == -1L && got.toLong < limit - pos) {
-            window = math.min((window.toLong * 4), limit - pos).toInt // incomplete only because the window cut it
+          // grow ONLY when the window itself was the limiter: got == window
+          // means no EOF; a short read is the file ending under `limit`
+          // (truncated since the stat) and must SETTLE, not spin
+          if (size == -1L && got == window && window.toLong < math.min(limit - pos, windowCap)) {
+            window = math.min(math.min(window.toLong * 4, limit - pos), windowCap).toInt
           } else grown = true
         }
         if (size > 0) pos += size else done = true
@@ -519,10 +525,17 @@ object GraftWarc {
     java.nio.file.Files.createDirectories(new File(dir).toPath)
     val tmp = new File(dir, s".$name.${java.util.UUID.randomUUID()}.inprogress")
     val out = new java.io.FileOutputStream(tmp)
+    // close() each member's stream so its native Deflater is end()ed
+    // deterministically (finish() alone leaks zlib buffers until GC — a
+    // thousands-of-records shard would pile up off-heap memory); the
+    // shield keeps the underlying file open across members
+    val shield = new java.io.FilterOutputStream(out) {
+      override def close(): Unit = flush()
+    }
     try records.foreach { case (h, c) =>
-      val gz = new java.util.zip.GZIPOutputStream(out, 64 * 1024)
+      val gz = new java.util.zip.GZIPOutputStream(shield, 64 * 1024)
       gz.write(recordBytes(h, c))
-      gz.finish() // close the MEMBER, not the stream
+      gz.close() // ends the MEMBER and its deflater; shield keeps `out` open
     } finally out.close()
     java.nio.file.Files.move(tmp.toPath, new File(dir, name).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -590,7 +603,11 @@ class GraftWarcScan(
   }
   private val maxRecordBytes = {
     val v = options.getLong("maxrecordbytes", 1L << 30)
-    require(v > 0, s"maxRecordBytes must be positive, got $v")
+    // upper bound: a record buffers as ONE JVM byte array — a cap past
+    // Int.MaxValue would let a >2 GiB Content-Length wrap negative at the
+    // allocation instead of being rejected here
+    require(v > 0 && v <= (Int.MaxValue - 8).toLong,
+      s"maxRecordBytes must be in (0, ${Int.MaxValue - 8}], got $v")
     v
   }
 
@@ -875,10 +892,16 @@ private[warc] object WarcRows {
         case 7 => h("content-type")
         case 8 => head.contentLength
         case 9 =>
-          val keys = new Array[Any](head.headers.length)
-          val vals = new Array[Any](head.headers.length)
+          // DEDUP duplicate header names (last value wins, first-occurrence
+          // order): a Spark map with repeated keys is malformed — lookups
+          // would return the FIRST duplicate while the projected columns
+          // follow last-wins, and map writers reject repeated keys
+          val dedup = scala.collection.mutable.LinkedHashMap.empty[String, String]
+          head.headers.foreach { case (k, v) => dedup.put(k, v) }
+          val keys = new Array[Any](dedup.size)
+          val vals = new Array[Any](dedup.size)
           var i = 0
-          head.headers.foreach { case (k, v) =>
+          dedup.foreach { case (k, v) =>
             keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
           }
           ArrayBasedMapData(keys, vals)
@@ -962,8 +985,18 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
   private def loadMember(): Boolean = {
     while (memberPos < p.until) {
       val avail = (p.until - memberPos).min(raf.length() - memberPos)
-      if (avail <= 0) return false
-      var window = math.min(1L << 20, avail).toInt
+      if (avail <= 0) {
+        // planned bytes remain but the file ends at/below the member
+        // boundary: truncation after planning — strict mode must report it
+        // (the plain path's HeadIncomplete case does); permissive ends the
+        // slice with what was delivered
+        if (p.failOnDataLoss) throw new IllegalStateException(
+          s"data loss detected on ${p.name}: file truncated to byte ${raf.length()} below " +
+            s"the planned end ${p.until}. Set failOnDataLoss=false to keep what remains.")
+        return false
+      }
+      val windowCap = math.min(avail, (Int.MaxValue - 8).toLong)
+      var window = math.min(1L << 20, windowCap).toInt
       var bytes: Array[Byte] = null
       var size = -3L
       var settled = false
@@ -977,8 +1010,8 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
           else got += n
         }
         size = GraftWarc.gzipMemberSize(bytes, 0, window)
-        if (size == -1L && window.toLong < avail)
-          window = math.min(window.toLong * 4, avail).toInt
+        if (size == -1L && !settled && window.toLong < windowCap)
+          window = math.min(window.toLong * 4, windowCap).toInt
         else settled = true
       }
       if (size > 0) {
@@ -1014,9 +1047,15 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
           }
           if (recs.nonEmpty) { rows = recs.iterator; return true }
         } catch {
-          case e: IllegalArgumentException => // inflate bound exceeded
+          // IllegalArgumentException: inflate bound exceeded;
+          // IOException (incl. ZipException): corrupt CRC/ISIZE trailer —
+          // gzipMemberSize frames members WITHOUT checksum validation, so
+          // the checked decompression here is where corruption surfaces,
+          // and drop-not-fail must cover it too
+          case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
             if (!p.permissive) throw new IllegalStateException(
-              s"gzip member of ${p.name} at byte $start exceeds maxRecordBytes (mode=failfast)", e)
+              s"gzip member of ${p.name} at byte $start is corrupt or exceeds " +
+                s"maxRecordBytes (mode=failfast)", e)
         }
       } else if (size == -1L) {
         // torn tail member below the planned end: truncation after planning

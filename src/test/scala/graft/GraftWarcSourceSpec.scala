@@ -226,6 +226,43 @@ class GraftWarcSourceSpec extends SparkTestBase {
     assert(parts > 1, s"expected a real split, got $parts partition(s)")
   }
 
+  test("corrupt gzip TRAILER: permissive skips the member, failfast raises") {
+    // gzipMemberSize frames members without checksum validation; the
+    // checked decompression is where a flipped CRC/ISIZE byte surfaces —
+    // drop-not-fail must cover it
+    val dir = Files.createTempDirectory("warc-badtrailer").toString
+    GraftWarc.writeGz(dir, "t.warc.gz", Seq(rec("u://1", "alpha"), rec("u://2", "bravo")))
+    // corrupt the FIRST member's trailer: find the second member's start
+    // (gzip magic 1f 8b 08) and flip a CRC byte just before it
+    val f = new File(dir, "t.warc.gz")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val second = (1 until bytes.length - 2).find(i =>
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b && bytes(i + 2) == 8).get
+    bytes(second - 8) = (bytes(second - 8) ^ 0xff).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    val vals = readBatch(dir).select(col("content").cast("string")).as[String].collect().toSet
+    assert(vals == Set("bravo"), s"permissive must skip the corrupt member only, got $vals")
+    val e = intercept[org.apache.spark.SparkException] {
+      readBatch(dir, "mode" -> "failfast").count()
+    }
+    assert(e.getMessage.contains("corrupt") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt")))
+  }
+
+  test("duplicate header names: map column dedups last-wins, matching the projected columns") {
+    val dir = Files.createTempDirectory("warc-duphdr").toString
+    GraftWarc.append(dir, "d.warc", Seq(
+      (Seq("WARC-Type" -> "resource", "Content-Type" -> "text/a",
+        "Content-Type" -> "text/b", "WARC-Target-URI" -> "u://1"),
+        "x".getBytes("UTF-8"))))
+    val r = readBatch(dir).select("content_type", "headers").collect().head
+    assert(r.getAs[String]("content_type") == "text/b", "projected column is last-wins")
+    val m = r.getAs[Map[String, String]]("headers")
+    assert(m("content-type") == "text/b",
+      s"map lookup must agree with the projected column, got ${m("content-type")}")
+    assert(m.keys.count(_ == "content-type") == 1, "map must not carry duplicate keys")
+  }
+
   test("column pruning reaches the scan: a header-only projection drops the block column") {
     val dir = Files.createTempDirectory("warc-prune").toString
     GraftWarc.append(dir, "p.warc", (1 to 50).map(i => rec(s"u://$i", "B" * 10000)))

@@ -341,4 +341,26 @@ class UrlCurationSpec extends SparkTestBase {
       assert(p === (200L until 205L).toSet, s"sketch=$sketch polite=$p")
     }
   }
+
+  test("crawlFunnel: null-canonical rows count in n_raw only; counters match the stage semantics") {
+    // 2 dups of one URL + 1 blocked + 1 clean + 1 NULL url (an unparseable
+    // frontier row): n_raw sees all 5, the URL tier sees 3 groups, the
+    // blocklist drops 1, and the text tier scores the 2 pass2 keepers
+    val body = (1 to 8).map { j =>
+      val jw = ('a' + (j % 26)).toChar.toString * 3
+      s"Sentence $jw of the document body reads quite fine today."
+    }.mkString("\n")
+    val rows = Seq(
+      (1L, "https://a.example.com/x?utm_source=r", body),
+      (2L, "https://a.example.com/x", body),            // canonical dup of 1
+      (3L, "https://spam.tracker.biz/y", body),          // blocklisted
+      (4L, "https://ok.example.org/z", body),
+      (5L, null.asInstanceOf[String], body))             // unparseable
+    val blocked = Seq("tracker.biz").toDF("domain")
+    val out = WebCuration.crawlFunnel(
+      rows.toDF("id", "url", "text"), col("id"), col("url"), col("text"),
+      blocked).as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((5L, 3L, 2L, 2L, 2L)),
+      s"funnel counters (raw, unique, unblocked, c4, gopher) off: $out")
+  }
 }
