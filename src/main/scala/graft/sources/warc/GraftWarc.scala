@@ -378,73 +378,116 @@ object GraftWarc {
 
   // ------------------------------------------------------------ gzip members
 
-  /** Exact size of the gzip MEMBER starting at `bytes[off)` within
-    * `[off, len)`: header fields parsed per RFC 1952, the deflate body
-    * measured with a raw `Inflater` (output discarded), plus the 8-byte
-    * CRC/ISIZE trailer. Returns -1 when the member is incomplete (more
-    * bytes may land), -2 when malformed.
+  /** Result of framing one gzip member within a byte window. */
+  sealed trait MemberResult
+  /** More bytes may land (window cut it or the file is still growing). */
+  case object MemberIncomplete extends MemberResult
+  /** The framing itself is broken — the size is unknowable, a reader
+    * cannot step past it.
     */
-  def gzipMemberSize(bytes: Array[Byte], off: Int, len: Int): Long = {
+  final case class MemberMalformed(reason: String) extends MemberResult
+  /** Framed completely but the content is bad (CRC/ISIZE mismatch, or the
+    * inflate exceeded the caller's bound): the SIZE is known, so a
+    * drop-not-fail reader can skip exactly this member and keep going.
+    */
+  final case class MemberCorrupt(size: Long, reason: String) extends MemberResult
+  /** Complete and checksum-verified; `plain` is null for measure-only calls. */
+  final case class MemberOk(size: Long, plain: Array[Byte]) extends MemberResult
+
+  /** Frame — and optionally decode — ONE gzip member at `bytes[off)` within
+    * `[off, off+len)`: RFC 1952 header fields, raw-deflate body, 8-byte
+    * CRC/ISIZE trailer. ONE inflate pass serves both the size and the
+    * output (the old measure-then-decode shape inflated every member
+    * twice); with `maxOut >= 0` the output is collected (bounded — past
+    * the bound inflation continues DISCARDING so the member still frames
+    * and reports [[MemberCorrupt]] instead of wedging the stream) and the
+    * trailer is verified against it; `maxOut < 0` measures only.
+    */
+  def gzipMember(bytes: Array[Byte], off: Int, len: Int, maxOut: Long): MemberResult = {
     var p = off
-    if (len - p < 10) return -1L
-    if ((bytes(p) & 0xff) != 0x1f || (bytes(p + 1) & 0xff) != 0x8b) return -2L
-    if (bytes(p + 2) != 8) return -2L // CM must be deflate
+    val end0 = off + len
+    if (len < 10) return MemberIncomplete
+    if ((bytes(p) & 0xff) != 0x1f || (bytes(p + 1) & 0xff) != 0x8b)
+      return MemberMalformed("bad gzip magic")
+    if (bytes(p + 2) != 8) return MemberMalformed("gzip CM is not deflate")
     val flg = bytes(p + 3) & 0xff
     p += 10
     if ((flg & 4) != 0) { // FEXTRA
-      if (len - p < 2) return -1L
+      if (end0 - p < 2) return MemberIncomplete
       val xlen = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
       p += 2 + xlen
-      if (p > len) return -1L
+      if (p > end0) return MemberIncomplete
     }
     if ((flg & 8) != 0) { // FNAME, zero-terminated
-      while (p < len && bytes(p) != 0) p += 1
-      if (p >= len) return -1L
+      while (p < end0 && bytes(p) != 0) p += 1
+      if (p >= end0) return MemberIncomplete
       p += 1
     }
     if ((flg & 16) != 0) { // FCOMMENT
-      while (p < len && bytes(p) != 0) p += 1
-      if (p >= len) return -1L
+      while (p < end0 && bytes(p) != 0) p += 1
+      if (p >= end0) return MemberIncomplete
       p += 1
     }
     if ((flg & 2) != 0) { // FHCRC
       p += 2
-      if (p > len) return -1L
+      if (p > end0) return MemberIncomplete
     }
+    val decode = maxOut >= 0
     val inf = new java.util.zip.Inflater(true)
     try {
-      inf.setInput(bytes, p, len - p)
+      inf.setInput(bytes, p, end0 - p)
+      val crc = new java.util.zip.CRC32
+      var outLen = 0L
+      var overflow = false
+      val out = if (decode) new java.io.ByteArrayOutputStream(
+        math.min(math.max(64L, maxOut / 8), 1L << 16).toInt) else null
       val sink = new Array[Byte](64 * 1024)
       while (!inf.finished()) {
         val n =
           try inf.inflate(sink)
-          catch { case _: java.util.zip.DataFormatException => return -2L }
+          catch {
+            case _: java.util.zip.DataFormatException =>
+              return MemberMalformed("corrupt deflate stream")
+          }
         if (n == 0 && !inf.finished()) {
-          return if (inf.needsInput()) -1L else -2L // truncated mid-body
+          return if (inf.needsInput()) MemberIncomplete
+          else MemberMalformed("deflate stream stalled")
         }
+        if (decode) {
+          crc.update(sink, 0, n)
+          if (!overflow && outLen + n > maxOut) overflow = true
+          if (!overflow) out.write(sink, 0, n)
+        }
+        outLen += n
       }
-      val deflateBytes = (len - p) - inf.getRemaining
-      val end = p + deflateBytes + 8
-      if (end > len) -1L else (end - off).toLong
+      val deflateBytes = (end0 - p) - inf.getRemaining
+      val trailerAt = p + deflateBytes
+      val size = (trailerAt + 8 - off).toLong
+      if (trailerAt + 8 > end0) return MemberIncomplete
+      if (!decode) return MemberOk(size, null)
+      if (overflow)
+        return MemberCorrupt(size, s"member inflates past $maxOut bytes")
+      def le32(q: Int): Long =
+        (bytes(q) & 0xffL) | ((bytes(q + 1) & 0xffL) << 8) |
+          ((bytes(q + 2) & 0xffL) << 16) | ((bytes(q + 3) & 0xffL) << 24)
+      if (le32(trailerAt) != crc.getValue)
+        return MemberCorrupt(size, "CRC32 mismatch")
+      if (le32(trailerAt + 4) != (outLen & 0xffffffffL))
+        return MemberCorrupt(size, "ISIZE mismatch")
+      MemberOk(size, out.toByteArray)
     } finally inf.end()
   }
 
-  /** Decompress one complete gzip member (validated by [[gzipMemberSize]])
-    * into a byte array, bounded by `maxOut`.
+  /** Measure-only compatibility form: -1 incomplete, -2 malformed, else
+    * the exact member size (the driver's offset walk — no decode, no
+    * checksum validation; corruption surfaces executor-side).
     */
-  def gunzipMember(bytes: Array[Byte], off: Int, len: Int, maxOut: Long): Array[Byte] = {
-    val in = new java.io.ByteArrayInputStream(bytes, off, len)
-    val gz = new java.util.zip.GZIPInputStream(in, 64 * 1024)
-    val out = new java.io.ByteArrayOutputStream(math.min(1L << 16, maxOut).toInt)
-    val buf = new Array[Byte](64 * 1024)
-    var n = 0
-    while ({ n = gz.read(buf); n >= 0 }) {
-      out.write(buf, 0, n)
-      require(out.size() <= maxOut,
-        s"gzip member inflates past maxRecordBytes=$maxOut — corrupt or hostile input")
+  def gzipMemberSize(bytes: Array[Byte], off: Int, len: Int): Long =
+    gzipMember(bytes, off, len, maxOut = -1L) match {
+      case MemberOk(size, _) => size
+      case MemberIncomplete => -1L
+      case _ => -2L
     }
-    out.toByteArray
-  }
 
   /** Walk complete gzip MEMBERS forward from byte `from` (a member
     * boundary): position after the last member that is fully landed —
@@ -457,28 +500,46 @@ object GraftWarc {
     if (limit <= from) return from
     val raf = new RandomAccessFile(f, "r")
     try {
-      // member-at-a-time: read a window, measure, advance. Window grows to
-      // the member size when needed (members are record-sized).
-      var pos = from
-      var done = false
-      // buffered members must fit a JVM array — a member that stays
-      // incomplete past this bound is reported torn, never wrapped negative
+      // CHUNKED walk: one 4 MiB fill serves many record-sized members (a
+      // per-member window read would amplify the probe's I/O ~1000x on
+      // small-record segments); deflate bodies are measured with output
+      // discarded — the walk only needs sizes
       val windowCap = (Int.MaxValue - 8).toLong
+      val chunkBytes = 4L << 20
+      var buf: Array[Byte] = Array.emptyByteArray
+      var bufStart = 0L
+      var bufGot = 0
+      var pos = from
+      def fill(at: Long, want: Long): Unit = {
+        val w = math.min(want, windowCap).toInt
+        if (buf.length < w) buf = new Array[Byte](w)
+        raf.seek(at)
+        var got = 0
+        var eof = false
+        while (got < w && !eof) {
+          val n = raf.read(buf, got, w - got)
+          if (n < 0) eof = true else got += n
+        }
+        bufStart = at
+        bufGot = got
+      }
+      var done = false
       while (!done && pos < limit) {
-        var window = math.min(math.min(1L << 20, limit - pos), windowCap).toInt
-        var size = -3L
-        var grown = false
-        while (!grown) {
-          val buf = new Array[Byte](window)
-          raf.seek(pos)
-          val got = readFullyUpTo(raf, buf, window)
-          size = gzipMemberSize(buf, 0, got)
-          // grow ONLY when the window itself was the limiter: got == window
-          // means no EOF; a short read is the file ending under `limit`
-          // (truncated since the stat) and must SETTLE, not spin
-          if (size == -1L && got == window && window.toLong < math.min(limit - pos, windowCap)) {
-            window = math.min(math.min(window.toLong * 4, limit - pos), windowCap).toInt
-          } else grown = true
+        val spanCap = math.min(limit - pos, windowCap)
+        if (pos < bufStart || pos >= bufStart + bufGot)
+          fill(pos, math.min(chunkBytes, spanCap))
+        var off = (pos - bufStart).toInt
+        var size = gzipMemberSize(buf, off, bufGot - off)
+        var span = (bufGot - off).toLong
+        var growing = true
+        while (size == -1L && span < spanCap && growing) {
+          fill(pos, math.min(math.max(span * 4, chunkBytes), spanCap))
+          off = 0
+          // fill() is EOF-short: a span that stopped growing is the true
+          // file end under `limit` — settle instead of spinning
+          growing = bufGot.toLong > span
+          span = bufGot.toLong
+          size = gzipMemberSize(buf, off, bufGot)
         }
         if (size > 0) pos += size else done = true
       }
@@ -981,6 +1042,34 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
   private var memberPos = p.from
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
+  // CHUNKED buffering: members are record-sized (hundreds of bytes to a
+  // few MB), so one 4 MiB fill serves MANY members — the first cut of this
+  // reader re-read a fresh 1 MiB window per member (measured ~15x slower
+  // than the decompression itself on small-record segments), and inflated
+  // every member twice (measure, then decode). gzipMember now frames,
+  // decodes and CRC-checks in ONE pass over the shared buffer.
+  private val windowCap = (Int.MaxValue - 8).toLong
+  private val ChunkBytes = 4L << 20
+  private var buf: Array[Byte] = Array.emptyByteArray
+  private var bufStart = 0L
+  private var bufGot = 0
+
+  /** (Re)fill `buf` with file bytes [memberPos, memberPos + want), short at
+    * EOF. `want` is clamped to the array-safe bound.
+    */
+  private def fill(want: Long): Unit = {
+    val w = math.min(want, windowCap).toInt
+    if (buf.length < w) buf = new Array[Byte](w)
+    raf.seek(memberPos)
+    var got = 0
+    var eof = false
+    while (got < w && !eof) {
+      val n = raf.read(buf, got, w - got)
+      if (n < 0) eof = true else got += n
+    }
+    bufStart = memberPos
+    bufGot = got
+  }
 
   private def loadMember(): Boolean = {
     while (memberPos < p.until) {
@@ -995,49 +1084,43 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
             s"the planned end ${p.until}. Set failOnDataLoss=false to keep what remains.")
         return false
       }
-      val windowCap = math.min(avail, (Int.MaxValue - 8).toLong)
-      var window = math.min(1L << 20, windowCap).toInt
-      var bytes: Array[Byte] = null
-      var size = -3L
-      var settled = false
-      while (!settled) {
-        bytes = new Array[Byte](window)
-        raf.seek(memberPos)
-        var got = 0
-        while (got < window) {
-          val n = raf.read(bytes, got, window - got)
-          if (n < 0) { settled = true; window = got }
-          else got += n
-        }
-        size = GraftWarc.gzipMemberSize(bytes, 0, window)
-        if (size == -1L && !settled && window.toLong < windowCap)
-          window = math.min(window.toLong * 4, windowCap).toInt
-        else settled = true
+      val spanCap = math.min(avail, windowCap)
+      // ensure buffered bytes at memberPos; grow the span while the member
+      // is incomplete ONLY because the buffered span cut it
+      if (memberPos < bufStart || memberPos >= bufStart + bufGot)
+        fill(math.min(ChunkBytes, spanCap))
+      var off = (memberPos - bufStart).toInt
+      var result = GraftWarc.gzipMember(buf, off, bufGot - off, p.maxRecordBytes)
+      var span = (bufGot - off).toLong
+      while (result == GraftWarc.MemberIncomplete && span < spanCap) {
+        fill(math.min(math.max(span * 4, ChunkBytes), spanCap))
+        off = 0
+        span = bufGot.toLong
+        result = GraftWarc.gzipMember(buf, off, bufGot - off, p.maxRecordBytes)
       }
-      if (size > 0) {
-        val start = memberPos
-        memberPos += size
-        try {
-          val plain = GraftWarc.gunzipMember(bytes, 0, size.toInt, p.maxRecordBytes)
+      result match {
+        case GraftWarc.MemberOk(size, plain) =>
+          val start = memberPos
+          memberPos += size
           val recs = ArrayBuffer.empty[InternalRow]
-          var off = 0
+          var roff = 0
           var sub = 0
           var ok = true
-          while (ok && off < plain.length) {
-            GraftWarc.parseHead(plain, off, plain.length) match {
+          while (ok && roff < plain.length) {
+            GraftWarc.parseHead(plain, roff, plain.length) match {
               case GraftWarc.HeadOk(h)
-                if off + h.headBytes + h.contentLength + 4 <= plain.length =>
-                // gz members must inflate for framing regardless; pruning
-                // still skips the per-record block copy
+                if roff + h.headBytes + h.contentLength + 4 <= plain.length =>
+                // the member had to inflate for framing; pruning still
+                // skips the per-record block copy
                 val content =
                   if (p.fields.contains(WarcRows.ContentIdx)) {
                     val c = new Array[Byte](h.contentLength.toInt)
-                    System.arraycopy(plain, off + h.headBytes, c, 0, c.length)
+                    System.arraycopy(plain, roff + h.headBytes, c, 0, c.length)
                     c
                   } else null
                 recs += WarcRows.row(p.name, start, sub, h, content, p.fields)
                 sub += 1
-                off += h.headBytes + h.contentLength.toInt + 4
+                roff += h.headBytes + h.contentLength.toInt + 4
               case _ =>
                 if (!p.permissive) throw new IllegalStateException(
                   s"malformed WARC record inside gzip member of ${p.name} at byte $start " +
@@ -1046,28 +1129,24 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
             }
           }
           if (recs.nonEmpty) { rows = recs.iterator; return true }
-        } catch {
-          // IllegalArgumentException: inflate bound exceeded;
-          // IOException (incl. ZipException): corrupt CRC/ISIZE trailer —
-          // gzipMemberSize frames members WITHOUT checksum validation, so
-          // the checked decompression here is where corruption surfaces,
-          // and drop-not-fail must cover it too
-          case e @ (_: IllegalArgumentException | _: java.io.IOException) =>
-            if (!p.permissive) throw new IllegalStateException(
-              s"gzip member of ${p.name} at byte $start is corrupt or exceeds " +
-                s"maxRecordBytes (mode=failfast)", e)
-        }
-      } else if (size == -1L) {
-        // torn tail member below the planned end: truncation after planning
-        if (p.failOnDataLoss) throw new IllegalStateException(
-          s"data loss detected on ${p.name}: gzip member at byte $memberPos truncated below " +
-            s"the planned end ${p.until}. Set failOnDataLoss=false to keep what remains.")
-        return false
-      } else {
-        if (!p.permissive) throw new IllegalStateException(
-          s"malformed gzip member in ${p.name} at byte $memberPos (mode=failfast)")
-        // permissive: cannot re-frame a corrupt gzip stream — drop the slice tail
-        return false
+        case GraftWarc.MemberCorrupt(size, reason) =>
+          // framed but lying (CRC/ISIZE mismatch, or inflates past
+          // maxRecordBytes — a zip bomb still frames): the size is known,
+          // so drop-not-fail skips EXACTLY this member and keeps reading
+          if (!p.permissive) throw new IllegalStateException(
+            s"corrupt gzip member in ${p.name} at byte $memberPos: $reason (mode=failfast)")
+          memberPos += size
+        case GraftWarc.MemberIncomplete =>
+          // torn tail member below the planned end: truncation after planning
+          if (p.failOnDataLoss) throw new IllegalStateException(
+            s"data loss detected on ${p.name}: gzip member at byte $memberPos truncated below " +
+              s"the planned end ${p.until}. Set failOnDataLoss=false to keep what remains.")
+          return false
+        case GraftWarc.MemberMalformed(reason) =>
+          if (!p.permissive) throw new IllegalStateException(
+            s"malformed gzip member in ${p.name} at byte $memberPos: $reason (mode=failfast)")
+          // permissive: cannot re-frame a corrupt gzip stream — drop the slice tail
+          return false
       }
     }
     false
