@@ -94,6 +94,58 @@ class CrawlRefreshSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("live WARC ingest composes with the refreshed gate: tail gz segments -> gated corpus") {
+    // the full live crawl front on the container real crawls ship: a
+    // graft-warc STREAM (atomically-landed gz segments discovered whole)
+    // parses records, derives a stable integral doc id from (file, pos,
+    // sub), and feeds crawlGateStreamRefreshed — a blocklist edit between
+    // segments takes effect at the next trigger, and the URL-dedup state
+    // spans segments (a re-crawled URL in a later segment drops)
+    import graft.sources.warc.GraftWarc
+    val warcDir = Files.createTempDirectory("warc-live").toString
+    def rec(uri: String, i: Int) = (Seq(
+      "WARC-Type" -> "response", "WARC-Target-URI" -> uri,
+      "WARC-Date" -> f"2026-01-02T03:04:${i % 60}%02dZ"), body(i).getBytes("UTF-8"))
+    @volatile var blockedDomains = Seq.empty[String]
+    val got = new ConcurrentLinkedQueue[String]() // canon_url
+    val parsed = spark.readStream.format("graft-warc").option("path", warcDir).load()
+      .select(
+        (hash(col("file"), col("pos"), col("sub")).cast("long") + (1L << 32)).as("doc_id"),
+        col("target_uri").as("url"),
+        col("content").cast("string").as("text"),
+        to_timestamp(col("warc_date")).as("ts"))
+    val q = graft.pipeline.WebCuration.crawlGateStreamRefreshed(
+      parsed, col("doc_id"), col("url"), col("text"),
+      tsCol = "ts", watermarkDelay = "10 minutes",
+      blockedProvider = () => blockedDomains,
+      refreshEveryBatches = 1,
+      checkpointDir = Files.createTempDirectory("warc-live-ckpt").toString,
+      queryName = "warc_live_gate") { out =>
+      out.select(col("canon_url")).collect()
+        .foreach(r => got.add(r.getAs[String]("canon_url")))
+      ()
+    }
+    try {
+      GraftWarc.writeGz(warcDir, "seg-00.warc.gz", Seq(
+        rec("https://a.example.com/page/1?utm_source=x", 1),
+        rec("https://news.site.org/story/2", 2)))
+      q.processAllAvailable()
+      val phase1 = got.asScala.toSet
+      assert(phase1 == Set("https://a.example.com/page/1", "https://news.site.org/story/2"))
+      // blocklist edit lands at the next trigger; the dedup state carries
+      // across segments (page/1 re-crawled under a tracking variant drops)
+      blockedDomains = Seq("site.org")
+      GraftWarc.writeGz(warcDir, "seg-01.warc.gz", Seq(
+        rec("https://a.example.com/page/1?utm_medium=y", 11), // dup of seg-00
+        rec("https://news.site.org/story/3", 12),             // now blocked
+        rec("https://a.example.com/page/4", 13)))
+      q.processAllAvailable()
+      val phase2 = got.asScala.toSet -- phase1
+      assert(phase2 == Set("https://a.example.com/page/4"),
+        s"expected only the fresh unblocked page, got $phase2")
+    } finally q.stop()
+  }
+
   test("politenessRoutePsl under a RefreshedRef: a PSL growth re-keys routing at the next batch") {
     // the caller-side loop (the ShapingLoopSpec posture): each micro-batch
     // calls politenessRoutePsl with ref.at(batchId) — batch 0 routes under
