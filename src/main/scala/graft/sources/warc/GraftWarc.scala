@@ -591,6 +591,9 @@ object GraftWarc {
     // thousands-of-records shard would pile up off-heap memory); the
     // shield keeps the underlying file open across members
     val shield = new java.io.FilterOutputStream(out) {
+      // FilterOutputStream's default array write loops write(int) — one
+      // native call PER BYTE of deflate output; pass arrays through
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
       override def close(): Unit = flush()
     }
     try records.foreach { case (h, c) =>
@@ -956,13 +959,28 @@ private[warc] object WarcRows {
           // DEDUP duplicate header names (last value wins, first-occurrence
           // order): a Spark map with repeated keys is malformed — lookups
           // would return the FIRST duplicate while the projected columns
-          // follow last-wins, and map writers reject repeated keys
-          val dedup = scala.collection.mutable.LinkedHashMap.empty[String, String]
-          head.headers.foreach { case (k, v) => dedup.put(k, v) }
-          val keys = new Array[Any](dedup.size)
-          val vals = new Array[Any](dedup.size)
+          // follow last-wins, and map writers reject repeated keys. Heads
+          // are tiny (~8 names), so dup detection is a quadratic scan and
+          // the typical duplicate-free record fills the arrays directly
+          val hs = head.headers
+          var hasDup = false
+          var a = 0
+          while (!hasDup && a < hs.length) {
+            var b = a + 1
+            while (!hasDup && b < hs.length) { hasDup = hs(a)._1 == hs(b)._1; b += 1 }
+            a += 1
+          }
+          val entries: Seq[(String, String)] =
+            if (!hasDup) hs
+            else {
+              val dedup = scala.collection.mutable.LinkedHashMap.empty[String, String]
+              hs.foreach { case (k, v) => dedup.put(k, v) }
+              dedup.toSeq
+            }
+          val keys = new Array[Any](entries.length)
+          val vals = new Array[Any](entries.length)
           var i = 0
-          dedup.foreach { case (k, v) =>
+          entries.foreach { case (k, v) =>
             keys(i) = UTF8String.fromString(k); vals(i) = UTF8String.fromString(v); i += 1
           }
           ArrayBasedMapData(keys, vals)
@@ -1092,9 +1110,14 @@ class GraftWarcGzReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
       var off = (memberPos - bufStart).toInt
       var result = GraftWarc.gzipMember(buf, off, bufGot - off, p.maxRecordBytes)
       var span = (bufGot - off).toLong
-      while (result == GraftWarc.MemberIncomplete && span < spanCap) {
+      var growing = true
+      while (result == GraftWarc.MemberIncomplete && span < spanCap && growing) {
         fill(math.min(math.max(span * 4, ChunkBytes), spanCap))
         off = 0
+        // fill() is EOF-short: a span that stopped growing is the file
+        // ending under the plan (truncated since the avail stat) — settle
+        // into the MemberIncomplete handling below instead of spinning
+        growing = bufGot.toLong > span
         span = bufGot.toLong
         result = GraftWarc.gzipMember(buf, off, bufGot - off, p.maxRecordBytes)
       }

@@ -28,7 +28,9 @@ object WarcProbe {
     val dirGz = Files.createTempDirectory("warc-probe-gz").toString
     val body = ("The quick brown fox jumps over the lazy dog. " * (bodyBytes / 45 + 1))
       .take(bodyBytes).getBytes("UTF-8")
-    val perFile = nRecords / 8
+    // integer division: report what is actually written, not the request
+    val perFile = math.max(1, nRecords / 8)
+    val written = perFile * 8
     (0 until 8).foreach { f =>
       val recs = (0 until perFile).map { i =>
         (Seq("WARC-Type" -> "resource",
@@ -63,7 +65,7 @@ object WarcProbe {
     val headGz = timeRead(dirGz, pruned = true)
     val mb = plainBytes / 1e6
     println(
-      s"""{"probe":"warc-throughput","n_records":$nRecords,"body_bytes":$bodyBytes,""" +
+      s"""{"probe":"warc-throughput","n_records":$written,"body_bytes":$bodyBytes,""" +
         s""""plain_mb":${num(plainBytes / 1e6)},"gz_mb":${num(gzBytes / 1e6)},""" +
         s""""full_plain_sec":${num(fullPlain)},"full_plain_mb_s":${num(mb / fullPlain)},""" +
         s""""header_only_plain_sec":${num(headPlain)},"prune_speedup_plain":${num(fullPlain / headPlain)},""" +

@@ -260,7 +260,15 @@ class GraftWarcSourceSpec extends SparkTestBase {
     val m = r.getAs[Map[String, String]]("headers")
     assert(m("content-type") == "text/b",
       s"map lookup must agree with the projected column, got ${m("content-type")}")
-    assert(m.keys.count(_ == "content-type") == 1, "map must not carry duplicate keys")
+    // Catalyst-level check: Row.getAs collapses duplicates on conversion,
+    // so pin the RAW map entry count (4 = warc-type, content-type,
+    // warc-target-uri, content-length) — with the dedup reverted this
+    // reads 5 and map-key-sensitive consumers would see a malformed map
+    val nEntries = readBatch(dir)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.map_keys(col("headers"))).as("n"))
+      .as[Int].head()
+    assert(nEntries == 4, s"raw map must carry deduped entries, got $nEntries")
   }
 
   test("column pruning reaches the scan: a header-only projection drops the block column") {
