@@ -1350,6 +1350,42 @@ object DecatonQueries {
                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
                CAST(sum(strlen(text)) AS BIGINT) AS sum_text_len
         FROM documents GROUP BY lang
+      """)),
+
+    // ---- the graft-warc SINK path at data scale (the dq22 shape for the
+    // third medium): documents written through the DSv2 writer itself —
+    // per-record-gzip segments landed by atomic rename under a per-job
+    // tag — read back through the source and aggregated from the PARSED
+    // columns; the write→commit→discover→read→frame→CRC loop closed
+    // inside one oracle-checked query. (dq32 covers the read side over
+    // util-written segments; this proves the engine's own writer produces
+    // segments its own reader round-trips.)
+    Q(
+      "dq33_warc_sink_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dq33").toString
+        Tables.documents(s, dir)
+          .select(
+            concat(lit("graft://corpus/"), col("lang"), lit("/"), col("doc_id"))
+              .as("target_uri"),
+            col("text").as("content"))
+          .repartition(8, col("target_uri"))
+          .write.format("graft-warc").mode("append").option("path", tmp).save()
+        s.read.format("graft-warc").option("path", tmp).load()
+          .select(
+            regexp_extract(col("target_uri"), "^graft://corpus/([a-z]+)/", 1).as("lang"),
+            regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long").as("did"),
+            col("content_length"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("did")).as("sum_doc_id"),
+            sum(col("content_length")).as("sum_text_len"))
+      },
+      Some("""
+        SELECT lang, count(*) AS n,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(strlen(text)) AS BIGINT) AS sum_text_len
+        FROM documents GROUP BY lang
       """))
   )
 }

@@ -628,11 +628,19 @@ object GraftWarcOffset {
   }
 }
 
-class GraftWarcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+class GraftWarcTable(options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-warc(${GraftWarc.dir(options)})"
   override def schema(): StructType = GraftWarc.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.STREAMING_WRITE, TableCapability.BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWarcWriteBuilder(info)
   /** Column pruning is REAL I/O here, not cosmetics: a header-only query
     * (count responses per host, content-length census) never reads block
     * bytes at all — the plain reader SEEKS past each block, so a 1 GB file
