@@ -108,6 +108,53 @@ object BenchMetrics {
 }
 
 object Bench {
+
+  /** Host/cgroup counters that separate "slow box" from "slow code" — the
+    * r18 verdict's gap: a degraded window was pinned to the container only
+    * by a same-day A/B, because nothing RECORDED the box state. These are
+    * monotonic totals; reps log deltas, so the committed artifact alone
+    * shows whether a slow rep ran under hypervisor steal (/proc/stat field
+    * 8, USER_HZ ticks across all cpus) or cgroup CPU throttling (v2
+    * `cpu.stat` throttled_usec, or v1 `cpu/cpu.stat` throttled_time ns).
+    * Any missing/unreadable file reads as 0 — absence of the counter must
+    * not fail a bench.
+    */
+  final case class BoxStat(
+      stealTicks: Long, totalTicks: Long, throttledUsec: Long, nrThrottled: Long) {
+    def minus(b: BoxStat): BoxStat = BoxStat(
+      stealTicks - b.stealTicks, totalTicks - b.totalTicks,
+      throttledUsec - b.throttledUsec, nrThrottled - b.nrThrottled)
+  }
+
+  def boxStat(): BoxStat = {
+    def readFile(p: String): Option[String] =
+      try Some(new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+        java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => None }
+    def longOr0(s: String): Long = try s.toLong catch { case _: Throwable => 0L }
+    val (steal, total) =
+      readFile("/proc/stat").flatMap(_.linesIterator.find(_.startsWith("cpu "))) match {
+        case Some(line) =>
+          val f = line.trim.split("\\s+").drop(1).map(longOr0)
+          (if (f.length > 7) f(7) else 0L, f.sum)
+        case None => (0L, 0L)
+      }
+    def kv(body: String): Map[String, Long] =
+      body.linesIterator.map(_.trim.split("\\s+")).collect {
+        case Array(k, v) => k -> longOr0(v)
+      }.toMap
+    val v2 = readFile("/sys/fs/cgroup/cpu.stat").map(kv)
+    val v1 = readFile("/sys/fs/cgroup/cpu/cpu.stat").map(kv)
+    BoxStat(
+      stealTicks = steal,
+      totalTicks = total,
+      throttledUsec = v2.flatMap(_.get("throttled_usec"))
+        .orElse(v1.flatMap(_.get("throttled_time")).map(_ / 1000L)).getOrElse(0L),
+      nrThrottled = v2.flatMap(_.get("nr_throttled"))
+        .orElse(v1.flatMap(_.get("nr_throttled"))).getOrElse(0L))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -192,7 +239,11 @@ object Bench {
     // that looks like a measurement (the failed_queries flag alone doesn't
     // stop a reader of queries{} from trusting the value)
     val repLog = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[Double])]]
-    for (_ <- 1 to 3; name <- queryNames) {
+    // box-state deltas per interleaved pass: a pass whose steal/throttle
+    // delta spikes explains its slow reps from the artifact alone
+    val queryRoundBox = scala.collection.mutable.ArrayBuffer.empty[BoxStat]
+    for (round <- 1 to 3; name <- queryNames) {
+      if (name == queryNames.head) queryRoundBox += boxStat()
       val fn = SparkEntry.queries(name)
       if (preWarmQueries(name))
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -210,6 +261,11 @@ object Bench {
         }
       repLog(name) = repLog.getOrElse(name, Vector.empty) :+ ((wallStart, dur))
     }
+    queryRoundBox += boxStat()
+    // consecutive-snapshot deltas: one BoxStat per interleaved pass
+    val queryRoundBoxDeltas = queryRoundBox.toSeq.sliding(2).collect {
+      case Seq(a, b) => b.minus(a)
+    }.toSeq
     // median over the SUCCESSFUL reps only (lower-middle when 2 survive);
     // a query with no successful rep reports null and is in failed_queries
     def median(reps: Seq[Option[Double]]): Option[Double] = {
@@ -334,7 +390,13 @@ object Bench {
         // post-benchmark steady state
         threads = BenchMetrics.threadCount())
     }
-    val streamReps = Seq.fill(3)(streamRep())
+    val streamRepBox = scala.collection.mutable.ArrayBuffer.empty[BoxStat]
+    val streamReps = Seq.fill(3) {
+      val b0 = boxStat()
+      val r = streamRep()
+      streamRepBox += boxStat().minus(b0)
+      r
+    }
     val medianRep = streamReps.sortBy(_.tps).apply(1)
     val tps = medianRep.tps
     val latAvgMs = medianRep.latAvgMs
@@ -411,7 +473,11 @@ object Bench {
     val qColdReps = coldLog.map { case (n, reps) =>
       "\"" + n + "\":" + reps.map(jsonNum).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3-interleaved","queries":$qs,""" +
+    // pre-warmed rows time WARM STEADY STATE, not cold-median — emit the set
+    // so the artifact itself records which rows are methodology-shifted and
+    // round-over-round comparisons of those rows are flagged, not silent
+    val preWarmJson = preWarmQueries.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3-interleaved","pre_warmed_queries":$preWarmJson,"queries":$qs,""" +
       s""""queries_min":$qMins,""" +
       s""""query_reps":$qReps,"query_rep_starts_epoch_sec":$qStarts,""" +
       s""""queries_cold":$qCold,"query_cold_reps":$qColdReps,""" +
@@ -427,6 +493,13 @@ object Bench {
       s""""stream_latency_p99_ms":${medianRep.latP99Ms},""" +
       s""""stream_latency_p999_ms":${medianRep.latP999Ms},""" +
       s""""stream_no_io_reps":${noIoReps.mkString("[", ",", "]")},""" +
+      s""""box_query_rounds_steal_ticks":${queryRoundBoxDeltas.map(_.stealTicks).mkString("[", ",", "]")},""" +
+      s""""box_query_rounds_total_ticks":${queryRoundBoxDeltas.map(_.totalTicks).mkString("[", ",", "]")},""" +
+      s""""box_query_rounds_throttled_usec":${queryRoundBoxDeltas.map(_.throttledUsec).mkString("[", ",", "]")},""" +
+      s""""box_stream_reps_steal_ticks":${streamRepBox.map(_.stealTicks).mkString("[", ",", "]")},""" +
+      s""""box_stream_reps_total_ticks":${streamRepBox.map(_.totalTicks).mkString("[", ",", "]")},""" +
+      s""""box_stream_reps_throttled_usec":${streamRepBox.map(_.throttledUsec).mkString("[", ",", "]")},""" +
+      s""""box_stream_reps_nr_throttled":${streamRepBox.map(_.nrThrottled).mkString("[", ",", "]")},""" +
       s""""cms_full_sketch_sec":$cmsFullSec,""" +
       s""""cms_reps":${cmsReps.mkString("[", ",", "]")},""" +
       s""""stream_task_count":$streamTasks,""" +

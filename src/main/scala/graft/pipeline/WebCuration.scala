@@ -214,6 +214,17 @@ object WebCuration {
     * join (group side broadcasts at bench scale; the same co-keyed join
     * as [[crawlToCorpus]]'s join-back otherwise — document text never
     * enters the URL tier either way), one global agg.
+    *
+    * PRECONDITION (same as [[crawlToCorpus]]): `idCol` is a UNIQUE,
+    * NON-NULL document id. The keeper election stores one id per group
+    * and joins it back to the raw frame; a duplicated id that wins an
+    * election would join every duplicate row (inflating `n_raw` and all
+    * downstream counters), and a group whose ids are all null has no
+    * joinable keeper (dropping its copies from `n_raw`). Counting raw
+    * rows independently would re-plan the canonicalize subtree (the
+    * two-consumer pruning divergence this shape exists to avoid), so the
+    * contract lives here: ids come from the document store, where they
+    * are primary keys.
     */
   def crawlFunnel(
       df: DataFrame,
@@ -614,6 +625,11 @@ object WebCuration {
     * canon_url, clean_hash); `n_total` counts the domain's fully-gated
     * survivors, so cap cuts are auditable. Oracle-checked end to end by
     * pq86 (all five stage oracles chained as CTEs).
+    *
+    * PRECONDITION: `idCol` is a unique, non-null document id (the
+    * document store's primary key) — the keeper join-back selects rows
+    * by elected id, so duplicate ids would multiply keeper rows and a
+    * null id can never win its group (see [[crawlFunnel]]).
     */
   def crawlToCorpus(
       df: DataFrame,

@@ -489,6 +489,15 @@ object GraftWarc {
       case _ => -2L
     }
 
+  /** Where a gz member walk stopped: `end` is the position after the last
+    * complete member; `malformed` carries the reason when the stop was
+    * BROKEN FRAMING (junk between members — the size of what follows is
+    * unknowable, so no later byte can ever be scheduled) rather than the
+    * benign end of complete data. Callers surface it per their loss
+    * contract: a silent `malformed` is a permanently wedged tail.
+    */
+  final case class GzWalkEnd(end: Long, malformed: Option[String])
+
   /** Walk complete gzip MEMBERS forward from byte `from` (a member
     * boundary): position after the last member that is fully landed —
     * header, deflate body and trailer all within `limit`. The walk reads
@@ -496,8 +505,15 @@ object GraftWarc {
     * deflate body must be measured to find the trailer; output is
     * discarded, memory stays one 64 KiB buffer).
     */
-  def completeGzEnd(f: File, from: Long, limit: Long): Long = {
-    if (limit <= from) return from
+  def completeGzEnd(f: File, from: Long, limit: Long): Long =
+    completeGzWalk(f, from, limit).end
+
+  /** [[completeGzEnd]] with the stop reason — distinguishes "more bytes may
+    * land" (incomplete tail, `malformed = None`) from "framing is broken at
+    * `end`, nothing after it is ever schedulable" (`malformed = Some`).
+    */
+  def completeGzWalk(f: File, from: Long, limit: Long): GzWalkEnd = {
+    if (limit <= from) return GzWalkEnd(from, None)
     val raf = new RandomAccessFile(f, "r")
     try {
       // CHUNKED walk: one 4 MiB fill serves many record-sized members (a
@@ -524,12 +540,20 @@ object GraftWarc {
         bufGot = got
       }
       var done = false
+      var stallReason: Option[String] = None
+      def measure(off: Int, len: Int): Long = gzipMember(buf, off, len, maxOut = -1L) match {
+        case MemberOk(size, _) => size
+        case MemberIncomplete => -1L
+        case MemberMalformed(reason) => stallReason = Some(reason); -2L
+        case MemberCorrupt(size, _) => size // measure-only never returns this; framed = steppable
+      }
       while (!done && pos < limit) {
         val spanCap = math.min(limit - pos, windowCap)
         if (pos < bufStart || pos >= bufStart + bufGot)
           fill(pos, math.min(chunkBytes, spanCap))
         var off = (pos - bufStart).toInt
-        var size = gzipMemberSize(buf, off, bufGot - off)
+        stallReason = None
+        var size = measure(off, bufGot - off)
         var span = (bufGot - off).toLong
         var growing = true
         while (size == -1L && span < spanCap && growing) {
@@ -539,11 +563,11 @@ object GraftWarc {
           // file end under `limit` — settle instead of spinning
           growing = bufGot.toLong > span
           span = bufGot.toLong
-          size = gzipMemberSize(buf, off, bufGot)
+          size = measure(off, bufGot)
         }
         if (size > 0) pos += size else done = true
       }
-      pos
+      GzWalkEnd(pos, stallReason)
     } finally raf.close()
   }
 
@@ -698,7 +722,21 @@ class GraftWarcScan(
         try {
           val gz = GraftWarc.isGz(f.getName)
           val complete =
-            if (gz) GraftWarc.completeGzEnd(f, 0L, f.length())
+            if (gz) {
+              val walk = GraftWarc.completeGzWalk(f, 0L, f.length())
+              // broken gz framing means every byte past the junk is
+              // unschedulable forever — surface it per the loss contract
+              // instead of silently planning a truncated file
+              walk.malformed.foreach { reason =>
+                if (failOnDataLoss || !permissive) throw new IllegalStateException(
+                  s"malformed gzip framing in ${f.getName} at byte ${walk.end}: $reason — " +
+                    s"${f.length() - walk.end} trailing bytes are unreadable. Set " +
+                    "failOnDataLoss=false with mode=permissive to read what precedes the junk.")
+                System.err.println(s"[graft-warc] ${f.getName}: malformed gzip framing at byte " +
+                  s"${walk.end} ($reason); dropping ${f.length() - walk.end} trailing bytes")
+              }
+              walk.end
+            }
             else GraftWarc.completeEnd(f, 0L, f.length())
           if (complete == 0L) Seq.empty[InputPartition]
           else if (gz || complete <= maxSplitBytes)
@@ -766,7 +804,22 @@ class GraftWarcMicroBatchStream(
       case prior =>
         val from = prior.map(_._3).filter(_ <= len).getOrElse(0L)
         val c =
-          if (GraftWarc.isGz(name)) GraftWarc.completeGzEnd(f, from, len)
+          if (GraftWarc.isGz(name)) {
+            val walk = GraftWarc.completeGzWalk(f, from, len)
+            // junk between members wedges the tail FOREVER (no later byte
+            // is ever schedulable) — a silent stall would look like "no new
+            // data". Strict modes raise; permissive records the stall point
+            // once per (len, mtime) probe so the wedge is observable.
+            walk.malformed.foreach { reason =>
+              if (failOnDataLoss || !permissive) throw new IllegalStateException(
+                s"malformed gzip framing in $name at byte ${walk.end}: $reason — the " +
+                  s"${len - walk.end} bytes after it can never be scheduled. Set " +
+                  "failOnDataLoss=false with mode=permissive to keep tailing what precedes it.")
+              System.err.println(s"[graft-warc] $name: stream stalled at byte ${walk.end} " +
+                s"on malformed gzip framing ($reason); ${len - walk.end} bytes unreadable")
+            }
+            walk.end
+          }
           else GraftWarc.completeEnd(f, from, len)
         probeCache.put(name, (len, mtime, c))
         c
@@ -1008,6 +1061,15 @@ private[warc] object WarcRows {
 class GraftWarcPlainReader(p: GraftWarcInputPartition, raf: RandomAccessFile)
     extends PartitionReader[InternalRow] {
   private val fileLen = raf.length()
+  // unaligned split: resync finds the first validated record start in
+  // [from, until). A file truncated below the split between planning and
+  // read would make that resync silently yield zero rows — the aligned
+  // path raises for the same truncation (HeadIncomplete), so match it
+  // here before resyncing.
+  if (!p.aligned && p.failOnDataLoss && fileLen < p.until)
+    throw new IllegalStateException(
+      s"data loss detected on ${p.name}: file truncated to $fileLen below the planned " +
+        s"split [${p.from}, ${p.until}). Set failOnDataLoss=false to keep what remains.")
   private var pos =
     if (p.aligned) p.from else GraftWarc.findValidStart(raf, p.from, p.until, fileLen)
   private var current: InternalRow = _

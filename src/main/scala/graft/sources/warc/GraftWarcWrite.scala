@@ -50,6 +50,12 @@ class GraftWarcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
   private val idIdx = colIdx("record_id", required = false)
   require(info.schema().fields(uriIdx).dataType == StringType,
     "graft-warc 'target_uri' must be string")
+  // optional columns get the same plan-time check as target_uri — a wrong
+  // type must fail at build(), not as an executor-side ClassCastException
+  Seq("warc_type" -> typeIdx, "warc_date" -> dateIdx, "record_id" -> idIdx).foreach {
+    case (n, i) => require(i < 0 || info.schema().fields(i).dataType == StringType,
+      s"graft-warc '$n' must be string, got ${info.schema().fields(i).dataType.catalogString}")
+  }
   private val contentIsString = info.schema().fields(contentIdx).dataType match {
     case BinaryType => false
     case StringType => true

@@ -400,4 +400,86 @@ class GraftWarcSourceSpec extends SparkTestBase {
     val perDomain = out.groupBy("domain").count().as[(String, Long)].collect()
     assert(perDomain.forall(_._2 <= 10), s"per-domain cap violated: ${perDomain.toSeq}")
   }
+
+  test("malformed gzip FRAMING (junk between members): strict raises, permissive truncates loudly") {
+    // junk between members wedges the walk forever (the size of what
+    // follows is unknowable) — unlike a corrupt TRAILER (framed, steppable)
+    // or plain-file junk (resyncable). Strict modes must raise instead of
+    // silently planning a truncated file.
+    val dir = Files.createTempDirectory("warc-gzjunk").toString
+    GraftWarc.writeGz(dir, "j.warc.gz", Seq(rec("u://1", "alpha")))
+    val tmp = Files.createTempDirectory("warc-gzjunk2").toString
+    GraftWarc.writeGz(tmp, "t.warc.gz", Seq(rec("u://2", "bravo")))
+    val f = new File(dir, "j.warc.gz")
+    val out = new java.io.FileOutputStream(f, true)
+    out.write("THIS IS NOT GZIP FRAMING".getBytes("UTF-8"))
+    out.write(java.nio.file.Files.readAllBytes(new File(tmp, "t.warc.gz").toPath))
+    out.close()
+    // default (failOnDataLoss=true): batch planning raises
+    val e = intercept[Throwable] { readBatch(dir).count() }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("malformed gzip framing"), s"wrong error: $msg")
+    // failfast mode raises even with failOnDataLoss=false
+    val e2 = intercept[Throwable] {
+      readBatch(dir, "failondataloss" -> "false", "mode" -> "failfast").count()
+    }
+    assert(Iterator.iterate(e2)(_.getCause).takeWhile(_ != null).take(5)
+      .map(_.getMessage).mkString(" | ").contains("malformed gzip framing"))
+    // permissive + failOnDataLoss=false: everything before the junk reads
+    val vals = readBatch(dir, "failondataloss" -> "false")
+      .select(col("content").cast("string")).as[String].collect().toSet
+    assert(vals == Set("alpha"), s"must keep what precedes the junk, got $vals")
+    // the walk itself reports the stall point and reason
+    val walk = GraftWarc.completeGzWalk(f, 0L, f.length())
+    assert(walk.malformed.isDefined, "junk framing must be distinguished from an incomplete tail")
+    assert(walk.end > 0 && walk.end < f.length())
+    // an INCOMPLETE tail (growing file) stays malformed-free
+    val half = new File(dir, "h.warc.gz")
+    val whole = java.nio.file.Files.readAllBytes(new File(tmp, "t.warc.gz").toPath)
+    java.nio.file.Files.write(half.toPath, whole.take(whole.length - 4))
+    val w2 = GraftWarc.completeGzWalk(half, 0L, half.length())
+    assert(w2.end == 0L && w2.malformed.isEmpty, s"truncated member is incomplete, not malformed: $w2")
+  }
+
+  test("unaligned split + truncation below the planned end: strict raises instead of zero rows") {
+    val dir = Files.createTempDirectory("warc-trunc-split").toString
+    GraftWarc.append(dir, "s.warc", Seq(rec("u://1", "alpha"), rec("u://2", "bravo")))
+    val f = new File(dir, "s.warc")
+    val len = f.length()
+    val fields = GraftWarc.schema.fieldNames.indices.toSeq
+    // simulate planning-then-truncation: the partition's planned end is the
+    // old file length; the file shrinks before the reader opens it
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.setLength(len / 2)
+    raf.close()
+    val p = graft.sources.warc.GraftWarcInputPartition(
+      f.getPath, f.getName, from = 0L, until = len, gz = false,
+      failOnDataLoss = true, permissive = true, maxRecordBytes = 1L << 30,
+      fields = fields, aligned = false)
+    val e = intercept[IllegalStateException] {
+      new graft.sources.warc.GraftWarcReaderFactory().createReader(p)
+    }
+    assert(e.getMessage.contains("data loss"), e.getMessage)
+    // non-strict: the reader opens and yields only the records that survive
+    // the truncation (here: at most the first)
+    val p2 = p.copy(failOnDataLoss = false)
+    val r = new graft.sources.warc.GraftWarcReaderFactory().createReader(p2)
+    try {
+      var n = 0
+      while (r.next()) n += 1
+      assert(n <= 1, s"at most the first record survives a half-truncation, got $n")
+    } finally r.close()
+  }
+
+  test("sink rejects a non-string optional column at plan time, not executor-side") {
+    val dir = Files.createTempDirectory("warc-badopt").toString
+    val df = Seq(("u://1", "payload", 7)).toDF("target_uri", "content", "warc_type")
+    val e = intercept[Throwable] {
+      df.write.format("graft-warc").option("path", dir).mode("append").save()
+    }
+    val msg = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+      .map(_.getMessage).mkString(" | ")
+    assert(msg.contains("'warc_type' must be string"), s"wrong error: $msg")
+  }
 }
