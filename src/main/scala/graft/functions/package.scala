@@ -158,6 +158,75 @@ package object functions {
   def http_body(block: Column): Column =
     toColumn(graft.plans.HttpBody(toExpr(block)))
 
+  /** Decoded text of an HTTP message block — the full payload chain:
+    * strip head, de-chunk `Transfer-Encoding: chunked`, inflate
+    * `Content-Encoding: gzip|x-gzip|deflate`, detect charset (Content-Type
+    * param → `<meta charset>` → BOM → UTF-8 validation → windows-1252)
+    * and decode. Null for non-HTTP blocks and undecodable codings —
+    * drop-not-fail ([[graft.plans.HttpText]]).
+    */
+  def http_text(block: Column): Column =
+    toColumn(graft.plans.HttpText(toExpr(block)))
+
+  /** The charset [[http_text]] decodes with (lowercased canonical name) —
+    * encoding census over a crawl; null for non-HTTP blocks
+    * ([[graft.plans.HttpCharset]]).
+    */
+  def http_charset(block: Column): Column =
+    toColumn(graft.plans.HttpCharset(toExpr(block)))
+
+  /** HTTP status code of a message block; null for non-HTTP
+    * ([[graft.plans.HttpStatus]]).
+    */
+  def http_status(block: Column): Column =
+    toColumn(graft.plans.HttpStatus(toExpr(block)))
+
+  /** HTTP header fields of a message block as map<string,string> (names
+    * lowercased, last duplicate wins); null for non-HTTP
+    * ([[graft.plans.HttpHeaders]]).
+    */
+  def http_headers(block: Column): Column =
+    toColumn(graft.plans.HttpHeaders(toExpr(block)))
+
+  /** Decode a chunked transfer coding; null on malformed framing
+    * ([[graft.plans.HttpDechunk]]).
+    */
+  def http_dechunk(body: Column): Column =
+    toColumn(graft.plans.HttpDechunk(toExpr(body)))
+
+  /** Undo one content coding (gzip/x-gzip/deflate/identity); null on
+    * corrupt data or unsupported coding ([[graft.plans.HttpInflate]]).
+    */
+  def http_inflate(body: Column, coding: Column): Column =
+    toColumn(graft.plans.HttpInflate(toExpr(body), toExpr(coding)))
+
+  /** Total charset decode (REPLACE on malformed, BOM stripped, WHATWG
+    * label substitutions); null for unknown labels
+    * ([[graft.plans.CharsetDecode]]).
+    */
+  def charset_decode(body: Column, charset: Column): Column =
+    toColumn(graft.plans.CharsetDecode(toExpr(body), toExpr(charset)))
+
+  /** Charset encode dual (legacy corpora, replay fixtures); null for
+    * unknown labels ([[graft.plans.CharsetEncode]]).
+    */
+  def charset_encode(text: Column, charset: Column): Column =
+    toColumn(graft.plans.CharsetEncode(toExpr(text), toExpr(charset)))
+
+  /** Chunked-coding encode dual: fixed-size chunks, CRLF framing, zero
+    * last-chunk ([[graft.plans.HttpChunk]]).
+    */
+  def http_chunk(body: Column, size: Column): Column =
+    toColumn(graft.plans.HttpChunk(toExpr(body), toExpr(size)))
+
+  /** RFC 1952 single-member gzip, level 6 ([[graft.plans.GzipCompress]]). */
+  def gzip_compress(body: Column): Column =
+    toColumn(graft.plans.GzipCompress(toExpr(body)))
+
+  /** RFC 1950 zlib deflate, level 6 ([[graft.plans.ZlibCompress]]). */
+  def zlib_compress(body: Column): Column =
+    toColumn(graft.plans.ZlibCompress(toExpr(body)))
+
   /** Aggregate: exact top-`k` (score desc, id asc) → array<struct<id,
     * score>>. O(k) partial heaps combine map-side — the scale form of a
     * per-group `row_number() <= k` Window, which would shuffle and sort

@@ -578,7 +578,130 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96
+      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100
+
+  /** The HTTP payload decode chain ([[graft.functions.http_text]]) — the
+    * step a real Common Crawl pipeline needs on its FIRST `response`
+    * record: strip status+headers, de-chunk `Transfer-Encoding: chunked`,
+    * inflate `Content-Encoding: gzip|deflate`, detect the charset
+    * (Content-Type param → `<meta charset>` → BOM → UTF-8 validation),
+    * decode. Each doc is wrapped as a full HTTP/1.1 response whose arm
+    * (doc_id % 5) exercises one leg — windows-1252 via header, chunked
+    * windows-1252, gzip+chunked html with `<meta charset>` only,
+    * bare-zlib deflate with NO declaration (UTF-8 validation arm), and a
+    * BOM with no declaration — with a fixed non-ASCII suffix hitting the
+    * cp1252-specific 0x80-0x9F positions (curly quotes, em-dash). The
+    * operator must recover the EXACT original text; the oracle computes
+    * the expected decode directly (the pq73 wrap-then-recover pattern —
+    * encode∘decode must be identity, so DuckDB never needs a gzip or a
+    * transcoder). Hash-exact on (doc_id, status, charset, n_chars,
+    * text_hash).
+    */
+  private def pq99: Q = Q(
+    "pq99_http_text",
+    (s, dir) => {
+      import graft.functions._
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val arm = (id % 5).cast("int")
+      // ASCII corpus text + a suffix that only decodes correctly if the
+      // cp1252 0x80-0x9F block and the accented range both round-trip
+      val payload = concat(col("text"), lit(" — café “quoted” naïve"))
+      val html = concat(
+        lit("""<html><head><meta charset="utf-8"></head><body>"""),
+        payload, lit("</body></html>"))
+      val crlf = "\r\n"
+      def head(fields: String*): org.apache.spark.sql.Column =
+        encode(lit(("HTTP/1.1 200 OK" +: fields).mkString("", crlf, crlf + crlf)), "UTF-8")
+      val block =
+        when(arm === 0, concat(
+          head("Content-Type: text/plain; charset=windows-1252", "Server: graft"),
+          charset_encode(payload, lit("windows-1252"))))
+        .when(arm === 1, concat(
+          head("Content-Type: text/plain; charset=windows-1252",
+            "Transfer-Encoding: chunked"),
+          http_chunk(charset_encode(payload, lit("windows-1252")), lit(7))))
+        .when(arm === 2, concat(
+          head("Content-Type: text/html", "Content-Encoding: gzip",
+            "Transfer-Encoding: chunked"),
+          http_chunk(gzip_compress(encode(html, "UTF-8")), lit(13))))
+        .when(arm === 3, concat(
+          head("Content-Type: application/octet-stream", "Content-Encoding: deflate"),
+          zlib_compress(encode(payload, "UTF-8"))))
+        .otherwise(concat(
+          head("Content-Type: text/plain"),
+          lit(Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte)),
+          encode(payload, "UTF-8")))
+      d.select(id, block.as("block"))
+        .select(id,
+          http_status(col("block")).as("status"),
+          http_charset(col("block")).as("charset"),
+          length(http_text(col("block"))).as("n_chars"),
+          md5(encode(http_text(col("block")), "UTF-8")).as("text_hash"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, text || ' — café “quoted” naïve' AS payload,
+               CAST(doc_id % 5 AS INT) AS arm
+        FROM documents),
+      e AS (
+        SELECT doc_id, arm,
+          CASE WHEN arm = 2
+               THEN '<html><head><meta charset="utf-8"></head><body>' || payload
+                    || '</body></html>'
+               ELSE payload END AS expected,
+          CASE WHEN arm IN (0, 1) THEN 'windows-1252' ELSE 'utf-8' END AS charset
+        FROM p)
+      SELECT doc_id, CAST(200 AS INT) AS status, charset,
+             CAST(length(expected) AS INT) AS n_chars,
+             md5(expected) AS text_hash
+      FROM e
+    """))
+
+  /** The CDX-style WARC record index ([[graft.sources.warc.WarcIndex]]) —
+    * the (url → file, pos, sub) random-access companion every real WARC
+    * archive ships beside its segments. Documents land as per-record-gzip
+    * response records (the Common Crawl shape), ONE distributed scan
+    * builds the index, and the oracle hash-checks the index TABLE itself:
+    * canonical URL (the synthesized URLs are canonicalizer fixed points),
+    * record id, type, block length, payload md5. The (file, pos, sub)
+    * coordinates are layout-dependent and are asserted by WarcIndexSpec's
+    * point-fetch instead (every coordinate must read back its exact
+    * record with single-record I/O).
+    */
+  private def pq100: Q = Q(
+    "pq100_warc_index",
+    (s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-pq100").toString
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(8, col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val recs = it.map { r =>
+            val id = r.getAs[Long]("doc_id")
+            (Seq(
+              "WARC-Type" -> "response",
+              "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+              "WARC-Target-URI" -> s"https://docs.example.com/${r.getAs[String]("lang")}/$id",
+              "WARC-Date" -> "2026-01-02T03:04:05Z"),
+              r.getAs[String]("text").getBytes("UTF-8"))
+          }.toSeq
+          if (recs.nonEmpty)
+            graft.sources.warc.GraftWarc.writeGz(tmp, f"part-$pid%03d.warc.gz", recs)
+        }
+      graft.sources.warc.WarcIndex.build(s, tmp, includeDigest = true)
+        .select(col("url_canon"), col("record_id"), col("warc_type"),
+          col("content_length"), col("digest"))
+    },
+    Some("""
+      SELECT 'https://docs.example.com/' || lang || '/' || doc_id AS url_canon,
+             '<urn:graft:doc:' || doc_id || '>' AS record_id,
+             'response' AS warc_type,
+             CAST(strlen(text) AS BIGINT) AS content_length,
+             md5(text) AS digest
+      FROM documents
+    """))
 
   /** Mojibake repair (plans.FixMojibake — the ftfy round-trip over
     * Windows-1252, with the strictness/shrink/plausibility acceptance):

@@ -365,9 +365,39 @@ class GraftWarcSourceSpec extends SparkTestBase {
   }
 
   test("crawl front runs end-to-end from a WARC directory") {
-    // synthesize a small crawl as gz segments (the Common Crawl shape),
-    // read through the source, and drive crawlToCorpus off the parsed rows
+    // synthesize a small crawl as gz segments (the Common Crawl shape) of
+    // RAW HTTP response records — status line, headers, chunked and/or
+    // gzip'd bodies, mixed charsets — read through the source, decode the
+    // payloads with http_text, and drive crawlToCorpus off the parsed rows
     val dir = Files.createTempDirectory("warc-crawl").toString
+    def httpWrap(text: String, i: Int): Array[Byte] = {
+      val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+      def chunk(b: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        b.grouped(11).foreach { g =>
+          out.write(s"${Integer.toHexString(g.length)}\r\n".getBytes)
+          out.write(g); out.write("\r\n".getBytes)
+        }
+        out.write("0\r\n\r\n".getBytes)
+        out.toByteArray
+      }
+      def gz(b: Array[Byte]): Array[Byte] = {
+        val out = new java.io.ByteArrayOutputStream()
+        val s = new java.util.zip.GZIPOutputStream(out); s.write(b); s.close()
+        out.toByteArray
+      }
+      val (fields, body) = i % 3 match {
+        case 0 => (Seq("Content-Type: text/plain; charset=windows-1252"),
+          text.getBytes(cp1252))
+        case 1 => (Seq("Content-Type: text/plain; charset=utf-8",
+          "Transfer-Encoding: chunked"), chunk(text.getBytes("UTF-8")))
+        case _ => (Seq("Content-Type: text/plain; charset=utf-8",
+          "Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+          chunk(gz(text.getBytes("UTF-8"))))
+      }
+      ("HTTP/1.1 200 OK" +: fields).mkString("", "\r\n", "\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    }
     val docs = (1 to 60).map { i =>
       val host = if (i % 3 == 0) "spam.tracker.biz" else s"site${i % 5}.example.com"
       // all-alphabetic tokens: Gopher's minAlphaWordFrac (0.8) must pass
@@ -376,7 +406,11 @@ class GraftWarcSourceSpec extends SparkTestBase {
         val iw = ('a' + (i % 26)).toChar.toString * 4
         s"Sentence $jw of document $iw reads quite fine today."
       }.mkString("\n")
-      rec(s"https://$host/page/$i?utm_source=x", body, typ = "response")
+      (Seq("WARC-Type" -> "response", "WARC-Record-ID" -> s"<urn:uuid:$i>",
+        "WARC-Date" -> "2026-01-02T03:04:05Z",
+        "WARC-Target-URI" -> s"https://$host/page/$i?utm_source=x",
+        "Content-Type" -> "application/http; msgtype=response"),
+        httpWrap(body, i))
     }
     docs.grouped(20).zipWithIndex.foreach { case (g, i) =>
       GraftWarc.writeGz(dir, f"crawl-$i%02d.warc.gz", g)
@@ -388,7 +422,10 @@ class GraftWarcSourceSpec extends SparkTestBase {
         (hash(col("file"), col("pos"), col("sub")).cast("long") +
           lit(1L << 32)).as("doc_id"),
         col("target_uri").as("url"),
-        col("content").cast("string").as("body"))
+        graft.functions.http_text(col("content")).as("body"))
+    // every response record's payload must decode (chunked, gzip, cp1252)
+    assert(parsed.filter(col("body").isNull).count() == 0,
+      "http_text must decode every synthesized response payload")
     val blocked = Seq("tracker.biz").toDF("domain")
     val out = graft.pipeline.WebCuration.crawlToCorpus(
       parsed, col("doc_id"), col("url"), col("body"), blocked, cap = 10,

@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import scala.util.Random
+
+import org.apache.spark.sql.functions._
+
+/** Seeded encoding-confusion round-trip fuzz for `http_text`: random text
+  * drawn from a charset-safe alphabet is encoded, optionally content-coded
+  * (gzip/deflate), optionally transfer-chunked at a random chunk size, the
+  * charset declared through a random arm (Content-Type param, `<meta>`
+  * tag, BOM, or undeclared-UTF-8-validation), and the full decode chain
+  * must recover the EXACT original text. Shares the seeded-suite contract
+  * (`-Dgraft.fuzz.seed`) with MojibakeSpec/ExtractTextFuzz.
+  */
+class HttpTextFuzzSpec extends SparkTestBase {
+
+  private val seed = sys.props.get("graft.fuzz.seed").map(_.toLong).getOrElse(20260816L)
+
+  // per-charset alphabets of chars that ROUND-TRIP in that charset (the
+  // identity domain — encode∘decode must be the identity for the oracle)
+  private val ascii = (0x20 to 0x7e).map(_.toChar)
+  private val cp1252Extra = "éàüñç“”—–‘’€…ŠžŸ".toSeq
+  private val sjisExtra = "日本語カタカナひらがな漢字テスト".toSeq
+  private val utf8Extra = "éñ日本語😀🎉  ".toSeq
+
+  private case class Cs(label: String, charset: java.nio.charset.Charset, alphabet: IndexedSeq[Char])
+  private val charsets = Seq(
+    Cs("windows-1252", java.nio.charset.Charset.forName("windows-1252"),
+      (ascii ++ cp1252Extra).toIndexedSeq),
+    Cs("shift_jis", java.nio.charset.Charset.forName("windows-31j"),
+      (ascii ++ sjisExtra).toIndexedSeq),
+    Cs("utf-8", StandardCharsets.UTF_8, (ascii ++ utf8Extra).toIndexedSeq))
+
+  private def genText(rnd: Random, alphabet: IndexedSeq[Char]): String = {
+    val n = 1 + rnd.nextInt(400)
+    val sb = new StringBuilder
+    (0 until n).foreach(_ => sb.append(alphabet(rnd.nextInt(alphabet.length))))
+    // the meta-sniff window must not be spoofed by accident: strip any
+    // '<' the generator minted so the only meta tag is the one we inject
+    sb.toString.replace('<', '(')
+  }
+
+  private def gzip(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(out); gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  private def zlib(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(6); d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream(); val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private def chunked(b: Array[Byte], size: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    b.grouped(size).foreach { g =>
+      out.write(s"${Integer.toHexString(g.length)}\r\n".getBytes)
+      out.write(g); out.write("\r\n".getBytes)
+    }
+    out.write("0\r\n\r\n".getBytes)
+    out.toByteArray
+  }
+
+  test(s"1000 random (charset × declaration × coding × chunking) wraps decode exactly [seed=$seed]") {
+    info(s"graft.fuzz.seed=$seed")
+    val rnd = new Random(seed)
+    val cases = (0 until 1000).map { i =>
+      val cs = charsets(rnd.nextInt(charsets.length))
+      // declaration arm: 0 header, 1 meta, 2 BOM (utf-8 only), 3 undeclared
+      // (utf-8 only — validation must catch it; legacy charsets without a
+      // declaration would hit the 1252 fallback by design, not a bug)
+      val arm0 = rnd.nextInt(4)
+      val arm = if (cs.label != "utf-8" && arm0 >= 2) rnd.nextInt(2) else arm0
+      val text0 = genText(rnd, cs.alphabet)
+      // the meta arm ships the tag INSIDE the body; others ship text alone
+      val text = if (arm == 1)
+        s"""<meta charset="${cs.label}"><p>$text0</p>""" else text0
+      var body = text.getBytes(cs.charset)
+      if (arm == 2) body = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ body
+      val coding = rnd.nextInt(3) // 0 identity, 1 gzip, 2 deflate
+      body = coding match {
+        case 1 => gzip(body)
+        case 2 => zlib(body)
+        case _ => body
+      }
+      val doChunk = rnd.nextBoolean()
+      if (doChunk) body = chunked(body, 1 + rnd.nextInt(37))
+      val fields = Seq.newBuilder[String]
+      fields += (if (arm == 0) s"Content-Type: text/plain; charset=${cs.label}"
+                 else "Content-Type: text/plain")
+      if (coding == 1) fields += "Content-Encoding: gzip"
+      if (coding == 2) fields += "Content-Encoding: deflate"
+      if (doChunk) fields += "Transfer-Encoding: chunked"
+      val head = ("HTTP/1.1 200 OK" +: fields.result()).mkString("", "\r\n", "\r\n\r\n")
+      (i, head.getBytes(StandardCharsets.ISO_8859_1) ++ body, text)
+    }
+    import spark.implicits._
+    val bad = cases.toDF("i", "block", "expected")
+      .select(col("i"), col("expected"),
+        graft.functions.http_text(col("block")).as("got"))
+      .filter(col("got").isNull || col("got") =!= col("expected"))
+      .collect()
+    assert(bad.isEmpty, s"${bad.length} wraps mis-decoded; first: ${bad.headOption}")
+  }
+}
