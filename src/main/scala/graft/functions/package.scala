@@ -151,6 +151,18 @@ package object functions {
   def robots_sitemaps(text: Column): Column =
     toColumn(graft.plans.RobotsSitemaps(toExpr(text)))
 
+  /** sitemap document → its PAGE urls — `<urlset>` `<loc>` entries
+    * (entity-unescaped) or plain-text lines ([[graft.plans.SitemapUrls]]).
+    */
+  def sitemap_urls(doc: Column): Column =
+    toColumn(graft.plans.SitemapUrls(toExpr(doc)))
+
+  /** sitemap document → its CHILD sitemap urls (`<sitemapindex>` entries —
+    * the discovery recursion edge; [[graft.plans.SitemapChildren]]).
+    */
+  def sitemap_children(doc: Column): Column =
+    toColumn(graft.plans.SitemapChildren(toExpr(doc)))
+
   /** HTTP message body octets of a WARC `response` record block (bytes
     * after the first CRLF CRLF / LF LF header separator; null when the
     * block is not an HTTP message — [[graft.plans.HttpBody]]).

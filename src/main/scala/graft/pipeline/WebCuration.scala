@@ -188,6 +188,45 @@ object WebCuration {
           .otherwise("unchanged").as("status"))
   }
 
+  /** Seed a crawl frontier from parsed sitemap documents — the missing
+    * half of sitemap discovery ([[graft.plans.RobotsSitemaps]] surfaces
+    * the URLs; this turns them into frontier work): explode the page urls
+    * of every sitemap ([[graft.functions.sitemap_urls]]), canonicalize,
+    * and anti-join against the frontier's canonical urls → the DISCOVERY
+    * set (urls the sitemaps advertise that the frontier has never seen).
+    * Child sitemaps (`<sitemapindex>` entries) ride along in a second
+    * frame so the caller can recurse fetch-parse-seed.
+    *
+    * Composes with [[frontierDiff]]: diffing the frontier against
+    * (frontier ∪ discovery) marks exactly this set `added`
+    * (UrlCurationSpec pins the equivalence). 100 TB shape: sitemap docs
+    * are tiny relative to the corpus; both sides collapse to canonical-
+    * url keys before the one anti-join shuffle — page content never
+    * enters.
+    *
+    * Returns (discovery: one `canon_url` row per new url,
+    * childSitemaps: one `sitemap_url` row per index entry).
+    */
+  def sitemapFrontierSeed(
+      sitemaps: DataFrame,
+      docCol: Column,
+      frontier: DataFrame,
+      urlCol: Column): (DataFrame, DataFrame) = {
+    import graft.functions.{sitemap_children, sitemap_urls}
+    val pages = sitemaps
+      .select(explode(sitemap_urls(docCol)).as("__u"))
+      .select(url_canonicalize(col("__u")).as("canon_url"))
+      .dropDuplicates("canon_url")
+    val known = frontier
+      .select(url_canonicalize(urlCol).as("canon_url"))
+      .dropDuplicates("canon_url")
+    val discovery = pages.join(known, Seq("canon_url"), "left_anti")
+    val children = sitemaps
+      .select(explode(sitemap_children(docCol)).as("sitemap_url"))
+      .dropDuplicates("sitemap_url")
+    (discovery, children)
+  }
+
   /** Crawl-front funnel diagnostics (the pq44 shape for [[crawlToCorpus]]):
     * per-stage survivor counts — raw, URL-unique, post-blocklist, C4 page
     * survivors, Gopher survivors. Two tiers, each read ONCE:
@@ -684,5 +723,110 @@ object WebCuration {
         admitted.select(col("__id").as("doc_id"), col("canon_url"),
           col("clean_hash")),
         Seq("doc_id"))
+  }
+
+  /** WARC `revisit` resolution — the edge table (ISO 28500 §6.7.2 / WARC
+    * 1.1 §6.7): a crawler that already holds a URL's payload emits a
+    * `revisit` record carrying `WARC-Refers-To` (the original's record id)
+    * and/or `WARC-Refers-To-Target-URI` + `WARC-Payload-Digest` instead of
+    * repeating the bytes — Common Crawl's crawl-time dedup. A front that
+    * ignores them undercounts duplicates and drops retrievable documents.
+    *
+    * Input: a `graft-warc` frame. Output: one row per revisit —
+    * `(revisit_record_id, revisit_uri, revisit_date, original_record_id,
+    * original_uri, original_file, original_pos, original_sub,
+    * original_length, resolved_by)` — `resolved_by` ∈ ('refers-to',
+    * 'uri-digest', null for unresolved). Resolution order:
+    *   1. `WARC-Refers-To` = the original's `WARC-Record-ID` (exact);
+    *   2. else (`WARC-Refers-To-Target-URI` | the revisit's own target
+    *      URI) + `WARC-Payload-Digest` against the original's URI and
+    *      digest header — digest equality makes any matching original
+    *      byte-identical, so the minimum record id is a canonical
+    *      representative, not an arbitrary pick.
+    *
+    * 100 TB shape: ONLY fixed-width columns shuffle (ids, uris, digests,
+    * coordinates) — payload bytes never enter either join. The output is
+    * simultaneously the dedup-cluster edge set (feed (revisit, original)
+    * pairs into the pq23/pq97 cluster machinery) and the random-access
+    * coordinate set ([[graft.sources.warc.WarcIndex.fetchMany]] point-
+    * reads the original payloads for exactly the revisits a query needs).
+    */
+  def revisitEdges(warc: DataFrame): DataFrame = {
+    val originals = warc
+      .filter(col("warc_type").isin("response", "resource"))
+      .select(
+        col("record_id").as("__o_id"),
+        col("target_uri").as("__o_uri"),
+        element_at(col("headers"), "warc-payload-digest").as("__o_digest"),
+        col("file").as("original_file"),
+        col("pos").as("original_pos"),
+        col("sub").as("original_sub"),
+        col("content_length").as("original_length"))
+    val revisits = warc
+      .filter(col("warc_type") === "revisit")
+      .select(
+        col("record_id").as("revisit_record_id"),
+        col("target_uri").as("revisit_uri"),
+        col("warc_date").as("revisit_date"),
+        element_at(col("headers"), "warc-refers-to").as("__refers_id"),
+        coalesce(
+          element_at(col("headers"), "warc-refers-to-target-uri"),
+          col("target_uri")).as("__refers_uri"),
+        element_at(col("headers"), "warc-payload-digest").as("__digest"))
+    // arm 1: exact record-id reference
+    val byId = revisits.join(originals, col("__refers_id") === col("__o_id"), "left")
+    val resolvedById = byId.filter(col("__o_id").isNotNull)
+      .withColumn("resolved_by", lit("refers-to"))
+    // arm 2: (uri, digest) for the rest — digest-equal originals are
+    // byte-identical, elect min id as the canonical one
+    val unresolved = byId.filter(col("__o_id").isNull).select(revisits.columns.map(col): _*)
+    val canonicalByUriDigest = originals
+      .filter(col("__o_digest").isNotNull)
+      .groupBy(col("__o_uri"), col("__o_digest"))
+      .agg(min(struct(col("__o_id"), col("original_file"), col("original_pos"),
+        col("original_sub"), col("original_length"))).as("__c"))
+      .select(col("__o_uri").as("__cu"), col("__o_digest").as("__cd"),
+        col("__c.__o_id").as("__o_id"), col("__c.original_file").as("original_file"),
+        col("__c.original_pos").as("original_pos"), col("__c.original_sub").as("original_sub"),
+        col("__c.original_length").as("original_length"))
+    val byDigest = unresolved.join(
+      canonicalByUriDigest,
+      col("__refers_uri") === col("__cu") && col("__digest") === col("__cd"),
+      "left")
+      .withColumn("resolved_by",
+        when(col("__o_id").isNotNull, lit("uri-digest")))
+    val outCols = Seq(
+      col("revisit_record_id"), col("revisit_uri"), col("revisit_date"),
+      col("__o_id").as("original_record_id"),
+      col("original_file"), col("original_pos"), col("original_sub"),
+      col("original_length"), col("resolved_by"))
+    resolvedById.select(outCols: _*).unionByName(byDigest.select(outCols: _*))
+  }
+
+  /** The resolved-corpus convenience form of [[revisitEdges]]: every
+    * non-revisit record passes through; every resolved revisit carries the
+    * ORIGINAL's content (and `resolved_from` = the original record id).
+    * This joins payload bytes across the cluster — at archive scale prefer
+    * [[revisitEdges]] + [[graft.sources.warc.WarcIndex.fetchMany]], which
+    * point-reads instead of shuffling content; this form is the right
+    * answer when the frame is already a filtered slice.
+    */
+  def resolveRevisits(warc: DataFrame): DataFrame = {
+    val edges = revisitEdges(warc)
+      .select(col("revisit_record_id").as("__rid"),
+        col("original_record_id").as("__oid"))
+    val originalContent = warc
+      .filter(col("warc_type").isin("response", "resource"))
+      .select(col("record_id").as("__cid"), col("content").as("__ocontent"))
+    val passThrough = warc.filter(col("warc_type") =!= "revisit" || col("warc_type").isNull)
+      .withColumn("resolved_from", lit(null).cast("string"))
+      .withColumn("resolved_content", col("content"))
+    val revisits = warc.filter(col("warc_type") === "revisit")
+      .join(edges, col("record_id") === col("__rid"), "left")
+      .join(originalContent, col("__oid") === col("__cid"), "left")
+      .withColumn("resolved_from", col("__oid"))
+      .withColumn("resolved_content", col("__ocontent"))
+      .drop("__rid", "__oid", "__cid", "__ocontent")
+    passThrough.unionByName(revisits)
   }
 }

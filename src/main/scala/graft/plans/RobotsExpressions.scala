@@ -339,3 +339,88 @@ case class RobotsSitemaps(child: Expression) extends UnaryExpression {
   override def prettyName: String = "robots_sitemaps"
   override protected def withNewChildInternal(c: Expression): RobotsSitemaps = copy(child = c)
 }
+
+/** sitemaps.org document parsing — the discovery feed behind the
+  * `Sitemap:` URLs [[RobotsSitemaps]] surfaces. All three published
+  * formats:
+  *   - XML `<urlset>`: `<url><loc>…</loc></url>` entries are PAGE urls;
+  *   - XML `<sitemapindex>`: `<sitemap><loc>…</loc></sitemap>` entries
+  *     are CHILD sitemap urls (the recursion edge a frontier walks);
+  *   - plain text: one page URL per line.
+  * `<loc>` values are entity-unescaped (the five XML predefined entities
+  * the spec requires escaping) and trimmed. Row-local linear-scan regex
+  * (RE2-safe `[^<]` body — no nested quantifiers), stream-safe.
+  */
+private[plans] object SitemapParsing {
+  private val LocRe = java.util.regex.Pattern.compile("(?is)<loc>\\s*([^<]+?)\\s*</loc>")
+
+  private def unescape(s: String): String =
+    // &amp; LAST — same one-shot rule as extract_text
+    s.replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&apos;", "'").replace("&amp;", "&")
+
+  /** (page urls, child sitemap urls) of one sitemap document. */
+  def parse(doc: String): (Seq[String], Seq[String]) = {
+    val lower = doc.toLowerCase(java.util.Locale.ROOT)
+    val isIndex = lower.contains("<sitemapindex")
+    val isUrlset = lower.contains("<urlset")
+    if (isIndex || isUrlset) {
+      val m = LocRe.matcher(doc)
+      val urls = Seq.newBuilder[String]
+      while (m.find()) urls += unescape(m.group(1))
+      val all = urls.result()
+      if (isIndex) (Nil, all) else (all, Nil)
+    } else {
+      // plain-text sitemap: one URL per line
+      (doc.linesIterator.map(_.trim)
+        .filter(l => l.startsWith("http://") || l.startsWith("https://")).toSeq, Nil)
+    }
+  }
+}
+
+/** sitemap document → its PAGE urls (`<urlset>` entries or plain-text
+  * lines; empty for a `<sitemapindex>`).
+  */
+case class SitemapUrls(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"sitemap_urls expects string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SitemapParsing.parse(input.asInstanceOf[UTF8String].toString)._1
+        .map(UTF8String.fromString).toArray[Any])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sitemapUrls", this, classOf[SitemapUrls].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override def prettyName: String = "sitemap_urls"
+  override protected def withNewChildInternal(c: Expression): SitemapUrls = copy(child = c)
+}
+
+/** sitemap document → its CHILD sitemap urls (`<sitemapindex>` entries;
+  * empty for a `<urlset>` or plain-text sitemap) — the recursion edge of
+  * sitemap discovery.
+  */
+case class SitemapChildren(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"sitemap_children expects string, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SitemapParsing.parse(input.asInstanceOf[UTF8String].toString)._2
+        .map(UTF8String.fromString).toArray[Any])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sitemapChildren", this, classOf[SitemapChildren].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+  override def prettyName: String = "sitemap_children"
+  override protected def withNewChildInternal(c: Expression): SitemapChildren = copy(child = c)
+}

@@ -578,7 +578,7 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100
+      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101
 
   /** The HTTP payload decode chain ([[graft.functions.http_text]]) — the
     * step a real Common Crawl pipeline needs on its FIRST `response`
@@ -701,6 +701,65 @@ object CrawlQueries {
              CAST(strlen(text) AS BIGINT) AS content_length,
              md5(text) AS digest
       FROM documents
+    """))
+
+  /** Sitemap parsing ([[graft.functions.sitemap_urls]] /
+    * [[graft.functions.sitemap_children]]) — all three sitemaps.org
+    * formats, one per arm (doc_id % 3): a `<sitemapindex>` (entries are
+    * CHILD sitemaps, not pages), a `<urlset>` with entity-escaped `&amp;`
+    * and padded `<loc>` whitespace the parser must strip, and a
+    * plain-text one-URL-per-line document. The oracle computes the
+    * expected URL lists directly from the same doc_id formulas (the
+    * wrap-then-recover pattern — extraction must be exact inversion).
+    * Frontier seeding over these urls is UrlCurationSpec's case; this row
+    * pins the extraction.
+    */
+  private def pq101: Q = Q(
+    "pq101_sitemap_seed",
+    (s, dir) => {
+      import graft.functions.{sitemap_children, sitemap_urls}
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val arm = (id % 3).cast("int")
+      val host = concat(lit("https://s"), id % 7, lit(".example.com"))
+      val urlsArr = transform(sequence(lit(1L), id % 4 + 1),
+        k => concat(host, lit("/p/"), id, lit("/"), k, lit("?a=1&b=2")))
+      val urlsetXml = concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        array_join(transform(urlsArr, u => concat(
+          lit("  <url><loc> "), regexp_replace(u, "&", "&amp;"), lit(" </loc></url>"))), "\n"),
+        lit("\n</urlset>"))
+      val indexXml = concat(
+        lit("<?xml version=\"1.0\"?><sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        lit("<sitemap><loc>"), host, lit("/sitemap-1.xml</loc></sitemap>"),
+        lit("<sitemap><loc>"), host, lit("/sitemap-2.xml</loc></sitemap>"),
+        lit("</sitemapindex>"))
+      val textDoc = array_join(urlsArr, "\n")
+      val doc = when(arm === 0, indexXml).when(arm === 1, urlsetXml).otherwise(textDoc)
+      d.select(id, sitemap_urls(doc).as("pages"), sitemap_children(doc).as("children"))
+        .select(id,
+          size(col("pages")).as("n_pages"),
+          size(col("children")).as("n_children"),
+          md5(array_join(concat(col("pages"), col("children")), " ")).as("urls_hash"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, CAST(doc_id % 3 AS INT) AS arm,
+               CAST(doc_id % 4 + 1 AS BIGINT) AS n,
+               'https://s' || (doc_id % 7) || '.example.com' AS host
+        FROM documents),
+      u AS (
+        SELECT doc_id, arm,
+          CASE WHEN arm = 0
+               THEN [host || '/sitemap-1.xml', host || '/sitemap-2.xml']
+               ELSE list_transform(generate_series(1, n),
+                      k -> host || '/p/' || doc_id || '/' || k || '?a=1&b=2') END AS urls
+        FROM p)
+      SELECT doc_id,
+             CAST(CASE WHEN arm = 0 THEN 0 ELSE len(urls) END AS INT) AS n_pages,
+             CAST(CASE WHEN arm = 0 THEN len(urls) ELSE 0 END AS INT) AS n_children,
+             md5(array_to_string(urls, ' ')) AS urls_hash
+      FROM u
     """))
 
   /** Mojibake repair (plans.FixMojibake — the ftfy round-trip over

@@ -1386,6 +1386,81 @@ object DecatonQueries {
                CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
                CAST(sum(strlen(text)) AS BIGINT) AS sum_text_len
         FROM documents GROUP BY lang
+      """)),
+
+    // ---- WARC `revisit` resolution (ISO 28500 §6.7.2 — Common Crawl's
+    // crawl-time dedup): every doc lands as a `response` record with a
+    // payload digest header; docs ≡ 0 mod 3 ALSO land a payload-free
+    // `revisit` record referencing the original — by exact WARC-Refers-To
+    // record id when ≡ 0 mod 2, else by (WARC-Refers-To-Target-URI,
+    // WARC-Payload-Digest). resolveRevisits must recover the ORIGINAL's
+    // bytes for every revisit through whichever arm applies; the oracle
+    // replays the reference join as arithmetic over documents (each
+    // revisit resolves to exactly its own doc's text).
+    Q(
+      "dq34_revisit_resolution",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-dq34").toString
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("text"))
+          .repartition(8, col("doc_id"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val md = java.security.MessageDigest.getInstance("MD5")
+            def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+            val recs = it.flatMap { r =>
+              val id = r.getAs[Long]("doc_id")
+              val lang = r.getAs[String]("lang")
+              val text = r.getAs[String]("text").getBytes("UTF-8")
+              md.reset()
+              val digest = s"md5:${hex(md.digest(text))}"
+              val uri = s"graft://corpus/doc/$id"
+              val response = (Seq(
+                "WARC-Type" -> "response",
+                "WARC-Record-ID" -> s"<urn:graft:doc:$id>",
+                "WARC-Target-URI" -> uri,
+                "WARC-Payload-Digest" -> digest,
+                "X-Graft-Lang" -> lang), text)
+              val revisit =
+                if (id % 3 != 0) Nil
+                else {
+                  val ref =
+                    if (id % 2 == 0) Seq("WARC-Refers-To" -> s"<urn:graft:doc:$id>")
+                    else Seq("WARC-Refers-To-Target-URI" -> uri,
+                      "WARC-Payload-Digest" -> digest)
+                  Seq((Seq(
+                    "WARC-Type" -> "revisit",
+                    "WARC-Record-ID" -> s"<urn:graft:rev:$id>",
+                    "WARC-Target-URI" -> uri,
+                    "X-Graft-Lang" -> lang) ++ ref, Array.emptyByteArray))
+                }
+              response +: revisit
+            }.toSeq
+            if (recs.nonEmpty)
+              graft.sources.warc.GraftWarc.writeGz(tmp, f"part-$pid%03d.warc.gz", recs)
+          }
+        val warc = s.read.format("graft-warc").option("path", tmp).load()
+        graft.pipeline.WebCuration.resolveRevisits(warc)
+          .select(
+            element_at(col("headers"), "x-graft-lang").as("lang"),
+            col("warc_type"), col("resolved_from"), col("resolved_content"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_records"),
+            count(when(col("warc_type") === "revisit", 1)).as("n_revisits"),
+            count(col("resolved_from")).as("n_resolved"),
+            sum(when(col("warc_type") === "revisit",
+              octet_length(col("resolved_content"))).otherwise(lit(0L)))
+              .cast("long").as("sum_resolved_len"))
+      },
+      Some("""
+        SELECT lang,
+               CAST(count(*) + count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_records,
+               CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_revisits,
+               CAST(count(*) FILTER (WHERE doc_id % 3 = 0) AS BIGINT) AS n_resolved,
+               CAST(coalesce(sum(strlen(text)) FILTER (WHERE doc_id % 3 = 0), 0) AS BIGINT)
+                 AS sum_resolved_len
+        FROM documents GROUP BY lang
       """))
   )
 }

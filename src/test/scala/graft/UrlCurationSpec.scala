@@ -363,4 +363,41 @@ class UrlCurationSpec extends SparkTestBase {
     assert(out == ((5L, 3L, 2L, 2L, 2L)),
       s"funnel counters (raw, unique, unblocked, c4, gopher) off: $out")
   }
+
+  test("sitemapFrontierSeed: discovery = sitemap pages minus frontier; children recurse; ≡ frontierDiff 'added'") {
+    import graft.pipeline.WebCuration
+    val sitemaps = Seq(
+      // urlset advertising 3 pages — one already known to the frontier
+      // under a DIFFERENT surface form (www + tracking param: canonical
+      // identity must dedupe it, not string equality)
+      """<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc> https://ex.com/a </loc></url>
+        |<url><loc>https://ex.com/new1?x=1&amp;y=2</loc></url>
+        |<url><loc>https://ex.com/new2</loc></url>
+        |</urlset>""".stripMargin,
+      // index entry: a child sitemap, NOT a page
+      """<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sitemap><loc>https://ex.com/sitemap-more.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin,
+      // plain-text sitemap
+      "https://ex.com/new3\nnot a url line\nhttps://ex.com/new2").map(Tuple1(_))
+      .toDF("doc")
+    val frontier = Seq("https://www.ex.com/a?utm_source=feed", "https://ex.com/old")
+      .toDF("url")
+    val (discovery, children) = WebCuration.sitemapFrontierSeed(
+      sitemaps, col("doc"), frontier, col("url"))
+    val found = discovery.as[String].collect().toSet
+    assert(found == Set(
+      "https://ex.com/new1?x=1&y=2", "https://ex.com/new2", "https://ex.com/new3"),
+      s"discovery set off: $found")
+    assert(children.as[String].collect().toSeq == Seq("https://ex.com/sitemap-more.xml"))
+    // composition witness: frontierDiff(frontier, frontier ∪ discovery)
+    // marks EXACTLY the discovery set as 'added'
+    val union = frontier.select(col("url"))
+      .unionByName(discovery.select(col("canon_url").as("url")))
+    val added = WebCuration.frontierDiff(frontier, union, col("url"), lit("x"))
+      .filter(col("status") === "added")
+      .select("canon_url").as[String].collect().toSet
+    assert(added == found, s"frontierDiff composition diverged: $added vs $found")
+  }
 }
