@@ -806,35 +806,91 @@ object Dedup {
   def reElectAfterDeletion(
       pairs: DataFrame,
       clusters: DataFrame,
-      removedIds: DataFrame): DataFrame = {
+      removedIds: DataFrame,
+      collectThreshold: Long = 2000000L): DataFrame = {
+    val spark = pairs.sparkSession
     val removed = broadcast(removedIds.toDF("__rm").dropDuplicates("__rm"))
     // clusters with >= 1 removed member: the only ones whose election can move
     val affected = broadcast(
       clusters.join(removed, col("id") === col("__rm"), "left_semi")
         .select(col("cluster_id").as("__ac")).distinct())
-    val members = clusters
-      .join(affected, col("cluster_id") === col("__ac"), "left_semi")
+    // affected-cluster MEMBERSHIP is takedown-bounded (≤ removed ids ×
+    // avg cluster size) — broadcast it once and every restriction below
+    // is a hash probe; the pair list and the corpus never shuffle here
+    // (r19: this join-back previously shuffled `pairs` against the full
+    // cluster table — measured as the operator's dominant exchange)
+    val members = broadcast(clusters
+      .join(affected, col("cluster_id") === col("__ac"), "left_semi"))
     val survivors = members
       .join(removed, col("id") === col("__rm"), "left_anti")
       .select(col("id"), col("cluster_id").as("old_cluster_id"))
-    // survivor-restricted edges of affected clusters (id_a's cluster is the
-    // pair's cluster — edges never cross clusters)
+    // survivor-restricted edges of affected clusters: id_a's membership
+    // decides the pair's cluster (edges never cross clusters), so a
+    // broadcast semi join on id_a alone restricts exactly
     val subPairs = pairs
-      .join(clusters.select(col("id").as("id_a"), col("cluster_id")), Seq("id_a"))
-      .join(affected, col("cluster_id") === col("__ac"), "left_semi")
+      .join(members.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(removed, col("id_a") === col("__rm"), "left_anti")
       .join(removed, col("id_b") === col("__rm"), "left_anti")
       .select(col("id_a"), col("id_b"))
-    val subCc = connectedComponents(subPairs)
-      .select(col("id"), col("cluster_id").as("__nc"))
-    survivors
-      .join(subCc, Seq("id"), "left")
-      // isolated survivor (every neighbor removed): its own singleton keeper
-      .withColumn("__new_cluster", coalesce(col("__nc"), col("id")))
-      .groupBy(col("__new_cluster").as("new_keep_id"), col("old_cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      // keeper unchanged (old minimum survived) -> nothing to reprocess
-      .filter(col("new_keep_id") =!= col("old_cluster_id"))
+    // FAST PATH (r19, probe-driven): everything here is takedown-bounded
+    // METADATA — the same boundedness argument that lets `members`
+    // broadcast lets the delta compute on the driver in 2 small jobs
+    // instead of the sub-CC's pin+count+collect plus a distributed
+    // aggregation (measured ≈4 fixed job overheads on the bench box for
+    // thousands-row inputs). The limit(+1) guard keeps the path honest: a
+    // takedown wave past the threshold falls back to the distributed
+    // shape rather than OOMing the driver.
+    import spark.implicits._
+    val guard = math.min(collectThreshold, (Int.MaxValue - 8L) / 2).toInt
+    // ONE job materializes both bounded sides (edges tagged 0, survivors
+    // tagged 1) — each extra job on a small input is pure fixed overhead
+    val local = subPairs
+      .select(col("id_a").as("x"), col("id_b").as("y"), lit(0).as("t"))
+      .unionByName(survivors
+        .select(col("id").as("x"), col("old_cluster_id").as("y"), lit(1).as("t")))
+      .as[(Long, Long, Int)].limit(2 * guard + 2).collect()
+    val subLocal = local.collect { case (a, b, 0) => (a, b) }
+    val survLocal = local.collect { case (a, b, 1) => (a, b) }
+    if (local.length > 2 * guard + 1 || subLocal.length > guard || survLocal.length > guard) {
+      // distributed fallback: sub-graph CC + one aggregation
+      val subCc = connectedComponents(subPairs, collectThreshold = collectThreshold)
+        .select(col("id"), col("cluster_id").as("__nc"))
+      survivors
+        .join(subCc, Seq("id"), "left")
+        // isolated survivor (every neighbor removed): its own singleton keeper
+        .withColumn("__new_cluster", coalesce(col("__nc"), col("id")))
+        .groupBy(col("__new_cluster").as("new_keep_id"), col("old_cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        // keeper unchanged (old minimum survived) -> nothing to reprocess
+        .filter(col("new_keep_id") =!= col("old_cluster_id"))
+    } else {
+      // driver union-find (path halving — the unionFindLocal core) over
+      // the survivor-restricted edges, then the delta grouping in place
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrDefault(x, x) != x) {
+          val p = parent.get(x)
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+        }
+        x
+      }
+      subLocal.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val counts = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      survLocal.foreach { case (id, old) =>
+        // isolated survivor (every neighbor removed): its own singleton keeper
+        val nc = if (parent.containsKey(id)) find(id) else id
+        if (nc != old) counts.update((nc, old), counts.getOrElse((nc, old), 0L) + 1L)
+      }
+      counts.iterator.map { case ((nc, old), n) => (nc, old, n) }.toSeq
+        .toDF("new_keep_id", "old_cluster_id", "n_members")
+    }
   }
 
   /** HashMin propagate half of one [[connectedComponents]] round, exposed

@@ -1070,7 +1070,12 @@ object PipelineQueries {
     Q(
       "pq97_deletion_reelect",
       (s, dir) => {
-        val (d, _, pairs) = lshSigsAndPairs(s, dir)
+        val (d, _, pairs0) = lshSigsAndPairs(s, dir)
+        // pin the LSH pair lineage: BOTH the full CC and the re-elect's
+        // sub-graph CC materialize it, and unpinned each would recompute
+        // the whole shingle→minhash→band pipeline (r19 probe: ~1 s of the
+        // 2.6 s median was the second LSH pass)
+        val pairs = pairs0.localCheckpoint()
         val clusters = Dedup.connectedComponents(pairs)
         val removed = d.select(col("doc_id")).filter(col("doc_id") % 5 === 0)
         Dedup.reElectAfterDeletion(pairs, clusters, removed)

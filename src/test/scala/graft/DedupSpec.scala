@@ -683,4 +683,28 @@ class DedupSpec extends SparkTestBase {
       .contains(Seq(0L, 1L, 2L, 3L, 4L)),
       s"an under-cap group keeps every element: ${out("cold")}")
   }
+
+  test("reElectAfterDeletion: driver fast path ≡ distributed fallback on every takedown shape") {
+    import spark.implicits._
+    // one chain cluster (1-2-3-4), one star (10 center, 11/12/13 leaves),
+    // one pair (20-21), singletons untouched
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    // shapes: keeper removed (1 → chain re-elects), bridge removed
+    // (2 would split it — also removed here), star CENTER removed
+    // (leaves isolate into singleton keepers), pair untouched
+    val removed = Seq(1L, 2L, 10L).toDF("rid")
+    val fast = Dedup.reElectAfterDeletion(pairs, clusters, removed)
+      .as[(Long, Long, Long)].collect().toSet
+    val dist = Dedup.reElectAfterDeletion(pairs, clusters, removed, collectThreshold = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == dist, s"paths diverged: fast=$fast dist=$dist")
+    // chain survivors 3-4 re-elect 3; star leaves isolate as their own
+    // keepers; the untouched pair emits no delta
+    assert(fast == Set((3L, 1L, 2L), (11L, 10L, 1L), (12L, 10L, 1L), (13L, 10L, 1L)),
+      s"delta off: $fast")
+  }
 }
