@@ -364,41 +364,41 @@ class GraftWarcSourceSpec extends SparkTestBase {
       nKeys = 20, total = 1000)(identity)
   }
 
-  test("crawl front runs end-to-end from a WARC directory") {
-    // synthesize a small crawl as gz segments (the Common Crawl shape) of
-    // RAW HTTP response records — status line, headers, chunked and/or
-    // gzip'd bodies, mixed charsets — read through the source, decode the
-    // payloads with http_text, and drive crawlToCorpus off the parsed rows
-    val dir = Files.createTempDirectory("warc-crawl").toString
-    def httpWrap(text: String, i: Int): Array[Byte] = {
-      val cp1252 = java.nio.charset.Charset.forName("windows-1252")
-      def chunk(b: Array[Byte]): Array[Byte] = {
-        val out = new java.io.ByteArrayOutputStream()
-        b.grouped(11).foreach { g =>
-          out.write(s"${Integer.toHexString(g.length)}\r\n".getBytes)
-          out.write(g); out.write("\r\n".getBytes)
-        }
-        out.write("0\r\n\r\n".getBytes)
-        out.toByteArray
+  /** One raw HTTP/1.1 response block: plain cp1252, chunked utf-8, or
+    * gzip+chunked utf-8 by `i % 3` — the payload shapes real crawls carry.
+    */
+  private def httpWrap(text: String, i: Int): Array[Byte] = {
+    val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+    def chunk(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      b.grouped(11).foreach { g =>
+        out.write(s"${Integer.toHexString(g.length)}\r\n".getBytes)
+        out.write(g); out.write("\r\n".getBytes)
       }
-      def gz(b: Array[Byte]): Array[Byte] = {
-        val out = new java.io.ByteArrayOutputStream()
-        val s = new java.util.zip.GZIPOutputStream(out); s.write(b); s.close()
-        out.toByteArray
-      }
-      val (fields, body) = i % 3 match {
-        case 0 => (Seq("Content-Type: text/plain; charset=windows-1252"),
-          text.getBytes(cp1252))
-        case 1 => (Seq("Content-Type: text/plain; charset=utf-8",
-          "Transfer-Encoding: chunked"), chunk(text.getBytes("UTF-8")))
-        case _ => (Seq("Content-Type: text/plain; charset=utf-8",
-          "Content-Encoding: gzip", "Transfer-Encoding: chunked"),
-          chunk(gz(text.getBytes("UTF-8"))))
-      }
-      ("HTTP/1.1 200 OK" +: fields).mkString("", "\r\n", "\r\n\r\n")
-        .getBytes("ISO-8859-1") ++ body
+      out.write("0\r\n\r\n".getBytes)
+      out.toByteArray
     }
-    val docs = (1 to 60).map { i =>
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val s = new java.util.zip.GZIPOutputStream(out); s.write(b); s.close()
+      out.toByteArray
+    }
+    val (fields, body) = i % 3 match {
+      case 0 => (Seq("Content-Type: text/plain; charset=windows-1252"),
+        text.getBytes(cp1252))
+      case 1 => (Seq("Content-Type: text/plain; charset=utf-8",
+        "Transfer-Encoding: chunked"), chunk(text.getBytes("UTF-8")))
+      case _ => (Seq("Content-Type: text/plain; charset=utf-8",
+        "Content-Encoding: gzip", "Transfer-Encoding: chunked"),
+        chunk(gz(text.getBytes("UTF-8"))))
+    }
+    ("HTTP/1.1 200 OK" +: fields).mkString("", "\r\n", "\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ body
+  }
+
+  /** Response records `from until until` over mixed hosts, one per doc. */
+  private def responseRecords(from: Int, until: Int): Seq[(Seq[(String, String)], Array[Byte])] =
+    (from until until).map { i =>
       val host = if (i % 3 == 0) "spam.tracker.biz" else s"site${i % 5}.example.com"
       // all-alphabetic tokens: Gopher's minAlphaWordFrac (0.8) must pass
       val body = (1 to 8).map { j =>
@@ -412,6 +412,14 @@ class GraftWarcSourceSpec extends SparkTestBase {
         "Content-Type" -> "application/http; msgtype=response"),
         httpWrap(body, i))
     }
+
+  test("crawl front runs end-to-end from a WARC directory") {
+    // synthesize a small crawl as gz segments (the Common Crawl shape) of
+    // RAW HTTP response records — status line, headers, chunked and/or
+    // gzip'd bodies, mixed charsets — read through the source, decode the
+    // payloads with http_text, and drive crawlToCorpus off the parsed rows
+    val dir = Files.createTempDirectory("warc-crawl").toString
+    val docs = responseRecords(1, 61)
     docs.grouped(20).zipWithIndex.foreach { case (g, i) =>
       GraftWarc.writeGz(dir, f"crawl-$i%02d.warc.gz", g)
     }
@@ -507,6 +515,58 @@ class GraftWarcSourceSpec extends SparkTestBase {
       while (r.next()) n += 1
       assert(n <= 1, s"at most the first record survives a half-truncation, got $n")
     } finally r.close()
+  }
+
+  test("LIVE crawl front: tail raw HTTP response segments through http_text into the streaming gate") {
+    // the full composition a real archive consumer runs: graft-warc TAIL →
+    // http_text decode (chunked/gzip/cp1252 arms) → streaming crawl gate
+    // (watermark URL-dedup + blocklist + C4 + Gopher), with a segment
+    // landing MID-STREAM; the admitted canonical-URL set must equal the
+    // batch crawl front over the same directory
+    val dir = Files.createTempDirectory("warc-live-crawl").toString
+    GraftWarc.writeGz(dir, "crawl-00.warc.gz", responseRecords(1, 31))
+    def parse(df: DataFrame): DataFrame = df
+      .filter(col("warc_type") === "response")
+      .select(
+        (hash(col("file"), col("pos"), col("sub")).cast("long") +
+          lit(1L << 32)).as("doc_id"),
+        col("target_uri").as("url"),
+        graft.functions.http_text(col("content")).as("body"),
+        to_timestamp(col("warc_date")).as("ts"))
+    val blocked = Seq("tracker.biz").toDF("domain")
+    val gopher = graft.quality.GopherRules.Params(minWords = 10L, minStopWords = 1L)
+    val gated = graft.pipeline.WebCuration.crawlGateStream(
+      parse(spark.readStream.format("graft-warc").option("path", dir).load()),
+      col("doc_id"), col("url"), col("body"),
+      tsCol = "ts", watermarkDelay = "10 minutes",
+      blockedDomains = blocked, gopher = gopher)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q = gated.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("warc-live-ckpt").toString)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select("canon_url").collect().foreach(r => got.add(r.getString(0)))
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val afterFirst = got.size
+      assert(afterFirst > 0, "the live gate must admit documents from the first segment")
+      // a segment lands mid-stream: the tail must pick it up and gate it
+      GraftWarc.writeGz(dir, "crawl-01.warc.gz", responseRecords(31, 61))
+      q.processAllAvailable()
+      assert(got.size > afterFirst, "mid-stream segment must flow through the gate")
+      val streamed = got.asScala.toSet
+      assert(!streamed.exists(_.contains("tracker.biz")), "blocklist must hold on the stream")
+      assert(streamed.forall(!_.contains("utm_source")), "canonicalization must hold on the stream")
+      // stream ≡ batch: the same directory through the same parse and the
+      // batch gate stages (crawlToCorpus with a non-binding cap) admits
+      // the same canonical URLs
+      val batch = graft.pipeline.WebCuration.crawlToCorpus(
+        parse(readBatch(dir)), col("doc_id"), col("url"), col("body"),
+        blocked, cap = 1000, gopher = gopher)
+        .select("canon_url").as[String].collect().toSet
+      assert(streamed == batch, s"stream/batch divergence: ${streamed.diff(batch)} / ${batch.diff(streamed)}")
+    } finally q.stop()
   }
 
   test("sink rejects a non-string optional column at plan time, not executor-side") {

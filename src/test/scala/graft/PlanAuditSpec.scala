@@ -161,8 +161,21 @@ class PlanAuditSpec extends SparkTestBase {
     * stream, exercised live by the query itself and by
     * StreamingPipelineSpec.
     */
+  /** pq97 (r19): the takedown delta is driver-computed (one guarded
+    * collect of the takedown-bounded edge+survivor union, union-find in
+    * place — see Dedup.reElectAfterDeletion's fast path), so like pq23 its
+    * final frame is a LocalTableScan with no codegen span; the distributed
+    * fallback past the threshold is pinned by DedupSpec's equivalence
+    * test. pq100 (r19): the registered frame is ONE Project over the
+    * graft-warc scan, and url_canonicalize's percent-normalize is an
+    * ArrayTransform — a higher-order function, CodegenFallback by Spark
+    * design — so the single stage legitimately carries no whole-stage
+    * span (the same chain inside pq83-pq91 sits under codegen'd agg/join
+    * stages, which is where their spans come from).
+    */
   private val localResidue =
-    Set("pq23_dedup_clusters", "pq50_knn_mmr", "dq25_stream_drift_refresh")
+    Set("pq23_dedup_clusters", "pq50_knn_mmr", "dq25_stream_drift_refresh",
+      "pq97_deletion_reelect", "pq100_warc_index")
 
   /** UNPARTITIONED-window allowlist: the only sanctioned global windows are
     * cumulative/rank windows over bounded METADATA frames, never over the
