@@ -74,7 +74,14 @@ object ScaleProbe {
     // PSL), the robots-exclusion gate (parse-on-the-small-side broadcast;
     // the frontier must stay row-local), and the rewritten single-pass
     // funnel (one canonicalize + one narrow election exchange)
-    "pq93_psl_crawl_curation", "pq94_robots_gate", "pq88_crawl_funnel")
+    "pq93_psl_crawl_curation", "pq94_robots_gate", "pq88_crawl_funnel",
+    // round-19: the HTTP payload decode chain and sitemap extraction —
+    // both row-local by construction (zero shuffle expected; the probe
+    // pins that the wrap+decode/parse arms never start exchanging), and
+    // the deletion re-election (broadcast-restricted sub-graph + driver
+    // delta; its shuffle bytes are the LSH pair build's, which must stay
+    // linear)
+    "pq99_http_text", "pq101_sitemap_seed", "pq97_deletion_reelect")
 
   /** Round-14: a THIRD scale point — two points (sf0.01→sf0.1) fit any
     * line; the flagships get a further 10× step on SYNTHESIZED volume
