@@ -725,6 +725,39 @@ object WebCuration {
         Seq("doc_id"))
   }
 
+  /** WARC → WET conversion (the Common Crawl text-extraction sidecar:
+    * every `response` record becomes a `conversion` record whose block is
+    * the EXTRACTED PLAIN TEXT — ISO 28500 §6.8 + the WET convention).
+    * Composes the round-19 decode chain end to end, all row-local:
+    * `http_text` (de-chunk → inflate → charset-detect → decode) then
+    * `extract_text` (script/style drop, tag strip, entity decode,
+    * whitespace collapse). Undecodable responses (http_text null —
+    * drop-not-fail) produce no conversion record, like the real WET
+    * generator. Output columns feed the `graft-warc` sink directly:
+    * (target_uri, content, warc_type='conversion', warc_date passthrough,
+    * record_id derived from the source id — deterministic, so a replayed
+    * epoch re-serializes byte-identically under the sink's
+    * effectively-once rename).
+    */
+  def toWetRecords(warc: DataFrame): DataFrame = {
+    import graft.functions.{http_text, TextFunctions}
+    warc
+      .filter(col("warc_type") === "response")
+      .withColumn("__text", http_text(col("content")))
+      .filter(col("__text").isNotNull)
+      .select(
+        col("target_uri"),
+        TextFunctions.extract_text(col("__text")).as("content"),
+        lit("conversion").as("warc_type"),
+        col("warc_date"),
+        // derived id: stable function of the source record's id (or its
+        // coordinate when the source id is absent)
+        coalesce(
+          regexp_replace(col("record_id"), "^<(.*)>$", "<urn:wet:$1>"),
+          concat(lit("<urn:wet:"), col("file"), lit(":"), col("pos"),
+            lit(":"), col("sub"), lit(">"))).as("record_id"))
+  }
+
   /** WARC `revisit` resolution — the edge table (ISO 28500 §6.7.2 / WARC
     * 1.1 §6.7): a crawler that already holds a URL's payload emits a
     * `revisit` record carrying `WARC-Refers-To` (the original's record id)

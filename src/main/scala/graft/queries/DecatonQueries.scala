@@ -1439,7 +1439,11 @@ object DecatonQueries {
             if (recs.nonEmpty)
               graft.sources.warc.GraftWarc.writeGz(tmp, f"part-$pid%03d.warc.gz", recs)
           }
+        // pin the parsed scan: resolveRevisits references its input from
+        // five branches (originals/pass-through/revisits × edges), and
+        // unpinned each would re-decode every gz member (the pq97 lesson)
         val warc = s.read.format("graft-warc").option("path", tmp).load()
+          .localCheckpoint()
         graft.pipeline.WebCuration.resolveRevisits(warc)
           .select(
             element_at(col("headers"), "x-graft-lang").as("lang"),
@@ -1461,6 +1465,94 @@ object DecatonQueries {
                CAST(coalesce(sum(strlen(text)) FILTER (WHERE doc_id % 3 = 0), 0) AS BIGINT)
                  AS sum_resolved_len
         FROM documents GROUP BY lang
+      """)),
+
+    // ---- the full WARC → WET loop at data scale: documents become raw
+    // HTTP `response` blocks (pq73's deterministic HTML wrap, shipped
+    // plain / chunked / gzip+chunked by doc_id % 3), land as `.warc.gz`
+    // segments through the DSv2 SINK, read back through the source,
+    // convert to WET `conversion` records (http_text → extract_text),
+    // land AGAIN through the sink, read back — and the final extracted
+    // text must hash-match the oracle's direct replay of the markup
+    // extraction (DuckDB never sees HTTP, gzip or WARC: decode∘encode and
+    // write∘read are identities the engine must uphold end to end).
+    Q(
+      "dq35_wet_conversion",
+      (s, dir) => {
+        import graft.functions._
+        val srcDir = java.nio.file.Files.createTempDirectory("graft-dq35-src").toString
+        val wetDir = java.nio.file.Files.createTempDirectory("graft-dq35-wet").toString
+        val d = Tables.documents(s, dir)
+        val id = col("doc_id")
+        val html = concat(
+          lit("<html><head><style>p { color: #333; }</style></head><body><h1>Doc "),
+          id, lit("</h1>\n<p>"),
+          regexp_replace(col("text"), " ", "</p>\n<p>"),
+          lit("</p><script>var n = 1 < 2 && 3 > 2;</script></body></html>"))
+        val arm = (id % 3).cast("int")
+        val crlf = "\r\n"
+        def head(fields: String*): org.apache.spark.sql.Column =
+          encode(lit(("HTTP/1.1 200 OK" +: fields).mkString("", crlf, crlf + crlf)), "UTF-8")
+        val block =
+          when(arm === 0, concat(
+            head("Content-Type: text/html; charset=utf-8"), encode(html, "UTF-8")))
+          .when(arm === 1, concat(
+            head("Content-Type: text/html; charset=utf-8", "Transfer-Encoding: chunked"),
+            http_chunk(encode(html, "UTF-8"), lit(19))))
+          .otherwise(concat(
+            head("Content-Type: text/html; charset=utf-8", "Content-Encoding: gzip",
+              "Transfer-Encoding: chunked"),
+            http_chunk(gzip_compress(encode(html, "UTF-8")), lit(23))))
+        d.select(
+            concat(lit("graft://corpus/doc/"), id).as("target_uri"),
+            block.as("content"),
+            lit("response").as("warc_type"),
+            lit("2026-01-02T03:04:05Z").as("warc_date"),
+            concat(lit("<urn:graft:doc:"), id, lit(">")).as("record_id"))
+          .repartition(8, col("target_uri"))
+          .write.format("graft-warc").mode("append").option("path", srcDir).save()
+        graft.pipeline.WebCuration.toWetRecords(
+            s.read.format("graft-warc").option("path", srcDir).load())
+          .write.format("graft-warc").mode("append").option("path", wetDir).save()
+        s.read.format("graft-warc").option("path", wetDir).load()
+          .filter(col("warc_type") === "conversion")
+          .select(
+            regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+            md5(col("content")).as("clean_hash"),
+            graft.functions.TextFunctions.token_count(col("content").cast("string"))
+              .as("n_tokens"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 '<html><head><style>p { color: #333; }</style></head><body><h1>Doc '
+                   || doc_id || '</h1>' || chr(10) || '<p>'
+                   || regexp_replace(text, ' ', '</p>' || chr(10) || '<p>', 'g')
+                   || '</p><script>var n = 1 < 2 && 3 > 2;</script></body></html>' AS html
+          FROM documents),
+        x AS (
+          SELECT doc_id,
+                 trim(regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                   regexp_replace(
+                     regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                     '<[^>]*>', ' ', 'g'),
+                     '&lt;', '<', 'g'),
+                     '&gt;', '>', 'g'),
+                     '&quot;', '"', 'g'),
+                     '&#39;', '''', 'g'),
+                     '&nbsp;', ' ', 'g'),
+                     '&amp;', '&', 'g'),
+                     '\s+', ' ', 'g')) AS t
+          FROM h)
+        SELECT doc_id, md5(t) AS clean_hash,
+               CAST(len(string_split(t, ' ')) AS INT) AS n_tokens
+        FROM x
       """))
   )
 }

@@ -569,6 +569,45 @@ class GraftWarcSourceSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("WARC → WET conversion: responses become conversion records of extracted text") {
+    val dir = Files.createTempDirectory("warc-wet-src").toString
+    def html(i: Int) =
+      s"""<html><head><style>p{}</style></head><body><h1>Title $i</h1>
+         |<p>Hello world number $i &amp; more.</p>
+         |<script>var x = $i;</script></body></html>""".stripMargin
+    // three decodable payload shapes + one UNDECODABLE (brotli) that the
+    // WET generator must skip, not garble
+    val recs = (0 until 3).map { i =>
+      (Seq("WARC-Type" -> "response", "WARC-Record-ID" -> s"<urn:uuid:$i>",
+        "WARC-Date" -> "2026-01-02T03:04:05Z",
+        "WARC-Target-URI" -> s"https://ex.com/p/$i"),
+        httpWrap(html(i), i))
+    } :+ ((Seq("WARC-Type" -> "response", "WARC-Record-ID" -> "<urn:uuid:br>",
+      "WARC-Date" -> "2026-01-02T03:04:05Z",
+      "WARC-Target-URI" -> "https://ex.com/p/br"),
+      ("HTTP/1.1 200 OK\r\nContent-Encoding: br\r\n\r\n" + "opaque").getBytes("UTF-8")))
+    GraftWarc.writeGz(dir, "src.warc.gz", recs)
+    val wet = graft.pipeline.WebCuration.toWetRecords(readBatch(dir))
+    // land as a real WET segment through the sink and read it back
+    val wetDir = Files.createTempDirectory("warc-wet-out").toString
+    wet.write.format("graft-warc").mode("append").option("path", wetDir).save()
+    val back = readBatch(wetDir)
+      .select(col("warc_type"), col("record_id"), col("target_uri"),
+        col("content").cast("string").as("text"))
+      .collect().map(r => r.getAs[String]("target_uri") ->
+        ((r.getAs[String]("warc_type"), r.getAs[String]("record_id"),
+          r.getAs[String]("text")))).toMap
+    assert(back.size == 3, "the undecodable response must produce NO conversion record")
+    (0 until 3).foreach { i =>
+      val (typ, rid, text) = back(s"https://ex.com/p/$i")
+      assert(typ == "conversion")
+      assert(rid == s"<urn:wet:urn:uuid:$i>", s"derived id off: $rid")
+      assert(text == s"Title $i Hello world number $i & more.",
+        s"extraction off for $i: '$text'")
+    }
+    assert(!back.contains("https://ex.com/p/br"))
+  }
+
   test("sink rejects a non-string optional column at plan time, not executor-side") {
     val dir = Files.createTempDirectory("warc-badopt").toString
     val df = Seq(("u://1", "payload", 7)).toDF("target_uri", "content", "warc_type")
