@@ -788,12 +788,16 @@ object Dedup {
     * (pq97 pins the equivalence against a full from-scratch SQL oracle).
     *
     * 100 TB shape: the removed-id set (takedown lists — thousands) rides
-    * BROADCAST everywhere; the affected-cluster set is at most that size
-    * and broadcasts too; the only non-broadcast work is one co-keyed join
-    * restricting `pairs` to affected clusters and the sub-graph CC, whose
-    * input is affected-cluster edges only. The corpus itself is never
-    * touched — the delta is computed entirely on the (pairs, clusters)
-    * metadata, and the caller applies it with one broadcast join.
+    * BROADCAST everywhere; the affected-cluster ID set is at most that
+    * size and broadcasts too. Affected-cluster MEMBERSHIP is bounded by
+    * the largest affected cluster — usually tiny, occasionally giant —
+    * so its joins are left to the optimizer (broadcast when small,
+    * shuffle when not; never force-collected). The delta itself computes
+    * driver-side in ONE guarded collect when the sub-graph is under the
+    * CC threshold (the takedown-wave fallback re-runs the distributed
+    * sub-graph CC). The corpus is never touched — everything here is
+    * (pairs, clusters) metadata, and the caller applies the delta with
+    * one broadcast join.
     *
     * Inputs: `pairs` (id_a, id_b — the candidate-pair edge list the
     * clusters came from), `clusters` (id, cluster_id — [[
@@ -814,19 +818,23 @@ object Dedup {
     val affected = broadcast(
       clusters.join(removed, col("id") === col("__rm"), "left_semi")
         .select(col("cluster_id").as("__ac")).distinct())
-    // affected-cluster MEMBERSHIP is takedown-bounded (≤ removed ids ×
-    // avg cluster size) — broadcast it once and every restriction below
-    // is a hash probe; the pair list and the corpus never shuffle here
-    // (r19: this join-back previously shuffled `pairs` against the full
-    // cluster table — measured as the operator's dominant exchange)
-    val members = broadcast(clusters
-      .join(affected, col("cluster_id") === col("__ac"), "left_semi"))
+    // affected-cluster MEMBERSHIP: bounded by the LARGEST affected
+    // cluster, which a takedown inside a giant near-dup cluster can make
+    // arbitrarily big — so it is NOT force-broadcast (an explicit
+    // broadcast() would have to collect it on the driver regardless of
+    // size, reintroducing the OOM class the distributed fallback exists
+    // for). The optimizer broadcasts it when its stats are small (the
+    // normal case — AQE upgrades the join at runtime) and shuffles it
+    // when they are not; only `affected` (distinct cluster ids ≤ the
+    // takedown list) is unconditionally broadcast-safe.
+    val members = clusters
+      .join(affected, col("cluster_id") === col("__ac"), "left_semi")
     val survivors = members
       .join(removed, col("id") === col("__rm"), "left_anti")
       .select(col("id"), col("cluster_id").as("old_cluster_id"))
     // survivor-restricted edges of affected clusters: id_a's membership
-    // decides the pair's cluster (edges never cross clusters), so a
-    // broadcast semi join on id_a alone restricts exactly
+    // decides the pair's cluster (edges never cross clusters), so a semi
+    // join on id_a alone restricts exactly (no full-cluster-table join)
     val subPairs = pairs
       .join(members.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(removed, col("id_a") === col("__rm"), "left_anti")

@@ -750,10 +750,14 @@ object WebCuration {
         TextFunctions.extract_text(col("__text")).as("content"),
         lit("conversion").as("warc_type"),
         col("warc_date"),
-        // derived id: stable function of the source record's id (or its
-        // coordinate when the source id is absent)
+        // derived id: stable function of the source record's id (brackets
+        // stripped if present, so a NON-bracketed source id still derives
+        // a DISTINCT wet id — reusing the source id verbatim would break
+        // record-id uniqueness across the archive), or the coordinate
+        // when the source id is absent
         coalesce(
-          regexp_replace(col("record_id"), "^<(.*)>$", "<urn:wet:$1>"),
+          concat(lit("<urn:wet:"),
+            regexp_replace(col("record_id"), "^<|>$", ""), lit(">")),
           concat(lit("<urn:wet:"), col("file"), lit(":"), col("pos"),
             lit(":"), col("sub"), lit(">"))).as("record_id"))
   }

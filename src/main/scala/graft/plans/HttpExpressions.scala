@@ -26,12 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *     raw-deflate fallback for the servers that send RFC 1951 bare —
   *     a documented decade-old interop wart), output bounded so a
   *     compression bomb cannot OOM an executor;
-  *   - charset resolution in the order: Content-Type `charset=` param →
-  *     `<meta charset>` / `<meta http-equiv>` sniff in the first 1024
-  *     body bytes → byte-order mark → strict-UTF-8 validation →
-  *     windows-1252 (the WHATWG fallback; also substituted for
-  *     ISO-8859-1/US-ASCII declarations per the WHATWG encoding spec,
-  *     and windows-31j for Shift_JIS — the supersets real pages mean).
+  *   - charset resolution in the order: byte-order mark (outranks every
+  *     declaration, per the WHATWG sniff — a BOM'd page with a wrong
+  *     `charset=` header must not garble) → Content-Type `charset=`
+  *     param → `<meta charset>` / `<meta http-equiv>` sniff in the first
+  *     1024 body bytes → strict-UTF-8 validation → windows-1252 (the
+  *     WHATWG fallback; also substituted for ISO-8859-1/US-ASCII
+  *     declarations per the WHATWG encoding spec, and windows-31j for
+  *     Shift_JIS — the supersets real pages mean).
   *
   * Failure contract is the reference's drop-not-fail task-extraction rule
   * (F2, `processor/src/.../DefaultTaskExtractor.java:39-78`): a block
@@ -48,9 +50,11 @@ object HttpDecode {
     */
   final case class Head(status: Int, headers: Map[String, String], bodyOff: Int)
 
-  /** Parse the HTTP message head. Returns null when `bytes` is not an
-    * HTTP message (no `HTTP/` prefix on the status line for responses —
-    * request records' method line is accepted too — or no header/body
+  /** Parse the HTTP message head. Responses carry their status code;
+    * REQUEST messages (WARC `request` records — method SP target SP
+    * HTTP-version start line) parse with `status = -1` so their headers
+    * and bodies stay reachable. Returns null when `bytes` is not an HTTP
+    * message at all (neither start-line form, or no header/body
     * separator).
     */
   def parseHead(bytes: Array[Byte]): Head = {
@@ -73,10 +77,20 @@ object HttpDecode {
     val status =
       if (start.startsWith("HTTP/")) {
         val parts = start.split(" ", 3)
-        if (parts.length >= 2) try parts(1).trim.toInt catch { case _: NumberFormatException => -1 }
-        else -1
-      } else -1
-    if (status < 0) return null
+        val code =
+          if (parts.length >= 2)
+            try parts(1).trim.toInt catch { case _: NumberFormatException => -2 }
+          else -2
+        if (code < 0) return null // HTTP/ start line without a status code
+        code
+      } else {
+        // request line: METHOD SP request-target SP HTTP-version
+        val parts = start.split(" ")
+        val isRequest = parts.length == 3 && parts(2).startsWith("HTTP/") &&
+          parts(0).nonEmpty && parts(0).forall(c => c >= 'A' && c <= 'Z')
+        if (!isRequest) return null
+        -1
+      }
     val hs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var li = 1
     while (li < lines.length) {
@@ -289,13 +303,17 @@ object HttpDecode {
     try Some(Charset.forName(mapped)) catch { case _: Exception => None }
   }
 
-  /** The detection chain: header param → meta sniff → BOM → UTF-8
-    * validation → windows-1252. Always returns a decodable charset.
+  /** The detection chain: BOM → header param → meta sniff → UTF-8
+    * validation → windows-1252. The BOM outranks every DECLARATION (the
+    * WHATWG sniff's rule): a byte-order-marked page served with a wrong
+    * `charset=` header is a common misconfiguration, and honoring the
+    * header would garble bytes the BOM identifies exactly. Always returns
+    * a decodable charset.
     */
   def detectCharset(body: Array[Byte], contentType: String): Charset =
-    resolveCharset(headerCharset(contentType))
+    resolveCharset(bomCharset(body))
+      .orElse(resolveCharset(headerCharset(contentType)))
       .orElse(resolveCharset(metaCharset(body)))
-      .orElse(resolveCharset(bomCharset(body)))
       .getOrElse(
         if (isValidUtf8(body)) StandardCharsets.UTF_8 else Charset.forName("windows-1252"))
 
@@ -310,6 +328,45 @@ object HttpDecode {
     if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
   }
 
+  /** Undo the transfer codings then the content codings of `head`'s body —
+    * THE shared decode prefix of [[httpText]] and [[httpCharsetName]] (one
+    * implementation, so the census can never disagree with the text about
+    * what was decoded). Transfer codings undo in reverse application
+    * order: `chunked` de-chunks, `gzip`/`x-gzip`/`deflate` inflate (legal
+    * TE values per RFC 9112 §7 — real servers do send `Transfer-Encoding:
+    * gzip, chunked`), `identity` skips; an UNKNOWN coding returns null —
+    * passing still-coded bytes to charset detection would mint garbage
+    * text, the exact violation of the drop-not-fail contract. Content
+    * codings likewise, via [[inflateCoding]].
+    */
+  def decodedBody(head: Head, block: Array[Byte], maxOut: Long): Array[Byte] = {
+    var body: Array[Byte] = java.util.Arrays.copyOfRange(block, head.bodyOff, block.length)
+    def codingsOf(v: String): Array[String] =
+      v.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    head.headers.get("transfer-encoding").foreach { te =>
+      val codings = codingsOf(te)
+      var ci = codings.length - 1
+      while (ci >= 0) {
+        body = codings(ci) match {
+          case "chunked" => dechunk(body, 0, maxOut)
+          case other => inflateCoding(body, other, maxOut) // null on unknown
+        }
+        if (body == null) return null
+        ci -= 1
+      }
+    }
+    head.headers.get("content-encoding").foreach { ce =>
+      val codings = codingsOf(ce)
+      var ci = codings.length - 1
+      while (ci >= 0) {
+        body = inflateCoding(body, codings(ci), maxOut)
+        if (body == null) return null
+        ci -= 1
+      }
+    }
+    body
+  }
+
   /** The composed chain — raw `response`/`request` block → decoded text.
     * Null when the block is not an HTTP message or a declared coding
     * fails/is unsupported (drop-not-fail).
@@ -317,51 +374,20 @@ object HttpDecode {
   def httpText(block: Array[Byte], maxOut: Long): String = {
     val head = parseHead(block)
     if (head == null) return null
-    var body: Array[Byte] = java.util.Arrays.copyOfRange(block, head.bodyOff, block.length)
-    // transfer codings (applied last by the sender, undone first here):
-    // only the final `chunked` is meaningful in an archived message
-    head.headers.get("transfer-encoding").foreach { te =>
-      val codings = te.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
-      if (codings.contains("chunked")) {
-        body = dechunk(body, 0, maxOut)
-        if (body == null) return null
-      }
-    }
-    // content codings, undone in reverse of application order
-    head.headers.get("content-encoding").foreach { ce =>
-      val codings = ce.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
-      var ci = codings.length - 1
-      while (ci >= 0) {
-        body = inflateCoding(body, codings(ci), maxOut)
-        if (body == null) return null
-        ci -= 1
-      }
-    }
+    val body = decodedBody(head, block, maxOut)
+    if (body == null) return null
     decode(body, detectCharset(body, head.headers.getOrElse("content-type", null)))
   }
 
-  /** Charset the chain WOULD decode with — the analytics twin of
-    * [[httpText]] (encoding census over a crawl). Null for non-HTTP.
+  /** Charset the chain decodes with — the analytics twin of [[httpText]]
+    * (encoding census over a crawl), sharing [[decodedBody]] so the two
+    * can never diverge. Null for non-HTTP and undecodable codings.
     */
   def httpCharsetName(block: Array[Byte], maxOut: Long): String = {
     val head = parseHead(block)
     if (head == null) return null
-    var body: Array[Byte] = java.util.Arrays.copyOfRange(block, head.bodyOff, block.length)
-    head.headers.get("transfer-encoding").foreach { te =>
-      if (te.toLowerCase(java.util.Locale.ROOT).contains("chunked")) {
-        body = dechunk(body, 0, maxOut)
-        if (body == null) return null
-      }
-    }
-    head.headers.get("content-encoding").foreach { ce =>
-      val codings = ce.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
-      var ci = codings.length - 1
-      while (ci >= 0) {
-        body = inflateCoding(body, codings(ci), maxOut)
-        if (body == null) return null
-        ci -= 1
-      }
-    }
+    val body = decodedBody(head, block, maxOut)
+    if (body == null) return null
     detectCharset(body, head.headers.getOrElse("content-type", null))
       .name().toLowerCase(java.util.Locale.ROOT)
   }
@@ -428,7 +454,10 @@ case class HttpCharset(child: Expression, maxOut: Long = HttpText.DefaultMaxOut)
   override protected def withNewChildInternal(c: Expression): HttpCharset = copy(child = c)
 }
 
-/** `http_status(block)` — the HTTP status code, null for non-HTTP blocks. */
+/** `http_status(block)` — the HTTP status code; null for non-HTTP blocks
+  * AND for request messages (a request line has no status — its headers
+  * and body stay reachable through `http_headers`/`http_text`).
+  */
 case class HttpStatus(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -438,7 +467,7 @@ case class HttpStatus(child: Expression) extends UnaryExpression {
   }
   override def nullSafeEval(input: Any): Any = {
     val head = HttpDecode.parseHead(input.asInstanceOf[Array[Byte]])
-    if (head == null) null else Int.box(head.status)
+    if (head == null || head.status < 0) null else Int.box(head.status)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("httpStatus", this, classOf[HttpStatus].getName)

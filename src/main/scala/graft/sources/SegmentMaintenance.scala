@@ -43,18 +43,25 @@ import org.apache.spark.sql.SparkSession
   */
 object SegmentMaintenance {
 
-  /** Committed segments of `dir` with the medium's suffix, name-ordered
-    * (epoch-tagged names make this arrival order for a single query).
+  /** Committed segments of `dir` with the medium's suffix, in HISTORY
+    * order: compacted-history files first (they hold the oldest records
+    * by construction), then everything else by (mtime, name). Name order
+    * alone is NOT arrival order for batch-written segments (`seg-b<uuid>`
+    * tags are random and would sort before `seg-compact-`), so retention
+    * and folding key on modification time with the name as the
+    * within-second tiebreak — exact for streaming epoch tags, arrival-
+    * true for batch tags.
     */
   def segments(dir: String, suffix: String): Seq[File] =
     Option(new File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.startsWith("seg-") && f.getName.endsWith(suffix))
-      .sortBy(_.getName).toSeq
+      .sortBy(f => (if (f.getName.startsWith("seg-compact-")) 0 else 1,
+        f.lastModified(), f.getName)).toSeq
 
   /** Fold all but the newest `keepRecent` segments into one compacted
-    * segment (`seg-compact-<k>-<fingerprint>.<suffix>`; the `compact`
-    * tag keeps it FIRST in name order, before epoch tags — history before
-    * tail). No-op below `minSegments`. Byte concatenation + write-to-temp
+    * segment (`seg-compact-<k>-<fingerprint>.<suffix>`; [[segments]]
+    * classes compact files FIRST — history before tail — regardless of
+    * their fresh mtime). No-op below `minSegments`. Byte concatenation + write-to-temp
     * + atomic rename + source deletion; a crash before the rename leaves
     * only a `.inprogress` temp (swept by the next run), a crash between
     * rename and deletes leaves duplicates a re-run folds again.
@@ -177,6 +184,13 @@ object SegmentMaintenance {
                 gzOut.close()
               }
             }
+            p += size.toInt
+          case GraftWarc.MemberCorrupt(size, _) =>
+            // framed-but-corrupt (CRC/ISIZE mismatch, over-bound inflate):
+            // the SIZE is known, so STEP OVER it and keep purging — the
+            // reader skips such members the same way, and stopping here
+            // would silently leave later takedown records in the file
+            out.write(bytes, p, size.toInt)
             p += size.toInt
           case _ => // malformed/incomplete tail: preserve it untouched
             out.write(bytes, p, bytes.length - p)

@@ -50,11 +50,21 @@ object WarcIndex {
       maxRecordBytes: Long = 1L << 30): FetchResult = {
     val f = new File(path)
     val raf = new RandomAccessFile(f, "r")
+    try readRecordAt(raf, GraftWarc.isGz(f.getName), pos, maxRecordBytes)
+    finally raf.close()
+  }
+
+  /** [[readRecordAt]] over an ALREADY-OPEN handle — the hot-path form
+    * [[fetchMany]] uses so a run of same-file coordinates pays ONE open
+    * (100k point reads of one segment must not be 100k opens). The caller
+    * owns the handle's lifecycle.
+    */
+  def readRecordAt(
+      raf: RandomAccessFile, gz: Boolean, pos: Long, maxRecordBytes: Long): FetchResult = {
     var bytesRead = 0L
-    try {
-      val fileLen = raf.length()
-      if (pos < 0 || pos >= fileLen) return FetchResult(Nil, 0L)
-      if (GraftWarc.isGz(f.getName)) {
+    val fileLen = raf.length()
+    if (pos < 0 || pos >= fileLen) return FetchResult(Nil, 0L)
+    if (gz) {
         // grow a window from the member start until the member frames
         // completely; members are record-sized, so the first read almost
         // always suffices (64 KiB covers typical web records; bigger
@@ -88,8 +98,7 @@ object WarcIndex {
             FetchResult(Seq(Fetched(0, headerMap(h.headers), content)), bytesRead)
           case _ => FetchResult(Nil, bytesRead)
         }
-      }
-    } finally raf.close()
+    }
   }
 
   private def headerMap(hs: Vector[(String, String)]): Map[String, String] = {
@@ -165,12 +174,27 @@ object WarcIndex {
       .as[(String, Long, Int)]
     rows.mapPartitions { it =>
       // sort the partition's coordinates so one file's fetches run
-      // consecutively (the OS page cache then serves repeated members)
-      it.toSeq.sortBy(c => (c._1, c._2)).iterator.flatMap { case (file, pos, sub) =>
-        readRecordAt(new File(dir, file).getPath, pos).records
+      // consecutively, then keep ONE handle open per file run — 100k
+      // point reads of a segment are 1 open, not 100k (and the OS page
+      // cache serves repeated members)
+      var openFile: String = null
+      var raf: RandomAccessFile = null
+      def handleFor(file: String): RandomAccessFile = {
+        if (file != openFile) {
+          if (raf != null) raf.close()
+          raf = new RandomAccessFile(new File(dir, file), "r")
+          openFile = file
+        }
+        raf
+      }
+      val sorted = it.toSeq.sortBy(c => (c._1, c._2))
+      val out = sorted.flatMap { case (file, pos, sub) =>
+        readRecordAt(handleFor(file), GraftWarc.isGz(file), pos, 1L << 30).records
           .filter(_.sub == sub)
           .map(r => (file, pos, sub, r.headers.getOrElse("warc-target-uri", null), r.content))
       }
+      if (raf != null) raf.close()
+      out.iterator
     }.toDF("file", "pos", "sub", "target_uri", "content")
   }
 }

@@ -160,6 +160,60 @@ class SegmentMaintenanceSpec extends SparkTestBase {
       spark, dir, Seq("https://ex.com/0/1", "https://ex.com/2/3")) == 0L)
   }
 
+  test("purge steps over a corrupt gz member and still removes takedowns AFTER it") {
+    val dir = Files.createTempDirectory("maint-purge3").toString
+    GraftWarc.writeGz(dir, "seg-q000000-0000.warc.gz", Seq(
+      (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "u://keep"), "k".getBytes),
+      (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "u://corrupt"), "c".getBytes),
+      (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "u://drop"), "d".getBytes)))
+    val f = new File(dir, "seg-q000000-0000.warc.gz")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    // corrupt the SECOND member's CRC (framing intact — MemberCorrupt, the
+    // steppable kind): flip a byte 8 before the third member's magic
+    val m1 = GraftWarc.gzipMemberSize(bytes, 0, bytes.length).toInt
+    val m2 = GraftWarc.gzipMemberSize(bytes, m1, bytes.length - m1).toInt
+    bytes(m1 + m2 - 8) = (bytes(m1 + m2 - 8) ^ 0xff).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    // the takedown record sits AFTER the corrupt member — a purge that
+    // stopped at the corruption would silently leave it readable
+    val removed = SegmentMaintenance.purgeOneWarcFile(f, Set("u://drop"), 1L << 30)
+    assert(removed == 1L, "the record after the corrupt member must still purge")
+    val rows = readRows(dir)
+    assert(rows == Set(("u://keep", "k")),
+      s"keep survives, corrupt member skipped by the reader, takedown gone: $rows")
+  }
+
+  test("retention and folding order batch-tagged (uuid) segments by arrival, not name") {
+    val dir = Files.createTempDirectory("maint-batch-order").toString
+    // batch tags are seg-b<uuid> — random names; write three with strictly
+    // increasing mtimes in a SHUFFLED name order
+    val names = Seq("seg-bzz9-0000.warc.gz", "seg-baa1-0000.warc.gz", "seg-bmm5-0000.warc.gz")
+    names.zipWithIndex.foreach { case (n, i) =>
+      GraftWarc.writeGz(dir, n, Seq(
+        (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> s"u://$i"), s"v$i".getBytes)))
+      val f = new File(dir, n)
+      assert(f.setLastModified(1700000000000L + i * 60000L))
+    }
+    // keep=1 must keep the newest ARRIVAL (seg-bmm5), not the largest name
+    val dropped = SegmentMaintenance.retainByCount(dir, ".warc.gz", keep = 1)
+    assert(dropped.toSet == Set("seg-bzz9-0000.warc.gz", "seg-baa1-0000.warc.gz"),
+      s"oldest arrivals expire first regardless of uuid names: $dropped")
+    assert(SegmentMaintenance.segments(dir, ".warc.gz").map(_.getName) ==
+      Seq("seg-bmm5-0000.warc.gz"))
+    // compacted history classes FIRST even though its mtime is newest
+    (3 to 5).foreach { i =>
+      val n = f"seg-b$i%03d-0000.warc.gz"
+      GraftWarc.writeGz(dir, n, Seq(
+        (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> s"u://$i"), s"v$i".getBytes)))
+      assert(new File(dir, n).setLastModified(1700000000000L + i * 60000L))
+    }
+    assert(SegmentMaintenance.compactSegments(dir, ".warc.gz", keepRecent = 1,
+      minSegments = 2).isDefined)
+    val order = SegmentMaintenance.segments(dir, ".warc.gz").map(_.getName)
+    assert(order.head.startsWith("seg-compact-") && order.size == 2,
+      s"history before tail: $order")
+  }
+
   test("purge keeps surviving members verbatim inside a rewritten multi-record segment") {
     val dir = Files.createTempDirectory("maint-purge2").toString
     // one gz file, three single-record members: purge the middle one and
