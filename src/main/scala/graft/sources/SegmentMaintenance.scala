@@ -127,9 +127,14 @@ object SegmentMaintenance {
     * touched (byte-identical, mtime preserved); within a rewritten gz
     * segment, members holding only surviving records copy VERBATIM (their
     * compressed bytes, not a re-compression) — only a multi-record member
-    * with a partial hit re-serializes its survivors. Distributed: one
-    * task per affected file (the takedown set broadcasts). Returns the
-    * number of records removed.
+    * with a partial hit re-serializes its survivors. A framed-but-corrupt
+    * member (CRC/ISIZE mismatch) is stepped over by its exact size so
+    * takedowns AFTER it still purge; a takedown record INSIDE such a
+    * member is unreachable by construction — for the reader too (both
+    * skip it by the same rule), so no readable copy survives — and stays
+    * as corrupt bytes until compaction or retention drops the segment.
+    * Distributed: one task per affected file (the takedown set
+    * broadcasts). Returns the number of records removed.
     */
   def purgeWarcRecords(
       spark: SparkSession,
