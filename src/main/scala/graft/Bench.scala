@@ -70,6 +70,16 @@ object BenchMetrics {
     (beans.map(_.getCollectionCount).sum, beans.map(_.getCollectionTime).sum)
   }
 
+  /** Cumulative JIT compilation wall ms across compiler threads (0 when
+    * unsupported). A rep whose delta spikes ran concurrent tier-up /
+    * recompilation — the r19 pq99 lesson: its bimodal reps correlate with
+    * this counter, not with GC or box noise (`tools/pq99_probe_r20.json`).
+    */
+  def jitMs(): Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported) b.getTotalCompilationTime else 0L
+  }
+
   /** Total allocated bytes across live threads (approximation: threads that
     * die mid-window under-count, threads born mid-window count from zero).
     */
@@ -239,6 +249,12 @@ object Bench {
     // that looks like a measurement (the failed_queries flag alone doesn't
     // stop a reader of queries{} from trusting the value)
     val repLog = scala.collection.mutable.Map.empty[String, Vector[(Double, Option[Double])]]
+    // per-rep JVM fingerprint (GC ms, JIT compilation ms deltas): a slow rep
+    // with a flat fingerprint is box noise; a slow rep whose JIT delta
+    // spikes is tier-up churn (pq99's r19 bimodality); a GC spike is heap
+    // pressure. Recorded for every rep so a bimodal query is attributable
+    // from the committed artifact alone (r19 verdict item 1b).
+    val repJvm = scala.collection.mutable.Map.empty[String, Vector[(Long, Long)]]
     // box-state deltas per interleaved pass: a pass whose steal/throttle
     // delta spikes explains its slow reps from the artifact alone
     val queryRoundBox = scala.collection.mutable.ArrayBuffer.empty[BoxStat]
@@ -249,6 +265,8 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () } // the timed rep reports the failure
       val wallStart = System.currentTimeMillis() / 1e3
+      val (_, gcMs0) = BenchMetrics.gcSnapshot()
+      val jit0 = BenchMetrics.jitMs()
       val t0 = System.nanoTime()
       val dur =
         try {
@@ -259,7 +277,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: $e")
           None
         }
+      val (_, gcMs1) = BenchMetrics.gcSnapshot()
       repLog(name) = repLog.getOrElse(name, Vector.empty) :+ ((wallStart, dur))
+      repJvm(name) = repJvm.getOrElse(name, Vector.empty) :+
+        ((gcMs1 - gcMs0, BenchMetrics.jitMs() - jit0))
     }
     queryRoundBox += boxStat()
     // consecutive-snapshot deltas: one BoxStat per interleaved pass
@@ -465,6 +486,12 @@ object Bench {
     val qStarts = queryNames.map { n =>
       "\"" + n + "\":" + repLog(n).map(r => num(r._1, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val qGcMs = queryNames.map { n =>
+      "\"" + n + "\":" + repJvm(n).map(_._1).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val qJitMs = queryNames.map { n =>
+      "\"" + n + "\":" + repJvm(n).map(_._2).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val qCold = coldLog.map { case (n, reps) =>
@@ -480,6 +507,7 @@ object Bench {
     val benchJson = s"""{"metric":"total","value":$total,"unit":"sec","query_timing":"median-of-3-interleaved","pre_warmed_queries":$preWarmJson,"queries":$qs,""" +
       s""""queries_min":$qMins,""" +
       s""""query_reps":$qReps,"query_rep_starts_epoch_sec":$qStarts,""" +
+      s""""query_rep_gc_ms":$qGcMs,"query_rep_jit_ms":$qJitMs,""" +
       s""""queries_cold":$qCold,"query_cold_reps":$qColdReps,""" +
       s""""failed_queries":$failedJson,""" +
       s""""stream_tasks_per_sec":$tps,"stream_tasks_per_sec_no_io":$tpsNoIo,""" +

@@ -172,8 +172,9 @@ package object functions {
 
   /** Decoded text of an HTTP message block — the full payload chain:
     * strip head, de-chunk `Transfer-Encoding: chunked`, inflate
-    * `Content-Encoding: gzip|x-gzip|deflate`, detect charset (Content-Type
-    * param → `<meta charset>` → BOM → UTF-8 validation → windows-1252)
+    * `Content-Encoding: gzip|x-gzip|deflate|zstd`, detect charset (BOM →
+    * Content-Type param → `<meta charset>` sniff → UTF-8 validation →
+    * windows-1252, the WHATWG order — a BOM outranks every declaration)
     * and decode. Null for non-HTTP blocks and undecodable codings —
     * drop-not-fail ([[graft.plans.HttpText]]).
     */
@@ -234,6 +235,20 @@ package object functions {
   /** RFC 1952 single-member gzip, level 6 ([[graft.plans.GzipCompress]]). */
   def gzip_compress(body: Column): Column =
     toColumn(graft.plans.GzipCompress(toExpr(body)))
+
+  /** RFC 8878 zstandard, level 3 ([[graft.plans.ZstdCompress]]) — the
+    * encode dual of the decode chain's `zstd` arm.
+    */
+  def zstd_compress(body: Column): Column =
+    toColumn(graft.plans.ZstdCompress(toExpr(body)))
+
+  /** First declared HTTP transfer/content coding the decode chain cannot
+    * undo (today: `br`); null when the block decodes or is not HTTP. The
+    * census companion of [[http_text]] — unsupported-coding loss as an
+    * observed rate ([[graft.plans.HttpCodingUnsupported]]).
+    */
+  def http_coding_unsupported(block: Column): Column =
+    toColumn(graft.plans.HttpCodingUnsupported(toExpr(block)))
 
   /** RFC 1950 zlib deflate, level 6 ([[graft.plans.ZlibCompress]]). */
   def zlib_compress(body: Column): Column =

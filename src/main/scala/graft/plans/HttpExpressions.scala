@@ -179,16 +179,35 @@ object HttpDecode {
       case "deflate" =>
         val zlib = inflateWith(body, nowrap = false, maxOut)
         if (zlib != null) zlib else inflateWith(body, nowrap = true, maxOut)
+      case "zstd" => unzstd(body, maxOut)
       case "identity" | "" => body
       case _ => null
     }
 
-  def gunzip(body: Array[Byte], maxOut: Long): Array[Byte] = {
-    if (body.length < 18) return null
-    val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4L, 1L << 16).toInt.max(64))
+  /** Is `coding` one this chain can undo? The complement feeds the
+    * `http_coding_unsupported` census — at crawl scale an unsupported
+    * coding (today: `br` — no public pure-JVM Brotli decoder ships with
+    * Spark) must be an OBSERVED loss rate, not a silent null.
+    */
+  def codingSupported(coding: String): Boolean = coding match {
+    case "gzip" | "x-gzip" | "deflate" | "zstd" | "identity" | "" | "chunked" => true
+    case _ => false
+  }
+
+  /** RFC 8878 zstandard content decoding via the zstd-jni Spark already
+    * ships for shuffle/parquet compression. Streamed with a bounded
+    * budget (a zstd bomb declares a huge frame content size — never
+    * trust it for allocation), explicit close on every path; null on
+    * corrupt frames or output past `maxOut`. Multi-frame bodies decode
+    * whole (`setContinuous` stays false: EOF ends the last frame).
+    */
+  def unzstd(body: Array[Byte], maxOut: Long): Array[Byte] = {
+    if (body.length < 4) return null
+    val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+      new java.io.ByteArrayInputStream(body))
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(body), 64 * 1024)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(body.length * 4L, 1L << 16).toInt.max(64))
       val buf = new Array[Byte](64 * 1024)
       var n = in.read(buf)
       while (n >= 0) {
@@ -198,10 +217,70 @@ object HttpDecode {
       }
       out.toByteArray
     } catch { case _: java.io.IOException => null }
+    finally in.close()
+  }
+
+  /** RFC 1952 gzip decode, multi-member concatenations included. Routed
+    * through [[graft.sources.warc.GraftWarc.gzipMember]] — the WARC
+    * reader's allocation-disciplined framing walk (one thread-local
+    * `Inflater`, `reset()` between members) — because the previous
+    * `GZIPInputStream` shape never closed its stream on the success path,
+    * leaving one native zlib window per ROW to the Cleaner; at pq99's
+    * ~16k decodes/rep that churn is the committed attribution for the
+    * query's bimodal 0.33 s / 1.4 s reps (r19 verdict, `tools/
+    * pq99_probe_r20.json`). `GZIPInputStream`-compatible leniency kept:
+    * trailing non-gzip bytes after a complete member end the stream
+    * silently (truncated archives carry them); a CRC/ISIZE mismatch, a
+    * corrupt member, or output past `maxOut` yields null.
+    */
+  def gunzip(body: Array[Byte], maxOut: Long): Array[Byte] = {
+    import graft.sources.warc.GraftWarc
+    if (body.length < 18) return null
+    var p = 0
+    // single-member fast path keeps the common case copy-free; the
+    // accumulator is only allocated when a second member actually starts
+    var first: Array[Byte] = null
+    var acc: java.io.ByteArrayOutputStream = null
+    var outLen = 0L
+    def result: Array[Byte] =
+      if (acc != null) acc.toByteArray else first
+    while (p < body.length) {
+      val magicOk = p + 1 < body.length &&
+        (body(p) & 0xff) == 0x1f && (body(p + 1) & 0xff) == 0x8b
+      if (!magicOk) {
+        // trailing garbage after ≥1 complete member: end of stream
+        return if (first != null) result else null
+      }
+      GraftWarc.gzipMember(body, p, body.length - p, maxOut - outLen) match {
+        case GraftWarc.MemberOk(size, plain) =>
+          if (first == null) first = plain
+          else {
+            if (acc == null) {
+              acc = new java.io.ByteArrayOutputStream(
+                math.min(outLen + plain.length, 1L << 16).toInt.max(64))
+              acc.write(first, 0, first.length)
+            }
+            acc.write(plain, 0, plain.length)
+          }
+          outLen += plain.length
+          p += size.toInt
+        case _ => return null // corrupt, truncated, or past maxOut
+      }
+    }
+    result
+  }
+
+  // one Inflater per (thread, wrap-mode), reset between rows — same
+  // native-churn discipline as GraftWarc.gzipMember's threadInflater
+  private val tlZlibInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override protected def initialValue() = new java.util.zip.Inflater(false)
+  }
+  private val tlRawInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override protected def initialValue() = new java.util.zip.Inflater(true)
   }
 
   private def inflateWith(body: Array[Byte], nowrap: Boolean, maxOut: Long): Array[Byte] = {
-    val inf = new java.util.zip.Inflater(nowrap)
+    val inf = (if (nowrap) tlRawInflater else tlZlibInflater).get()
     try {
       inf.setInput(body)
       val out = new java.io.ByteArrayOutputStream(math.min(body.length * 4L, 1L << 16).toInt.max(64))
@@ -215,7 +294,7 @@ object HttpDecode {
         out.write(buf, 0, n)
       }
       out.toByteArray
-    } finally inf.end()
+    } finally inf.reset()
   }
 
   private val CharsetParam = java.util.regex.Pattern.compile(
@@ -390,6 +469,27 @@ object HttpDecode {
     if (body == null) return null
     detectCharset(body, head.headers.getOrElse("content-type", null))
       .name().toLowerCase(java.util.Locale.ROOT)
+  }
+
+  /** The first declared transfer/content coding this chain cannot undo, in
+    * the order [[decodedBody]] would hit them (transfer codings reversed,
+    * then content codings reversed), or null when every declared coding is
+    * decodable — including the non-HTTP case (a census groups those under
+    * null alongside fully-decodable rows; `http_status` separates them).
+    * This is the r19 verdict's observability demand: a crawl negotiating
+    * `Accept-Encoding` loses a double-digit share of responses to `br`,
+    * and that loss rate must be a COUNTED census column, not a silent
+    * `http_text` null indistinguishable from corrupt data.
+    */
+  def unsupportedCoding(block: Array[Byte]): String = {
+    val head = parseHead(block)
+    if (head == null) return null
+    def codingsOf(v: String): Array[String] =
+      v.split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
+    val undoOrder =
+      head.headers.get("transfer-encoding").toSeq.flatMap(codingsOf(_).reverse) ++
+        head.headers.get("content-encoding").toSeq.flatMap(codingsOf(_).reverse)
+    undoOrder.find(c => !codingSupported(c)).orNull
   }
 }
 
@@ -736,4 +836,57 @@ case class ZlibCompress(child: Expression) extends UnaryExpression {
   }
   override def prettyName: String = "zlib_compress"
   override protected def withNewChildInternal(c: Expression): ZlibCompress = copy(child = c)
+}
+
+/** `zstd_compress(body)` — RFC 8878 zstandard (level 3, the zstd default),
+  * the encode dual of the `zstd` arm of [[HttpDecode.inflateCoding]], via
+  * the zstd-jni Spark ships.
+  */
+case class ZstdCompress(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"zstd_compress expects binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any =
+    com.github.luben.zstd.Zstd.compress(input.asInstanceOf[Array[Byte]], 3)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("zstdCompress", this, classOf[ZstdCompress].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = (byte[]) $ref.nullSafeEval($c);")
+  }
+  override def prettyName: String = "zstd_compress"
+  override protected def withNewChildInternal(c: Expression): ZstdCompress = copy(child = c)
+}
+
+/** `http_coding_unsupported(block)` — the first declared transfer/content
+  * coding the decode chain cannot undo (today: `br`), null when the block
+  * decodes or is not HTTP ([[HttpDecode.unsupportedCoding]]). The census
+  * companion of [[HttpText]]: `GROUP BY http_coding_unsupported(block)`
+  * turns silent decode loss into an observed rate.
+  */
+case class HttpCodingUnsupported(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"http_coding_unsupported expects binary, got $other")
+  }
+  override def nullSafeEval(input: Any): Any = {
+    val s = HttpDecode.unsupportedCoding(input.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("httpCodingUnsupported", this,
+      classOf[HttpCodingUnsupported].getName)
+    val obj = ctx.freshName("codingObj")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""Object $obj = $ref.nullSafeEval($c);
+         |if ($obj == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $obj; }
+       """.stripMargin)
+  }
+  override def prettyName: String = "http_coding_unsupported"
+  override protected def withNewChildInternal(c: Expression): HttpCodingUnsupported =
+    copy(child = c)
 }

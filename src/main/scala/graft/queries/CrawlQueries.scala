@@ -578,14 +578,15 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101
+      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101 :+ pq102
 
   /** The HTTP payload decode chain ([[graft.functions.http_text]]) — the
     * step a real Common Crawl pipeline needs on its FIRST `response`
     * record: strip status+headers, de-chunk `Transfer-Encoding: chunked`,
-    * inflate `Content-Encoding: gzip|deflate`, detect the charset
-    * (Content-Type param → `<meta charset>` → BOM → UTF-8 validation),
-    * decode. Each doc is wrapped as a full HTTP/1.1 response whose arm
+    * inflate `Content-Encoding: gzip|deflate`, detect the charset (BOM →
+    * Content-Type param → `<meta charset>` sniff → UTF-8 validation →
+    * windows-1252, the WHATWG order), decode. Each doc is wrapped as a
+    * full HTTP/1.1 response whose arm
     * (doc_id % 5) exercises one leg — windows-1252 via header, chunked
     * windows-1252, gzip+chunked html with `<meta charset>` only,
     * bare-zlib deflate with NO declaration (UTF-8 validation arm), and a
@@ -656,6 +657,65 @@ object CrawlQueries {
              CAST(length(expected) AS INT) AS n_chars,
              md5(expected) AS text_hash
       FROM e
+    """))
+
+  /** Content-coding coverage census ([[graft.functions.http_coding_unsupported]]
+    * beside [[graft.functions.http_text]]) — the r19 verdict's
+    * observability demand: a modern crawl negotiating `Accept-Encoding`
+    * sees `zstd` (RFC 8878, now a decode arm via the zstd-jni Spark
+    * ships) and `br` (no public pure-JVM decoder available offline — must
+    * be a COUNTED loss, not a silent null). Four arms (doc_id % 4): gzip
+    * and zstd decode to the exact payload with a null census column; a
+    * `Content-Encoding: br` body and a `Transfer-Encoding: br, chunked`
+    * body both refuse with census `br` while keeping `http_text` null —
+    * so the unsupported-coding loss rate is GROUP-BY-able and
+    * distinguishable from corrupt data. Hash-exact per row on (coding,
+    * decoded, n_chars, text_hash); the oracle computes expectations
+    * directly (wrap-then-recover — DuckDB never needs zstd).
+    */
+  private def pq102: Q = Q(
+    "pq102_http_coding_census",
+    (s, dir) => {
+      import graft.functions._
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val arm = (id % 4).cast("int")
+      val payload = concat(col("text"), lit(" — café"))
+      val bodyUtf8 = encode(payload, "UTF-8")
+      val crlf = "\r\n"
+      def head(fields: String*): org.apache.spark.sql.Column =
+        encode(lit(("HTTP/1.1 200 OK" +: fields).mkString("", crlf, crlf + crlf)), "UTF-8")
+      val block =
+        when(arm === 0, concat(
+          head("Content-Type: text/plain", "Content-Encoding: gzip"),
+          gzip_compress(bodyUtf8)))
+        .when(arm === 1, concat(
+          head("Content-Type: text/plain", "Content-Encoding: zstd"),
+          zstd_compress(bodyUtf8)))
+        .when(arm === 2, concat(
+          head("Content-Type: text/plain", "Content-Encoding: br"),
+          bodyUtf8))
+        .otherwise(concat(
+          head("Content-Type: text/plain", "Transfer-Encoding: br, chunked"),
+          http_chunk(bodyUtf8, lit(11))))
+      d.select(id, block.as("block"))
+        .select(id,
+          http_coding_unsupported(col("block")).as("coding_unsupported"),
+          http_text(col("block")).isNotNull.as("decoded"),
+          length(http_text(col("block"))).as("n_chars"),
+          md5(encode(http_text(col("block")), "UTF-8")).as("text_hash"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id, text || ' — café' AS payload,
+               CAST(doc_id % 4 AS INT) AS arm
+        FROM documents)
+      SELECT doc_id,
+             CASE WHEN arm >= 2 THEN 'br' END AS coding_unsupported,
+             arm < 2 AS decoded,
+             CASE WHEN arm < 2 THEN CAST(length(payload) AS INT) END AS n_chars,
+             CASE WHEN arm < 2 THEN md5(payload) END AS text_hash
+      FROM p
     """))
 
   /** The CDX-style WARC record index ([[graft.sources.warc.WarcIndex]]) —

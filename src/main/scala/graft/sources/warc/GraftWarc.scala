@@ -433,7 +433,7 @@ object GraftWarc {
       if (p > end0) return MemberIncomplete
     }
     val decode = maxOut >= 0
-    val inf = new java.util.zip.Inflater(true)
+    val inf = threadInflater.get()
     try {
       inf.setInput(bytes, p, end0 - p)
       val crc = new java.util.zip.CRC32
@@ -475,7 +475,23 @@ object GraftWarc {
       if (le32(trailerAt + 4) != (outLen & 0xffffffffL))
         return MemberCorrupt(size, "ISIZE mismatch")
       MemberOk(size, out.toByteArray)
-    } finally inf.end()
+    } finally inf.reset()
+  }
+
+  /** One raw-deflate [[java.util.zip.Inflater]] per thread, `reset()`
+    * between members instead of `end()`+new per call. A new Inflater per
+    * member allocates (and a forgotten one Cleaner-frees) a native zlib
+    * window each time; at corpus row rates that native churn is the
+    * difference between [[HttpExpressions]]' pq99 fast and slow modes
+    * (r19: 0.33 s vs 1.4 s reps on identical code — the old
+    * GZIPInputStream-shaped decode left one Inflater per ROW to the
+    * cleaner). Safe because [[gzipMember]] is synchronous and
+    * non-reentrant; native memory is bounded at one zlib window per
+    * executor task thread, freed when the thread dies.
+    */
+  private val threadInflater = new ThreadLocal[java.util.zip.Inflater] {
+    override protected def initialValue(): java.util.zip.Inflater =
+      new java.util.zip.Inflater(true)
   }
 
   /** Measure-only compatibility form: -1 incomplete, -2 malformed, else

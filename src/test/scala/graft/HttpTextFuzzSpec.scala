@@ -55,6 +55,9 @@ class HttpTextFuzzSpec extends SparkTestBase {
     d.end(); out.toByteArray
   }
 
+  private def zstd(b: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(b, 3)
+
   private def chunked(b: Array[Byte], size: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     b.grouped(size).foreach { g =>
@@ -81,10 +84,11 @@ class HttpTextFuzzSpec extends SparkTestBase {
         s"""<meta charset="${cs.label}"><p>$text0</p>""" else text0
       var body = text.getBytes(cs.charset)
       if (arm == 2) body = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++ body
-      val coding = rnd.nextInt(3) // 0 identity, 1 gzip, 2 deflate
+      val coding = rnd.nextInt(4) // 0 identity, 1 gzip, 2 deflate, 3 zstd
       body = coding match {
         case 1 => gzip(body)
         case 2 => zlib(body)
+        case 3 => zstd(body)
         case _ => body
       }
       val doChunk = rnd.nextBoolean()
@@ -94,6 +98,7 @@ class HttpTextFuzzSpec extends SparkTestBase {
                  else "Content-Type: text/plain")
       if (coding == 1) fields += "Content-Encoding: gzip"
       if (coding == 2) fields += "Content-Encoding: deflate"
+      if (coding == 3) fields += "Content-Encoding: zstd"
       if (doChunk) fields += "Transfer-Encoding: chunked"
       val head = ("HTTP/1.1 200 OK" +: fields.result()).mkString("", "\r\n", "\r\n\r\n")
       (i, head.getBytes(StandardCharsets.ISO_8859_1) ++ body, text)
@@ -105,5 +110,58 @@ class HttpTextFuzzSpec extends SparkTestBase {
       .filter(col("got").isNull || col("got") =!= col("expected"))
       .collect()
     assert(bad.isEmpty, s"${bad.length} wraps mis-decoded; first: ${bad.headOption}")
+  }
+
+  test(s"400 random coding chains: unsupported codings null the text AND name themselves in the census [seed=$seed]") {
+    info(s"graft.fuzz.seed=$seed")
+    val rnd = new Random(seed * 31 + 7)
+    val unsupported = Vector("br", "compress", "pack200-gzip", "x-snappy")
+    val cases = (0 until 400).map { i =>
+      val text = genText(rnd, (ascii ++ utf8Extra).toIndexedSeq)
+      var body = text.getBytes(StandardCharsets.UTF_8)
+      // supported inner coding under the (maybe) unsupported outer one:
+      // the census must name the FIRST coding the undo hits, regardless of
+      // what it wraps
+      val inner = rnd.nextInt(4)
+      body = inner match {
+        case 1 => gzip(body)
+        case 2 => zlib(body)
+        case 3 => zstd(body)
+        case _ => body
+      }
+      val breakIt = rnd.nextInt(3) > 0 // 2/3 of cases carry an unsupported coding
+      val badCoding = unsupported(rnd.nextInt(unsupported.length))
+      // an unsupported coding's bytes are opaque — ship the inner body as-is
+      // (the decoder must refuse BEFORE touching them)
+      val doChunk = rnd.nextBoolean()
+      if (doChunk) body = chunked(body, 1 + rnd.nextInt(23))
+      val fields = Seq.newBuilder[String]
+      fields += "Content-Type: text/plain"
+      val innerName = Seq("", "gzip", "deflate", "zstd")(inner)
+      val ce = (if (breakIt) Seq(badCoding) else Seq.empty) ++
+        (if (inner > 0) Seq(innerName) else Seq.empty)
+      if (ce.nonEmpty) fields += s"Content-Encoding: ${ce.mkString(", ")}"
+      if (doChunk) fields += "Transfer-Encoding: chunked"
+      val head = ("HTTP/1.1 200 OK" +: fields.result()).mkString("", "\r\n", "\r\n\r\n")
+      (i, head.getBytes(StandardCharsets.ISO_8859_1) ++ body, text,
+        if (breakIt) badCoding else null)
+    }
+    import spark.implicits._
+    val rows = cases.toDF("i", "block", "expected", "expect_census")
+      .select(col("i"), col("expected"), col("expect_census"),
+        graft.functions.http_text(col("block")).as("got"),
+        graft.functions.http_coding_unsupported(col("block")).as("census"))
+      .collect()
+    rows.foreach { r =>
+      val (expText, expCensus) = (r.getString(1), r.getString(2))
+      val (got, census) = (r.getString(3), r.getString(4))
+      if (expCensus == null) {
+        assert(census == null && got == expText,
+          s"supported chain broke: census=$census got=${Option(got).map(_.take(40))}")
+      } else {
+        assert(got == null, s"unsupported coding $expCensus minted text")
+        assert(census == expCensus, s"census said $census, wrapped with $expCensus")
+      }
+    }
   }
 }
