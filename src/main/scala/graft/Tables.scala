@@ -31,6 +31,33 @@ object Tables {
       _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
   }
 
+  /** JVM-lifetime scratch root for queries that materialize side artifacts
+    * (WARC segments, broker logs, WET sinks): every dir from
+    * [[scratchDir]] nests under ONE root that a shutdown hook deletes
+    * recursively, so repeated bench reps / verify runs cannot accumulate
+    * unbounded /tmp (three bench passes × ~10 segment-writing queries
+    * used to leak a fresh temp dir each). The side writes happen
+    * driver-side or via `foreachPartition` on LOCAL-mode executors —
+    * these queries assume driver and executors share a filesystem, which
+    * holds for the test harness; a cluster deployment would point the
+    * same operators at a shared store instead.
+    */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  /** A fresh scratch directory under the shutdown-swept root. */
+  def scratchDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(scratchRoot, tag).toString
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     perSessionCache(spark).computeIfAbsent(s"$sfDir/$name.parquet",
       path => spark.read.parquet(path))

@@ -732,7 +732,7 @@ object CrawlQueries {
   private def pq100: Q = Q(
     "pq100_warc_index",
     (s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-pq100").toString
+      val tmp = graft.Tables.scratchDir("pq100")
       Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"), col("text"))
         .repartition(8, col("doc_id"))

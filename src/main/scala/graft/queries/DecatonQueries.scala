@@ -722,7 +722,7 @@ object DecatonQueries {
     Q(
       "dq21_jsonl_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-dq21").toString + "/log"
+        val tmp = graft.Tables.scratchDir("dq21") + "/log"
         Tables.events(s, dir)
           .select(col("user_id"),
             to_json(struct(col("user_id"), col("event_type"), col("props"))).as("value"))
@@ -758,7 +758,7 @@ object DecatonQueries {
     Q(
       "dq22_jsonl_sink_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-dq22").toString + "/log"
+        val tmp = graft.Tables.scratchDir("dq22") + "/log"
         Tables.events(s, dir)
           .select(col("user_id"),
             to_json(struct(col("user_id"), col("event_type"), col("value"))).as("value"))
@@ -797,7 +797,7 @@ object DecatonQueries {
     Q(
       "dq23_jsonl_split_read",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-dq23").toString + "/log"
+        val tmp = graft.Tables.scratchDir("dq23") + "/log"
         Tables.events(s, dir)
           .select(col("user_id"),
             to_json(struct(col("user_id"), col("event_type"), col("props"))).as("value"))
@@ -1315,7 +1315,7 @@ object DecatonQueries {
     Q(
       "dq32_warc_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-dq32").toString
+        val tmp = graft.Tables.scratchDir("dq32")
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("source"), col("text"))
           .repartition(8, col("doc_id"))
@@ -1363,7 +1363,7 @@ object DecatonQueries {
     Q(
       "dq33_warc_sink_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-dq33").toString
+        val tmp = graft.Tables.scratchDir("dq33")
         Tables.documents(s, dir)
           .select(
             concat(lit("graft://corpus/"), col("lang"), lit("/"), col("doc_id"))
@@ -1400,7 +1400,7 @@ object DecatonQueries {
     Q(
       "dq34_revisit_resolution",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-dq34").toString
+        val tmp = graft.Tables.scratchDir("dq34")
         Tables.documents(s, dir)
           .select(col("doc_id"), col("lang"), col("text"))
           .repartition(8, col("doc_id"))
@@ -1480,8 +1480,8 @@ object DecatonQueries {
       "dq35_wet_conversion",
       (s, dir) => {
         import graft.functions._
-        val srcDir = java.nio.file.Files.createTempDirectory("graft-dq35-src").toString
-        val wetDir = java.nio.file.Files.createTempDirectory("graft-dq35-wet").toString
+        val srcDir = graft.Tables.scratchDir("dq35-src")
+        val wetDir = graft.Tables.scratchDir("dq35-wet")
         val d = Tables.documents(s, dir)
         val id = col("doc_id")
         val html = concat(

@@ -61,11 +61,17 @@ object SegmentMaintenance {
   /** Fold all but the newest `keepRecent` segments into one compacted
     * segment (`seg-compact-<k>-<fingerprint>.<suffix>`; [[segments]]
     * classes compact files FIRST — history before tail — regardless of
-    * their fresh mtime). No-op below `minSegments`. Byte concatenation + write-to-temp
-    * + atomic rename + source deletion; a crash before the rename leaves
-    * only a `.inprogress` temp (swept by the next run), a crash between
-    * rename and deletes leaves duplicates a re-run folds again.
-    * Returns the compacted segment name if a fold ran.
+    * their fresh mtime). No-op below `minSegments`. Byte concatenation +
+    * write-to-temp + atomic rename + source deletion. Crash contract:
+    * before the rename, only a stale `.inprogress` temp remains (swept at
+    * the top of the next run); BETWEEN the rename and the source deletes,
+    * the folded records exist TWICE — in the compacted file AND the
+    * undeleted originals — and a re-run folds both copies into the next
+    * compact, so the duplication is PERMANENT at this layer (at-least-
+    * once storage). Readers that need exactly-once across that crash
+    * window dedup downstream (the engine's exact-dedup / streaming-dedup
+    * operators key on record id). Returns the compacted segment name if a
+    * fold ran.
     */
   def compactSegments(
       dir: String,
@@ -73,6 +79,14 @@ object SegmentMaintenance {
       keepRecent: Int = 2,
       minSegments: Int = 4): Option[String] = {
     require(keepRecent >= 0 && minSegments >= 2, s"bad bounds ($keepRecent, $minSegments)")
+    // sweep temps a crashed prior FOLD left behind — they are never valid
+    // segments (the name filter excludes them from reads) but they hold
+    // disk until someone deletes them. Only compact temps: a purge running
+    // concurrently owns `.seg-<tag>...inprogress` temps of its own
+    Option(new File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(".seg-compact-") &&
+        f.getName.endsWith(".inprogress"))
+      .foreach(_.delete())
     val segs = segments(dir, suffix)
     if (segs.size < math.max(minSegments, keepRecent + 2)) return None
     val fold = segs.dropRight(keepRecent)
@@ -123,108 +137,220 @@ object SegmentMaintenance {
 
   /** Takedown purge over a `graft-warc` segment directory: rewrite only
     * the segments that hold records whose `WARC-Target-URI` is in
-    * `takedownUris`, dropping those records. Unaffected segments are not
+    * `takedownUris` (or, with `quarantineCorrupt`, a framed-but-corrupt
+    * member), dropping those records. Unaffected segments are not
     * touched (byte-identical, mtime preserved); within a rewritten gz
     * segment, members holding only surviving records copy VERBATIM (their
     * compressed bytes, not a re-compression) — only a multi-record member
-    * with a partial hit re-serializes its survivors. A framed-but-corrupt
-    * member (CRC/ISIZE mismatch) is stepped over by its exact size so
-    * takedowns AFTER it still purge; a takedown record INSIDE such a
-    * member is unreachable by construction — for the reader too (both
-    * skip it by the same rule), so no readable copy survives — and stays
-    * as corrupt bytes until compaction or retention drops the segment.
-    * Distributed: one task per affected file (the takedown set
-    * broadcasts). Returns the number of records removed.
+    * with a partial hit re-serializes its survivors. Framed-but-corrupt
+    * members (CRC/ISIZE mismatch): with `quarantineCorrupt` (the
+    * default) every segment is walked and such members are DROPPED from
+    * the rewrite — no reader can decode them (drop-not-fail skips them by
+    * exact size), so nothing readable is lost, and a takedown hiding
+    * inside one cannot outlive the purge as bytes on disk; with it off,
+    * they are stepped over verbatim and the discovery scan is header-only
+    * over affected files. Distributed: one task per file (the takedown
+    * set broadcasts). Returns the number of readable records removed.
     */
   def purgeWarcRecords(
       spark: SparkSession,
       dir: String,
       takedownUris: Seq[String],
-      maxRecordBytes: Long = 1L << 30): Long = {
+      maxRecordBytes: Long = 1L << 30,
+      quarantineCorrupt: Boolean = true): Long = {
     if (takedownUris.isEmpty) return 0L
     val uris = takedownUris.toSet
-    // find affected files with ONE header-only scan (column pruning keeps
-    // block bytes unread)
-    val affected = spark.read.format("graft-warc").option("path", dir).load()
-      .select("file", "target_uri")
-      .where(org.apache.spark.sql.functions.col("target_uri")
-        .isin(takedownUris: _*))
-      .select("file").distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (affected.isEmpty) return 0L
+    val files: Seq[String] =
+      if (quarantineCorrupt) {
+        // unconditional contract: a takedown hiding INSIDE a framed-but-
+        // corrupt member is invisible to the header scan (the reader skips
+        // the member), so every segment must be walked — the walk is the
+        // same decode pass the discovery scan costs on gz media, and only
+        // files with a hit or a corrupt member are rewritten
+        segments(dir, ".warc.gz").map(_.getName) ++
+          segments(dir, ".warc").map(_.getName)
+      } else {
+        // find affected files with ONE header-only scan (column pruning
+        // keeps block bytes unread)
+        spark.read.format("graft-warc").option("path", dir).load()
+          .select("file", "target_uri")
+          .where(org.apache.spark.sql.functions.col("target_uri")
+            .isin(takedownUris: _*))
+          .select("file").distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    if (files.isEmpty) return 0L
     val urisB = spark.sparkContext.broadcast(uris)
     val dirB = dir
-    val removed = spark.sparkContext.parallelize(affected, affected.size).map { name =>
-      purgeOneWarcFile(new File(dirB, name), urisB.value, maxRecordBytes)
+    val dropCorrupt = quarantineCorrupt
+    val removed = spark.sparkContext.parallelize(files, files.size).map { name =>
+      purgeOneWarcFile(new File(dirB, name), urisB.value, maxRecordBytes, dropCorrupt)
     }.sum().toLong
     removed
   }
 
-  /** Rewrite one WARC segment without the takedown records. Returns the
-    * count removed. Package-visible for the spec.
+  /** Rewrite one WARC segment without the takedown records (and, with
+    * `dropCorrupt`, without framed-but-corrupt members — no reader can
+    * see their content, so dropping them loses nothing readable and
+    * guarantees no takedown bytes outlive the purge). Returns the count
+    * of READABLE records removed; a rewrite also happens when only
+    * corrupt members were dropped. Streaming on both sides — a bounded
+    * walk window on the read, the temp file's output stream on the write
+    * — so heap is bounded by one member, not 2× the segment (the old
+    * whole-file byte-array shape OOMed on >1 GiB segments the reader
+    * itself handles). Package-visible for the spec.
     */
   private[graft] def purgeOneWarcFile(
-      f: File, uris: Set[String], maxRecordBytes: Long): Long = {
-    import graft.sources.warc.GraftWarc
-    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-    val gz = GraftWarc.isGz(f.getName)
-    val out = new java.io.ByteArrayOutputStream(bytes.length)
-    var removed = 0L
-    var p = 0
-    if (gz) {
-      while (p < bytes.length) {
-        GraftWarc.gzipMember(bytes, p, bytes.length - p, maxOut = maxRecordBytes) match {
-          case GraftWarc.MemberOk(size, plain) =>
-            val recs = memberRecords(plain)
-            val (hit, kept) = recs.partition(r => uris.contains(r._1))
-            if (hit.isEmpty) out.write(bytes, p, size.toInt) // verbatim copy
-            else {
-              removed += hit.size
-              if (kept.nonEmpty) {
-                // partial hit: re-serialize the survivors as one member
-                // (close() ends the native deflater; closing the BAOS
-                // underneath is a no-op)
-                val gzOut = new java.util.zip.GZIPOutputStream(out, 64 * 1024)
-                kept.foreach(r => gzOut.write(r._2))
-                gzOut.close()
-              }
-            }
-            p += size.toInt
-          case GraftWarc.MemberCorrupt(size, _) =>
-            // framed-but-corrupt (CRC/ISIZE mismatch, over-bound inflate):
-            // the SIZE is known, so STEP OVER it and keep purging — the
-            // reader skips such members the same way, and stopping here
-            // would silently leave later takedown records in the file
-            out.write(bytes, p, size.toInt)
-            p += size.toInt
-          case _ => // malformed/incomplete tail: preserve it untouched
-            out.write(bytes, p, bytes.length - p)
-            p = bytes.length
-        }
-      }
-    } else {
-      while (p < bytes.length) {
-        GraftWarc.parseHead(bytes, p, bytes.length) match {
-          case GraftWarc.HeadOk(h)
-              if p + h.headBytes + h.contentLength + 4 <= bytes.length =>
-            val size = (h.headBytes + h.contentLength + 4).toInt
-            if (h.header("warc-target-uri").exists(uris.contains)) removed += 1
-            else out.write(bytes, p, size)
-            p += size
-          case _ =>
-            out.write(bytes, p, bytes.length - p)
-            p = bytes.length
-        }
-      }
-    }
-    if (removed > 0) {
+      f: File, uris: Set[String], maxRecordBytes: Long,
+      dropCorrupt: Boolean = true): Long = {
+    // pass 1: detect — no writes, no per-member output allocation beyond
+    // the walk window and one inflated member
+    val (removed, corrupt) = purgeWalk(f, uris, maxRecordBytes, dropCorrupt, out = null)
+    if (removed > 0 || corrupt > 0) {
       val tmp = new File(f.getParentFile, s".${f.getName}.${java.util.UUID.randomUUID()}.inprogress")
-      java.nio.file.Files.write(tmp.toPath, out.toByteArray)
+      val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp), 1 << 20)
+      try purgeWalk(f, uris, maxRecordBytes, dropCorrupt, out)
+      finally out.close()
       java.nio.file.Files.move(tmp.toPath, f.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     }
     removed
+  }
+
+  /** Keeps a [[java.util.zip.GZIPOutputStream]]'s `close()` (which ends
+    * the native deflater) from closing the rewrite stream underneath it.
+    */
+  private final class NonClosing(out: java.io.OutputStream)
+      extends java.io.FilterOutputStream(out) {
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+    override def close(): Unit = flush()
+  }
+
+  /** One streaming pass over a WARC segment: count takedown hits and
+    * corrupt members; when `out` is non-null, write the surviving bytes
+    * to it (members without hits verbatim, partial-hit members
+    * re-serialized from their survivors). The window-growth discipline is
+    * [[graft.sources.warc.GraftWarc.completeGzWalk]]'s.
+    */
+  private def purgeWalk(
+      f: File, uris: Set[String], maxRecordBytes: Long,
+      dropCorrupt: Boolean, out: java.io.OutputStream): (Long, Long) = {
+    import graft.sources.warc.GraftWarc
+    val gz = GraftWarc.isGz(f.getName)
+    val raf = new java.io.RandomAccessFile(f, "r")
+    try {
+      val len = f.length()
+      val windowCap = (Int.MaxValue - 8).toLong
+      val chunkBytes = 4L << 20
+      var buf: Array[Byte] = Array.emptyByteArray
+      var bufStart = 0L
+      var bufGot = 0
+      def fill(at: Long, want: Long): Unit = {
+        val w = math.min(want, windowCap).toInt
+        if (buf.length < w) buf = new Array[Byte](w)
+        raf.seek(at)
+        var got = 0
+        var eof = false
+        while (got < w && !eof) {
+          val n = raf.read(buf, got, w - got)
+          if (n < 0) eof = true else got += n
+        }
+        bufStart = at
+        bufGot = got
+      }
+      var removed = 0L
+      var corrupt = 0L
+      var pos = 0L
+      var done = false
+      // an unparseable / still-growing tail is preserved verbatim
+      def copyTail(): Unit = {
+        if (out != null) {
+          var at = pos
+          while (at < len) {
+            if (at < bufStart || at >= bufStart + bufGot)
+              fill(at, math.min(chunkBytes, len - at))
+            val off = (at - bufStart).toInt
+            out.write(buf, off, bufGot - off)
+            at = bufStart + bufGot
+          }
+        }
+        done = true
+      }
+      while (!done && pos < len) {
+        val spanCap = math.min(len - pos, windowCap)
+        if (pos < bufStart || pos >= bufStart + bufGot)
+          fill(pos, math.min(chunkBytes, spanCap))
+        var off = (pos - bufStart).toInt
+        var span = (bufGot - off).toLong
+        def grow(): Boolean = {
+          // EOF-short fills stop growing at the true end under `len`
+          val before = span
+          fill(pos, math.min(math.max(span * 4, chunkBytes), spanCap))
+          off = 0
+          span = bufGot.toLong
+          span > before
+        }
+        if (gz) {
+          var res = GraftWarc.gzipMember(buf, off, bufGot - off, maxRecordBytes)
+          var growing = true
+          while (res == GraftWarc.MemberIncomplete && span < spanCap && growing) {
+            growing = grow()
+            res = GraftWarc.gzipMember(buf, off, bufGot, maxRecordBytes)
+          }
+          res match {
+            case GraftWarc.MemberOk(size, plain) =>
+              val recs = memberRecords(plain)
+              val (hit, kept) = recs.partition(r => uris.contains(r._1))
+              if (hit.isEmpty) { if (out != null) out.write(buf, off, size.toInt) }
+              else {
+                removed += hit.size
+                if (kept.nonEmpty && out != null) {
+                  // partial hit: re-serialize the survivors as one member
+                  val gzOut = new java.util.zip.GZIPOutputStream(new NonClosing(out), 64 * 1024)
+                  kept.foreach(r => gzOut.write(r._2))
+                  gzOut.close()
+                }
+              }
+              pos += size
+            case GraftWarc.MemberCorrupt(size, _) =>
+              // framed-but-corrupt (CRC/ISIZE mismatch, over-bound
+              // inflate): the SIZE is known, so never stop here — either
+              // QUARANTINE it (drop: no reader can decode it, and a
+              // takedown hiding inside must not outlive the purge) or
+              // step over verbatim
+              if (dropCorrupt) corrupt += 1
+              else if (out != null) out.write(buf, off, size.toInt)
+              pos += size
+            case _ => copyTail() // malformed or incomplete-at-EOF tail
+          }
+        } else {
+          var res = GraftWarc.parseHead(buf, off, bufGot)
+          def sizeOf(h: GraftWarc.RecordHead): Long = h.headBytes + h.contentLength + 4
+          var growing = true
+          // grow until the head AND its block fit the window (or EOF)
+          var settled = false
+          while (!settled) {
+            res match {
+              case GraftWarc.HeadOk(h) if off + sizeOf(h) <= bufGot => settled = true
+              case (GraftWarc.HeadOk(_) | GraftWarc.HeadIncomplete)
+                  if span < spanCap && growing =>
+                growing = grow(); res = GraftWarc.parseHead(buf, off, bufGot)
+              case _ => settled = true
+            }
+          }
+          res match {
+            case GraftWarc.HeadOk(h) if off + sizeOf(h) <= bufGot =>
+              val size = sizeOf(h).toInt
+              if (h.header("warc-target-uri").exists(uris.contains)) removed += 1
+              else if (out != null) out.write(buf, off, size)
+              pos += size
+            case _ => copyTail()
+          }
+        }
+      }
+      (removed, corrupt)
+    } finally raf.close()
   }
 
   /** (target-uri, full record bytes) of every record in a decompressed

@@ -176,25 +176,34 @@ object WarcIndex {
       // sort the partition's coordinates so one file's fetches run
       // consecutively, then keep ONE handle open per file run — 100k
       // point reads of a segment are 1 open, not 100k (and the OS page
-      // cache serves repeated members)
+      // cache serves repeated members). Only the fixed-width COORDINATES
+      // buffer for the sort; the fetched payloads (up to 1 GiB each)
+      // stream through a lazy iterator one at a time — the eager flatMap
+      // this replaces buffered every payload in the partition before
+      // returning, an executor OOM at serving-tier fan-in.
       var openFile: String = null
       var raf: RandomAccessFile = null
       def handleFor(file: String): RandomAccessFile = {
         if (file != openFile) {
-          if (raf != null) raf.close()
+          if (raf != null) { raf.close(); raf = null }
           raf = new RandomAccessFile(new File(dir, file), "r")
           openFile = file
         }
         raf
       }
-      val sorted = it.toSeq.sortBy(c => (c._1, c._2))
-      val out = sorted.flatMap { case (file, pos, sub) =>
+      // the handle closes on task COMPLETION, not at iterator end — a
+      // readRecordAt throw or a downstream limit() that abandons the
+      // iterator must not leak the descriptor
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit] { _ =>
+          if (raf != null) { raf.close(); raf = null; openFile = null }
+        })
+      val sorted = it.toArray.sortBy(c => (c._1, c._2))
+      sorted.iterator.flatMap { case (file, pos, sub) =>
         readRecordAt(handleFor(file), GraftWarc.isGz(file), pos, 1L << 30).records
           .filter(_.sub == sub)
           .map(r => (file, pos, sub, r.headers.getOrElse("warc-target-uri", null), r.content))
       }
-      if (raf != null) raf.close()
-      out.iterator
     }.toDF("file", "pos", "sub", "target_uri", "content")
   }
 }

@@ -236,4 +236,53 @@ class SegmentMaintenanceSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(after.drop(m1), before.drop(m1 + m2)),
       "third member verbatim, shifted into place")
   }
+
+  test("quarantine: a takedown inside a corrupt member leaves zero readable and zero persisted copies") {
+    val dir = Files.createTempDirectory("maint-purge4").toString
+    GraftWarc.writeGz(dir, "seg-q000000-0000.warc.gz", Seq(
+      (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "u://keep"), "k".getBytes),
+      (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "u://secret"),
+        "SECRET-PAYLOAD".getBytes),
+      (Seq("WARC-Type" -> "resource", "WARC-Target-URI" -> "u://keep2"), "k2".getBytes)))
+    val f = new File(dir, "seg-q000000-0000.warc.gz")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val m1 = GraftWarc.gzipMemberSize(bytes, 0, bytes.length).toInt
+    val m2 = GraftWarc.gzipMemberSize(bytes, m1, bytes.length - m1).toInt
+    // corrupt the secret member's CRC: framing intact (MemberCorrupt), the
+    // content unreachable to every reader — and INVISIBLE to the header
+    // scan, so only the quarantine walk can honor the takedown
+    bytes(m1 + m2 - 8) = (bytes(m1 + m2 - 8) ^ 0xff).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    val removed = SegmentMaintenance.purgeWarcRecords(spark, dir, Seq("u://secret"))
+    assert(removed == 0L, "nothing READABLE was removed — the copy was corrupt")
+    val after = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(after.length == bytes.length - m2,
+      "the corrupt member's bytes must NOT outlive the purge")
+    assert(java.util.Arrays.equals(after.take(m1), bytes.take(m1)),
+      "first member verbatim")
+    assert(java.util.Arrays.equals(after.drop(m1), bytes.drop(m1 + m2)),
+      "third member verbatim, shifted into place")
+    assert(readRows(dir) == Set(("u://keep", "k"), ("u://keep2", "k2")))
+    // quarantine OFF preserves the r19 step-over contract: corrupt bytes
+    // persist until compaction/retention (the caller's explicit choice)
+    val dir2 = Files.createTempDirectory("maint-purge5").toString
+    java.nio.file.Files.write(new File(dir2, "seg-q000000-0000.warc.gz").toPath, bytes)
+    assert(SegmentMaintenance.purgeWarcRecords(
+      spark, dir2, Seq("u://secret"), quarantineCorrupt = false) == 0L)
+    assert(java.util.Arrays.equals(
+      java.nio.file.Files.readAllBytes(new File(dir2, "seg-q000000-0000.warc.gz").toPath),
+      bytes), "with quarantine off an unaffected file is untouched")
+  }
+
+  test("compactSegments sweeps a stale fold temp; a purge temp survives the sweep") {
+    val dir = Files.createTempDirectory("maint-sweep").toString
+    writeWarcEpochs(dir, epochs = 5, perEpoch = 2)
+    val staleFold = new File(dir, ".seg-compact-0000-dead.warc.gz.xyz.inprogress")
+    val purgeTemp = new File(dir, ".seg-q000001-0000.warc.gz.abc.inprogress")
+    java.nio.file.Files.write(staleFold.toPath, "junk".getBytes)
+    java.nio.file.Files.write(purgeTemp.toPath, "busy".getBytes)
+    assert(SegmentMaintenance.compactSegments(dir, ".warc.gz").isDefined)
+    assert(!staleFold.exists, "crashed fold temp swept")
+    assert(purgeTemp.exists, "a concurrent purge's temp is not ours to sweep")
+  }
 }
