@@ -471,6 +471,53 @@ object Bench {
     val cmsReps = Seq.fill(3) { System.gc(); cmsRep() }.sorted
     val cmsFullSec = cmsReps(1)
 
+    // http_text decode-chain throughput probe (r20): the gzip+chunked+
+    // charset-sniff arm — the full chain — at a fixed data shape, so a
+    // decode regression (a per-row allocation slip, a lost Inflater pool)
+    // fails the BenchFloorSpec MB/s floor LOUDLY instead of surfacing as
+    // pq99 bimodality. Block built once driver-side; the timed region is
+    // pure decode (the HttpProbe methodology, embedded so every driver
+    // bench records it).
+    val httpMbps = {
+      val bodyBytes = 20000
+      val nDocs = 20000
+      val text = ("The quick brown fox jumps over the lazy dog. " * (bodyBytes / 45 + 1))
+        .take(bodyBytes)
+      val gz = {
+        val out = new java.io.ByteArrayOutputStream()
+        val s = new java.util.zip.GZIPOutputStream(out); s.write(text.getBytes("UTF-8")); s.close()
+        out.toByteArray
+      }
+      val chunked = {
+        val out = new java.io.ByteArrayOutputStream()
+        gz.grouped(1024).foreach { g =>
+          out.write(s"${Integer.toHexString(g.length)}\r\n".getBytes)
+          out.write(g); out.write("\r\n".getBytes)
+        }
+        out.write("0\r\n\r\n".getBytes); out.toByteArray
+      }
+      val block = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n" +
+        "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ chunked
+      val df = spark.range(nDocs)
+        .select(org.apache.spark.sql.functions.lit(block).as("block")).cache()
+      df.count()
+      def rep(): Double = {
+        val t0 = System.nanoTime()
+        val got = df.select(graft.functions.http_text(
+            org.apache.spark.sql.functions.col("block")).as("t"))
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.length(
+              org.apache.spark.sql.functions.col("t")))).collect()
+        require(got.head.getLong(0) == nDocs.toLong * text.length, "http probe decoded short")
+        nDocs.toDouble * bodyBytes / 1048576.0 / ((System.nanoTime() - t0) / 1e9)
+      }
+      rep() // warm
+      val reps = Seq.fill(3)(rep()).sorted
+      df.unpersist()
+      reps(1)
+    }
+
     def jsonNum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
     // Locale-independent fixed-decimal formatting: f"" uses the JVM default
     // locale, which under a comma-decimal locale (de_DE) emits invalid JSON.
@@ -530,6 +577,7 @@ object Bench {
       s""""box_stream_reps_nr_throttled":${streamRepBox.map(_.nrThrottled).mkString("[", ",", "]")},""" +
       s""""cms_full_sketch_sec":$cmsFullSec,""" +
       s""""cms_reps":${cmsReps.mkString("[", ",", "]")},""" +
+      s""""http_text_mbps":${num(httpMbps, 1)},""" +
       s""""stream_task_count":$streamTasks,""" +
       s""""stream_latency_avg_ms":$latAvgMs,"stream_latency_max_ms":$latMaxMs,""" +
       s""""stream_gc_count":$gcCountD,"stream_gc_time_ms":$gcTimeD,""" +

@@ -384,6 +384,22 @@ object TextFunctions {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Main-content extraction ([[graft.plans.MainContentExpr]] — the
+    * jusText/Boilerpipe-class text-density + link-density block scorer):
+    * the tier between [[extract_text]] (which keeps nav bars, cookie
+    * banners, footers) and the Gopher/C4 gates, so the gates judge
+    * authored prose instead of boilerplate-diluted text. Returns
+    * `struct(n_blocks, n_content, text_main)`; row-local, stream-safe.
+    */
+  def main_content(
+      html: Column,
+      minLen: Int = 80,
+      maxLinkDensity: Double = 0.33,
+      minStopFrac: Double = 0.0,
+      contextPass: Boolean = true): Column =
+    graft.functions.toColumn(graft.plans.MainContentExpr(
+      graft.functions.toExpr(html), minLen, maxLinkDensity, minStopFrac, contextPass))
+
   /** Intra-document repetition REMOVAL (the CCNet/Gopher cleanup the stats
     * above only measure): the document is cut into non-overlapping
     * `segTokens`-token segments and every repeat of an already-seen segment

@@ -160,6 +160,15 @@ package object functions {
   /** sitemap document → its CHILD sitemap urls (`<sitemapindex>` entries —
     * the discovery recursion edge; [[graft.plans.SitemapChildren]]).
     */
+  /** Sitemap entries WITH recrawl metadata —
+    * `array<struct<loc, lastmod, changefreq, priority>>`
+    * ([[graft.plans.SitemapEntries]]); the lastmod/changefreq/priority
+    * half of discovery that decides WHEN to revisit, feeding
+    * [[graft.pipeline.WebCuration.recrawlPriority]].
+    */
+  def sitemap_entries(doc: Column): Column =
+    toColumn(graft.plans.SitemapEntries(toExpr(doc)))
+
   def sitemap_children(doc: Column): Column =
     toColumn(graft.plans.SitemapChildren(toExpr(doc)))
 

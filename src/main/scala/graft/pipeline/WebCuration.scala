@@ -227,6 +227,86 @@ object WebCuration {
     (discovery, children)
   }
 
+  /** Published changefreq vocabulary → expected change interval in
+    * seconds; `never` maps to null (archived — no staleness accrues), an
+    * absent/unknown value to the weekly default. A `when`-chain (not a
+    * map lookup) so the DuckDB oracle replays it as a CASE verbatim.
+    */
+  private def changefreqIntervalSec(freq: Column): Column =
+    when(freq === "always" || freq === "hourly", 3600L)
+      .when(freq === "daily", 86400L)
+      .when(freq === "weekly", 604800L)
+      .when(freq === "monthly", 2592000L)
+      .when(freq === "yearly", 31536000L)
+      .when(freq === "never", lit(null).cast("long"))
+      .otherwise(604800L)
+
+  /** Staleness-driven recrawl priority from sitemap metadata — the half
+    * of discovery that decides WHEN, not what ([[sitemapFrontierSeed]]
+    * seeds the what): join the advertised
+    * `(url, lastmod, changefreq, priority)` entries
+    * ([[graft.functions.sitemap_entries]]) against the frontier's
+    * last-fetch state and score each url:
+    *
+    *   - never crawled → staleness 4.0 (the seed tier — fetch first);
+    *   - `lastmod` AFTER the last fetch → staleness 4.0 (the site says
+    *     the copy is stale — the CDC signal without a fetch);
+    *   - otherwise staleness = min(4, age / changefreq interval): a
+    *     daily-changing page a week old outranks a yearly-changing page
+    *     a month old; `never` pages accrue none;
+    *   - score = coalesce(priority, 0.5) × staleness — the site's own
+    *     importance weight, sitemaps.org's 0.5 default.
+    *
+    * Inputs: `entries(url, lastmod_sec, changefreq, priority)` (epoch
+    * seconds — callers convert W3C datetimes with the engine's
+    * `to_date`/`unix_timestamp`, pq104's shape) and
+    * `crawlState(url, last_fetch_sec)`. Both sides collapse to one row
+    * per CANONICAL url before the single co-partitioned left join
+    * (duplicate advertisements keep the newest lastmod / highest
+    * priority / most eager changefreq; duplicate state rows the newest
+    * fetch) — fixed-width rows shuffle, content never. Composes with
+    * [[frontierDiff]] (its `changed`/`added` rows are this scorer's
+    * staleness-4 tier) and the politeness quotas
+    * ([[politenessRoute]] caps how much of the ranked frontier each
+    * domain may serve per window). Output:
+    * `(canon_url, known_changed, staleness, score)`, `round(…, 6)` on
+    * the doubles so parallel plans and the oracle agree bit-for-bit.
+    */
+  def recrawlPriority(
+      entries: DataFrame,
+      crawlState: DataFrame,
+      nowSec: Long): DataFrame = {
+    val e = entries
+      .select(
+        url_canonicalize(col("url")).as("canon_url"),
+        col("lastmod_sec").cast("long").as("__lastmod"),
+        changefreqIntervalSec(lower(col("changefreq"))).as("__interval"),
+        col("priority").cast("double").as("__prio"))
+      .groupBy(col("canon_url"))
+      .agg(
+        max(col("__lastmod")).as("__lastmod"),
+        min(col("__interval")).as("__interval"),
+        max(col("__prio")).as("__prio"))
+    val s = crawlState
+      .select(url_canonicalize(col("url")).as("canon_url"),
+        col("last_fetch_sec").cast("long").as("__fetch"))
+      .groupBy(col("canon_url"))
+      .agg(max(col("__fetch")).as("__fetch"))
+    val known = col("__lastmod").isNotNull && col("__fetch").isNotNull &&
+      col("__lastmod") > col("__fetch")
+    val staleness =
+      when(col("__fetch").isNull, 4.0)
+        .when(known, 4.0)
+        .when(col("__interval").isNull, 0.0)
+        .otherwise(least(lit(4.0),
+          round((lit(nowSec) - col("__fetch")).cast("double") / col("__interval"), 6)))
+    e.join(s, Seq("canon_url"), "left")
+      .select(col("canon_url"),
+        known.as("known_changed"),
+        staleness.as("staleness"),
+        round(coalesce(col("__prio"), lit(0.5)) * staleness, 6).as("score"))
+  }
+
   /** Crawl-front funnel diagnostics (the pq44 shape for [[crawlToCorpus]]):
     * per-stage survivor counts — raw, URL-unique, post-blocklist, C4 page
     * survivors, Gopher survivors. Two tiers, each read ONCE:
@@ -745,11 +825,17 @@ object WebCuration {
       .filter(col("warc_type") === "response")
       .withColumn("__text", http_text(col("content")))
       .filter(col("__text").isNotNull)
+      .withColumn("__extracted", TextFunctions.extract_text(col("__text")))
       .select(
         col("target_uri"),
-        TextFunctions.extract_text(col("__text")).as("content"),
+        col("__extracted").as("content"),
         lit("conversion").as("warc_type"),
         col("warc_date"),
+        // real WET records annotate the identified content language
+        // (ISO 28500 §5 WARC-Identified-Content-Language); the stopword-
+        // vote langid (pq11's operator) runs over the EXTRACTED text —
+        // markup must not vote
+        TextFunctions.lang_guess(col("__extracted")).as("content_language"),
         // derived id: stable function of the source record's id (brackets
         // stripped if present, so a NON-bracketed source id still derives
         // a DISTINCT wet id — reusing the source id verbatim would break

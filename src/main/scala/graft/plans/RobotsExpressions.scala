@@ -353,6 +353,10 @@ case class RobotsSitemaps(child: Expression) extends UnaryExpression {
   */
 private[plans] object SitemapParsing {
   private val LocRe = java.util.regex.Pattern.compile("(?is)<loc>\\s*([^<]+?)\\s*</loc>")
+  private val UrlBlockRe = java.util.regex.Pattern.compile("(?is)<url\\b[^>]*>(.*?)</url\\s*>")
+  private val LastmodRe = java.util.regex.Pattern.compile("(?is)<lastmod>\\s*([^<]+?)\\s*</lastmod>")
+  private val ChangefreqRe = java.util.regex.Pattern.compile("(?is)<changefreq>\\s*([^<]+?)\\s*</changefreq>")
+  private val PriorityRe = java.util.regex.Pattern.compile("(?is)<priority>\\s*([^<]+?)\\s*</priority>")
 
   private def unescape(s: String): String =
     // &amp; LAST — same one-shot rule as extract_text
@@ -375,6 +379,46 @@ private[plans] object SitemapParsing {
       (doc.linesIterator.map(_.trim)
         .filter(l => l.startsWith("http://") || l.startsWith("https://")).toSeq, Nil)
     }
+  }
+
+  /** One `<urlset>` entry with its optional recrawl metadata. `lastmod`
+    * stays the RAW W3C datetime string (timestamp semantics belong to the
+    * engine's `to_date`/`to_timestamp`, not a second parser here);
+    * `changefreq` is lowercased to the published vocabulary; `priority`
+    * parses to its 0.0–1.0 range or null.
+    */
+  final case class Entry(
+      loc: String, lastmod: String, changefreq: String, priority: java.lang.Double)
+
+  /** Entries with metadata: `<urlset>` docs yield one entry per `<url>`
+    * block that carries a `<loc>`; plain-text sitemaps yield loc-only
+    * entries; a `<sitemapindex>` yields none (its children are
+    * [[SitemapChildren]]'s edge, not pages).
+    */
+  def entries(doc: String): Seq[Entry] = {
+    val lower = doc.toLowerCase(java.util.Locale.ROOT)
+    if (lower.contains("<sitemapindex")) Nil
+    else if (lower.contains("<urlset")) {
+      val out = Seq.newBuilder[Entry]
+      val bm = UrlBlockRe.matcher(doc)
+      while (bm.find()) {
+        val block = bm.group(1)
+        val lm = LocRe.matcher(block)
+        if (lm.find()) {
+          def first(p: java.util.regex.Pattern): String = {
+            val m = p.matcher(block)
+            if (m.find()) m.group(1) else null
+          }
+          val freq = Option(first(ChangefreqRe))
+            .map(_.trim.toLowerCase(java.util.Locale.ROOT)).orNull
+          val prio = Option(first(PriorityRe)).flatMap(s =>
+            scala.util.Try(s.trim.toDouble).toOption.filter(p => p >= 0.0 && p <= 1.0))
+            .map(Double.box).orNull
+          out += Entry(unescape(lm.group(1)), first(LastmodRe), freq, prio)
+        }
+      }
+      out.result()
+    } else parse(doc)._1.map(Entry(_, null, null, null))
   }
 }
 
@@ -423,4 +467,46 @@ case class SitemapChildren(child: Expression) extends UnaryExpression {
   }
   override def prettyName: String = "sitemap_children"
   override protected def withNewChildInternal(c: Expression): SitemapChildren = copy(child = c)
+}
+
+/** sitemap document → entries WITH recrawl metadata:
+  * `array<struct<loc, lastmod, changefreq, priority>>` per
+  * [[SitemapParsing.entries]]. The metadata half of sitemap discovery the
+  * loc-only [[SitemapUrls]] drops — lastmod/changefreq/priority decide
+  * WHEN to revisit ([[graft.pipeline.WebCuration.recrawlPriority]]), not
+  * just what to fetch.
+  */
+case class SitemapEntries(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("loc", StringType, nullable = false),
+    StructField("lastmod", StringType, nullable = true),
+    StructField("changefreq", StringType, nullable = true),
+    StructField("priority", DoubleType, nullable = true))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"sitemap_entries expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SitemapParsing.entries(input.asInstanceOf[UTF8String].toString).map { e =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          UTF8String.fromString(e.loc),
+          if (e.lastmod == null) null else UTF8String.fromString(e.lastmod),
+          if (e.changefreq == null) null else UTF8String.fromString(e.changefreq),
+          e.priority)
+      }.toArray[Any])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sitemapEntries", this, classOf[SitemapEntries].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.nullSafeEval($c);")
+  }
+
+  override def prettyName: String = "sitemap_entries"
+  override protected def withNewChildInternal(c: Expression): SitemapEntries = copy(child = c)
 }

@@ -578,7 +578,7 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101 :+ pq102
+      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101 :+ pq102 :+ pq103 :+ pq104
 
   /** The HTTP payload decode chain ([[graft.functions.http_text]]) — the
     * step a real Common Crawl pipeline needs on its FIRST `response`
@@ -716,6 +716,134 @@ object CrawlQueries {
              CASE WHEN arm < 2 THEN CAST(length(payload) AS INT) END AS n_chars,
              CASE WHEN arm < 2 THEN md5(payload) END AS text_hash
       FROM p
+    """))
+
+  /** Main-content extraction ([[graft.functions.TextFunctions.main_content]]
+    * — the jusText/Boilerpipe-class block scorer): each document is
+    * wrapped in a full boilerplate-framed page — link-dense nav bar,
+    * short cookie banner, short headline, the document text as the
+    * article body, link-dense footer — and the operator must recover
+    * EXACTLY the article text, dropping every planted boilerplate block.
+    * With the oracle-replayable parameterization (length + link-density
+    * classification; the stop-word and context-promotion signals are
+    * MainContentSpec's fixtures), the expected output is computable
+    * directly from the documents table: the body block passes iff the
+    * text reaches `minLen`, so DuckDB never parses HTML (wrap-then-
+    * recover). Hash-exact on (n_blocks, n_content, n_chars, main_hash).
+    */
+  private def pq103: Q = Q(
+    "pq103_main_content",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style>nav { color: #900 }</style></head><body>" +
+          "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a> | " +
+          "<a href=\"/contact\">Contact</a> | <a href=\"/login\">Login</a></nav>" +
+          "<div>We use cookies. <a href=\"/privacy\">Learn more</a></div>" +
+          "<h1>Doc "), id, lit("</h1><p>"), col("text"),
+        lit("</p><footer><a href=\"/p\">Privacy</a> <a href=\"/t\">Terms</a>" +
+          " (c) Example Inc.</footer></body></html>"))
+      val mc = TextFunctions.main_content(html)
+      d.select(id, mc.as("__mc"))
+        .select(id,
+          col("__mc.n_blocks").as("n_blocks"),
+          col("__mc.n_content").as("n_content"),
+          length(col("__mc.text_main")).as("n_chars"),
+          md5(col("__mc.text_main")).as("main_hash"))
+    },
+    Some("""
+      SELECT doc_id,
+             CAST(5 AS INT) AS n_blocks,
+             CAST(CASE WHEN length(text) >= 80 THEN 1 ELSE 0 END AS INT) AS n_content,
+             CAST(CASE WHEN length(text) >= 80 THEN length(text) ELSE 0 END AS INT) AS n_chars,
+             md5(CASE WHEN length(text) >= 80 THEN text ELSE '' END) AS main_hash
+      FROM documents
+    """))
+
+  /** Sitemap-metadata recrawl priority
+    * ([[graft.functions.sitemap_entries]] →
+    * [[graft.pipeline.WebCuration.recrawlPriority]]) — the half of
+    * discovery that decides WHEN to revisit: each doc becomes a
+    * `<urlset>` entry whose lastmod (present 2/3, a date arithmetic can
+    * replay), changefreq (all seven published values + absent) and
+    * priority (present 4/5) vary by doc_id arms; crawl state covers 3/4
+    * of the urls with a deterministic fetch age. The operator must parse
+    * the XML, convert the W3C date, join state by canonical url and
+    * score staleness exactly as the oracle computes it from doc_id
+    * arithmetic alone (wrap-then-recover — DuckDB parses no XML and no
+    * dates). Hash-exact on (known_changed, staleness, score).
+    */
+  private def pq104: Q = Q(
+    "pq104_recrawl_priority",
+    (s, dir) => {
+      import graft.functions.sitemap_entries
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val url = concat(lit("https://r"), id % 7, lit(".example.com/page/"), id)
+      val lastmodDate = date_format(
+        date_add(to_date(lit("2025-09-01")), (id % 50).cast("int")), "yyyy-MM-dd")
+      val freq = element_at(
+        typedlit(Seq("always", "hourly", "daily", "weekly", "monthly", "yearly", "never", "")),
+        (id % 8).cast("int") + 1)
+      val prioStr = element_at(
+        typedlit(Seq("", "0.2", "0.4", "0.6", "0.8")), (id % 5).cast("int") + 1)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\"><url><loc>"),
+        url, lit("</loc>"),
+        when(id % 3 =!= 0, concat(lit("<lastmod>"), lastmodDate, lit("</lastmod>")))
+          .otherwise(lit("")),
+        when(freq =!= "", concat(lit("<changefreq>"), freq, lit("</changefreq>")))
+          .otherwise(lit("")),
+        when(prioStr =!= "", concat(lit("<priority>"), prioStr, lit("</priority>")))
+          .otherwise(lit("")),
+        lit("</url></urlset>"))
+      val entries = d
+        .select(id, explode(sitemap_entries(xml)).as("e"))
+        .select(
+          col("e.loc").as("url"),
+          unix_timestamp(to_date(col("e.lastmod"), "yyyy-MM-dd")).as("lastmod_sec"),
+          col("e.changefreq").as("changefreq"),
+          col("e.priority").as("priority"))
+      val state = d.where(id % 4 =!= 0).select(
+        concat(lit("https://r"), id % 7, lit(".example.com/page/"), id).as("url"),
+        (lit(1760000000L) - (id % 100 + 1) * 86400L).as("last_fetch_sec"))
+      graft.pipeline.WebCuration.recrawlPriority(entries, state, nowSec = 1760000000L)
+    },
+    Some("""
+      WITH p AS (
+        SELECT doc_id,
+          'https://r' || (doc_id % 7) || '.example.com/page/' || doc_id AS canon_url,
+          CASE WHEN doc_id % 3 <> 0
+               THEN 1756684800 + (doc_id % 50) * 86400 END AS lastmod_sec,
+          (['always','hourly','daily','weekly','monthly','yearly','never',NULL])[(doc_id % 8) + 1] AS freq,
+          CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 5 AS DOUBLE) / 5.0 END AS prio,
+          CASE WHEN doc_id % 4 <> 0
+               THEN 1760000000 - (doc_id % 100 + 1) * 86400 END AS last_fetch
+        FROM documents),
+      q AS (
+        SELECT canon_url,
+          CASE freq WHEN 'always' THEN 3600 WHEN 'hourly' THEN 3600
+               WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+               WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+               WHEN 'never' THEN NULL ELSE 604800 END AS ivl,
+          coalesce(prio, 0.5) AS base,
+          (lastmod_sec IS NOT NULL AND last_fetch IS NOT NULL
+             AND lastmod_sec > last_fetch) AS known_changed,
+          last_fetch
+        FROM p),
+      r AS (
+        SELECT canon_url, known_changed,
+          CASE WHEN last_fetch IS NULL THEN 4.0
+               WHEN known_changed THEN 4.0
+               WHEN ivl IS NULL THEN 0.0
+               ELSE least(4.0, round((1760000000 - last_fetch) / CAST(ivl AS DOUBLE), 6))
+          END AS staleness, base
+        FROM q)
+      SELECT canon_url, known_changed, staleness,
+             round(base * staleness, 6) AS score
+      FROM r
     """))
 
   /** The CDX-style WARC record index ([[graft.sources.warc.WarcIndex]]) —

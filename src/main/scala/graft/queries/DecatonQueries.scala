@@ -1520,9 +1520,15 @@ object DecatonQueries {
             regexp_extract(col("target_uri"), "/(\\d+)$", 1).cast("long").as("doc_id"),
             md5(col("content")).as("clean_hash"),
             graft.functions.TextFunctions.token_count(col("content").cast("string"))
-              .as("n_tokens"))
+              .as("n_tokens"),
+            // the sink wrote WARC-Identified-Content-Language; the reader
+            // surfaces it in the lowercased header map — round-trip proof
+            // that the annotation survives serialization
+            col("headers")("warc-identified-content-language").as("content_language"))
       },
-      Some("""
+      Some {
+        def words(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"""
         WITH h AS (
           SELECT doc_id,
                  '<html><head><style>p { color: #333; }</style></head><body><h1>Doc '
@@ -1548,11 +1554,26 @@ object DecatonQueries {
                      '&#39;', '''', 'g'),
                      '&nbsp;', ' ', 'g'),
                      '&amp;', '&', 'g'),
-                     '\s+', ' ', 'g')) AS t
-          FROM h)
+                     '\\s+', ' ', 'g')) AS t
+          FROM h),
+        sc AS (
+          SELECT doc_id, t, string_split(t, ' ') AS toks FROM x),
+        v AS (
+          SELECT doc_id, t, toks,
+            CAST(len(list_filter(toks, w -> w IN ${words(graft.functions.Stopwords.en)})) AS INT) AS en_s,
+            CAST(len(list_filter(toks, w -> w IN ${words(graft.functions.Stopwords.de)})) AS INT) AS de_s,
+            CAST(len(list_filter(toks, w -> w IN ${words(graft.functions.Stopwords.es)})) AS INT) AS es_s,
+            CAST(len(list_filter(toks, w -> w IN ${words(graft.functions.Stopwords.fr)})) AS INT) AS fr_s
+          FROM sc)
         SELECT doc_id, md5(t) AS clean_hash,
-               CAST(len(string_split(t, ' ')) AS INT) AS n_tokens
-        FROM x
-      """))
+               CAST(len(toks) AS INT) AS n_tokens,
+               list_max([
+                 {'s': de_s, 'l': 'de'},
+                 {'s': en_s, 'l': 'en'},
+                 {'s': es_s, 'l': 'es'},
+                 {'s': fr_s, 'l': 'fr'}]).l AS content_language
+        FROM v
+      """
+      })
   )
 }

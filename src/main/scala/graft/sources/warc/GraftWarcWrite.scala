@@ -48,11 +48,13 @@ class GraftWarcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
   private val typeIdx = colIdx("warc_type", required = false)
   private val dateIdx = colIdx("warc_date", required = false)
   private val idIdx = colIdx("record_id", required = false)
+  private val langIdx = colIdx("content_language", required = false)
   require(info.schema().fields(uriIdx).dataType == StringType,
     "graft-warc 'target_uri' must be string")
   // optional columns get the same plan-time check as target_uri — a wrong
   // type must fail at build(), not as an executor-side ClassCastException
-  Seq("warc_type" -> typeIdx, "warc_date" -> dateIdx, "record_id" -> idIdx).foreach {
+  Seq("warc_type" -> typeIdx, "warc_date" -> dateIdx, "record_id" -> idIdx,
+      "content_language" -> langIdx).foreach {
     case (n, i) => require(i < 0 || info.schema().fields(i).dataType == StringType,
       s"graft-warc '$n' must be string, got ${info.schema().fields(i).dataType.catalogString}")
   }
@@ -62,7 +64,7 @@ class GraftWarcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
     case other => throw new IllegalArgumentException(
       s"graft-warc 'content' must be binary or string, got ${other.catalogString}")
   }
-  private val cols = WarcWriteCols(uriIdx, contentIdx, contentIsString, typeIdx, dateIdx, idIdx)
+  private val cols = WarcWriteCols(uriIdx, contentIdx, contentIsString, typeIdx, dateIdx, idIdx, langIdx)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new BatchWrite {
@@ -90,7 +92,7 @@ class GraftWarcWriteBuilder(info: LogicalWriteInfo) extends WriteBuilder {
 /** Resolved input column indexes for the sink. */
 case class WarcWriteCols(
     uri: Int, content: Int, contentIsString: Boolean,
-    typ: Int, date: Int, id: Int)
+    typ: Int, date: Int, id: Int, lang: Int = -1)
 
 object GraftWarcWrite {
   /** Driver-side landing: rename every committed task's temp into its
@@ -174,7 +176,12 @@ class GraftWarcSegmentWriter(
       "WARC-Type" -> opt(cols.typ, "resource"),
       "WARC-Record-ID" -> opt(cols.id, s"<urn:graft:$tag:$partitionId:$n>"),
       "WARC-Date" -> opt(cols.date, "1970-01-01T00:00:00Z"),
-      "WARC-Target-URI" -> uri.toString)
+      "WARC-Target-URI" -> uri.toString) ++
+      // ISO 28500 §5: WARC-Identified-Content-Language — written only when
+      // the caller identified one (real WET records carry it; no default)
+      (if (cols.lang >= 0 && !row.isNullAt(cols.lang))
+        Seq("WARC-Identified-Content-Language" -> row.getUTF8String(cols.lang).toString)
+      else Nil)
     val gz = new java.util.zip.GZIPOutputStream(shield, 64 * 1024)
     gz.write(GraftWarc.recordBytes(headers, content))
     gz.close() // ends the member + its deflater; the shield keeps `out` open

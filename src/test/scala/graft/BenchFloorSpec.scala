@@ -71,6 +71,19 @@ class BenchFloorSpec extends AnyFunSuite {
         .mkString("plan regressions (warm min > variance-banded floor):\n", "\n", ""))
   }
 
+  test("http_text decode throughput stays above the committed MB/s floor") {
+    val self = "BENCH_SELF.json"
+    assume(BenchFloors.artifactSf(self).endsWith("sf0.1"),
+      "BENCH_SELF.json is not an sf0.1 artifact in this tree")
+    val mbps = BenchFloors.readNumberMap(self, None).get("http_text_mbps")
+    assume(mbps.nonEmpty, "artifact predates the embedded http probe")
+    val floor = BenchFloors.readNumberMap("tools/http_floor.json", None)
+      .getOrElse("mbps_floor", 0.0)
+    assert(mbps.get >= floor,
+      f"http_text decode ${mbps.get}%.0f MB/s fell under the ${floor}%.0f MB/s floor — " +
+        "a decode-chain regression (r19's pq99 class) landed; see tools/http_floor.json")
+  }
+
   test("window history round-trips through writeWindows/readWindows") {
     val ws = Seq(
       Window("a", Map("q01" -> 0.5, "q02" -> 1.25e-4)),

@@ -274,6 +274,43 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
   }
 
+  test("pq97's forced fallback keeps the distributed re-elect delta's plan shape") {
+    // the registered pq97 plan is the guarded driver fast path
+    // (LocalTableScan — the localResidue entry); this pins the OTHER shape,
+    // the one a takedown wave past the guard actually runs: sub-graph CC +
+    // survivor join + delta aggregation. Forcing collectThreshold below the
+    // survivor count takes the fallback branch; the sub-CC itself collapses
+    // to its checkpointed labels, so the LIVE plan is the survivors join
+    // (broadcast or shuffled by stats) + one partial-agg delta shuffle +
+    // the keeper-moved filter. Budget: ≤ 4 Exchanges (join sides + agg),
+    // ≥ 1 whole-stage span, and ≥ 1 Exchange proves the fallback (not the
+    // fast path's LocalTableScan) was audited.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      // one 400-node chain: every doc in one cluster, takedowns split it
+      val pairs = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+        .repartition(4).localCheckpoint()
+      val clusters = graft.dedup.Dedup.connectedComponents(pairs)
+      val removed = spark.range(0, 400, 5).toDF("id")
+      val delta = graft.dedup.Dedup.reElectAfterDeletion(
+        pairs, clusters, removed, collectThreshold = 8)
+      val f = Explain.audit(delta)
+      assert(f.exchanges >= 1,
+        s"threshold 8 did not force the distributed fallback (LocalTableScan?): $f")
+      assert(f.exchanges <= 4,
+        s"fallback delta shuffles ${f.exchanges} > 4 — an Exchange crept in: $f")
+      assert(f.codegenSpans >= 1, s"fallback delta lost whole-stage codegen: $f")
+      // and the two paths agree on the same input (the spec-level twin of
+      // DedupSpec's equivalence case, kept here so the audit can't drift
+      // from semantics)
+      val fast = graft.dedup.Dedup.reElectAfterDeletion(pairs, clusters, removed)
+      assert(delta.collect().toSet == fast.collect().toSet,
+        "fallback and fast-path deltas diverged")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("mmr's corpus-scale inputs keep their broadcast/shuffle shape") {
     // the registered pq50 plan is the driver-greedy residue; the plans that
     // touch the corpus are (a) the int8 scoring scan — the pq31 path, one

@@ -400,4 +400,51 @@ class UrlCurationSpec extends SparkTestBase {
       .select("canon_url").as[String].collect().toSet
     assert(added == found, s"frontierDiff composition diverged: $added vs $found")
   }
+
+  test("recrawlPriority orders revisits by staleness: changed > never-crawled tie > stale-by-freq > never") {
+    import graft.functions.sitemap_entries
+    val now = 1760000000L
+    val day = 86400L
+    // one sitemap advertising five urls with distinct metadata shapes
+    val xml =
+      """<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://ex.com/changed</loc><lastmod>2026-01-01</lastmod><changefreq>yearly</changefreq><priority>0.3</priority></url>
+        |<url><loc>https://ex.com/fresh-daily</loc><changefreq>daily</changefreq></url>
+        |<url><loc>https://ex.com/stale-daily</loc><changefreq>daily</changefreq><priority>0.8</priority></url>
+        |<url><loc>https://ex.com/never-crawled</loc><priority>0.9</priority></url>
+        |<url><loc>https://ex.com/archived</loc><changefreq>never</changefreq><priority>1.0</priority></url>
+        |</urlset>""".stripMargin
+    val entries = Seq(xml).toDF("doc")
+      .select(explode(sitemap_entries(col("doc"))).as("e"))
+      .select(col("e.loc").as("url"),
+        unix_timestamp(to_date(col("e.lastmod"), "yyyy-MM-dd")).as("lastmod_sec"),
+        col("e.changefreq").as("changefreq"), col("e.priority").as("priority"))
+    // lastmod 2026-01-01 (epoch 1767225600) is AFTER every fetch below
+    val state = Seq(
+      ("https://ex.com/changed", now - 30 * day),
+      ("https://ex.com/fresh-daily", now - day / 2), // half its interval old
+      ("https://ex.com/stale-daily", now - 2 * day), // 2x its interval
+      ("https://ex.com/archived", now - 300 * day)   // ancient but 'never'
+    ).toDF("url", "last_fetch_sec")
+    val got = graft.pipeline.WebCuration.recrawlPriority(entries, state, now)
+      .orderBy(col("score").desc, col("canon_url"))
+      .select("canon_url", "known_changed", "staleness", "score")
+      .as[(String, Boolean, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(
+      "https://ex.com/never-crawled", // 0.9 * 4.0 = 3.6
+      "https://ex.com/stale-daily",   // 0.8 * 2.0 = 1.6
+      "https://ex.com/changed",       // 0.3 * 4.0 = 1.2 — lastmod beats a yearly freq
+      "https://ex.com/fresh-daily",   // 0.5 * 0.5 = 0.25
+      "https://ex.com/archived"       // 1.0 * 0.0 = 0 — never accrues nothing
+    ), s"got $got")
+    val byUrl = got.map(g => g._1 -> g).toMap
+    assert(byUrl("https://ex.com/changed")._2, "lastmod after fetch flags known_changed")
+    assert(byUrl("https://ex.com/changed")._4 == 1.2)
+    assert(byUrl("https://ex.com/stale-daily")._3 == 2.0 &&
+      byUrl("https://ex.com/stale-daily")._4 == 1.6)
+    assert(byUrl("https://ex.com/never-crawled")._3 == 4.0)
+    assert(byUrl("https://ex.com/archived")._4 == 0.0)
+    assert(byUrl("https://ex.com/fresh-daily")._4 == 0.25,
+      "absent priority takes the sitemaps.org 0.5 default")
+  }
 }
