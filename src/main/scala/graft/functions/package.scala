@@ -169,6 +169,28 @@ package object functions {
   def sitemap_entries(doc: Column): Column =
     toColumn(graft.plans.SitemapEntries(toExpr(doc)))
 
+  /** `<a href>` links of a page — `array<struct<href, anchor, rel>>`
+    * ([[graft.plans.ExtractLinks]]): raw href as written, visible anchor
+    * text, `rel` attribute (`nofollow` is a per-link crawl directive).
+    */
+  def extract_links(html: Column): Column =
+    toColumn(graft.plans.ExtractLinks(toExpr(html)))
+
+  /** Page-level robots-meta directives — `struct(noindex, nofollow)`
+    * ([[graft.plans.RobotsMetaDirectives]]); the in-page counterpart of
+    * robots.txt, feeding the corpus gate (noindex) and
+    * [[graft.pipeline.WebCuration.linkGraph]] (nofollow).
+    */
+  def robots_meta(html: Column): Column =
+    toColumn(graft.plans.RobotsMetaDirectives(toExpr(html)))
+
+  /** RFC 3986 §5 reference resolution ([[graft.plans.ResolveUrl]]) —
+    * relative hrefs against the page url; null for non-absolute bases
+    * and same-document fragments.
+    */
+  def resolve_url(base: Column, ref: Column): Column =
+    toColumn(graft.plans.ResolveUrl(toExpr(base), toExpr(ref)))
+
   def sitemap_children(doc: Column): Column =
     toColumn(graft.plans.SitemapChildren(toExpr(doc)))
 

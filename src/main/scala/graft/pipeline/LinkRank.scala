@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for frontier prioritization — the published
+  * PageRank iteration (Page et al. 1999) over the crawl's outlink edges,
+  * in INTEGER arithmetic so the result is bit-exact regardless of
+  * partitioning: floating-point PageRank sums contributions in partition
+  * order and no two runs (or engines) agree, while scaled-long floor
+  * division makes every contribution an exact integer and `sum(long)`
+  * order-independent — the same determinism rule the relational surface
+  * uses (DECIMAL aggregation), applied to an iterative graph op.
+  *
+  * Semantics: ranks live in `scale` units (`scale` ≈ total probability
+  * mass 1.0). Per iteration, every node keeps
+  * `base = scale·(1−d)/n` plus `d·rank/outdeg` from each in-edge plus an
+  * equal share of the dangling mass (nodes with no out-edges), all in
+  * floor division — conservation is therefore within n integer
+  * truncations of exact, and ordering (the thing a frontier consumes) is
+  * unaffected.
+  *
+  * 100 TB shape: the edge list is pinned once (`localCheckpoint` — the
+  * connected-components rule: an unpinned frame replans its whole
+  * upstream per iteration); each iteration is ONE edges⋈ranks join
+  * (co-partitioned on src across iterations), one partial-agg shuffle to
+  * dst, one left join back to the node set; the dangling term is a
+  * single scalar aggregate. Iterations are a fixed small count (rank
+  * ordering stabilizes in ~10 even on web graphs — the published
+  * convergence behavior), so the loop cost is `iterations ×` that budget.
+  */
+object LinkRank {
+
+  /** `edges(src, dst)` → `(node, rank)` with `rank` in `scale` units.
+    * Duplicate edges collapse first (a simple graph — host-graph edges
+    * weight by existence, not multiplicity); self-loops count like any
+    * other edge.
+    */
+  def integerPageRank(
+      edges0: DataFrame,
+      iterations: Int = 10,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85,
+      dampDen: Long = 100): DataFrame = {
+    require(iterations >= 0, s"iterations=$iterations")
+    require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen out of range")
+    val edges = edges0.select(col("src"), col("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .dropDuplicates("src", "dst")
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count()
+    if (n == 0) return nodes.withColumn("rank", lit(0L))
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // the per-edge denominator never changes — join it in once, pin it
+    val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val danglingNodes = nodes
+      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
+      .localCheckpoint()
+    val base = scale * (dampDen - dampNum) / (dampDen * n)
+    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+    var it = 0
+    while (it < iterations) {
+      val dangling = danglingNodes.join(ranks, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
+      val dShare = dangling * dampNum / (dampDen * n)
+      val contribs = edgesDeg
+        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
+        .select(col("dst").as("node"),
+          expr(s"(rank * ${dampNum}L) div (${dampDen}L * __deg)").as("__c"))
+        .groupBy(col("node"))
+        .agg(sum(col("__c")).as("__c"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base + dShare) + coalesce(col("__c"), lit(0L))).as("rank"))
+        .localCheckpoint() // truncate lineage per iteration (the CC rule)
+      it += 1
+    }
+    ranks
+  }
+}

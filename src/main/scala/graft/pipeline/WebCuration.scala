@@ -227,6 +227,45 @@ object WebCuration {
     (discovery, children)
   }
 
+  /** Canonical outlink edge list of a fetched-page frame — the edge half
+    * of the crawl ([[graft.functions.extract_links]] →
+    * [[graft.functions.resolve_url]] → `url_canonicalize`), honoring the
+    * robots directives a polite crawler must: page-level
+    * `<meta name="robots" content="nofollow">` drops ALL the page's
+    * edges, a per-link `rel="nofollow"` (any token of the rel list)
+    * drops that edge — unless `honorNofollow = false`, which keeps them
+    * flagged for analysis. Unresolvable hrefs (no absolute base,
+    * same-document fragments) drop row-local. Output:
+    * `(src, dst, anchor, nofollow)` — canonical urls, visible anchor
+    * text (the ranking/labeling signal real link graphs carry).
+    *
+    * Everything up to the output is ROW-LOCAL (parse, resolve,
+    * canonicalize — zero shuffle, stream-safe); downstream consumers
+    * aggregate it into host graphs ([[graft.pipeline.LinkRank]]) or
+    * anti-join it against the frontier ([[sitemapFrontierSeed]]'s
+    * discovery rule works unchanged on link edges).
+    */
+  def linkGraph(
+      pages: DataFrame,
+      urlCol: Column,
+      htmlCol: Column,
+      honorNofollow: Boolean = true): DataFrame = {
+    import graft.functions.{extract_links, resolve_url, robots_meta}
+    val edges = pages
+      .select(urlCol.as("__page"),
+        robots_meta(htmlCol).getField("nofollow").as("__page_nf"),
+        explode(extract_links(htmlCol)).as("__l"))
+      .select(
+        url_canonicalize(col("__page")).as("src"),
+        url_canonicalize(resolve_url(col("__page"), col("__l.href"))).as("dst"),
+        col("__l.anchor").as("anchor"),
+        (col("__page_nf") ||
+          coalesce(array_contains(split(col("__l.rel"), "\\s+"), "nofollow"),
+            lit(false))).as("nofollow"))
+      .where(col("dst").isNotNull)
+    if (honorNofollow) edges.where(!col("nofollow")) else edges
+  }
+
   /** Published changefreq vocabulary → expected change interval in
     * seconds; `never` maps to null (archived — no staleness accrues), an
     * absent/unknown value to the weekly default. A `when`-chain (not a

@@ -578,7 +578,8 @@ object CrawlQueries {
           CASE WHEN n > k THEN array_to_string(list_slice(p, n - k, n), '.')
                ELSE host END AS domain
         FROM ps
-      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101 :+ pq102 :+ pq103 :+ pq104
+      """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101 :+ pq102 :+ pq103 :+
+      pq104 :+ pq105 :+ pq106
 
   /** The HTTP payload decode chain ([[graft.functions.http_text]]) — the
     * step a real Common Crawl pipeline needs on its FIRST `response`
@@ -845,6 +846,145 @@ object CrawlQueries {
              round(base * staleness, 6) AS score
       FROM r
     """))
+
+  /** Outlink extraction + RFC 3986 resolution + robots directives — the
+    * EDGE half of a crawl ([[graft.pipeline.WebCuration.linkGraph]]):
+    * each doc becomes a page whose links exercise one resolution arm
+    * each — relative-path merge, `../` dot-segment removal, a
+    * scheme-relative `//host` ref to ANOTHER host, an absolute
+    * `rel="nofollow noopener"` external link (the flag must come from
+    * token membership, not substring luck), and a same-document `#`
+    * fragment that must drop row-local. Docs with `doc_id % 7 == 0`
+    * carry `<meta name="robots" content="nofollow">` — ALL their edges
+    * flag. Run with `honorNofollow = false` so BOTH flag states are
+    * hash-checked; the oracle rebuilds every edge from doc_id string
+    * arithmetic (wrap-then-recover — DuckDB parses no HTML and resolves
+    * no references).
+    */
+  private def pq105: Q = Q(
+    "pq105_link_graph",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val host = concat(lit("https://h"), id % 5, lit(".example.org"))
+      val page = concat(host, lit("/a/b/page"), id)
+      val html = concat(
+        lit("<html><head>"),
+        when(id % 7 === 0, lit("""<meta name="robots" content="nofollow">"""))
+          .otherwise(lit("")),
+        lit("</head><body><a href=\"p/"), (id * 3) % 1000,
+        lit("\">l1</a> <a href='../up/"), id,
+        lit("'><b>l2</b></a> <a href=\"//h"), (id + 1) % 5,
+        lit(".example.org/x?k="), id % 9,
+        lit("\">l3</a> <a href=\"https://ext.example.net/e/"), id,
+        lit("\" rel=\"nofollow noopener\">l4</a> <a href=\"#sec\">l5</a>" +
+          "</body></html>"))
+      graft.pipeline.WebCuration.linkGraph(
+        d.select(page.as("url"), html.as("html")),
+        col("url"), col("html"), honorNofollow = false)
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id AS id, doc_id % 5 AS h, doc_id % 7 = 0 AS pnf
+        FROM documents),
+      e AS (
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id AS src,
+               'https://h' || h || '.example.org/a/b/p/' || ((id * 3) % 1000) AS dst,
+               'l1' AS anchor, pnf AS nofollow FROM d
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id,
+               'https://h' || h || '.example.org/a/up/' || id, 'l2', pnf FROM d
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id,
+               'https://h' || ((id + 1) % 5) || '.example.org/x?k=' || (id % 9),
+               'l3', pnf FROM d
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id,
+               'https://ext.example.net/e/' || id, 'l4', true FROM d)
+      SELECT src, dst, anchor, nofollow FROM e
+    """))
+
+  /** Integer-exact PageRank over the outlink graph
+    * ([[graft.pipeline.LinkRank.integerPageRank]]) — frontier
+    * prioritization's centrality signal, in scaled-long floor arithmetic
+    * so the iterative result is BIT-EXACT regardless of partitioning
+    * (floating-point PageRank sums in partition order; no two runs
+    * agree). Same page graph as pq105 with robots directives honored;
+    * 5 iterations, damping 85/100, scale 1e12. The dst-only nodes
+    * (`/p/`, `/up/`, the `x?k=` hubs) have no out-edges, so the dangling
+    * -mass term is exercised every iteration. The oracle UNROLLS the five
+    * iterations as staged CTEs (the pq92 Hilbert posture) over the same
+    * integer formulas — per-edge `(rank*85) // (100*deg)`, dangling share
+    * `(mass*85) // (100*n)`, base `(scale*15) // (100*n)` — so engine
+    * agreement proves the iteration exactly, not approximately.
+    */
+  private def pq106: Q = Q(
+    "pq106_link_pagerank",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val host = concat(lit("https://h"), id % 5, lit(".example.org"))
+      val page = concat(host, lit("/a/b/page"), id)
+      val html = concat(
+        lit("<html><head>"),
+        when(id % 7 === 0, lit("""<meta name="robots" content="nofollow">"""))
+          .otherwise(lit("")),
+        lit("</head><body><a href=\"p/"), (id * 3) % 1000,
+        lit("\">l1</a> <a href='../up/"), id,
+        lit("'><b>l2</b></a> <a href=\"//h"), (id + 1) % 5,
+        lit(".example.org/x?k="), id % 9,
+        lit("\">l3</a> <a href=\"https://ext.example.net/e/"), id,
+        lit("\" rel=\"nofollow noopener\">l4</a></body></html>"))
+      val edges = graft.pipeline.WebCuration.linkGraph(
+        d.select(page.as("url"), html.as("html")),
+        col("url"), col("html"))
+      graft.pipeline.LinkRank.integerPageRank(edges, iterations = 5)
+    },
+    Some {
+      val scale = 1000000000000L
+      val iterCtes = (1 to 5).map { i =>
+        s"""d$i AS (
+          SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm FROM r${i - 1}
+          WHERE node NOT IN (SELECT src FROM e1)),
+        r$i AS (
+          SELECT n.node,
+            CAST((SELECT ($scale * 15) // (100 * n) FROM nn)
+              + (SELECT (dm * 85) // (100 * (SELECT n FROM nn)) FROM d$i)
+              + coalesce(c.c, 0) AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum((r.rank * 85) // (100 * e.deg)) AS BIGINT) AS c
+            FROM e JOIN r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst) c ON c.node = n.node)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id AS id, doc_id % 5 AS h FROM documents WHERE doc_id % 7 <> 0),
+      e0 AS (
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id AS src,
+               'https://h' || h || '.example.org/a/b/p/' || ((id * 3) % 1000) AS dst
+        FROM docs
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id,
+               'https://h' || h || '.example.org/a/up/' || id FROM docs
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id,
+               'https://h' || ((id + 1) % 5) || '.example.org/x?k=' || (id % 9)
+        FROM docs),
+      e1 AS (SELECT DISTINCT src, dst FROM e0),
+      deg AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+      e AS (SELECT e1.src, e1.dst, deg.deg FROM e1 JOIN deg ON deg.src = e1.src),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e1 UNION SELECT dst FROM e1)),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (
+        SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rank
+        FROM nodes),
+        $iterCtes
+      SELECT node, rank FROM r5
+      """
+    })
 
   /** The CDX-style WARC record index ([[graft.sources.warc.WarcIndex]]) —
     * the (url → file, pos, sub) random-access companion every real WARC

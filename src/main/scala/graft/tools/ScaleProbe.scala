@@ -81,7 +81,13 @@ object ScaleProbe {
     // the deletion re-election (broadcast-restricted sub-graph + driver
     // delta; its shuffle bytes are the LSH pair build's, which must stay
     // linear)
-    "pq99_http_text", "pq101_sitemap_seed", "pq97_deletion_reelect")
+    "pq99_http_text", "pq101_sitemap_seed", "pq97_deletion_reelect",
+    // round-20: main-content extraction (row-local block scoring — zero
+    // shuffle expected), the link-graph build (parse+resolve+canonicalize
+    // row-local; only the registered output materialization may
+    // exchange), and integer PageRank (per-iteration edges⋈ranks joins —
+    // shuffle bytes must scale with the EDGE list, linearly)
+    "pq103_main_content", "pq105_link_graph", "pq106_link_pagerank")
 
   /** Round-14: a THIRD scale point — two points (sf0.01→sf0.1) fit any
     * line; the flagships get a further 10× step on SYNTHESIZED volume
