@@ -266,6 +266,23 @@ object WebCuration {
     if (honorNofollow) edges.where(!col("nofollow")) else edges
   }
 
+  /** In-link anchor-text index over a [[linkGraph]] edge list — the
+    * classic off-page signal: what OTHER pages call a document describes
+    * it better than its own boilerplate, and every production ranking
+    * stack (and label-mining pipeline) aggregates it. One partial-agg
+    * shuffle on `dst`: in-link count, distinct referring sources, and the
+    * SORTED anchor list (sorted so the aggregation is order-deterministic
+    * under any partitioning — `collect_list` alone is not). Feeds BM25
+    * (index the anchors as a field) and the frontier (high in-link urls
+    * first).
+    */
+  def anchorTextIndex(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst"))
+      .agg(
+        count(lit(1)).as("n_inlinks"),
+        countDistinct(col("src")).as("n_src"),
+        sort_array(collect_list(col("anchor"))).as("anchors"))
+
   /** Published changefreq vocabulary → expected change interval in
     * seconds; `never` maps to null (archived — no staleness accrues), an
     * absent/unknown value to the weekly default. A `when`-chain (not a

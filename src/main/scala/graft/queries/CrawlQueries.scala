@@ -579,7 +579,7 @@ object CrawlQueries {
                ELSE host END AS domain
         FROM ps
       """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101 :+ pq102 :+ pq103 :+
-      pq104 :+ pq105 :+ pq106
+      pq104 :+ pq105 :+ pq106 :+ pq107
 
   /** The HTTP payload decode chain ([[graft.functions.http_text]]) — the
     * step a real Common Crawl pipeline needs on its FIRST `response`
@@ -985,6 +985,55 @@ object CrawlQueries {
       SELECT node, rank FROM r5
       """
     })
+
+  /** In-link anchor-text index
+    * ([[graft.pipeline.WebCuration.anchorTextIndex]]) — the off-page
+    * description signal: each doc links to two target urls (a same-host
+    * topic page keyed by `(id*7)%200` and a cross-host one by
+    * `(id*11)%200`) with id-derived anchor text, so targets accumulate
+    * MANY in-links with varied anchors. The aggregation must produce,
+    * per target: in-link count, distinct referring pages, and the md5 of
+    * the SORTED anchor list (sortedness is what makes `collect_list`
+    * order-deterministic under any partitioning). Oracle replays the
+    * edges from doc_id arithmetic and aggregates with
+    * `string_agg(... ORDER BY ...)`. Hash-exact.
+    */
+  private def pq107: Q = Q(
+    "pq107_anchor_text",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val host = concat(lit("https://h"), id % 5, lit(".example.org"))
+      val page = concat(host, lit("/page"), id)
+      val html = concat(
+        lit("<html><body><a href=\"/t/"), (id * 7) % 200,
+        lit("\">topic "), (id * 7) % 200,
+        lit("</a> <a href=\"//h"), (id + 2) % 5,
+        lit(".example.org/t/"), (id * 11) % 200,
+        lit("\">cross "), (id * 11) % 200,
+        lit("</a></body></html>"))
+      val edges = graft.pipeline.WebCuration.linkGraph(
+        d.select(page.as("url"), html.as("html")), col("url"), col("html"))
+      graft.pipeline.WebCuration.anchorTextIndex(edges)
+        .select(col("dst"), col("n_inlinks"), col("n_src"),
+          md5(array_join(col("anchors"), " ")).as("anchors_hash"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id AS id, doc_id % 5 AS h FROM documents),
+      e AS (
+        SELECT 'https://h' || h || '.example.org/page' || id AS src,
+               'https://h' || h || '.example.org/t/' || ((id * 7) % 200) AS dst,
+               'topic ' || ((id * 7) % 200) AS anchor FROM d
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/page' || id,
+               'https://h' || ((id + 2) % 5) || '.example.org/t/' || ((id * 11) % 200),
+               'cross ' || ((id * 11) % 200) FROM d)
+      SELECT dst,
+             CAST(count(*) AS BIGINT) AS n_inlinks,
+             CAST(count(DISTINCT src) AS BIGINT) AS n_src,
+             md5(string_agg(anchor, ' ' ORDER BY anchor)) AS anchors_hash
+      FROM e GROUP BY dst
+    """))
 
   /** The CDX-style WARC record index ([[graft.sources.warc.WarcIndex]]) —
     * the (url → file, pos, sub) random-access companion every real WARC
