@@ -70,6 +70,33 @@ class LinkGraphSpec extends SparkTestBase {
     assert(LinkParsing.resolve("not-absolute", "g") == null, "relative base refuses")
   }
 
+  test("resolve_url agrees with java.net.URI.resolve over seeded relative refs") {
+    // the JDK resolver is the independent reference; the generator stays
+    // inside the territory where RFC 2396 (JDK) and RFC 3986 (ours) agree:
+    // up-traversals never exceed the base depth (2396 KEEPS excess leading
+    // '..', 3986 drops them — the §5.4.2 abnormal cases, pinned separately
+    // above), refs are non-empty and not query/fragment-only (known JDK
+    // divergence), no scheme-carrying refs ('http:g' — 3986 strict vs the
+    // JDK's backwards-compatible merge)
+    val rnd = new scala.util.Random(20260817L)
+    val segs = Vector("x", "y9", "img2", "a-b", "q_r", "page.html")
+    (0 until 500).foreach { _ =>
+      val depth = 1 + rnd.nextInt(3)
+      val base = "http://host.example" +
+        (0 until depth).map(_ => "/" + segs(rnd.nextInt(segs.length))).mkString +
+        "/leaf" + (if (rnd.nextBoolean()) "?k=v" else "")
+      val ups = rnd.nextInt(depth + 1)
+      val ref = (if (rnd.nextBoolean() && ups == 0) "./" else "") +
+        ("../" * ups) +
+        (0 to rnd.nextInt(2)).map(_ => segs(rnd.nextInt(segs.length))).mkString("/") +
+        (if (rnd.nextBoolean()) "/" else "") +
+        (if (rnd.nextBoolean()) "?a=1&b=2" else "")
+      val ours = LinkParsing.resolve(base, ref)
+      val jdk = java.net.URI.create(base).resolve(ref).toString
+      assert(ours == jdk, s"resolve($base, $ref): ours=$ours jdk=$jdk")
+    }
+  }
+
   test("extract_links: quoting forms, inline markup anchors, missing href, entities") {
     val html =
       """<body><a href="https://x.example/a&amp;b">one</a>
