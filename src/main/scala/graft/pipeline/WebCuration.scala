@@ -283,6 +283,44 @@ object WebCuration {
         countDistinct(col("src")).as("n_src"),
         sort_array(collect_list(col("anchor"))).as("anchors"))
 
+  /** The crawl-scheduling flagship — WHEN × WHO × HOW-MUCH in one plan:
+    * [[recrawlPriority]]'s staleness score (when the site says a url
+    * changed), [[graft.pipeline.LinkRank.integerPageRank]]'s centrality
+    * (who the web says matters), and a per-host fetch budget (politeness
+    * — a scheduler must not let one host's backlog starve the rest).
+    * `priority = round(score × (1 + rank/scale), 6)` — centrality BOOSTS
+    * staleness multiplicatively (an un-ranked url keeps its staleness
+    * score; a top-ranked one doubles it at rank = scale), then each
+    * host's urls take `fetch_rank` 1..`perHostCap` by (priority desc,
+    * url) — a PARTITIONED window: the per-host sort is partition-local
+    * (host cardinality grows with the corpus, so no partition outgrows
+    * its host's frontier slice; the audit's unpartitioned-window rule
+    * untouched). One left join on the canonical url (fixed-width keys)
+    * + one host-keyed exchange. Output:
+    * `(canon_url, host, known_changed, priority, fetch_rank)`.
+    */
+  def fetchPlan(
+      revisit: DataFrame,
+      ranks: DataFrame,
+      perHostCap: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap=$perHostCap")
+    val joined = revisit
+      .join(ranks.select(col("node").as("canon_url"), col("rank")), Seq("canon_url"), "left")
+      .withColumn("priority",
+        round(col("score") *
+          (lit(1.0) + coalesce(col("rank"), lit(0L)).cast("double") / scale), 6))
+      .withColumn("host", graft.functions.UrlFunctions.url_host(col("canon_url")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("canon_url"))
+    joined
+      .withColumn("fetch_rank", row_number().over(w).cast("int"))
+      .where(col("fetch_rank") <= perHostCap)
+      .select(col("canon_url"), col("host"), col("known_changed"),
+        col("priority"), col("fetch_rank"))
+  }
+
   /** Published changefreq vocabulary → expected change interval in
     * seconds; `never` maps to null (archived — no staleness accrues), an
     * absent/unknown value to the weekly default. A `when`-chain (not a

@@ -579,7 +579,7 @@ object CrawlQueries {
                ELSE host END AS domain
         FROM ps
       """))) :+ pq91 :+ pq93 :+ pq94 :+ pq96 :+ pq99 :+ pq100 :+ pq101 :+ pq102 :+ pq103 :+
-      pq104 :+ pq105 :+ pq106 :+ pq107
+      pq104 :+ pq105 :+ pq106 :+ pq107 :+ pq108
 
   /** The HTTP payload decode chain ([[graft.functions.http_text]]) — the
     * step a real Common Crawl pipeline needs on its FIRST `response`
@@ -1034,6 +1034,168 @@ object CrawlQueries {
              md5(string_agg(anchor, ' ' ORDER BY anchor)) AS anchors_hash
       FROM e GROUP BY dst
     """))
+
+  /** The crawl-scheduling FLAGSHIP ([[graft.pipeline.WebCuration.fetchPlan]])
+    * — WHEN × WHO × HOW-MUCH composed end to end in one registered plan:
+    * the pq106 link graph ranks the targets (integer PageRank, 5
+    * iterations), sitemaps advertise those SAME targets with
+    * lastmod/changefreq/priority arms (many docs advertise one target, so
+    * [[WebCuration.recrawlPriority]]'s dedup aggregation — newest
+    * lastmod, most-eager changefreq, highest priority — is exercised for
+    * real, unlike pq104's one-entry-per-url shape), crawl state covers
+    * 3/4, and the fetch plan boosts staleness by centrality and caps each
+    * host at 20 by (priority desc, url). The oracle replays EVERYTHING —
+    * the five unrolled integer-PageRank CTEs, the metadata group
+    * aggregation, the staleness CASE, the priority formula and the
+    * partitioned row_number — from doc_id arithmetic alone. Hash-exact.
+    */
+  private def pq108: Q = Q(
+    "pq108_fetch_plan",
+    (s, dir) => {
+      import graft.functions.sitemap_entries
+      val d = Tables.documents(s, dir)
+      val id = col("doc_id")
+      val host = concat(lit("https://h"), id % 5, lit(".example.org"))
+      val page = concat(host, lit("/a/b/page"), id)
+      val html = concat(
+        lit("<html><head>"),
+        when(id % 7 === 0, lit("""<meta name="robots" content="nofollow">"""))
+          .otherwise(lit("")),
+        lit("</head><body><a href=\"p/"), (id * 3) % 1000,
+        lit("\">l1</a> <a href='../up/"), id,
+        lit("'><b>l2</b></a> <a href=\"//h"), (id + 1) % 5,
+        lit(".example.org/x?k="), id % 9,
+        lit("\">l3</a></body></html>"))
+      val edges = graft.pipeline.WebCuration.linkGraph(
+        d.select(page.as("url"), html.as("html")), col("url"), col("html"))
+      val ranks = graft.pipeline.LinkRank.integerPageRank(edges, iterations = 5)
+      val target = concat(host, lit("/a/b/p/"), (id * 3) % 1000)
+      val lastmodDate = date_format(
+        date_add(to_date(lit("2025-09-01")), (id % 50).cast("int")), "yyyy-MM-dd")
+      val freq = element_at(
+        typedlit(Seq("always", "hourly", "daily", "weekly", "monthly", "yearly", "never", "")),
+        (id % 8).cast("int") + 1)
+      val prioStr = element_at(
+        typedlit(Seq("", "0.2", "0.4", "0.6", "0.8")), (id % 5).cast("int") + 1)
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\"><url><loc>"),
+        target, lit("</loc>"),
+        when(id % 3 =!= 0, concat(lit("<lastmod>"), lastmodDate, lit("</lastmod>")))
+          .otherwise(lit("")),
+        when(freq =!= "", concat(lit("<changefreq>"), freq, lit("</changefreq>")))
+          .otherwise(lit("")),
+        when(prioStr =!= "", concat(lit("<priority>"), prioStr, lit("</priority>")))
+          .otherwise(lit("")),
+        lit("</url></urlset>"))
+      val entries = d
+        .select(explode(sitemap_entries(xml)).as("e"))
+        .select(
+          col("e.loc").as("url"),
+          unix_timestamp(to_date(col("e.lastmod"), "yyyy-MM-dd")).as("lastmod_sec"),
+          col("e.changefreq").as("changefreq"),
+          col("e.priority").as("priority"))
+      val state = d.where(id % 4 =!= 0).select(
+        target.as("url"),
+        (lit(1760000000L) - (id % 100 + 1) * 86400L).as("last_fetch_sec"))
+      val revisit = graft.pipeline.WebCuration.recrawlPriority(
+        entries, state, nowSec = 1760000000L)
+      graft.pipeline.WebCuration.fetchPlan(revisit, ranks, perHostCap = 20)
+    },
+    Some {
+      val scale = 1000000000000L
+      val iterCtes = (1 to 5).map { i =>
+        s"""d$i AS (
+          SELECT CAST(coalesce(sum(rank), 0) AS BIGINT) AS dm FROM r${i - 1}
+          WHERE node NOT IN (SELECT src FROM e1)),
+        r$i AS (
+          SELECT n.node,
+            CAST((SELECT ($scale * 15) // (100 * n) FROM nn)
+              + (SELECT (dm * 85) // (100 * (SELECT n FROM nn)) FROM d$i)
+              + coalesce(c.c, 0) AS BIGINT) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   CAST(sum((r.rank * 85) // (100 * e.deg)) AS BIGINT) AS c
+            FROM e JOIN r${i - 1} r ON r.node = e.src
+            GROUP BY e.dst) c ON c.node = n.node)"""
+      }.mkString(",\n        ")
+      s"""
+      WITH docs AS (
+        SELECT doc_id AS id, doc_id % 5 AS h FROM documents WHERE doc_id % 7 <> 0),
+      e0 AS (
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id AS src,
+               'https://h' || h || '.example.org/a/b/p/' || ((id * 3) % 1000) AS dst
+        FROM docs
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id,
+               'https://h' || h || '.example.org/a/up/' || id FROM docs
+        UNION ALL
+        SELECT 'https://h' || h || '.example.org/a/b/page' || id,
+               'https://h' || ((id + 1) % 5) || '.example.org/x?k=' || (id % 9)
+        FROM docs),
+      e1 AS (SELECT DISTINCT src, dst FROM e0),
+      deg AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+      e AS (SELECT e1.src, e1.dst, deg.deg FROM e1 JOIN deg ON deg.src = e1.src),
+      nodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM e1 UNION SELECT dst FROM e1)),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (
+        SELECT node, CAST($scale // (SELECT n FROM nn) AS BIGINT) AS rank
+        FROM nodes),
+        $iterCtes,
+      sm AS (
+        SELECT
+          'https://h' || (doc_id % 5) || '.example.org/a/b/p/' || ((doc_id * 3) % 1000) AS url,
+          CASE WHEN doc_id % 3 <> 0
+               THEN 1756684800 + (doc_id % 50) * 86400 END AS lastmod_sec,
+          CASE (['always','hourly','daily','weekly','monthly','yearly','never',NULL])[(doc_id % 8) + 1]
+               WHEN 'always' THEN 3600 WHEN 'hourly' THEN 3600
+               WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+               WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+               WHEN 'never' THEN NULL ELSE 604800 END AS ivl,
+          CASE WHEN doc_id % 5 <> 0 THEN CAST(doc_id % 5 AS DOUBLE) / 5.0 END AS prio
+        FROM documents),
+      agg AS (
+        SELECT url AS canon_url, max(lastmod_sec) AS lastmod,
+               min(ivl) AS ivl, max(prio) AS prio
+        FROM sm GROUP BY url),
+      st AS (
+        SELECT 'https://h' || (doc_id % 5) || '.example.org/a/b/p/' || ((doc_id * 3) % 1000) AS canon_url,
+               max(1760000000 - (doc_id % 100 + 1) * 86400) AS last_fetch
+        FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1),
+      rev AS (
+        SELECT a.canon_url,
+          (a.lastmod IS NOT NULL AND s.last_fetch IS NOT NULL
+             AND a.lastmod > s.last_fetch) AS known_changed,
+          CASE WHEN s.last_fetch IS NULL THEN 4.0
+               WHEN (a.lastmod IS NOT NULL AND s.last_fetch IS NOT NULL
+                     AND a.lastmod > s.last_fetch) THEN 4.0
+               WHEN a.ivl IS NULL THEN 0.0
+               ELSE least(4.0, round((1760000000 - s.last_fetch) / CAST(a.ivl AS DOUBLE), 6))
+          END AS staleness,
+          coalesce(a.prio, 0.5) AS base
+        FROM agg a LEFT JOIN st s ON s.canon_url = a.canon_url),
+      sc AS (
+        SELECT canon_url, known_changed,
+               round(base * staleness, 6) AS score FROM rev),
+      fp AS (
+        SELECT sc.canon_url, sc.known_changed,
+          round(sc.score * (1 + CAST(coalesce(r.rank, 0) AS DOUBLE) / 1000000000000.0), 6)
+            AS priority
+        FROM sc LEFT JOIN r5 r ON r.node = sc.canon_url),
+      hh AS (
+        SELECT canon_url, regexp_extract(canon_url, 'https://([^/]+)/', 1) AS host,
+               known_changed, priority
+        FROM fp),
+      rk AS (
+        SELECT canon_url, host, known_changed, priority,
+          CAST(row_number() OVER (
+            PARTITION BY host ORDER BY priority DESC, canon_url) AS INT) AS fetch_rank
+        FROM hh)
+      SELECT canon_url, host, known_changed, priority, fetch_rank
+      FROM rk WHERE fetch_rank <= 20
+      """
+    })
 
   /** The CDX-style WARC record index ([[graft.sources.warc.WarcIndex]]) —
     * the (url → file, pos, sub) random-access companion every real WARC
