@@ -136,7 +136,15 @@ object UrlFunctions {
     * outside codegen subexpression elimination; probing the chain's own
     * output measured ~2x on the pq83/pq86/pq88 family).
     */
-  def url_canonicalize(u: Column): Column = {
+  def url_canonicalize(u: Column): Column =
+    graft.functions.toColumn(graft.plans.UrlCanonicalize(graft.functions.toExpr(u)))
+
+  /** The original column-expression form of the chain (kept as the
+    * differential twin for UrlFuzzSpec: the r20 native expression must
+    * equal this chain on every fuzzed input — same patterns, same order,
+    * ~14x less per-row expression overhead in [[url_canonicalize]]).
+    */
+  private[graft] def url_canonicalize_chain(u: Column): Column = {
     def steps3to7(in: Column): Column = {
       val lowered = concat(
         lower(regexp_extract(in, AuthorityPrefixRe, 0)),

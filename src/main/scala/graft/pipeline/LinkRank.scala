@@ -48,25 +48,34 @@ object LinkRank {
       .where(col("src").isNotNull && col("dst").isNotNull)
       .dropDuplicates("src", "dst")
       .localCheckpoint()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // node set WITH its out-degree (null __deg = dangling): one pinned
+    // frame replaces the r20-build round's separate nodes + danglingNodes
+    // checkpoints, and the ranks frame inherits __deg so the per-iteration
+    // dangling-mass term needs no join at all (r20 opt: the loop ran TWO
+    // actions per iteration — a driver .head for the dangling scalar plus
+    // the checkpoint — at ~0.3 s of fixed job cost each; now the dangling
+    // mass is a 1-row aggregate broadcast INSIDE the iteration's single
+    // job). Arithmetic is unchanged: sum/div on longs is the same integer
+    // floor arithmetic whether the scalar lands on the driver or rides a
+    // broadcast row, so ranks stay bit-exact (the pq106 oracle re-proves).
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
+      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
       .localCheckpoint()
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("rank", lit(0L))
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
     // the per-edge denominator never changes — join it in once, pin it
     val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
-    val danglingNodes = nodes
-      .join(outdeg.select(col("src").as("node")), Seq("node"), "left_anti")
-      .localCheckpoint()
     val base = scale * (dampDen - dampNum) / (dampDen * n)
-    var ranks = nodes.select(col("node"), lit(scale / n).as("rank"))
+    var ranks = nodes.select(col("node"), col("__deg"), lit(scale / n).as("rank"))
     var it = 0
     while (it < iterations) {
-      val dangling = danglingNodes.join(ranks, Seq("node"))
-        .agg(coalesce(sum(col("rank")), lit(0L))).head.getLong(0)
-      val dShare = dangling * dampNum / (dampDen * n)
+      // dangling mass as a 1-row frame: nodes with no out-edges carry a
+      // null __deg on the ranks frame itself
+      val dangDf = ranks.where(col("__deg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dm"))
       val contribs = edgesDeg
         .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"),
@@ -74,11 +83,13 @@ object LinkRank {
         .groupBy(col("node"))
         .agg(sum(col("__c")).as("__c"))
       ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base + dShare) + coalesce(col("__c"), lit(0L))).as("rank"))
+        .crossJoin(broadcast(dangDf))
+        .select(col("node"), col("__deg"),
+          (lit(base) + expr(s"(__dm * ${dampNum}L) div (${dampDen}L * ${n}L)")
+            + coalesce(col("__c"), lit(0L))).as("rank"))
         .localCheckpoint() // truncate lineage per iteration (the CC rule)
       it += 1
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 }

@@ -907,7 +907,12 @@ object DecatonQueries {
       (s, dir) => {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+        // one collect feeds BOTH the MemoryStream epochs and n (r20: the
+        // separate max() job and the collect() job fused; this harness is
+        // driver-resident by design — the replay stream is built from rows)
+        val rows = docs.collect().map(r =>
+          (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
+        val n = rows.iterator.map(_._1).max + 1
         val q100 = 100L * math.max(2L, n / 300L)
         require(n > 2 * q100,
           s"dq25 needs three non-empty window-aligned epochs (n=$n, Q=$q100)")
@@ -918,10 +923,12 @@ object DecatonQueries {
         // (mod 100); only n-1 can hit a boundary — fail loudly if it would.
         require((n - 1) % 100 != 0,
           s"dq25 watermark n-1=${n - 1} would land on a window boundary")
-        // the refresh targets, precomputed eagerly (each is 512 longs)
-        val refs = Seq(q100, math.min(2 * q100, n), n).map(b =>
-          graft.streaming.StreamOps.termBucketHist(
-            docs.filter(col("doc_id") < b), col("text"), nBuckets = 512))
+        // the refresh targets, precomputed eagerly (each is 512 longs) —
+        // r20: all three prefix censuses in ONE tokenize+aggregate pass
+        // (was three full scans; bit-identical per histogram)
+        val refs = graft.streaming.StreamOps.termBucketHistPrefixes(
+          docs, col("doc_id"), col("text"),
+          Seq(q100, math.min(2 * q100, n), n), nBuckets = 512)
         val calls = new java.util.concurrent.atomic.AtomicInteger(0)
         val provider = () => refs(math.min(calls.getAndIncrement(), refs.size - 1))
 
@@ -958,8 +965,6 @@ object DecatonQueries {
         System.err.println(s"[dq25] checkpoint=${if (tmpfsOk) "tmpfs" else "default-tmp"} dir=$ckptDir")
         val ckpt = ckptDir.toString
         val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
-        val rows = docs.collect().map(r =>
-          (r.getLong(0), if (r.isNullAt(1)) null else r.getString(1)))
         val epochs = Array.fill(3)(Vector.newBuilder[(Long, String)])
         rows.foreach(t => epochs(math.min(2L, t._1 / q100).toInt) += t)
         val alarm = graft.streaming.StreamOps.termDriftAlarmRefreshed(

@@ -438,6 +438,34 @@ object StreamOps {
       .head().getSeq[Long](0)
   }
 
+  /** [[termBucketHist]] over several id-prefix slices of the SAME corpus in
+    * ONE pass: histogram k = tokens of rows with `idCol < cutoffs(k)`. The
+    * r20 optimization for dq25's growing trusted-prefix censuses — three
+    * separate scans (tokenize + hash ×3) fused into one tokenize + one
+    * aggregation with per-cutoff conditional inputs (`bucket_hist` skips
+    * the nulls a failed cutoff predicate produces, so each histogram is
+    * bit-identical to its standalone form).
+    */
+  def termBucketHistPrefixes(
+      df: DataFrame,
+      idCol: Column,
+      textCol: Column,
+      cutoffs: Seq[Long],
+      nBuckets: Int): Seq[Seq[Long]] = {
+    require(cutoffs.nonEmpty, "termBucketHistPrefixes needs at least one cutoff")
+    val bucketed = df
+      .select(idCol.as("__id"), explode(split(textCol, " ")).as("__tok"))
+      .select(col("__id"),
+        pmod(graft.functions.TextFunctions.portable_hash(col("__tok")),
+          lit(nBuckets.toLong)).as("__b"))
+    val aggs = cutoffs.zipWithIndex.map { case (c, i) =>
+      graft.functions.bucket_hist(
+        when(col("__id") < lit(c), col("__b")), nBuckets).as(s"h$i")
+    }
+    val row = bucketed.agg(aggs.head, aggs.tail: _*).head()
+    cutoffs.indices.map(i => row.getSeq[Long](i))
+  }
+
   /** Streaming CDC admission against a previous corpus version's artifact
     * — the live half of [[graft.pipeline.Curation.scoreIncremental]]: a
     * re-crawl arrives as a stream, and only documents that are NEW or

@@ -60,6 +60,29 @@ object CanonCostProbe {
     time("steps1-6", steps16(col("u")))
     time("full1-8", graft.functions.UrlFunctions.url_canonicalize(col("u")))
     time("md5-only", col("u"))
+
+    // r20: the pq91 shape — every row carries '%', so the full chain takes
+    // the slow branch (percent_normalize + steps3to7 + idn_host_fold).
+    // Time each sub-chain alone to attribute the per-row cost.
+    val did = col("doc_id")
+    val urlPct = concat(lit("https://Site"), did % 7,
+      lit(".Example.COM/p%7Ev/a%2Fb%3a/"), did, lit("?id="), did)
+    val basePct = d.select(urlPct.as("u")).localCheckpoint()
+    def timeOn(b: org.apache.spark.sql.DataFrame, label: String, c: Column): Unit = {
+      b.select(md5(c).as("h")).agg(count(lit(1))).collect()
+      val ts = (0 until 3).map { _ =>
+        val t0 = System.nanoTime()
+        b.select(md5(c).as("h")).agg(count(lit(1))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      System.err.println(f"[canon] $label%-16s ${ts(1)}%6.3f s (${ts.mkString(", ")})")
+    }
+    import graft.functions.UrlFunctions
+    timeOn(basePct, "pct/md5-only", col("u"))
+    timeOn(basePct, "pct/pctnorm", UrlFunctions.percent_normalize(col("u")))
+    timeOn(basePct, "pct/steps3to7", steps16(col("u")))
+    timeOn(basePct, "pct/idnfold", UrlFunctions.idn_host_fold(col("u")))
+    timeOn(basePct, "pct/full", UrlFunctions.url_canonicalize(col("u")))
     spark.stop()
   }
 }

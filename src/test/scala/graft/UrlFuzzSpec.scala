@@ -130,6 +130,9 @@ class UrlFuzzSpec extends SparkTestBase {
       .withColumn("twice", UrlFunctions.url_canonicalize(col("once")))
       .withColumn("host", UrlFunctions.url_host(col("once")))
       .withColumn("dom", UrlFunctions.url_domain(col("once")))
+      // differential twin (r20): the native single-pass expression must
+      // equal the original column-expression chain on every fuzzed input
+      .withColumn("chain", UrlFunctions.url_canonicalize_chain(col("u")))
       .collect()
     val byI = urls.toMap
     out.foreach { r =>
@@ -138,6 +141,7 @@ class UrlFuzzSpec extends SparkTestBase {
           r.getString(4), r.getString(5))
       assert(once === twice, s"[$i] not idempotent: $u -> $once -> $twice")
       assert(once === refCanon(u), s"[$i] expression != reference for $u")
+      assert(once === r.getString(6), s"[$i] native != column chain for $u")
       assert(!once.matches(
         ".*[?&](utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|igshid|ref_src)=.*"),
         s"[$i] tracking param survived: $u -> $once")
