@@ -16,7 +16,8 @@ object Explain {
     */
   final case class PlanFacts(
       pushedFilters: Boolean, broadcastJoins: Int, codegenSpans: Int, wideReads: Int,
-      exchanges: Int, reusedExchanges: Int = 0, globalWindows: Int = 0)
+      exchanges: Int, reusedExchanges: Int = 0, globalWindows: Int = 0,
+      spreads: Int = 0)
 
   def audit(df: org.apache.spark.sql.DataFrame): PlanFacts = {
     val plan = df.queryExecution.explainString(
@@ -39,9 +40,16 @@ object Explain {
     // InMemoryTableScan, so its one exchange would otherwise be counted
     // once per consumer despite executing once (pq60's dedup exchange
     // appears four times in the text, all [plan_id=N] for the same N).
-    val exchangeLines = simplePlan.linesIterator.filter(l =>
+    // Round-robin REPARTITION_BY_NUM exchanges are the r20 scale-adaptive
+    // input spreads (Tables.spreadForRowWork: parallelize a sub-split scan;
+    // identity at production scale) — counted separately from the keyed
+    // data shuffles whose budget must stay flat as the data grows.
+    val allExchangeLines = simplePlan.linesIterator.filter(l =>
       l.contains("Exchange") && !l.contains("BroadcastExchange") &&
         !l.contains("ReusedExchange")).toSeq
+    val (spreadLines, exchangeLines) =
+      allExchangeLines.partition(l =>
+        l.toLowerCase(java.util.Locale.ROOT).contains("roundrobinpartitioning"))
     val planId = "\\[plan_id=(\\d+)\\]".r
     val (withId, withoutId) =
       exchangeLines.partition(l => planId.findFirstIn(l).isDefined)
@@ -62,7 +70,15 @@ object Explain {
       case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec
           if g.partitionSpec.isEmpty => g
     }.size
-    PlanFacts(pushed, broadcasts, codegenSpans, fullScans, exchanges, reused, globalWindows)
+    val spreads = {
+      val planId = "\\[plan_id=(\\d+)\\]".r
+      val (withId, withoutId) =
+        spreadLines.partition(l => planId.findFirstIn(l).isDefined)
+      withId.flatMap(l => planId.findFirstMatchIn(l).map(_.group(1))).distinct.size +
+        withoutId.size
+    }
+    PlanFacts(pushed, broadcasts, codegenSpans, fullScans, exchanges, reused,
+      globalWindows, spreads)
   }
 
   /** One PLANS.md fact line per registered query. `spark` must have AQE off
@@ -73,7 +89,8 @@ object Explain {
       val f = audit(SparkEntry.queries(name)(spark, sfDir))
       s"$name pushedFilters=${f.pushedFilters} broadcastJoins=${f.broadcastJoins} " +
         s"codegenSpans=${f.codegenSpans} wideReads=${f.wideReads} shuffles=${f.exchanges}" +
-        (if (f.globalWindows > 0) s" globalWindows=${f.globalWindows}" else "")
+        (if (f.globalWindows > 0) s" globalWindows=${f.globalWindows}" else "") +
+        (if (f.spreads > 0) s" spreads=${f.spreads}" else "")
     }
 
   /** Plan facts for the TWO phases of one connected-components round

@@ -58,9 +58,73 @@ object Tables {
   def scratchDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(scratchRoot, tag).toString
 
+  /** A STABLE scratch root (same path every call — the dq28/29/30 segment
+    * stores rely on stable paths so reruns overwrite their own segments
+    * idempotently), on tmpfs when available: the per-invocation parquet
+    * segment writes pay the filesystem's commit/fsync cost, which on the
+    * root fs dominated these queries' bench time the same way dq25's
+    * state-store fsyncs did (the r15 finding that moved its checkpoint to
+    * /dev/shm). Swept by the same shutdown hook as [[scratchDir]] so tmpfs
+    * RAM is returned on JVM exit; the segments are tiny (KBs) and every
+    * invocation rewrites its own batches from the parquet inputs, so
+    * nothing computed ever survives a rerun as an input.
+    */
+  private lazy val stableRootBase: java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      val r = shm.resolve("graft-scratch-stable")
+      java.nio.file.Files.createDirectories(r)
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+          p.delete(): Unit
+        }
+        rm(r.toFile)
+      }))
+      r
+    } else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+  }
+
+  def stableScratchRoot(tag: String): String =
+    stableRootBase.resolve(tag).toString
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     perSessionCache(spark).computeIfAbsent(s"$sfDir/$name.parquet",
       path => spark.read.parquet(path))
+
+  /** Scale-adaptive input spread for row-local-HEAVY stages (optimization
+    * guide §2.2/§6): the harness tables are single-file, single-row-group
+    * parquet, so a scan is ONE task regardless of `maxPartitionBytes` —
+    * a query whose dominant cost is per-row work above that scan (hash
+    * families, regex chains, shingling) serializes on one core while the
+    * rest idle. When the source files sum to LESS than one scan split, a
+    * round-robin repartition to the session parallelism costs a sub-split
+    * local shuffle and parallelizes everything above it; above one split
+    * the scan parallelizes itself and this is the identity, so the rule
+    * derives from input size and self-disables at production scale.
+    * Round-robin is partition-order-safe here: every registered query is
+    * bit-exact by contract (integer/decimal aggregation, deterministic
+    * tie-breaks), which the post-round oracle re-verifies. Apply ONLY
+    * where the per-row work measurably dominates — the spread exchange
+    * costs one serialize/deserialize of the pruned columns, which LOSES
+    * on queries whose next operation is a keyed shuffle anyway (measured:
+    * q25 +0.7 s, pq51 +0.3 s with a blanket spread; pq84 −0.5 s, pq05
+    * −0.3 s where the row work dominates).
+    */
+  def spreadForRowWork(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val bytes =
+      try df.inputFiles.map { f =>
+        val u = new java.net.URI(f)
+        new java.io.File(if (u.getScheme == null) f else u.getPath).length()
+      }.sum
+      catch { case _: Throwable => Long.MaxValue }
+    val maxSplit = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+      .map(v => org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .getOrElse(128L * 1024 * 1024)
+    val par = spark.sparkContext.defaultParallelism
+    if (bytes > 0 && bytes < maxSplit && par > 2) df.repartition(par) else df
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame   = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame     = table(spark, sfDir, "orders")

@@ -174,7 +174,7 @@ object CrawlQueries {
     Q(
       "pq84_gopher_rules",
       (s, dir) => {
-        val d  = Tables.documents(s, dir)
+        val d  = Tables.spreadForRowWork(Tables.documents(s, dir)) // r20 input spread
         val id = col("doc_id")
         val toks = split(col("text"), " ")
         val nLines = ((size(toks) + 7) / 8).cast("int")

@@ -1177,8 +1177,7 @@ object DecatonQueries {
       (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val cb = graft.similarity.Pq.syntheticCodebooks(m = 8, k = 16, w = 8)
-        val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-dq28-index").toString
+        val root = Tables.stableScratchRoot("graft-dq28-index") // r20: tmpfs when available
         // two "micro-batches" through the real per-batch core; stable batch
         // ids make reruns overwrite their own segments (idempotent), and
         // the strict batch < batchId history filter keeps rep N's batch-0
@@ -1207,8 +1206,7 @@ object DecatonQueries {
       "dq29_selfindex_text",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-dq29-index").toString
+        val root = Tables.stableScratchRoot("graft-dq29-index") // r20: tmpfs when available
         val n = 250L // stable cut: documents carry dense doc_ids from 0 (500 at sf≤0.01, 5000 at sf0.1)
         val f0 = graft.streaming.StreamOps.flagAndIndexTextBatch(
           d.filter(col("doc_id") < n), 0L, col("doc_id"), col("text"),
@@ -1237,8 +1235,7 @@ object DecatonQueries {
       "dq30_bm25_incremental",
       (s, dir) => {
         val d = Tables.documents(s, dir)
-        val root = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), "graft-dq30-stats").toString
+        val root = Tables.stableScratchRoot("graft-dq30-stats") // r20: tmpfs when available
         val n = 250L // stable cut (dense doc_ids from 0; 500 at sf≤0.01, 5000 at sf0.1)
         graft.retrieval.Bm25.appendBm25StatsSegment(
           d.filter(col("doc_id") < n), 0L, root, col("doc_id"), col("text"))

@@ -205,9 +205,9 @@ object PipelineQueries {
     */
   private def lshSigsAndPairs(s: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) = {
     // single-file testdata = one row group = one scan task; fan the
-    // expensive shingle/gram map phase out over all cores (real corpora
-    // arrive in thousands of row groups and need no such hint)
-    val d = Tables.documents(s, dir).repartition(s.sparkContext.defaultParallelism)
+    // expensive shingle/gram map phase out over all cores (identity on
+    // multi-split inputs — Tables.spreadForRowWork)
+    val d = Tables.spreadForRowWork(Tables.documents(s, dir))
     val sigs = Dedup.minHashSignaturesWide(d, col("doc_id"), col("text"), k = 16, shingleSize = 5)
     (d, sigs, Dedup.lshCandidatePairs(Dedup.lshBandSignaturesWide(sigs, k = 16, bands = 4)))
   }
@@ -274,10 +274,9 @@ object PipelineQueries {
       "pq02_minhash_sigs",
       (s, dir) => {
         // single-file testdata = one row group = one scan task; fan the
-        // expensive shingle/gram map phase out over all cores (real corpora
-        // arrive in thousands of row groups and need no such hint)
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+        // expensive shingle/gram map phase out over all cores (identity on
+        // multi-split inputs — Tables.spreadForRowWork)
+        val d = Tables.spreadForRowWork(Tables.documents(s, dir))
         Dedup.minHashSignatures(d, col("doc_id"), col("text"), k = 8, shingleSize = 5)
       },
       Some(s"""
@@ -356,7 +355,8 @@ object PipelineQueries {
       (s, dir) => {
         // lang rides the same scan as the native simhash — no join-back;
         // the banded self-join then reuses ONE exchange for both sides
-        val d = Tables.documents(s, dir)
+        // (input spread: the 16-bit simhash gram pass dominates, r20)
+        val d = Tables.spreadForRowWork(Tables.documents(s, dir))
         val sims = d.select(col("doc_id").as("id"),
           graft.functions.sim_hash(col("text"), 16).as("simhash"), col("lang"))
         Dedup.simHashBandedPairs(sims, bits = 16, bands = 4, maxDist = 3,
@@ -1420,7 +1420,7 @@ object PipelineQueries {
           lit("@mail-ex.org or +1 (555) 01"), (col("doc_id") % 100).cast("string"),
           lit(" node 10.2."), (col("doc_id") % 256).cast("string"),
           lit(".7 via https://ex.org/d/"), col("doc_id").cast("string"))
-        Tables.documents(s, dir)
+        Tables.spreadForRowWork(Tables.documents(s, dir)) // r20 input spread
           .select(col("doc_id"), salt.as("salted"))
           .select(Seq(
             col("doc_id"),
@@ -2483,7 +2483,7 @@ object PipelineQueries {
     Q(
       "pq68_bpe_tokens",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
+        val d = Tables.spreadForRowWork(Tables.documents(s, dir)) // r20 input spread
         val merges = Seq(
           "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
           "e" -> "r", "o" -> "n", "r" -> "e", "in" -> "g", "a" -> "t",
@@ -2662,7 +2662,7 @@ object PipelineQueries {
     Q(
       "pq73_markup_extract",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
+        val d = Tables.spreadForRowWork(Tables.documents(s, dir)) // r20 input spread
         val html = concat(
           lit("<html><head><style>p { color: #333; }</style></head><body><h1>Doc "),
           col("doc_id"), lit("</h1>\n<p>"),

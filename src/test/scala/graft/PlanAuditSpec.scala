@@ -224,7 +224,13 @@ class PlanAuditSpec extends SparkTestBase {
           (f.globalWindows <= globalWindowAllow.getOrElse(name, 0)) ->
             (s"$name has ${f.globalWindows} unpartitioned window(s), allowed " +
               s"${globalWindowAllow.getOrElse(name, 0)} — a single-partition sort over " +
-              "data-sized input crept in (only bounded-metadata windows are sanctioned)")
+              "data-sized input crept in (only bounded-metadata windows are sanctioned)"),
+          // r20 input spreads (Tables.spreadForRowWork — round-robin
+          // parallelization of a sub-split scan, identity at scale): at most
+          // a couple per query, so a keyless corpus repartition can't hide
+          // among them
+          (f.spreads <= 2) ->
+            s"$name has ${f.spreads} round-robin exchanges — more than the sanctioned input spreads"
         ).collect { case (false, msg) => msg }
       }
       assert(failures.isEmpty, failures.mkString("\n"))
