@@ -43,7 +43,14 @@ object Tables {
     * same operators at a shared store instead.
     */
   private lazy val scratchRoot: java.nio.file.Path = {
-    val root = java.nio.file.Files.createTempDirectory("graft-scratch")
+    // tmpfs when available (r20): the WARC/jsonl segment harnesses write
+    // and re-read these per invocation, and /dev/shm skips the root-fs
+    // commit cost the same way dq25's state-store checkpoint does
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val root =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graft-scratch")
+      else java.nio.file.Files.createTempDirectory("graft-scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(p: java.io.File): Unit = {
         Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -864,7 +864,7 @@ object CrawlQueries {
   private def pq105: Q = Q(
     "pq105_link_graph",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.spreadForRowWork(Tables.documents(s, dir)) // r20 input spread
       val id = col("doc_id")
       val host = concat(lit("https://h"), id % 5, lit(".example.org"))
       val page = concat(host, lit("/a/b/page"), id)
@@ -1001,7 +1001,7 @@ object CrawlQueries {
   private def pq107: Q = Q(
     "pq107_anchor_text",
     (s, dir) => {
-      val d = Tables.documents(s, dir)
+      val d = Tables.spreadForRowWork(Tables.documents(s, dir)) // r20 input spread
       val id = col("doc_id")
       val host = concat(lit("https://h"), id % 5, lit(".example.org"))
       val page = concat(host, lit("/page"), id)

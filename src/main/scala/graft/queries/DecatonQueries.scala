@@ -1242,7 +1242,10 @@ object DecatonQueries {
         graft.retrieval.Bm25.appendBm25StatsSegment(
           d.filter(col("doc_id") >= n), 1L, root, col("doc_id"), col("text"))
         graft.retrieval.Bm25.bm25TopKIncremental(
-          s, root, d, col("doc_id"), col("text"),
+          // r20: spread only the SCORING input (row-local BM25 over every
+          // doc); the stats appends above keep the unspread frame so each
+          // segment stays one file
+          s, root, Tables.spreadForRowWork(d), col("doc_id"), col("text"),
           Seq(
             1L -> Seq("hash", "join"),
             2L -> Seq("window", "agg", "scan"),

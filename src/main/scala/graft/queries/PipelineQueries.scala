@@ -388,10 +388,9 @@ object PipelineQueries {
       "pq06_jaccard_pairs",
       (s, dir) => {
         // single-file testdata = one row group = one scan task; fan the
-        // expensive shingle/gram map phase out over all cores (real corpora
-        // arrive in thousands of row groups and need no such hint)
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+        // expensive shingle/gram map phase out over all cores (identity on
+        // multi-split inputs — Tables.spreadForRowWork)
+        val d = Tables.spreadForRowWork(Tables.documents(s, dir))
         Dedup.ngramJaccardPairs(d, col("doc_id"), col("text"), col("lang"),
           n = 3, thresholdNum = 2, thresholdDen = 5, maxDocFreq = Some(64L))
       },
@@ -889,8 +888,7 @@ object PipelineQueries {
     Q(
       "pq18_dup_spans",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism)
+        val d = Tables.spreadForRowWork(Tables.documents(s, dir))
         Dedup.duplicatedSpanStats(d, col("doc_id"), col("text"), n = 5)
       },
       Some("""
@@ -1922,7 +1920,7 @@ object PipelineQueries {
     Q(
       "pq53_bm25_topk",
       (s, dir) => {
-        val d = Tables.documents(s, dir)
+        val d = Tables.spreadForRowWork(Tables.documents(s, dir)) // r20 input spread
         graft.retrieval.Bm25.bm25TopK(
           d, col("doc_id"), col("text"),
           Seq(

@@ -26,16 +26,19 @@ object AbProbe {
       Tables.table(spark, dir, t).write.format("noop").mode("overwrite").save())
 
     def variantA(): DataFrame = {
-      val e = Tables.embeddings(spark, dir)
-      graft.similarity.Knn.kmeansAssignByCosine(
-        e, col("vec_id"), col("embedding"), seedModulus = 25L, iters = 2)
+      val d = Tables.documents(spark, dir)
+      graft.pipeline.Curation.scrubAndMix(
+        d, col("doc_id"), col("text"), col("source"), col("lang"),
+        segTokens = 4, spanTokens = 5,
+        keepFrac = 0.7, cap = 10, alpha = "prop", budget = 90L)
     }
     def variantB(): DataFrame = {
-      val e = Tables.spreadForRowWork(Tables.embeddings(spark, dir))
-      graft.similarity.Knn.kmeansAssignByCosine(
-        e, col("vec_id"), col("embedding"), seedModulus = 25L, iters = 2)
+      val d = Tables.spreadForRowWork(Tables.documents(spark, dir))
+      graft.pipeline.Curation.scrubAndMix(
+        d, col("doc_id"), col("text"), col("source"), col("lang"),
+        segTokens = 4, spanTokens = 5,
+        keepFrac = 0.7, cap = 10, alpha = "prop", budget = 90L)
     }
-
     def time(f: () => DataFrame): Double = {
       val t0 = System.nanoTime()
       f().write.format("noop").mode("overwrite").save()

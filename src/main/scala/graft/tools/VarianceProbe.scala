@@ -20,6 +20,9 @@ object VarianceProbe {
       .master("local[32]").appName("variance-probe")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror the Bench session: without this the default 100-entry Janino
+      // LRU recompiles every stage of multi-plan queries on every rep
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
