@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to sbt's own stdout/stderr with NO
+// "[info] "/"[error] " logger prefix: every round's BENCH_r*.json recorded
+// parsed:null because the driver's JSON extractor never saw a line that
+// begins with '{' — sbt's default LoggedOutput prefixed every application
+// line. StdoutOutput changes only how the parent relays the child's output;
+// the benched JVM (its flags, heap, code) is untouched.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

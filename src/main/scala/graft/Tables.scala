@@ -79,7 +79,13 @@ object Tables {
   private lazy val stableRootBase: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
-      val r = shm.resolve("graft-scratch-stable")
+      // PID-keyed (r21, ADVICE): a fixed shared path meant that when two
+      // graft JVMs overlap (Bench and Verify), the first to exit swept the
+      // second's LIVE dq28/29/30 segment stores mid-run. The pid suffix is
+      // stable within a JVM (the rerun-overwrite contract the segment
+      // stores rely on) and unique across JVMs, so each hook deletes only
+      // its own tree.
+      val r = shm.resolve(s"graft-scratch-stable-${ProcessHandle.current().pid()}")
       java.nio.file.Files.createDirectories(r)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         def rm(p: java.io.File): Unit = {
@@ -117,6 +123,15 @@ object Tables {
     * on queries whose next operation is a keyed shuffle anyway (measured:
     * q25 +0.7 s, pq51 +0.3 s with a blanket spread; pq84 −0.5 s, pq05
     * −0.3 s where the row work dominates).
+    *
+    * Known gap (ADVICE r20, documented rather than fixed): the bytes<split
+    * trigger assumes a multi-split input parallelizes itself, but a single
+    * FILE with a single ROW GROUP larger than one split still scans as one
+    * task, so the spread silently stops applying at that intermediate
+    * shape. Detecting it would need footer row-group inspection here (or
+    * forcing the physical plan, which under AQE executes query stages
+    * eagerly); the failure mode is perf-only at a shape the harness never
+    * produces above sf sizes, never correctness.
     */
   def spreadForRowWork(df: DataFrame): DataFrame = {
     val spark = df.sparkSession

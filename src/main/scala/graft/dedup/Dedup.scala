@@ -721,8 +721,30 @@ object Dedup {
         s"connectedComponents: $c has non-integral type ${dt.simpleString} — " +
           "map node ids to longs before clustering")
     }
-    val pinned = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    if (pinned.count() <= collectThreshold) return (unionFindLocal(pinned), 0)
+    // r21 (verdict item 4, §5 fewer actions): the local-path election ran
+    // THREE fixed-cost jobs — checkpoint materialization, count, collect.
+    // (a) Skip the re-pin when the caller already handed us a pinned frame
+    //     (pq97 checkpoints the pair list itself — re-materializing a
+    //     LogicalRDD is a pure copy job); recompute of the projection over
+    //     cached blocks is cheaper than the copy on the distributed path
+    //     too, so this is scale-safe.
+    // (b) Replace count + collect with ONE limit-guarded collect (the
+    //     reElectAfterDeletion fast-path pattern): limit(guard+1) returns
+    //     every row iff the graph is sub-threshold — identical path choice
+    //     (length ≤ guard ⇔ count ≤ threshold) — and on the distributed
+    //     path CollectLimit stops scanning the pinned RDD after guard+1
+    //     rows, costing what the count used to.
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val base = pairs.select(col("id_a"), col("id_b"))
+    val prePinned = base.queryExecution.optimizedPlan.collectLeaves().forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _ => false
+    }
+    val pinned = if (prePinned) base else base.localCheckpoint()
+    val guard = math.min(collectThreshold, (Int.MaxValue - 8L) / 2).toInt
+    val probe = pinned.limit(guard + 1).as[(Long, Long)].collect()
+    if (probe.length <= guard) return (unionFindLocal(spark, probe), 0)
     val sym = pinned
       .select(col("id_a").as("u"), col("id_b").as("v"))
       .union(pinned.select(col("id_b").as("u"), col("id_a").as("v")))
@@ -936,14 +958,14 @@ object Dedup {
       .select(col("id"), col("j_lbl").as("lbl"))
 
   /** Driver union-find with path halving for sub-threshold edge lists —
-    * collects ONLY the pair residue (never corpus data), labels every node
-    * with its component minimum, and returns the (id, cluster_id) table
-    * re-parallelized so downstream joins plan normally.
+    * operates on the ALREADY-collected pair residue (never corpus data;
+    * the caller's limit-guarded collect is the only job), labels every
+    * node with its component minimum, and returns the (id, cluster_id)
+    * table re-parallelized so downstream joins plan normally.
     */
-  private def unionFindLocal(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
+  private def unionFindLocal(
+      spark: org.apache.spark.sql.SparkSession, es: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val es = pairs.as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x0: Long): Long = {
       var x = x0

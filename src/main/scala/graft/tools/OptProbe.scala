@@ -55,6 +55,19 @@ object OptProbe {
     Tables.events(spark, dir).write.format("noop").mode("overwrite").save()
 
     args.foreach { name =>
+      // whole-query guard (r21, ADVICE): one bad name or runtime error must
+      // not abort the probe for the remaining queries
+      try probeOne(spark, dir, name, jobs, stages, tasks, shufWrite, shufRead)
+      catch { case e: Throwable => System.err.println(s"[opt] $name probe failed: $e") }
+    }
+    spark.stop()
+  }
+
+  private def probeOne(
+      spark: SparkSession, dir: String, name: String,
+      jobs: AtomicInteger, stages: AtomicInteger, tasks: AtomicInteger,
+      shufWrite: AtomicLong, shufRead: AtomicLong): Unit = {
+    locally {
       val fn = SparkEntry.queries(name)
       // warm: codegen + scan stats for this plan
       try fn(spark, dir).write.format("noop").mode("overwrite").save()
@@ -79,6 +92,5 @@ object OptProbe {
         f"shufW=${m._6 / 1024}%8dKB shufR=${m._7 / 1024}%8dKB " +
         f"reps=${reps.map(r => f"${r._1 + r._2}%.2f").mkString(",")}")
     }
-    spark.stop()
   }
 }

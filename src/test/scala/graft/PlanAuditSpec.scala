@@ -191,6 +191,32 @@ class PlanAuditSpec extends SparkTestBase {
     * data to a single partition"), and before this list it was
     * indistinguishable from the sanctioned sites in a warning sweep.
     */
+  /** Round-robin-spread allowlist (mirrors globalWindowAllow): exactly the
+    * queries that intentionally call [[Tables.spreadForRowWork]] on their
+    * input (directly or through the shared lshSigsAndPairs helper), at most
+    * one spread exchange each. pq23/pq97 also call the helper but pin the
+    * pair lineage with localCheckpoint, so their registered plans show no
+    * spread — they stay at the 0 default. Upper bounds: a conditional
+    * spread that self-disables (multi-split input, low parallelism) still
+    * passes.
+    */
+  private val spreadAllow = Map(
+    "dq30_bm25_incremental" -> 1,
+    "pq02_minhash_sigs" -> 1,
+    "pq03_lsh_pairs" -> 1,
+    "pq05_simhash_pairs" -> 1,
+    "pq06_jaccard_pairs" -> 1,
+    "pq105_link_graph" -> 1,
+    "pq107_anchor_text" -> 1,
+    "pq18_dup_spans" -> 1,
+    "pq24_neardup_survivors" -> 1,
+    "pq25_minhash_verify" -> 1,
+    "pq37_pii_redaction" -> 1,
+    "pq53_bm25_topk" -> 1,
+    "pq68_bpe_tokens" -> 1,
+    "pq73_markup_extract" -> 1,
+    "pq84_gopher_rules" -> 1)
+
   private val globalWindowAllow = Map(
     "pq57_calibrated_quality" -> 1,
     "pq59_zipf_fit" -> 1,
@@ -226,11 +252,15 @@ class PlanAuditSpec extends SparkTestBase {
               s"${globalWindowAllow.getOrElse(name, 0)} — a single-partition sort over " +
               "data-sized input crept in (only bounded-metadata windows are sanctioned)"),
           // r20 input spreads (Tables.spreadForRowWork — round-robin
-          // parallelization of a sub-split scan, identity at scale): at most
-          // a couple per query, so a keyless corpus repartition can't hide
-          // among them
-          (f.spreads <= 2) ->
-            s"$name has ${f.spreads} round-robin exchanges — more than the sanctioned input spreads"
+          // parallelization of a sub-split scan, identity at scale),
+          // per-query allowlist since r21 (ADVICE): the default budget is
+          // ZERO, so a future keyless data-scale repartition() in any of the
+          // ~150 non-spread queries fails the audit instead of hiding under
+          // a blanket allowance
+          (f.spreads <= spreadAllow.getOrElse(name, 0)) ->
+            (s"$name has ${f.spreads} round-robin exchanges, allowed " +
+              s"${spreadAllow.getOrElse(name, 0)} — a keyless repartition crept in " +
+              "(only the sanctioned Tables.spreadForRowWork sites may round-robin)")
         ).collect { case (false, msg) => msg }
       }
       assert(failures.isEmpty, failures.mkString("\n"))
