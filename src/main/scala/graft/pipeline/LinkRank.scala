@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   * truncations of exact, and ordering (the thing a frontier consumes) is
   * unaffected.
   *
-  * 100 TB shape: the edge list is pinned once (`localCheckpoint` — the
-  * connected-components rule: an unpinned frame replans its whole
-  * upstream per iteration); each iteration is ONE edges⋈ranks join
-  * (co-partitioned on src across iterations), one partial-agg shuffle to
-  * dst, one left join back to the node set; the dangling term is a
-  * single scalar aggregate. Iterations are a fixed small count (rank
-  * ordering stabilizes in ~10 even on web graphs — the published
-  * convergence behavior), so the loop cost is `iterations ×` that budget.
+  * 100 TB shape: the edge list is hash-partitioned by src ONCE and never
+  * moves again; each iteration is one NARROW co-partitioned edges⋈ranks
+  * join, one reduceByKey shuffle of the (dst, contribution) pairs — the
+  * only data that crosses the wire per iteration — and one narrow left
+  * join back to the node set; the dangling term is a single scalar
+  * aggregate. The loop body is RDD-level (r21): a DataFrame loop re-ran
+  * the full Catalyst pipeline per iteration, which at any scale is pure
+  * driver serial time. Iterations are a fixed small count (rank ordering
+  * stabilizes in ~10 even on web graphs — the published convergence
+  * behavior), so the loop cost is `iterations ×` that budget.
   */
 object LinkRank {
 
@@ -41,66 +43,144 @@ object LinkRank {
       iterations: Int = 10,
       scale: Long = 1000000000000L,
       dampNum: Long = 85,
-      dampDen: Long = 100): DataFrame = {
+      dampDen: Long = 100,
+      collectThreshold: Long = 2000000L): DataFrame = {
     require(iterations >= 0, s"iterations=$iterations")
     require(dampNum > 0 && dampNum < dampDen, s"damping $dampNum/$dampDen out of range")
+    val spark = edges0.sparkSession
     val edges = edges0.select(col("src"), col("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .dropDuplicates("src", "dst")
-      .localCheckpoint()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
-    // node set WITH its out-degree (null __deg = dangling): one pinned
-    // frame replaces the r20-build round's separate nodes + danglingNodes
-    // checkpoints, and the ranks frame inherits __deg so the per-iteration
-    // dangling-mass term needs no join at all (r20 opt: the loop ran TWO
-    // actions per iteration — a driver .head for the dangling scalar plus
-    // the checkpoint — at ~0.3 s of fixed job cost each; now the dangling
-    // mass is a 1-row aggregate broadcast INSIDE the iteration's single
-    // job). Arithmetic is unchanged: sum/div on longs is the same integer
-    // floor arithmetic whether the scalar lands on the driver or rides a
-    // broadcast row, so ranks stay bit-exact (the pq106 oracle re-proves).
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-      .join(outdeg.withColumnRenamed("src", "node"), Seq("node"), "left")
-      .localCheckpoint()
-    val n = nodes.count()
-    if (n == 0) return nodes.select(col("node"), lit(0L).as("rank"))
-    // the per-edge denominator never changes — join it in once, pin it
-    val edgesDeg = edges.join(outdeg, Seq("src")).localCheckpoint()
+    val srcType = edges.schema("src").dataType
+    val outSchema0 = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", srcType),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+    // Small-graph fast path (r21 — the connectedComponents/unionFindLocal
+    // posture applied here): ranks are METADATA (an id and a long per
+    // node), so below `collectThreshold` edges the whole recurrence runs
+    // on the driver off ONE limit-guarded collect of the deduped edge
+    // list — the iteration costs microseconds instead of a distributed
+    // job apiece. limit(guard+1) returns every row iff the graph is
+    // sub-threshold (identical path choice to CC's); past the guard the
+    // distributed RDD loop below is the real 100 TB shape.
+    val guard = math.min(collectThreshold, (Int.MaxValue - 8L) / 2).toInt
+    val probe = edges.limit(guard + 1).collect()
+    if (probe.length <= guard)
+      return localIntegerPageRank(
+        spark, probe, outSchema0, iterations, scale, dampNum, dampDen)
+
+    // r21: the iteration runs on RDDs, not DataFrames. OptProbe attribution
+    // showed the r20 DataFrame loop's cost was almost entirely DRIVER work
+    // repeated per iteration — a full Catalyst pass (analyze, cache lookup,
+    // optimize, codegen source generation, AQE stage bookkeeping) for every
+    // localCheckpoint action, ~0.23 s/iteration at sf0.1 while the actual
+    // data work was microseconds (and checkpoint-every-2 measured exactly
+    // even: the saved materializations came back as doubled planning). The
+    // RDD loop plans nothing per iteration: edges are hash-partitioned by
+    // src ONCE; each iteration is one narrow co-partitioned join, one
+    // reduceByKey shuffle to dst, one narrow left join back to the node
+    // set, and ONE driver action (the dangling-mass sum). Completed shuffle
+    // stages are reused across the per-iteration actions, so nothing is
+    // recomputed and no per-iteration persist is needed — the same posture
+    // GraphX's Pregel loop uses, and the canonical 100 TB shape (the edge
+    // list never moves after the initial partitioning; only the rank table
+    // shuffles). Arithmetic is unchanged: the same scaled-long floor
+    // divisions on the same values, order-independent by integer-sum
+    // associativity (pq106/pq108 oracles re-prove bit-exactness).
+    val p = new org.apache.spark.HashPartitioner(
+      math.max(1, spark.sparkContext.defaultParallelism))
+    // (src, dst) with EXTERNAL key objects (String/Long ids), partitioned
+    // by src so the per-iteration rank join is narrow
+    val edgePairs = edges.rdd.map(r => (r.get(0), r.get(1))).partitionBy(p)
+    val outdeg = edgePairs.mapValues(_ => 1L).reduceByKey(p, _ + _)
+    // (src, (dst, deg)): the per-edge denominator never changes — attach once
+    val edgesDeg = edgePairs.join(outdeg, p)
+    // node set with out-degree, -1 = dangling, partitioned like everything else
+    val nodeDeg = edgePairs
+      .flatMap { case (s, d) => Iterator((s, ()), (d, ())) }
+      .reduceByKey(p, (a, _) => a)
+      .leftOuterJoin(outdeg, p)
+      .mapValues { case (_, deg) => deg.getOrElse(-1L) }
+    val n = nodeDeg.count()
+    val outSchema = outSchema0
+    if (n == 0) return spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     val base = scale * (dampDen - dampNum) / (dampDen * n)
-    var ranks = nodes.select(col("node"), col("__deg"), lit(scale / n).as("rank"))
+    // (node, (rank, deg)): deg rides along so the dangling-mass action
+    // needs no join
+    var ranks = nodeDeg.mapValues(deg => (scale / n, deg))
     var it = 0
     while (it < iterations) {
-      // dangling mass as a 1-row frame: nodes with no out-edges carry a
-      // null __deg on the ranks frame itself
-      val dangDf = ranks.where(col("__deg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dm"))
+      // dangling mass: the one driver action per iteration (a tiny RDD
+      // aggregate — no Catalyst, no codegen, reused upstream shuffles)
+      val dm = ranks.aggregate(0L)(
+        (acc, kv) => acc + (if (kv._2._2 < 0L) kv._2._1 else 0L), _ + _)
+      val dmShare = dm * dampNum / (dampDen * n)
       val contribs = edgesDeg
-        .join(ranks.select(col("node").as("src"), col("rank")), Seq("src"))
-        .select(col("dst").as("node"),
-          expr(s"(rank * ${dampNum}L) div (${dampDen}L * __deg)").as("__c"))
-        .groupBy(col("node"))
-        .agg(sum(col("__c")).as("__c"))
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangDf))
-        .select(col("node"), col("__deg"),
-          (lit(base) + expr(s"(__dm * ${dampNum}L) div (${dampDen}L * ${n}L)")
-            + coalesce(col("__c"), lit(0L))).as("rank"))
-      // truncate lineage every SECOND iteration (r21; was every iteration):
-      // each eager localCheckpoint is a corpus-sized materialization job,
-      // and the loop's cost at sf is almost entirely those per-iteration
-      // fixed job costs. With ONE un-pinned level, iteration i+1's two
-      // consumers of ranks_i (the dangling 1-row aggregate and the contribs
-      // join) share ranks_i's exchanges via Spark's reused-exchange/stage
-      // machinery instead of forcing a materialization, halving the job
-      // count; deeper than one level the doubled-per-level plan tree starts
-      // to cost more in planning than the saved job (the CC-rule blowup).
-      // Arithmetic is untouched — integer floor ops are bit-exact however
-      // the lineage is cut (pq106/pq108 oracles re-prove).
-      ranks = if (it % 2 == 1 || it == iterations - 1) next.localCheckpoint() else next
+        .join(ranks, p) // narrow: both sides partitioned by p on the src key
+        .map { case (_, ((dst, deg), (rank, _))) =>
+          (dst, rank * dampNum / (dampDen * deg))
+        }
+        .reduceByKey(p, _ + _) // the iteration's one shuffle
+      ranks = nodeDeg
+        .leftOuterJoin(contribs, p) // narrow again
+        .mapValues { case (deg, c) => (base + dmShare + c.getOrElse(0L), deg) }
       it += 1
     }
-    ranks.select(col("node"), col("rank"))
+    val rows = ranks.map { case (node, (rank, _)) =>
+      org.apache.spark.sql.Row(node, rank)
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Driver-side twin of the distributed recurrence — the SAME scaled-long
+    * floor arithmetic over the same deduped edge list (LinkGraphSpec pins
+    * local == distributed == the independent imperative reference), run in
+    * plain hash maps when the graph fits the collect guard. Insertion
+    * order never matters: every term is an integer sum.
+    */
+  private def localIntegerPageRank(
+      spark: org.apache.spark.sql.SparkSession,
+      edgeRows: Array[org.apache.spark.sql.Row],
+      outSchema: org.apache.spark.sql.types.StructType,
+      iterations: Int,
+      scale: Long,
+      dampNum: Long,
+      dampDen: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val es = edgeRows.map(r => (r.get(0), r.get(1)))
+    val out = new java.util.HashMap[Any, Long]()
+    val nodeSet = new java.util.LinkedHashSet[Any]()
+    es.foreach { case (s, d) =>
+      out.merge(s, 1L, _ + _)
+      nodeSet.add(s); nodeSet.add(d)
+    }
+    val nodes = nodeSet.asScala.toArray
+    val n = nodes.length.toLong
+    if (n == 0)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    val base = scale * (dampDen - dampNum) / (dampDen * n)
+    var rank = new java.util.HashMap[Any, Long]()
+    nodes.foreach(v => rank.put(v, scale / n))
+    var it = 0
+    while (it < iterations) {
+      var dm = 0L
+      nodes.foreach(v => if (!out.containsKey(v)) dm += rank.get(v))
+      val dmShare = dm * dampNum / (dampDen * n)
+      val contrib = new java.util.HashMap[Any, Long]()
+      es.foreach { case (s, d) =>
+        contrib.merge(d, rank.get(s) * dampNum / (dampDen * out.get(s)), _ + _)
+      }
+      val next = new java.util.HashMap[Any, Long]()
+      nodes.foreach(v =>
+        next.put(v, base + dmShare + contrib.getOrDefault(v, 0L)))
+      rank = next
+      it += 1
+    }
+    val rows = nodes.map(v => org.apache.spark.sql.Row(v, rank.get(v))).toSeq
+    spark.createDataFrame(rows.asJava, outSchema)
   }
 }

@@ -169,6 +169,13 @@ class LinkGraphSpec extends SparkTestBase {
     val es = (0 until 120).map(_ => (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")).distinct
     val got = graft.pipeline.LinkRank.integerPageRank(
       es.toDF("src", "dst"), iterations = 6).as[(String, Long)].collect().toMap
+    // r21: collectThreshold=0 forces the distributed RDD loop; it must be
+    // bit-identical to the driver-local fast path the default takes (the
+    // CC local-vs-distributed pin, applied to PageRank)
+    val dist = graft.pipeline.LinkRank.integerPageRank(
+      es.toDF("src", "dst"), iterations = 6, collectThreshold = 0L)
+      .as[(String, Long)].collect().toMap
+    assert(dist == got, "distributed RDD loop diverged from the local fast path")
     // reference: same integer recurrence, plain Scala maps
     val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
     val out = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap

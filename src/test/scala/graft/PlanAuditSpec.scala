@@ -173,9 +173,15 @@ class PlanAuditSpec extends SparkTestBase {
     * span (the same chain inside pq83-pq91 sits under codegen'd agg/join
     * stages, which is where their spans come from).
     */
+  /** pq106 (r21): integerPageRank's sub-threshold fast path computes the
+    * rank recurrence on the driver off one limit-guarded collect (the
+    * unionFindLocal posture), so the registered frame is a LocalTableScan
+    * with no codegen span; the distributed RDD loop past the threshold is
+    * pinned bit-identical by LinkGraphSpec.
+    */
   private val localResidue =
     Set("pq23_dedup_clusters", "pq50_knn_mmr", "dq25_stream_drift_refresh",
-      "pq97_deletion_reelect", "pq100_warc_index")
+      "pq97_deletion_reelect", "pq100_warc_index", "pq106_link_pagerank")
 
   /** UNPARTITIONED-window allowlist: the only sanctioned global windows are
     * cumulative/rank windows over bounded METADATA frames, never over the
