@@ -165,15 +165,43 @@ object Bench {
         .orElse(v1.flatMap(_.get("nr_throttled"))).getOrElse(0L))
   }
 
+  /** Shuffle/block-store scratch on tmpfs when available (r21, guide §6):
+    * PlanCostProbe -floor measured the FIRST shuffle of a tiny query at
+    * ~0.41 s on this sandbox's overlay root fs vs ~0.21-0.33 s with local
+    * dirs on /dev/shm — pure transient-file churn (blockmgr data+index
+    * files), the same host artifact as the r20 state-store/segment tmpfs
+    * moves. Parameterized, not tuned: production points spark.local.dir
+    * (or the SPARK_LOCAL_DIRS env, which Spark gives precedence) at its
+    * fast local disks; this default only replaces the harness box's slow
+    * root fs when tmpfs exists, and falls back to the JVM default
+    * otherwise. PID-keyed and swept on exit so overlapping JVMs never
+    * collide and tmpfs RAM is returned.
+    */
+  def tmpfsLocalDir(): Option[String] = {
+    val shm = new java.io.File("/dev/shm")
+    if (!shm.isDirectory || !shm.canWrite) return None
+    val d = new java.io.File(shm, s"graft-local-${ProcessHandle.current().pid()}")
+    if (!d.isDirectory && !d.mkdirs()) return None
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.io.File): Unit = {
+        Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(): Unit
+      }
+      rm(d)
+    }))
+    Some(d.getAbsolutePath)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+    val spark = tmpfsLocalDir().fold(builder0)(d => builder0.config("spark.local.dir", d))
       // the Janino codegen cache is an LRU of 100 generated classes; this
       // workload has ~77 distinct plans × several codegen stages each, so at
       // the default size interleaved reps (and any production session running

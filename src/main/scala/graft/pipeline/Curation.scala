@@ -63,7 +63,23 @@ object Curation {
   private[pipeline] def persistStage(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     currentScope.value.add(p)
-    p
+    // r21: ALSO truncate the downstream logical plan at the stage boundary
+    // with a LAZY local checkpoint. The persist alone is the right
+    // execution plan (consumers share one materialization, and repeated
+    // invocations in a session hit the same cache entry), but every
+    // consumer Dataset still CARRIES the whole upstream tree through
+    // analysis — PlanCostProbe measured the mix pipelines spending
+    // 0.4-1.8 s/invocation of pure driver construction (DeduplicateRelations
+    // + checkAnalysis are quadratic in tree size for self-joining plans).
+    // localCheckpoint(eager=false) replaces the tree with a LogicalRDD over
+    // the persisted stage's execution RDD: downstream analysis cost
+    // collapses, laziness is preserved (nothing runs until the first
+    // consumer), within-invocation consumers share the checkpointed
+    // blocks, and across invocations the scan underneath still hits the
+    // persisted cache. Same truncation-for-driver-time trade the library
+    // already makes everywhere it localCheckpoints; results are unchanged
+    // (the oracle re-verifies all 166 rows).
+    p.localCheckpoint(eager = false)
   }
 
   /** Build a pipeline plan with its stage caches registered to a PRIVATE
