@@ -92,21 +92,26 @@ object PlanCostProbe {
     // the second JVM of a pair ran 2x faster than the first regardless of
     // conf). Six alternating 15 s windows, default first.
     if (args.contains("-ab") && confs.nonEmpty) {
-      val fn = SparkEntry.queries(names.head)
       val (k, v) = confs.head
       val dflt = spark.conf.get(k)
-      val out = (0 until 6).map { w =>
-        spark.conf.set(k, if (w % 2 == 0) dflt else v)
-        val t0 = System.currentTimeMillis()
-        var n = 0
-        while (System.currentTimeMillis() - t0 < 15000) {
-          fn(spark, dir).queryExecution.executedPlan
-          n += 1
+      // -abexec: run the FULL query (noop sink) instead of planning only
+      val exec = args.contains("-abexec")
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val out = (0 until 6).map { w =>
+          spark.conf.set(k, if (w % 2 == 0) dflt else v)
+          val t0 = System.currentTimeMillis()
+          var n = 0
+          while (System.currentTimeMillis() - t0 < 15000) {
+            if (exec) fn(spark, dir).write.format("noop").mode("overwrite").save()
+            else fn(spark, dir).queryExecution.executedPlan: Unit
+            n += 1
+          }
+          (if (w % 2 == 0) "default" else "conf   ", n)
         }
-        (if (w % 2 == 0) "default" else "conf   ", n)
+        out.foreach { case (tag, n) => println(s"AB $name $tag $n ${if (exec) "execs" else "plans"}/15s") }
+        spark.conf.set(k, dflt)
       }
-      out.foreach { case (tag, n) => println(s"AB ${names.head} $tag $n plans/15s") }
-      spark.conf.set(k, dflt)
     }
     // -floor: the per-job / per-stage fixed cost of this session shape —
     // what a 170-query suite pays ~500 times regardless of data
